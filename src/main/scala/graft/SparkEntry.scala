@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Knn
+import graft.operators.{Knn, Lifecycle}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -47,6 +47,35 @@ object SparkEntry {
     "knn_filtered" -> ((s, dir) =>
       Knn.knnExact(Tables.defaultQueries(s, dir),
         Tables.embeddings(s, dir).filter(col("label") === 3), k = 5, metric = "cosine")),
+
+    // --- lifecycle: upsert / update / delete / status / validation (O11-O17) ---
+    "lifecycle_upsert" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val b1 = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"), lit(1).as("batch"))
+      val b2 = emb.filter(col("vec_id") % 10 === 0).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * 2.0).as("emb"), lit(2).as("batch"))
+      Lifecycle.upsertById(b1, b2)
+        .select(col("vec_id"), col("batch"),
+          round(aggregate(col("emb"), lit(0.0), (a, v) => a + v), 4).as("vec_sum"))
+    }),
+    "lifecycle_update" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val updates = emb.filter(col("vec_id") % 7 === 0).select(
+        (col("vec_id") * 2).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") + 1.0).as("emb"))
+      Lifecycle.updateActions(emb, updates)
+        .select(col("vec_id"), col("action"),
+          round(aggregate(col("emb"), lit(0.0), (a, v) => a + v), 4).as("vec_sum"))
+    }),
+    "lifecycle_delete_status" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val del = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+      Lifecycle.status(Lifecycle.softDelete(emb, del))
+    }),
+    "validate_dims" -> ((s, dir) =>
+      Lifecycle.dimCounts(Tables.embeddings(s, dir))
+        .select(col("dim").cast("long").as("dim"), col("n_vectors"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -75,6 +104,27 @@ object SparkEntry {
       score = "round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)",
       asc = true,
       corpusWhere = "WHERE label = 3"),
+    "lifecycle_upsert" ->
+      """WITH b1 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb, 1 AS batch FROM embeddings),
+              b2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS emb, 2 AS batch FROM embeddings WHERE vec_id % 10 = 0),
+              u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+              r AS (SELECT vec_id, batch, emb, row_number() OVER (PARTITION BY vec_id ORDER BY batch DESC) AS rn FROM u)
+         SELECT vec_id, batch, round(list_sum(emb), 4) AS vec_sum FROM r WHERE rn = 1""",
+    "lifecycle_update" ->
+      """WITH upd AS (SELECT vec_id * 2 AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) + 1.0) AS emb
+                      FROM embeddings WHERE vec_id % 7 = 0),
+              ids AS (SELECT DISTINCT vec_id FROM embeddings)
+         SELECT u.vec_id,
+                CASE WHEN i.vec_id IS NULL THEN 'skipped_unknown' ELSE 'updated' END AS action,
+                round(list_sum(u.emb), 4) AS vec_sum
+         FROM upd u LEFT JOIN ids i ON u.vec_id = i.vec_id""",
+    "lifecycle_delete_status" ->
+      """SELECT count(*) AS count_indexed,
+                count(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS count_active,
+                count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS count_deleted
+         FROM embeddings""",
+    "validate_dims" ->
+      "SELECT len(embedding) AS dim, count(*) AS n_vectors FROM embeddings GROUP BY 1",
   )
 
   /** Shared DuckDB k-NN oracle template: round-then-rank with id tiebreak,

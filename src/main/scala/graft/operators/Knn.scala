@@ -54,8 +54,10 @@ object Knn {
         round(rawScore, scoreDecimals).as("score"))
     val ord: Column = if (asDistance) col("score").asc else col("score").desc
     val w = Window.partitionBy(col("query_id")).orderBy(ord, col("match_id").asc)
+    // rank as long: DuckDB's row_number() yields BIGINT and the driver's
+    // hash compare is type-sensitive
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Knn, Lifecycle}
+import graft.operators.{Dedup, Knn, Lifecycle}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -76,7 +76,51 @@ object SparkEntry {
     "validate_dims" -> ((s, dir) =>
       Lifecycle.dimCounts(Tables.embeddings(s, dir))
         .select(col("dim").cast("long").as("dim"), col("n_vectors"))),
+
+    // --- dedup suite (SURVEY §2.9 E1/E2; planted duplicates — fixtures
+    //     have none naturally: 500/500 distinct texts, max cosine 0.48) ---
+    "dedup_exact" -> ((s, dir) => Dedup.exactGroups(docsWithExactDupes(s, dir))),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(docsWithNearDupes(s, dir), threshold = 0.5)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docsWithNearDupes(s, dir), maxHamming = 6)),
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
+        blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.cosinePairsBlocked(embWithDupes(s, dir),
+        Seq(col("label"), pmod(col("vec_id"), lit(50))), threshold = 0.99)),
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.cosinePairsLsh(embWithDupes(s, dir), dim = 64, threshold = 0.99)),
   )
+
+  /** documents plus exact copies of every 10th doc at id+10M (offset clear
+    * of real ids at any sf). */
+  private def docsWithExactDupes(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars")))
+  }
+
+  /** documents plus near-copies (three words appended) of every 10th doc. */
+  private def docsWithNearDupes(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" extra tail words")).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+  }
+
+  /** embeddings (as double vectors) plus direction-preserving scaled
+    * copies of every 25th vector — cosine exactly 1 with its source. */
+  private def embWithDupes(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))
+    e.unionByName(e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.5).as("embedding"), col("label")))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -125,6 +169,45 @@ object SparkEntry {
          FROM embeddings""",
     "validate_dims" ->
       "SELECT len(embedding) AS dim, count(*) AS n_vectors FROM embeddings GROUP BY 1",
+    // dedup_minhash / dedup_simhash / dedup_embedding_lsh: signature-based
+    // (xxhash64 not in DuckDB) -> rows-only check + ScalaTest recall specs
+    "dedup_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM corpus GROUP BY 1""",
+    "dedup_ngram" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+           FROM documents WHERE doc_id % 10 = 0),
+         g AS (SELECT doc_id, md5(substr(text, 1, 40)) AS blk,
+                      CASE WHEN length(text) >= 3
+                           THEN list_distinct(list_transform(range(length(text) - 2),
+                                  i -> substr(text, CAST(i + 1 AS INT), 3)))
+                           ELSE [text] END AS s
+               FROM corpus),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                            / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
+               FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    "dedup_embedding" ->
+      """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb, label
+                       FROM embeddings),
+         corpus AS (SELECT * FROM base
+                    UNION ALL
+                    SELECT vec_id + 10000000, list_transform(emb, x -> x * 1.5), label
+                    FROM base WHERE vec_id % 25 = 0),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      round(list_dot_product(a.emb, b.emb)
+                            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+               FROM corpus a JOIN corpus b
+                 ON a.label = b.label AND a.vec_id % 50 = b.vec_id % 50 AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99""",
   )
 
   /** Shared DuckDB k-NN oracle template: round-then-rank with id tiebreak,

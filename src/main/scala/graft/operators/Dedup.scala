@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (content hash), MinHash+LSH banding, SimHash, character-n-gram Jaccard,
+  * and embedding-cosine near-dup — all built as blocked/bucketed joins so
+  * no path ever materializes the full O(N^2) pair space.
+  *
+  * (Extension operators beyond the reference surface — SURVEY §2.9 E1/E2;
+  * the reference itself dedups only by document id on upsert,
+  * `/root/reference/executor.py:151-161`.)
+  *
+  * Scale shape shared by every near-dup variant here:
+  *   signature (narrow map-side expr or partial agg) -> explode buckets ->
+  *   shuffle on bucket key -> within-bucket pair join -> exact verify.
+  * Bucket cardinality grows with N, so per-bucket pair counts stay bounded
+  * and the shuffle key is the bucket — the plan that survives 100 TB.
+  */
+object Dedup {
+
+  /** Stable content fingerprint for exact dedup. */
+  def contentHash(c: Column): Column = md5(c.cast("binary"))
+
+  /** Exact-duplicate groups: one row per distinct content with the
+    * surviving (minimum) id and the multiplicity. Map-side partial
+    * aggregation makes this one shuffle of distinct hashes only. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(contentHash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep the lowest id per distinct content. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(contentHash(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Lowercase whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Distinct word n-shingles; short texts fall back to the whole token
+    * string so every doc has at least one shingle. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val joined = concat_ws(" ", ts)
+    when(size(ts) >= n,
+      array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n))))))
+      .otherwise(array(joined))
+  }
+
+  /** Distinct character n-grams. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array(text))
+
+  /** Exact Jaccard similarity of two array-set columns (assumed distinct),
+    * in double precision. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash signatures: (id, sig: array<long>[numPerms]).
+    *
+    * Shingle hashes are computed once per (doc, shingle) row via an
+    * explode, then the numPerms permutation minima run as map-side partial
+    * aggregates — the per-doc signature costs one shuffle of
+    * numPerms-width rows, never a recomputation of the string hashing.
+    * Permutation p's hash is xxhash64(p, shingleHash): seed-mixing without
+    * long arithmetic (ANSI-safe, no overflow). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numPerms: Int = 64): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("__sh"))
+      .select(col(idCol), xxhash64(col("__sh")).as("__h"))
+    val mins = (0 until numPerms).map(p => min(xxhash64(lit(p), col("__h"))).as(s"__m$p"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numPerms).map(p => col(s"__m$p")): _*).as("sig"))
+  }
+
+  /** LSH band hashes over a signature array: bands of rowsPerBand values,
+    * each band hashed to one long. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
+
+  /** Candidate pairs whose signatures collide in at least one LSH band:
+    * explode band hashes, shuffle on (band index, band hash), pair within
+    * bucket with id_a < id_b. */
+  private def bandCandidates(sigs: DataFrame, idCol: String,
+                             bands: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = sigs.select(col(idCol),
+        posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("__band", "__bh")))
+    val a = buckets.select(col(idCol).as("id_a"), col("__band"), col("__bh"))
+    val b = buckets.select(col(idCol).as("id_b"), col("__band"), col("__bh"))
+    a.join(b, Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash near-dup pairs, exact-verified: LSH candidates filtered by
+    * true shingle-set Jaccard >= threshold.
+    * @return (id_a, id_b, jaccard) with jaccard rounded to 4dp */
+  def minhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   shingleN: Int = 3, numPerms: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.4): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numPerms)
+    val cands = bandCandidates(sigs, idCol, bands, numPerms / bands)
+    val sets = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__set"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("__sa"), col("__sb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Survivors after near-dup removal: drop any doc that pairs with a
+    * lower-id near-duplicate (keep-first policy). */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** SimHash signatures as 64 sign bits: (id, simhash: array<int>).
+    * Bit i is the sign of sum over tokens of +-1 depending on bit i of the
+    * token hash — computed with one explode + 64 map-side partial sums. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 64): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val sums = (0 until bits).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__s$i")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), array((0 until bits).map(i =>
+        when(col(s"__s$i") >= 0, 1).otherwise(0)): _*).as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length bit arrays. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v)
+
+  /** SimHash near-dup pairs verified by exact Hamming distance <=
+    * maxHamming. Banding over bit slices guarantees recall when
+    * maxHamming < bands (pigeonhole: some band must match exactly). */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+    val bits = 64
+    val sigs = simhashSignatures(docs, idCol, textCol, bits)
+      .withColumnRenamed("simhash", "sig")
+    val cands = bandCandidates(sigs, idCol, bands, bits / bands)
+    val sh = sigs.withColumnRenamed("sig", "simhash")
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("__ha")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("__hb")), "id_b")
+      .withColumn("hamming", hamming(col("__ha"), col("__hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Exact character-n-gram Jaccard pairs within blocks: `blockExpr`
+    * assigns each doc a blocking key (e.g. a prefix hash); only
+    * within-block pairs are compared, so cost is sum of block sizes
+    * squared, not N^2. */
+  def ngramJaccardPairs(docs: DataFrame, blockExpr: Column,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val prepped = docs.select(col(idCol), charNgrams(col(textCol), n).as("__set"),
+      blockExpr.as("__blk"))
+    val a = prepped.select(col(idCol).as("id_a"), col("__set").as("__sa"), col("__blk"))
+    val b = prepped.select(col(idCol).as("id_b"), col("__set").as("__sb"), col("__blk"))
+    a.join(b, "__blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(jaccard(col("__sa"), col("__sb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dup pairs within blocks (exact cosine, rounded before
+    * thresholding so an oracle ranks identically). blockExprs must be
+    * stable under duplication (e.g. label + id mod k). */
+  def cosinePairsBlocked(emb: DataFrame, blockExprs: Seq[Column],
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         threshold: Double = 0.99, decimals: Int = 4): DataFrame = {
+    val blk = struct(blockExprs: _*)
+    val prepped = emb.select(col(idCol), col(vecCol), blk.as("__blk"))
+    val a = prepped.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__blk"))
+    val b = prepped.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__blk"))
+    a.join(b, "__blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorOps.cosineSimilarity(col("__va"), col("__vb")), decimals))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Sign-random-projection LSH near-dup pairs over embeddings: signature
+    * bit p = sign(<v, h_p>) for `planes` fixed pseudo-random hyperplanes
+    * (seeded, deterministic), banded like MinHash, exact-cosine verified.
+    * The scale path: no blocked self-join, candidates only from bucket
+    * collisions. */
+  def cosinePairsLsh(emb: DataFrame, dim: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     planes: Int = 16, bands: Int = 4,
+                     threshold: Double = 0.99, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val hyper: Array[Array[Double]] =
+      Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    val bitCols = (0 until planes).map { p =>
+      val dp = aggregate(
+        zip_with(col(vecCol), typedLit(hyper(p).toSeq), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dp >= 0.0, 1).otherwise(0)
+    }
+    val sigs = emb.select(col(idCol), col(vecCol), array(bitCols: _*).as("sig"))
+    val cands = bandCandidates(sigs.select(col(idCol), col("sig")), idCol, bands, planes / bands)
+    val vecs = emb.select(col(idCol), col(vecCol))
+    cands
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .withColumn("cosine", round(VectorOps.cosineSimilarity(col("__va"), col("__vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Knn, Lifecycle}
+import graft.operators.{Dedup, EventOps, Knn, Lifecycle, Multimodal, Relational, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -92,6 +92,57 @@ object SparkEntry {
         Seq(col("label"), pmod(col("vec_id"), lit(50))), threshold = 0.99)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.cosinePairsLsh(embWithDupes(s, dir), dim = 64, threshold = 0.99)),
+
+    // --- text analysis (E3) ---
+    "text_stats" -> ((s, dir) => TextOps.statsByLang(Tables.documents(s, dir))),
+    "text_quality" -> ((s, dir) => TextOps.qualityReport(Tables.documents(s, dir))),
+    "text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"), col("lang").as("lang_actual"))),
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))),
+
+    // --- events: windows / JSON / sessions / top-N (E4, E5) ---
+    "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(Tables.events(s, dir))),
+    "events_json" -> ((s, dir) => EventOps.jsonPropsAgg(Tables.events(s, dir))),
+    "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
+    "events_topn" -> ((s, dir) => EventOps.topEventTypes(Tables.events(s, dir))),
+
+    // --- star-schema relational analytics (E6) ---
+    "star_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(Tables.table(s, dir, "lineitem"))),
+    "star_top_orders" -> ((s, dir) =>
+      Relational.topOrders(Tables.table(s, dir, "customer"),
+          Tables.table(s, dir, "orders"), Tables.table(s, dir, "lineitem"))
+        .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_date"),
+          col("revenue"))),
+    "star_region_revenue" -> ((s, dir) =>
+      Relational.regionRevenue(Tables.table(s, dir, "region"), Tables.table(s, dir, "nation"),
+        Tables.table(s, dir, "customer"), Tables.table(s, dir, "supplier"),
+        Tables.table(s, dir, "orders"), Tables.table(s, dir, "lineitem"))),
+    "star_customer_rank" -> ((s, dir) =>
+      Relational.customerRankByNation(Tables.table(s, dir, "customer"),
+        Tables.table(s, dir, "nation"))),
+    "star_order_priority" -> ((s, dir) =>
+      Relational.orderPriorityCounts(Tables.table(s, dir, "orders"),
+        Tables.table(s, dir, "lineitem"))),
+    "star_part_stats" -> ((s, dir) =>
+      Relational.partStatsByBrand(Tables.table(s, dir, "part"))),
+
+    // --- multimodal binary-column plumbing (decode step stubbed) ---
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.withBinaryContent(Tables.documents(s, dir))
+        .select(col("doc_id"), length(col("content")).cast("long").as("n_bytes"))
+        .withColumn("n_frames",
+          (floor(col("n_bytes").cast("double") / 1024.0).cast("long") + 1))),
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeBatched(Multimodal.withBinaryContent(Tables.documents(s, dir)))),
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.withBinaryContent(Tables.documents(s, dir))
+          .select(col("doc_id"), Multimodal.mediaMetaExpr(col("content")).as("m"))
+          .select(col("doc_id"), col("m.n_frames").as("n_frames")))),
   )
 
   /** documents plus exact copies of every 10th doc at id+10M (offset clear
@@ -208,6 +259,116 @@ object SparkEntry {
                FROM corpus a JOIN corpus b
                  ON a.label = b.label AND a.vec_id % 50 = b.vec_id % 50 AND a.vec_id < b.vec_id)
          SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99""",
+    // text_langid / text_fingerprint: heuristic scoring & xxhash64
+    // fingerprints aren't DuckDB-expressible -> rows-only + ScalaTest
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+                max(n_chars) AS max_chars
+         FROM documents GROUP BY 1""",
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+                           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+                    FROM documents),
+         r AS (SELECT doc_id, len(toks) AS n_tokens,
+                      round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1), 4) AS punct_ratio,
+                      round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                            / greatest(len(toks), 1), 4) AS stopword_ratio
+               FROM t)
+         SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+                round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                      * (1.0 - punct_ratio) * (1.0 - 0.5 * stopword_ratio), 4) AS quality
+         FROM r""",
+    "events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
+                count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "events_json" ->
+      """SELECT event_type,
+                count(try_cast(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+                round(avg(try_cast(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+                max(try_cast(json_extract_string(props, '$.k') AS INT)) AS max_k
+         FROM events GROUP BY 1""",
+    "events_sessions" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events),
+         m AS (SELECT user_id, ts, event_id,
+                      CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+                           THEN 1 ELSE 0 END AS is_new
+               FROM g),
+         s AS (SELECT user_id,
+                      sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM m),
+         c AS (SELECT user_id, session_id, count(*) AS session_events FROM s GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+                CAST(sum(session_events) AS BIGINT) AS n_events,
+                max(session_events) AS max_session_events
+         FROM c GROUP BY 1""",
+    "events_topn" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+         SELECT user_id, event_type, n, "rank" AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS "rank"
+               FROM c)
+         WHERE "rank" <= 2""",
+    "star_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(26,6))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(26,6))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,6))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(26,6))) AS DOUBLE) AS sum_charge,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2""",
+    "star_top_orders" ->
+      """SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_date, revenue FROM (
+           SELECT l_orderkey, o_orderdate,
+                  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,6))) AS DOUBLE) AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY 1, 2)
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "star_region_revenue" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE' GROUP BY 1""",
+    "star_customer_rank" ->
+      """SELECT n_name, c_custkey, c_name, round(c_acctbal, 2) AS acctbal, "rank" AS rank
+         FROM (SELECT n_name, c_custkey, c_name, c_acctbal,
+                      row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS "rank"
+               FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         WHERE "rank" <= 3""",
+    "star_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+         GROUP BY 1""",
+    "star_part_stats" ->
+      """SELECT p_brand, count(*) AS n_parts, count(DISTINCT p_type) AS n_types,
+                min(p_size) AS min_size, max(p_size) AS max_size,
+                round(CAST(sum(CAST(p_retailprice AS DECIMAL(26,6))) AS DOUBLE) / count(*), 4) AS avg_price
+         FROM part GROUP BY 1""",
+    // multimodal_decode / multimodal_frames: STUB decode dims (crc32/
+    // xxhash64) aren't DuckDB-expressible -> rows-only
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                CAST(floor(octet_length(encode(text)) / 1024.0) AS BIGINT) + 1 AS n_frames
+         FROM documents""",
   )
 
   /** Shared DuckDB k-NN oracle template: round-then-rank with id tiebreak,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the timestamped `events` table (SURVEY
+  * §2.9 E4/E5): event-time tumbling windows, JSON property extraction,
+  * gap-based sessionization, per-key top-N. The batch forms here share
+  * their logical plans with the Structured Streaming renditions in
+  * [[graft.streaming.EventStream]] — same groupBy(window(...)) shape,
+  * plus watermarking on the streaming side.
+  */
+object EventOps {
+
+  /** Tumbling event-time window aggregate. Window start is emitted as
+    * epoch seconds (timezone-proof for cross-engine comparison). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           // decimal accumulation: deterministic under partial aggregation
+           // and bit-identical to a double-precision oracle
+           round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** JSON property extraction from the `props` column + aggregate by
+    * event type. `try_cast` keeps malformed payloads null-safe under
+    * ANSI mode. */
+  def jsonPropsAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS INT)"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+           round(avg(col("k")), 4).as("avg_k"),
+           max(col("k")).as("max_k"))
+
+  /** Gap-based sessionization: a new session starts when the gap since
+    * the user's previous event exceeds `gapSeconds`. Pure window
+    * functions — one shuffle on user_id; at scale this is the standard
+    * sessionization plan (sort within user partitions).
+    * @return per-user session stats */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(col("session_events")).as("n_events"),
+           max(col("session_events")).as("max_session_events"))
+  }
+
+  /** Top-N event types per user by frequency (rank tiebreak by type name
+    * for determinism). */
+  def topEventTypes(events: DataFrame, n: Int = 2): DataFrame = {
+    val counts = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+}

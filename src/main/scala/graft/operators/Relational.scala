@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-ish star schema (SURVEY §2.9 E6).
+  * Everything here is deliberately plain DataFrame algebra: Catalyst gets
+  * declarative plans and does pushdown/pruning/join-selection; dimension
+  * tables are broadcast (they stay small at any scale factor — region 5,
+  * nation 25; customer/supplier grow slowly), the fact-table shuffle is on
+  * the aggregation key only.
+  *
+  * Money sums are cast to decimal before aggregation: deterministic,
+  * order-insensitive, and bit-identical across engines — double sums
+  * would drift with partial-aggregation order.
+  */
+object Relational {
+
+  /** Decimal-safe money sum, surfaced as double. Scale 6 ≥ the decimal
+    * scale of any money product here (2dp × 2dp × 2dp), so the per-row
+    * double→decimal cast never lands on a rounding tie — ties at lower
+    * scales resolve differently across engines (Spark rounds the exact
+    * binary expansion, others the shortest decimal repr). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(26,6)")).cast("double")
+
+  /** TPC-H Q1-flavored pricing summary. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "1998-09-02"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit(cutoff)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-flavored: top unshipped-revenue orders for one segment. */
+  def topOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                segment: String = "BUILDING", date: String = "1997-01-01",
+                n: Int = 10): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") > to_timestamp(lit(date)))
+      .join(orders.filter(col("o_orderdate") < to_timestamp(lit(date))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(n)
+
+  /** TPC-H Q5-flavored: revenue by nation within one region, suppliers
+    * and customers co-national. */
+  def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                    regionName: String = "EUROPE"): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+
+  /** Window ranking: top-N customers by account balance per nation. */
+  def customerRankByNation(customer: DataFrame, nation: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("n_name"), col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("rank"))
+  }
+
+  /** TPC-H Q4-flavored: order counts per priority for orders with at
+    * least one line shipped after the order date (left-semi join — the
+    * EXISTS plan). */
+  def orderPriorityCounts(orders: DataFrame, lineitem: DataFrame,
+                          from: String = "1996-01-01", to: String = "1997-01-01"): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(from)) &&
+              col("o_orderdate") < to_timestamp(lit(to)))
+      .join(lineitem,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** Part catalog stats by brand: distinct types, size span, mean price. */
+  def partStatsByBrand(part: DataFrame): DataFrame =
+    part.groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"),
+        round(sum(col("p_retailprice").cast("decimal(20,4)")).cast("double")
+          / count(lit(1)), 4).as("avg_price"))
+}

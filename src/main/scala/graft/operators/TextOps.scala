@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.9 E3):
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs) so
+  * they run as one narrow map stage over the corpus — no shuffle at any
+  * scale except where an aggregation is explicitly requested.
+  */
+object TextOps {
+
+  /** Common analysis stopwords (also the quality signal's function-word
+    * list). Kept tiny and fixed for determinism. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def tokenCount(text: Column): Column = size(Dedup.tokens(text))
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = Dedup.tokens(text)
+    val stops = array(Stopwords.map(lit): _*)
+    size(filter(ts, t => array_contains(stops, t))).cast("double") /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  /** Mean token length. */
+  def avgTokenLen(text: Column): Column = {
+    val ts = Dedup.tokens(text)
+    aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: longer docs with low punctuation
+    * noise and moderate stopword density score higher. Deterministic
+    * arithmetic only — components are rounded before combination so an
+    * oracle reproduces it exactly. */
+  def qualityScore(nTokens: Column, punct: Column, stop: Column): Column =
+    round(least(nTokens.cast("double") / 100.0, lit(1.0))
+      * (lit(1.0) - punct) * (lit(1.0) - lit(0.5) * stop), 4)
+
+  /** Language-marker token sets for the n-gram/stopword language-ID
+    * heuristic. Public-knowledge function-word lists, truncated. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Heuristic language ID: score each language by marker-token hits
+    * (CJK additionally by codepoint class); argmax with fixed tie order.
+    * Returns the language code column. */
+  def langId(text: Column): Column = {
+    val ts = Dedup.tokens(text)
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      val base = size(filter(ts, t => array_contains(m, t)))
+      lang -> (if (lang == "zh") base + cjk else base)
+    }
+    // argmax with deterministic tie-break = declaration order
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Document fingerprint: minimum 64-bit hash over the rolling character
+    * 8-gram windows (winnowing-style min-sampling; robust to small
+    * in-place edits, cheap to compare at corpus scale). */
+  def fingerprint(text: Column, window: Int = 8): Column =
+    array_min(transform(Dedup.charNgrams(text, window), g => xxhash64(g)))
+
+  /** Per-language corpus statistics (one shuffle, map-side partials). */
+  def statsByLang(docs: DataFrame, textCol: String = "text",
+                  langCol: String = "lang"): DataFrame =
+    docs.groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  /** Per-document quality report. */
+  def qualityReport(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+        col(idCol),
+        tokenCount(t).cast("long").as("n_tokens"),
+        round(punctRatio(t), 4).as("punct_ratio"),
+        round(stopwordRatio(t), 4).as("stopword_ratio"))
+      .withColumn("quality",
+        qualityScore(col("n_tokens"), col("punct_ratio"), col("stopword_ratio")))
+  }
+}

@@ -13,7 +13,16 @@ object Tables {
 
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
-  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default — read nanos as long and floor-convert to a microsecond
+    * timestamp (`DIV 1000` stays in exact integer arithmetic; DuckDB's
+    * native ns read floors identically). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Default query set for the k-NN operators: first 10 vectors by id,
     * projected to (query_id, query_vec). Broadcast-sized by construction. */

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EventOps, Knn, Lifecycle, Multimodal, Relational, TextOps}
+import graft.operators.{Dedup, EventOps, Knn, KnnIvf, Lifecycle, Multimodal, Relational, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -92,6 +92,12 @@ object SparkEntry {
         Seq(col("label"), pmod(col("vec_id"), lit(50))), threshold = 0.99)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.cosinePairsLsh(embWithDupes(s, dir), dim = 64, threshold = 0.99)),
+
+    // --- approximate k-NN: IVF cells, nProbe = the ef_query-style recall
+    //     knob (O7 approximate path + O19); recall-tested, not oracled ---
+    "ann_ivf" -> ((s, dir) =>
+      KnnIvf.approxKnn(Tables.embeddings(s, dir), Tables.defaultQueries(s, dir),
+        k = 5, numCells = 16, nProbe = 4)),
 
     // --- text analysis (E3) ---
     "text_stats" -> ((s, dir) => TextOps.statsByLang(Tables.documents(s, dir))),

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Lifecycle
+
+/** Structured Streaming renditions of the engine's incremental paths
+  * (SURVEY §2.9 E5). The reference's incrementality is RPC-driven
+  * (`/index` batches arriving over gRPC, `/root/reference/executor.py:127`);
+  * stream-time-driven Spark equivalents:
+  *
+  *  - [[hourlyCounts]]: the event-time windowed aggregate of
+  *    [[graft.operators.EventOps.hourlyAgg]] with a watermark for state
+  *    eviction — at scale this is the only state-bounded form.
+  *  - [[upsertEachBatch]]: `foreachBatch` last-wins upsert into a Parquet
+  *    corpus — the streaming form of `/index` (O11).
+  *  - [[runningUserCounts]]: `mapGroupsWithState` custom state, the
+  *    extension point HNSW-style incremental structures would hang off.
+  */
+object EventStream {
+
+  /** events schema as read with nanos-as-long (see
+    * [[graft.sources.Tables.events]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the fixture events file(s). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Watermarked event-time tumbling window counts (append mode capable). */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Run a streaming frame into an in-memory table until the source is
+    * drained (test/demo harness). Returns the completed query handle. */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Streaming `/index`: each micro-batch is last-wins-upserted into the
+    * Parquet corpus table keyed by `idCol` — the O11 semantics
+    * (`executor.py:151-164`) under continuous arrival. */
+  def upsertEachBatch(stream: DataFrame, corpusPath: String,
+                      idCol: String = "event_id"): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stamped = batch.withColumn("batch", lit(batchId))
+        val merged =
+          if (new java.io.File(corpusPath).exists()) {
+            val existing = spark.read.parquet(corpusPath)
+            Lifecycle.upsertById(existing, stamped, idCol, "batch")
+          } else stamped
+        // localCheckpoint breaks the lineage into the path being overwritten
+        merged.localCheckpoint(true)
+          .write.mode("overwrite").parquet(corpusPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private case class UserCount(user_id: Long, n_events: Long)
+
+  /** Custom streaming state: running per-user event counts via
+    * `mapGroupsWithState` (the arbitrary-state API a richer incremental
+    * index would use). */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          UserCount(user, n)
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private lazy val withNearDupes = {
+    val base = docs.select("doc_id", "text")
+    base.unionByName(base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 10000000L).as("doc_id"),
+        concat($"text", lit(" extra tail words")).as("text")))
+  }
+
+  test("exact groups count duplicates and keep the min id") {
+    val base = docs.select("doc_id", "text")
+    val dupes = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+    val groups = Dedup.exactGroups(base.unionByName(dupes)).collect()
+    assert(groups.count(_.getLong(2) == 2L) === 50)
+    assert(groups.forall(_.getLong(1) < 10000000L)) // keeper is always the original
+  }
+
+  test("dropExactDuplicates keeps one row per content") {
+    val base = docs.select("doc_id", "text")
+    val doubled = base.unionByName(
+      base.select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
+    assert(Dedup.dropExactDuplicates(doubled).count() === base.count())
+  }
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    val pairs = Dedup.minhashPairs(withNearDupes, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter($"doc_id" % 10 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000000L)).toSet
+    assert((planted -- pairs).isEmpty, s"missed ${(planted -- pairs).size} planted pairs")
+  }
+
+  test("minhash jaccard estimates match exact jaccard on planted pairs") {
+    val pairs = Dedup.minhashPairs(withNearDupes, threshold = 0.5)
+      .filter($"id_b" - $"id_a" === 10000000L)
+    // planted pairs share all but ~3 trailing shingles
+    assert(pairs.agg(min($"jaccard")).head().getDouble(0) > 0.6)
+  }
+
+  test("simhash planted-pair recall >= 0.8 within hamming 6") {
+    val pairs = Dedup.simhashPairs(withNearDupes, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter($"doc_id" % 10 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000000L)).toSet
+    val recall = (planted & pairs).size.toDouble / planted.size
+    assert(recall >= 0.8, s"simhash recall $recall")
+  }
+
+  test("hamming expression") {
+    val d = Seq((Seq(1, 0, 1, 0), Seq(1, 1, 0, 0))).toDF("a", "b")
+    assert(d.select(Dedup.hamming($"a", $"b")).head().getInt(0) === 2)
+  }
+
+  test("ngram jaccard pairs are symmetric-safe (id_a < id_b) and above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(withNearDupes,
+      blockExpr = md5(substring($"text", 1, 40).cast("binary")), threshold = 0.5).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("dropNearDuplicates removes every doc that pairs with a lower id") {
+    val pairs = Dedup.minhashPairs(withNearDupes, threshold = 0.5)
+    val kept = Dedup.dropNearDuplicates(withNearDupes, pairs)
+    // all planted copies (id >= 10M) pair with their lower-id original;
+    // natural same-vocab near-dups are dropped too (keep-first policy)
+    assert(kept.filter($"doc_id" >= 10000000L).count() === 0)
+    val dropped = pairs.select($"id_b").distinct().count()
+    assert(kept.count() === withNearDupes.count() - dropped)
+  }
+
+  test("langId is deterministic and total") {
+    val preds = docs.select(TextOps.langId($"text").as("p"))
+    assert(preds.filter($"p".isNull).count() === 0)
+    val again = docs.select(TextOps.langId($"text").as("p"))
+    assert(preds.exceptAll(again).count() === 0)
+  }
+
+  test("fingerprint is stable under identity and shifts under heavy edit") {
+    val fp = docs.limit(20).select($"doc_id", TextOps.fingerprint($"text").as("f1"))
+      .join(docs.limit(20).select($"doc_id", TextOps.fingerprint($"text").as("f2")), "doc_id")
+    assert(fp.filter($"f1" =!= $"f2").count() === 0)
+  }
+}

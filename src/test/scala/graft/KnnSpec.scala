@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Knn, KnnIvf, Dedup}
+import graft.sources.Tables
+
+class KnnSpec extends SparkSuite {
+
+  private lazy val corpus = Tables.embeddings(spark, sfDir)
+  private lazy val queries = Tables.defaultQueries(spark, sfDir)
+
+  test("knnExact returns exactly k matches per query, ranked") {
+    val res = Knn.knnExact(queries, corpus, k = 5).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.size === 10)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
+  test("rank 1 of cosine distance self-search is the query itself at distance 0") {
+    val res = Knn.knnExact(queries, corpus, k = 1).collect()
+    res.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0)) // match_id == query_id
+      assert(r.getDouble(2) === 0.0)
+    }
+  }
+
+  test("top-k is a prefix of full brute-force ranking") {
+    val k5 = Knn.knnExact(queries, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val k20 = Knn.knnExact(queries, corpus, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    k5.foreach { case (key, id) => assert(k20(key) === id) }
+  }
+
+  test("similarity mode inverts ordering direction but keeps the same matches") {
+    val dist = Knn.knnExact(queries, corpus, k = 5, asDistance = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Knn.knnExact(queries, corpus, k = 5, asDistance = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dist === sim)
+  }
+
+  test("IVF recall@10 >= 0.95 vs exact (nProbe=12 of 16 cells)") {
+    // fixture vectors are near-uniform (no cluster structure, SURVEY §5),
+    // the worst case for IVF — recall still must clear the bar with a
+    // deep probe, mirroring how ef_query trades speed for recall
+    val exact = Knn.knnExact(queries, corpus, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = KnnIvf.approxKnn(corpus, queries, k = 10, numCells = 16, nProbe = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall@10 = $recall")
+  }
+
+  test("IVF with nProbe = numCells equals exact search") {
+    val exact = Knn.knnExact(queries, corpus, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = KnnIvf.approxKnn(corpus, queries, k = 10, numCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+  }
+
+  test("sign-RP LSH finds all planted cosine duplicates") {
+    val emb = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))
+    val planted = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.5).as("embedding"), col("label"))
+    val pairs = Dedup.cosinePairsLsh(emb.unionByName(planted), dim = 64, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = planted.collect().map(r => (r.getLong(0) - 10000000L, r.getLong(0))).toSet
+    assert(pairs === expected)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+import graft.sources.Tables
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkSuite {
+
+  test("streaming hourly counts match the batch aggregate") {
+    val q = EventStream.runToMemory(
+      EventStream.hourlyCounts(EventStream.readEvents(spark, sfDir)), "hourly_out")
+    try {
+      val streamed = spark.table("hourly_out")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = EventOps.hourlyAgg(Tables.events(spark, sfDir))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert builds a last-wins corpus from the stream") {
+    val out = Files.createTempDirectory("graft_upsert").toString + "/corpus"
+    val q = EventStream.upsertEachBatch(
+      EventStream.readEvents(spark, sfDir).select("event_id", "event_type"), out)
+    q.awaitTermination()
+    val corpus = spark.read.parquet(out)
+    val expected = Tables.events(spark, sfDir).select("event_id").distinct().count()
+    assert(corpus.count() === expected)
+    assert(corpus.select("event_id").distinct().count() === expected)
+  }
+
+  test("mapGroupsWithState running counts cover every user") {
+    val q = EventStream.runToMemory(
+      EventStream.runningUserCounts(EventStream.readEvents(spark, sfDir)), "user_counts",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    try {
+      val got = spark.table("user_counts")
+        .groupBy(col("user_id")).agg(max(col("n_events")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Tables.events(spark, sfDir).groupBy(col("user_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+class VectorOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Double =
+    Seq(1).toDF("x").select(c.cast("double")).head().getDouble(0)
+
+  private val a = typedLit(Seq(1.0f, 2.0f, 2.0f))
+  private val b = typedLit(Seq(2.0f, 0.0f, 1.0f))
+
+  test("dot product") { assert(one(VectorOps.dot(a, b)) === 4.0) }
+  test("l2 squared") { assert(one(VectorOps.l2Sq(a, b)) === 6.0) } // 1+4+1
+  test("norm") { assert(one(VectorOps.norm(a)) === 3.0) }
+  test("cosine similarity") {
+    // 4 / (3 * sqrt(5))
+    assert(math.abs(one(VectorOps.cosineSimilarity(a, b)) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
+  }
+  test("self cosine is 1, self l2 is 0") {
+    assert(math.abs(one(VectorOps.cosineSimilarity(a, a)) - 1.0) < 1e-12)
+    assert(one(VectorOps.l2Sq(a, a)) === 0.0)
+  }
+  test("metric symmetry") {
+    for (m <- Seq("cosine", "euclidean", "inner_product"))
+      assert(one(VectorOps.distance(m, a, b)) === one(VectorOps.distance(m, b, a)))
+  }
+  test("distance->similarity transform matches reference formulas") {
+    // cosine/ip: 1 - d; euclidean: 1/(1+d)  (executor.py:117-124)
+    assert(one(VectorOps.distanceToSimilarity("cosine", lit(0.25))) === 0.75)
+    assert(one(VectorOps.distanceToSimilarity("euclidean", lit(3.0))) === 0.25)
+  }
+  test("unknown metric falls back to l2 (executor.py:268-273)") {
+    assert(one(VectorOps.distance("bogus", a, b)) === 6.0)
+  }
+  test("l2Normalize yields unit vectors") {
+    assert(math.abs(one(VectorOps.norm(VectorOps.l2Normalize(a))) - 1.0) < 1e-6)
+  }
+  test("property: cosine in [-1,1] and l2sq >= 0 on fixture vectors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val pairs = emb.select($"embedding".as("x"))
+      .crossJoin(emb.select($"embedding".as("y")).limit(5))
+    val stats = pairs.select(
+      min(VectorOps.cosineSimilarity($"x", $"y")).as("mn"),
+      max(VectorOps.cosineSimilarity($"x", $"y")).as("mx"),
+      min(VectorOps.l2Sq($"x", $"y")).as("l2min")).head()
+    assert(stats.getDouble(0) >= -1.0 - 1e-9 && stats.getDouble(1) <= 1.0 + 1e-9)
+    assert(stats.getDouble(2) >= 0.0)
+  }
+}

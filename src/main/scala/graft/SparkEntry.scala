@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EventOps, Knn, KnnIvf, Lifecycle, Multimodal, Relational, TextOps}
+import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Relational, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -47,6 +47,10 @@ object SparkEntry {
     "knn_filtered" -> ((s, dir) =>
       Knn.knnExact(Tables.defaultQueries(s, dir),
         Tables.embeddings(s, dir).filter(col("label") === 3), k = 5, metric = "cosine")),
+    // partial-aggregation top-k variant (SURVEY §2.4) — same oracle as the
+    // window formulation, different physical plan
+    "knn_topk_agg" -> ((s, dir) =>
+      KnnTopK.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5)),
 
     // --- lifecycle: upsert / update / delete / status / validation (O11-O17) ---
     "lifecycle_upsert" -> ((s, dir) => {
@@ -83,7 +87,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(docsWithNearDupes(s, dir), threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docsWithNearDupes(s, dir), maxHamming = 6)),
+      Dedup.simhashPairs(docsWithNearDupes(s, dir))),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
         blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
@@ -183,6 +187,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "knn_cosine" -> knnOracle(
+      score = "round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)",
+      asc = true),
+    "knn_topk_agg" -> knnOracle(
       score = "round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)",
       asc = true),
     // squared L2, matching hnswlib's l2 space (reference executor.py:261-262)

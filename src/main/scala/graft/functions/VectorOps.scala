@@ -18,8 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sum_i a_i * b_i, accumulated left-to-right in double precision. */
+  private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def asExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  /** Sum_i a_i * b_i, accumulated left-to-right in double precision.
+    * Codegen'd primitive loop ([[VectorExprs.DotProduct]]). */
   def dot(a: Column, b: Column): Column =
+    asCol(VectorExprs.DotProduct(asExpr(a), asExpr(b)))
+
+  /** Interpreted higher-order-function formulation of [[dot]] — kept as
+    * the cross-check twin for the custom expression (same arithmetic). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -31,6 +42,10 @@ object VectorOps {
   /** Squared L2 distance — what hnswlib's `l2` space reports
     * (`/root/reference/executor.py:261-262`). */
   def l2Sq(a: Column, b: Column): Column =
+    asCol(VectorExprs.L2SqDistance(asExpr(a), asExpr(b)))
+
+  /** Higher-order-function twin of [[l2Sq]]. */
+  def l2SqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")
@@ -42,9 +57,11 @@ object VectorOps {
   /** Euclidean (root) L2 distance. */
   def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 
-  /** cos(a, b) in [-1, 1]. */
+  /** cos(a, b) in [-1, 1] — fused single-pass codegen
+    * ([[VectorExprs.CosineSim]]); arithmetic identical to
+    * dot/(sqrt(dot)*sqrt(dot)). */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    asCol(VectorExprs.CosineSim(asExpr(a), asExpr(b)))
 
   /** hnswlib cosine-space distance: 1 - cos(a, b). */
   def cosineDistance(a: Column, b: Column): Column =

@@ -71,21 +71,29 @@ object Dedup {
 
   /** MinHash signatures: (id, sig: array<long>[numPerms]).
     *
-    * Shingle hashes are computed once per (doc, shingle) row via an
-    * explode, then the numPerms permutation minima run as map-side partial
-    * aggregates — the per-doc signature costs one shuffle of
-    * numPerms-width rows, never a recomputation of the string hashing.
-    * Permutation p's hash is xxhash64(p, shingleHash): seed-mixing without
-    * long arithmetic (ANSI-safe, no overflow). */
+    * One-permutation MinHash (Li, Owen, Zhang, NIPS 2012): each shingle is
+    * hashed once (codegen'd xxhash64 — not numPerms interpreted passes),
+    * the hash space is split into numPerms buckets by h mod numPerms, and
+    * the signature slot is the per-bucket minimum. Empty buckets are
+    * densified from the document's global minimum hash mixed with the slot
+    * index — deterministic, and near-duplicate docs (which share their
+    * global min shingle almost surely) densify identically, preserving
+    * collision behavior. One narrow shuffle on (id, bucket); map-side
+    * partial mins keep it skew-proof at corpus scale. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numPerms: Int = 64): DataFrame = {
-    val exploded = docs
+    val bucketed = docs
       .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("__sh"))
       .select(col(idCol), xxhash64(col("__sh")).as("__h"))
-    val mins = (0 until numPerms).map(p => min(xxhash64(lit(p), col("__h"))).as(s"__m$p"))
-    exploded.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numPerms).map(p => col(s"__m$p")): _*).as("sig"))
+      .groupBy(col(idCol), pmod(col("__h"), lit(numPerms.toLong)).cast("int").as("__b"))
+      .agg(min(col("__h")).as("__m"))
+    bucketed.groupBy(col(idCol))
+      .agg(
+        map_from_entries(collect_list(struct(col("__b"), col("__m")))).as("__map"),
+        min(col("__m")).as("__gm"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(numPerms - 1)),
+          b => coalesce(element_at(col("__map"), b), xxhash64(b, col("__gm")))).as("sig"))
   }
 
   /** LSH band hashes over a signature array: bands of rowsPerBand values,
@@ -112,11 +120,15 @@ object Dedup {
     * true shingle-set Jaccard >= threshold.
     * @return (id_a, id_b, jaccard) with jaccard rounded to 4dp */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   shingleN: Int = 3, numPerms: Int = 64, bands: Int = 16,
+                   shingleN: Int = 3, numPerms: Int = 64, bands: Int = 32,
                    threshold: Double = 0.4): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numPerms)
     val cands = bandCandidates(sigs, idCol, bands, numPerms / bands)
+    // materialized once: the verification join probes this from both
+    // sides, and shingling is the expensive subplan (at cluster scale
+    // this is the persisted signatures table of a dedup job)
     val sets = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__set"))
+      .cache()
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), "id_b")
@@ -132,12 +144,16 @@ object Dedup {
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
   /** SimHash signatures as 64 sign bits: (id, simhash: array<int>).
-    * Bit i is the sign of sum over tokens of +-1 depending on bit i of the
-    * token hash — computed with one explode + 64 map-side partial sums. */
+    * Bit i is the sign of sum over features of +-1 depending on bit i of
+    * the feature hash — computed with one explode + 64 map-side partial
+    * sums. Features are word 2-shingles, not unigrams: on a corpus with a
+    * small shared vocabulary, unigram signatures collapse to near-identical
+    * fingerprints for every doc (the bag-of-words profile is global, not
+    * per-doc) and LSH buckets degenerate; bigrams restore per-doc signal. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         bits: Int = 64): DataFrame = {
     val exploded = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), explode(wordShingles(col(textCol), 2)).as("__t"))
       .select(col(idCol), xxhash64(col("__t")).as("__h"))
     val sums = (0 until bits).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__s$i")
@@ -154,12 +170,20 @@ object Dedup {
 
   /** SimHash near-dup pairs verified by exact Hamming distance <=
     * maxHamming. Banding over bit slices guarantees recall when
-    * maxHamming < bands (pigeonhole: some band must match exactly). */
+    * maxHamming < bands (pigeonhole: some band must match exactly).
+    * Default is the classic 64-bit / 4-block / hamming<=3 layout: narrow
+    * 16-bit bands keep buckets selective even when signatures correlate
+    * across a corpus with shared vocabulary (8-bit bands degenerate into
+    * megabuckets and candidate blowup there). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     val bits = 64
+    // materialized once: referenced by the band join and both sides of
+    // the verification join — recomputing the explode+64-sum subplan
+    // three times dominates runtime otherwise
     val sigs = simhashSignatures(docs, idCol, textCol, bits)
       .withColumnRenamed("simhash", "sig")
+      .cache()
     val cands = bandCandidates(sigs, idCol, bands, bits / bands)
     val sh = sigs.withColumnRenamed("sig", "simhash")
     cands
@@ -212,7 +236,7 @@ object Dedup {
     * collisions. */
   def cosinePairsLsh(emb: DataFrame, dim: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     planes: Int = 16, bands: Int = 4,
+                     planes: Int = 32, bands: Int = 4,
                      threshold: Double = 0.99, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val hyper: Array[Array[Double]] =

@@ -36,7 +36,8 @@ object KnnIvf {
     val featured = corpus.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new KMeans()
-      .setK(numCells).setSeed(seed).setFeaturesCol("__features").setPredictionCol("__cell")
+      .setK(numCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
       .fit(featured)
     IvfIndex(model, model.transform(featured).drop("__features")
       .withColumnRenamed("__cell", "cell"))

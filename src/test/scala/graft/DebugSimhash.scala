@@ -23,8 +23,17 @@ object DebugSimhash {
     }
 
     println(s"[debug] corpus rows: ${corpus.count()}")
+    val exploded = corpus
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 2)).as("__t"))
+      .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
+    time("explode+hash only")(println(s"[debug] rows = ${exploded.count()}"))
+    time("1-bit agg")(exploded.groupBy("doc_id")
+      .agg(sum(when(shiftright(col("__h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1))).count())
+    val sums16 = (0 until 16).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i") }
+    time("16-bit agg")(exploded.groupBy("doc_id").agg(sums16.head, sums16.tail: _*).count())
     val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text").cache()
-    time("signatures")(sigs.count())
+    time("signatures (64)")(sigs.count())
     val buckets = sigs.select(col("doc_id"),
       posexplode(Dedup.bandHashes(col("simhash"), 4, 16)).as(Seq("band", "bh")))
     val sizes = buckets.groupBy("band", "bh").count()

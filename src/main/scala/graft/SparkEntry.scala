@@ -122,8 +122,25 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"))),
 
+    "text_tokens_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
+
     // --- events: windows / JSON / sessions / top-N (E4, E5) ---
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(Tables.events(s, dir))),
+    "events_sliding" -> ((s, dir) => EventOps.slidingAgg(Tables.events(s, dir))),
+    "events_quantiles" -> ((s, dir) => EventOps.valueQuantiles(Tables.events(s, dir))),
+    // the SQL-interface path: the same engine driven through spark.sql
+    // over registered views
+    "sql_interface" -> ((s, dir) => {
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      Tables.table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_mktsegment,
+                      count(*) AS n_orders,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(26,6))) AS DOUBLE) AS total_price
+               FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+               GROUP BY c_mktsegment""")
+    }),
     "events_json" -> ((s, dir) => EventOps.jsonPropsAgg(Tables.events(s, dir))),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "events_topn" -> ((s, dir) => EventOps.topEventTypes(Tables.events(s, dir))),
@@ -338,6 +355,28 @@ object SparkEntry {
                 round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
                       * (1.0 - punct_ratio) * (1.0 - 0.5 * stopword_ratio), 4) AS quality
          FROM r""",
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+)', 0)) AS BIGINT) AS n_bpe_tokens
+         FROM documents""",
+    "events_sliding" ->
+      """WITH w AS (
+           SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type FROM events
+           UNION ALL
+           SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 AS window_start, event_type FROM events)
+         SELECT window_start, event_type, count(*) AS n_events FROM w GROUP BY 1, 2""",
+    "events_quantiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 4) AS p50,
+                round(quantile_cont(value, 0.9), 4) AS p90,
+                round(min(value), 4) AS vmin,
+                round(max(value), 4) AS vmax
+         FROM events GROUP BY 1""",
+    "sql_interface" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(26,6))) AS DOUBLE) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
                 count(*) AS n_events,

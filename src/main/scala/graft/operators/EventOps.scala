@@ -24,6 +24,24 @@ object EventOps {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding event-time windows (2h size, 1h slide): each event lands in
+    * two windows. Same `window()` construct streams with a watermark. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Exact per-type value quantiles (percentile with linear
+    * interpolation — the deterministic form, not the approx sketch). */
+  def valueQuantiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(min(col("value")), 4).as("vmin"),
+        round(max(col("value")), 4).as("vmax"))
+
   /** JSON property extraction from the `props` column + aggregate by
     * event type. `try_cast` keeps malformed payloads null-safe under
     * ANSI mode. */

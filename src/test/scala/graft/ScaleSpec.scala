@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{KnnIvf, Scale}
+import graft.sources.Tables
+
+class ScaleSpec extends SparkSuite {
+
+  test("partitioned corpus layout prunes partitions on the probe filter") {
+    val path = Files.createTempDirectory("graft_part").toString + "/corpus"
+    val emb = Tables.embeddings(spark, sfDir)
+    Scale.dumpPartitionedBy(emb, path, "label")
+    val pruned = Scale.loadPartitioned(spark, path).filter(col("label") === 3)
+    // pruning shows up as PartitionFilters on the scan, not a data Filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(label"), plan.take(500))
+    assert(pruned.count() === emb.filter(col("label") === 3).count())
+  }
+
+  test("IVF cells as partition columns: probe reads only matching cells") {
+    val path = Files.createTempDirectory("graft_ivf").toString + "/corpus"
+    val index = KnnIvf.build(Tables.embeddings(spark, sfDir), numCells = 8)
+    Scale.dumpPartitionedBy(index.corpusWithCell, path, "cell")
+    val probe = Scale.loadPartitioned(spark, path).filter(col("cell").isin(1, 3))
+    assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(probe.select(countDistinct(col("cell"))).head().getLong(0) <= 2)
+  }
+
+  test("salted aggregation equals plain groupBy exactly") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val plainC = li.groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedC = Scale.saltedCounts(li, "l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedC === plainC)
+
+    val plainS = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(26,6)")).cast("double").as("t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val saltedS = Scale.saltedSum(li, "l_returnflag", "l_quantity")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(saltedS === plainS)
+  }
+}

@@ -143,6 +143,14 @@ object SparkEntry {
     }),
     "events_json" -> ((s, dir) => EventOps.jsonPropsAgg(Tables.events(s, dir))),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
+    // as-of join: each purchase matched to the user's latest prior click
+    "events_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventOps.asOfLatestPrior(ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("purchase_ts"), col("asof_ts"))
+    }),
     "events_topn" -> ((s, dir) => EventOps.topEventTypes(Tables.events(s, dir))),
 
     // --- star-schema relational analytics (E6) ---
@@ -405,6 +413,13 @@ object SparkEntry {
                 CAST(sum(session_events) AS BIGINT) AS n_events,
                 max(session_events) AS max_session_events
          FROM c GROUP BY 1""",
+    "events_asof" ->
+      """SELECT p.event_id, p.user_id,
+                CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+                CAST(floor(epoch(c.ts)) AS BIGINT) AS asof_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.ts <= p.ts""",
     "events_topn" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
          SELECT user_id, event_type, n, "rank" AS rank

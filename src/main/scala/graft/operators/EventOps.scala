@@ -76,6 +76,31 @@ object EventOps {
            max(col("session_events")).as("max_session_events"))
   }
 
+  /** As-of join, composed from built-ins (custom-operator preference (a),
+    * SURVEY §2 mapping note): for each left event, the latest right event
+    * with the same key and ts <= left.ts. Implemented as union + running
+    * last-value over the merged timeline — one shuffle on the key, no
+    * range-join pair blowup, the formulation that scales to dense
+    * timelines. Right rows sort before left rows at equal ts, so
+    * equal-timestamp matches are included (ASOF semantics).
+    *
+    * @return left rows + `asof_ts` (nullable epoch seconds of the match)
+    */
+  def asOfLatestPrior(left: DataFrame, right: DataFrame,
+                      keyCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(col(keyCol), col(tsCol)).withColumn("__side", lit(0))
+    val merged = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("asof_ts",
+        last(when(col("__side") === 0, unix_timestamp(col(tsCol))), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
   /** Top-N event types per user by frequency (rank tiebreak by type name
     * for determinism). */
   def topEventTypes(events: DataFrame, n: Int = 2): DataFrame = {

@@ -217,17 +217,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** (id, char-n-gram hash) rows, fully codegen'd: per-char explode +
+    * lead() windows + xxhash64 — the interpreted `transform`/`substr`
+    * set construction costs ~10x more per char. Docs shorter than n emit
+    * no rows. */
+  def charNgramHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val chars = docs
+      .select(col(idCol), posexplode(split(col(textCol), "")).as(Seq("__p", "__c0")))
+      .filter(col("__c0") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val combined = (1 until n).foldLeft(chars) { (df, i) =>
+      df.withColumn(s"__c$i", lead(col("__c0"), i).over(w))
+    }
+    combined.filter(col(s"__c${n - 1}").isNotNull)
+      .select(col(idCol), xxhash64((0 until n).map(i => col(s"__c$i")): _*).as("__h"))
+  }
+
   /** Exact character-n-gram Jaccard pairs within blocks: `blockExpr`
     * assigns each doc a blocking key (e.g. a prefix hash); only
     * within-block pairs are compared, so cost is sum of block sizes
-    * squared, not N^2. */
+    * squared, not N^2. Sets are distinct n-gram hashes — Jaccard over
+    * hash sets equals Jaccard over the string sets (64-bit collisions
+    * are negligible), at a fraction of the compare cost. */
   def ngramJaccardPairs(docs: DataFrame, blockExpr: Column,
                         idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val prepped = docs.select(col(idCol), charNgrams(col(textCol), n).as("__set"),
-      blockExpr.as("__blk"))
-    val a = prepped.select(col(idCol).as("id_a"), col("__set").as("__sa"), col("__blk"))
-    val b = prepped.select(col(idCol).as("id_b"), col("__set").as("__sb"), col("__blk"))
+    val sets = charNgramHashes(docs, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(collect_set(col("__h")).as("__set"))
+      .join(docs.select(col(idCol), blockExpr.as("__blk")), Seq(idCol))
+      .cache() // probed from both sides of the pair join
+    val a = sets.select(col(idCol).as("id_a"), col("__set").as("__sa"), col("__blk"))
+    val b = sets.select(col(idCol).as("id_b"), col("__set").as("__sb"), col("__blk"))
     a.join(b, "__blk")
       .filter(col("id_a") < col("id_b"))
       .withColumn("jaccard", round(jaccard(col("__sa"), col("__sb")), 4))
@@ -265,9 +285,8 @@ object Dedup {
     val hyper: Array[Array[Double]] =
       Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
     val bitCols = (0 until planes).map { p =>
-      val dp = aggregate(
-        zip_with(col(vecCol), typedLit(hyper(p).toSeq), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
+      // codegen'd dot against the literal hyperplane
+      val dp = VectorOps.dot(col(vecCol), typedLit(hyper(p).toSeq))
       when(dp >= 0.0, 1).otherwise(0)
     }
     val sigs = emb.select(col(idCol), col(vecCol), array(bitCols: _*).as("sig"))

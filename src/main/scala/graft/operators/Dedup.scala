@@ -113,9 +113,13 @@ object Dedup {
     // (fatal for short docs, where most buckets are empty).
     bucketed.groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__b").as("b"), col("__m").as("v")))).as("__e"))
+      .select(col(idCol), map_from_entries(col("__e")).as("__map"), col("__e"))
       .select(col(idCol),
         transform(sequence(lit(0), lit(numPerms - 1)), s =>
           coalesce(
+            // fast path: filled slot (coalesce short-circuits, so the
+            // rotation scan below only runs for empty slots)
+            element_at(col("__map"), s),
             aggregate(col("__e"), lit(null).cast("long"),
               (acc, e) => coalesce(acc, when(e.getField("b") >= s, e.getField("v")))),
             element_at(col("__e"), 1).getField("v"))).as("sig"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Relational, TextOps, Traversal}
+import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Relational, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -111,6 +111,19 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) =>
       KnnIvf.approxKnn(Tables.embeddings(s, dir), Tables.defaultQueries(s, dir),
         k = 5, numCells = 16, nProbe = 4)),
+
+    // --- embedding-column statistics (corpus QA) ---
+    "vector_centroids" -> ((s, dir) =>
+      VectorStats.centroidComponents(Tables.embeddings(s, dir))),
+    "vector_norm_stats" -> ((s, dir) =>
+      VectorStats.labelNormStats(Tables.embeddings(s, dir))),
+    // exact + approximate distinct counting
+    "events_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))),
+    "events_distinct_users_approx" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),
 
     // --- text analysis (E3) ---
     "text_stats" -> ((s, dir) => TextOps.statsByLang(Tables.documents(s, dir))),
@@ -363,6 +376,22 @@ object SparkEntry {
                 round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
                       * (1.0 - punct_ratio) * (1.0 - 0.5 * stopword_ratio), 4) AS quality
          FROM r""",
+    // events_distinct_users_approx: HLL sketches differ per engine -> rows-only
+    "vector_centroids" ->
+      """SELECT label, r.i AS pos,
+                round(CAST(sum(CAST(embedding[CAST(r.i + 1 AS INT)] AS DECIMAL(20,10))) AS DOUBLE) / count(*), 4) AS mean_val
+         FROM embeddings CROSS JOIN range(64) AS r(i)
+         GROUP BY 1, 2""",
+    "vector_norm_stats" ->
+      """WITH n AS (SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nv
+                    FROM embeddings)
+         SELECT label, count(*) AS n_vectors,
+                round(CAST(sum(CAST(nv AS DECIMAL(20,10))) AS DOUBLE) / count(*), 4) AS avg_norm,
+                round(min(nv), 4) AS min_norm,
+                round(max(nv), 4) AS max_norm
+         FROM n GROUP BY 1""",
+    "events_distinct_users" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
     "text_tokens_bpe" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+)', 0)) AS BIGINT) AS n_bpe_tokens

@@ -111,18 +111,24 @@ object Dedup {
     // identically wherever their filled buckets agree — a global-min fill
     // would flip every empty slot whenever one new shingle hashes lower
     // (fatal for short docs, where most buckets are empty).
-    bucketed.groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__b").as("b"), col("__m").as("v")))).as("__e"))
-      .select(col(idCol), map_from_entries(col("__e")).as("__map"), col("__e"))
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(numPerms - 1)), s =>
-          coalesce(
-            // fast path: filled slot (coalesce short-circuits, so the
-            // rotation scan below only runs for empty slots)
-            element_at(col("__map"), s),
-            aggregate(col("__e"), lit(null).cast("long"),
-              (acc, e) => coalesce(acc, when(e.getField("b") >= s, e.getField("v")))),
-            element_at(col("__e"), 1).getField("v"))).as("sig"))
+    // Densification via windows over a dense (id, slot) grid: forward
+    // first-non-null = "next non-empty bucket", overall first = the
+    // cyclic wrap. All narrow codegen-friendly plumbing — no per-slot
+    // interpreted scans (which dominate signature cost otherwise).
+    val slots = bucketed.select(col(idCol)).distinct()
+      .select(col(idCol), explode(sequence(lit(0), lit(numPerms - 1))).as("__s"))
+    val sparse = bucketed.withColumnRenamed("__b", "__s")
+    val wFwd = Window.partitionBy(col(idCol)).orderBy(col("__s"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAll = Window.partitionBy(col(idCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    slots.join(sparse, Seq(idCol, "__s"), "left")
+      .withColumn("__v", coalesce(
+        first(col("__m"), ignoreNulls = true).over(wFwd),
+        first(col("__m"), ignoreNulls = true).over(wAll)))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__s"), col("__v")))).as("__e"))
+      .select(col(idCol), transform(col("__e"), e => e.getField("__v")).as("sig"))
   }
 
   /** LSH band hashes over a signature array: bands of rowsPerBand values,
@@ -149,14 +155,17 @@ object Dedup {
     * true shingle-set Jaccard >= threshold.
     * @return (id_a, id_b, jaccard) with jaccard rounded to 4dp */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   shingleN: Int = 3, numPerms: Int = 64, bands: Int = 32,
+                   shingleN: Int = 3, numPerms: Int = 64, bands: Int = 16,
                    threshold: Double = 0.4): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numPerms)
     val cands = bandCandidates(sigs, idCol, bands, numPerms / bands)
-    // materialized once: the verification join probes this from both
-    // sides, and shingling is the expensive subplan (at cluster scale
-    // this is the persisted signatures table of a dedup job)
-    val sets = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__set"))
+    // exact shingle sets only for docs that appear in a candidate pair —
+    // the expensive string-set construction never runs corpus-wide.
+    // Materialized once: the verification join probes it from both sides.
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val sets = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), wordShingles(col(textCol), shingleN).as("__set"))
       .cache()
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), "id_a")

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorOps
 import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Relational, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
@@ -219,6 +220,13 @@ object SparkEntry {
         Multimodal.withBinaryContent(Tables.documents(s, dir))
           .select(col("doc_id"), Multimodal.mediaMetaExpr(col("content")).as("m"))
           .select(col("doc_id"), col("m.n_frames").as("n_frames")))),
+    // stubbed feature-extract + resize plumbing (fake values, real shapes)
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.withBinaryContent(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          round(VectorOps.norm(Multimodal.extractFeatures(col("content"))), 4).as("feat_norm"),
+          Multimodal.resizeMeta(Multimodal.mediaMetaExpr(col("content")), 256, 256)
+            .getField("width").cast("long").as("resized_w"))),
   )
 
   /** documents plus exact copies of every 10th doc at id+10M (offset clear

@@ -69,6 +69,30 @@ object Multimodal {
       n_frames = bytes.length / 1024 + 1)
   }
 
+  /** ===== STUB ===== feature extraction: a deterministic fake embedding
+    * derived from payload hashes stands in for a real vision/audio
+    * encoder. The shape is the real contract: fixed-width
+    * `array<float>` feature column, computed per payload in one narrow
+    * codegen'd projection, ready for the k-NN/dedup operators. */
+  def extractFeatures(content: Column, dim: Int = 8): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(i, content), lit(2000L)).cast("double") / 1000.0 - 1.0).cast("float"))
+
+  /** ===== STUB ===== resize plan: recomputes the metadata struct for a
+    * target box, preserving aspect ratio — real builds would also
+    * transcode the bytes; the dimension arithmetic and schema are the
+    * tested part. */
+  def resizeMeta(meta: Column, maxW: Int, maxH: Int): Column = {
+    val w = meta.getField("width").cast("double")
+    val h = meta.getField("height").cast("double")
+    val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    struct(
+      meta.getField("n_bytes").as("n_bytes"),
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height"),
+      meta.getField("n_frames").as("n_frames"))
+  }
+
   /** Frame sampling plumbing: one row per sampled frame index
     * (0, stride, 2*stride, ... < n_frames). */
   def sampleFrames(meta: DataFrame, stride: Int = 2): DataFrame =

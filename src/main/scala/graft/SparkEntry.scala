@@ -187,6 +187,13 @@ object SparkEntry {
         Tables.table(s, dir, "lineitem"))),
     "star_part_stats" -> ((s, dir) =>
       Relational.partStatsByBrand(Tables.table(s, dir, "part"))),
+    "star_repeat_customers" -> ((s, dir) =>
+      Relational.repeatCustomers(Tables.table(s, dir, "orders"), 1996, 1997)),
+    "star_orders_by_month" -> ((s, dir) =>
+      Relational.ordersByMonth(Tables.table(s, dir, "orders"))),
+    "star_customers_no_orders" -> ((s, dir) =>
+      Relational.customersWithoutOrders(Tables.table(s, dir, "customer"),
+        Tables.table(s, dir, "orders"), Tables.table(s, dir, "nation"))),
 
     // nested match reassembly (O10's matches-tree output form): top-k
     // matches re-nested per query, ordered by rank
@@ -505,6 +512,21 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
            AND EXISTS (SELECT 1 FROM lineitem l
                        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+         GROUP BY 1""",
+    "star_repeat_customers" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997""",
+    "star_orders_by_month" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(26,6))) AS DOUBLE) AS total_price,
+                count(DISTINCT upper(substr(o_orderpriority, 1, 1))) AS n_priority_classes
+         FROM orders GROUP BY 1, 2""",
+    "star_customers_no_orders" ->
+      """SELECT n_name, count(*) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          GROUP BY 1""",
     "star_part_stats" ->
       """SELECT p_brand, count(*) AS n_parts, count(DISTINCT p_type) AS n_types,

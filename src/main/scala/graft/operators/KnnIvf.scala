@@ -37,6 +37,9 @@ object KnnIvf {
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new KMeans()
       .setK(numCells).setSeed(seed).setMaxIter(10)
+      // random init: one pass instead of k-means||'s 2+numIter scans —
+      // cell balance is all IVF needs, exact centroids are irrelevant
+      .setInitMode("random")
       .setFeaturesCol("__features").setPredictionCol("__cell")
       .fit(featured)
     IvfIndex(model, model.transform(featured).drop("__features")

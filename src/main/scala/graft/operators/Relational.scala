@@ -94,6 +94,33 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
 
+  /** Set operation: customers active in both years (INTERSECT of the
+    * yearly customer sets). */
+  def repeatCustomers(orders: DataFrame, y1: Int, y2: Int): DataFrame = {
+    def custsIn(y: Int) = orders
+      .filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+    custsIn(y1).intersect(custsIn(y2))
+  }
+
+  /** Monthly order cadence: date + string scalar functions over orders. */
+  def ordersByMonth(orders: DataFrame): DataFrame =
+    orders.groupBy(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(26,6)")).cast("double").as("total_price"),
+        countDistinct(upper(substring(col("o_orderpriority"), 1, 1))).as("n_priority_classes"))
+
+  /** Anti-join: per-nation count of customers with no orders at all. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             nation: DataFrame): DataFrame =
+    customer
+      .join(orders.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+
   /** Part catalog stats by brand: distinct types, size span, mean price. */
   def partStatsByBrand(part: DataFrame): DataFrame =
     part.groupBy(col("p_brand"))

@@ -27,6 +27,28 @@ class ScaleSpec extends SparkSuite {
     assert(probe.select(countDistinct(col("cell"))).head().getLong(0) <= 2)
   }
 
+  test("bucketed tables join without an exchange (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.write.mode("overwrite").bucketBy(8, "vec_id").sortBy("vec_id")
+      .option("path", s"$wh/emb_bucketed").saveAsTable("emb_bucketed")
+    // force the sort-merge path (fixture tables broadcast otherwise)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("emb_bucketed")
+      val joined = t.alias("a").join(t.alias("b"), "vec_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketing makes both sides pre-partitioned on the join key: a
+      // sort-merge join with no shuffle exchange
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(joined.count() === emb.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS emb_bucketed")
+    }
+  }
+
   test("salted aggregation equals plain groupBy exactly") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val plainC = li.groupBy(col("l_returnflag")).count()

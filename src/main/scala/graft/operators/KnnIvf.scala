@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,6 +76,39 @@ object KnnIvf {
         round(VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").asc, col("match_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
+  /** Persist the index: the KMeans centroid model plus the corpus laid out
+    * cell-per-directory, so a later probe is a partition-pruned read. The
+    * reference persists its HNSW graph + id map and restores them on
+    * startup (`executor.py:227-236`, `executor.py:51-57`); this is the
+    * scan-engine equivalent — the directory layout IS the inverted file. */
+  def save(index: IvfIndex, path: String): Unit = {
+    index.model.write.overwrite().save(s"$path/model")
+    Scale.dumpPartitionedBy(index.corpusWithCell, s"$path/corpus", "cell")
+  }
+
+  /** Restore a saved index. The corpus read keeps `cell` as a partition
+    * column, so `cell IN (...)` filters become `PartitionFilters` — only
+    * probed directories are scanned. */
+  def load(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(KMeansModel.load(s"$path/model"),
+      Scale.loadPartitioned(spark, s"$path/corpus"))
+
+  /** Search a loaded index with explicit partition pruning: resolve the
+    * probed cell set first (tiny — `|queries| × nProbe` ints; queries are
+    * broadcast-sized by contract) and push it as a literal `IN` filter so
+    * the scan reads only the matching cell directories. On a 100 TB corpus
+    * with 4k cells and nProbe=8, that is a 0.2% read instead of a full
+    * scan — the index lookup the reference gets from its in-memory graph. */
+  def searchPruned(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int,
+                   metric: String = "cosine",
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = queryCells(queries, index.model, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val prunedIndex = IvfIndex(index.model,
+      index.corpusWithCell.filter(col("cell").isin(cells.map(Integer.valueOf): _*)))
+    search(prunedIndex, queries, k, nProbe, metric, idCol, vecCol)
   }
 
   /** One-call convenience for fixture-scale use. */

@@ -8,4 +8,9 @@ class EntrySpec extends SparkSuite {
     assert(df.count() > 0)
     assert(df.columns.contains("query_id") && df.columns.contains("score"))
   }
+
+  test("ann_ivf entry runs the persisted-index path (k rows per query)") {
+    val df = SparkEntry.queries("ann_ivf")(spark, sfDir)
+    assert(df.count() === 50) // 10 queries x k=5
+  }
 }

@@ -62,6 +62,28 @@ class KnnSpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("IVF save/load round-trips: loaded searchPruned == in-memory search") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    val idx = KnnIvf.build(corpus, numCells = 8)
+    KnnIvf.save(idx, path)
+    val loaded = KnnIvf.load(spark, path)
+    val mem = KnnIvf.search(idx, queries, k = 10, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val disk = KnnIvf.searchPruned(loaded, queries, k = 10, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(disk === mem)
+  }
+
+  test("loaded IVF probe is a partition-pruned scan (PartitionFilters, not full read)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec2").toString
+    KnnIvf.save(KnnIvf.build(corpus, numCells = 8), path)
+    val loaded = KnnIvf.load(spark, path)
+    val plan = KnnIvf.searchPruned(loaded, queries, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"expected a cell partition filter in:\n$plan")
+  }
+
   test("sign-RP LSH finds all planted cosine duplicates") {
     val emb = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))

@@ -22,17 +22,31 @@ object Bench {
     // JIT + codegen on first execution of each plan, and transient
     // host-level stalls hit back-to-back repeats together while separated
     // sweeps give each query two independent measurement windows.
-    def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def sweep(): Map[String, (Double, Option[String])] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // a failed query must NOT bench as a fast success: record the
+        // error and make the whole bench exit non-zero below
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable =>
+                    Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+        name -> ((System.nanoTime() - t0) / 1e9, err)
+      }
     val s1 = sweep(); val s2 = sweep()
-    val results = s1.map { case (name, t) => name -> math.min(t, s2(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = s1.map { case (name, (t, _)) => name -> math.min(t, s2(name)._1) }
+    val errors = (s1.toSeq ++ s2.toSeq)
+      .collect { case (name, (_, Some(e))) => name -> e }.toMap
+    def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"]", "_").replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val errJson = if (errors.isEmpty) ""
+      else s""","errors":${errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")}"""
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }
+      sys.exit(1)
+    }
   }
 }

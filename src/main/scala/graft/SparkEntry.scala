@@ -194,9 +194,12 @@ object SparkEntry {
       Relational.repeatCustomers(Tables.table(s, dir, "orders"), 1996, 1997)),
     "star_orders_by_month" -> ((s, dir) =>
       Relational.ordersByMonth(Tables.table(s, dir, "orders"))),
+    // orders restricted to 1996 so the anti-join is non-vacuous: every
+    // customer has SOME order at fixture scale, but not all ordered in 1996
     "star_customers_no_orders" -> ((s, dir) =>
       Relational.customersWithoutOrders(Tables.table(s, dir, "customer"),
-        Tables.table(s, dir, "orders"), Tables.table(s, dir, "nation"))),
+        Tables.table(s, dir, "orders").filter(year(col("o_orderdate")) === 1996),
+        Tables.table(s, dir, "nation"))),
 
     // nested match reassembly (O10's matches-tree output form): top-k
     // matches re-nested per query, ordered by rank
@@ -544,7 +547,8 @@ object SparkEntry {
     "star_customers_no_orders" ->
       """SELECT n_name, count(*) AS n_customers
          FROM customer JOIN nation ON c_nationkey = n_nationkey
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE year(o_orderdate) = 1996 AND o_custkey = c_custkey)
          GROUP BY 1""",
     "star_part_stats" ->
       """SELECT p_brand, count(*) AS n_parts, count(DISTINCT p_type) AS n_types,

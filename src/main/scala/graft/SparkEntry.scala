@@ -61,6 +61,15 @@ object SparkEntry {
       Traversal.traverseFlat(Traversal.withChunks(Tables.documents(s, dir)), "c")
         .select(col("doc_id"), col("chunk_pos").cast("long").as("chunk_pos"),
           length(col("chunk_text")).cast("long").as("chunk_len"))),
+    // traversal 'm': nest the k-NN result into the matches tree, then
+    // flatten back — the explode(nest(x)) round-trip equals the flat
+    // result, so the knn_cosine oracle applies verbatim
+    "traversal_matches" -> ((s, dir) => {
+      val flat = Knn.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir),
+        k = 5, metric = "cosine")
+      Traversal.traverseFlat(Traversal.withMatches(flat), "m", idCol = "query_id")
+        .select(col("query_id"), col("match_id"), col("score"), col("rank"))
+    }),
 
     // --- lifecycle: upsert / update / delete / status / validation (O11-O17) ---
     "lifecycle_upsert" -> ((s, dir) => {
@@ -90,6 +99,12 @@ object SparkEntry {
     "validate_dims" -> ((s, dir) =>
       Lifecycle.dimCounts(Tables.embeddings(s, dir))
         .select(col("dim").cast("long").as("dim"), col("n_vectors"))),
+    // strict mode (O6): all fixture vectors are width 64, so the guarded
+    // projection flows through; a mismatch would fail the job
+    // (executor.py:105-110 ValueError semantics — error path spec-covered)
+    "validate_dims_strict" -> ((s, dir) =>
+      Lifecycle.requireDim(Tables.embeddings(s, dir), dim = 64)
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"))),
 
     // --- dedup suite (SURVEY §2.9 E1/E2; planted duplicates — fixtures
     //     have none naturally: 500/500 distinct texts, max cosine 0.48) ---
@@ -101,9 +116,14 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
         blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
+    // content-derived blocking: the sign pattern of the leading 8
+    // components. Scale- and direction-invariant, so any high-cosine pair
+    // lands in one block with high probability — no id arithmetic involved
     "dedup_embedding" -> ((s, dir) =>
       Dedup.cosinePairsBlocked(embWithDupes(s, dir),
-        Seq(col("label"), pmod(col("vec_id"), lit(50))), threshold = 0.99)),
+        (1 to 8).map(i =>
+          when(element_at(col("embedding"), i) >= 0, 1).otherwise(0)),
+        threshold = 0.99)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.cosinePairsLsh(embWithDupes(s, dir), dim = 64, threshold = 0.99)),
 
@@ -288,6 +308,10 @@ object SparkEntry {
     "knn_cosine" -> knnOracle(
       score = "round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)",
       asc = true),
+    // explode(nest(knn)) round-trips to the flat k-NN result
+    "traversal_matches" -> knnOracle(
+      score = "round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)",
+      asc = true),
     "knn_topk_agg" -> knnOracle(
       score = "round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)",
       asc = true),
@@ -351,8 +375,37 @@ object SparkEntry {
          FROM embeddings""",
     "validate_dims" ->
       "SELECT len(embedding) AS dim, count(*) AS n_vectors FROM embeddings GROUP BY 1",
-    // dedup_minhash / dedup_simhash / dedup_embedding_lsh: signature-based
-    // (xxhash64 not in DuckDB) -> rows-only check + ScalaTest recall specs
+    // strict mode passes every row through when widths agree (they do on
+    // the fixtures), so the oracle is the unguarded projection
+    "validate_dims_strict" ->
+      "SELECT vec_id, len(embedding) AS dim FROM embeddings",
+    // langId: marker-token counts per language + CJK codepoint count for
+    // zh; argmax keeps the EARLIEST language (declaration order en, de,
+    // es, fr, zh) on ties — hence the >= cascade
+    "text_langid" ->
+      """WITH t AS (
+           SELECT doc_id, lang AS lang_actual,
+                  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts,
+                  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang_actual,
+                  len(list_filter(ts, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+                  len(list_filter(ts, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+                  len(list_filter(ts, x -> list_contains(['el','la','de','que','es'], x))) AS s_es,
+                  len(list_filter(ts, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+                  len(list_filter(ts, x -> list_contains(['的','是','了','在','我'], x))) + cjk AS s_zh
+           FROM t)
+         SELECT doc_id,
+                CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                     WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                     WHEN s_fr >= s_zh THEN 'fr'
+                     ELSE 'zh' END AS lang_pred,
+                lang_actual
+         FROM s""",
+    // dedup_minhash / dedup_simhash: signature-based (xxhash64 not in
+    // DuckDB) -> rows-only check + ScalaTest recall specs
     "dedup_exact" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
@@ -377,21 +430,15 @@ object SparkEntry {
                             / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
                FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
-    "dedup_embedding" ->
-      """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb, label
-                       FROM embeddings),
-         corpus AS (SELECT * FROM base
-                    UNION ALL
-                    SELECT vec_id + 10000000, list_transform(emb, x -> x * 1.5), label
-                    FROM base WHERE vec_id % 25 = 0),
-         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                      round(list_dot_product(a.emb, b.emb)
-                            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
-               FROM corpus a JOIN corpus b
-                 ON a.label = b.label AND a.vec_id % 50 = b.vec_id % 50 AND a.vec_id < b.vec_id)
-         SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99""",
-    // text_langid / text_fingerprint: heuristic scoring & xxhash64
-    // fingerprints aren't DuckDB-expressible -> rows-only + ScalaTest
+    // oracle is BLIND brute-force over all pairs — the blocked/LSH
+    // operators must find everything exhaustive search finds, with no
+    // knowledge of how the Spark side blocks (~520^2 pairs at sf0.01:
+    // trivial for DuckDB, impossible for Spark at real scale, which is
+    // the point of the blocked/LSH formulations)
+    "dedup_embedding" -> embBruteForceOracle,
+    "dedup_embedding_lsh" -> embBruteForceOracle,
+    // text_fingerprint: xxhash64 fingerprints aren't DuckDB-expressible
+    // -> rows-only + ScalaTest
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
@@ -575,6 +622,22 @@ object SparkEntry {
                 CAST(floor(octet_length(encode(text)) / 1024.0) AS BIGINT) + 1 AS n_frames
          FROM documents""",
   )
+
+  /** Blind brute-force cosine-pair oracle over the planted-duplicate
+    * embedding set ([[embWithDupes]] reconstructed in SQL): every pair with
+    * rounded cosine >= 0.99, no blocking knowledge. */
+  private val embBruteForceOracle: String =
+    """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+       corpus AS (SELECT * FROM base
+                  UNION ALL
+                  SELECT vec_id + 10000000, list_transform(emb, x -> x * 1.5)
+                  FROM base WHERE vec_id % 25 = 0),
+       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    round(list_dot_product(a.emb, b.emb)
+                          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+       SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99"""
 
   /** Shared DuckDB k-NN oracle template: round-then-rank with id tiebreak,
     * mirroring [[graft.operators.Knn.knnExact]] exactly — including the

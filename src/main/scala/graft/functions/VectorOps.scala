@@ -77,12 +77,17 @@ object VectorOps {
     transform(a, x => when(n === 0.0, x).otherwise((x.cast("double") / n).cast("float")))
   }
 
-  /** Metric-name -> distance expression; unknown metric falls back to l2,
-    * matching `/root/reference/executor.py:268-273`. */
+  /** Metric-name -> distance expression; unknown metric warns and falls
+    * back to l2, matching `/root/reference/executor.py:268-273` (which
+    * logs "Invalid distance metric ... using default l2"). */
   def distance(metric: String, a: Column, b: Column): Column = metric match {
     case "cosine"        => cosineDistance(a, b)
     case "inner_product" => ipDistance(a, b)
-    case _               => l2Sq(a, b) // "euclidean" and the warn-fallback path
+    case "euclidean"     => l2Sq(a, b)
+    case other =>
+      Console.err.println(
+        s"[graft] WARN: invalid distance metric '$other' — falling back to l2 (executor.py:268-273)")
+      l2Sq(a, b)
   }
 
   /** Distance -> similarity, opt-in per request in the reference

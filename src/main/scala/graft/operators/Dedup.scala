@@ -214,26 +214,31 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     val bits = 64
-    // materialized once: referenced by the band join and both sides of
-    // the verification join — recomputing the explode+64-sum subplan
-    // three times dominates runtime otherwise
+    // The signature rides along through the band explode, so Hamming
+    // verification happens inside the bucket join itself — no cache, no
+    // re-join against the signature subplan. Costs one extra signature
+    // copy per band row in the shuffle (64 ints), buys a single
+    // computation of the explode+64-sum subplan instead of three and
+    // leaves no corpus-sized block pinned in executor memory.
     val sigs = simhashSignatures(docs, idCol, textCol, bits)
       .withColumnRenamed("simhash", "sig")
-      .cache()
-    val cands = bandCandidates(sigs, idCol, bands, bits / bands)
-    val sh = sigs.withColumnRenamed("sig", "simhash")
-    cands
-      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("__ha")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("__hb")), "id_b")
+    val buckets = sigs.select(col(idCol), col("sig"),
+      posexplode(bandHashes(col("sig"), bands, bits / bands)).as(Seq("__band", "__bh")))
+    val a = buckets.select(col(idCol).as("id_a"), col("sig").as("__ha"), col("__band"), col("__bh"))
+    val b = buckets.select(col(idCol).as("id_b"), col("sig").as("__hb"), col("__band"), col("__bh"))
+    a.join(b, Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", hamming(col("__ha"), col("__hb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .distinct()
   }
 
   /** (id, char-n-gram hash) rows, fully codegen'd: per-char explode +
     * lead() windows + xxhash64 — the interpreted `transform`/`substr`
-    * set construction costs ~10x more per char. Docs shorter than n emit
-    * no rows. */
+    * set construction costs ~10x more per char. Docs shorter than n fall
+    * back to one whole-text hash, mirroring [[charNgrams]]' `otherwise`
+    * branch (and the dedup_ngram oracle's ELSE) so they still join. */
   def charNgramHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val chars = docs
       .select(col(idCol), posexplode(split(col(textCol), "")).as(Seq("__p", "__c0")))
@@ -242,8 +247,11 @@ object Dedup {
     val combined = (1 until n).foldLeft(chars) { (df, i) =>
       df.withColumn(s"__c$i", lead(col("__c0"), i).over(w))
     }
+    val short = docs.filter(length(col(textCol)) < n)
+      .select(col(idCol), xxhash64(col(textCol)).as("__h"))
     combined.filter(col(s"__c${n - 1}").isNotNull)
       .select(col(idCol), xxhash64((0 until n).map(i => col(s"__c$i")): _*).as("__h"))
+      .unionByName(short)
   }
 
   /** Exact character-n-gram Jaccard pairs within blocks: `blockExpr`
@@ -255,10 +263,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockExpr: Column,
                         idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // referenced from both sides of the pair join; recomputed rather than
+    // cached — the set build is a narrow codegen'd stage, and an operator
+    // that pins a corpus-derived table in executor memory is a hazard at
+    // the scale this module targets
     val sets = charNgramHashes(docs, idCol, textCol, n)
       .groupBy(col(idCol)).agg(collect_set(col("__h")).as("__set"))
       .join(docs.select(col(idCol), blockExpr.as("__blk")), Seq(idCol))
-      .cache() // probed from both sides of the pair join
     val a = sets.select(col(idCol).as("id_a"), col("__set").as("__sa"), col("__blk"))
     val b = sets.select(col(idCol).as("id_b"), col("__set").as("__sb"), col("__blk"))
     a.join(b, "__blk")

@@ -101,4 +101,15 @@ object Lifecycle {
     * diagnostic form). */
   def dimCounts(corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
     corpus.groupBy(size(col(vecCol)).as("dim")).agg(count(lit(1)).as("n_vectors"))
+
+  /** Strict validation mode — reference semantics (`executor.py:105-110`
+    * raises ValueError on a wrong-width vector): rows pass through
+    * unchanged, but the first mismatched row fails the job. Pure codegen'd
+    * column expression (raise_error inside a when), no driver-side scan. */
+  def requireDim(corpus: DataFrame, dim: Int, vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn(vecCol,
+      when(size(col(vecCol)) === dim, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"expected embeddings of dim $dim, got dim "),
+          size(col(vecCol)).cast("string")))))
 }

@@ -23,12 +23,24 @@ object Traversal {
         col(textCol).substr(half + 1, length(col(textCol))).as("chunk_text"))))
   }
 
-  /** `traverse_flat`: 'r' operates on roots (identity — the only path the
-    * reference's endpoints ever take); 'c' flattens to one row per chunk. */
+  /** Nest a flat k-NN result ([[Knn.knnExact]] shape) into the matches
+    * tree the reference's result Documents carry (`executor.py:117-124`):
+    * one row per query with `matches: array<struct<rank, match_id,
+    * score>>` in rank order (rank is the struct's leading field, so
+    * `array_sort` orders by it). */
+  def withMatches(flat: DataFrame, queryIdCol: String = "query_id"): DataFrame =
+    flat.groupBy(col(queryIdCol))
+      .agg(array_sort(collect_list(
+        struct(col("rank"), col("match_id"), col("score")))).as("matches"))
+
+  /** `traverse_flat`: 'r' operates on roots (identity — the path the
+    * reference's endpoints take on input); 'c' flattens to one row per
+    * chunk; 'm' to one row per match (`executor.py:86-88`). */
   def traverseFlat(docs: DataFrame, path: String, idCol: String = "doc_id"): DataFrame =
     path match {
       case "r" => docs
       case "c" => docs.select(col(idCol), inline(col("chunks")))
+      case "m" => docs.select(col(idCol), inline(col("matches")))
       case other => throw new IllegalArgumentException(
         s"unsupported traversal path '$other' (reference supports r/c/m trees)")
     }

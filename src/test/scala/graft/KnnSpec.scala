@@ -84,6 +84,16 @@ class KnnSpec extends SparkSuite {
       s"expected a cell partition filter in:\n$plan")
   }
 
+  test("traversal 'm' explode(nest(knn)) round-trips to the flat result") {
+    import graft.operators.Traversal
+    val flat = Knn.knnExact(queries, corpus, k = 5)
+    val back = Traversal.traverseFlat(Traversal.withMatches(flat), "m", idCol = "query_id")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("rank"))) ->
+        (r.getLong(r.fieldIndex("match_id")), r.getDouble(r.fieldIndex("score")))
+    assert(back.collect().map(key).toMap === flat.collect().map(key).toMap)
+  }
+
   test("sign-RP LSH finds all planted cosine duplicates") {
     val emb = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))

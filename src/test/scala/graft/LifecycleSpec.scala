@@ -56,4 +56,18 @@ class LifecycleSpec extends SparkSuite {
     val dims = Lifecycle.dimCounts(vecs).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(dims === Map(2 -> 2L, 3 -> 1L))
   }
+
+  test("requireDim passes matching widths through unchanged") {
+    val vecs = Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f))).toDF("vec_id", "embedding")
+    assert(Lifecycle.requireDim(vecs, dim = 2).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+  }
+
+  test("requireDim fails the job on a width mismatch (executor.py:105-110 ValueError)") {
+    val vecs = Seq((1L, Seq(1f, 2f)), (3L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Lifecycle.requireDim(vecs, dim = 2).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("expected embeddings of dim 2")), e.toString)
+  }
 }

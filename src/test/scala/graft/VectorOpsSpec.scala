@@ -51,6 +51,17 @@ class VectorOpsSpec extends SparkSuite {
     assert(diffs.getLong(0) === 0 && diffs.getLong(1) === 0 && diffs.getLong(2) === 0)
   }
 
+  test("unknown metric warns and falls back to l2 (executor.py:268-273)") {
+    val buf = new java.io.ByteArrayOutputStream()
+    val fallback = Console.withErr(buf) { VectorOps.distance("bogus_metric", $"x", $"y") }
+    val pairs = Seq((Seq(1f, 2f), Seq(3f, 5f))).toDF("x", "y")
+    val Array(got, want) = pairs
+      .select(fallback.as("f"), VectorOps.l2Sq($"x", $"y").as("l2"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(got === want)
+    assert(buf.toString.contains("invalid distance metric 'bogus_metric'"), buf.toString)
+  }
+
   test("property: cosine in [-1,1] and l2sq >= 0 on fixture vectors") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
     val pairs = emb.select($"embedding".as("x"))

@@ -53,20 +53,35 @@ object Relational {
       .limit(n)
 
   /** TPC-H Q5-flavored: revenue by nation within one region, suppliers
-    * and customers co-national. */
+    * and customers co-national.
+    *
+    * Join order is selectivity-first: the region filter reaches `orders`
+    * through a broadcast of the reduced customer⨝nation⨝region dimension
+    * BEFORE anything touches `lineitem`, so the one unavoidable big join
+    * (lineitem ⨝ orders) only ever sees the ~1/|regions| of orders that
+    * survive — never a shuffle of the unfiltered fact tables. */
   def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
                     supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
-                    regionName: String = "EUROPE"): DataFrame =
-    lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
-        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+                    regionName: String = "EUROPE"): DataFrame = {
+    val regionNations = nation
       .join(broadcast(region.filter(col("r_name") === regionName)),
         col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val regionCustomers = customer
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val regionOrders = orders
+      .join(broadcast(regionCustomers), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    lineitem
+      .join(regionOrders, col("l_orderkey") === col("o_orderkey"))
+      // co-nationality: the supplier must share the (already-resolved)
+      // customer nation, so supplier needs no separate nation join
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
 
   /** Window ranking: top-N customers by account balance per nation. */
   def customerRankByNation(customer: DataFrame, nation: DataFrame, n: Int = 3): DataFrame = {

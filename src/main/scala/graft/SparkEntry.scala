@@ -30,13 +30,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- k-NN search family (SURVEY §2.1 O7-O10) ---
+    // --- k-NN search family (SURVEY §2.1 O7-O10). The bounded partial
+    //     aggregation (KnnTopK) is the DEFAULT physical shape: only Q*k
+    //     rows per partition reach the shuffle, vs the window
+    //     formulation's full Q*N sort. Window-based entries are kept for
+    //     plan diversity (knn_similarity, knn_limit_clamp,
+    //     traversal_matches) — both are oracle-identical ---
     "knn_cosine" -> ((s, dir) =>
-      Knn.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5, metric = "cosine")),
+      KnnTopK.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5, metric = "cosine")),
     "knn_l2" -> ((s, dir) =>
-      Knn.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5, metric = "euclidean")),
+      KnnTopK.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5, metric = "euclidean")),
     "knn_ip" -> ((s, dir) =>
-      Knn.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5, metric = "inner_product")),
+      KnnTopK.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5, metric = "inner_product")),
     "knn_similarity" -> ((s, dir) =>
       Knn.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5,
         metric = "cosine", asDistance = false)),
@@ -46,7 +51,7 @@ object SparkEntry {
           col("query_id"), col("match_id"), col("score"), col("rank"),
           col("lang"), col("n_chars"))),
     "knn_filtered" -> ((s, dir) =>
-      Knn.knnExact(Tables.defaultQueries(s, dir),
+      KnnTopK.knnExact(Tables.defaultQueries(s, dir),
         Tables.embeddings(s, dir).filter(col("label") === 3), k = 5, metric = "cosine")),
     // partial-aggregation top-k variant (SURVEY §2.4) — same oracle as the
     // window formulation, different physical plan

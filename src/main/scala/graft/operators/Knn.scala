@@ -67,19 +67,22 @@ object Knn {
   }
 
   /** k-NN with the reference's limit clamp: `limit` capped to the corpus
-    * size with a warning (`/root/reference/executor.py:97-102`). The
-    * count is metadata-scale (one aggregate over the corpus); at cluster
-    * scale callers should pass a known count instead. */
+    * size (`/root/reference/executor.py:97-102`). The rank filter
+    * self-clamps — per-query ranks never exceed the corpus size, so
+    * `rank <= k` already returns every match when k is oversized and NO
+    * corpus count runs in the query path. The reference's clamp warning
+    * fires when the caller supplies a known corpus count (metadata the
+    * caller typically has; deriving it here would cost a full scan per
+    * query at cluster scale). */
   def knnClamped(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      metric: String = "cosine"): DataFrame = {
-    val n = corpus.count()
-    val clamped = math.min(k.toLong, n).toInt
-    if (clamped < k)
-      Console.err.println(s"[graft] WARN: limit $k clamped to corpus size $n")
-    knnExact(queries, corpus, clamped, metric)
+      metric: String = "cosine",
+      knownCount: Option[Long] = None): DataFrame = {
+    knownCount.filter(_ < k).foreach(n =>
+      Console.err.println(s"[graft] WARN: limit $k clamped to corpus size $n"))
+    knnExact(queries, corpus, k, metric)
   }
 
   /** k-NN + full-document materialization: join matches back to the doc
@@ -93,7 +96,9 @@ object Knn {
       k: Int,
       metric: String = "cosine",
       docId: String = "doc_id"): DataFrame = {
-    val matches = knnExact(queries, corpus, k, metric)
+    // bounded-aggregation top-k (the scale-default, see [[KnnTopK]]);
+    // the doc join then touches only Q*k match rows
+    val matches = KnnTopK.knnExact(queries, corpus, k, metric)
     matches.join(docs, matches("match_id") === docs(docId), "left").drop(docId)
   }
 }

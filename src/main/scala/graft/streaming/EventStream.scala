@@ -60,7 +60,11 @@ object EventStream {
 
   /** Streaming `/index`: each micro-batch is last-wins-upserted into the
     * Parquet corpus table keyed by `idCol` — the O11 semantics
-    * (`executor.py:151-164`) under continuous arrival. */
+    * (`executor.py:151-164`) under continuous arrival.
+    *
+    * Fixture-scale demo: read-all + overwrite is O(corpus) per batch.
+    * The scale form is [[upsertEachBatchPartitioned]], which touches only
+    * the id-bucket partitions the batch lands in. */
   def upsertEachBatch(stream: DataFrame, corpusPath: String,
                       idCol: String = "event_id"): StreamingQuery =
     stream.writeStream
@@ -76,6 +80,45 @@ object EventStream {
         // localCheckpoint breaks the lineage into the path being overwritten
         merged.localCheckpoint(true)
           .write.mode("overwrite").parquet(corpusPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Scale form of the streaming upsert: the corpus lives partitioned by
+    * a stable id bucket (`__bkt = pmod(xxhash64(id), nBuckets)`), and each
+    * micro-batch (1) reads back ONLY the bucket partitions its ids touch
+    * (partition pruning on the filter) and (2) rewrites ONLY those
+    * partitions via dynamic partition overwrite. Per-batch work is
+    * O(touched buckets), not O(corpus) — with 4k buckets over 100 TB a
+    * point-update batch rewrites ~25 GB, not the table. */
+  def upsertEachBatchPartitioned(stream: DataFrame, corpusPath: String,
+                                 idCol: String = "event_id",
+                                 nBuckets: Int = 16): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stamped = batch
+          .withColumn("batch", lit(batchId))
+          .withColumn("__bkt", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int"))
+        val merged =
+          if (new java.io.File(corpusPath).exists()) {
+            // touched-bucket list is metadata-sized (<= nBuckets ints)
+            val touched = stamped.select("__bkt").distinct().collect()
+              .map(r => Integer.valueOf(r.getInt(0)))
+            val existing = spark.read.parquet(corpusPath)
+              .filter(col("__bkt").isin(touched: _*))
+            Lifecycle.upsertById(existing, stamped, idCol, "batch")
+          } else stamped
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          merged.localCheckpoint(true)
+            .write.mode("overwrite").partitionBy("__bkt").parquet(corpusPath)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()

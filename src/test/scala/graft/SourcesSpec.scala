@@ -41,9 +41,13 @@ class SourcesSpec extends SparkSuite {
     val queries = Tables.defaultQueries(spark, sfDir, n = 2)
     val corpus = Tables.embeddings(spark, sfDir).filter(col("label") === 1)
     val n = corpus.count()
-    val res = Knn.knnClamped(queries, corpus, k = 100000)
+    val buf = new java.io.ByteArrayOutputStream()
+    val res = Console.withErr(buf) {
+      Knn.knnClamped(queries, corpus, k = 100000, knownCount = Some(n))
+    }
     assert(res.count() === 2 * n)
     assert(res.agg(max(col("rank"))).head().getLong(0) === n)
+    assert(buf.toString.contains(s"limit 100000 clamped to corpus size $n"), buf.toString)
   }
 
   test("traversal: 'r' is identity, 'c' flattens chunks losslessly (O2)") {

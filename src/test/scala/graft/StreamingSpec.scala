@@ -31,6 +31,35 @@ class StreamingSpec extends SparkSuite {
     assert(corpus.select("event_id").distinct().count() === expected)
   }
 
+  test("partitioned streaming upsert matches the flat one and rewrites only touched buckets") {
+    val out = Files.createTempDirectory("graft_upsert_part").toString + "/corpus"
+    val events = EventStream.readEvents(spark, sfDir).select("event_id", "event_type")
+    EventStream.upsertEachBatchPartitioned(events, out, nBuckets = 8).awaitTermination()
+    val expected = Tables.events(spark, sfDir).select("event_id").distinct().count()
+    assert(spark.read.parquet(out).count() === expected)
+
+    // second run: a stream carrying ONE id — record per-bucket mtimes first
+    import scala.jdk.CollectionConverters._
+    def bucketMtimes: Map[String, Long] =
+      Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("__bkt="))
+        .map { d =>
+          d.getFileName.toString ->
+            Files.list(d).iterator().asScala.map(f => Files.getLastModifiedTime(f).toMillis)
+              .foldLeft(0L)(math.max)
+        }.toMap
+    val before = bucketMtimes
+    val oneDir = Files.createTempDirectory("graft_one").toString + "/one"
+    Tables.events(spark, sfDir).select("event_id", "event_type").limit(1)
+      .coalesce(1).write.parquet(oneDir)
+    val oneStream = spark.readStream
+      .schema("event_id LONG, event_type STRING").parquet(oneDir)
+    EventStream.upsertEachBatchPartitioned(oneStream, out, nBuckets = 8).awaitTermination()
+    assert(spark.read.parquet(out).count() === expected) // still last-wins by id
+    val changed = bucketMtimes.filter { case (k, t) => before.get(k).exists(_ < t) }.keySet
+    assert(changed.size === 1, s"expected exactly one rewritten bucket, got $changed")
+  }
+
   test("mapGroupsWithState running counts cover every user") {
     val q = EventStream.runToMemory(
       EventStream.runningUserCounts(EventStream.readEvents(spark, sfDir)), "user_counts",

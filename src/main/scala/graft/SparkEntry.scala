@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Relational, TextOps, Traversal, VectorStats}
+import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Relational, Sampling, Scale, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -167,6 +167,50 @@ object SparkEntry {
     "text_tokens_bpe" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
+    "text_top_terms" -> ((s, dir) =>
+      TextOps.topTermsByRelevance(Tables.documents(s, dir), k = 3)),
+
+    // --- deterministic sampling + packing (training-data pipeline ops;
+    //     md5-hash-gated so the sample is stable across engines/runs) ---
+    "sample_hash" -> ((s, dir) =>
+      Sampling.sampleByHash(Tables.documents(s, dir), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"))),
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.sampleStratified(Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 0.75, "de" -> 0.25), defaultFraction = 0.5)
+        .select(col("doc_id"), col("lang"))),
+    "pack_token_budget" -> ((s, dir) =>
+      Sampling.packByTokenBudget(Tables.documents(s, dir),
+          TextOps.bpeTokenCount(col("text")), budget = 2000L, partitionCol = "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))),
+
+    // --- scale utilities wired end-to-end ---
+    // salted two-phase aggregation: identical results to a plain groupBy
+    "scale_salted_user_counts" -> ((s, dir) =>
+      Scale.saltedCounts(Tables.events(s, dir), "user_id")),
+    // co-located bucketed join: orders/lineitem pre-bucketed on the join
+    // key (one-time per session), then an exchange-free join + aggregate
+    "scale_bucketed_revenue" -> ((s, dir) => {
+      bucketedOrdersLineitem(s, dir)
+      val key = bucketedSuffix(dir)
+      s.table(s"graft_li_$key")
+        .join(s.table(s"graft_ord_$key"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(26,6)"))
+            .cast("double").as("revenue"))
+    }),
+
+    // --- multimodal features feeding the real k-NN operator (the
+    //     composition a production pipeline runs; features are the
+    //     deterministic STUB so rows-only) ---
+    "multimodal_knn" -> ((s, dir) => {
+      val feats = Multimodal.withBinaryContent(Tables.documents(s, dir))
+        .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))
+      val queries = feats.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("features").as("query_vec"))
+      KnnTopK.knnExact(queries, feats, k = 5, corpusId = "doc_id", corpusVec = "features")
+    }),
 
     // --- events: windows / JSON / sessions / top-N (E4, E5) ---
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(Tables.events(s, dir))),
@@ -277,6 +321,25 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       KnnIvf.save(KnnIvf.build(Tables.embeddings(s, dir), numCells = 16), path)
       path
+    })
+
+  /** One-time-per-session bucketed copies of orders + lineitem, co-
+    * bucketed on the order key so their join needs no exchange (the
+    * bucket layout IS the shuffle, paid once at write). saveAsTable
+    * requires an explicit path (warehouse dir is a static conf). */
+  private val bucketedBuilt = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private def bucketedSuffix(dir: String): String =
+    java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+  private def bucketedOrdersLineitem(s: SparkSession, dir: String): Unit =
+    bucketedBuilt.getOrElseUpdate(dir, {
+      val key = bucketedSuffix(dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/$key"
+      Tables.table(s, dir, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable(s"graft_ord_$key")
+      Tables.table(s, dir, "lineitem")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable(s"graft_li_$key")
     })
 
   /** documents plus exact copies of every 10th doc at id+10M (offset clear
@@ -409,6 +472,47 @@ object SparkEntry {
                      ELSE 'zh' END AS lang_pred,
                 lang_actual
          FROM s""",
+    // rational TF-IDF: every input integral, one correctly-rounded
+    // division — no libm log in the compare path
+    "text_top_terms" ->
+      """WITH toks AS (SELECT doc_id,
+                              unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+                       FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term,
+                       round(CAST(tf.tf * n.n AS DOUBLE) / dfreq.df, 4) AS score
+                FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+         r AS (SELECT doc_id, term, score,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS "rank"
+               FROM sc)
+         SELECT doc_id, term, score, "rank" AS rank FROM r WHERE "rank" <= 3""",
+    // md5-gated deterministic sampling: identical keep-set in any engine
+    "sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""",
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+                    WHEN lang = 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+                    ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' END""",
+    "pack_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+)', 0)) AS BIGINT) AS n_tokens
+                    FROM documents)
+         SELECT doc_id, source, n_tokens,
+                CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           / 2000.0) AS BIGINT) AS shard
+         FROM t""",
+    "scale_salted_user_counts" ->
+      "SELECT user_id, count(*) AS n FROM events GROUP BY 1",
+    "scale_bucketed_revenue" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
     // dedup_minhash / dedup_simhash: signature-based (xxhash64 not in
     // DuckDB) -> rows-only check + ScalaTest recall specs
     "dedup_exact" ->

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + corpus-packing operators for training-data
+  * pipelines (SURVEY §2.9 family): every operator here is a pure,
+  * shuffle-minimal column expression over a stable content/id hash, so a
+  * sample is reproducible run-over-run, engine-over-engine — the property
+  * that matters when a 100 TB corpus is subset once and trained on for
+  * months. No `rand()`: Spark's sample() draws differently per partition
+  * layout, which silently changes the dataset under repartitioning.
+  */
+object Sampling {
+
+  /** Uniform-in-expectation deterministic keep-predicate: keep a row iff
+    * the leading 4 hex digits of md5(id) fall below fraction * 16^4.
+    * md5 of the same id string is identical in every engine, so the
+    * sampled set is stable and oracle-checkable. */
+  def hashKeep(idCol: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
+    val cut = math.floor(fraction * 65536).toLong
+    if (cut >= 65536) lit(true)
+    else substring(md5(idCol.cast("string")), 1, 4) < lit(f"$cut%04x")
+  }
+
+  /** Deterministic ~`fraction` sample by id hash. Narrow map — no
+    * shuffle, no state, stable under any partitioning. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashKeep(col(idCol), fraction))
+
+  /** Per-stratum deterministic sampling: each stratum value keeps its own
+    * fraction (e.g. downsample web text, keep all code). Unlisted strata
+    * keep `defaultFraction`. */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    val keep = fractions.foldLeft(
+      when(lit(false), lit(false))) { case (acc, (stratum, f)) =>
+        acc.when(col(stratumCol) === stratum, hashKeep(col(idCol), f))
+      }.otherwise(hashKeep(col(idCol), defaultFraction))
+    df.filter(keep)
+  }
+
+  /** Pack documents into fixed token-budget shards, per `partitionCol`
+    * (e.g. source): docs are laid out in id order and a doc starts a new
+    * shard when the budget would overflow *before* it — i.e. shard =
+    * floor(exclusive-prefix-sum / budget). Deterministic, expressible as
+    * one window per partition; partitioning bounds the window's sort to a
+    * stratum, which is what keeps a global ordering requirement from
+    * serializing the corpus at scale.
+    * @return input + (n_tokens, shard) */
+  def packByTokenBudget(docs: DataFrame, tokensCol: Column, budget: Long,
+                        partitionCol: String, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("shard",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+  }
+}

@@ -87,6 +87,37 @@ object TextOps {
   def fingerprint(text: Column, window: Int = 8): Column =
     array_min(transform(Dedup.charNgrams(text, window), g => xxhash64(g)))
 
+  /** Top-k most document-distinctive terms per doc — TF-IDF-shaped
+    * keyword extraction with the rational relevance score
+    * `tf * N / df` instead of `tf * ln(N/df)`: every input is an integer
+    * count, so the one division is the only rounding step and both
+    * engines produce bit-identical scores (libm `ln` carries no such
+    * guarantee — a last-ulp disagreement on a rounding boundary is
+    * exactly the flake class that broke the cosine oracles). For a fixed
+    * tf the transform is monotone in N/df, so rare terms rank above
+    * common ones just as with the log form.
+    *
+    * Plan: two hash aggregations (doc-term tf, term df) + a broadcast of
+    * the single-row corpus count + per-doc window. The df table is
+    * vocabulary-sized, the window partitions by doc — nothing global.
+    * @return (doc_id, term, score, rank) */
+  def topTermsByRelevance(docs: DataFrame, k: Int = 3,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round((col("tf") * col("__n")).cast("double") / col("df"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rank"))
+  }
+
   /** Per-language corpus statistics (one shuffle, map-side partials). */
   def statsByLang(docs: DataFrame, textCol: String = "text",
                   langCol: String = "lang"): DataFrame =

@@ -169,6 +169,14 @@ object SparkEntry {
         TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
     "text_top_terms" -> ((s, dir) =>
       TextOps.topTermsByRelevance(Tables.documents(s, dir), k = 3)),
+    "text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.repetitionRatio(col("text")).as("rep_ratio"))),
+    // redacted text compared by md5 so the oracle diff stays small
+    "text_redact" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        md5(TextOps.redact(col("text"), TextOps.NumberPattern, "<NUM>")
+          .cast("binary")).as("redacted_md5"))),
 
     // --- deterministic sampling + packing (training-data pipeline ops;
     //     md5-hash-gated so the sample is stable across engines/runs) ---
@@ -488,6 +496,14 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS "rank"
                FROM sc)
          SELECT doc_id, term, score, "rank" AS rank FROM r WHERE "rank" <= 3""",
+    "text_repetition" ->
+      """SELECT doc_id,
+                round(1.0 - CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS DOUBLE)
+                          / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')), 1), 4) AS rep_ratio
+         FROM documents""",
+    "text_redact" ->
+      """SELECT doc_id, md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+         FROM documents""",
     // md5-gated deterministic sampling: identical keep-set in any engine
     "sample_hash" ->
       """SELECT doc_id, lang FROM documents

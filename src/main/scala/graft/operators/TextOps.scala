@@ -118,6 +118,26 @@ object TextOps {
       .select(col(idCol), col("term"), col("score"), col("rank"))
   }
 
+  /** Word-level repetition ratio (C4/Gopher-style quality rule): fraction
+    * of tokens that are repeats of an earlier token, `1 - distinct/total`.
+    * High values flag boilerplate/spam for filtering. Pure column
+    * expression, no shuffle. */
+  def repetitionRatio(text: Column): Column = {
+    val ts = Dedup.tokens(text)
+    round(lit(1.0) - size(array_distinct(ts)).cast("double") /
+      greatest(size(ts), lit(1)).cast("double"), 4)
+  }
+
+  /** Pattern redaction (PII/noise scrubbing): replace every match of
+    * `pattern` with `replacement`. Thin, but an explicit operator so
+    * pipelines declare WHAT they scrub; global replace in one codegen'd
+    * projection. */
+  def redact(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement)
+
+  /** Digit-run redaction — the common numeric-PII default. */
+  val NumberPattern = "[0-9]+"
+
   /** Per-language corpus statistics (one shuffle, map-side partials). */
   def statsByLang(docs: DataFrame, textCol: String = "text",
                   langCol: String = "lang"): DataFrame =

@@ -131,6 +131,14 @@ object SparkEntry {
         threshold = 0.99)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.cosinePairsLsh(embWithDupes(s, dir), dim = 64, threshold = 0.99)),
+    // exact transitive dup clusters over the (oracled) ngram pair graph;
+    // oracle recomputes the closure with a recursive CTE
+    "dedup_components" -> ((s, dir) => {
+      val corpus = docsWithNearDupes(s, dir)
+      Dedup.duplicateComponents(corpus,
+        Dedup.ngramJaccardPairs(corpus,
+          blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5))
+    }),
 
     // --- approximate k-NN: IVF cells, nProbe = the ef_query-style recall
     //     knob (O7 approximate path + O19); recall-tested, not oracled.
@@ -555,6 +563,30 @@ object SparkEntry {
                             / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
                FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    // transitive closure of the ngram pair graph via recursive CTE —
+    // min reachable id per doc == min-label propagation's fixed point
+    "dedup_components" ->
+      """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+                    FROM documents WHERE doc_id % 10 = 0),
+         g AS (SELECT doc_id, md5(substr(text, 1, 40)) AS blk,
+                      CASE WHEN length(text) >= 3
+                           THEN list_distinct(list_transform(range(length(text) - 2),
+                                  i -> substr(text, CAST(i + 1 AS INT), 3)))
+                           ELSE [text] END AS s
+               FROM corpus),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+               WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) >= 0.5),
+         e AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, label) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT e.id_a, r.label FROM e JOIN reach r ON e.id_b = r.id)
+         SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY 1""",
     // oracle is BLIND brute-force over all pairs — the blocked/LSH
     // operators must find everything exhaustive search finds, with no
     // knowledge of how the Spark side blocks (~520^2 pairs at sf0.01:

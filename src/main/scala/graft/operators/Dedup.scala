@@ -180,6 +180,49 @@ object Dedup {
                          idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Exact transitive duplicate groups: connected components of the
+    * near-dup pair graph by iterative min-label propagation. The pairwise
+    * keep-first policy of [[dropNearDuplicates]] misses chains (a~b, b~c
+    * but not a~c); components make "one survivor per duplicate CLUSTER"
+    * exact — the policy production dedup pipelines actually want.
+    *
+    * Each iteration is one join + aggregate over the (small, pairs-sized)
+    * edge set; labels are `localCheckpoint`ed per round to truncate the
+    * iterative lineage — the standard Spark pattern for fixed-point
+    * algorithms (convergence needs a driver-side count anyway).
+    * Iterations needed = graph diameter (duplicate clusters are
+    * near-cliques in practice, so 2-3).
+    *
+    * @param docs  corpus — every id gets a component (singletons map to
+    *              themselves)
+    * @param pairs (id_a, id_b) undirected near-dup edges
+    * @return (id, component) with component = min id reachable
+    */
+  def duplicateComponents(docs: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+    val sym = edges
+      .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("id"))
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym.join(labels, sym("id_b") === labels("id"))
+        .groupBy(sym("id_a").as("id")).agg(min(col("component")).as("__n"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__n"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("component", "__old"), "id")
+        .filter(col("component") =!= col("__old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("component"))
+  }
+
   /** SimHash signatures as 64 sign bits: (id, simhash: array<int>).
     * Bit i is the sign of sum over features of +-1 depending on bit i of
     * the feature hash — computed with one explode + 64 map-side partial

@@ -79,6 +79,15 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("duplicateComponents merges chains the pairwise policy misses") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // chain 1~2~3 (no direct 1~3 edge) + pair 4~5 + singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comp = Dedup.duplicateComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
   test("dropNearDuplicates removes every doc that pairs with a lower id") {
     val pairs = Dedup.minhashPairs(withNearDupes, threshold = 0.5)
     val kept = Dedup.dropNearDuplicates(withNearDupes, pairs)

@@ -123,6 +123,15 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup (E1 under continuous arrival): drop rows whose
+    * id was already seen inside the watermark horizon. State is bounded
+    * by the watermark — ids older than the horizon are evicted, which is
+    * the only dedup form that survives an unbounded stream. */
+  def dedupedStream(events: DataFrame, idCol: String = "event_id",
+                    watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   private case class UserCount(user_id: Long, n_events: Long)
 
   /** Custom streaming state: running per-user event counts via

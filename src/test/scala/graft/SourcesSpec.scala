@@ -37,6 +37,15 @@ class SourcesSpec extends SparkSuite {
     }
   }
 
+  test("orc sink/source round-trips the full embeddings table (nested arrays)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = Files.createTempDirectory("graft_orc").toString + "/emb_orc"
+    emb.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema === emb.schema)
+    assert(back.exceptAll(emb).count() === 0, "orc round-trip drift")
+  }
+
   test("limit clamp caps k at corpus size with all rows ranked (O8)") {
     val queries = Tables.defaultQueries(spark, sfDir, n = 2)
     val corpus = Tables.embeddings(spark, sfDir).filter(col("label") === 1)

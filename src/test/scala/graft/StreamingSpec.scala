@@ -60,6 +60,22 @@ class StreamingSpec extends SparkSuite {
     assert(changed.size === 1, s"expected exactly one rewritten bucket, got $changed")
   }
 
+  test("streaming dedup keeps one row per id across duplicated input files") {
+    val dir = Files.createTempDirectory("graft_sdedup").toString + "/in"
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts", "event_type")
+    ev.write.mode("append").parquet(dir)
+    ev.write.mode("append").parquet(dir) // every id arrives (at least) twice
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, event_type STRING").parquet(dir)
+    val q = EventStream.runToMemory(
+      EventStream.dedupedStream(stream).select("event_id"), "dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val got = spark.table("dedup_out").count()
+      assert(got === ev.select("event_id").distinct().count())
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running counts cover every user") {
     val q = EventStream.runToMemory(
       EventStream.runningUserCounts(EventStream.readEvents(spark, sfDir)), "user_counts",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import graft.functions.{TextExprs, VectorOps}
 
 /** Deduplication operators for large-scale training-data pipelines: exact
   * (content hash), MinHash+LSH banding, SimHash, character-n-gram Jaccard,
@@ -69,25 +69,22 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** (id, shingle-hash) rows computed entirely with codegen'd primitives:
-    * `split` + `posexplode` + per-token `xxhash64`, then adjacent token
-    * hashes combined via `lead()` windows — no interpreted higher-order
-    * lambdas in the per-token hot path (string shingle materialization
-    * costs ~20x more). Trailing positions coalesce to the last token's
-    * hash, so every doc emits at least one row. One narrow shuffle
-    * (window sort by doc). */
-  def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = docs
-      .select(col(idCol), posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("__p", "__t")))
-      .filter(col("__t") =!= "")
-      .select(col(idCol), col("__p"), xxhash64(col("__t")).as("__h0"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
-    val combined = (1 until n).foldLeft(toks) { (df, i) =>
-      df.withColumn(s"__h$i", coalesce(lead(col("__h0"), i).over(w), col("__h0")))
-    }
-    combined.select(col(idCol),
-      xxhash64((0 until n).map(i => col(s"__h$i")): _*).as("__h"))
-  }
+  private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def asExpr(c: Column) =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  /** (id, shingle-hash) rows from the codegen'd [[TextExprs.ShingleHashes]]
+    * expression: the whole token array folds to its shingle hashes inside
+    * one row — a narrow map stage, where the previous formulation
+    * (posexplode + `lead()` windows, itself codegen'd) forced a
+    * corpus-wide hash-partition shuffle + sort before any signature
+    * existed. Trailing positions fall back to the position's own token
+    * hash, so every non-empty doc emits at least one row. */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(asCol(TextExprs.ShingleHashes(
+        asExpr(tokens(col(textCol))), n, trailing = true))).as("__h"))
 
   /** MinHash signatures: (id, sig: array<long>[numPerms]).
     *
@@ -276,23 +273,19 @@ object Dedup {
       .distinct()
   }
 
-  /** (id, char-n-gram hash) rows, fully codegen'd: per-char explode +
-    * lead() windows + xxhash64 — the interpreted `transform`/`substr`
-    * set construction costs ~10x more per char. Docs shorter than n fall
+  /** (id, char-n-gram hash) rows via [[TextExprs.ShingleHashes]] over the
+    * per-char split — same narrow-map shape as [[shingleHashes]], only
+    * complete n-grams (no trailing fallback). Docs shorter than n fall
     * back to one whole-text hash, mirroring [[charNgrams]]' `otherwise`
-    * branch (and the dedup_ngram oracle's ELSE) so they still join. */
+    * branch (and the dedup_ngram oracle's ELSE) so they still join.
+    * Hash arithmetic is Spark's multi-arg xxhash64 over the char columns
+    * — values identical to the previous window formulation. */
   def charNgramHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val chars = docs
-      .select(col(idCol), posexplode(split(col(textCol), "")).as(Seq("__p", "__c0")))
-      .filter(col("__c0") =!= "")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
-    val combined = (1 until n).foldLeft(chars) { (df, i) =>
-      df.withColumn(s"__c$i", lead(col("__c0"), i).over(w))
-    }
     val short = docs.filter(length(col(textCol)) < n)
       .select(col(idCol), xxhash64(col(textCol)).as("__h"))
-    combined.filter(col(s"__c${n - 1}").isNotNull)
-      .select(col(idCol), xxhash64((0 until n).map(i => col(s"__c$i")): _*).as("__h"))
+    docs.select(col(idCol),
+        explode(asCol(TextExprs.ShingleHashes(
+          asExpr(split(col(textCol), "")), n, trailing = false))).as("__h"))
       .unionByName(short)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Relational, Sampling, Scale, TextOps, Traversal, VectorStats}
+import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Quantize, Relational, Sampling, Scale, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -148,6 +148,13 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) =>
       KnnIvf.searchPruned(KnnIvf.load(s, ivfIndexPath(s, dir)),
         Tables.defaultQueries(s, dir), k = 5, nProbe = 4)),
+    // int8 scalar-quantized corpus, searched exactly — the 4x-smaller
+    // storage form of the similarity stack; quantization arithmetic is
+    // floor-based so the oracle reproduces it bit-for-bit
+    "ann_sq_cosine" -> ((s, dir) =>
+      KnnTopK.knnExact(Tables.defaultQueries(s, dir),
+        Quantize.decodeCorpus(Quantize.encodeCorpus(Tables.embeddings(s, dir))),
+        k = 5, metric = "cosine")),
 
     // --- embedding-column statistics (corpus QA) ---
     "vector_centroids" -> ((s, dir) =>
@@ -392,6 +399,27 @@ object SparkEntry {
     "knn_cosine" -> knnOracle(
       score = "round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)",
       asc = true),
+    // quantize -> dequantize -> exact cosine top-k. floor() has no
+    // half-case ambiguity and the float cast is IEEE-exact in both
+    // engines, so the decoded corpus is bit-identical
+    "ann_sq_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+            r0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sq AS (SELECT vec_id, greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS sc, v
+                   FROM r0),
+            dec AS (SELECT vec_id AS match_id,
+                           list_transform(v, x -> CAST(CAST(
+                             greatest(least(floor(x / sc * 127.0), 127.0), -127.0)
+                             * sc / 127.0 AS REAL) AS DOUBLE)) AS cv
+                    FROM sq),
+            s AS (SELECT query_id, match_id,
+                         (round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)) + 0.0 AS score
+                  FROM q CROSS JOIN dec),
+            r AS (SELECT query_id, match_id, score,
+                         row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS "rank"
+                  FROM s)
+        SELECT query_id, match_id, score, "rank" AS rank FROM r WHERE "rank" <= 5""",
     // explode(nest(knn)) round-trips to the flat k-NN result
     "traversal_matches" -> knnOracle(
       score = "round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)",

@@ -111,6 +111,38 @@ object KnnIvf {
     search(prunedIndex, queries, k, nProbe, metric, idCol, vecCol)
   }
 
+  /** Incremental index maintenance — the reference's `/index` endpoint
+    * adds new vectors into the existing HNSW graph without a rebuild
+    * (`executor.py:127-168`); the IVF analog assigns new rows to the
+    * EXISTING centroids and appends. Centroids drift from optimal as the
+    * corpus grows (as does an HNSW graph's quality); rebuild cadence is
+    * an offline maintenance decision, not a query-path cost.
+    *
+    * Returns the updated in-memory index; `appendTo` additionally writes
+    * the new rows into a saved index's cell-partitioned corpus (append
+    * touches only the new rows' cell directories). */
+  def add(index: IvfIndex, newRows: DataFrame,
+          vecCol: String = "embedding"): IvfIndex = {
+    val featured = newRows.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val assigned = index.model.transform(featured)
+      .drop("__features").withColumnRenamed("__cell", "cell")
+    IvfIndex(index.model, index.corpusWithCell.unionByName(assigned))
+  }
+
+  /** Append new rows to a SAVED index (see [[save]]): cell-assign with
+    * the stored model, then append parquet only under the affected cell
+    * directories. */
+  def appendTo(spark: SparkSession, path: String, newRows: DataFrame,
+               vecCol: String = "embedding"): Unit = {
+    val model = KMeansModel.load(s"$path/model")
+    val featured = newRows.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    model.transform(featured).drop("__features")
+      .withColumnRenamed("__cell", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
   /** One-call convenience for fixture-scale use. */
   def approxKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                 numCells: Int = 16, nProbe: Int = 4,

@@ -94,6 +94,57 @@ class KnnSpec extends SparkSuite {
     assert(back.collect().map(key).toMap === flat.collect().map(key).toMap)
   }
 
+  test("IVF add assigns new rows to existing cells (== full assign under the same model)") {
+    import graft.operators.KnnIvf
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+    val half2 = corpus.filter(col("vec_id") % 2 === 1)
+    val idx1 = KnnIvf.build(half1, numCells = 8)
+    val grown = KnnIvf.add(idx1, half2)
+    val fullAssign = KnnIvf.IvfIndex(idx1.model,
+      KnnIvf.add(KnnIvf.IvfIndex(idx1.model, idx1.corpusWithCell.limit(0)), corpus).corpusWithCell)
+    val a = KnnIvf.search(grown, queries, k = 10, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val b = KnnIvf.search(fullAssign, queries, k = 10, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("IVF appendTo grows a saved index; loaded search sees the new rows") {
+    import graft.operators.KnnIvf
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+    val half2 = corpus.filter(col("vec_id") % 2 === 1)
+    val idx = KnnIvf.build(half1, numCells = 8)
+    KnnIvf.save(idx, path)
+    KnnIvf.appendTo(spark, path, half2)
+    val loaded = KnnIvf.load(spark, path)
+    assert(loaded.corpusWithCell.count() === corpus.count())
+    val got = KnnIvf.searchPruned(loaded, queries, k = 10, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val mem = KnnIvf.search(KnnIvf.add(idx, half2), queries, k = 10, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(got === mem)
+  }
+
+  test("int8 scalar quantization: bounded reconstruction error, recall@10 >= 0.9") {
+    import graft.operators.Quantize
+    val dec = Quantize.decodeCorpus(Quantize.encodeCorpus(corpus))
+    // componentwise |x - decoded| <= scale/127 (one floor step)
+    val err = corpus.join(dec.withColumnRenamed("embedding", "dec_emb"), "vec_id")
+      .select(Quantize.sqScale(col("embedding")).as("s"),
+        aggregate(zip_with(col("embedding"), col("dec_emb"),
+          (a, b) => abs(a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, v) => greatest(acc, v)).as("maxerr"))
+      .filter(col("maxerr") > col("s") / 127.0 * 1.0001)
+    assert(err.isEmpty, "reconstruction error exceeded one quantization step")
+    val exact = Knn.knnExact(queries, corpus, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Knn.knnExact(queries, dec, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall@10 = $recall")
+  }
+
   test("sign-RP LSH finds all planted cosine duplicates") {
     val emb = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))

@@ -250,6 +250,24 @@ object SparkEntry {
                FROM orders_v JOIN customer_v ON o_custkey = c_custkey
                GROUP BY c_mktsegment""")
     }),
+    // custom codegen expressions driven from SQL text (GraftFunctions
+    // registration — the injectFunction surface)
+    "sql_vector" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("emb_sql")
+      Tables.documents(s, dir).createOrReplaceTempView("docs_sql")
+      s.sql("""SELECT e.label,
+                      round(CAST(sum(CAST(sqrt(vec_dot(e.embedding, e.embedding)) AS DECIMAL(26,12))) AS DOUBLE)
+                            / count(*), 4) AS avg_norm
+               FROM emb_sql e GROUP BY e.label""")
+    }),
+    "sql_shingles" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("docs_sql")
+      s.sql("""SELECT doc_id,
+                      CAST(size(shingle_hashes(filter(split(lower(text), '\\s+'), x -> x != ''), 3, true)) AS BIGINT) AS n_shingles
+               FROM docs_sql""")
+    }),
     "events_json" -> ((s, dir) => EventOps.jsonPropsAgg(Tables.events(s, dir))),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     // as-of join: each purchase matched to the user's latest prior click
@@ -682,6 +700,16 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(26,6))) AS DOUBLE) AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    "sql_vector" ->
+      """SELECT label,
+                round(CAST(sum(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(26,12))) AS DOUBLE)
+                      / count(*), 4) AS avg_norm
+         FROM embeddings GROUP BY label""",
+    // trailing-mode shingle count == token count
+    "sql_shingles" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_shingles
+         FROM documents""",
     "events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
                 count(*) AS n_events,

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftFunctionBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
+
+/** SQL-surface registration for graft's custom expressions: after
+  * [[register]] (or installing [[GraftExtensions]] via
+  * `spark.sql.extensions`), `spark.sql` text can call `vec_dot`,
+  * `vec_l2sq`, `vec_cosine` and `shingle_hashes` directly — the SQL
+  * interface the reference lacks entirely, over the same codegen
+  * expressions the DataFrame API uses. */
+object GraftFunctions {
+
+  private def lit[T](e: Expression, what: String): T = e match {
+    case Literal(v, IntegerType) => v.asInstanceOf[T]
+    case Literal(v, BooleanType) => v.asInstanceOf[T]
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
+
+  /** name -> (implementing class, builder from SQL argument list). */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", classOf[VectorExprs.DotProduct].getName,
+      args => VectorExprs.DotProduct(args(0), args(1))),
+    ("vec_l2sq", classOf[VectorExprs.L2SqDistance].getName,
+      args => VectorExprs.L2SqDistance(args(0), args(1))),
+    ("vec_cosine", classOf[VectorExprs.CosineSim].getName,
+      args => VectorExprs.CosineSim(args(0), args(1))),
+    ("shingle_hashes", classOf[TextExprs.ShingleHashes].getName,
+      args => TextExprs.ShingleHashes(args(0),
+        lit[Int](args(1), "shingle width n"),
+        if (args.length > 2) lit[Boolean](args(2), "trailing") else true)))
+
+  /** Idempotent registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, cls, builder) =>
+      GraftFunctionBridge.register(spark, name, cls, builder) }
+}
+
+/** `spark.sql.extensions` entry point: sessions built with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) get the functions without any
+  * code call. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, cls, builder) =>
+      ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls, name),
+        builder))
+    }
+}

@@ -123,6 +123,27 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream interval self-join: pair each event with the same
+    * user's events from the preceding `horizon`. Both sides are
+    * watermarked and the join carries an event-time range constraint, so
+    * state is bounded: Spark evicts buffered rows once the watermark
+    * passes the interval — the only join form that survives an unbounded
+    * stream. Output (user_id, ts, prior_ts, event_type, prior_type). */
+  def joinRecentPriors(events: DataFrame, horizon: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame = {
+    val cur = events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val prior = events.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("prior_ts"),
+        col("event_type").as("prior_type"))
+    cur.join(prior,
+      col("user_id") === col("p_user") &&
+        col("prior_ts") >= col("ts") - expr(s"INTERVAL $horizon") &&
+        col("prior_ts") < col("ts"))
+      .select(col("user_id"), col("ts"), col("prior_ts"),
+        col("event_type"), col("prior_type"))
+  }
+
   /** Streaming exact dedup (E1 under continuous arrival): drop rows whose
     * id was already seen inside the watermark horizon. State is bounded
     * by the watermark — ids older than the horizon are evicted, which is

@@ -76,6 +76,24 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval self-join matches the batch range join") {
+    val stream = EventStream.readEvents(spark, sfDir)
+    val q = EventStream.runToMemory(
+      EventStream.joinRecentPriors(stream), "recent_priors",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("recent_priors").count()
+      val ev = Tables.events(spark, sfDir).select("user_id", "ts", "event_type")
+      val batch = ev.alias("a").join(
+          ev.select(col("user_id").as("p_user"), col("ts").as("prior_ts")),
+          col("user_id") === col("p_user") &&
+            col("prior_ts") >= col("ts") - expr("INTERVAL 30 minutes") &&
+            col("prior_ts") < col("ts"))
+        .count()
+      assert(streamed === batch && streamed > 0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running counts cover every user") {
     val q = EventStream.runToMemory(
       EventStream.runningUserCounts(EventStream.readEvents(spark, sfDir)), "user_counts",

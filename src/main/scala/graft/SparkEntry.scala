@@ -206,6 +206,9 @@ object SparkEntry {
       Sampling.packByTokenBudget(Tables.documents(s, dir),
           TextOps.bpeTokenCount(col("text")), budget = 2000L, partitionCol = "source")
         .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))),
+    "sample_per_group" -> ((s, dir) =>
+      Sampling.sampleKPerGroup(Tables.documents(s, dir), "doc_id", "source", k = 5)
+        .select(col("doc_id"), col("source"))),
 
     // --- scale utilities wired end-to-end ---
     // salted two-phase aggregation: identical results to a plain groupBy
@@ -576,6 +579,13 @@ object SparkEntry {
                                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                            / 2000.0) AS BIGINT) AS shard
          FROM t""",
+    "sample_per_group" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS "rn"
+           FROM documents)
+         WHERE "rn" <= 5""",
     "scale_salted_user_counts" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY 1",
     "scale_bucketed_revenue" ->

@@ -43,6 +43,21 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Exactly-k-per-group deterministic sample (eval-set carving: "500
+    * docs per source"): rows ranked inside each group by the md5 of
+    * their id (a stable pseudo-random order), first k kept. One window
+    * per group — Spark 4's WindowGroupLimit discards non-qualifying rows
+    * before the exchange. */
+  def sampleKPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 0, s"k $k must be >= 0")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Pack documents into fixed token-budget shards, per `partitionCol`
     * (e.g. source): docs are laid out in id order and a doc starts a new
     * shard when the budget would overflow *before* it — i.e. shard =
@@ -53,6 +68,7 @@ object Sampling {
     * @return input + (n_tokens, shard) */
   def packByTokenBudget(docs: DataFrame, tokensCol: Column, budget: Long,
                         partitionCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"token budget $budget must be positive")
     val w = Window.partitionBy(col(partitionCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs

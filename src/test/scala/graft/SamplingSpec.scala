@@ -36,6 +36,16 @@ class SamplingSpec extends SparkSuite {
     assert(keptOther > 0.3 && keptOther < 0.7, s"default-fraction drift: $keptOther")
   }
 
+  test("per-group sampling keeps exactly k rows per group, deterministically") {
+    val s1 = Sampling.sampleKPerGroup(docs, "doc_id", "source", k = 5)
+    val counts = s1.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ === 5L))
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.sampleKPerGroup(docs, "doc_id", "source", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
   test("token-budget packing matches a greedy per-source simulation") {
     val budget = 2000L
     val packed = Sampling.packByTokenBudget(docs,

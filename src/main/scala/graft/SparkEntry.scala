@@ -272,6 +272,7 @@ object SparkEntry {
                FROM docs_sql""")
     }),
     "events_json" -> ((s, dir) => EventOps.jsonPropsAgg(Tables.events(s, dir))),
+    "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     // as-of join: each purchase matched to the user's latest prior click
     "events_asof" -> ((s, dir) => {
@@ -710,6 +711,13 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(26,6))) AS DOUBLE) AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    "events_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+                            CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS week
+                     FROM events)
+         SELECT a.week AS week, count(*) AS n_retained
+         FROM wk a JOIN wk b ON a.user_id = b.user_id AND b.week = a.week + 604800
+         GROUP BY 1""",
     "sql_vector" ->
       """SELECT label,
                 round(CAST(sum(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(26,12))) AS DOUBLE)

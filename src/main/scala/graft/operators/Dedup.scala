@@ -201,8 +201,15 @@ object Dedup {
     val sym = edges
       .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(true)
+    // seed with the direct-neighbor minimum — equivalent to running the
+    // first propagation round, one join+agg cheaper
+    val seed = sym.groupBy(col("id_a"))
+      .agg(min(least(col("id_a"), col("id_b"))).as("__s"))
+      .withColumnRenamed("id_a", "id")
     var labels = docs.select(col(idCol).as("id"))
-      .withColumn("component", col("id")).localCheckpoint(true)
+      .join(seed, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), col("id")).as("component"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -103,6 +103,21 @@ object EventOps {
 
   /** Top-N event types per user by frequency (rank tiebreak by type name
     * for determinism). */
+  /** Week-over-week retention: per week, the count of users also active
+    * the following week. Two aggregations (distinct user-weeks) + an
+    * equi-join on (user, week+7d) — cohort analytics over event time.
+    * Weeks are ISO (Monday-start) epochs, identical across engines. */
+  def weeklyRetention(events: DataFrame): DataFrame = {
+    val wk = events.select(col("user_id"),
+        unix_timestamp(date_trunc("week", col("ts"))).as("week")).distinct()
+    wk.alias("a")
+      .join(wk.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.week") === col("a.week") + 604800L)
+      .groupBy(col("a.week").as("week"))
+      .agg(count(lit(1)).as("n_retained"))
+  }
+
   def topEventTypes(events: DataFrame, n: Int = 2): DataFrame = {
     val counts = events.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Quantize, Relational, Sampling, Scale, TextOps, Traversal, VectorStats}
+import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Pq, Quantize, Relational, Sampling, Scale, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -155,6 +155,15 @@ object SparkEntry {
       KnnTopK.knnExact(Tables.defaultQueries(s, dir),
         Quantize.decodeCorpus(Quantize.encodeCorpus(Tables.embeddings(s, dir))),
         k = 5, metric = "cosine")),
+    // product-quantized corpus (codebooks trained once per session),
+    // searched via reconstruction — engine-specific centroids, so
+    // rows-only; recall measured in KnnSpec
+    "ann_pq_cosine" -> ((s, dir) => {
+      val idx = pqIndexFor(s, dir)
+      KnnTopK.knnExact(Tables.defaultQueries(s, dir),
+        Pq.decode(idx, Pq.encode(idx, Tables.embeddings(s, dir))),
+        k = 5, metric = "cosine")
+    }),
 
     // --- embedding-column statistics (corpus QA) ---
     "vector_centroids" -> ((s, dir) =>
@@ -386,6 +395,13 @@ object SparkEntry {
         .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/lineitem").saveAsTable(s"graft_li_$key")
     })
+
+  /** PQ codebooks trained once per (JVM, fixture dir) — same
+    * build-once/serve-many split as [[ivfIndexPath]]. */
+  private val pqBuilt = scala.collection.concurrent.TrieMap.empty[String, Pq.PqIndex]
+  private def pqIndexFor(s: SparkSession, dir: String): Pq.PqIndex =
+    pqBuilt.getOrElseUpdate(dir,
+      Pq.train(Tables.embeddings(s, dir), dim = 64, m = 16, k = 32))
 
   /** documents plus exact copies of every 10th doc at id+10M (offset clear
     * of real ids at any sf). */

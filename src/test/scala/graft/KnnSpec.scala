@@ -145,6 +145,25 @@ class KnnSpec extends SparkSuite {
     assert(recall >= 0.9, s"quantized recall@10 = $recall")
   }
 
+  test("product quantization: deterministic codes, measured recall@10") {
+    import graft.operators.Pq
+    val index = Pq.train(corpus, dim = 64, m = 16, k = 32)
+    val enc = Pq.encode(index, corpus)
+    assert(enc.select(size(col("pq_codes"))).distinct().head().getInt(0) === 16)
+    val dec = Pq.decode(index, enc)
+    val exact = Knn.knnExact(queries, corpus, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Knn.knnExact(queries, dec, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"PQ m=16 k=32 recall@10 = $recall")
+    assert(recall >= 0.5, s"PQ recall@10 = $recall")
+    // encoding is deterministic run-over-run (seeded kmeans)
+    val enc2 = Pq.encode(Pq.train(corpus, dim = 64, m = 16, k = 32), corpus)
+    assert(enc.select("vec_id", "pq_codes").exceptAll(
+      enc2.select("vec_id", "pq_codes")).isEmpty)
+  }
+
   test("sign-RP LSH finds all planted cosine duplicates") {
     val emb = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))

@@ -139,6 +139,20 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(corpus,
           blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5))
     }),
+    // the whole cleaning pipeline composed end-to-end: near-dedup to one
+    // survivor per duplicate cluster, then quality-gate the survivors —
+    // the canonical pretraining-corpus pass, oracled as one composed SQL
+    "pipeline_clean" -> ((s, dir) => {
+      val corpus = docsWithNearDupes(s, dir)
+      val comp = Dedup.duplicateComponents(corpus,
+        Dedup.ngramJaccardPairs(corpus,
+          blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5))
+      val survivors = corpus.join(
+        comp.filter(col("doc_id") === col("component")).select("doc_id"), Seq("doc_id"))
+      TextOps.qualityReport(survivors)
+        .filter(col("quality") >= 0.3)
+        .select(col("doc_id"), col("quality"))
+    }),
 
     // --- approximate k-NN: IVF cells, nProbe = the ef_query-style recall
     //     knob (O7 approximate path + O19); recall-tested, not oracled.
@@ -660,6 +674,45 @@ object SparkEntry {
            UNION
            SELECT e.id_a, r.label FROM e JOIN reach r ON e.id_b = r.id)
          SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY 1""",
+    // composed pipeline: recursive-CTE dedup survivors -> quality gate
+    "pipeline_clean" ->
+      """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+                    FROM documents WHERE doc_id % 10 = 0),
+         g AS (SELECT doc_id, md5(substr(text, 1, 40)) AS blk,
+                      CASE WHEN length(text) >= 3
+                           THEN list_distinct(list_transform(range(length(text) - 2),
+                                  i -> substr(text, CAST(i + 1 AS INT), 3)))
+                           ELSE [text] END AS s
+               FROM corpus),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+               WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) >= 0.5),
+         e AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, label) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT e.id_a, r.label FROM e JOIN reach r ON e.id_b = r.id),
+         comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY 1),
+         surv AS (SELECT c.doc_id, c.text FROM corpus c
+                  JOIN comp ON c.doc_id = comp.doc_id AND comp.doc_id = comp.component),
+         t AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+               FROM surv),
+         r AS (SELECT doc_id, len(toks) AS n_tokens,
+                      round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1), 4) AS punct_ratio,
+                      round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                            / greatest(len(toks), 1), 4) AS stopword_ratio
+               FROM t),
+         q AS (SELECT doc_id,
+                      round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                            * (1.0 - punct_ratio) * (1.0 - 0.5 * stopword_ratio), 4) AS quality
+               FROM r)
+         SELECT doc_id, quality FROM q WHERE quality >= 0.3""",
     // oracle is BLIND brute-force over all pairs — the blocked/LSH
     // operators must find everything exhaustive search finds, with no
     // knowledge of how the Spark side blocks (~520^2 pairs at sf0.01:

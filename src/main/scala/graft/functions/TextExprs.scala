@@ -99,4 +99,141 @@ object TextExprs {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  /** One-permutation MinHash signature of a shingle-hash array, rotation-
+    * densified — the whole signature computed inside the row (with
+    * [[ShingleHashes]] upstream, a MinHash job's only shuffle left is the
+    * LSH band join). Bucket b = pmod(h, numPerms) takes min(h); empty
+    * buckets borrow from the next filled slot cyclically. Arithmetic
+    * identical to the former min(when)-aggregation formulation. */
+  case class MinHashSig(child: Expression, numPerms: Int)
+      extends UnaryExpression {
+
+    require(numPerms >= 1, s"numPerms $numPerms must be >= 1")
+
+    override def prettyName: String = "minhash_sig"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects array<bigint>, got ${other.sql}")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val p = numPerms
+      val mins = Array.fill(p)(Long.MaxValue)
+      val filled = new Array[Boolean](p)
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = arr.getLong(i)
+        val b = ((h % p) + p).toInt % p
+        if (!filled(b) || h < mins(b)) { mins(b) = h; filled(b) = true }
+        i += 1
+      }
+      val out = new Array[Long](p)
+      var s = 0
+      while (s < p) {
+        var src = -1
+        var j = s
+        while (src < 0 && j < p) { if (filled(j)) src = j; j += 1 }
+        j = 0
+        while (src < 0 && j < s) { if (filled(j)) src = j; j += 1 }
+        out(s) = if (src >= 0) mins(src) else 0L
+        s += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val p = numPerms
+        val (mins, filled, out) = (ctx.freshName("mins"), ctx.freshName("filled"), ctx.freshName("out"))
+        val (i, h, b, s, j, src) = (ctx.freshName("i"), ctx.freshName("h"), ctx.freshName("b"),
+          ctx.freshName("s"), ctx.freshName("j"), ctx.freshName("src"))
+        s"""
+          long[] $mins = new long[$p];
+          boolean[] $filled = new boolean[$p];
+          for (int $i = 0; $i < $a.numElements(); $i++) {
+            long $h = $a.getLong($i);
+            int $b = (int)((($h % $p) + $p) % $p);
+            if (!$filled[$b] || $h < $mins[$b]) { $mins[$b] = $h; $filled[$b] = true; }
+          }
+          long[] $out = new long[$p];
+          for (int $s = 0; $s < $p; $s++) {
+            int $src = -1;
+            for (int $j = $s; $src < 0 && $j < $p; $j++) { if ($filled[$j]) $src = $j; }
+            for (int $j = 0; $src < 0 && $j < $s; $j++) { if ($filled[$j]) $src = $j; }
+            $out[$s] = ($src >= 0) ? $mins[$src] : 0L;
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** SimHash bit vector of a shingle-hash array: bit i is the sign of
+    * sum over hashes of +-1 by bit i of the hash — per-row, matching the
+    * former explode + 64-partial-sum aggregation bit for bit. */
+  case class SimHashBits(child: Expression, bits: Int)
+      extends UnaryExpression {
+
+    require(bits >= 1 && bits <= 64, s"bits $bits must be in [1,64]")
+
+    override def prettyName: String = "simhash_bits"
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects array<bigint>, got ${other.sql}")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](bits)
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < bits) {
+          counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(counts.map(c => if (c >= 0) 1 else 0))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val (counts, out) = (ctx.freshName("counts"), ctx.freshName("out"))
+        val (i, h, b) = (ctx.freshName("i"), ctx.freshName("h"), ctx.freshName("b"))
+        s"""
+          int[] $counts = new int[$bits];
+          for (int $i = 0; $i < $a.numElements(); $i++) {
+            long $h = $a.getLong($i);
+            for (int $b = 0; $b < $bits; $b++) {
+              $counts[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+            }
+          }
+          int[] $out = new int[$bits];
+          for (int $b = 0; $b < $bits; $b++) { $out[$b] = ($counts[$b] >= 0) ? 1 : 0; }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 }

@@ -99,33 +99,20 @@ object Dedup {
     * partial mins keep it skew-proof at corpus scale. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numPerms: Int = 64): DataFrame = {
-    // Per-bucket minima as numPerms map-side-partial min(when) aggregates:
-    // ONE shuffle for the whole signature (the former formulation spent a
-    // dense (id, slot)-grid join plus two unbounded windows on it).
-    val mins = (0 until numPerms).map(i =>
-      min(when(pmod(col("__h"), lit(numPerms.toLong)) === i, col("__h"))).as(s"__m$i"))
-    val agged = shingleHashes(docs, idCol, textCol, shingleN)
-      .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-    // Rotation densification (cf. Shrivastava's densified one-permutation
-    // hashing): an empty slot borrows from the next non-empty bucket
-    // cyclically (wrap = first filled slot overall). Borrowing is local,
-    // so two near-duplicate docs densify identically wherever their
-    // filled buckets agree — a global-min fill would flip every empty
-    // slot whenever one new shingle hashes lower (fatal for short docs,
-    // where most buckets are empty). The interpreted lambda below runs
-    // once per DOC over <= numPerms entries; the per-shingle hot path
-    // above is all codegen'd.
-    val entries = filter(
-      array((0 until numPerms).map(i =>
-        struct(lit(i).as("__s"), col(s"__m$i").as("__m"))): _*),
-      e => e.getField("__m").isNotNull)
-    agged
-      .select(col(idCol), entries.as("__e"))
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(numPerms - 1)), s => {
-          val fwd = array_min(filter(col("__e"), e => e.getField("__s") >= s))
-          coalesce(fwd, array_min(col("__e"))).getField("__m")
-        }).as("sig"))
+    // The whole signature — shingle hashes, per-bucket minima, rotation
+    // densification (cf. Shrivastava's densified one-permutation
+    // hashing: an empty slot borrows from the next filled one
+    // cyclically, so near-duplicates densify identically wherever their
+    // filled buckets agree) — is one codegen'd projection per ROW
+    // ([[TextExprs.MinHashSig]] over [[TextExprs.ShingleHashes]]).
+    // Signature construction shuffles NOTHING; a MinHash job's only
+    // shuffle is the LSH band join. Empty-token docs are excluded, as
+    // when the explode-based formulation emitted no rows for them.
+    val ts = tokens(col(textCol))
+    docs.filter(size(ts) > 0)
+      .select(col(idCol), asCol(TextExprs.MinHashSig(
+        asExpr(asCol(TextExprs.ShingleHashes(asExpr(ts), shingleN, trailing = true))),
+        numPerms)).as("sig"))
   }
 
   /** LSH band hashes over a signature array: bands of rowsPerBand values,
@@ -236,14 +223,13 @@ object Dedup {
     * per-doc) and LSH buckets degenerate; bigrams restore per-doc signal. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         bits: Int = 64): DataFrame = {
-    val exploded = shingleHashes(docs, idCol, textCol, 2)
-    val sums = (0 until bits).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__s$i")
-    }
-    exploded.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
-      .select(col(idCol), array((0 until bits).map(i =>
-        when(col(s"__s$i") >= 0, 1).otherwise(0)): _*).as("simhash"))
+    // per-row codegen'd bit-vote ([[TextExprs.SimHashBits]] over bigram
+    // shingle hashes) — no explode, no aggregation, no shuffle
+    val ts = tokens(col(textCol))
+    docs.filter(size(ts) > 0)
+      .select(col(idCol), asCol(TextExprs.SimHashBits(
+        asExpr(asCol(TextExprs.ShingleHashes(asExpr(ts), 2, trailing = true))),
+        bits)).as("simhash"))
   }
 
   /** Hamming distance between two equal-length bit arrays. */

@@ -29,6 +29,32 @@ class TextExprsSpec extends SparkSuite {
     assert(shingles(Seq("only"), 2, trailing = false) === Seq.empty)
   }
 
+  test("minhash_sig takes per-bucket minima and rotation-densifies") {
+    def sig(hs: Seq[Long], p: Int): Seq[Long] =
+      Seq(1).toDF("x").select(GraftColumnBridge.column(
+          TextExprs.MinHashSig(GraftColumnBridge.expression(typedLit(hs)), p)).as("s"))
+        .head().getSeq[Long](0)
+    // 5 and 13 both land in slot 1 (mod 4): min 5; every empty slot
+    // borrows forward-cyclically from slot 1
+    assert(sig(Seq(5L, 13L), 4) === Seq(5L, 5L, 5L, 5L))
+    // 4 -> slot 0, 7 -> slot 3: slots 1,2 borrow forward from 3
+    assert(sig(Seq(4L, 7L), 4) === Seq(4L, 7L, 7L, 7L))
+    // negative hash buckets via pmod: -3 % 4 -> 1
+    assert(sig(Seq(-3L), 4) === Seq(-3L, -3L, -3L, -3L))
+  }
+
+  test("simhash_bits votes each bit by sign") {
+    def bits(hs: Seq[Long], b: Int): Seq[Int] =
+      Seq(1).toDF("x").select(GraftColumnBridge.column(
+          TextExprs.SimHashBits(GraftColumnBridge.expression(typedLit(hs)), b)).as("s"))
+        .head().getSeq[Int](0)
+    // single hash 0b0110: bits 1,2 set -> votes +1; bits 0,3 -> -1
+    assert(bits(Seq(6L), 4) === Seq(0, 1, 1, 0))
+    // 0b0110 + 0b0101: bit0 and bit1 tie at 0 (>= 0 -> 1); bit2 +2 -> 1;
+    // bit3 -2 -> 0
+    assert(bits(Seq(6L, 5L), 4) === Seq(1, 1, 1, 0))
+  }
+
   test("codegen and interpreted paths agree on fixture docs") {
     val docs = sparkDocs
     val viaPlan = Dedup.shingleHashes(docs, "doc_id", "text", 3)

@@ -148,8 +148,17 @@ object Dedup {
     // candidate ids sounds cheaper but is not: the semi-join's id list
     // re-derives the ENTIRE signature + band-join DAG once per reference
     // (profiled at 3x the whole-query cost), while the corpus-wide build
-    // is one shuffle-free projection per verify side.
-    val sets = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__set"))
+    // is one shuffle-free projection per verify side. Sets are distinct
+    // shingle HASHES (codegen'd): Jaccard over 64-bit hash sets equals
+    // Jaccard over the string sets up to negligible collisions, without
+    // the interpreted string-slice set construction in the verify hot
+    // path. Mirrors [[wordShingles]] exactly: complete shingles only,
+    // short docs fall back to one whole-token-string hash.
+    val ts = tokens(col(textCol))
+    val hashSet = when(size(ts) >= shingleN,
+        array_distinct(asCol(TextExprs.ShingleHashes(asExpr(ts), shingleN, trailing = false))))
+      .otherwise(array(xxhash64(concat_ws(" ", ts))))
+    val sets = docs.select(col(idCol), hashSet.as("__set"))
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), "id_b")

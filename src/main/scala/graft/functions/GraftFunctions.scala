@@ -30,7 +30,12 @@ object GraftFunctions {
     ("shingle_hashes", classOf[TextExprs.ShingleHashes].getName,
       args => TextExprs.ShingleHashes(args(0),
         lit[Int](args(1), "shingle width n"),
-        if (args.length > 2) lit[Boolean](args(2), "trailing") else true)))
+        if (args.length > 2) lit[Boolean](args(2), "trailing") else true)),
+    ("minhash_sig", classOf[TextExprs.MinHashSig].getName,
+      args => TextExprs.MinHashSig(args(0), lit[Int](args(1), "numPerms"))),
+    ("simhash_bits", classOf[TextExprs.SimHashBits].getName,
+      args => TextExprs.SimHashBits(args(0),
+        if (args.length > 1) lit[Int](args(1), "bits") else 64)))
 
   /** Idempotent registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -33,6 +33,14 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(n.getInt(1) === 3) // trailing default
   }
 
+  test("signature expressions are SQL-callable end-to-end") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT size(minhash_sig(shingle_hashes(array('a','b','c','d'), 3), 16)) AS m,
+                size(simhash_bits(shingle_hashes(array('a','b','c','d'), 2))) AS s""").head()
+    assert(r.getInt(0) === 16 && r.getInt(1) === 64)
+  }
+
   test("GraftExtensions injects the functions into a fresh session") {
     val fresh = spark.newSession()
     // newSession shares the context but not temp functions; extensions

@@ -43,10 +43,13 @@ object Bench {
     // can survive both sweeps for the expensive ones; one more timing of
     // the current top-5 costs a bounded ~25% extra and pins their minima.
     val slow = twoSweep.toSeq.sortBy(-_._2).take(5).map(_._1)
-    val s3 = slow.map { name =>
+    val s3 = slow.flatMap { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // only a successful run may contribute a minimum — a transient
+      // failure here must not bench as a speedup
+      try { SparkEntry.queries(name)(spark, sfDir).count()
+            Some(name -> (System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
     }.toMap
     val results = twoSweep.map { case (name, t) =>
       name -> math.min(t, s3.getOrElse(name, t)) }

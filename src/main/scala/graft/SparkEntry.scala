@@ -296,6 +296,19 @@ object SparkEntry {
     }),
     "events_json" -> ((s, dir) => EventOps.jsonPropsAgg(Tables.events(s, dir))),
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
+    // batch interval self-join (the stream-stream join's batch form):
+    // per user, pairs of events within a 30-minute lookback. Compared in
+    // integer microseconds — both engines floor the nanos fixture
+    // identically there, where raw timestamp comparison would not
+    "events_window_pairs" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      ev.join(ev.select(col("user_id").as("p_user"), col("us").as("p_us")),
+          col("user_id") === col("p_user") &&
+            col("p_us") >= col("us") - lit(1800000000L) &&
+            col("p_us") < col("us"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+    }),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     // as-of join: each purchase matched to the user's latest prior click
     "events_asof" -> ((s, dir) => {
@@ -780,6 +793,12 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(26,6))) AS DOUBLE) AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    "events_window_pairs" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+         FROM events a JOIN events b ON a.user_id = b.user_id
+           AND epoch_us(b.ts) >= epoch_us(a.ts) - 1800000000
+           AND epoch_us(b.ts) < epoch_us(a.ts)
+         GROUP BY 1""",
     "events_retention" ->
       """WITH wk AS (SELECT DISTINCT user_id,
                             CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS week

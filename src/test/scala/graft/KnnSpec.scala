@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Knn, KnnIvf, Dedup}
+import graft.operators.{Dedup, Knn, KnnIvf, KnnTopK}
 import graft.sources.Tables
 
 class KnnSpec extends SparkSuite {
@@ -23,6 +23,16 @@ class KnnSpec extends SparkSuite {
     res.foreach { r =>
       assert(r.getLong(1) === r.getLong(0)) // match_id == query_id
       assert(r.getDouble(2) === 0.0)
+    }
+  }
+
+  test("window and bounded-aggregation formulations are row-identical") {
+    for (metric <- Seq("cosine", "euclidean", "inner_product")) {
+      val viaWindow = Knn.knnExact(queries, corpus, k = 7, metric = metric).collect()
+        .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+      val viaAgg = KnnTopK.knnExact(queries, corpus, k = 7, metric = metric).collect()
+        .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(viaAgg === viaWindow, s"formulations diverge for $metric")
     }
   }
 

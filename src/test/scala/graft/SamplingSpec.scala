@@ -21,6 +21,14 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.sampleByHash(docs, "doc_id", 0.0).count() === 0)
   }
 
+  test("smaller fractions sample subsets of larger ones (monotone keep sets)") {
+    val s10 = Sampling.sampleByHash(docs, "doc_id", 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s30 = Sampling.sampleByHash(docs, "doc_id", 0.30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s30))
+  }
+
   test("stratified sampling applies each stratum's own fraction") {
     val sampled = Sampling.sampleStratified(docs, "doc_id", "lang",
       Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.5)

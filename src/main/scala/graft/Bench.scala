@@ -56,12 +56,29 @@ object Bench {
     val errors = (s1.toSeq ++ s2.toSeq)
       .collect { case (name, (_, Some(e))) => name -> e }.toMap
     def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"]", "_").replaceAll("[\\x00-\\x1f]", " ") + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
     val errJson = if (errors.isEmpty) ""
       else s""","errors":${errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")}"""
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    // Full-precision per-query timings go to a sidecar file; stdout gets a
+    // line SHORT enough to fit entirely inside the harness's 2000-char
+    // output tail (with sbt's trailing "[success]" line after it) — a JSON
+    // line longer than the tail window is unparseable to the harness no
+    // matter how correct it is. Slowest queries first; the fastest spill
+    // into an "omitted" count once the budget is reached (their time is
+    // still inside "value").
+    val fullQs = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$errJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    val budget = 1450
+    val sortedCompact = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    for (e <- sortedCompact if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    val omitted = sortedCompact.length - kept.length
+    val omittedJson = if (omitted == 0) "" else s""","omitted_fastest":$omitted"""
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":${kept.mkString("{", ",", "}")}$omittedJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }

@@ -408,12 +408,15 @@ object SparkEntry {
     * bucketed on the order key so their join needs no exchange (the
     * bucket layout IS the shuffle, paid once at write). saveAsTable
     * requires an explicit path (warehouse dir is a static conf). */
-  private val bucketedBuilt = scala.collection.concurrent.TrieMap.empty[String, Unit]
   private def bucketedSuffix(dir: String): String =
     java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-  private def bucketedOrdersLineitem(s: SparkSession, dir: String): Unit =
-    bucketedBuilt.getOrElseUpdate(dir, {
-      val key = bucketedSuffix(dir)
+  // The skip condition is catalog truth, not a JVM-lifetime memo: a fresh
+  // session in the same JVM starts with an empty in-memory catalog, and a
+  // dir-keyed memo would skip the rebuild and fail on s.table(...).
+  private def bucketedOrdersLineitem(s: SparkSession, dir: String): Unit = synchronized {
+    val key = bucketedSuffix(dir)
+    if (!s.catalog.tableExists(s"graft_ord_$key") ||
+        !s.catalog.tableExists(s"graft_li_$key")) {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/$key"
       Tables.table(s, dir, "orders")
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -421,13 +424,17 @@ object SparkEntry {
       Tables.table(s, dir, "lineitem")
         .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/lineitem").saveAsTable(s"graft_li_$key")
-    })
+    }
+  }
 
-  /** PQ codebooks trained once per (JVM, fixture dir) — same
-    * build-once/serve-many split as [[ivfIndexPath]]. */
-  private val pqBuilt = scala.collection.concurrent.TrieMap.empty[String, Pq.PqIndex]
+  /** PQ codebooks trained once per (SparkContext, fixture dir) — same
+    * build-once/serve-many split as [[ivfIndexPath]]. Keyed by context,
+    * not dir alone: a model trained under a stopped context must not be
+    * served to a fresh one. */
+  private val pqBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Pq.PqIndex]
   private def pqIndexFor(s: SparkSession, dir: String): Pq.PqIndex =
-    pqBuilt.getOrElseUpdate(dir,
+    pqBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir),
       Pq.train(Tables.embeddings(s, dir), dim = 64, m = 16, k = 32))
 
   /** documents plus exact copies of every 10th doc at id+10M (offset clear

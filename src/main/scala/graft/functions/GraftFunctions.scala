@@ -12,11 +12,18 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType}
   * expressions the DataFrame API uses. */
 object GraftFunctions {
 
-  private def lit[T](e: Expression, what: String): T = e match {
-    case Literal(v, IntegerType) => v.asInstanceOf[T]
-    case Literal(v, BooleanType) => v.asInstanceOf[T]
+  // one helper per expected type: a boolean where an int is required (or a
+  // typed null) must fail HERE with the argument's name, not later with an
+  // opaque ClassCastException from an erased cast
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: java.lang.Integer, IntegerType) => v.intValue()
     case other => throw new IllegalArgumentException(
-      s"$what must be a literal, got $other")
+      s"$what must be a non-null INT literal, got $other")
+  }
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case Literal(v: java.lang.Boolean, BooleanType) => v.booleanValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a non-null BOOLEAN literal, got $other")
   }
 
   /** name -> (implementing class, builder from SQL argument list). */
@@ -29,13 +36,13 @@ object GraftFunctions {
       args => VectorExprs.CosineSim(args(0), args(1))),
     ("shingle_hashes", classOf[TextExprs.ShingleHashes].getName,
       args => TextExprs.ShingleHashes(args(0),
-        lit[Int](args(1), "shingle width n"),
-        if (args.length > 2) lit[Boolean](args(2), "trailing") else true)),
+        intLit(args(1), "shingle width n"),
+        if (args.length > 2) boolLit(args(2), "trailing") else true)),
     ("minhash_sig", classOf[TextExprs.MinHashSig].getName,
-      args => TextExprs.MinHashSig(args(0), lit[Int](args(1), "numPerms"))),
+      args => TextExprs.MinHashSig(args(0), intLit(args(1), "numPerms"))),
     ("simhash_bits", classOf[TextExprs.SimHashBits].getName,
       args => TextExprs.SimHashBits(args(0),
-        if (args.length > 1) lit[Int](args(1), "bits") else 64)))
+        if (args.length > 1) intLit(args(1), "bits") else 64)))
 
   /** Idempotent registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -105,16 +105,20 @@ object EventOps {
     * for determinism). */
   /** Week-over-week retention: per week, the count of users also active
     * the following week. Two aggregations (distinct user-weeks) + an
-    * equi-join on (user, week+7d) — cohort analytics over event time.
-    * Weeks are ISO (Monday-start) epochs, identical across engines. */
+    * equi-join on (user, week + 7 days) — cohort analytics over event
+    * time. Weeks are ISO (Monday-start). The join matches on CALENDAR
+    * arithmetic (`date_add(week, 7)` over dates), not a fixed 604800-s
+    * offset: in a non-UTC session timezone a DST-transition week spans
+    * 601200/608400 s and a fixed offset silently misses the boundary.
+    * Epoch seconds appear only in the output projection. */
   def weeklyRetention(events: DataFrame): DataFrame = {
     val wk = events.select(col("user_id"),
-        unix_timestamp(date_trunc("week", col("ts"))).as("week")).distinct()
+        to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
     wk.alias("a")
       .join(wk.alias("b"),
         col("a.user_id") === col("b.user_id") &&
-          col("b.week") === col("a.week") + 604800L)
-      .groupBy(col("a.week").as("week"))
+          col("b.wk") === date_add(col("a.wk"), 7))
+      .groupBy(unix_timestamp(col("a.wk").cast("timestamp")).as("week"))
       .agg(count(lit(1)).as("n_retained"))
   }
 

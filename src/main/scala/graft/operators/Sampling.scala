@@ -58,13 +58,15 @@ object Sampling {
       .drop("__rn")
   }
 
-  /** Pack documents into fixed token-budget shards, per `partitionCol`
-    * (e.g. source): docs are laid out in id order and a doc starts a new
-    * shard when the budget would overflow *before* it — i.e. shard =
-    * floor(exclusive-prefix-sum / budget). Deterministic, expressible as
-    * one window per partition; partitioning bounds the window's sort to a
-    * stratum, which is what keeps a global ordering requirement from
-    * serializing the corpus at scale.
+  /** Pack documents into token-budget shards, per `partitionCol`
+    * (e.g. source): docs are laid out in id order and
+    * shard = floor(exclusive-prefix-sum / budget). Shards are prefix-sum
+    * BUCKETS, not greedy bins: a doc straddling a budget boundary stays in
+    * the earlier shard, so a shard may overflow the budget by up to one
+    * doc (and never underfills by more than one). Deterministic,
+    * expressible as one window per partition; partitioning bounds the
+    * window's sort to a stratum, which is what keeps a global ordering
+    * requirement from serializing the corpus at scale.
     * @return input + (n_tokens, shard) */
   def packByTokenBudget(docs: DataFrame, tokensCol: Column, budget: Long,
                         partitionCol: String, idCol: String = "doc_id"): DataFrame = {

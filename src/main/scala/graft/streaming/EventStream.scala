@@ -22,6 +22,14 @@ import graft.operators.Lifecycle
   */
 object EventStream {
 
+  /** Corpus-existence probe through the Hadoop filesystem of the path —
+    * a `java.io.File` check is always false on HDFS/S3, which would make
+    * the merge path silently degrade to overwrite-with-batch-only. */
+  private def corpusExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** events schema as read with nanos-as-long (see
     * [[graft.sources.Tables.events]]). */
   val rawSchema: StructType = StructType(Seq(
@@ -73,7 +81,7 @@ object EventStream {
         val spark = batch.sparkSession
         val stamped = batch.withColumn("batch", lit(batchId))
         val merged =
-          if (new java.io.File(corpusPath).exists()) {
+          if (corpusExists(spark, corpusPath)) {
             val existing = spark.read.parquet(corpusPath)
             Lifecycle.upsertById(existing, stamped, idCol, "batch")
           } else stamped
@@ -102,7 +110,7 @@ object EventStream {
           .withColumn("batch", lit(batchId))
           .withColumn("__bkt", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).cast("int"))
         val merged =
-          if (new java.io.File(corpusPath).exists()) {
+          if (corpusExists(spark, corpusPath)) {
             // touched-bucket list is metadata-sized (<= nBuckets ints)
             val touched = stamped.select("__bkt").distinct().collect()
               .map(r => Integer.valueOf(r.getInt(0)))

@@ -54,7 +54,7 @@ class SamplingSpec extends SparkSuite {
     assert(ids1 === ids2)
   }
 
-  test("token-budget packing matches a greedy per-source simulation") {
+  test("token-budget packing matches a prefix-sum per-source simulation") {
     val budget = 2000L
     val packed = Sampling.packByTokenBudget(docs,
         TextOps.bpeTokenCount(col("text")), budget, partitionCol = "source")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Pq, Quantize, Relational, Sampling, Scale, TextOps, Traversal, VectorStats}
+import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Pq, Quantize, Relational, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -153,6 +153,18 @@ object SparkEntry {
         .filter(col("quality") >= 0.3)
         .select(col("doc_id"), col("quality"))
     }),
+    // benchmark decontamination: train docs sharing word 8-grams with the
+    // eval split (planted spans — the word-salad fixtures share none
+    // naturally). Eval n-gram set broadcasts; train side never shuffles
+    // before the per-doc overlap aggregation
+    "contamination_report" -> ((s, dir) => {
+      val (train, ev) = contaminationSplit(s, dir)
+      Contamination.report(train, ev)
+    }),
+    // batch model inference: linear quality head, literal weights folded
+    // into one codegen'd projection — the keep/drop gate shape
+    "score_quality_model" -> ((s, dir) =>
+      Scoring.qualityDecisions(Tables.documents(s, dir))),
 
     // --- approximate k-NN: IVF cells, nProbe = the ef_query-style recall
     //     knob (O7 approximate path + O19); recall-tested, not oracled.
@@ -446,6 +458,21 @@ object SparkEntry {
         col("text"), col("lang"), col("source"), col("n_chars")))
   }
 
+  /** Train/eval split of the documents table with planted contamination:
+    * eval = every 25th doc; train = the rest PLUS, for every 50th doc, a
+    * doc (id+20M) embedding a verbatim 12-token span of that eval doc —
+    * 5 complete word 8-grams of guaranteed overlap per planted doc. */
+  private def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val eval = d.filter(col("doc_id") % 25 === 0)
+    val planted = d.filter(col("doc_id") % 50 === 0).select(
+      (col("doc_id") + 20000000L).as("doc_id"),
+      concat(lit("clean preamble words "),
+        concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 12)),
+        lit(" closing words")).as("text"))
+    (d.filter(col("doc_id") % 25 =!= 0).unionByName(planted), eval)
+  }
+
   /** documents plus near-copies (three words appended) of every 10th doc. */
   private def docsWithNearDupes(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
@@ -733,6 +760,59 @@ object SparkEntry {
                             * (1.0 - punct_ratio) * (1.0 - 0.5 * stopword_ratio), 4) AS quality
                FROM r)
          SELECT doc_id, quality FROM q WHERE quality >= 0.3""",
+    "contamination_report" ->
+      """WITH toks AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+                       FROM documents),
+         ev AS (SELECT doc_id, ts FROM toks WHERE doc_id % 25 = 0),
+         tr AS (SELECT doc_id, ts FROM toks WHERE doc_id % 25 <> 0
+                UNION ALL
+                SELECT doc_id + 20000000 AS doc_id,
+                       list_filter(string_split_regex(
+                         'clean preamble words ' || array_to_string(list_slice(ts, 1, 12), ' ') || ' closing words',
+                         '\s+'), x -> x <> '') AS ts
+                FROM toks WHERE doc_id % 50 = 0),
+         gs_ev AS (SELECT CASE WHEN len(ts) >= 8
+                               THEN list_distinct(list_transform(range(len(ts) - 7),
+                                      i -> array_to_string(list_slice(ts, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')))
+                               ELSE [array_to_string(ts, ' ')] END AS gs
+                   FROM ev),
+         eg AS (SELECT DISTINCT unnest(gs) AS g FROM gs_ev),
+         gs_tr AS (SELECT doc_id, CASE WHEN len(ts) >= 8
+                                       THEN list_distinct(list_transform(range(len(ts) - 7),
+                                              i -> array_to_string(list_slice(ts, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')))
+                                       ELSE [array_to_string(ts, ' ')] END AS gs
+                   FROM tr),
+         tg AS (SELECT doc_id, len(gs) AS total, unnest(gs) AS g FROM gs_tr)
+         SELECT tg.doc_id, count(*) AS n_overlap,
+                round(CAST(count(*) AS DOUBLE) / min(tg.total), 4) AS overlap_frac
+         FROM tg JOIN eg ON tg.g = eg.g
+         GROUP BY tg.doc_id""",
+    // same engineered features as text_quality/text_repetition, combined
+    // by a fixed-weight linear head + rational sigmoid (pure
+    // exact-rounded arithmetic — no libm exp) in the SAME evaluation
+    // order as the Spark foldLeft
+    "score_quality_model" ->
+      """WITH t AS (SELECT doc_id, text,
+                           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+                    FROM documents),
+         f AS (SELECT doc_id,
+                      least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
+                      round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1), 4) AS punct_ratio,
+                      round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                            / greatest(len(toks), 1), 4) AS stopword_ratio,
+                      round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                / greatest(len(toks), 1), 4) AS repetition_ratio
+               FROM t),
+         z AS (SELECT doc_id,
+                      -1.0 + 2.5 * len_score - 3.0 * punct_ratio
+                           - 0.5 * stopword_ratio - 2.0 * repetition_ratio AS z
+               FROM f),
+         s AS (SELECT doc_id, round(0.5 * (1.0 + z / (1.0 + abs(z))), 4) AS score FROM z)
+         SELECT doc_id, score,
+                CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS decision
+         FROM s""",
     // oracle is BLIND brute-force over all pairs — the blocked/LSH
     // operators must find everything exhaustive search finds, with no
     // knowledge of how the Spark side blocks (~520^2 pairs at sf0.01:

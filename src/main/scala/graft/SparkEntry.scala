@@ -249,6 +249,16 @@ object SparkEntry {
     // salted two-phase aggregation: identical results to a plain groupBy
     "scale_salted_user_counts" -> ((s, dir) =>
       Scale.saltedCounts(Tables.events(s, dir), "user_id")),
+    // range-sorted layout (zone maps): events rewritten once per session
+    // as range-partitioned/sorted parquet; the week probe reads only the
+    // files whose min/max straddle the range
+    "scale_sorted_events_range" -> ((s, dir) =>
+      s.read.parquet(sortedEventsPath(s, dir))
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+                col("ts") < lit("2024-01-17 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))),
     // co-located bucketed join: orders/lineitem pre-bucketed on the join
     // key (one-time per session), then an exchange-free join + aggregate
     "scale_bucketed_revenue" -> ((s, dir) => {
@@ -438,6 +448,18 @@ object SparkEntry {
         .option("path", s"$base/lineitem").saveAsTable(s"graft_li_$key")
     }
   }
+
+  /** Range-sorted events layout, built once per (SparkContext, fixture
+    * dir) — the zone-map write half of `scale_sorted_events_range`; the
+    * query entry pays only the pruned read. */
+  private val rangeSortedBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def sortedEventsPath(s: SparkSession, dir: String): String =
+    rangeSortedBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rangesorted/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Scale.dumpRangeSorted(Tables.events(s, dir), path, "ts")
+      path
+    })
 
   /** PQ codebooks trained once per (SparkContext, fixture dir) — same
     * build-once/serve-many split as [[ivfIndexPath]]. Keyed by context,
@@ -666,6 +688,15 @@ object SparkEntry {
          WHERE "rn" <= 5""",
     "scale_salted_user_counts" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY 1",
+    // the rewritten layout must be a faithful copy: same filter + agg
+    // over the ORIGINAL events table
+    "scale_sorted_events_range" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-17 00:00:00'
+         GROUP BY 1""",
     "scale_bucketed_revenue" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,6))) AS DOUBLE) AS revenue

@@ -25,6 +25,19 @@ object Scale {
   def loadPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Range-partitioned, sorted-within-partition layout: files carry
+    * monotone, non-overlapping value ranges for `sortCol`, so parquet
+    * row-group min/max statistics turn a range predicate into skipped
+    * files/row groups at planning/read time — the zone-map layout for
+    * time-series and any other range-probed corpus. On 100 TB of events,
+    * a one-week probe against a month of data reads ~1/4 of the files
+    * instead of all of them, before any row is decoded. */
+  def dumpRangeSorted(df: DataFrame, path: String, sortCol: String,
+                      numRanges: Int = 8): Unit =
+    df.repartitionByRange(numRanges, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Skew-proof count aggregation: phase 1 groups on (key, salt) so hot
     * keys spread over `saltBuckets` reducers, phase 2 merges the partial
     * counts per key. Identical results to a plain groupBy().count(). */

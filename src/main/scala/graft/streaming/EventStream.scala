@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -160,6 +160,70 @@ object EventStream {
                     watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** A closed session: [start_s, end_s] in epoch seconds + event count. */
+  case class SessionRow(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
+  /** In-flight session state (public: the state encoder's generated code
+    * must reach the accessors). */
+  case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Streaming gap sessionization with EVENT-TIME TIMEOUT state closure —
+    * the batch [[graft.operators.EventOps.sessionize]] semantics under
+    * continuous arrival. A user's open session lives in
+    * `flatMapGroupsWithState` state; it closes (and is emitted) either by
+    * a later in-batch event beyond the gap, or by the event-time timeout
+    * firing once the watermark passes `session end + gap` — so state is
+    * bounded by (active users × one open session) and every session is
+    * emitted exactly once. Gap comparisons use floor-second timestamps,
+    * matching the batch operator's `unix_timestamp` arithmetic. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800,
+                       watermark: String = "2 hours"): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked timestamp column must survive untouched into the
+    // state op (a cast would strip the event-time attribute); floor to
+    // whole seconds only inside the function
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rowsT: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          val rows = rowsT.map { case (u, t) => (u, t.getTime / 1000L) }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionRow(user, s.start, s.end, s.n))
+          } else {
+            // per (user, batch) rows fit memory by construction (a user's
+            // events in one micro-batch); sort restores event-time order
+            val ts = rows.map(_._2).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            var open = state.getOption
+            for (t <- ts) open match {
+              case Some(o) if t - o.end <= gapSeconds =>
+                open = Some(OpenSession(o.start, math.max(o.end, t), o.n + 1))
+              case Some(o) =>
+                closed += SessionRow(user, o.start, o.end, o.n)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+            open.foreach { o =>
+              state.update(o)
+              // timeout must sit beyond the current watermark or Spark
+              // rejects it; a session already older than the watermark
+              // times out on the very next trigger
+              state.setTimeoutTimestamp(math.max(
+                (o.end + gapSeconds) * 1000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
 
   private case class UserCount(user_id: Long, n_events: Long)
 

@@ -49,6 +49,30 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("range-sorted layout: disjoint file ranges, faithful contents") {
+    val path = Files.createTempDirectory("graft_rs").toString + "/events"
+    val ev = Tables.events(spark, sfDir)
+    Scale.dumpRangeSorted(ev, path, "ts", numRanges = 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() === ev.count())
+    // the zone-map property: per-file [min, max] ts ranges do not overlap,
+    // so a range predicate can skip whole files on footer stats alone
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .collect().map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple range files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file ranges: $hi > $lo2")
+      case _ =>
+    }
+    // and the probe result equals the same filter on the original table
+    val pred = col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-17 00:00:00").cast("timestamp")
+    assert(back.filter(pred).count() === ev.filter(pred).count())
+  }
+
   test("salted aggregation equals plain groupBy exactly") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val plainC = li.groupBy(col("l_returnflag")).count()

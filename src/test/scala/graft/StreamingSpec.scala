@@ -94,6 +94,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("event-time-timeout sessionization emits exactly the gap sessions") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1704067200L // 2024-01-01 00:00:00 UTC, epoch seconds
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStream.sessionizeStream(
+      input.toDF().toDF("user_id", "ts"), gapSeconds = 1800)
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: two sessions (10s pair, then a lone event past the gap);
+      // user 2: one single-event session
+      input.addData((1L, ts(t0)), (1L, ts(t0 + 10)), (1L, ts(t0 + 5000)),
+        (2L, ts(t0 + 100)))
+      q.processAllAvailable()
+      // sentinel far in the future: watermark (2h lag) passes every
+      // session end + gap, firing all event-time timeouts
+      input.addData((99L, ts(t0 + 1000000)))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = Set(
+        (1L, t0, t0 + 10, 2L),
+        (1L, t0 + 5000, t0 + 5000, 1L),
+        (2L, t0 + 100, t0 + 100, 1L))
+      assert(got === want, s"got $got")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running counts cover every user") {
     val q = EventStream.runToMemory(
       EventStream.runningUserCounts(EventStream.readEvents(spark, sfDir)), "user_counts",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnTopK, Lifecycle, Multimodal, Pq, Quantize, Relational, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
+import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Quantize, Relational, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -165,6 +165,10 @@ object SparkEntry {
     // into one codegen'd projection — the keep/drop gate shape
     "score_quality_model" -> ((s, dir) =>
       Scoring.qualityDecisions(Tables.documents(s, dir))),
+    // corpus bigram LM, trained + scored in one pass (KenLM-shaped
+    // fluency QA; rational probabilities — no libm, decimal-mean)
+    "lm_bigram_fluency" -> ((s, dir) =>
+      LangModel.selfFluency(Tables.documents(s, dir))),
 
     // --- approximate k-NN: IVF cells, nProbe = the ef_query-style recall
     //     knob (O7 approximate path + O19); recall-tested, not oracled.
@@ -297,6 +301,17 @@ object SparkEntry {
                       CAST(sum(CAST(o_totalprice AS DECIMAL(26,6))) AS DOUBLE) AS total_price
                FROM orders_v JOIN customer_v ON o_custkey = c_custkey
                GROUP BY c_mktsegment""")
+    }),
+    // correlated scalar subquery (Catalyst decorrelates it into an
+    // aggregate + join — no per-row re-execution); the mean accumulates
+    // in decimal so both engines hit identical thresholds
+    "star_above_avg_orders" -> ((s, dir) => {
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+               FROM orders_v o
+               WHERE o_totalprice > 1.5 * (
+                 SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(26,6))) AS DOUBLE) / count(*)
+                 FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)""")
     }),
     // custom codegen expressions driven from SQL text (GraftFunctions
     // registration — the injectFunction surface)
@@ -844,6 +859,32 @@ object SparkEntry {
          SELECT doc_id, score,
                 CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS decision
          FROM s""",
+    // bigram LM self-fluency; constant-bound CROSS JOIN range stands in
+    // for a lateral unnest (max fixture doc ~100 tokens, bound 256)
+    "lm_bigram_fluency" ->
+      """WITH toks AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+                       FROM documents),
+         bg AS (SELECT doc_id,
+                       ts[CAST(i + 1 AS INT)] AS w1,
+                       ts[CAST(i + 2 AS INT)] AS w2
+                FROM toks CROSS JOIN range(256) AS r(i)
+                WHERE i < len(ts) - 1),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         sc AS (SELECT bg.doc_id, CAST(c2.c2 AS DOUBLE) / c1.c1 AS p
+                FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+                        JOIN c1 ON bg.w1 = c1.w1)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(CAST(sum(CAST(p AS DECIMAL(18,12))) AS DOUBLE) / count(*), 4) AS avg_p,
+                round(min(p), 4) AS min_p
+         FROM sc GROUP BY 1""",
+    "star_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(26,6))) AS DOUBLE) / count(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""",
     // oracle is BLIND brute-force over all pairs — the blocked/LSH
     // operators must find everything exhaustive search finds, with no
     // knowledge of how the Spark side blocks (~520^2 pairs at sf0.01:

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram language model — the KenLM-shaped quality signal LLM
+  * pipelines score candidate documents with (low-fluency docs are
+  * gibberish, OCR noise, or boilerplate). Training is two hash
+  * aggregations over the corpus (bigram counts, context counts); scoring
+  * joins each doc's bigrams against the model and aggregates per doc.
+  *
+  * Scale shape: the model is vocabulary-bounded, not corpus-bounded —
+  * broadcastable for real vocabularies (1M bigrams ≈ tens of MB); past
+  * that it is a plain shuffle join on the bigram key. Training shuffles
+  * once per aggregation with map-side partials.
+  *
+  * Determinism: scores avoid libm transcendentals — the per-doc
+  * aggregate is the MEAN and MIN conditional probability (pure rational
+  * arithmetic; the mean accumulates in decimal so partial-aggregation
+  * order cannot change the sum), not a log-space perplexity. Monotone
+  * equivalent for ranking docs by fluency.
+  */
+object LangModel {
+
+  /** Non-distinct consecutive word bigrams as (w1, w2) structs —
+    * multiplicity matters for counting (unlike
+    * [[Dedup.wordShingles]]'s distinct sets). */
+  def bigramPairs(text: Column): Column = {
+    val ts = Dedup.tokens(text)
+    when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** Train: (w1, w2, c2, c1) — bigram count and context (first-word)
+    * count, so `c2/c1` is the conditional probability p(w2 | w1). */
+  def train(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val bg = docs.select(explode(bigramPairs(col(textCol))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    c2.join(c1, "w1")
+  }
+
+  /** Score docs against a trained model: per doc, the count of bigrams
+    * plus the mean and minimum conditional probability. Docs scored
+    * against the model trained on the same corpus have no unseen
+    * bigrams; scoring a different corpus drops unseen bigrams from the
+    * aggregate (inner join) — add-one smoothing is a caller-side concern.
+    * @return (idCol, n_bigrams, avg_p, min_p) */
+  def fluency(docs: DataFrame, model: DataFrame,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = docs.select(col(idCol), explode(bigramPairs(col(textCol))).as("b"))
+      .select(col(idCol), col("b.w1"), col("b.w2"))
+    bg.join(model, Seq("w1", "w2"))
+      .withColumn("p", col("c2").cast("double") / col("c1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // decimal accumulation: order-insensitive under partial aggs
+        round(sum(col("p").cast("decimal(18,12)")).cast("double") /
+          count(lit(1)), 4).as("avg_p"),
+        round(min(col("p")), 4).as("min_p"))
+  }
+
+  /** Train-on-corpus + score-the-corpus in one call (the usual QA pass). */
+  def selfFluency(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    fluency(docs, train(docs, textCol), idCol, textCol)
+}

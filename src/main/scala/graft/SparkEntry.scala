@@ -194,6 +194,14 @@ object SparkEntry {
         Pq.decode(idx, Pq.encode(idx, Tables.embeddings(s, dir))),
         k = 5, metric = "cosine")
     }),
+    // same index searched asymmetrically: per-query LUT over the codes,
+    // no reconstruction — the billion-vector PQ query shape; rows-only
+    // (engine-specific centroids), parity vs reconstruction spec-pinned
+    "ann_pq_adc" -> ((s, dir) => {
+      val idx = pqIndexFor(s, dir)
+      Pq.adcSearch(idx, Tables.defaultQueries(s, dir),
+        Pq.encode(idx, Tables.embeddings(s, dir)), k = 5)
+    }),
 
     // --- embedding-column statistics (corpus QA) ---
     "vector_centroids" -> ((s, dir) =>

@@ -67,6 +67,63 @@ object Pq {
       .drop("__codes", vecCol)
   }
 
+  /** Asymmetric-distance (ADC) search: score CODES, never reconstructing
+    * vectors. Per query, two lookup tables are computed ONCE on the
+    * (broadcast-sized) query side — `ipLut[s][c] = <q_s, centroid_{s,c}>`
+    * and the constant `sqLut[s][c] = ||centroid_{s,c}||²` — and each
+    * corpus row then costs `m` table lookups + adds instead of a `dim`-
+    * wide float walk: the query-time arithmetic shape of a
+    * billion-vector PQ deployment (Jégou et al. §IV). Because subspaces
+    * are orthogonal coordinate blocks, `<q, recon> = Σ_s ipLut` and
+    * `||recon||² = Σ_s sqLut` are EXACT identities, so ADC equals
+    * reconstruction search up to float-vs-double rounding (spec-pinned).
+    *
+    * Fixture-scale note: the per-pair lookup runs as interpreted HOFs
+    * here; the 100 TB form would lower it into a codegen'd Expression
+    * like VectorExprs — same plan shape, same broadcast + partial top-k.
+    * @return (query_id, match_id, score, rank) like [[Knn.knnExact]] */
+  def adcSearch(index: PqIndex, queries: DataFrame, encoded: DataFrame,
+                k: Int, metric: String = "cosine",
+                idCol: String = "vec_id", queryIdCol: String = "query_id",
+                queryVecCol: String = "query_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = index.m
+    val subDim = index.subDim
+    val booksLit: Column = typedLit(index.codebooks.map(_.map(_.toSeq)))
+    val sqLit: Column = typedLit(index.codebooks.map(_.map(c => c.map(x => x * x).sum)))
+    val qv = col(queryVecCol)
+    val withLut = queries
+      .withColumn("__iplut",
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(element_at(booksLit, s + 1), cv =>
+            aggregate(zip_with(cv, slice(qv, s * lit(subDim) + 1, lit(subDim)),
+              (a, b) => a * b.cast("double")), lit(0.0), (acc, x) => acc + x))))
+      .withColumn("__qnorm",
+        sqrt(aggregate(qv, lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    val sIdx = sequence(lit(0), lit(m - 1))
+    val ip = aggregate(zip_with(col("pq_codes"), sIdx,
+        (c, s) => element_at(element_at(col("__iplut"), s + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val rsq = aggregate(zip_with(col("pq_codes"), sIdx,
+        (c, s) => element_at(element_at(sqLit, s + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val dist = metric match {
+      case "cosine" => lit(1.0) - ip / (col("__qnorm") * sqrt(rsq))
+      case "euclidean" =>
+        sqrt(col("__qnorm") * col("__qnorm") - lit(2.0) * ip + rsq)
+      case other =>
+        throw new IllegalArgumentException(s"ADC metric '$other' unsupported")
+    }
+    val scored = encoded.crossJoin(broadcast(withLut))
+      .select(col(queryIdCol), col(idCol).as("match_id"),
+        round(dist, 4).as("score"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").asc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Decode: reconstruct the (approximate) float vector from codes via a
     * broadcast codebook literal — one narrow projection. */
   def decode(index: PqIndex, encoded: DataFrame,

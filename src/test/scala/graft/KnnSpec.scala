@@ -174,6 +174,31 @@ class KnnSpec extends SparkSuite {
       enc2.select("vec_id", "pq_codes")).isEmpty)
   }
 
+  test("PQ ADC search agrees with reconstruction search") {
+    import graft.operators.Pq
+    val index = Pq.train(corpus, dim = 64, m = 16, k = 32)
+    val enc = Pq.encode(index, corpus)
+    // identity check: ADC's LUT sums equal distance-to-reconstruction up
+    // to float(decode)-vs-double(LUT) rounding — compare ALL pairs via a
+    // big k so both sides rank the complete corpus
+    val n = corpus.count().toInt
+    val adc = Pq.adcSearch(index, queries, enc, k = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val recon = Knn.knnExact(queries, Pq.decode(index, enc), k = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(adc.keySet === recon.keySet)
+    val maxDiff = adc.map { case (k2, v) => math.abs(v - recon(k2)) }.max
+    assert(maxDiff <= 2e-4, s"ADC vs reconstruction max score diff $maxDiff")
+    // and the ADC top-10 keeps reconstruction-level recall vs exact
+    val exact = Knn.knnExact(queries, corpus, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc10 = Pq.adcSearch(index, queries, enc, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & adc10).size.toDouble / exact.size
+    info(s"PQ ADC recall@10 = $recall")
+    assert(recall >= 0.5, s"PQ ADC recall@10 = $recall")
+  }
+
   test("sign-RP LSH finds all planted cosine duplicates") {
     val emb = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))

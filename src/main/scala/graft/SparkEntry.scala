@@ -169,6 +169,16 @@ object SparkEntry {
     // fluency QA; rational probabilities — no libm, decimal-mean)
     "lm_bigram_fluency" -> ((s, dir) =>
       LangModel.selfFluency(Tables.documents(s, dir))),
+    // token-window chunking (RAG/pretraining segmentation) — chunk text
+    // compared by md5 to keep the oracle diff small
+    "chunk_documents" -> ((s, dir) =>
+      TextOps.chunkByTokens(Tables.documents(s, dir))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))),
+    // ordered conversion funnel over event time (floored-second
+    // comparisons — identical ordering in both engines)
+    "events_funnel" -> ((s, dir) =>
+      EventOps.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))),
 
     // --- approximate k-NN: IVF cells, nProbe = the ef_query-style recall
     //     knob (O7 approximate path + O19); recall-tested, not oracled.
@@ -893,6 +903,33 @@ object SparkEntry {
          WHERE o_totalprice > 1.5 * (
            SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(26,6))) AS DOUBLE) / count(*)
            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""",
+    "chunk_documents" ->
+      """WITH toks AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+                       FROM documents),
+         n AS (SELECT doc_id, ts,
+                      CASE WHEN len(ts) <= 32 THEN 1
+                           ELSE CAST(floor(CAST(len(ts) - 32 + 23 AS DOUBLE) / 24) AS BIGINT) + 1
+                      END AS nc
+               FROM toks),
+         c AS (SELECT doc_id, i AS chunk_id,
+                      list_slice(ts, CAST(i * 24 + 1 AS INT), CAST(i * 24 + 32 AS INT)) AS chunk
+               FROM n CROSS JOIN range(64) AS r(i)
+               WHERE i < nc)
+         SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM c""",
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+         v AS (SELECT user_id, min(s) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.s) AS t FROM e JOIN v ON e.user_id = v.user_id AND e.s > v.t
+               WHERE e.event_type = 'click' GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.s) AS t FROM e JOIN c ON e.user_id = c.user_id AND e.s > c.t
+               WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT '1_view' AS stage, count(*) AS n_users FROM v
+         UNION ALL SELECT '2_click' AS stage, count(*) AS n_users FROM c
+         UNION ALL SELECT '3_purchase' AS stage, count(*) AS n_users FROM p""",
     // oracle is BLIND brute-force over all pairs — the blocked/LSH
     // operators must find everything exhaustive search finds, with no
     // knowledge of how the Spark side blocks (~520^2 pairs at sf0.01:

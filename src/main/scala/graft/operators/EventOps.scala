@@ -122,6 +122,35 @@ object EventOps {
       .agg(count(lit(1)).as("n_retained"))
   }
 
+  /** Ordered funnel: per stage, users whose earliest qualifying event
+    * strictly follows their previous stage's time. Times compare in
+    * floored epoch SECONDS so both engines order identically regardless
+    * of sub-second timestamp precision. Each stage is one filtered
+    * aggregation + an equi-join against the (user-level, much smaller)
+    * previous-stage table — stages chain linearly, no self-join blowup.
+    * @return (stage, n_users), stage prefixed with its 1-based index */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val sec = unix_timestamp(col("ts"))
+    val perStage = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val hits = events.filter(col("event_type") === stage)
+          .select(col("user_id"), sec.as("__s"))
+        Some(prev match {
+          case None =>
+            hits.groupBy(col("user_id")).agg(min(col("__s")).as("__t"))
+          case Some(p) =>
+            hits.join(p.select(col("user_id"), col("__t").as("__prev")), "user_id")
+              .filter(col("__s") > col("__prev"))
+              .groupBy(col("user_id")).agg(min(col("__s")).as("__t"))
+        })
+    }.flatten
+    perStage.zip(stages.zipWithIndex).map { case (df, (stage, i)) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   def topEventTypes(events: DataFrame, n: Int = 2): DataFrame = {
     val counts = events.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -138,6 +138,32 @@ object TextOps {
   /** Digit-run redaction — the common numeric-PII default. */
   val NumberPattern = "[0-9]+"
 
+  /** Token-window document chunking — the RAG/pretraining segmentation
+    * pass: overlapping windows of `chunkSize` tokens advancing by
+    * `stride`. Pure per-row explode (narrow, no shuffle); chunk count is
+    * `ceil((n - chunkSize)/stride) + 1`, so the last window may be short
+    * but every token is covered and consecutive chunks overlap by
+    * `chunkSize - stride` tokens.
+    * @return input row per chunk + (chunk_id, chunk_text, chunk_tokens) */
+  def chunkByTokens(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got $stride/$chunkSize")
+    val ts = Dedup.tokens(col(textCol))
+    val n = size(ts)
+    val nChunks = when(n <= chunkSize, lit(1))
+      .otherwise(floor((n - chunkSize + (stride - 1)).cast("double") / stride) + 1)
+    docs
+      .select(col(idCol), ts.as("__ts"), nChunks.cast("int").as("__nc"))
+      .select(col(idCol), col("__ts"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__ts"), col("chunk_id") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        size(slice(col("__ts"), col("chunk_id") * stride + 1, lit(chunkSize)))
+          .cast("long").as("chunk_tokens"))
+  }
+
   /** Per-language corpus statistics (one shuffle, map-side partials). */
   def statsByLang(docs: DataFrame, textCol: String = "text",
                   langCol: String = "lang"): DataFrame =

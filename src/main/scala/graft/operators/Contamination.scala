@@ -24,19 +24,22 @@ object Contamination {
     * of distinct shared n-grams and the contaminated fraction of the
     * doc's own distinct n-grams.
     *
-    * Shingles come from [[Dedup.wordShingles]] (distinct, whole-text
-    * fallback for docs shorter than `n` tokens), so a short doc is only
-    * flagged on an exact whole-text hit.
+    * N-grams are matched as 64-bit shingle HASHES
+    * ([[Dedup.shingleHashSet]] — the codegen'd image of
+    * [[Dedup.wordShingles]], with the same whole-text fallback for docs
+    * shorter than `n` tokens): overlap counts equal the string-set counts
+    * up to negligible collisions, without interpreted string slicing in
+    * the corpus-wide projection.
     *
     * @return (idCol, n_overlap, overlap_frac) — contaminated docs only
     */
   def report(train: DataFrame, evalDocs: DataFrame, n: Int = 8,
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val evalGrams = evalDocs
-      .select(explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .select(explode(Dedup.shingleHashSet(col(textCol), n)).as("g"))
       .distinct()
     val trainGrams = train
-      .select(col(idCol), Dedup.wordShingles(col(textCol), n).as("gs"))
+      .select(col(idCol), Dedup.shingleHashSet(col(textCol), n).as("gs"))
       .select(col(idCol), size(col("gs")).cast("long").as("__total"),
         explode(col("gs")).as("g"))
     trainGrams

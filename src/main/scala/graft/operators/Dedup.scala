@@ -74,6 +74,19 @@ object Dedup {
   private def asExpr(c: Column) =
     org.apache.spark.sql.GraftColumnBridge.expression(c)
 
+  /** Distinct complete-word-shingle HASH set — the 64-bit-hash image of
+    * [[wordShingles]] built by the codegen'd [[TextExprs.ShingleHashes]]
+    * instead of interpreted string slicing (an order of magnitude cheaper
+    * corpus-wide). Short docs fall back to one whole-token-string hash.
+    * Set operations over these hashes equal the string-set results up to
+    * negligible 64-bit collisions. */
+  def shingleHashSet(textCol: Column, n: Int): Column = {
+    val ts = tokens(textCol)
+    when(size(ts) >= n,
+      array_distinct(asCol(TextExprs.ShingleHashes(asExpr(ts), n, trailing = false))))
+      .otherwise(array(xxhash64(concat_ws(" ", ts))))
+  }
+
   /** (id, shingle-hash) rows from the codegen'd [[TextExprs.ShingleHashes]]
     * expression: the whole token array folds to its shingle hashes inside
     * one row — a narrow map stage, where the previous formulation
@@ -154,11 +167,7 @@ object Dedup {
     // the interpreted string-slice set construction in the verify hot
     // path. Mirrors [[wordShingles]] exactly: complete shingles only,
     // short docs fall back to one whole-token-string hash.
-    val ts = tokens(col(textCol))
-    val hashSet = when(size(ts) >= shingleN,
-        array_distinct(asCol(TextExprs.ShingleHashes(asExpr(ts), shingleN, trailing = false))))
-      .otherwise(array(xxhash64(concat_ws(" ", ts))))
-    val sets = docs.select(col(idCol), hashSet.as("__set"))
+    val sets = docs.select(col(idCol), shingleHashSet(col(textCol), shingleN).as("__set"))
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), "id_b")

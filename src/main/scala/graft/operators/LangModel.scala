@@ -24,22 +24,27 @@ object LangModel {
 
   /** Non-distinct consecutive word bigrams as (w1, w2) structs —
     * multiplicity matters for counting (unlike
-    * [[Dedup.wordShingles]]'s distinct sets). */
+    * [[Dedup.wordShingles]]'s distinct sets). Built by zipping the token
+    * array against itself shifted by one (`arrays_zip` of two `slice`s):
+    * every function here is codegen'd — the higher-order
+    * `transform(sequence(...))` formulation of the same thing runs
+    * interpreted and profiled ~15x slower corpus-wide. */
   def bigramPairs(text: Column): Column = {
     val ts = Dedup.tokens(text)
-    when(size(ts) >= 2,
-      transform(sequence(lit(1), size(ts) - 1),
-        i => struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val len = greatest(size(ts) - 1, lit(0))
+    arrays_zip(slice(ts, lit(1), len).as("w1"), slice(ts, lit(2), len).as("w2"))
   }
 
   /** Train: (w1, w2, c2, c1) — bigram count and context (first-word)
-    * count, so `c2/c1` is the conditional probability p(w2 | w1). */
+    * count, so `c2/c1` is the conditional probability p(w2 | w1). The
+    * context count is derived from the (vocabulary-sized) bigram table —
+    * `c1 = Σ_w2 c2` by construction — so the corpus is aggregated once,
+    * not twice. */
   def train(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val bg = docs.select(explode(bigramPairs(col(textCol))).as("b"))
       .select(col("b.w1"), col("b.w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     c2.join(c1, "w1")
   }
 

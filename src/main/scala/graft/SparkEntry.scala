@@ -199,18 +199,19 @@ object SparkEntry {
     // searched via reconstruction — engine-specific centroids, so
     // rows-only; recall measured in KnnSpec
     "ann_pq_cosine" -> ((s, dir) => {
-      val idx = pqIndexFor(s, dir)
+      val (idx, encodedPath) = pqIndexFor(s, dir)
       KnnTopK.knnExact(Tables.defaultQueries(s, dir),
-        Pq.decode(idx, Pq.encode(idx, Tables.embeddings(s, dir))),
+        Pq.decode(idx, s.read.parquet(encodedPath)),
         k = 5, metric = "cosine")
     }),
-    // same index searched asymmetrically: per-query LUT over the codes,
-    // no reconstruction — the billion-vector PQ query shape; rows-only
-    // (engine-specific centroids), parity vs reconstruction spec-pinned
+    // same index searched asymmetrically: per-query LUT over the stored
+    // codes, no reconstruction — the billion-vector PQ query shape
+    // (codegen'd AdcLookup per pair); rows-only (engine-specific
+    // centroids), parity vs reconstruction spec-pinned
     "ann_pq_adc" -> ((s, dir) => {
-      val idx = pqIndexFor(s, dir)
+      val (idx, encodedPath) = pqIndexFor(s, dir)
       Pq.adcSearch(idx, Tables.defaultQueries(s, dir),
-        Pq.encode(idx, Tables.embeddings(s, dir)), k = 5)
+        s.read.parquet(encodedPath), k = 5)
     }),
 
     // --- embedding-column statistics (corpus QA) ---
@@ -494,15 +495,22 @@ object SparkEntry {
       path
     })
 
-  /** PQ codebooks trained once per (SparkContext, fixture dir) — same
-    * build-once/serve-many split as [[ivfIndexPath]]. Keyed by context,
-    * not dir alone: a model trained under a stopped context must not be
-    * served to a fresh one. */
+  /** PQ codebooks trained AND corpus encoded once per (SparkContext,
+    * fixture dir) — the build-once/serve-many split of [[ivfIndexPath]]:
+    * a deployment stores codes, not floats, so the query path reads the
+    * 26x-smaller encoded table and never re-runs the 16 per-subspace
+    * model transforms. Keyed by context, not dir alone: artifacts built
+    * under a stopped context must not serve a fresh one. */
   private val pqBuilt =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Pq.PqIndex]
-  private def pqIndexFor(s: SparkSession, dir: String): Pq.PqIndex =
-    pqBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir),
-      Pq.train(Tables.embeddings(s, dir), dim = 64, m = 16, k = 32))
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (Pq.PqIndex, String)]
+  private def pqIndexFor(s: SparkSession, dir: String): (Pq.PqIndex, String) =
+    pqBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val idx = Pq.train(Tables.embeddings(s, dir), dim = 64, m = 16, k = 32)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Pq.encode(idx, Tables.embeddings(s, dir))
+        .write.mode("overwrite").parquet(path)
+      (idx, path)
+    })
 
   /** documents plus exact copies of every 10th doc at id+10M (offset clear
     * of real ids at any sf). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, NumericType}
 
 /** Custom codegen'd vector expressions — the one place SURVEY §4.2 budgets
   * custom Catalyst work. Spark's higher-order functions (`zip_with`,
@@ -99,6 +99,62 @@ object VectorExprs {
           for (int $i = 0; $i < $n; $i++) {
             double $d = (double)$a.${accessor(left)}($i) - (double)$b.${accessor(right)}($i);
             $s += $d * $d;
+          }
+          ${ev.value} = $s;
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** PQ asymmetric-distance table lookup: quantization codes
+    * (`array<int>`, length m) against a FLATTENED subspace-major lookup
+    * table (`array<double>`, length m*k): `Σ_s lut[s*k + codes[s]]`.
+    * This is the per-(query, corpus-row) hot path of ADC search
+    * ([[graft.operators.Pq.adcSearch]]) — one primitive loop in
+    * whole-stage codegen instead of interpreted nested `element_at`
+    * lambdas. Out-of-range codes read as 0.0 contributions (defensive;
+    * encode() never produces them). */
+  case class AdcLookup(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    require(k >= 1, s"codebook size $k must be >= 1")
+
+    override def prettyName: String = "adc_lookup"
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects (array<int>, array<double>), got ${l.sql} and ${r.sql}")
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData]; val lut = b.asInstanceOf[ArrayData]
+      val m = codes.numElements(); val total = lut.numElements()
+      var s = 0.0; var i = 0
+      while (i < m) {
+        val idx = i * k + codes.getInt(i)
+        if (idx >= 0 && idx < total) s += lut.getDouble(idx)
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (i, m, t, s, idx) = (ctx.freshName("i"), ctx.freshName("m"),
+          ctx.freshName("t"), ctx.freshName("s"), ctx.freshName("idx"))
+        s"""
+          int $m = $a.numElements();
+          int $t = $b.numElements();
+          double $s = 0.0;
+          for (int $i = 0; $i < $m; $i++) {
+            int $idx = $i * $k + $a.getInt($i);
+            if ($idx >= 0 && $idx < $t) $s += $b.getDouble($idx);
           }
           ${ev.value} = $s;
         """

@@ -39,6 +39,11 @@ object VectorOps {
   /** Euclidean norm ||a||_2. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** PQ ADC table lookup `Σ_s lut[s*k + codes[s]]` — codegen'd
+    * ([[VectorExprs.AdcLookup]]); `lut` is flattened subspace-major. */
+  def adcLookup(codes: Column, lut: Column, k: Int): Column =
+    asCol(VectorExprs.AdcLookup(asExpr(codes), asExpr(lut), k))
+
   /** Squared L2 distance — what hnswlib's `l2` space reports
     * (`/root/reference/executor.py:261-262`). */
   def l2Sq(a: Column, b: Column): Column =

@@ -87,27 +87,28 @@ object Pq {
                 idCol: String = "vec_id", queryIdCol: String = "query_id",
                 queryVecCol: String = "query_vec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps
     val m = index.m
     val subDim = index.subDim
+    val kCodes = index.codebooks.head.size
     val booksLit: Column = typedLit(index.codebooks.map(_.map(_.toSeq)))
-    val sqLit: Column = typedLit(index.codebooks.map(_.map(c => c.map(x => x * x).sum)))
+    // subspace-major flattened ||centroid||² table — a plain literal
+    val sqLit: Column = typedLit(index.codebooks.flatMap(_.map(c => c.map(x => x * x).sum)))
     val qv = col(queryVecCol)
+    // the per-QUERY LUT may use interpreted HOFs freely (queries are
+    // broadcast-sized); the per-PAIR lookup below is the hot path and
+    // runs as the codegen'd AdcLookup primitive loop
     val withLut = queries
       .withColumn("__iplut",
-        transform(sequence(lit(0), lit(m - 1)), s =>
+        flatten(transform(sequence(lit(0), lit(m - 1)), s =>
           transform(element_at(booksLit, s + 1), cv =>
             aggregate(zip_with(cv, slice(qv, s * lit(subDim) + 1, lit(subDim)),
-              (a, b) => a * b.cast("double")), lit(0.0), (acc, x) => acc + x))))
+              (a, b) => a * b.cast("double")), lit(0.0), (acc, x) => acc + x)))))
       .withColumn("__qnorm",
         sqrt(aggregate(qv, lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))))
-    val sIdx = sequence(lit(0), lit(m - 1))
-    val ip = aggregate(zip_with(col("pq_codes"), sIdx,
-        (c, s) => element_at(element_at(col("__iplut"), s + 1), c + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    val rsq = aggregate(zip_with(col("pq_codes"), sIdx,
-        (c, s) => element_at(element_at(sqLit, s + 1), c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    val ip = VectorOps.adcLookup(col("pq_codes"), col("__iplut"), kCodes)
+    val rsq = VectorOps.adcLookup(col("pq_codes"), sqLit, kCodes)
     val dist = metric match {
       case "cosine" => lit(1.0) - ip / (col("__qnorm") * sqrt(rsq))
       case "euclidean" =>

@@ -42,7 +42,10 @@ object GraftFunctions {
       args => TextExprs.MinHashSig(args(0), intLit(args(1), "numPerms"))),
     ("simhash_bits", classOf[TextExprs.SimHashBits].getName,
       args => TextExprs.SimHashBits(args(0),
-        if (args.length > 1) intLit(args(1), "bits") else 64)))
+        if (args.length > 1) intLit(args(1), "bits") else 64)),
+    ("adc_lookup", classOf[VectorExprs.AdcLookup].getName,
+      args => VectorExprs.AdcLookup(args(0), args(1),
+        intLit(args(2), "codebook size k"))))
 
   /** Idempotent registration on an existing session. */
   def register(spark: SparkSession): Unit =

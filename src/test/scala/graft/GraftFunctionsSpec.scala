@@ -41,6 +41,15 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(r.getInt(0) === 16 && r.getInt(1) === 64)
   }
 
+  test("adc_lookup is SQL-callable and sums the right table slots") {
+    GraftFunctions.register(spark)
+    // m=2, k=3: codes (1, 2) -> lut[0*3+1] + lut[1*3+2] = 20.0 + 60.0
+    val r = spark.sql(
+      """SELECT adc_lookup(array(1, 2),
+                           array(10D, 20D, 30D, 40D, 50D, 60D), 3) AS s""").head()
+    assert(r.getDouble(0) === 80.0)
+  }
+
   test("GraftExtensions injects the functions into a fresh session") {
     val fresh = spark.newSession()
     // newSession shares the context but not temp functions; extensions

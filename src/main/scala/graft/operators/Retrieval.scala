@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval + hybrid fusion — the text half of a modern
+  * retrieval stack (the reference serves only the vector half,
+  * `/root/reference/executor.py:73-125`; production search fuses both).
+  *
+  * Scale shape: BM25 is two hash aggregations (per-doc tf over the
+  * query's terms only — the corpus explode is filtered to the handful of
+  * query terms BEFORE any shuffle — and a vocabulary-sized df table that
+  * broadcasts) plus one top-k. RRF fusion joins two already-reduced
+  * top-k lists: driver-trivial at any corpus size.
+  *
+  * Determinism: BM25 here uses the RATIONAL idf `(N - df + ½)/(df + ½)`
+  * — the argument of the textbook log-idf, monotone in it per term —
+  * and fixed left-associated arithmetic, with per-term scores summed in
+  * decimal. No libm in any score (see text_top_terms for the rationale);
+  * rankings for a fixed query match the log form whenever one term
+  * dominates and stay deterministic cross-engine always.
+  */
+object Retrieval {
+
+  /** BM25-shaped top-k keyword search.
+    * @return (idCol, score, rank), rank 1-based, score rounded to 4dp
+    *         BEFORE ranking with an id tiebreak */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val withDl = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), size(col("__ts")).cast("long").as("__dl"), col("__ts"))
+    val stats = withDl.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val termsLit = array(queryTerms.map(lit): _*)
+    val tf = withDl
+      .select(col(idCol), col("__dl"), explode(col("__ts")).as("__term"))
+      .filter(array_contains(termsLit, col("__term")))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val scored = tf.join(broadcast(dfreq), "__term").crossJoin(broadcast(stats))
+      // parenthesization mirrors the SQL oracle token for token; note
+      // k1+1 is COMPUTED (1.2 + 1 != the double literal 2.2 by one ulp)
+      .withColumn("__idf",
+        (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+      .withColumn("__s",
+        ((col("__idf") * (col("__tf") * lit(k1 + 1))) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .cast("decimal(20,10)"))
+    val agg = scored.groupBy(col(idCol))
+      .agg(round(sum(col("__s")).cast("double"), 4).as("score"))
+    val w = Window.orderBy(col("score").desc, col(idCol).asc)
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (Cormack, Clarke,
+    * Buettcher, SIGIR 2009): `Σ 1/(kRrf + rank)` over the lists a doc
+    * appears in. Inputs are (idCol, rank) frames — already top-k-reduced,
+    * so the full-outer join and global window run over at most
+    * |a| + |b| rows regardless of corpus size.
+    * @return (idCol, rrf, rank) top-k by fused score */
+  def rrfFuse(a: DataFrame, bDf: DataFrame, k: Int = 10, kRrf: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    val l = a.select(col(idCol), col("rank").as("__ra"))
+    val r = bDf.select(col(idCol), col("rank").as("__rb"))
+    val fused = l.join(r, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("__rb")), lit(0.0)), 6))
+    val w = Window.orderBy(col("rrf").desc, col(idCol).asc)
+    fused.select(col(idCol), col("rrf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

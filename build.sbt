@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console UNPREFIXED: the bench driver
+// tail-parses Bench's one-line JSON, and sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks a line-wise
+// json.loads no matter how short the line is.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

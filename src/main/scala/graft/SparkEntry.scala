@@ -452,10 +452,16 @@ object SparkEntry {
     * paths then pay load + probe only — mirroring the reference's
     * build-once/serve-many lifecycle (executor.py:51-57). Index lands
     * under java.io.tmpdir, keyed by the fixture dir. */
+  /** Fixture dir → filesystem-safe artifact key. Must NOT start with
+    * '_' or '.': Spark's file index treats such basenames as metadata
+    * and skips them ("All paths were ignored"). */
+  private def artifactKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^[_.]+", "")
+
   private val ivfBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ivfIndexPath(s: SparkSession, dir: String): String =
     ivfBuilt.getOrElseUpdate(dir, {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/${artifactKey(dir)}"
       KnnIvf.save(KnnIvf.build(Tables.embeddings(s, dir), numCells = 16), path)
       path
     })
@@ -490,7 +496,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
   private def sortedEventsPath(s: SparkSession, dir: String): String =
     rangeSortedBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rangesorted/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rangesorted/${artifactKey(dir)}"
       Scale.dumpRangeSorted(Tables.events(s, dir), path, "ts")
       path
     })
@@ -506,7 +512,7 @@ object SparkEntry {
   private def pqIndexFor(s: SparkSession, dir: String): (Pq.PqIndex, String) =
     pqBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
       val idx = Pq.train(Tables.embeddings(s, dir), dim = 64, m = 16, k = 32)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq/${artifactKey(dir)}"
       Pq.encode(idx, Tables.embeddings(s, dir))
         .write.mode("overwrite").parquet(path)
       (idx, path)

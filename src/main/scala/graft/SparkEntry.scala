@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Quantize, Relational, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
+import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Quantize, Relational, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -214,11 +214,26 @@ object SparkEntry {
         s.read.parquet(encodedPath), k = 5)
     }),
 
+    // --- k-NN JOIN: every corpus row is a query (kNN-dedup / hard-negative
+    //     mining shape). Exact form = oracle baseline; the IVF-co-partitioned
+    //     form is the 100 TB path (cell-equi join, linear shuffle) ---
+    "knn_join" -> ((s, dir) =>
+      KnnJoin.knnJoinExact(Tables.embeddings(s, dir), Tables.embeddings(s, dir), k = 3)),
+    // approximate join off the SAME persisted IVF index ann_ivf serves
+    // from; engine-specific centroids -> rows-only, recall spec-pinned
+    "ann_knn_join" -> ((s, dir) =>
+      KnnJoin.annJoinIvf(Tables.embeddings(s, dir), Tables.embeddings(s, dir),
+        KnnIvf.load(s, ivfIndexPath(s, dir)), k = 3, nProbe = 8)),
+
     // --- embedding-column statistics (corpus QA) ---
     "vector_centroids" -> ((s, dir) =>
       VectorStats.centroidComponents(Tables.embeddings(s, dir))),
     "vector_norm_stats" -> ((s, dir) =>
       VectorStats.labelNormStats(Tables.embeddings(s, dir))),
+    // matryoshka-truncation energy profile: norm fraction surviving a
+    // cut to the leading 16 components
+    "vector_energy" -> ((s, dir) =>
+      VectorStats.truncationEnergy(Tables.embeddings(s, dir), prefixDim = 16)),
     // exact + approximate distinct counting
     "events_distinct_users" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
@@ -233,9 +248,11 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"), col("lang").as("lang_actual"))),
+    // md5-hex winnowing form so DuckDB can hash-compare it; the xxhash64
+    // form (TextOps.fingerprint) is the scale default, spec-covered
     "text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
-        TextOps.fingerprint(col("text")).as("fingerprint"))),
+        TextOps.fingerprintMd5(col("text")).as("fingerprint"))),
 
     "text_tokens_bpe" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -245,6 +262,9 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextOps.repetitionRatio(col("text")).as("rep_ratio"))),
+    // Gopher-style rule suite: signals + verdict, all rational arithmetic
+    "quality_gopher" -> ((s, dir) =>
+      TextOps.gopherReport(Tables.documents(s, dir))),
     // redacted text compared by md5 so the oracle diff stays small
     "text_redact" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -267,6 +287,17 @@ object SparkEntry {
     "sample_per_group" -> ((s, dir) =>
       Sampling.sampleKPerGroup(Tables.documents(s, dir), "doc_id", "source", k = 5)
         .select(col("doc_id"), col("source"))),
+    // hash-line train/val/test assignment: split membership is per-doc
+    // stable under corpus growth (eval contamination guard)
+    "split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))),
+    // T=2 temperature resampling over the skewed lang distribution
+    // (70..218 docs/lang at sf0.01): kept sizes ~ sqrt(count)
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.sampleTemperature(Tables.documents(s, dir), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"))),
 
     // --- scale utilities wired end-to-end ---
     // salted two-phase aggregation: identical results to a plain groupBy
@@ -367,6 +398,9 @@ object SparkEntry {
     }),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     // as-of join: each purchase matched to the user's latest prior click
+    // keep-first-by-event-time dedup / first-touch attribution
+    "events_first_touch" -> ((s, dir) =>
+      EventOps.firstTouch(Tables.events(s, dir))),
     "events_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       EventOps.asOfLatestPrior(ev.filter(col("event_type") === "purchase"),
@@ -425,6 +459,16 @@ object SparkEntry {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("n"), col("sum_qty"))),
+    // full cube over (status, priority): all four grouping sets in one
+    // pass — Catalyst expands to a single Expand + hash aggregate
+    "star_cube" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(26,6)")).cast("double").as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+          col("n"), col("revenue"))),
 
     // --- multimodal binary-column plumbing (decode step stubbed) ---
     "multimodal_meta" -> ((s, dir) =>
@@ -951,8 +995,16 @@ object SparkEntry {
     // the point of the blocked/LSH formulations)
     "dedup_embedding" -> embBruteForceOracle,
     "dedup_embedding_lsh" -> embBruteForceOracle,
-    // text_fingerprint: xxhash64 fingerprints aren't DuckDB-expressible
-    // -> rows-only + ScalaTest
+    // min-md5 winnowing fingerprint: enumerate the rolling 8-char windows
+    // via CROSS JOIN range (no lateral range in this DuckDB build); the
+    // sub-8-char branch mirrors charNgrams' whole-text fallback
+    "text_fingerprint" ->
+      """WITH g AS (SELECT d.doc_id, md5(substring(d.text, CAST(r.i + 1 AS INTEGER), 8)) AS h
+                    FROM documents d CROSS JOIN range(1024) r(i)
+                    WHERE r.i <= length(d.text) - 8
+                    UNION ALL
+                    SELECT doc_id, md5(text) AS h FROM documents WHERE length(text) < 8)
+         SELECT doc_id, min(h) AS fingerprint FROM g GROUP BY doc_id""",
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
@@ -1152,6 +1204,73 @@ object SparkEntry {
                 count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(26,6))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "star_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+                coalesce(o_orderpriority, 'ALL') AS orderpriority,
+                count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(26,6))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    // exact k-NN join: blind brute force over all ordered pairs
+    "knn_join" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                      round(1.0 - list_dot_product(q.ev, c.ev) / (sqrt(list_dot_product(q.ev, q.ev)) * sqrt(list_dot_product(c.ev, c.ev))), 4) + 0.0 AS score
+               FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+         r AS (SELECT query_id, match_id, score,
+                      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS "rank"
+               FROM s)
+         SELECT query_id, match_id, score, "rank" AS rank FROM r WHERE "rank" <= 3""",
+    // ann_knn_join: engine-specific KMeans centroids -> rows-only,
+    // recall vs knn_join pinned in KnnJoinSpec
+    "quality_gopher" ->
+      """WITH t AS (SELECT doc_id, text,
+                           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+                    FROM documents),
+         r AS (SELECT doc_id,
+                      CAST(len(ts) AS BIGINT) AS n_words,
+                      round(CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / greatest(len(ts), 1), 4) AS mean_word_len,
+                      round(CAST(length(regexp_replace(text, '[^#…]', '', 'g')) AS DOUBLE) / greatest(len(ts), 1), 4) AS symbol_ratio,
+                      round(CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / greatest(len(ts), 1), 4) AS alpha_word_ratio,
+                      CAST(len(list_intersect(list_distinct(ts), ['the','a','of','and','to','in'])) AS BIGINT) AS n_stop_hits
+               FROM t)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, n_stop_hits,
+                CAST(n_words >= 50 AND n_words <= 100000
+                     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                     AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+                     AND n_stop_hits >= 2 AS BIGINT) AS passes
+         FROM r""",
+    // 0xcccc = floor(0.8 * 16^4), 0xe666 = floor(0.9 * 16^4) — the same
+    // hash line sample_hash cuts
+    "split_assign" ->
+      """SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+         m AS (SELECT min(cnt) AS minc FROM c)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+               printf('%04x', CAST(least(floor(sqrt(CAST(m.minc AS DOUBLE) / c.cnt) * 65536), 65535) AS INT))""",
+    "vector_energy" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         n AS (SELECT vec_id,
+                      sqrt(list_dot_product(ev, ev)) AS fn,
+                      sqrt(list_dot_product(ev[1:16], ev[1:16])) AS pn
+               FROM v)
+         SELECT vec_id, round(fn, 4) AS norm, round(pn, 4) AS prefix_norm,
+                round(pn / greatest(fn, 1e-30), 4) AS energy_ratio
+         FROM n""",
+    "events_first_touch" ->
+      """WITH r AS (SELECT user_id, event_type, ts, value,
+                           row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+                    FROM events)
+         SELECT user_id, event_type AS first_type,
+                CAST(floor(epoch(ts)) AS BIGINT) AS first_ts,
+                round(value, 4) AS first_value
+         FROM r WHERE rn = 1""",
     // multimodal_decode / multimodal_frames: STUB decode dims (crc32/
     // xxhash64) aren't DuckDB-expressible -> rows-only
     "multimodal_meta" ->

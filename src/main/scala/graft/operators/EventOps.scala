@@ -76,6 +76,20 @@ object EventOps {
            max(col("session_events")).as("max_session_events"))
   }
 
+  /** First-touch attribution / keep-FIRST dedup by key: each user's
+    * earliest event (ts, then event_id tiebreak). The window top-1 —
+    * Spark 4's WindowGroupLimit discards later rows before the exchange,
+    * so only one row per user per partition shuffles. The mirror of
+    * upsert's keep-LAST semantics (`Lifecycle.upsertById`).
+    * @return (user_id, first_type, first_ts epoch-seconds, first_value) */
+  def firstTouch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_type"),
+        unix_timestamp(col("ts")).as("first_ts"), round(col("value"), 4).as("first_value"))
+  }
+
   /** As-of join, composed from built-ins (custom-operator preference (a),
     * SURVEY §2 mapping note): for each left event, the latest right event
     * with the same key and ts <= left.ts. Implemented as union + running

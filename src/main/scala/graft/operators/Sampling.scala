@@ -58,6 +58,53 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic train/val/test split assignment: the md5 hash line
+    * [0, 16^4) is cut at the cumulative fractions and every row gets the
+    * split its hash lands in. Same hash gate as [[hashKeep]], so split
+    * membership is stable under repartitioning, engine changes, and
+    * incremental corpus growth (a doc's split never changes when other
+    * docs are added — the property that keeps eval sets uncontaminated
+    * across corpus versions).
+    * @param splits (name, fraction) in declaration order; fractions must
+    *               sum to 1 (last split absorbs the rounding remainder) */
+  def splitAssign(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $splits")
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assigned = splits.init.zip(cuts.init).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), cum)) =>
+        acc.when(h < lit(f"${math.floor(cum * 65536).toLong}%04x"), lit(name))
+    }.otherwise(lit(splits.last._1))
+    df.withColumn("split", assigned)
+  }
+
+  /** Temperature resampling at T=2 (alpha = 1/T = 0.5): group g keeps
+    * docs with acceptance probability sqrt(min_count / count_g), so the
+    * sampled group sizes are proportional to sqrt(count) — the standard
+    * move to un-skew a multi-source/multi-lingual corpus without
+    * flattening it (smallest group keeps ~everything). sqrt is IEEE
+    * correctly-rounded everywhere (general-alpha pow is libm-dependent
+    * and NOT engine-portable — this operator deliberately fixes
+    * alpha = 0.5). The acceptance threshold is floored onto the same
+    * 4-hex-digit grid as [[hashKeep]] and capped at 0xffff, so the
+    * smallest group's probability is 65535/65536, not exactly 1.
+    * Two tiny aggregates (group counts + their min) broadcast into a
+    * narrow filter — no corpus shuffle. */
+  def sampleTemperature(df: DataFrame, idCol: String,
+                        groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val minC = counts.agg(min(col("__cnt")).as("__minc"))
+    df.join(broadcast(counts), groupCol)
+      .crossJoin(broadcast(minC))
+      .filter(substring(md5(col(idCol).cast("string")), 1, 4) <
+        format_string("%04x",
+          least(floor(sqrt(col("__minc").cast("double") / col("__cnt")) * 65536),
+            lit(65535L))))
+      .drop("__cnt", "__minc")
+  }
+
   /** Pack documents into token-budget shards, per `partitionCol`
     * (e.g. source): docs are laid out in id order and
     * shard = floor(exclusive-prefix-sum / budget). Shards are prefix-sum

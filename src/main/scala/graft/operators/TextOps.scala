@@ -87,6 +87,15 @@ object TextOps {
   def fingerprint(text: Column, window: Int = 8): Column =
     array_min(transform(Dedup.charNgrams(text, window), g => xxhash64(g)))
 
+  /** Engine-portable variant of [[fingerprint]]: min md5-hex over the same
+    * rolling windows. md5 hex strings order identically everywhere
+    * (lowercase hex, lexicographic = numeric), so a SQL oracle reproduces
+    * it exactly; the xxhash64 form stays the scale default (8-byte longs
+    * vs 32-char strings). Short texts fall back to md5(text) via
+    * charNgrams' whole-text branch. */
+  def fingerprintMd5(text: Column, window: Int = 8): Column =
+    array_min(transform(Dedup.charNgrams(text, window), g => md5(g.cast("binary"))))
+
   /** Top-k most document-distinctive terms per doc — TF-IDF-shaped
     * keyword extraction with the rational relevance score
     * `tf * N / df` instead of `tf * ln(N/df)`: every input is an integer
@@ -162,6 +171,46 @@ object TextOps {
           .as("chunk_text"),
         size(slice(col("__ts"), col("chunk_id") * stride + 1, lit(chunkSize)))
           .cast("long").as("chunk_tokens"))
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1 family,
+    * public-knowledge heuristics): word-count bounds, mean-word-length
+    * band, symbol-to-word ratio, alphabetic-word ratio, and a minimum
+    * count of distinct stopwords. Every signal is integer/rational
+    * arithmetic over the token list (no libm), rounded before the rule
+    * comparisons, so an engine-independent oracle reproduces both the
+    * signals and the verdict bit-for-bit. Pure narrow projection — one
+    * map stage at any corpus size.
+    * @return (id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+    *          n_stop_hits, passes) */
+  def gopherReport(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   minAlphaRatio: Double = 0.8,
+                   minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val ts = Dedup.tokens(t)
+    val nW = size(ts)
+    val stops = array(Stopwords.map(lit): _*)
+    docs.select(
+        col(idCol),
+        nW.cast("long").as("n_words"),
+        round(aggregate(ts, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          greatest(nW, lit(1)), 4).as("mean_word_len"),
+        // Gopher's symbol set: '#' and the ellipsis codepoint
+        round(length(regexp_replace(t, "[^#…]", "")).cast("double") /
+          greatest(nW, lit(1)), 4).as("symbol_ratio"),
+        round(size(filter(ts, w => w.rlike("[a-zA-Z]"))).cast("double") /
+          greatest(nW, lit(1)), 4).as("alpha_word_ratio"),
+        size(array_intersect(array_distinct(ts), stops)).cast("long").as("n_stop_hits"))
+      .withColumn("passes",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_word_ratio") >= minAlphaRatio &&
+          col("n_stop_hits") >= minStopHits).cast("long"))
   }
 
   /** Per-language corpus statistics (one shuffle, map-side partials). */

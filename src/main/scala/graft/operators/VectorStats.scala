@@ -22,6 +22,26 @@ object VectorStats {
         (sum(col("x").cast("decimal(20,10)")) / count(lit(1))).cast("double"), 4)
         .as("mean_val"))
 
+  /** Matryoshka-truncation energy profile: what fraction of each vector's
+    * L2 norm survives truncation to the leading `prefixDim` components —
+    * the measurement behind serving embeddings at reduced dimension
+    * (truncate + renormalize). `energy_ratio = ||v[:d]|| / ||v||`, both
+    * norms in double from the float32 components, one rounded division —
+    * engine-portable, pure projection.
+    * @return (id, norm, prefix_norm, energy_ratio) */
+  def truncationEnergy(emb: DataFrame, prefixDim: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(prefixDim > 0, s"prefixDim $prefixDim must be positive")
+    val full = VectorOps.norm(col(vecCol))
+    val pre = VectorOps.norm(slice(col(vecCol), 1, prefixDim))
+    emb.select(
+      col(idCol),
+      round(full, 4).as("norm"),
+      round(pre, 4).as("prefix_norm"),
+      round(pre / greatest(full, lit(1e-30)), 4).as("energy_ratio"))
+  }
+
   /** Per-label corpus profile: row count and L2-norm statistics. */
   def labelNormStats(emb: DataFrame, labelCol: String = "label",
                      vecCol: String = "embedding"): DataFrame =

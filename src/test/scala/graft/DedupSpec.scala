@@ -110,4 +110,31 @@ class DedupSpec extends SparkSuite {
       .join(docs.limit(20).select($"doc_id", TextOps.fingerprint($"text").as("f2")), "doc_id")
     assert(fp.filter($"f1" =!= $"f2").count() === 0)
   }
+
+  test("md5 fingerprint: stable, and always one of the doc's own gram hashes") {
+    import org.apache.spark.sql.functions.{array_contains, md5, transform => xform}
+    val withFp = docs.limit(50).select($"doc_id", $"text",
+      TextOps.fingerprintMd5($"text").as("fp"))
+    assert(withFp.filter($"fp".isNull).count() === 0)
+    val grams = withFp.select($"fp",
+      xform(Dedup.charNgrams($"text", 8), g => md5(g.cast("binary"))).as("hs"))
+    assert(grams.filter(!array_contains($"hs", $"fp")).count() === 0)
+  }
+
+  test("gopher rules: signals bounded, verdict consistent with its inputs") {
+    val r = TextOps.gopherReport(docs).cache()
+    assert(r.count() === docs.count())
+    assert(r.filter($"symbol_ratio" < 0.0 || $"alpha_word_ratio" > 1.0).count() === 0)
+    // verdict re-derivable from the emitted signals
+    val bad = r.filter($"passes" =!= (
+      ($"n_words" >= 50 && $"n_words" <= 100000 &&
+        $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+        $"symbol_ratio" <= 0.1 && $"alpha_word_ratio" >= 0.8 &&
+        $"n_stop_hits" >= 2).cast("long")))
+    assert(bad.count() === 0)
+    // the rule discriminates on these fixtures (docs span 10..99 words)
+    val verdicts = r.select($"passes").distinct().collect().map(_.getLong(0)).toSet
+    assert(verdicts === Set(0L, 1L), s"gopher verdicts degenerate: $verdicts")
+    r.unpersist()
+  }
 }

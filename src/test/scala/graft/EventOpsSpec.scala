@@ -32,6 +32,16 @@ class EventOpsSpec extends SparkSuite {
     assert(diff === 0)
   }
 
+  test("first touch: one row per user, at that user's minimum event time") {
+    val ft = EventOps.firstTouch(events).cache()
+    assert(ft.count() === events.select("user_id").distinct().count())
+    val mins = events.groupBy("user_id")
+      .agg(min(unix_timestamp(col("ts"))).as("want"))
+    assert(ft.join(mins, "user_id")
+      .filter(col("first_ts") =!= col("want")).count() === 0)
+    ft.unpersist()
+  }
+
   test("sessionize invariants: events partition into sessions") {
     val sessions = EventOps.sessionize(events)
     val total = sessions.agg(sum(col("n_events"))).head().getLong(0)

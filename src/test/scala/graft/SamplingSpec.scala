@@ -69,6 +69,47 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("split assignment partitions the corpus and is per-doc stable") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.splitAssign(docs, "doc_id", splits).cache()
+    // total partition: every doc in exactly one split
+    assert(assigned.count() === docs.count())
+    val bySplit = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"))
+    // contamination guard: a doc's split never changes when the corpus
+    // shrinks/grows — assignment over a subset agrees with the full run
+    val subset = Sampling.splitAssign(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", splits)
+    val joined = subset.select(col("doc_id"), col("split").as("s2"))
+      .join(assigned, "doc_id")
+    assert(joined.filter(col("split") =!= col("s2")).isEmpty)
+    assigned.unpersist()
+  }
+
+  test("temperature resampling un-skews group sizes toward sqrt(count)") {
+    val kept = Sampling.sampleTemperature(docs, "doc_id", "lang").cache()
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCount = before.values.min
+    before.foreach { case (g, n) =>
+      val p = math.sqrt(minCount.toDouble / n)
+      val observed = after.getOrElse(g, 0L).toDouble / n
+      // acceptance is hash-gated at probability ~p; allow binomial noise
+      assert(math.abs(observed - p) < 0.15,
+        s"group $g: kept $observed of target $p")
+    }
+    // deterministic: same keep-set on rerun
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.sampleTemperature(docs, "doc_id", "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    kept.unpersist()
+  }
+
   test("multimodal features compose with k-NN: every doc is its own nearest match") {
     val feats = Multimodal.withBinaryContent(docs.limit(50))
       .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))

@@ -94,6 +94,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest feeds the served ANN index (incremental /index -> /search)") {
+    // the reference's lifecycle: vectors arrive incrementally (/index,
+    // executor.py:127-168), the persisted index serves /search without a
+    // rebuild. Streaming rendition: foreachBatch cell-assigns new rows
+    // with the STORED centroid model and appends only their cell dirs.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = Files.createTempDirectory("graft_stream_ivf").toString + "/index"
+    graft.operators.KnnIvf.save(graft.operators.KnnIvf.build(emb, numCells = 8), path)
+
+    // stream in an exact copy of vector 0 under a fresh id
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val q = input.toDF().toDF("vec_id", "embedding", "label")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.KnnIvf.appendTo(spark, path, batch) }
+      .start()
+    try {
+      input.addData((9999999L, v0, -1))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val loaded = graft.operators.KnnIvf.load(spark, path)
+    val queries = Seq((0L, v0)).toDF("query_id", "query_vec")
+    val top = graft.operators.KnnIvf.searchPruned(loaded, queries, k = 2, nProbe = 2)
+      .select("match_id").collect().map(_.getLong(0)).toSet
+    assert(top === Set(0L, 9999999L), s"served matches: $top")
+  }
+
   test("event-time-timeout sessionization emits exactly the gap sessions") {
     // Spark 4.1 moved MemoryStream under execution.streaming.runtime
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -265,6 +265,12 @@ object SparkEntry {
     // Gopher-style rule suite: signals + verdict, all rational arithmetic
     "quality_gopher" -> ((s, dir) =>
       TextOps.gopherReport(Tables.documents(s, dir))),
+    // token-count length distribution
+    "text_histogram" -> ((s, dir) =>
+      TextOps.tokenHistogram(Tables.documents(s, dir))),
+    // data-driven quality gate: worst decile by exact percentile
+    "quality_calibrated" -> ((s, dir) =>
+      TextOps.calibratedQualityGate(Tables.documents(s, dir), q = 0.1)),
     // redacted text compared by md5 so the oracle diff stays small
     "text_redact" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -341,6 +347,10 @@ object SparkEntry {
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(Tables.events(s, dir))),
     "events_sliding" -> ((s, dir) => EventOps.slidingAgg(Tables.events(s, dir))),
     "events_quantiles" -> ((s, dir) => EventOps.valueQuantiles(Tables.events(s, dir))),
+    // ntile bucketing over a total order (value, id) — engine-independent
+    "events_ntile" -> ((s, dir) => EventOps.valueQuartiles(Tables.events(s, dir))),
+    // decimal-accumulated mean/stddev (order-independent partials)
+    "events_value_stats" -> ((s, dir) => EventOps.valueStats(Tables.events(s, dir))),
     // the SQL-interface path: the same engine driven through spark.sql
     // over registered views
     "sql_interface" -> ((s, dir) => {
@@ -459,6 +469,17 @@ object SparkEntry {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("n"), col("sum_qty"))),
+    // EXCEPT DISTINCT set op: customers with finished orders but no open
+    // ones (INTERSECT's sibling — star_repeat_customers covers that)
+    "star_except" -> ((s, dir) => {
+      val orders = Tables.table(s, dir, "orders")
+      val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.except(o)
+        .join(Tables.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
     // full cube over (status, priority): all four grouping sets in one
     // pass — Catalyst expands to a single Expand + hash aggregate
     "star_cube" -> ((s, dir) =>
@@ -1271,6 +1292,51 @@ object SparkEntry {
                 CAST(floor(epoch(ts)) AS BIGINT) AS first_ts,
                 round(value, 4) AS first_value
          FROM r WHERE rn = 1""",
+    "events_ntile" ->
+      """SELECT event_id, event_type, round(value, 4) AS value,
+                CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS BIGINT) AS quartile
+         FROM events""",
+    // decimal sums cast to double BEFORE any division (decimal scale
+    // rules differ across engines); sample variance via the sums formula
+    "events_value_stats" ->
+      """WITH a AS (SELECT event_type, count(*) AS n,
+                           sum(CAST(value AS DECIMAL(30,8))) AS s,
+                           sum(CAST(value * value AS DECIMAL(30,8))) AS ss
+                    FROM events GROUP BY 1)
+         SELECT event_type, n,
+                round(CAST(s AS DOUBLE) / n, 4) AS mean_value,
+                round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 4) AS stddev_value
+         FROM a WHERE n > 1""",
+    "text_histogram" ->
+      """WITH t AS (SELECT len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) // 10 AS bucket
+                    FROM documents)
+         SELECT bucket * 10 AS min_tokens, count(*) AS n_docs
+         FROM t GROUP BY 1""",
+    // same quality pipeline as text_quality + an exact-percentile cut
+    "quality_calibrated" ->
+      """WITH t AS (SELECT doc_id, text,
+                           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+                    FROM documents),
+         r AS (SELECT doc_id, len(toks) AS n_tokens,
+                      round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1), 4) AS punct_ratio,
+                      round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                            / greatest(len(toks), 1), 4) AS stopword_ratio
+               FROM t),
+         q AS (SELECT doc_id,
+                      round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                            * (1.0 - punct_ratio) * (1.0 - 0.5 * stopword_ratio), 4) AS quality
+               FROM r),
+         thr AS (SELECT round(quantile_cont(quality, 0.1), 4) AS threshold FROM q)
+         SELECT q.doc_id, q.quality, thr.threshold
+         FROM q CROSS JOIN thr WHERE q.quality < thr.threshold""",
+    "star_except" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer JOIN (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') x
+         ON c_custkey = x.o_custkey""",
     // multimodal_decode / multimodal_frames: STUB decode dims (crc32/
     // xxhash64) aren't DuckDB-expressible -> rows-only
     "multimodal_meta" ->

@@ -42,6 +42,37 @@ object EventOps {
         round(min(col("value")), 4).as("vmin"),
         round(max(col("value")), 4).as("vmax"))
 
+  /** Value quartile assignment per event type: ntile(4) over a TOTAL
+    * order (value, then event_id) — the tiebreak makes bucket membership
+    * engine-independent. WindowGroupLimit doesn't apply (every row is
+    * kept), but the window partitions by type so no global sort. */
+  def valueQuartiles(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    events.select(col("event_id"), col("event_type"),
+      round(col("value"), 4).as("value"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** Per-type dispersion statistics with engine-portable arithmetic:
+    * sums and sums-of-squares accumulate in decimal (order-independent
+    * under partial aggregation — double accumulation is not), the
+    * variance formula and sqrt run once per group in double. Sample
+    * variance (n-1); single-row groups are excluded rather than NULL. */
+  def valueStats(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,8)")).as("__s"),
+        sum((col("value") * col("value")).cast("decimal(30,8)")).as("__ss"))
+      .filter(col("n") > 1)
+      .select(col("event_type"), col("n"),
+        // double division of the decimal sum (NOT decimal division —
+        // decimal scale rules differ across engines)
+        round(col("__s").cast("double") / col("n"), 4).as("mean_value"),
+        round(sqrt((col("__ss").cast("double") - col("__s").cast("double") *
+          col("__s").cast("double") / col("n")) / (col("n") - 1)), 4).as("stddev_value"))
+
   /** JSON property extraction from the `props` column + aggregate by
     * event type. `try_cast` keeps malformed payloads null-safe under
     * ANSI mode. */

@@ -213,6 +213,36 @@ object TextOps {
           col("n_stop_hits") >= minStopHits).cast("long"))
   }
 
+  /** Token-count histogram: docs bucketed by floor(n_tokens / width) —
+    * the length-distribution profile every corpus report starts with.
+    * One narrow projection + one small aggregation. */
+  def tokenHistogram(docs: DataFrame, bucketWidth: Int = 10,
+                     textCol: String = "text"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
+    docs.select(floor(tokenCount(col(textCol)) / bucketWidth).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select((col("bucket") * bucketWidth).as("min_tokens"), col("n_docs"))
+  }
+
+  /** Quantile-calibrated quality gate: flag the worst `q` fraction of the
+    * corpus by composite quality score — the data-driven alternative to a
+    * fixed threshold. Exact percentile (Spark `percentile` ==
+    * interpolated `quantile_cont`) over the 4dp-rounded scores, broadcast
+    * as a one-row literal into a narrow filter. Two passes over the
+    * quality projection; at scale the threshold pass reads one column.
+    * @return flagged docs (doc_id, quality, threshold) */
+  def calibratedQualityGate(docs: DataFrame, q: Double = 0.1,
+                            idCol: String = "doc_id"): DataFrame = {
+    require(q > 0 && q < 1, s"quantile $q outside (0,1)")
+    val scored = qualityReport(docs, idCol = idCol)
+      .select(col(idCol), col("quality"))
+    val thr = scored.agg(
+      round(expr(s"percentile(quality, $q)"), 4).as("threshold"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("quality") < col("threshold"))
+  }
+
   /** Per-language corpus statistics (one shuffle, map-side partials). */
   def statsByLang(docs: DataFrame, textCol: String = "text",
                   langCol: String = "lang"): DataFrame =

@@ -121,6 +121,21 @@ class DedupSpec extends SparkSuite {
     assert(grams.filter(!array_contains($"hs", $"fp")).count() === 0)
   }
 
+  test("token histogram covers every doc exactly once") {
+    val h = TextOps.tokenHistogram(docs)
+    assert(h.agg(org.apache.spark.sql.functions.sum($"n_docs")).head().getLong(0)
+      === docs.count())
+    assert(h.filter($"min_tokens" % 10 =!= 0).count() === 0)
+  }
+
+  test("calibrated quality gate flags roughly the worst decile") {
+    val flagged = TextOps.calibratedQualityGate(docs, q = 0.1)
+    val frac = flagged.count().toDouble / docs.count()
+    assert(frac > 0.02 && frac <= 0.12, s"flagged fraction $frac")
+    // every flagged doc scores strictly below the threshold
+    assert(flagged.filter($"quality" >= $"threshold").count() === 0)
+  }
+
   test("gopher rules: signals bounded, verdict consistent with its inputs") {
     val r = TextOps.gopherReport(docs).cache()
     assert(r.count() === docs.count())

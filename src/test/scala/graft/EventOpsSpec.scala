@@ -42,6 +42,33 @@ class EventOpsSpec extends SparkSuite {
     ft.unpersist()
   }
 
+  test("ntile quartiles are balanced within one row per event type") {
+    val q = EventOps.valueQuartiles(events)
+    val sizes = q.groupBy("event_type", "quartile").count()
+      .groupBy("event_type")
+      .agg(max(col("count")).as("mx"), min(col("count")).as("mn"),
+        countDistinct(col("quartile")).as("nq"))
+      .collect()
+    sizes.foreach { r =>
+      assert(r.getLong(3) === 4L, s"${r.getString(0)}: ${r.getLong(3)} buckets")
+      assert(r.getLong(1) - r.getLong(2) <= 1L,
+        s"${r.getString(0)}: unbalanced ${r.getLong(2)}..${r.getLong(1)}")
+    }
+  }
+
+  test("value stats match Spark's built-in avg/stddev within rounding") {
+    val got = EventOps.valueStats(events).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val want = events.groupBy("event_type")
+      .agg(avg(col("value")).as("m"), stddev(col("value")).as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (t, (m, sd)) =>
+      assert(math.abs(m - want(t)._1) < 1e-3, s"$t mean $m vs ${want(t)._1}")
+      assert(math.abs(sd - want(t)._2) < 1e-3, s"$t stddev $sd vs ${want(t)._2}")
+    }
+  }
+
   test("sessionize invariants: events partition into sessions") {
     val sessions = EventOps.sessionize(events)
     val total = sessions.agg(sum(col("n_events"))).head().getLong(0)

@@ -161,6 +161,11 @@ object SparkEntry {
       val (train, ev) = contaminationSplit(s, dir)
       Contamination.report(train, ev)
     }),
+    // the decontamination pass itself: survivors with zero eval overlap
+    "contamination_clean" -> ((s, dir) => {
+      val (train, ev) = contaminationSplit(s, dir)
+      Contamination.clean(train, ev).select(col("doc_id"))
+    }),
     // batch model inference: linear quality head, literal weights folded
     // into one codegen'd projection — the keep/drop gate shape
     "score_quality_model" -> ((s, dir) =>
@@ -411,6 +416,19 @@ object SparkEntry {
     // keep-first-by-event-time dedup / first-touch attribution
     "events_first_touch" -> ((s, dir) =>
       EventOps.firstTouch(Tables.events(s, dir))),
+    // FULL OUTER join (completes the join-type matrix: inner/left/semi/
+    // anti/asof/interval are exercised elsewhere): daily signup vs
+    // purchase counts, absent side zero-filled
+    "events_daily_full_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def daily(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as(s"n_$t"))
+      daily("signup").join(daily("purchase"), Seq("day"), "full_outer")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_signup"), lit(0L)).as("n_signup"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+    }),
     "events_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       EventOps.asOfLatestPrior(ev.filter(col("event_type") === "purchase"),
@@ -596,6 +614,34 @@ object SparkEntry {
     * eval = every 25th doc; train = the rest PLUS, for every 50th doc, a
     * doc (id+20M) embedding a verbatim 12-token span of that eval doc —
     * 5 complete word 8-grams of guaranteed overlap per planted doc. */
+  /** Shared CTE prefix for the two contamination oracles: the train/eval
+    * split (mirroring [[contaminationSplit]]) and both sides' word-8-gram
+    * sets. */
+  private val contaminationCtes: String =
+    """WITH toks AS (SELECT doc_id,
+                            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+                     FROM documents),
+       ev AS (SELECT doc_id, ts FROM toks WHERE doc_id % 25 = 0),
+       tr AS (SELECT doc_id, ts FROM toks WHERE doc_id % 25 <> 0
+              UNION ALL
+              SELECT doc_id + 20000000 AS doc_id,
+                     list_filter(string_split_regex(
+                       'clean preamble words ' || array_to_string(list_slice(ts, 1, 12), ' ') || ' closing words',
+                       '\s+'), x -> x <> '') AS ts
+              FROM toks WHERE doc_id % 50 = 0),
+       gs_ev AS (SELECT CASE WHEN len(ts) >= 8
+                             THEN list_distinct(list_transform(range(len(ts) - 7),
+                                    i -> array_to_string(list_slice(ts, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')))
+                             ELSE [array_to_string(ts, ' ')] END AS gs
+                 FROM ev),
+       eg AS (SELECT DISTINCT unnest(gs) AS g FROM gs_ev),
+       gs_tr AS (SELECT doc_id, CASE WHEN len(ts) >= 8
+                                     THEN list_distinct(list_transform(range(len(ts) - 7),
+                                            i -> array_to_string(list_slice(ts, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')))
+                                     ELSE [array_to_string(ts, ' ')] END AS gs
+                 FROM tr),
+       tg AS (SELECT doc_id, len(gs) AS total, unnest(gs) AS g FROM gs_tr)"""
+
   private def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val eval = d.filter(col("doc_id") % 25 === 0)
@@ -904,33 +950,17 @@ object SparkEntry {
                FROM r)
          SELECT doc_id, quality FROM q WHERE quality >= 0.3""",
     "contamination_report" ->
-      """WITH toks AS (SELECT doc_id,
-                              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
-                       FROM documents),
-         ev AS (SELECT doc_id, ts FROM toks WHERE doc_id % 25 = 0),
-         tr AS (SELECT doc_id, ts FROM toks WHERE doc_id % 25 <> 0
-                UNION ALL
-                SELECT doc_id + 20000000 AS doc_id,
-                       list_filter(string_split_regex(
-                         'clean preamble words ' || array_to_string(list_slice(ts, 1, 12), ' ') || ' closing words',
-                         '\s+'), x -> x <> '') AS ts
-                FROM toks WHERE doc_id % 50 = 0),
-         gs_ev AS (SELECT CASE WHEN len(ts) >= 8
-                               THEN list_distinct(list_transform(range(len(ts) - 7),
-                                      i -> array_to_string(list_slice(ts, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')))
-                               ELSE [array_to_string(ts, ' ')] END AS gs
-                   FROM ev),
-         eg AS (SELECT DISTINCT unnest(gs) AS g FROM gs_ev),
-         gs_tr AS (SELECT doc_id, CASE WHEN len(ts) >= 8
-                                       THEN list_distinct(list_transform(range(len(ts) - 7),
-                                              i -> array_to_string(list_slice(ts, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')))
-                                       ELSE [array_to_string(ts, ' ')] END AS gs
-                   FROM tr),
-         tg AS (SELECT doc_id, len(gs) AS total, unnest(gs) AS g FROM gs_tr)
+      s"""$contaminationCtes
          SELECT tg.doc_id, count(*) AS n_overlap,
                 round(CAST(count(*) AS DOUBLE) / min(tg.total), 4) AS overlap_frac
          FROM tg JOIN eg ON tg.g = eg.g
          GROUP BY tg.doc_id""",
+    // decontaminated survivors: train docs with zero eval-gram overlap
+    "contamination_clean" ->
+      s"""$contaminationCtes,
+         flagged AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg ON tg.g = eg.g)
+         SELECT tr.doc_id FROM tr LEFT JOIN flagged f ON tr.doc_id = f.doc_id
+         WHERE f.doc_id IS NULL""",
     // same engineered features as text_quality/text_repetition, combined
     // by a fixed-weight linear head + rational sigmoid (pure
     // exact-rounded arithmetic — no libm exp) in the SAME evaluation
@@ -1292,6 +1322,15 @@ object SparkEntry {
                 CAST(floor(epoch(ts)) AS BIGINT) AS first_ts,
                 round(value, 4) AS first_value
          FROM r WHERE rn = 1""",
+    "events_daily_full_outer" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_signup
+                    FROM events WHERE event_type = 'signup' GROUP BY 1),
+         p AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchase
+               FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT strftime(coalesce(s.day, p.day), '%Y-%m-%d') AS day,
+                coalesce(n_signup, 0) AS n_signup,
+                coalesce(n_purchase, 0) AS n_purchase
+         FROM s FULL OUTER JOIN p ON s.day = p.day""",
     "events_ntile" ->
       """SELECT event_id, event_type, round(value, 4) AS value,
                 CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS BIGINT) AS quartile

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Quantize, Relational, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
+import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Quantize, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -281,6 +281,24 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         md5(TextOps.redact(col("text"), TextOps.NumberPattern, "<NUM>")
           .cast("binary")).as("redacted_md5"))),
+
+    // --- keyword + hybrid retrieval (the text half of a search stack;
+    //     BM25's rational idf + fixed parenthesization mirror the oracle
+    //     token for token, so the scores hash-match cross-engine) ---
+    "retrieval_bm25" -> ((s, dir) =>
+      Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20)),
+    "retrieval_rrf" -> ((s, dir) => {
+      val kw = Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20)
+      // vector half: cosine top-20 for one probe vector; vec_id and
+      // doc_id share the 0..N id space in the fixtures, the convention
+      // every embeddings-of-documents layout uses
+      val vec = KnnTopK.knnExact(
+        Tables.embeddings(s, dir).filter(col("vec_id") === 7)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        Tables.embeddings(s, dir), k = 20, metric = "cosine")
+        .select(col("match_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(kw, vec, k = 10)
+    }),
 
     // --- deterministic sampling + packing (training-data pipeline ops;
     //     md5-hash-gated so the sample is stable across engines/runs) ---
@@ -642,6 +660,42 @@ object SparkEntry {
                  FROM tr),
        tg AS (SELECT doc_id, len(gs) AS total, unnest(gs) AS g FROM gs_tr)"""
 
+  /** BM25 probe query: one rare term ('dup' — df 25 at sf0.01) + two
+    * common ones, so idf actually separates the ranking. */
+  private val BmQueryTerms = Seq("dup", "spark", "window")
+
+  /** DuckDB CTE prefix computing the BM25 top-20 list (doc_id, score,
+    * "rank") as `bmr` — shared by the bm25 and rrf oracles. Arithmetic
+    * mirrors [[graft.operators.Retrieval.bm25]] token for token: rational
+    * idf, computed k1+1, left-associated length norm, per-term scores in
+    * DECIMAL(20,10), 4dp round before the id-tiebroken rank. */
+  private val bm25OracleCtes: String = {
+    val terms = BmQueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""bm_toks AS (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+                    FROM documents),
+        bm_dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM bm_toks),
+        bm_stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM bm_dl),
+        bm_tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                  FROM (SELECT doc_id, dl, unnest(ts) AS term FROM bm_dl)
+                  WHERE term IN ($terms)
+                  GROUP BY 1, 2, 3),
+        bm_df AS (SELECT term, count(*) AS df FROM bm_tf GROUP BY 1),
+        bm_sc AS (SELECT bm_tf.doc_id,
+                         CAST((((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+                                 * (tf * (CAST(1.2 AS DOUBLE) + 1)))
+                              / (tf + CAST(1.2 AS DOUBLE)
+                                   * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                                      + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                              AS DECIMAL(20,10)) AS s
+                  FROM bm_tf JOIN bm_df USING (term) CROSS JOIN bm_stats),
+        bm_agg AS (SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 4) AS score
+                   FROM bm_sc GROUP BY 1),
+        bmr AS (SELECT doc_id, score,
+                       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS "rank"
+                FROM bm_agg)"""
+  }
+
   private def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val eval = d.filter(col("doc_id") % 25 === 0)
@@ -819,6 +873,30 @@ object SparkEntry {
     "text_redact" ->
       """SELECT doc_id, md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
          FROM documents""",
+    "retrieval_bm25" ->
+      s"""WITH $bm25OracleCtes
+          SELECT doc_id, score, "rank" AS rank FROM bmr WHERE "rank" <= 20""",
+    // hybrid fusion: BM25 top-20 + cosine top-20 for probe vector 7,
+    // reciprocal-rank-fused (1/(60+rank)); knn score form = knn_cosine's
+    "retrieval_rrf" ->
+      s"""WITH $bm25OracleCtes,
+          kw AS (SELECT doc_id, "rank" AS ra FROM bmr WHERE "rank" <= 20),
+          vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+          vc AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          vs AS (SELECT doc_id,
+                        (round(1.0 - list_dot_product(qv, cv)
+                                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)) + 0.0 AS score
+                 FROM vq CROSS JOIN vc),
+          kr0 AS (SELECT doc_id, row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rb FROM vs),
+          kr AS (SELECT doc_id, rb FROM kr0 WHERE rb <= 20),
+          fused AS (SELECT coalesce(kw.doc_id, kr.doc_id) AS doc_id,
+                           round(coalesce(CAST(1.0 AS DOUBLE) / (60 + ra), 0.0)
+                               + coalesce(CAST(1.0 AS DOUBLE) / (60 + rb), 0.0), 6) AS rrf
+                    FROM kw FULL OUTER JOIN kr ON kw.doc_id = kr.doc_id),
+          fr AS (SELECT doc_id, rrf,
+                        row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS "rank"
+                 FROM fused)
+          SELECT doc_id, rrf, "rank" AS rank FROM fr WHERE "rank" <= 10""",
     // md5-gated deterministic sampling: identical keep-set in any engine
     "sample_hash" ->
       """SELECT doc_id, lang FROM documents

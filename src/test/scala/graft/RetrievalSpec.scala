@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+import graft.sources.Tables
+
+class RetrievalSpec extends SparkSuite {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("bm25 ranks a doc stuffed with the query term above all fixture docs") {
+    import spark.implicits._
+    val planted = Seq((900000L, "dup dup dup dup dup dup dup dup"))
+      .toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    val top = Retrieval.bm25(corpus, Seq("dup"), k = 3).collect()
+    assert(top.head.getAs[Long]("doc_id") === 900000L)
+    assert(top.head.getAs[Long]("rank") === 1L)
+  }
+
+  test("bm25 ranks are contiguous 1..k with positive scores, stable under repartition") {
+    val r1 = Retrieval.bm25(docs, Seq("dup", "spark", "window"), k = 10)
+    val rows = r1.orderBy("rank").collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to 10L))
+    assert(rows.forall(_.getAs[Double]("score") > 0.0))
+    val r2 = Retrieval.bm25(docs.repartition(7), Seq("dup", "spark", "window"), k = 10)
+    assert(r2.orderBy("rank").collect().map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
+
+  test("bm25 idf: a rare term outweighs a common one at equal tf") {
+    import spark.implicits._
+    // 10 docs: 'rare' appears in one doc, 'common' in all; the rare-only
+    // doc must outrank the common-only doc for the combined query
+    val corpus = ((0L until 8L).map(i => (i, "common filler words")) ++
+      Seq((8L, "common rare"), (9L, "common common"))).toDF("doc_id", "text")
+    val ranked = Retrieval.bm25(corpus, Seq("rare", "common"), k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    assert(ranked(8L) === 1L, s"rare-term doc must rank first: $ranked")
+  }
+
+  test("rrf fusion: a doc on both lists beats docs on one list at the same ranks") {
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1L), (4L, 2L), (5L, 3L)).toDF("doc_id", "rank")
+    val fused = Retrieval.rrfFuse(a, b, k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    // doc 3 (rank 3 + rank 1) has 1/63 + 1/61 > any single-list score
+    assert(fused(3L) === 1L)
+    assert(fused.size === 5)
+  }
+
+  test("rrf is top-k-input-bounded: fused output never exceeds |a| + |b|") {
+    import spark.implicits._
+    val a = Seq((1L, 1L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L)).toDF("doc_id", "rank")
+    assert(Retrieval.rrfFuse(a, b, k = 100).count() === 2L)
+  }
+}

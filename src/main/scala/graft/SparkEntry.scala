@@ -374,6 +374,12 @@ object SparkEntry {
     "events_ntile" -> ((s, dir) => EventOps.valueQuartiles(Tables.events(s, dir))),
     // decimal-accumulated mean/stddev (order-independent partials)
     "events_value_stats" -> ((s, dir) => EventOps.valueStats(Tables.events(s, dir))),
+    // relational PIVOT: one count column per (explicit) event type
+    "events_pivot" -> ((s, dir) =>
+      EventOps.typePivot(Tables.events(s, dir),
+        Seq("click", "view", "purchase", "signup", "error"))),
+    // lag() inter-arrival gaps, integer-microsecond exact
+    "events_gaps" -> ((s, dir) => EventOps.interArrival(Tables.events(s, dir))),
     // the SQL-interface path: the same engine driven through spark.sql
     // over registered views
     "sql_interface" -> ((s, dir) => {
@@ -526,6 +532,32 @@ object SparkEntry {
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
           col("n"), col("revenue"))),
+    // explicit GROUPING SETS (asymmetric set list — neither rollup nor
+    // cube) with grouping_id() disambiguating the aggregate rows
+    "star_grouping_sets" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(26,6)")).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("n"), col("sum_qty"))),
+    // cumulative-frame window: per-customer running revenue
+    "star_running_total" -> ((s, dir) =>
+      Relational.runningCustomerRevenue(Tables.table(s, dir, "orders"))),
+    // Q2-flavored correlated min via per-part window rank
+    "star_min_cost_supplier" -> ((s, dir) =>
+      Relational.minCostSupplier(Tables.table(s, dir, "lineitem"),
+        Tables.table(s, dir, "supplier"))),
+    // Q21-flavored EXISTS/NOT-EXISTS pair as one per-order aggregation;
+    // the oracle keeps the correlated-subquery form
+    "star_only_late_supplier" -> ((s, dir) =>
+      Relational.onlyLateSupplier(Tables.table(s, dir, "orders"),
+        Tables.table(s, dir, "lineitem"), Tables.table(s, dir, "supplier"))),
 
     // --- multimodal binary-column plumbing (decode step stubbed) ---
     "multimodal_meta" -> ((s, dir) =>
@@ -1424,6 +1456,71 @@ object SparkEntry {
                 round(CAST(s AS DOUBLE) / n, 4) AS mean_value,
                 round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 4) AS stddev_value
          FROM a WHERE n > 1""",
+    // PIVOT as explicit conditional counts (the engine-portable spelling)
+    "events_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'view') AS "view",
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'error') AS error
+         FROM events GROUP BY user_id""",
+    // gaps in integer microseconds; the window orders by the SAME
+    // us-floored instant Spark sees (raw ns order could differ)
+    "events_gaps" ->
+      """WITH g AS (SELECT user_id,
+                           epoch_us(ts) - lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+                    FROM events)
+         SELECT user_id, count(*) AS n_gaps, CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+                round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 4) AS mean_gap_s
+         FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""",
+    "star_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(26,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+    "star_running_total" ->
+      """SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_date,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(26,6))) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+         FROM orders WHERE o_custkey <= 200""",
+    "star_min_cost_supplier" ->
+      """WITH pa AS (SELECT l_partkey, l_suppkey,
+                            CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,6))) * 1000000 AS BIGINT) AS rev_i,
+                            CAST(sum(CAST(l_quantity AS DECIMAL(26,6))) * 1000000 AS BIGINT) AS qty_i
+                     FROM lineitem GROUP BY 1, 2),
+            pp AS (SELECT l_partkey, l_suppkey,
+                          CAST((rev_i * 20000 + qty_i) // (qty_i * 2) AS DOUBLE) / 10000.0 AS unit_price
+                   FROM pa),
+            r AS (SELECT pp.*, row_number() OVER
+                    (PARTITION BY l_partkey ORDER BY unit_price ASC, l_suppkey ASC) AS rn
+                  FROM pp)
+         SELECT l_partkey AS p_partkey, s_suppkey, s_name, unit_price
+         FROM r JOIN supplier ON l_suppkey = s_suppkey WHERE rn = 1""",
+    // deliberately the correlated EXISTS/NOT-EXISTS form — a different
+    // formulation than the Spark per-order aggregation, same semantics
+    "star_only_late_supplier" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+                            l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            w AS (SELECT DISTINCT a.l_orderkey, a.l_suppkey
+                  FROM li a
+                  WHERE a.late
+                    AND EXISTS (SELECT 1 FROM li b
+                                WHERE b.l_orderkey = a.l_orderkey
+                                  AND b.l_suppkey <> a.l_suppkey)
+                    AND NOT EXISTS (SELECT 1 FROM li c
+                                    WHERE c.l_orderkey = a.l_orderkey
+                                      AND c.l_suppkey <> a.l_suppkey AND c.late))
+         SELECT s_suppkey, s_name, count(*) AS numwait
+         FROM w JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1, 2""",
     "text_histogram" ->
       """WITH t AS (SELECT len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) // 10 AS bucket
                     FROM documents)

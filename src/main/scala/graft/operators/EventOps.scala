@@ -204,4 +204,37 @@ object EventOps {
     counts.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
   }
+
+  /** Per-user activity matrix: one row per user, one count column per
+    * event type (relational PIVOT). `types` is explicit — never inferred
+    * — so the schema is static, the plan is a single hash aggregation
+    * (no distinct-values pre-pass), and the pivot is just n conditional
+    * counts wide. Missing combinations are 0, not null. */
+  def typePivot(events: DataFrame, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty, "typePivot needs explicit event types")
+    events.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  /** Per-user inter-arrival-gap profile: lag() over (ts, event_id) gives
+    * each consecutive gap in integer microseconds, then one aggregation
+    * per user. Gap arithmetic stays in exact integers; only the mean is
+    * a (mirrored, 4dp-rounded) double. Scale: the window sorts within a
+    * user partition only. */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    events
+      .select(col("user_id"), (us - lag(us, 1).over(w)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)) / lit(1e6), 4)
+          .as("mean_gap_s"))
+  }
 }

@@ -146,4 +146,82 @@ object Relational {
         max(col("p_size")).as("max_size"),
         round(sum(col("p_retailprice").cast("decimal(20,4)")).cast("double")
           / count(lit(1)), 4).as("avg_price"))
+
+  /** Per-customer running revenue: cumulative-frame window (ROWS
+    * UNBOUNDED PRECEDING..CURRENT) ordered by date + orderkey. The frame
+    * order is total, so the decimal cumsum is exact and engine-portable.
+    * Scale: partitioned by customer — each window sorts one customer's
+    * orders, never a global sort. */
+  def runningCustomerRevenue(orders: DataFrame, maxCust: Long = 200L): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.filter(col("o_custkey") <= maxCust)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_date"),
+        sum(col("o_totalprice").cast("decimal(26,6)")).over(w)
+          .cast("double").as("run_total"))
+  }
+
+  /** TPC-H Q2-flavored min-cost supplier: for every part, the supplier
+    * selling it at the lowest realized unit price (revenue/quantity over
+    * that supplier's lineitems). One fact-table aggregation on
+    * (part, supplier), a per-part window rank, then a broadcast join to
+    * the supplier dim — the correlated-min subquery shape without a
+    * correlated scan of the fact table. */
+  def minCostSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val perPair = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(26,6)")).as("__rev"),
+        sum(col("l_quantity").cast("decimal(26,6)")).as("__qty"))
+      // round(rev/qty, 4) computed EXACTLY in integer arithmetic:
+      // floor((2*rev*10^4 + qty) / (2*qty)) over micro-unit bigints —
+      // a double division would flip the 4th decimal on half-way
+      // boundaries differently per engine. The final /10^4 maps equal
+      // bigints to bit-equal doubles everywhere.
+      .select(col("l_partkey"), col("l_suppkey"),
+        ((col("__rev") * lit(1000000)).cast("long") * lit(20000L) +
+          (col("__qty") * lit(1000000)).cast("long")).as("__num"),
+        ((col("__qty") * lit(1000000)).cast("long") * lit(2L)).as("__den"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (expr("__num DIV __den").cast("double") / lit(10000.0)).as("unit_price"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("unit_price").asc, col("l_suppkey").asc)
+    perPair.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("unit_price"))
+  }
+
+  /** TPC-H Q21-flavored: suppliers that were the ONLY late shipper in a
+    * multi-supplier order ("kept the order waiting"). The EXISTS /
+    * NOT-EXISTS pair is expressed as one per-order aggregation (supplier
+    * count + late-supplier count) — a single fact shuffle on orderkey —
+    * with the oracle deliberately written in correlated-subquery form so
+    * the two formulations check each other.
+    * @param lateDays a lineitem is late if it ships more than this many
+    *                 days after the order date */
+  def onlyLateSupplier(orders: DataFrame, lineitem: DataFrame,
+                       supplier: DataFrame, lateDays: Int = 60): DataFrame = {
+    val li = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+          .as("__late"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
+        countDistinct(when(col("__late"), col("l_suppkey"))).as("__n_late"))
+    li.filter(col("__late"))
+      .join(perOrder.filter(col("__n_supp") > 1 && col("__n_late") === 1),
+        Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
 }

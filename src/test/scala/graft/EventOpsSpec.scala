@@ -80,4 +80,30 @@ class EventOpsSpec extends SparkSuite {
     val slid = EventOps.slidingAgg(events)
     assert(slid.agg(sum(col("n_events"))).head().getLong(0) === 2 * events.count())
   }
+
+  test("typePivot: counts partition the events, missing combos are 0 not null") {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val piv = EventOps.typePivot(events, types)
+    assert(piv.count() === events.select("user_id").distinct().count())
+    val colSum = piv.agg(expr(types.map(t => s"sum(`$t`)").mkString(" + "))
+      .as("total")).head().getLong(0)
+    assert(colSum === events.count(), "pivot cells must partition the event count")
+    assert(piv.filter(types.map(t => col(t).isNull).reduce(_ || _)).count() === 0)
+  }
+
+  test("interArrival: n_gaps = events - 1 per user and gaps telescope to last - first") {
+    val gaps = EventOps.interArrival(events)
+    val perUser = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us"))
+    val joined = gaps.join(perUser, "user_id").collect()
+    assert(joined.nonEmpty)
+    for (r <- joined) {
+      assert(r.getAs[Long]("n_gaps") === r.getAs[Long]("n") - 1)
+      // sum of consecutive gaps telescopes to the full span ONLY when
+      // the order is consistent — catches any per-engine sort drift
+      assert(r.getAs[Long]("sum_gap_us") === r.getAs[Long]("span_us"))
+      assert(r.getAs[Long]("min_gap_us") >= 0L)
+    }
+  }
 }

@@ -206,19 +206,22 @@ object Relational {
     *                 days after the order date */
   def onlyLateSupplier(orders: DataFrame, lineitem: DataFrame,
                        supplier: DataFrame, lateDays: Int = 60): DataFrame = {
-    val li = lineitem
+    // reduce to (order, supplier, any-late) FIRST: one fact-table shuffle
+    // on the pair key, and everything downstream (per-order counts, the
+    // qualifying join, the final supplier count) runs on the reduced pair
+    // table — no countDistinct Expand, no second pass over lineitem
+    val pairs = lineitem
       .join(orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
-          .as("__late"))
-    val perOrder = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
-        countDistinct(when(col("__late"), col("l_suppkey"))).as("__n_late"))
-    li.filter(col("__late"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("__late"))
+    val perOrder = pairs.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__n_supp"),
+        count(when(col("__late"), 1)).as("__n_late"))
+    pairs.filter(col("__late"))
       .join(perOrder.filter(col("__n_supp") > 1 && col("__n_late") === 1),
         Seq("l_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))

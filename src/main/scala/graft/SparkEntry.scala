@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Quantize, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
+import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Profile, Quantize, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -299,6 +299,22 @@ object SparkEntry {
         .select(col("match_id").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(kw, vec, k = 10)
     }),
+    // MMR diversity re-rank of the exact k-NN top-20 (greedy argmax is
+    // engine-specific iteration -> rows-only; invariants spec-pinned)
+    "retrieval_mmr" -> ((s, dir) =>
+      Retrieval.mmrRerank(
+        KnnTopK.knnExact(Tables.defaultQueries(s, dir),
+          Tables.embeddings(s, dir), k = 20, metric = "cosine"),
+        Tables.embeddings(s, dir), k = 10)),
+    // one-pass exact column profile over orders (nulls / distincts /
+    // numeric ranges; timestamp pre-converted to integer epoch seconds
+    // so the double surface is engine-exact)
+    "dq_profile" -> ((s, dir) =>
+      Profile.profile(
+        Tables.table(s, dir, "orders")
+          .withColumn("o_date_s", unix_timestamp(col("o_orderdate"))),
+        numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_date_s"),
+        stringCols = Seq("o_orderstatus", "o_orderpriority"))),
 
     // --- deterministic sampling + packing (training-data pipeline ops;
     //     md5-hash-gated so the sample is stable across engines/runs) ---
@@ -1476,6 +1492,26 @@ object SparkEntry {
                 min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
                 round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 4) AS mean_gap_s
          FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""",
+    "dq_profile" -> {
+      def num(c: String, expr: String = null) = {
+        val e = Option(expr).getOrElse(c)
+        s"""SELECT '$c' AS col_name,
+                   count(*) FILTER (WHERE $e IS NULL) AS n_null,
+                   count(DISTINCT $e) AS n_distinct,
+                   CAST(min($e) AS DOUBLE) AS min_val,
+                   CAST(max($e) AS DOUBLE) AS max_val FROM orders"""
+      }
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name,
+                   count(*) FILTER (WHERE $c IS NULL) AS n_null,
+                   count(DISTINCT $c) AS n_distinct,
+                   CAST(NULL AS DOUBLE) AS min_val,
+                   CAST(NULL AS DOUBLE) AS max_val FROM orders"""
+      Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+        num("o_date_s", "CAST(epoch(o_orderdate) AS BIGINT)"),
+        str("o_orderstatus"), str("o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "")
+    },
     "star_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                 coalesce(l_linestatus, 'ALL') AS linestatus,

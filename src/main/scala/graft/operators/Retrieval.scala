@@ -77,4 +77,83 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick the candidate maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_picked` — relevance with a
+    * diversity penalty, the standard fix for near-duplicate top-k lists.
+    *
+    * Scale shape: MMR is inherently sequential, but only WITHIN a query's
+    * candidate list — which the upstream k-NN already bounded to `n` rows.
+    * So: join candidate vectors (one hash join), then `flatMapGroups` per
+    * query — each group is an O(n²·d) in-memory greedy pass over ≤ n
+    * candidates, queries run embarrassingly parallel. Nothing quadratic
+    * ever touches the corpus.
+    *
+    * Determinism: relevance is the upstream 4dp score; the greedy argmax
+    * tie-breaks on (rounded marginal score, match_id).
+    *
+    * @param candidates (query_id, match_id, score) — score a cosine
+    *                   DISTANCE as produced by the knn operators
+    * @param vectors    (idCol, vecCol) lookup side for candidate vectors
+    * @return (query_id, match_id, mmr, rank) — `mmr` the 4dp-rounded
+    *         marginal score at selection time */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame, k: Int,
+                lambda: Double = 0.7,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda not in [0,1]")
+    val joined = candidates
+      .join(vectors.select(col(idCol).as("match_id"),
+        col(vecCol).cast("array<double>").as("__v")), "match_id")
+      .select(col("query_id").cast("long"), col("match_id").cast("long"),
+        col("score").cast("double"), col("__v"))
+    val spark = joined.sparkSession
+    import spark.implicits._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    joined.as[(Long, Long, Double, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // candidates in deterministic relevance order (distance asc, id)
+        val cands = it.toArray.sortBy(t => (t._3, t._2))
+        val nC = cands.length
+        val picked = Array.fill(nC)(false)
+        val maxSimToSel = Array.fill(nC)(0.0)
+        val out = Seq.newBuilder[(Long, Long, Double, Long)]
+        var r = 1
+        while (r <= math.min(k, nC)) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < nC) {
+            if (!picked(i)) {
+              val rel = 1.0 - cands(i)._3
+              val pen = if (r == 1) 0.0 else maxSimToSel(i)
+              val m = BigDecimal(lambda * rel - (1.0 - lambda) * pen)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (m > bestScore || (m == bestScore && best >= 0 && cands(i)._2 < cands(best)._2)) {
+                best = i; bestScore = m
+              }
+            }
+            i += 1
+          }
+          picked(best) = true
+          out += ((qid, cands(best)._2, bestScore + 0.0, r.toLong))
+          var j = 0
+          while (j < nC) {
+            if (!picked(j)) {
+              val s = cos(cands(j)._4, cands(best)._4)
+              if (s > maxSimToSel(j)) maxSimToSel(j) = s
+            }
+            j += 1
+          }
+          r += 1
+        }
+        out.result()
+      }
+      .toDF("query_id", "match_id", "mmr", "rank")
+  }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profile
+import graft.sources.Tables
+
+class ProfileSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("exact profile: null / distinct / range per column, strings rangeless") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("b")), (None, Some("b"))
+    ).toDF("x", "s")
+    val p = Profile.profile(df, numericCols = Seq("x"), stringCols = Seq("s"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val x = p("x")
+    assert(x.getAs[Long]("n_null") === 1L)
+    assert(x.getAs[Long]("n_distinct") === 2L)
+    assert(x.getAs[Double]("min_val") === 1.0)
+    assert(x.getAs[Double]("max_val") === 2.0)
+    val s = p("s")
+    assert(s.getAs[Long]("n_null") === 1L)
+    assert(s.getAs[Long]("n_distinct") === 2L)
+    assert(s.isNullAt(s.fieldIndex("min_val")) && s.isNullAt(s.fieldIndex("max_val")))
+  }
+
+  test("approx profile matches exact on ranges and is close on cardinality") {
+    val orders = Tables.table(spark, sfDir, "orders")
+    val exact = Profile.profile(orders, Seq("o_orderkey", "o_totalprice"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val approx = Profile.approxProfile(orders, Seq("o_orderkey", "o_totalprice"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    for (c <- Seq("o_orderkey", "o_totalprice")) {
+      assert(approx(c).getAs[Double]("min_val") === exact(c).getAs[Double]("min_val"))
+      assert(approx(c).getAs[Double]("max_val") === exact(c).getAs[Double]("max_val"))
+      val e = exact(c).getAs[Long]("n_distinct").toDouble
+      val a = approx(c).getAs[Long]("n_distinct").toDouble
+      assert(math.abs(a - e) / e < 0.15, s"$c approx cardinality drift: $a vs $e")
+    }
+  }
+}

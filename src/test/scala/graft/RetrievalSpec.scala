@@ -55,4 +55,43 @@ class RetrievalSpec extends SparkSuite {
     val b = Seq((2L, 1L)).toDF("doc_id", "rank")
     assert(Retrieval.rrfFuse(a, b, k = 100).count() === 2L)
   }
+
+  test("mmr: near-duplicate of the top hit is demoted below a diverse candidate") {
+    import spark.implicits._
+    // candidates for one query: 10 ≈ 11 (near-identical directions, best
+    // relevance), 12 orthogonal-ish with slightly worse relevance. Pure
+    // relevance order is 10, 11, 12; MMR must pick 12 second.
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f, 0.01f)),
+      (11L, Array(1.0f, 0.0f, 0.02f)),
+      (12L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, 10L, 0.10), (1L, 11L, 0.11), (1L, 12L, 0.30)
+    ).toDF("query_id", "match_id", "score")
+    val out = Retrieval.mmrRerank(cands, vecs, k = 3, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getAs[Long]("match_id")).toSeq
+    assert(out === Seq(10L, 12L, 11L), s"got $out")
+  }
+
+  test("mmr invariants on fixtures: rank 1 = relevance winner, output bounded, deterministic") {
+    val cands = graft.operators.KnnTopK.knnExact(
+      Tables.defaultQueries(spark, sfDir),
+      Tables.embeddings(spark, sfDir), k = 20, metric = "cosine")
+    val emb = Tables.embeddings(spark, sfDir)
+    val outRows = Retrieval.mmrRerank(cands, emb, k = 10).collect()
+    val byQ = outRows.groupBy(_.getAs[Long]("query_id"))
+    val top1 = cands.filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("match_id")).toMap
+    for ((q, rows) <- byQ) {
+      assert(rows.length === 10)
+      val first = rows.find(_.getAs[Long]("rank") === 1L).get
+      assert(first.getAs[Long]("match_id") === top1(q),
+        "MMR rank 1 must be the pure-relevance winner")
+    }
+    val again = Retrieval.mmrRerank(cands.repartition(5), emb, k = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(again === outRows.sortBy(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rank"))).map(_.toSeq).toSeq)
+  }
 }

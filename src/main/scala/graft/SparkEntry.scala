@@ -276,6 +276,11 @@ object SparkEntry {
     // data-driven quality gate: worst decile by exact percentile
     "quality_calibrated" -> ((s, dir) =>
       TextOps.calibratedQualityGate(Tables.documents(s, dir), q = 0.1)),
+    // cross-document repeated 8-grams (boilerplate / memorization audit)
+    // on the corpus-with-planted-exact-dupes fixture so the report is
+    // guaranteed non-vacuous
+    "boilerplate_ngrams" -> ((s, dir) =>
+      TextOps.repeatedNgramReport(docsWithExactDupes(s, dir), n = 8, minDocs = 2)),
     // redacted text compared by md5 so the oracle diff stays small
     "text_redact" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -396,6 +401,8 @@ object SparkEntry {
         Seq("click", "view", "purchase", "signup", "error"))),
     // lag() inter-arrival gaps, integer-microsecond exact
     "events_gaps" -> ((s, dir) => EventOps.interArrival(Tables.events(s, dir))),
+    // SCD2 build: lag-detected change points, lead-closed intervals
+    "events_scd2" -> ((s, dir) => EventOps.statusHistory(Tables.events(s, dir))),
     // the SQL-interface path: the same engine driven through spark.sql
     // over registered views
     "sql_interface" -> ((s, dir) => {
@@ -565,6 +572,10 @@ object SparkEntry {
     // cumulative-frame window: per-customer running revenue
     "star_running_total" -> ((s, dir) =>
       Relational.runningCustomerRevenue(Tables.table(s, dir, "orders"))),
+    // RANGE-frame window: trailing-30-day revenue (value-based frame,
+    // same-day orders are peers — ROWS would tie-break arbitrarily)
+    "star_moving_revenue" -> ((s, dir) =>
+      Relational.movingRevenue(Tables.table(s, dir, "orders"))),
     // Q2-flavored correlated min via per-part window rank
     "star_min_cost_supplier" -> ((s, dir) =>
       Relational.minCostSupplier(Tables.table(s, dir, "lineitem"),
@@ -1512,6 +1523,41 @@ object SparkEntry {
         str("o_orderstatus"), str("o_orderpriority"))
         .mkString("", "\nUNION ALL\n", "")
     },
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+            m AS (SELECT user_id, us, event_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+                  FROM e),
+            c AS (SELECT user_id, us, event_id, event_type FROM m
+                  WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type AS status, us AS valid_from_us,
+                lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+         FROM c""",
+    "star_moving_revenue" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                           CAST(epoch(o_orderdate) AS BIGINT) AS o_date, o_totalprice
+                    FROM orders WHERE o_custkey <= 200)
+         SELECT o_custkey, o_orderkey, o_date,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(26,6))) OVER
+                       (PARTITION BY o_custkey ORDER BY o_date
+                        RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_rev
+         FROM o""",
+    "boilerplate_ngrams" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 10000000 AS doc_id, text
+                    FROM documents WHERE doc_id % 10 = 0),
+            toks AS (SELECT doc_id,
+                            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+                     FROM d),
+            gs AS (SELECT doc_id,
+                          CASE WHEN len(ts) >= 8
+                               THEN list_distinct(list_transform(range(len(ts) - 7),
+                                      i -> array_to_string(list_slice(ts, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')))
+                               ELSE [array_to_string(ts, ' ')] END AS gs
+                   FROM toks),
+            g AS (SELECT doc_id, unnest(gs) AS gram FROM gs)
+         SELECT gram, count(*) AS n_docs FROM g GROUP BY 1 HAVING count(*) >= 2""",
     "star_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                 coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -218,6 +218,24 @@ object EventOps {
       .na.fill(0L, types)
   }
 
+  /** SCD2-style status history: each user's event-type CHANGES as
+    * validity intervals — `lag` marks the change points, `lead` closes
+    * each interval at the next change (open = null = current status).
+    * The standard slowly-changing-dimension build, windowed per user so
+    * no global sort exists at any scale. Interval bounds are integer
+    * epoch-microseconds (engine-exact). */
+  def statusHistory(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("__us"),
+        col("event_id"), col("event_type"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("status"),
+        col("__us").as("valid_from_us"),
+        lead(col("__us"), 1).over(w).as("valid_to_us"))
+  }
+
   /** Per-user inter-arrival-gap profile: lag() over (ts, event_id) gives
     * each consecutive gap in integer microseconds, then one aggregation
     * per user. Gap arithmetic stays in exact integers; only the mean is

@@ -163,6 +163,21 @@ object Relational {
           .cast("double").as("run_total"))
   }
 
+  /** Per-customer trailing-window revenue: RANGE frame over integer
+    * epoch-seconds (value-based, so same-day orders are frame peers in
+    * every engine — a ROWS frame would tie-break arbitrarily). */
+  def movingRevenue(orders: DataFrame, days: Int = 30,
+                    maxCust: Long = 200L): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_date"))
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    orders.filter(col("o_custkey") <= maxCust)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_date"),
+        sum(col("o_totalprice").cast("decimal(26,6)")).over(w)
+          .cast("double").as("mov_rev"))
+  }
+
   /** TPC-H Q2-flavored min-cost supplier: for every part, the supplier
     * selling it at the lowest realized unit price (revenue/quantity over
     * that supplier's lineitems). One fact-table aggregation on

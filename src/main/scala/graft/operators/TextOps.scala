@@ -265,4 +265,24 @@ object TextOps {
       .withColumn("quality",
         qualityScore(col("n_tokens"), col("punct_ratio"), col("stopword_ratio")))
   }
+
+  /** Cross-document repeated word-n-gram report — boilerplate detection
+    * / memorization-risk audit: every n-gram appearing in at least
+    * `minDocs` distinct documents, with its document count. (The same
+    * verbatim-overlap currency as [[Contamination]], pointed at the
+    * corpus itself instead of an eval split.)
+    *
+    * Scale: per-doc grams are DISTINCT ([[Dedup.wordShingles]]), so the
+    * per-gram doc count is a plain `count` — one explode + one shuffle
+    * on the gram key, no countDistinct Expand. Boilerplate grams are by
+    * definition heavy hitters; the map-side partial count absorbs the
+    * skew before the shuffle. */
+  def repeatedNgramReport(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
 }

@@ -51,4 +51,21 @@ class ChunkingSpec extends SparkSuite {
     assert(f("1_view") === viewUsers)
     assert(f("3_purchase") > 0, "fixture should contain full conversions")
   }
+
+  test("repeatedNgramReport finds exactly the grams shared across documents") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9" // 9 shared words -> 2 shared 8-grams
+    val corpus = Seq(
+      (1L, s"alpha beta $shared"),
+      (2L, s"totally different start $shared"),
+      (3L, "nothing in common with anything else at all whatsoever")
+    ).toDF("doc_id", "text")
+    val rep = TextOps.repeatedNgramReport(corpus, n = 8, minDocs = 2)
+      .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("n_docs")).toMap
+    assert(rep === Map(
+      "s1 s2 s3 s4 s5 s6 s7 s8" -> 2L,
+      "s2 s3 s4 s5 s6 s7 s8 s9" -> 2L))
+    // a corpus of unique docs reports nothing
+    assert(TextOps.repeatedNgramReport(corpus.filter($"doc_id" =!= 2L),
+      n = 8, minDocs = 2).count() === 0L)
+  }
 }

@@ -91,6 +91,23 @@ class EventOpsSpec extends SparkSuite {
     assert(piv.filter(types.map(t => col(t).isNull).reduce(_ || _)).count() === 0)
   }
 
+  test("statusHistory: intervals chain per user and consecutive statuses differ") {
+    val hist = EventOps.statusHistory(events)
+      .orderBy("user_id", "valid_from_us").collect()
+    assert(hist.nonEmpty)
+    for ((_, rows) <- hist.groupBy(_.getAs[Long]("user_id"))) {
+      val sorted = rows.sortBy(_.getAs[Long]("valid_from_us"))
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray)) {
+        assert(a.getAs[Long]("valid_to_us") === b.getAs[Long]("valid_from_us"),
+          "each interval must close exactly where the next opens")
+        assert(a.getAs[String]("status") !== b.getAs[String]("status"),
+          "consecutive intervals must change status")
+      }
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_us")),
+        "current status must be open-ended")
+    }
+  }
+
   test("interArrival: n_gaps = events - 1 per user and gaps telescope to last - first") {
     val gaps = EventOps.interArrival(events)
     val perUser = events.groupBy("user_id")

@@ -27,6 +27,32 @@ class RelationalSpec extends SparkSuite {
       assert(math.abs(rows.last.getAs[Double]("run_total") - expect(c)) < 1e-6)
   }
 
+  test("movingRevenue: trailing window bounded below by the order itself, above by the running total") {
+    val all = Tables.table(spark, sfDir, "orders")
+    // same-date peer orders are in the RANGE frame but not yet in the
+    // running total — compare only customers with unique order dates
+    val uniqueDateCusts = all.groupBy("o_custkey", "o_orderdate").count()
+      .groupBy("o_custkey").agg(max("count").as("m")).filter(col("m") === 1)
+      .select("o_custkey")
+    val orders = all.join(uniqueDateCusts, "o_custkey")
+    val mov = Relational.movingRevenue(orders, days = 30, maxCust = 50L)
+    val run = Relational.runningCustomerRevenue(orders, maxCust = 50L)
+    val j = mov.alias("m").join(run.alias("r"), Seq("o_custkey", "o_orderkey"))
+      .join(all.select(col("o_orderkey"), col("o_totalprice")), "o_orderkey")
+      .select(col("mov_rev"), col("run_total"), col("o_totalprice")).collect()
+    assert(j.nonEmpty)
+    for (r <- j) {
+      assert(r.getAs[Double]("mov_rev") >= r.getAs[Double]("o_totalprice") - 1e-6)
+      assert(r.getAs[Double]("mov_rev") <= r.getAs[Double]("run_total") + 1e-6)
+    }
+    // an unbounded trailing window IS the running total
+    val wide = Relational.movingRevenue(orders, days = 100000, maxCust = 50L)
+      .select(col("o_orderkey"), col("mov_rev"))
+    val diff = wide.join(run, "o_orderkey")
+      .filter(abs(col("mov_rev") - col("run_total")) > 1e-6).count()
+    assert(diff === 0L)
+  }
+
   test("minCostSupplier: one row per part, and it is the minimum unit price") {
     val li = Tables.table(spark, sfDir, "lineitem")
     val supp = Tables.table(spark, sfDir, "supplier")

@@ -403,6 +403,8 @@ object SparkEntry {
     "events_gaps" -> ((s, dir) => EventOps.interArrival(Tables.events(s, dir))),
     // SCD2 build: lag-detected change points, lead-closed intervals
     "events_scd2" -> ((s, dir) => EventOps.statusHistory(Tables.events(s, dir))),
+    // percent_rank + cume_dist over a tie-free total order
+    "events_standing" -> ((s, dir) => EventOps.valueStanding(Tables.events(s, dir))),
     // the SQL-interface path: the same engine driven through spark.sql
     // over registered views
     "sql_interface" -> ((s, dir) => {
@@ -1533,6 +1535,11 @@ object SparkEntry {
          SELECT user_id, event_type AS status, us AS valid_from_us,
                 lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
          FROM c""",
+    "events_standing" ->
+      """SELECT event_id, event_type,
+                round(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pct_rank,
+                round(cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS cume
+         FROM events""",
     "star_moving_revenue" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
                            CAST(epoch(o_orderdate) AS BIGINT) AS o_date, o_totalprice

@@ -46,9 +46,19 @@ object Dedup {
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** Distinct word n-shingles; short texts fall back to the whole token
-    * string so every doc has at least one shingle. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+    * string so every doc has at least one shingle.
+    *
+    * CAUTION (query-path cost): `text` is referenced once per shingle
+    * inside the transform lambda, and Catalyst does NOT common-
+    * subexpression-eliminate inside HOF lambdas — pass a MATERIALIZED
+    * token-array column ([[wordShinglesOfTokens]]) from a separate
+    * projection when the input is raw text, or the split() runs ~L times
+    * per row. */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOfTokens(tokens(text), n)
+
+  /** [[wordShingles]] over an already-tokenized array column. */
+  def wordShinglesOfTokens(ts: Column, n: Int): Column = {
     val joined = concat_ws(" ", ts)
     when(size(ts) >= n,
       array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)),

@@ -218,6 +218,19 @@ object EventOps {
       .na.fill(0L, types)
   }
 
+  /** Relative standing of every event's value within its type:
+    * percent_rank (rank-based) and cume_dist (count-based), over the
+    * total order (value, event_id) so ranks are tie-free and both
+    * fractions are exact integer ratios — identical doubles in any
+    * engine. */
+  def valueStanding(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events.select(col("event_id"), col("event_type"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
   /** SCD2-style status history: each user's event-type CHANGES as
     * validity intervals — `lag` marks the change points, `lead` closes
     * each interval at the next change (open = null = current status).

@@ -32,31 +32,17 @@ object KnnJoin {
                    metric: String = "cosine",
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    excludeSelf: Boolean = true): DataFrame = {
-    val scored = metric match {
-      case "cosine" =>
-        // norm hoisting: sqrt(v·v) once per ROW instead of once per PAIR
-        // — the O(Q·N) inner loop drops from 3 vector passes to 1. The
-        // arithmetic is unchanged (dot / (sqrt(q·q) * sqrt(c·c)), same
-        // association as the fused CosineSim), so scores stay bit-equal
-        // to the un-hoisted form and the oracle.
-        val q = left.select(col(idCol).as("query_id"),
-          col(vecCol).as("query_vec"),
-          sqrt(VectorOps.dot(col(vecCol), col(vecCol))).as("__qn"))
-        right
-          .select(col(idCol), col(vecCol),
-            sqrt(VectorOps.dot(col(vecCol), col(vecCol))).as("__cn"))
-          .join(q, if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
-          .select(col("query_id"), col(idCol).as("match_id"),
-            (round(lit(1.0) - VectorOps.dot(col("query_vec"), col(vecCol))
-              / (col("__qn") * col("__cn")), 4) + lit(0.0)).as("score"))
-      case _ =>
-        val q = left.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-        right
-          .join(q, if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
-          .select(col("query_id"), col(idCol).as("match_id"),
-            (round(VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4)
-              + lit(0.0)).as("score"))
-    }
+    // NOTE on a measured dead end: hoisting sqrt(v·v) into per-row norm
+    // columns (1 vector pass per pair instead of CosineSim's fused 3)
+    // benched ~20% SLOWER at sf0.1 — the fused single-expression pass
+    // beats the flop savings once the extra columns ride through the
+    // nested-loop join. Kept on the fused form deliberately.
+    val q = left.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = right
+      .join(q, if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
+      .select(col("query_id"), col(idCol).as("match_id"),
+        (round(VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4)
+          + lit(0.0)).as("score"))
     boundedTopK(scored, k)
   }
 
@@ -90,26 +76,12 @@ object KnnJoin {
             c.getField("cell").as("cell")))), 1, nProbe))
       .select(col("query_id"), col("query_vec"),
         explode(col("__cells.cell")).as("cell"))
-    val scored = (metric match {
-      case "cosine" =>
-        // same norm hoisting as [[knnJoinExact]] — one vector pass per
-        // joined pair, norms computed once per row on each side
-        index.corpusWithCell
-          .withColumn("__cn", sqrt(VectorOps.dot(col(vecCol), col(vecCol))))
-          .join(probed.withColumn("__qn",
-            sqrt(VectorOps.dot(col("query_vec"), col("query_vec")))), Seq("cell"))
-          .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
-          .select(col("query_id"), col(idCol).as("match_id"),
-            (round(lit(1.0) - VectorOps.dot(col("query_vec"), col(vecCol))
-              / (col("__qn") * col("__cn")), 4) + lit(0.0)).as("score"))
-      case _ =>
-        index.corpusWithCell
-          .join(probed, Seq("cell"))
-          .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
-          .select(col("query_id"), col(idCol).as("match_id"),
-            (round(VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4)
-              + lit(0.0)).as("score"))
-    })
+    val scored = index.corpusWithCell
+      .join(probed, Seq("cell"))
+      .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
+      .select(col("query_id"), col(idCol).as("match_id"),
+        (round(VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4)
+          + lit(0.0)).as("score"))
     // a query's probed cells can overlap another's corpus rows only once
     // per cell, and cells partition the corpus — no duplicate pairs.
     boundedTopK(scored, k)

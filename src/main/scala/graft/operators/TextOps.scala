@@ -280,8 +280,12 @@ object TextOps {
   def repeatedNgramReport(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
-        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+    // tokenize in ITS OWN projection: CollapseProject keeps the split()
+    // materialized (non-cheap, multiply-referenced), so the shingle
+    // lambda reads a token ARRAY instead of re-splitting per shingle
+    docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol),
+        explode(Dedup.wordShinglesOfTokens(col("__ts"), n)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

@@ -137,6 +137,15 @@ object EventStream {
     * state is bounded: Spark evicts buffered rows once the watermark
     * passes the interval — the only join form that survives an unbounded
     * stream. Output (user_id, ts, prior_ts, event_type, prior_type). */
+  /** Stream-static enrichment: join every micro-batch against a BATCH
+    * dimension frame. The dim side is broadcast — re-planned per batch,
+    * no streaming state, no watermark; this is how a 100 TB/day stream
+    * picks up a reference table (labels, weights, routing) that lives in
+    * the warehouse. Inner equi-join keeps the result append-only. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String = "event_type"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   def joinRecentPriors(events: DataFrame, horizon: String = "30 minutes",
                        watermark: String = "2 hours"): DataFrame = {
     val cur = events.withWatermark("ts", watermark)

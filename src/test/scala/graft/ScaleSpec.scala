@@ -27,6 +27,29 @@ class ScaleSpec extends SparkSuite {
     assert(probe.select(countDistinct(col("cell"))).head().getLong(0) <= 2)
   }
 
+  test("dynamic partition pruning: fact partitions pruned by the dim-side filter") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_dpp").toString + "/corpus"
+    Scale.dumpPartitionedBy(Tables.embeddings(spark, sfDir), path, "label")
+    val fact = Scale.loadPartitioned(spark, path)
+    // selective dim: only labels 2 and 5 survive its filter — at plan
+    // time the fact side cannot know that; DPP injects the dim's result
+    // as a runtime partition filter on the fact scan. The dim must be a
+    // FILE source with a live Filter node: a LocalRelation constant-
+    // folds the predicate away and the DPP heuristic sees no selective
+    // side to prune with.
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString + "/dim"
+    Seq((2, "keep"), (5, "keep"), (991, "ghost")).toDF("label", "tag")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val joined = fact.join(dim, "label")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan: ${plan.take(800)}")
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(joined.count() === emb.filter(col("label").isin(2, 5)).count())
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val emb = Tables.embeddings(spark, sfDir)

@@ -161,6 +161,25 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins every micro-batch against a batch dim") {
+    import spark.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+    val q = EventStream.runToMemory(
+      EventStream.enrichWithDim(
+        EventStream.readEvents(spark, sfDir).select("event_id", "event_type"), dim),
+      "enriched_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("enriched_out")
+      val batch = Tables.events(spark, sfDir).select("event_id", "event_type")
+        .join(dim, "event_type")
+      assert(streamed.count() === batch.count())
+      val got = streamed.agg(sum(col("weight"))).head().getDouble(0)
+      val want = batch.agg(sum(col("weight"))).head().getDouble(0)
+      assert(math.abs(got - want) < 1e-6)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running counts cover every user") {
     val q = EventStream.runToMemory(
       EventStream.runningUserCounts(EventStream.readEvents(spark, sfDir)), "user_counts",

@@ -427,6 +427,22 @@ object SparkEntry {
                  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(26,6))) AS DOUBLE) / count(*)
                  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)""")
     }),
+    // TPC-H Q22-flavored: the third hard-decorrelation shape (scalar
+    // subquery + NOT EXISTS + aggregate in ONE query; Q2/Q21 flavors
+    // cover the other two). 1996 restriction keeps the anti-join
+    // non-vacuous at small scale factors.
+    "star_rich_inactive" -> ((s, dir) => {
+      Tables.table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders_q22v")
+      s.sql("""SELECT c_mktsegment, count(*) AS numcust,
+                      CAST(sum(CAST(c_acctbal AS DECIMAL(26,6))) AS DOUBLE) AS totacctbal
+               FROM customer_v
+               WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(26,6))) AS DOUBLE) / count(*)
+                                  FROM customer_v WHERE c_acctbal > 0.0)
+                 AND NOT EXISTS (SELECT 1 FROM orders_q22v
+                                 WHERE year(o_orderdate) = 1996 AND o_custkey = c_custkey)
+               GROUP BY c_mktsegment""")
+    }),
     // custom codegen expressions driven from SQL text (GraftFunctions
     // registration — the injectFunction surface)
     "sql_vector" -> ((s, dir) => {
@@ -1376,6 +1392,15 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE year(o_orderdate) = 1996 AND o_custkey = c_custkey)
          GROUP BY 1""",
+    "star_rich_inactive" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(26,6))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(26,6))) AS DOUBLE) / count(*)
+                            FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE year(o_orderdate) = 1996 AND o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
     "star_part_stats" ->
       """SELECT p_brand, count(*) AS n_parts, count(DISTINCT p_type) AS n_types,
                 min(p_size) AS min_size, max(p_size) AS max_size,

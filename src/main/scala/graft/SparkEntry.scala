@@ -405,6 +405,8 @@ object SparkEntry {
     "events_scd2" -> ((s, dir) => EventOps.statusHistory(Tables.events(s, dir))),
     // percent_rank + cume_dist over a tie-free total order
     "events_standing" -> ((s, dir) => EventOps.valueStanding(Tables.events(s, dir))),
+    // z-score outlier sweep (broadcast per-type stats, one fact pass)
+    "events_anomaly" -> ((s, dir) => EventOps.valueOutliers(Tables.events(s, dir), z = 2.5)),
     // the SQL-interface path: the same engine driven through spark.sql
     // over registered views
     "sql_interface" -> ((s, dir) => {
@@ -1560,6 +1562,19 @@ object SparkEntry {
          SELECT user_id, event_type AS status, us AS valid_from_us,
                 lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
          FROM c""",
+    "events_anomaly" ->
+      """WITH a AS (SELECT event_type, count(*) AS n,
+                           sum(CAST(value AS DECIMAL(30,8))) AS s,
+                           sum(CAST(value * value AS DECIMAL(30,8))) AS ss
+                    FROM events GROUP BY 1),
+            st AS (SELECT event_type,
+                          CAST(s AS DOUBLE) / n AS m,
+                          sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS sd
+                   FROM a WHERE n > 1)
+         SELECT event_id, e.event_type, value,
+                round((value - m) / sd, 4) AS zscore
+         FROM events e JOIN st ON e.event_type = st.event_type
+         WHERE value > m + 2.5 * sd""",
     "events_standing" ->
       """SELECT event_id, event_type,
                 round(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pct_rank,

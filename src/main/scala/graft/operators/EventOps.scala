@@ -73,6 +73,29 @@ object EventOps {
         round(sqrt((col("__ss").cast("double") - col("__s").cast("double") *
           col("__s").cast("double") / col("n")) / (col("n") - 1)), 4).as("stddev_value"))
 
+  /** Z-score anomaly flagging: events whose value sits more than
+    * `z` sample standard deviations above their type's mean. The
+    * per-type stats frame is tiny (one row per type) and broadcasts;
+    * the fact side is a single filtered projection — the standard
+    * outlier sweep at any corpus size. Stats arithmetic is identical
+    * to [[valueStats]] (decimal sums, double division), but UNROUNDED
+    * — rounding the threshold would move the cut. */
+  def valueOutliers(events: DataFrame, z: Double = 3.0): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("value").cast("decimal(30,8)")).as("__s"),
+        sum((col("value") * col("value")).cast("decimal(30,8)")).as("__ss"))
+      .filter(col("__n") > 1)
+      .select(col("event_type"),
+        (col("__s").cast("double") / col("__n")).as("__mean"),
+        sqrt((col("__ss").cast("double") - col("__s").cast("double") *
+          col("__s").cast("double") / col("__n")) / (col("__n") - 1)).as("__std"))
+    events.join(broadcast(stats), "event_type")
+      .filter(col("value") > col("__mean") + lit(z) * col("__std"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("__mean")) / col("__std"), 4).as("zscore"))
+  }
+
   /** JSON property extraction from the `props` column + aggregate by
     * event type. `try_cast` keeps malformed payloads null-safe under
     * ANSI mode. */

@@ -91,6 +91,22 @@ class EventOpsSpec extends SparkSuite {
     assert(piv.filter(types.map(t => col(t).isNull).reduce(_ || _)).count() === 0)
   }
 
+  test("valueOutliers: flags exactly the rows above the recomputed threshold") {
+    val out = EventOps.valueOutliers(events, z = 2.0)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    // recompute the cut independently per type via built-in avg/stddev
+    val stats = events.groupBy("event_type")
+      .agg(avg(col("value")).as("m"), stddev(col("value")).as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = events.select("event_id", "event_type", "value").collect()
+      .filter { r =>
+        val (m, sd) = stats(r.getAs[String]("event_type"))
+        r.getAs[Double]("value") > m + 2.0 * sd
+      }.map(_.getAs[Long]("event_id")).toSet
+    assert(out === want)
+    assert(out.nonEmpty, "fixture should contain outliers at z=2")
+  }
+
   test("statusHistory: intervals chain per user and consecutive statuses differ") {
     val hist = EventOps.statusHistory(events)
       .orderBy("user_id", "valid_from_us").collect()

@@ -40,8 +40,14 @@ object Retrieval {
       .filter(array_contains(termsLit, col("__term")))
       .groupBy(col(idCol), col("__dl"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-    val scored = tf.join(broadcast(dfreq), "__term").crossJoin(broadcast(stats))
+    // document frequency as a COUNT WINDOW over the already-reduced tf
+    // frame (≤ |terms|·N rows): a separate `tf.groupBy(term)` + join
+    // re-executes the whole scan+tokenize subtree — a third full corpus
+    // pass at 100 TB — because Spark re-computes shared subtrees rather
+    // than splitting the dataflow
+    val dfw = Window.partitionBy(col("__term"))
+    val scored = tf.withColumn("__df", count(lit(1)).over(dfw))
+      .crossJoin(broadcast(stats))
       // parenthesization mirrors the SQL oracle token for token; note
       // k1+1 is COMPUTED (1.2 + 1 != the double literal 2.2 by one ulp)
       .withColumn("__idf",

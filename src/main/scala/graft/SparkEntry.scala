@@ -445,6 +445,18 @@ object SparkEntry {
                                  WHERE year(o_orderdate) = 1996 AND o_custkey = c_custkey)
                GROUP BY c_mktsegment""")
     }),
+    // LATERAL correlated subquery with ORDER BY + LIMIT: per-customer
+    // top-2 orders through Catalyst's lateral-join decorrelation — the
+    // plan-machinery sibling of the window top-k formulation
+    "star_lateral_topn" -> ((s, dir) => {
+      Tables.table(s, dir, "customer").createOrReplaceTempView("customer_lv")
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders_lv")
+      s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+               FROM customer_lv c,
+               LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lv o
+                        WHERE o.o_custkey = c.c_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
+    }),
     // custom codegen expressions driven from SQL text (GraftFunctions
     // registration — the injectFunction surface)
     "sql_vector" -> ((s, dir) => {
@@ -1394,6 +1406,12 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE year(o_orderdate) = 1996 AND o_custkey = c_custkey)
          GROUP BY 1""",
+    "star_lateral_topn" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""",
     "star_rich_inactive" ->
       """SELECT c_mktsegment, count(*) AS numcust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(26,6))) AS DOUBLE) AS totacctbal

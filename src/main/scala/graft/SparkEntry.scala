@@ -218,6 +218,16 @@ object SparkEntry {
       Pq.adcSearch(idx, Tables.defaultQueries(s, dir),
         s.read.parquet(encodedPath), k = 5)
     }),
+    // the full IVFPQ composition: cells prune the candidate set
+    // (nProbe/numCells of the corpus), ADC scores the survivors from
+    // codes — both compressions of the serving stack in ONE query
+    "ann_ivfpq" -> ((s, dir) => {
+      val ivf = KnnIvf.load(s, ivfIndexPath(s, dir))
+      val (idx, _) = pqIndexFor(s, dir)
+      Pq.adcSearchProbed(idx,
+        KnnIvf.probeCells(ivf, Tables.defaultQueries(s, dir), nProbe = 8),
+        Pq.encode(idx, ivf.corpusWithCell), k = 5)
+    }),
 
     // --- k-NN JOIN: every corpus row is a query (kNN-dedup / hard-negative
     //     mining shape). Exact form = oracle baseline; the IVF-co-partitioned

@@ -64,6 +64,12 @@ object KnnIvf {
       .select(col("query_id"), col("query_vec"), col("__c.cell").as("cell"))
   }
 
+  /** Public probe assignment: one (query_id, query_vec, cell) row per
+    * probed cell — the handoff for compositions like
+    * [[Pq.adcSearchProbed]] (IVFPQ). */
+  def probeCells(index: IvfIndex, queries: DataFrame, nProbe: Int): DataFrame =
+    queryCells(queries, index.model, nProbe)
+
   /** Approximate top-k: probe `nProbe` cells per query, exact re-rank
     * within probed cells. Same output shape as [[Knn.knnExact]]. */
   def search(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int,

@@ -78,27 +78,46 @@ object Pq {
     * `||recon||² = Σ_s sqLut` are EXACT identities, so ADC equals
     * reconstruction search up to float-vs-double rounding (spec-pinned).
     *
-    * Fixture-scale note: the per-pair lookup runs as interpreted HOFs
-    * here; the 100 TB form would lower it into a codegen'd Expression
-    * like VectorExprs — same plan shape, same broadcast + partial top-k.
+    * The per-pair lookup runs as the codegen'd
+    * [[graft.functions.VectorExprs.AdcLookup]] primitive loop (round 3);
+    * only the per-query LUT construction stays in interpreted HOFs.
     * @return (query_id, match_id, score, rank) like [[Knn.knnExact]] */
   def adcSearch(index: PqIndex, queries: DataFrame, encoded: DataFrame,
                 k: Int, metric: String = "cosine",
                 idCol: String = "vec_id", queryIdCol: String = "query_id",
                 queryVecCol: String = "query_vec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorOps
+    val scored = encoded.crossJoin(broadcast(withLuts(index, queries, queryVecCol)))
+    rankAdc(index, scored, k, metric, idCol, queryIdCol)
+  }
+
+  /** ADC restricted to IVF-probed cells — the IVFPQ composition (Jégou
+    * et al. §V): `probedQueries` carries one (query_id, query_vec, cell)
+    * row per probe ([[KnnIvf.probeCells]]); `encodedCells` is the
+    * cell-partitioned corpus run through [[encode]] (the cell column
+    * rides along). The cell-equi join scores each query against its
+    * probed cells ONLY — query cost drops from |corpus| to
+    * nProbe/numCells of it, on top of ADC's m-lookups-per-row. */
+  def adcSearchProbed(index: PqIndex, probedQueries: DataFrame,
+                      encodedCells: DataFrame, k: Int,
+                      metric: String = "cosine", idCol: String = "vec_id",
+                      queryIdCol: String = "query_id",
+                      queryVecCol: String = "query_vec"): DataFrame = {
+    val scored = encodedCells.join(
+      broadcast(withLuts(index, probedQueries, queryVecCol)), Seq("cell"))
+    rankAdc(index, scored, k, metric, idCol, queryIdCol)
+  }
+
+  /** Per-query lookup tables: `ipLut[s][c] = <q_s, centroid_{s,c}>` and
+    * the query norm. Interpreted HOFs are fine HERE — queries are
+    * broadcast-sized; the per-pair hot path is the codegen'd
+    * [[graft.functions.VectorExprs.AdcLookup]] primitive loop. */
+  private def withLuts(index: PqIndex, queries: DataFrame,
+                       queryVecCol: String): DataFrame = {
     val m = index.m
     val subDim = index.subDim
-    val kCodes = index.codebooks.head.size
     val booksLit: Column = typedLit(index.codebooks.map(_.map(_.toSeq)))
-    // subspace-major flattened ||centroid||² table — a plain literal
-    val sqLit: Column = typedLit(index.codebooks.flatMap(_.map(c => c.map(x => x * x).sum)))
     val qv = col(queryVecCol)
-    // the per-QUERY LUT may use interpreted HOFs freely (queries are
-    // broadcast-sized); the per-PAIR lookup below is the hot path and
-    // runs as the codegen'd AdcLookup primitive loop
-    val withLut = queries
+    queries
       .withColumn("__iplut",
         flatten(transform(sequence(lit(0), lit(m - 1)), s =>
           transform(element_at(booksLit, s + 1), cv =>
@@ -107,6 +126,17 @@ object Pq {
       .withColumn("__qnorm",
         sqrt(aggregate(qv, lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .drop(queryVecCol)
+  }
+
+  private def rankAdc(index: PqIndex, scoredInput: DataFrame, k: Int,
+                      metric: String, idCol: String,
+                      queryIdCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps
+    val kCodes = index.codebooks.head.size
+    // subspace-major flattened ||centroid||² table — a plain literal
+    val sqLit: Column = typedLit(index.codebooks.flatMap(_.map(c => c.map(x => x * x).sum)))
     val ip = VectorOps.adcLookup(col("pq_codes"), col("__iplut"), kCodes)
     val rsq = VectorOps.adcLookup(col("pq_codes"), sqLit, kCodes)
     val dist = metric match {
@@ -116,7 +146,7 @@ object Pq {
       case other =>
         throw new IllegalArgumentException(s"ADC metric '$other' unsupported")
     }
-    val scored = encoded.crossJoin(broadcast(withLut))
+    val scored = scoredInput
       .select(col(queryIdCol), col(idCol).as("match_id"),
         round(dist, 4).as("score"))
     val w = Window.partitionBy(col(queryIdCol))

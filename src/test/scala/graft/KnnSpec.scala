@@ -199,6 +199,25 @@ class KnnSpec extends SparkSuite {
     assert(recall >= 0.5, s"PQ ADC recall@10 = $recall")
   }
 
+  test("IVFPQ: probing every cell degenerates to plain ADC search") {
+    import graft.operators.{KnnIvf, Pq}
+    val numCells = 8
+    val ivf = KnnIvf.build(corpus, numCells = numCells)
+    val pq = Pq.train(corpus, dim = 64, m = 16, k = 32)
+    val encCells = Pq.encode(pq, ivf.corpusWithCell)
+    val all = Pq.adcSearchProbed(pq,
+      KnnIvf.probeCells(ivf, queries, nProbe = numCells), encCells, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val plain = Pq.adcSearch(pq, queries, Pq.encode(pq, corpus), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(all === plain, "nProbe = numCells must equal un-pruned ADC exactly")
+    // pruned probing returns k rows per query and stays subset-sane
+    val pruned = Pq.adcSearchProbed(pq,
+      KnnIvf.probeCells(ivf, queries, nProbe = 2), encCells, k = 10)
+    val counts = pruned.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ === 10L))
+  }
+
   test("sign-RP LSH finds all planted cosine duplicates") {
     val emb = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))

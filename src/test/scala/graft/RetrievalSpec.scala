@@ -49,6 +49,17 @@ class RetrievalSpec extends SparkSuite {
     assert(fused.size === 5)
   }
 
+  test("empty inputs flow through bm25, rrf, and mmr (no crash, empty out)") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Retrieval.bm25(noDocs, Seq("dup"), k = 5).count() === 0L)
+    val noRanks = Seq.empty[(Long, Long)].toDF("doc_id", "rank")
+    assert(Retrieval.rrfFuse(noRanks, noRanks, k = 5).count() === 0L)
+    val noCands = Seq.empty[(Long, Long, Double)].toDF("query_id", "match_id", "score")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Retrieval.mmrRerank(noCands, noVecs, k = 5).count() === 0L)
+  }
+
   test("rrf is top-k-input-bounded: fused output never exceeds |a| + |b|") {
     import spark.implicits._
     val a = Seq((1L, 1L)).toDF("doc_id", "rank")

@@ -237,7 +237,7 @@ object SparkEntry {
     // approximate join off the SAME persisted IVF index ann_ivf serves
     // from; engine-specific centroids -> rows-only, recall spec-pinned
     "ann_knn_join" -> ((s, dir) =>
-      KnnJoin.annJoinIvf(Tables.embeddings(s, dir), Tables.embeddings(s, dir),
+      KnnJoin.annJoinIvf(Tables.embeddings(s, dir),
         KnnIvf.load(s, ivfIndexPath(s, dir)), k = 3, nProbe = 8)),
 
     // --- embedding-column statistics (corpus QA) ---
@@ -1228,13 +1228,17 @@ object SparkEntry {
     // min-md5 winnowing fingerprint: enumerate the rolling 8-char windows
     // via CROSS JOIN range (no lateral range in this DuckDB build); the
     // sub-8-char branch mirrors charNgrams' whole-text fallback
+    // per-row window enumeration (list_transform over the row's own
+    // length) — a fixed CROSS JOIN range(N) would silently drop windows
+    // past position N for any doc longer than N+7 chars
     "text_fingerprint" ->
-      """WITH g AS (SELECT d.doc_id, md5(substring(d.text, CAST(r.i + 1 AS INTEGER), 8)) AS h
-                    FROM documents d CROSS JOIN range(1024) r(i)
-                    WHERE r.i <= length(d.text) - 8
-                    UNION ALL
-                    SELECT doc_id, md5(text) AS h FROM documents WHERE length(text) < 8)
-         SELECT doc_id, min(h) AS fingerprint FROM g GROUP BY doc_id""",
+      """WITH g AS (SELECT doc_id,
+                           CASE WHEN length(text) >= 8
+                                THEN list_transform(range(length(text) - 7),
+                                       i -> md5(substring(text, CAST(i + 1 AS INTEGER), 8)))
+                                ELSE [md5(text)] END AS hs
+                    FROM documents)
+         SELECT doc_id, list_aggregate(hs, 'min') AS fingerprint FROM g""",
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,

@@ -52,12 +52,22 @@ object Contamination {
   }
 
   /** Decontaminate: drop every train doc whose contaminated n-gram
-    * fraction reaches `maxOverlapFrac` (0.0 = drop on any overlap). */
+    * fraction reaches `maxOverlapFrac` (0.0 = drop on any overlap).
+    *
+    * The zero threshold gates on the exact `n_overlap` COUNT, not the
+    * 4dp-rounded fraction: a doc with > 20k distinct grams and one hit
+    * rounds to overlap_frac 0.0, and the rounded gate would let it
+    * survive — breaking the "any overlap" contract (and the oracle,
+    * which drops on any gram hit) precisely on the long documents that
+    * matter at corpus scale. */
   def clean(train: DataFrame, evalDocs: DataFrame, n: Int = 8,
             maxOverlapFrac: Double = 0.0,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gate =
+      if (maxOverlapFrac == 0.0) col("n_overlap") >= 1
+      else col("overlap_frac") > maxOverlapFrac
     val flagged = report(train, evalDocs, n, idCol, textCol)
-      .filter(col("overlap_frac") > maxOverlapFrac)
+      .filter(gate)
       .select(col(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
   }

@@ -59,7 +59,13 @@ object EventOps {
     * under partial aggregation — double accumulation is not), the
     * variance formula and sqrt run once per group in double. Sample
     * variance (n-1); single-row groups are excluded rather than NULL. */
-  def valueStats(events: DataFrame): DataFrame =
+  /** Unrounded per-type (n, mean, std) via the decimal-sums formula —
+    * the SINGLE definition of that arithmetic; [[valueStats]] (rounded
+    * surface) and [[valueOutliers]] (unrounded threshold) both derive
+    * from it, so the two can never drift. Double division of the
+    * decimal sums, NOT decimal division — decimal scale rules differ
+    * across engines. */
+  private def typeStats(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -67,11 +73,14 @@ object EventOps {
         sum((col("value") * col("value")).cast("decimal(30,8)")).as("__ss"))
       .filter(col("n") > 1)
       .select(col("event_type"), col("n"),
-        // double division of the decimal sum (NOT decimal division —
-        // decimal scale rules differ across engines)
-        round(col("__s").cast("double") / col("n"), 4).as("mean_value"),
-        round(sqrt((col("__ss").cast("double") - col("__s").cast("double") *
-          col("__s").cast("double") / col("n")) / (col("n") - 1)), 4).as("stddev_value"))
+        (col("__s").cast("double") / col("n")).as("__mean"),
+        sqrt((col("__ss").cast("double") - col("__s").cast("double") *
+          col("__s").cast("double") / col("n")) / (col("n") - 1)).as("__std"))
+
+  def valueStats(events: DataFrame): DataFrame =
+    typeStats(events).select(col("event_type"), col("n"),
+      round(col("__mean"), 4).as("mean_value"),
+      round(col("__std"), 4).as("stddev_value"))
 
   /** Z-score anomaly flagging: events whose value sits more than
     * `z` sample standard deviations above their type's mean. The
@@ -81,15 +90,7 @@ object EventOps {
     * to [[valueStats]] (decimal sums, double division), but UNROUNDED
     * — rounding the threshold would move the cut. */
   def valueOutliers(events: DataFrame, z: Double = 3.0): DataFrame = {
-    val stats = events.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("__n"),
-        sum(col("value").cast("decimal(30,8)")).as("__s"),
-        sum((col("value") * col("value")).cast("decimal(30,8)")).as("__ss"))
-      .filter(col("__n") > 1)
-      .select(col("event_type"),
-        (col("__s").cast("double") / col("__n")).as("__mean"),
-        sqrt((col("__ss").cast("double") - col("__s").cast("double") *
-          col("__s").cast("double") / col("__n")) / (col("__n") - 1)).as("__std"))
+    val stats = typeStats(events).select(col("event_type"), col("__mean"), col("__std"))
     events.join(broadcast(stats), "event_type")
       .filter(col("value") > col("__mean") + lit(z) * col("__std"))
       .select(col("event_id"), col("event_type"), col("value"),

@@ -49,9 +49,14 @@ object KnnIvf {
   /** Nearest-`nProbe` cells per query, by exact distance to the (tiny,
     * literal) centroid set — no shuffle, the centroid table is inlined
     * into the expression. */
+  /** Single source of truth for the (cell, centroid) pairs every probe
+    * path shares — [[probeCells]] here and [[KnnJoin.annJoinIvf]]'s
+    * array-sort formulation build their struct literals from this. */
+  private[operators] def centroidSeq(model: KMeansModel): Seq[(Int, Seq[Double])] =
+    model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+
   private def queryCells(queries: DataFrame, model: KMeansModel, nProbe: Int): DataFrame = {
-    val cents: Seq[(Int, Seq[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val cents: Seq[(Int, Seq[Double])] = centroidSeq(model)
     val centArr = array(cents.map { case (i, c) =>
       struct(lit(i).as("cell"), typedLit(c).as("cvec"))
     }: _*)

@@ -46,22 +46,28 @@ object KnnJoin {
     boundedTopK(scored, k)
   }
 
-  /** ANN join via shared IVF cell assignment. The corpus side lands in its
-    * own cell; the query side replicates to its `nProbe` nearest cells
-    * (computed per-row from the broadcast-literal centroid table — a
-    * narrow projection, no shuffle). The only wide operations are the
-    * cell-equi join and the bounded top-k aggregation.
+  /** ANN join via shared IVF cell assignment. The corpus side is the
+    * INDEX's cell-partitioned corpus (`index.corpusWithCell`) — there is
+    * deliberately no separate right-side parameter: an index only
+    * answers for the corpus it was built over, and accepting a second
+    * corpus frame here would silently score against the index anyway
+    * (the bug class this signature rules out). The query side replicates
+    * to its `nProbe` nearest cells (computed per-row from the broadcast-
+    * literal centroid table — a narrow projection, no shuffle). The only
+    * wide operations are the cell-equi join and the bounded top-k
+    * aggregation.
     *
     * Recall contract mirrors [[KnnIvf]]: approximate, tunable by
     * (numCells, nProbe); verified by recall@k against [[knnJoinExact]]
     * in KnnJoinSpec rather than an exactness oracle. */
-  def annJoinIvf(left: DataFrame, right: DataFrame, index: KnnIvf.IvfIndex,
+  def annJoinIvf(left: DataFrame, index: KnnIvf.IvfIndex,
                  k: Int, nProbe: Int, metric: String = "cosine",
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  excludeSelf: Boolean = true): DataFrame = {
-    val cents = index.model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray.toSeq)
-    }.toSeq
+    // same centroid set as KnnIvf.probeCells; field order differs because
+    // array_sort's lexicographic struct order IS the (dist, cell)
+    // tiebreak here, where probeCells ranks with an explicit Window
+    val cents = KnnIvf.centroidSeq(index.model)
     val centArr = array(cents.map { case (i, c) =>
       struct(typedLit(c).as("cvec"), lit(i).as("cell"))
     }: _*)
@@ -87,14 +93,6 @@ object KnnJoin {
     boundedTopK(scored, k)
   }
 
-  /** Shared bounded top-k finisher: Q·k rows per partition reach the
-    * shuffle (the [[KnnTopK.TopKAgg]] partial/final pattern). */
-  private def boundedTopK(scored: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new KnnTopK.TopKAgg(k, asc = true))
-    scored.groupBy(col("query_id"))
-      .agg(topk(col("score"), col("match_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "m")))
-      .select(col("query_id"), col("m._2").as("match_id"),
-        col("m._1").as("score"), (col("pos") + 1).cast("long").as("rank"))
-  }
+  private def boundedTopK(scored: DataFrame, k: Int): DataFrame =
+    KnnTopK.boundedTopK(scored, k, asc = true)
 }

@@ -69,7 +69,16 @@ object KnnTopK {
         col(corpusId).as("match_id"),
         // signed-zero canonicalization — see [[Knn.knnExact]]
         (round(rawScore, scoreDecimals) + lit(0.0)).as("score"))
-    val topk = udaf(new TopKAgg(k, asc = asDistance))
+    boundedTopK(scored, k, asc = asDistance)
+  }
+
+  /** Shared bounded top-k finisher over a (query_id, match_id, score)
+    * frame: Q·k rows per partition reach the shuffle (the [[TopKAgg]]
+    * partial/final pattern), output (query_id, match_id, score, rank)
+    * with a 1-based long rank. The single definition of that contract —
+    * [[knnExact]] and [[KnnJoin]] both emit through here. */
+  def boundedTopK(scored: DataFrame, k: Int, asc: Boolean = true): DataFrame = {
+    val topk = udaf(new TopKAgg(k, asc = asc))
     scored.groupBy(col("query_id"))
       .agg(topk(col("score"), col("match_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "m")))

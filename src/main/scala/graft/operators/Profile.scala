@@ -39,6 +39,8 @@ object Profile {
   private def build(df: DataFrame, numericCols: Seq[String],
                     stringCols: Seq[String], exact: Boolean): DataFrame = {
     require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns to profile")
+    require(numericCols.intersect(stringCols).isEmpty,
+      s"columns in both lists: ${numericCols.intersect(stringCols).mkString(", ")}")
     val all = numericCols ++ stringCols
     def nd(c: String) =
       if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))

@@ -128,7 +128,11 @@ object Retrieval {
         val cands = it.toArray.sortBy(t => (t._3, t._2))
         val nC = cands.length
         val picked = Array.fill(nC)(false)
-        val maxSimToSel = Array.fill(nC)(0.0)
+        // -inf, not 0: a clamp at 0 would erase NEGATIVE max-similarities
+        // (anti-correlated candidates) from the diversity term. Every
+        // unpicked slot is refreshed right after the first pick, so the
+        // sentinel never reaches the formula (r == 1 forces pen = 0).
+        val maxSimToSel = Array.fill(nC)(Double.NegativeInfinity)
         val out = Seq.newBuilder[(Long, Long, Double, Long)]
         var r = 1
         while (r <= math.min(k, nC)) {

@@ -191,10 +191,16 @@ object TextOps {
                    minAlphaRatio: Double = 0.8,
                    minStopHits: Int = 2): DataFrame = {
     val t = col(textCol)
-    val ts = Dedup.tokens(t)
+    // tokenize ONCE in a dedicated projection: the five signal
+    // expressions below each reference the token array, and HOF
+    // expressions get no common-subexpression elimination — inlining
+    // `tokens(text)` here would re-run the regex split per signal
+    // (same trap [[Dedup.wordShingles]] documents)
+    val ts = col("__ts")
     val nW = size(ts)
     val stops = array(Stopwords.map(lit): _*)
-    docs.select(
+    docs.select(col(idCol), t, Dedup.tokens(t).as("__ts"))
+      .select(
         col(idCol),
         nW.cast("long").as("n_words"),
         round(aggregate(ts, lit(0L), (acc, w) => acc + length(w)).cast("double") /

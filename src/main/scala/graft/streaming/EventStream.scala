@@ -131,12 +131,6 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Stream-stream interval self-join: pair each event with the same
-    * user's events from the preceding `horizon`. Both sides are
-    * watermarked and the join carries an event-time range constraint, so
-    * state is bounded: Spark evicts buffered rows once the watermark
-    * passes the interval — the only join form that survives an unbounded
-    * stream. Output (user_id, ts, prior_ts, event_type, prior_type). */
   /** Stream-static enrichment: join every micro-batch against a BATCH
     * dimension frame. The dim side is broadcast — re-planned per batch,
     * no streaming state, no watermark; this is how a 100 TB/day stream
@@ -146,6 +140,12 @@ object EventStream {
                     key: String = "event_type"): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
 
+  /** Stream-stream interval self-join: pair each event with the same
+    * user's events from the preceding `horizon`. Both sides are
+    * watermarked and the join carries an event-time range constraint, so
+    * state is bounded: Spark evicts buffered rows once the watermark
+    * passes the interval — the only join form that survives an unbounded
+    * stream. Output (user_id, ts, prior_ts, event_type, prior_type). */
   def joinRecentPriors(events: DataFrame, horizon: String = "30 minutes",
                        watermark: String = "2 hours"): DataFrame = {
     val cur = events.withWatermark("ts", watermark)

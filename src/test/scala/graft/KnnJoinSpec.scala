@@ -44,7 +44,7 @@ class KnnJoinSpec extends SparkSuite {
     val exact = KnnJoin.knnJoinExact(emb, emb, k = 3)
       .select("query_id", "match_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = KnnJoin.annJoinIvf(emb, emb, KnnIvf.build(emb, numCells = 16),
+    val approx = KnnJoin.annJoinIvf(emb, KnnIvf.build(emb, numCells = 16),
         k = 3, nProbe = 10)
       .select("query_id", "match_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -56,7 +56,7 @@ class KnnJoinSpec extends SparkSuite {
   test("ANN join probes bound the scored pair space (nProbe cells per query)") {
     // with nProbe == numCells the ANN join degenerates to the exact join
     val idx = KnnIvf.build(emb, numCells = 4)
-    val full = KnnJoin.annJoinIvf(emb, emb, idx, k = 3, nProbe = 4)
+    val full = KnnJoin.annJoinIvf(emb, idx, k = 3, nProbe = 4)
     val exact = KnnJoin.knnJoinExact(emb, emb, k = 3)
     assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
   }

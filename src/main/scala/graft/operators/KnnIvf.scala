@@ -76,7 +76,13 @@ object KnnIvf {
     queryCells(queries, index.model, nProbe)
 
   /** Approximate top-k: probe `nProbe` cells per query, exact re-rank
-    * within probed cells. Same output shape as [[Knn.knnExact]]. */
+    * within probed cells. Same output shape as [[Knn.knnExact]].
+    *
+    * The top-k finisher is [[KnnTopK.boundedTopK]] (partial/final
+    * aggregation), not a rank window: the probed candidate set is
+    * ~N·nProbe/numCells rows per query — at corpus scale a full
+    * sort-shuffle of that set is exactly what the bounded aggregation
+    * exists to avoid ([[KnnJoin.annJoinIvf]] finishes the same way). */
   def search(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int,
              metric: String = "cosine",
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -85,8 +91,7 @@ object KnnIvf {
       .join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col(idCol).as("match_id"),
         round(VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4).as("score"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").asc, col("match_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+    KnnTopK.boundedTopK(scored, k, asc = true)
   }
 
   /** Persist the index: the KMeans centroid model plus the corpus laid out

@@ -20,30 +20,87 @@ import graft.functions.VectorOps
   */
 object KnnTopK {
 
-  /** (score, id) pairs, best-first by (score asc|desc, id asc). */
+  /** Mutable bounded top-k buffer: parallel (score, id) arrays arranged
+    * as a binary heap with the WORST kept element at the root, so a
+    * full buffer evicts in O(log k) — O(1) allocations and no per-row
+    * collection copying on the hottest aggregation path in the engine
+    * (every `knn_*` default and both k-NN joins ride this).
+    *
+    * Ordering: best-first by (score asc|desc, id asc); the heap holds at
+    * most k elements at all times, never an over-allocated staging set.
+    * The no-arg constructor + vars keep the class Kryo-friendly (the
+    * aggregation buffer crosses the partial/final shuffle as Kryo
+    * bytes — ~16 bytes per kept element). */
+  final class TopKBuf(var k: Int, var asc: Boolean) extends Serializable {
+    def this() = this(0, true)
+    var scores: Array[Double] = new Array[Double](math.max(k, 0))
+    var ids: Array[Long] = new Array[Long](math.max(k, 0))
+    var n: Int = 0
+
+    @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else i1 < i2
+    // heap predicate: does element 1 belong ABOVE element 2 (closer to
+    // the root, i.e. worse)?
+    @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      better(s2, i2, s1, i1)
+
+    def offer(s: Double, id: Long): Unit = {
+      if (n < k) {
+        scores(n) = s; ids(n) = id; n += 1
+        var i = n - 1
+        var p = (i - 1) >> 1
+        while (i > 0 && worse(scores(i), ids(i), scores(p), ids(p))) {
+          swap(i, p); i = p; p = (i - 1) >> 1
+        }
+      } else if (k > 0 && better(s, id, scores(0), ids(0))) {
+        scores(0) = s; ids(0) = id
+        siftDown()
+      }
+    }
+
+    private def siftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var w = i
+        if (l < n && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < n && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == i) done = true
+        else { swap(i, w); i = w }
+      }
+    }
+
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+      val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+    }
+
+    /** Pull every element of `o` through [[offer]]; `o` is not modified. */
+    def absorb(o: TopKBuf): Unit = {
+      var i = 0
+      while (i < o.n) { offer(o.scores(i), o.ids(i)); i += 1 }
+    }
+
+    def sortedSeq: Seq[(Double, Long)] = {
+      val out = Array.tabulate(n)(i => (scores(i), ids(i)))
+      out.sortWith((a, b) => better(a._1, a._2, b._1, b._2)).toSeq
+    }
+  }
+
+  /** (score, id) pairs, best-first by (score asc|desc, id asc).
+    * `reduce`/`merge` mutate the [[TopKBuf]] in place — the sanctioned
+    * TypedImperativeAggregate contract `udaf(Aggregator)` lowers to. */
   class TopKAgg(k: Int, asc: Boolean)
-      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-
-    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-      if (a._1 != b._1) { if (asc) a._1 < b._1 else a._1 > b._1 }
-      else a._2 < b._2
-
-    private def best(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      s.sortWith(better).take(k)
-
-    // trim lazily at 4k to amortize sorting cost over appends
-    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      if (s.length > 4 * k) best(s) else s
-
-    override def zero: Seq[(Double, Long)] = Seq.empty
-    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      trim(b :+ a)
-    override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      trim(x ++ y)
-    override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = best(b)
-    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-      implicitly[Encoder[Seq[(Double, Long)]]](
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
+      extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+    override def zero: TopKBuf = new TopKBuf(k, asc)
+    override def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf = {
+      b.offer(a._1, a._2); b
+    }
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = { x.absorb(y); x }
+    override def finish(b: TopKBuf): Seq[(Double, Long)] = b.sortedSeq
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.kryo[TopKBuf]
     override def outputEncoder: Encoder[Seq[(Double, Long)]] =
       implicitly[Encoder[Seq[(Double, Long)]]](
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())

@@ -59,9 +59,21 @@ object Retrieval {
           .cast("decimal(20,10)"))
     val agg = scored.groupBy(col(idCol))
       .agg(round(sum(col("__s")).cast("double"), 4).as("score"))
-    val w = Window.orderBy(col("score").desc, col(idCol).asc)
-    agg.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(agg, k, idCol, col("score"))
+  }
+
+  /** Top-k + 1-based rank without a whole-result single-partition window:
+    * `orderBy(...).limit(k)` plans as TakeOrderedAndProject (per-partition
+    * top-k, driver-side merge of ≤ k·partitions rows), and only the ≤ k
+    * surviving rows pass through the rank window. The global-window
+    * formulation this replaces pushed EVERY scored row through one task —
+    * for BM25 that is every document matching any query term, a full
+    * corpus subset at 100 TB with one common term. */
+  private def rankTopK(scored: DataFrame, k: Int, idCol: String,
+                       scoreCol: Column): DataFrame = {
+    val top = scored.orderBy(scoreCol.desc, col(idCol).asc).limit(k)
+    val w = Window.orderBy(scoreCol.desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** Reciprocal-rank fusion of two ranked lists (Cormack, Clarke,
@@ -78,10 +90,9 @@ object Retrieval {
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(kRrf) + col("__ra")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(kRrf) + col("__rb")), lit(0.0)), 6))
-    val w = Window.orderBy(col("rrf").desc, col(idCol).asc)
-    fused.select(col(idCol), col("rrf"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // input already ≤ |a| + |b| rows, but keep the bounded rank shape for
+    // plan uniformity (no single-partition exchange over the fused list)
+    rankTopK(fused.select(col(idCol), col("rrf")), k, idCol, col("rrf"))
   }
 
   /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein, SIGIR

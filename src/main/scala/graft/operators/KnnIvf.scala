@@ -90,7 +90,12 @@ object KnnIvf {
     val scored = index.corpusWithCell
       .join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col(idCol).as("match_id"),
-        round(VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4).as("score"))
+        // signed-zero canonicalization, same as [[Knn.knnExact]]: -0.0
+        // compares equal to 0.0 under TopKBuf's primitive `!=` (falling
+        // to the id tiebreak) but would EMIT as -0.0 — a hash-compare
+        // mismatch against any engine that canonicalizes
+        (round(VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4)
+          + lit(0.0)).as("score"))
     KnnTopK.boundedTopK(scored, k, asc = true)
   }
 

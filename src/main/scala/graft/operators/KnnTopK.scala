@@ -45,6 +45,14 @@ object KnnTopK {
       better(s2, i2, s1, i1)
 
     def offer(s: Double, id: Long): Unit = {
+      // NaN scores (0/0 cosine on a zero-norm vector) are rejected outright:
+      // every NaN comparison is false, so an admitted NaN would squat in a
+      // slot during fill — or, at the heap root, veto every later offer and
+      // merge. Dropping it keeps the buffer's invariants total. (Divergence
+      // from the replaced row_number window, which ranked NaN as LARGEST —
+      // last for distances, FIRST for similarities; neither is a result a
+      // caller wants.)
+      if (s != s) return
       if (n < k) {
         scores(n) = s; ids(n) = id; n += 1
         var i = n - 1

@@ -42,6 +42,11 @@ object Profile {
     require(numericCols.intersect(stringCols).isEmpty,
       s"columns in both lists: ${numericCols.intersect(stringCols).mkString(", ")}")
     val all = numericCols ++ stringCols
+    // a repeat WITHIN one list would otherwise surface later as an
+    // ambiguous-column analysis error on the __null_/__nd_ aliases
+    require(all.distinct.size == all.size,
+      s"duplicate columns in profile list: ${
+        all.diff(all.distinct).distinct.mkString(", ")}")
     def nd(c: String) =
       if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
     val aggs = all.flatMap { c =>

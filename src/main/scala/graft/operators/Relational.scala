@@ -192,14 +192,19 @@ object Relational {
           .cast("decimal(26,6)")).as("__rev"),
         sum(col("l_quantity").cast("decimal(26,6)")).as("__qty"))
       // round(rev/qty, 4) computed EXACTLY in integer arithmetic:
-      // floor((2*rev*10^4 + qty) / (2*qty)) over micro-unit bigints —
+      // floor((2*rev*10^4 + qty) / (2*qty)) over micro-unit integers —
       // a double division would flip the 4th decimal on half-way
       // boundaries differently per engine. The final /10^4 maps equal
-      // bigints to bit-equal doubles everywhere.
+      // integers to bit-equal doubles everywhere. The micro-unit values
+      // stay in decimal(38,0), NOT long: a bigint cast overflows to null
+      // SILENTLY (non-ANSI) once per-pair revenue exceeds ~4.6e8 units;
+      // decimal(38,0) holds ~5e33 micro-units through the *20000 — the
+      // quotient (unit_price * 1e4) is what DIV returns as long, and that
+      // is bounded by the price domain.
       .select(col("l_partkey"), col("l_suppkey"),
-        ((col("__rev") * lit(1000000)).cast("long") * lit(20000L) +
-          (col("__qty") * lit(1000000)).cast("long")).as("__num"),
-        ((col("__qty") * lit(1000000)).cast("long") * lit(2L)).as("__den"))
+        ((col("__rev") * lit(1000000)).cast("decimal(38,0)") * lit(20000L) +
+          (col("__qty") * lit(1000000)).cast("decimal(38,0)")).as("__num"),
+        ((col("__qty") * lit(1000000)).cast("decimal(38,0)") * lit(2L)).as("__den"))
       .select(col("l_partkey"), col("l_suppkey"),
         (expr("__num DIV __den").cast("double") / lit(10000.0)).as("unit_price"))
     val w = Window.partitionBy(col("l_partkey"))

@@ -130,7 +130,11 @@ object Retrieval {
       var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = math.min(a.length, b.length)
       while (i < n) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dp / (math.sqrt(na) * math.sqrt(nb))
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      // a zero-norm vector has no direction: its similarity to anything is
+      // 0, not 0/0 = NaN (NaN would survive the maxSimToSel refresh below
+      // and reach BigDecimal as a NumberFormatException)
+      if (denom == 0.0) 0.0 else dp / denom
     }
     joined.as[(Long, Long, Double, Array[Double])]
       .groupByKey(_._1)
@@ -146,21 +150,27 @@ object Retrieval {
         val maxSimToSel = Array.fill(nC)(Double.NegativeInfinity)
         val out = Seq.newBuilder[(Long, Long, Double, Long)]
         var r = 1
-        while (r <= math.min(k, nC)) {
+        var exhausted = false
+        while (!exhausted && r <= math.min(k, nC)) {
           var best = -1; var bestScore = Double.NegativeInfinity
           var i = 0
           while (i < nC) {
             if (!picked(i)) {
               val rel = 1.0 - cands(i)._3
               val pen = if (r == 1) 0.0 else maxSimToSel(i)
-              val m = BigDecimal(lambda * rel - (1.0 - lambda) * pen)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              // a non-finite marginal (NaN upstream score) ranks strictly
+              // worst instead of reaching BigDecimal (which throws on it)
+              val raw = lambda * rel - (1.0 - lambda) * pen
+              val m = if (java.lang.Double.isFinite(raw))
+                BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              else Double.NegativeInfinity
               if (m > bestScore || (m == bestScore && best >= 0 && cands(i)._2 < cands(best)._2)) {
                 best = i; bestScore = m
               }
             }
             i += 1
           }
+          if (best < 0) { exhausted = true } else {
           picked(best) = true
           out += ((qid, cands(best)._2, bestScore + 0.0, r.toLong))
           var j = 0
@@ -172,6 +182,7 @@ object Retrieval {
             j += 1
           }
           r += 1
+          }
         }
         out.result()
       }

@@ -26,6 +26,18 @@ class ProfileSpec extends SparkSuite {
     assert(s.isNullAt(s.fieldIndex("min_val")) && s.isNullAt(s.fieldIndex("max_val")))
   }
 
+  test("duplicate column in a profile list fails fast with a clear error") {
+    val df = Seq((1L, "a")).toDF("x", "s")
+    val e = intercept[IllegalArgumentException] {
+      Profile.profile(df, numericCols = Seq("x", "x"), stringCols = Seq("s"))
+    }
+    assert(e.getMessage.contains("duplicate columns"))
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.profile(df, numericCols = Seq("x"), stringCols = Seq("s", "s"))
+    }
+    assert(e2.getMessage.contains("duplicate columns"))
+  }
+
   test("approx profile matches exact on ranges and is close on cardinality") {
     val orders = Tables.table(spark, sfDir, "orders")
     val exact = Profile.profile(orders, Seq("o_orderkey", "o_totalprice"))

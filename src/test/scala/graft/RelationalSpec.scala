@@ -71,6 +71,21 @@ class RelationalSpec extends SparkSuite {
     assert(probe.getAs[Long]("s_suppkey") === brute.getAs[Long]("l_suppkey"))
   }
 
+  test("minCostSupplier: per-pair revenue far above the old bigint bound stays exact") {
+    // the previous formulation cast micro-unit revenue to long, which
+    // wrapped/nulled SILENTLY above ~4.6e8 revenue units per (part,
+    // supplier); decimal(38,0) must carry this through unharmed
+    val li = Seq(
+      (1L, 1L, BigDecimal("20000000000.00"), BigDecimal("0.00"), BigDecimal("4.00")),
+      (1L, 2L, BigDecimal("30000000000.00"), BigDecimal("0.00"), BigDecimal("4.00"))
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity")
+    val supp = Seq((1L, "cheap"), (2L, "dear")).toDF("s_suppkey", "s_name")
+    val out = Relational.minCostSupplier(li, supp).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("s_suppkey") === 1L)
+    assert(out.head.getAs[Double]("unit_price") === 5.0e9)
+  }
+
   test("onlyLateSupplier: counts only the sole late shipper of multi-supplier orders") {
     def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
     // order 1: suppliers 10 (late) + 11 (on time)  -> supplier 10 counted

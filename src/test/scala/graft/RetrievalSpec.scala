@@ -85,6 +85,26 @@ class RetrievalSpec extends SparkSuite {
     assert(out === Seq(10L, 12L, 11L), s"got $out")
   }
 
+  test("mmr: zero-norm candidate vectors rerank without NaN (similarity treated as 0)") {
+    import spark.implicits._
+    // 11 and 12 are zero vectors: cosine against anything is 0/0. The
+    // former NaN leak left their maxSimToSel at the -Inf sentinel, and
+    // BigDecimal(Infinity) threw at r >= 2.
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f)),
+      (12L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, 10L, 0.10), (1L, 11L, 0.20), (1L, 12L, 0.30)
+    ).toDF("query_id", "match_id", "score")
+    val out = Retrieval.mmrRerank(cands, vecs, k = 3, lambda = 0.5)
+      .orderBy("rank").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Long]("match_id")).toSeq === Seq(10L, 11L, 12L))
+    assert(out.forall(r => !r.getAs[Double]("mmr").isNaN))
+  }
+
   test("mmr invariants on fixtures: rank 1 = relevance winner, output bounded, deterministic") {
     val cands = graft.operators.KnnTopK.knnExact(
       Tables.defaultQueries(spark, sfDir),

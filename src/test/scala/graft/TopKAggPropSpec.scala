@@ -60,6 +60,23 @@ class TopKAggPropSpec extends AnyFunSuite {
     })
   }
 
+  test("NaN scores are rejected: result equals the top-k of the non-NaN rows") {
+    // NaN (0/0 cosine on a zero-norm vector) must neither occupy a slot
+    // nor — at the heap root — veto later offers/merges
+    val gen = for {
+      base <- inputGen
+      nanAt <- Gen.listOfN(6, Gen.choose(0, math.max(base._2.length, 1)))
+    } yield (base, nanAt)
+    run(Prop.forAll(gen) { case ((k, rows, cuts), nanAt) =>
+      val withNaN = rows.zipWithIndex.flatMap { case (r, i) =>
+        if (nanAt.contains(i)) Seq((Double.NaN, 1000L + i), r) else Seq(r)
+      }
+      val agg = new KnnTopK.TopKAgg(k, asc = true)
+      val got = agg.finish(withNaN.foldLeft(agg.zero)(agg.reduce))
+      got == expected(rows, k, asc = true) && got.forall(!_._1.isNaN)
+    })
+  }
+
   test("merge is order-insensitive: forward and reversed buffer merge agree") {
     run(Prop.forAll(inputGen) { case (k, rows, cuts) =>
       val agg = new KnnTopK.TopKAgg(k, asc = true)

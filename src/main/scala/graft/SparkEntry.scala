@@ -118,6 +118,14 @@ object SparkEntry {
       Dedup.minhashPairs(docsWithNearDupes(s, dir), threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsWithNearDupes(s, dir))),
+    // portable-hash (md5) twins of the two signatures above: same pipeline
+    // shapes over a hash DuckDB also computes, so these two carry the
+    // hash-compare oracle the xxhash64 flagships can't (agreement between
+    // twin and flagship is spec-pinned in DedupSpec)
+    "dedup_minhash_md5" -> ((s, dir) =>
+      Dedup.minhashPairsPortable(docsWithNearDupes(s, dir), threshold = 0.5)),
+    "dedup_simhash_md5" -> ((s, dir) =>
+      Dedup.simhashPairsPortable(docsWithNearDupes(s, dir))),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
         blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
@@ -1040,7 +1048,79 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
     // dedup_minhash / dedup_simhash: signature-based (xxhash64 not in
-    // DuckDB) -> rows-only check + ScalaTest recall specs
+    // DuckDB) -> rows-only check + ScalaTest recall specs; their md5
+    // twins below carry the full cross-engine oracle instead
+    // portable one-permutation MinHash, reproduced stage by stage: 60-bit
+    // md5 hash -> 32 rotation-densified slots -> 16 string-keyed bands ->
+    // candidate pairs -> exact word-3-shingle Jaccard verify
+    "dedup_minhash_md5" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         UNION ALL
+                         SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+                         FROM documents WHERE doc_id % 10 = 0),
+         tk AS (SELECT doc_id, ts, len(ts) AS t
+                FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+                      FROM corpus)
+                WHERE len(ts) > 0),
+         sh AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(
+                         ts[i] || ' ' ||
+                         CASE WHEN i + 1 <= t THEN ts[i + 1] ELSE ts[i] END || ' ' ||
+                         CASE WHEN i + 2 <= t THEN ts[i + 2] ELSE ts[i] END), 1, 15) AS BIGINT) AS h
+                FROM (SELECT doc_id, ts, t, unnest(range(1, t + 1)) AS i FROM tk)),
+         mh AS (SELECT doc_id, h % 32 AS b, min(h) AS mv FROM sh GROUP BY 1, 2),
+         slots AS (SELECT doc_id, unnest(range(0, 32)) AS s FROM tk),
+         sig AS (SELECT slots.doc_id AS doc_id, s, arg_min(mv, (b - s + 32) % 32) AS v
+                 FROM slots JOIN mh ON slots.doc_id = mh.doc_id GROUP BY 1, 2),
+         bk AS (SELECT doc_id, CAST(s // 2 AS INT) AS band,
+                       string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
+                FROM sig GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id,
+                         CASE WHEN len(ts) >= 3
+                              THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))
+                              ELSE [array_to_string(ts, ' ')] END AS ss
+                  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+                        FROM corpus)),
+         p AS (SELECT id_a, id_b,
+                      round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                            / CAST(len(list_distinct(sa.ss || sb.ss)) AS DOUBLE), 4) AS jaccard
+               FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+                         JOIN sets sb ON cand.id_b = sb.doc_id)
+         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    // portable SimHash: bigram features -> 60 sign bits -> 4 bands of 15
+    // bits -> candidates -> exact Hamming <= 3 verify
+    "dedup_simhash_md5" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         UNION ALL
+                         SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+                         FROM documents WHERE doc_id % 10 = 0),
+         tk AS (SELECT doc_id, ts, len(ts) AS t
+                FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+                      FROM corpus)
+                WHERE len(ts) > 0),
+         sh AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(
+                         ts[i] || ' ' ||
+                         CASE WHEN i + 1 <= t THEN ts[i + 1] ELSE ts[i] END), 1, 15) AS BIGINT) AS h
+                FROM (SELECT doc_id, ts, t, unnest(range(1, t + 1)) AS i FROM tk)),
+         bitv AS (SELECT doc_id, b,
+                         CASE WHEN sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+                              THEN 1 ELSE 0 END AS bit
+                  FROM sh CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+                  GROUP BY 1, 2),
+         bk AS (SELECT doc_id, CAST(b // 15 AS INT) AS band,
+                       string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS bkey
+                FROM bitv GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         ham AS (SELECT c.id_a, c.id_b, CAST(sum(abs(x.bit - y.bit)) AS BIGINT) AS hamming
+                 FROM cand c JOIN bitv x ON x.doc_id = c.id_a
+                             JOIN bitv y ON y.doc_id = c.id_b AND y.b = x.b
+                 GROUP BY 1, 2)
+         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""",
     "dedup_exact" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

@@ -335,6 +335,141 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // --------------------------------------------------------------------
+  // Portable-hash (md5) twins of the MinHash / SimHash pipelines.
+  //
+  // The flagship paths hash with codegen'd xxhash64 — the perf choice, but
+  // xxhash64 exists in no other engine, so their outputs can't be oracled
+  // cross-engine. These twins run the SAME pipeline shapes over a 60-bit
+  // md5-derived hash both Spark and DuckDB compute bit-identically:
+  //   Spark:  conv(substr(md5(s), 1, 15), 16, 10) :: long
+  //   DuckDB: CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+  // (15 hex chars = 60 bits, always positive — no sign/overflow edge in
+  // either engine, ANSI-safe.) Same banding geometry as the flagships, so
+  // candidate-recall behavior matches up to the hash family; an agreement
+  // spec pins the two pipelines to the same verified pairs on fixtures.
+  // --------------------------------------------------------------------
+
+  /** 60-bit portable hash: identical arithmetic in Spark and DuckDB. */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Trailing word-n-shingle STRINGS, one per token position;
+    * out-of-range components fall back to token i — the string-level
+    * mirror of [[TextExprs.ShingleHashes]]'s `trailing = true` contract.
+    * `ts` must be a MATERIALIZED token-array column (HOF-lambda CSE). */
+  private def trailingShingleStrings(ts: Column, n: Int): Column =
+    transform(sequence(lit(1), size(ts)), i =>
+      concat_ws(" ", (0 until n).map { j =>
+        if (j == 0) element_at(ts, i)
+        else when(i + lit(j) <= size(ts), element_at(ts, i + lit(j)))
+          .otherwise(element_at(ts, i))
+      }: _*))
+
+  /** MinHash near-dup pairs over the portable hash — same one-permutation
+    * signature, rotation densification, banded candidates, and exact
+    * shingle-set Jaccard verify as [[minhashPairs]], built from plain
+    * DataFrame aggregations (the pre-codegen formulation) so a SQL oracle
+    * can reproduce every intermediate bit-for-bit. Signature construction
+    * costs one narrow shuffle on (id, bucket) — the price of portability;
+    * the xxhash64 flagship remains the perf path. */
+  def minhashPairsPortable(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", shingleN: Int = 3,
+                           numPerms: Int = 32, bands: Int = 16,
+                           threshold: Double = 0.5): DataFrame = {
+    val p = numPerms
+    val rowsPerBand = numPerms / bands
+    val tk = docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+    val sh = tk
+      .select(col(idCol), explode(trailingShingleStrings(col("__ts"), shingleN)).as("__sh"))
+      .select(col(idCol), portableHash64(col("__sh")).as("__h"))
+    // one-permutation buckets: slot b holds min(h) over hashes with
+    // pmod(h, p) = b (h is non-negative, so % and pmod agree)
+    val mins = sh.groupBy(col(idCol), pmod(col("__h"), lit(p)).as("__b"))
+      .agg(min(col("__h")).as("__mv"))
+    // rotation densification: slot s borrows the value of the cyclically
+    // next FILLED bucket (distance 0 = itself); cyclic distances are
+    // distinct within a doc, so min_by is tie-free
+    val slots = tk.select(col(idCol), explode(sequence(lit(0), lit(p - 1))).as("__s"))
+    val sig = slots.join(mins, idCol)
+      .groupBy(col(idCol), col("__s"))
+      .agg(min_by(col("__mv"), pmod(col("__b") - col("__s"), lit(p))).as("__v"))
+    // band key = the band's slot values in slot order, as a string — used
+    // only for bucket equality, so no re-hash is needed (or wanted: a
+    // string key is what the oracle can reproduce verbatim)
+    val bandKeys = sig
+      .groupBy(col(idCol), floor(col("__s") / lit(rowsPerBand)).cast("int").as("__band"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("__s"), col("__v")))),
+          x => x.getField("__v").cast("string"))).as("__bkey"))
+    val a = bandKeys.select(col(idCol).as("id_a"), col("__band"), col("__bkey"))
+    val b = bandKeys.select(col(idCol).as("id_b"), col("__band"), col("__bkey"))
+    val cands = a.join(b, Seq("__band", "__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verify on word-shingle STRING sets (complete shingles, short
+    // docs fall back to the whole token string) — mirrors [[minhashPairs]]
+    val sets = docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), wordShinglesOfTokens(col("__ts"), shingleN).as("__set"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("__sa"), col("__sb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs over the portable hash — bigram features,
+    * 60 sign bits (the portable hash's width), 4 bands of 15 bits,
+    * exact Hamming verify: the aggregation-based mirror of
+    * [[simhashPairs]] that a SQL oracle can reproduce. Pigeonhole recall
+    * guarantee holds as for the flagship (maxHamming < bands). */
+  /** 60 portable SimHash sign bits per doc — the signature half of
+    * [[simhashPairsPortable]], public so recall specs can brute-force
+    * against it. */
+  def simhashSignaturesPortable(docs: DataFrame, idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    val bits = 60
+    val tk = docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+    val sh = tk
+      .select(col(idCol), explode(trailingShingleStrings(col("__ts"), 2)).as("__sh"))
+      .select(col(idCol), portableHash64(col("__sh")).as("__h"))
+    // 60 conditional partial sums in ONE aggregation pass — the
+    // pre-codegen bit-vote shape (map-side combine keeps it one shuffle
+    // of 60 ints per doc)
+    val votes = (0 until bits).map(bIdx =>
+      sum(when(shiftright(col("__h"), bIdx).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__c$bIdx"))
+    sh.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), array((0 until bits).map(bIdx =>
+        when(col(s"__c$bIdx") >= 0, 1).otherwise(0)): _*).as("sig"))
+  }
+
+  def simhashPairsPortable(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", maxHamming: Int = 3,
+                           bands: Int = 4): DataFrame = {
+    val bits = 60
+    val rowsPerBand = bits / bands
+    val sig = simhashSignaturesPortable(docs, idCol, textCol)
+    // band key = the band's bits as a string; signature rides along so
+    // Hamming verification happens inside the bucket join (same shape
+    // as [[simhashPairs]])
+    val banded = sig.select(col(idCol), col("sig"),
+      posexplode(array((0 until bands).map(bIdx =>
+        concat_ws("", transform(slice(col("sig"), bIdx * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string")))): _*)).as(Seq("__band", "__bkey")))
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("__ha"), col("__band"), col("__bkey"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("__hb"), col("__band"), col("__bkey"))
+    a.join(b, Seq("__band", "__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("__ha"), col("__hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .distinct()
+  }
+
   /** Embedding near-dup pairs within blocks (exact cosine, rounded before
     * thresholding so an oracle ranks identically). blockExprs must be
     * stable under duplication (e.g. label + id mod k). */

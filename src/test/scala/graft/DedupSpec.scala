@@ -64,6 +64,45 @@ class DedupSpec extends SparkSuite {
     pairs.foreach { case (x, y) => assert(x < y) }
   }
 
+  test("portableHash64 computes the DuckDB-identical 60-bit md5 hash") {
+    // pinned against CAST('0x' || substr(md5(s),1,15) AS BIGINT) in
+    // DuckDB 1.0 (= int(md5_hex[:15], 16)) — the cross-engine contract
+    // the dedup_*_md5 oracles stand on
+    val got = Seq("abc", "hello world", "dup spark window").toDF("s")
+      .select(Dedup.portableHash64($"s")).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(648541476951500027L, 426544247714475757L, 652421773112250149L))
+  }
+
+  test("portable minhash twin agrees with the xxhash64 flagship pair-for-pair") {
+    // same banding geometry (32 perms, 16 bands of 2), same exact-Jaccard
+    // verify — on the fixture corpus both LSH families recover the same
+    // verified pair set (near-identical recall at the planted j >= 0.8)
+    val flagship = Dedup.minhashPairs(withNearDupes, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val portable = Dedup.minhashPairsPortable(withNearDupes, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(portable === flagship,
+      s"only-portable=${(portable -- flagship).size} only-flagship=${(flagship -- portable).size}")
+  }
+
+  test("portable simhash twin emits exactly the hamming<=3 pairs of its signatures") {
+    // pigeonhole: 4 bands of 15 bits guarantee recall 1.0 for hamming <= 3,
+    // so the banded output must EQUAL the brute-force signature join
+    val pairs = Dedup.simhashPairsPortable(withNearDupes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Dedup.simhashSignaturesPortable(withNearDupes)
+    val a = sigs.select($"doc_id".as("id_a"), $"sig".as("ha"))
+    val b = sigs.select($"doc_id".as("id_b"), $"sig".as("hb"))
+    val brute = a.join(b, $"id_a" < $"id_b")
+      .withColumn("h", Dedup.hamming($"ha", $"hb"))
+      .filter($"h" <= 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("h").toLong)).toSet
+    assert(brute.nonEmpty)
+    assert(pairs === brute,
+      s"banded=${pairs.size} brute=${brute.size} missed=${(brute -- pairs).size}")
+  }
+
   test("hamming expression") {
     val d = Seq((Seq(1, 0, 1, 0), Seq(1, 1, 0, 0))).toDF("a", "b")
     assert(d.select(Dedup.hamming($"a", $"b")).head().getInt(0) === 2)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Profile, Quantize, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
+import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -240,13 +240,49 @@ object SparkEntry {
     // --- k-NN JOIN: every corpus row is a query (kNN-dedup / hard-negative
     //     mining shape). Exact form = oracle baseline; the IVF-co-partitioned
     //     form is the 100 TB path (cell-equi join, linear shuffle) ---
+    // exact form on a BOUNDED query slice (every 10th row): the O(Q·N)
+    // join is a correctness baseline, not a throughput claim — the slice
+    // keeps the oracle exact while the bench no longer pays the full
+    // quadratic sweep. The full-corpus path is ann_knn_join below.
     "knn_join" -> ((s, dir) =>
-      KnnJoin.knnJoinExact(Tables.embeddings(s, dir), Tables.embeddings(s, dir), k = 3)),
+      KnnJoin.knnJoinExact(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0),
+        Tables.embeddings(s, dir), k = 3)),
     // approximate join off the SAME persisted IVF index ann_ivf serves
     // from; engine-specific centroids -> rows-only, recall spec-pinned
     "ann_knn_join" -> ((s, dir) =>
       KnnJoin.annJoinIvf(Tables.embeddings(s, dir),
         KnnIvf.load(s, ivfIndexPath(s, dir)), k = 3, nProbe = 8)),
+
+    // --- driver-visible ANN quality: recall@k vs the exact twin computed
+    //     INSIDE the query. rows-only (the value depends on engine-
+    //     specific KMeans centroids), but the recall NUMBER lands in the
+    //     per-round report, so a quality regression shows as a diff —
+    //     the same contract hnswlib validates its parameters by ---
+    "ann_ivf_recall" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      Recall.atK(
+        KnnIvf.searchPruned(KnnIvf.load(s, ivfIndexPath(s, dir)), q, k = 5, nProbe = 4),
+        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5), k = 5)
+    }),
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val ivf = KnnIvf.load(s, ivfIndexPath(s, dir))
+      val (idx, _) = pqIndexFor(s, dir)
+      val q = Tables.defaultQueries(s, dir)
+      Recall.atK(
+        Pq.adcSearchProbed(idx, KnnIvf.probeCells(ivf, q, nProbe = 8),
+          Pq.encode(idx, ivf.corpusWithCell), k = 5),
+        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5), k = 5)
+    }),
+    // recall of the ANN join measured on the same 10% query slice the
+    // exact baseline runs on — a sampled estimate, which is the only
+    // affordable form at corpus scale
+    "ann_knn_join_recall" -> ((s, dir) => {
+      val slice = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+      Recall.atK(
+        KnnJoin.annJoinIvf(slice, KnnIvf.load(s, ivfIndexPath(s, dir)), k = 3, nProbe = 8),
+        KnnJoin.knnJoinExact(slice, Tables.embeddings(s, dir), k = 3), k = 3)
+    }),
 
     // --- embedding-column statistics (corpus QA) ---
     "vector_centroids" -> ((s, dir) =>
@@ -656,6 +692,17 @@ object SparkEntry {
           round(VectorOps.norm(Multimodal.extractFeatures(col("content"))), 4).as("feat_norm"),
           Multimodal.resizeMeta(Multimodal.mediaMetaExpr(col("content")), 256, 256)
             .getField("width").cast("long").as("resized_w"))),
+    // multimodal columns feeding the DEDUP family: stub features ->
+    // sign-RP LSH near-dup pairs — the media-dedup pipeline shape
+    // (identical bytes => identical features => cosine 1 with its copy).
+    // rows-only (features are xxhash64-derived); planted-dupe recovery
+    // spec-pinned in SamplingSpec
+    "multimodal_dedup" -> ((s, dir) => {
+      val feats = Multimodal.withBinaryContent(docsWithExactDupes(s, dir))
+        .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))
+      Dedup.cosinePairsLsh(feats, dim = 8, idCol = "doc_id", vecCol = "features",
+        threshold = 0.99)
+    }),
   )
 
   /** Build + persist the IVF index once per (JVM, fixture dir); query
@@ -1539,12 +1586,14 @@ object SparkEntry {
                 count(*) AS n,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(26,6))) AS DOUBLE) AS revenue
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
-    // exact k-NN join: blind brute force over all ordered pairs
+    // exact k-NN join: blind brute force, query side bounded to the same
+    // 10% slice as the Spark entry
     "knn_join" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
          s AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
                       round(1.0 - list_dot_product(q.ev, c.ev) / (sqrt(list_dot_product(q.ev, q.ev)) * sqrt(list_dot_product(c.ev, c.ev))), 4) + 0.0 AS score
-               FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+               FROM v q JOIN v c ON q.vec_id <> c.vec_id
+               WHERE q.vec_id % 10 = 0),
          r AS (SELECT query_id, match_id, score,
                       row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS "rank"
                FROM s)

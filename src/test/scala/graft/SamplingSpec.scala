@@ -110,6 +110,24 @@ class SamplingSpec extends SparkSuite {
     kept.unpersist()
   }
 
+  test("multimodal features compose with dedup: LSH recovers every planted byte-copy") {
+    val base = docs.limit(100).select("doc_id", "text")
+    val copies = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val feats = Multimodal.withBinaryContent(base.unionByName(copies))
+      .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))
+    val pairs = graft.operators.Dedup
+      .cosinePairsLsh(feats, dim = 8, idCol = "doc_id", vecCol = "features",
+        threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = base.filter(col("doc_id") % 10 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000000L)).toSet
+    // identical bytes => identical stub features => cosine exactly 1, and
+    // identical signatures always share every LSH band
+    assert((planted -- pairs).isEmpty,
+      s"missed ${(planted -- pairs).size} of ${planted.size} planted copies")
+  }
+
   test("multimodal features compose with k-NN: every doc is its own nearest match") {
     val feats = Multimodal.withBinaryContent(docs.limit(50))
       .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))

@@ -132,7 +132,6 @@ object Pq {
   private def rankAdc(index: PqIndex, scoredInput: DataFrame, k: Int,
                       metric: String, idCol: String,
                       queryIdCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorOps
     val kCodes = index.codebooks.head.size
     // subspace-major flattened ||centroid||² table — a plain literal
@@ -146,13 +145,16 @@ object Pq {
       case other =>
         throw new IllegalArgumentException(s"ADC metric '$other' unsupported")
     }
+    // finish through the bounded partial/final top-k aggregation like
+    // every other k-NN path (a per-query rank window sort-shuffles ALL
+    // Q·candidates scored rows — the shape boundedTopK exists to avoid);
+    // same signed-zero canonicalization as Knn.knnExact
     val scored = scoredInput
-      .select(col(queryIdCol), col(idCol).as("match_id"),
-        round(dist, 4).as("score"))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("score").asc, col("match_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("match_id"),
+        (round(dist, 4) + lit(0.0)).as("score"))
+    val out = KnnTopK.boundedTopK(scored, k, asc = true)
+    if (queryIdCol == "query_id") out
+    else out.withColumnRenamed("query_id", queryIdCol)
   }
 
   /** Decode: reconstruct the (approximate) float vector from codes via a

@@ -100,6 +100,45 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** md5 twin of [[ShingleHashes]]: the portable 60-bit hash
+    * (`conv(substr(md5(shingle),1,15),16,10)` — what DuckDB computes as
+    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`) of every n-token
+    * shingle, one compiled pass per row. Exists so the portable dedup
+    * twins keep the flagships' narrow-signature shape: its output feeds
+    * the SAME codegen'd [[MinHashSig]]/[[SimHashBits]] reducers. */
+  case class Md5ShingleHashes(child: Expression, n: Int, trailing: Boolean)
+      extends UnaryExpression {
+
+    require(n >= 1, s"shingle width $n must be >= 1")
+
+    override def prettyName: String = "md5_shingle_hashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects array<string>, got ${other.sql}")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      Md5Kernel.shingleHashes(input.asInstanceOf[ArrayData], n, trailing)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        // the whole kernel is one compiled static call (Md5Kernel is a
+        // top-level object — its static forwarder is plain Java) — keeps
+        // the stage inside whole-stage codegen without generating the
+        // md5 loop itself
+        s"${ev.value} = graft.functions.Md5Kernel.shingleHashes($a, $n, $trailing);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** One-permutation MinHash signature of a shingle-hash array, rotation-
     * densified — the whole signature computed inside the row (with
     * [[ShingleHashes]] upstream, a MinHash job's only shuffle left is the
@@ -235,5 +274,46 @@ object TextExprs {
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+}
+
+/** Compiled kernel for [[TextExprs.Md5ShingleHashes]]. Top-level object:
+  * Scala emits a static forwarder class, so generated Java calls
+  * `graft.functions.Md5Kernel.shingleHashes(...)` directly. */
+object Md5Kernel {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val Space = Array[Byte](' ')
+
+  /** 60-bit value of the first 15 hex chars of md5 over the UTF-8 bytes
+    * of the n-token shingle at position i (out-of-range components fall
+    * back to token i — [[TextExprs.ShingleHashes]]'s trailing contract),
+    * for every position (or only complete shingles when !trailing). */
+  def shingleHashes(arr: ArrayData, n: Int, trailing: Boolean): UnsafeArrayData = {
+    val md = digests.get()
+    val t = arr.numElements()
+    val out = new Array[Long](if (trailing) t else math.max(t - n + 1, 0))
+    var i = 0
+    while (i < out.length) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(Space)
+        val idx = if (i + j < t) i + j else i
+        val s = arr.getUTF8String(idx)
+        if (s != null) md.update(s.getBytes)
+        j += 1
+      }
+      val h = md.digest()
+      // value of int(md5hex[:15], 16): 7 full bytes + the high nibble
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+      out(i) = (v << 4) | ((h(7) & 0xffL) >>> 4)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }

@@ -358,7 +358,7 @@ object Dedup {
     * out-of-range components fall back to token i — the string-level
     * mirror of [[TextExprs.ShingleHashes]]'s `trailing = true` contract.
     * `ts` must be a MATERIALIZED token-array column (HOF-lambda CSE). */
-  private def trailingShingleStrings(ts: Column, n: Int): Column =
+  private[graft] def trailingShingleStrings(ts: Column, n: Int): Column =
     transform(sequence(lit(1), size(ts)), i =>
       concat_ws(" ", (0 until n).map { j =>
         if (j == 0) element_at(ts, i)
@@ -379,30 +379,31 @@ object Dedup {
                            threshold: Double = 0.5): DataFrame = {
     val p = numPerms
     val rowsPerBand = numPerms / bands
+    // The whole signature is ONE codegen'd per-row projection, exactly
+    // the flagship's shape: [[TextExprs.Md5ShingleHashes]] (the compiled
+    // portable-hash kernel) feeding the SAME codegen'd
+    // [[TextExprs.MinHashSig]] reducer the flagship uses — its bucket
+    // arithmetic (pmod(h, p) buckets, min per bucket, cyclic rotation
+    // densification) is what the oracle reproduces with group-by +
+    // arg_min-over-cyclic-distance. Two earlier formulations measured
+    // SLOWER: grouped aggregations (each side of the band self-join
+    // re-executes the multi-stage shuffle subplan) and builtin HOF folds
+    // (higher-order-function lambdas run interpreted). The band join is
+    // the pipeline's only wide operation, as at the flagship.
     val tk = docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
       .filter(size(col("__ts")) > 0)
-    val sh = tk
-      .select(col(idCol), explode(trailingShingleStrings(col("__ts"), shingleN)).as("__sh"))
-      .select(col(idCol), portableHash64(col("__sh")).as("__h"))
-    // one-permutation buckets: slot b holds min(h) over hashes with
-    // pmod(h, p) = b (h is non-negative, so % and pmod agree)
-    val mins = sh.groupBy(col(idCol), pmod(col("__h"), lit(p)).as("__b"))
-      .agg(min(col("__h")).as("__mv"))
-    // rotation densification: slot s borrows the value of the cyclically
-    // next FILLED bucket (distance 0 = itself); cyclic distances are
-    // distinct within a doc, so min_by is tie-free
-    val slots = tk.select(col(idCol), explode(sequence(lit(0), lit(p - 1))).as("__s"))
-    val sig = slots.join(mins, idCol)
-      .groupBy(col(idCol), col("__s"))
-      .agg(min_by(col("__mv"), pmod(col("__b") - col("__s"), lit(p))).as("__v"))
-    // band key = the band's slot values in slot order, as a string — used
-    // only for bucket equality, so no re-hash is needed (or wanted: a
-    // string key is what the oracle can reproduce verbatim)
-    val bandKeys = sig
-      .groupBy(col(idCol), floor(col("__s") / lit(rowsPerBand)).cast("int").as("__band"))
-      .agg(concat_ws(",",
-        transform(sort_array(collect_list(struct(col("__s"), col("__v")))),
-          x => x.getField("__v").cast("string"))).as("__bkey"))
+    val sigRow = tk.select(col(idCol), asCol(TextExprs.MinHashSig(
+      asExpr(asCol(TextExprs.Md5ShingleHashes(
+        asExpr(col("__ts")), shingleN, trailing = true))), p)).as("__sig"))
+    // band key = the band's slot values in slot order as a string (used
+    // only for bucket equality, and what the oracle reproduces verbatim)
+    val bandStructs = (0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("__sig"), bIdx * rowsPerBand + r + 1).cast("string")): _*).as("bkey"))
+    }
+    val bandKeys = sigRow.select(col(idCol), explode(array(bandStructs: _*)).as("__bk"))
+      .select(col(idCol), col("__bk.band").as("__band"), col("__bk.bkey").as("__bkey"))
     val a = bandKeys.select(col(idCol).as("id_a"), col("__band"), col("__bkey"))
     val b = bandKeys.select(col(idCol).as("id_b"), col("__band"), col("__bkey"))
     val cands = a.join(b, Seq("__band", "__bkey"))
@@ -431,20 +432,17 @@ object Dedup {
   def simhashSignaturesPortable(docs: DataFrame, idCol: String = "doc_id",
                                 textCol: String = "text"): DataFrame = {
     val bits = 60
+    // one codegen'd per-row projection, like the flagship: the compiled
+    // md5 shingle-hash kernel feeding the SAME codegen'd
+    // [[TextExprs.SimHashBits]] bit-vote reducer (60 bits = the portable
+    // hash's width; votes over bits 0..59 match the oracle's
+    // `(h >> b) & 1` arithmetic). Earlier grouped-agg / interpreted-HOF
+    // formulations both measured slower — see [[minhashPairsPortable]].
     val tk = docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
       .filter(size(col("__ts")) > 0)
-    val sh = tk
-      .select(col(idCol), explode(trailingShingleStrings(col("__ts"), 2)).as("__sh"))
-      .select(col(idCol), portableHash64(col("__sh")).as("__h"))
-    // 60 conditional partial sums in ONE aggregation pass — the
-    // pre-codegen bit-vote shape (map-side combine keeps it one shuffle
-    // of 60 ints per doc)
-    val votes = (0 until bits).map(bIdx =>
-      sum(when(shiftright(col("__h"), bIdx).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"__c$bIdx"))
-    sh.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), array((0 until bits).map(bIdx =>
-        when(col(s"__c$bIdx") >= 0, 1).otherwise(0)): _*).as("sig"))
+    tk.select(col(idCol), asCol(TextExprs.SimHashBits(
+      asExpr(asCol(TextExprs.Md5ShingleHashes(
+        asExpr(col("__ts")), 2, trailing = true))), bits)).as("sig"))
   }
 
   def simhashPairsPortable(docs: DataFrame, idCol: String = "doc_id",

@@ -13,4 +13,11 @@ class EntrySpec extends SparkSuite {
     val df = SparkEntry.queries("ann_ivf")(spark, sfDir)
     assert(df.count() === 50) // 10 queries x k=5
   }
+
+  test("every oracleSql key names a real query entry") {
+    // a typo'd oracle key would be silently ignored by the driver — the
+    // query would degrade to rows-only without anyone noticing
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
 }

@@ -29,6 +29,32 @@ class TextExprsSpec extends SparkSuite {
     assert(shingles(Seq("only"), 2, trailing = false) === Seq.empty)
   }
 
+  test("md5 shingle hashes equal the builtin conv(md5) chain on fixture texts") {
+    // the compiled kernel (MessageDigest + nibble arithmetic) must be
+    // bit-equal to the expression it replaces: portableHash64 over the
+    // trailing shingle STRINGS — on real corpus token arrays
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      .select(Dedup.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+    for ((n, trailing) <- Seq((3, true), (2, true), (3, false))) {
+      val kernel = docs.select(GraftColumnBridge.column(
+        TextExprs.Md5ShingleHashes(
+          GraftColumnBridge.expression(col("ts")), n, trailing)).as("h"))
+      val builtin =
+        if (trailing)
+          docs.select(transform(Dedup.trailingShingleStrings(col("ts"), n),
+            s => Dedup.portableHash64(s)).as("h"))
+        else
+          docs.select(when(size(col("ts")) >= n,
+            transform(sequence(lit(1), size(col("ts")) - (n - 1)), i =>
+              Dedup.portableHash64(concat_ws(" ", slice(col("ts"), i, lit(n))))))
+            .otherwise(array().cast("array<bigint>")).as("h"))
+      assert(kernel.collect().map(_.getSeq[Long](0)).toSeq
+        === builtin.collect().map(_.getSeq[Long](0)).toSeq,
+        s"mismatch at n=$n trailing=$trailing")
+    }
+  }
+
   test("minhash_sig takes per-bucket minima and rotation-densifies") {
     def sig(hs: Seq[Long], p: Int): Seq[Long] =
       Seq(1).toDF("x").select(GraftColumnBridge.column(

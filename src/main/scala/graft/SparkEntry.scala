@@ -274,6 +274,20 @@ object SparkEntry {
           Pq.encode(idx, ivf.corpusWithCell), k = 5),
         KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5), k = 5)
     }),
+    // residual IVFADC (Jégou §V.B: PQ over r = v − centroid(cell), the
+    // published accuracy form at a fixed code budget) — surfaced directly
+    // as its recall row; on the deliberately-uniform fixtures it ties
+    // plain IVFPQ (cells explain ~no variance), on clustered corpora it
+    // is the better encoder. LUT-decomposition exactness spec-pinned.
+    "ann_ivfpq_residual_recall" -> ((s, dir) => {
+      val ivf = KnnIvf.load(s, ivfIndexPath(s, dir))
+      val (idx, encPath) = pqResidualFor(s, dir)
+      val q = Tables.defaultQueries(s, dir)
+      Recall.atK(
+        Pq.adcSearchResidual(idx, ivf, KnnIvf.probeCells(ivf, q, nProbe = 8),
+          s.read.parquet(encPath), k = 5),
+        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5), k = 5)
+    }),
     // recall of the ANN join measured on the same 10% query slice the
     // exact baseline runs on — a sampled estimate, which is the only
     // affordable form at corpus scale
@@ -772,6 +786,21 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq/${artifactKey(dir)}"
       Pq.encode(idx, Tables.embeddings(s, dir))
         .write.mode("overwrite").parquet(path)
+      (idx, path)
+    })
+
+  /** Residual-PQ codebooks + encoded corpus, built once per
+    * (SparkContext, fixture dir) like [[pqIndexFor]] — trained on
+    * residuals against the session IVF's centroids, so it always pairs
+    * with [[ivfIndexPath]]'s index. */
+  private val pqResidualBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (Pq.PqIndex, String)]
+  private def pqResidualFor(s: SparkSession, dir: String): (Pq.PqIndex, String) =
+    pqResidualBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val ivf = KnnIvf.load(s, ivfIndexPath(s, dir))
+      val idx = Pq.trainResidual(ivf, dim = 64, m = 16, k = 32)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqres/${artifactKey(dir)}"
+      Pq.encodeResidual(idx, ivf).write.mode("overwrite").parquet(path)
       (idx, path)
     })
 

@@ -107,6 +107,96 @@ object Pq {
     rankAdc(index, scored, k, metric, idCol, queryIdCol)
   }
 
+  // --------------------------------------------------------------------
+  // Residual IVFADC (Jégou et al. §V.B): PQ trained and applied on the
+  // RESIDUAL r = v − centroid(cell) instead of the raw vector. Residuals
+  // have far less variance than the vectors themselves (the coarse
+  // quantizer explains most of the energy), so the same m×k code budget
+  // spends its resolution on what the cells did NOT explain — the
+  // published accuracy fix for IVF+PQ at a fixed code size.
+  //
+  // Query-side arithmetic stays m lookups per pair via two exact
+  // identities over recon = c_cell + r̂:
+  //   <q, recon>    = <q, c_cell> + Σ_s ipLut[s][code_s]
+  //                   (ipLut over the RESIDUAL codebooks; <q, c_cell> is
+  //                   one scalar per (query, probed cell) — probe-sized)
+  //   ||recon||²    = Σ_s ||c_cell,s + codeword_{s,code_s}||²
+  //                   (a per-cell constant table, numCells × m × k
+  //                   doubles — literal-sized by construction)
+  // --------------------------------------------------------------------
+
+  /** Per-row residual against the row's assigned cell centroid. */
+  private def residualCol(ivf: KnnIvf.IvfIndex, vecCol: String): Column = {
+    val cents = KnnIvf.centroidSeq(ivf.model).sortBy(_._1).map(_._2)
+    zip_with(col(vecCol).cast("array<double>"),
+      element_at(typedLit(cents), col("cell") + 1), (a, b) => a - b)
+  }
+
+  /** Fit the per-subspace codebooks on residuals. */
+  def trainResidual(ivf: KnnIvf.IvfIndex, dim: Int, m: Int = 8, k: Int = 16,
+                    vecCol: String = "embedding", seed: Long = 42L): PqIndex =
+    train(ivf.corpusWithCell.withColumn("__resid", residualCol(ivf, vecCol)),
+      dim, m, k, vecCol = "__resid", seed)
+
+  /** Encode the corpus as residual codes; keeps `cell`, drops the raw
+    * vector (codes + cell ARE the stored form). */
+  def encodeResidual(index: PqIndex, ivf: KnnIvf.IvfIndex,
+                     vecCol: String = "embedding"): DataFrame =
+    encode(index, ivf.corpusWithCell.withColumn("__resid", residualCol(ivf, vecCol)),
+      vecCol = "__resid").drop(vecCol)
+
+  /** Residual ADC over IVF-probed cells — the full IVFADC query.
+    * `probedQueries` as from [[KnnIvf.probeCells]]; `encodedCells` from
+    * [[encodeResidual]]. Same output contract as [[adcSearch]]. */
+  def adcSearchResidual(index: PqIndex, ivf: KnnIvf.IvfIndex,
+                        probedQueries: DataFrame, encodedCells: DataFrame,
+                        k: Int, metric: String = "cosine",
+                        idCol: String = "vec_id", queryIdCol: String = "query_id",
+                        queryVecCol: String = "query_vec"): DataFrame = {
+    import graft.functions.VectorOps
+    val kCodes = index.codebooks.head.size
+    val cents = KnnIvf.centroidSeq(ivf.model).sortBy(_._1).map(_._2)
+    // per-cell ||c_s + codeword||² table, subspace-major like the LUTs
+    val books = index.codebooks
+    val subDim = index.subDim
+    val sqByCell: Seq[Seq[Double]] = cents.map { c =>
+      (0 until index.m).flatMap { s =>
+        books(s).map { cw =>
+          var sum = 0.0
+          var j = 0
+          while (j < subDim) {
+            val x = c(s * subDim + j) + cw(j); sum += x * x; j += 1
+          }
+          sum
+        }
+      }
+    }
+    val sqLit = typedLit(sqByCell)
+    // <q, c_cell> per probe row — computed before withLuts drops the
+    // query vector; probe frames are broadcast-sized by contract
+    val withQc = probedQueries.withColumn("__qc",
+      aggregate(zip_with(col(queryVecCol).cast("array<double>"),
+        element_at(typedLit(cents), col("cell") + 1),
+        (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+    val scored0 = encodedCells.join(
+      broadcast(withLuts(index, withQc, queryVecCol)), Seq("cell"))
+    val ip = col("__qc") + VectorOps.adcLookup(col("pq_codes"), col("__iplut"), kCodes)
+    val rsq = VectorOps.adcLookup(col("pq_codes"),
+      element_at(sqLit, col("cell") + 1), kCodes)
+    val dist = metric match {
+      case "cosine" => lit(1.0) - ip / (col("__qnorm") * sqrt(rsq))
+      case "euclidean" =>
+        sqrt(col("__qnorm") * col("__qnorm") - lit(2.0) * ip + rsq)
+      case other =>
+        throw new IllegalArgumentException(s"residual ADC metric '$other' unsupported")
+    }
+    val scored = scored0.select(col(queryIdCol).as("query_id"),
+      col(idCol).as("match_id"), (round(dist, 4) + lit(0.0)).as("score"))
+    val out = KnnTopK.boundedTopK(scored, k, asc = true)
+    if (queryIdCol == "query_id") out
+    else out.withColumnRenamed("query_id", queryIdCol)
+  }
+
   /** Per-query lookup tables: `ipLut[s][c] = <q_s, centroid_{s,c}>` and
     * the query norm. Interpreted HOFs are fine HERE — queries are
     * broadcast-sized; the per-pair hot path is the codegen'd

@@ -218,6 +218,42 @@ class KnnSpec extends SparkSuite {
     assert(counts.forall(_ === 10L))
   }
 
+  test("residual IVFADC: LUT decomposition equals centroid+residual reconstruction") {
+    import graft.operators.{KnnIvf, Pq}
+    val numCells = 8
+    val ivf = KnnIvf.build(corpus, numCells = numCells)
+    val idx = Pq.trainResidual(ivf, dim = 64, m = 16, k = 32)
+    val enc = Pq.encodeResidual(idx, ivf)
+    // probe EVERY cell so each (query, corpus row) pair is scored once;
+    // the two ADC identities (<q,recon> split, per-cell ||recon||² table)
+    // must equal brute-force cosine against recon = centroid + r̂ up to
+    // float(decode)-vs-double(LUT) rounding
+    val n = corpus.count().toInt
+    val adc = Pq.adcSearchResidual(idx, ivf,
+        KnnIvf.probeCells(ivf, queries, nProbe = numCells), enc, k = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cents = ivf.model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val reconV = Pq.decode(idx, enc).withColumn("embedding",
+      zip_with(col("embedding").cast("array<double>"),
+        element_at(typedLit(cents), col("cell") + 1), (a, b) => a + b))
+    val recon = Knn.knnExact(queries, reconV, k = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(adc.keySet === recon.keySet)
+    val maxDiff = adc.map { case (k2, v) => math.abs(v - recon(k2)) }.max
+    assert(maxDiff <= 5e-4, s"residual ADC vs reconstruction max diff $maxDiff")
+    // recall on these deliberately UNIFORM fixtures: residuals cannot
+    // beat plain PQ (cells explain ~no variance here — the paper's gains
+    // need clustered data), but they must stay in the same band
+    val exact = Knn.knnExact(queries, corpus, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val res10 = Pq.adcSearchResidual(idx, ivf,
+        KnnIvf.probeCells(ivf, queries, nProbe = numCells), enc, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & res10).size.toDouble / exact.size
+    info(s"residual IVFADC recall@10 (all cells probed) = $recall")
+    assert(recall >= 0.4, s"residual IVFADC recall@10 = $recall")
+  }
+
   test("sign-RP LSH finds all planted cosine duplicates") {
     val emb = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))

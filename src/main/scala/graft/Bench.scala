@@ -18,7 +18,8 @@ object Bench {
     // build session state (IVF index / bucketed tables) on first call —
     // the build-once/query-many split the reference also times separately
     // (benchmark.py reports build and query phases apart).
-    for (name <- Seq("knn_cosine", "ann_ivf", "ann_pq_cosine", "scale_bucketed_revenue");
+    for (name <- Seq("knn_cosine", "ann_ivf", "ann_pq_cosine",
+                     "ann_ivfpq_residual_recall", "scale_bucketed_revenue");
          fn <- SparkEntry.queries.get(name))
       fn(spark, sfDir).count()
     // Steady-state timing: two full sweeps, per-query minimum — the

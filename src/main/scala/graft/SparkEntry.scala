@@ -543,6 +543,18 @@ object SparkEntry {
                       CAST(size(shingle_hashes(filter(split(lower(text), '\\s+'), x -> x != ''), 3, true)) AS BIGINT) AS n_shingles
                FROM docs_sql""")
     }),
+    // the registered md5 kernel driven through SQL text, oracled on the
+    // HASH VALUES themselves (stronger than sql_shingles' count check:
+    // DuckDB recomputes every 60-bit shingle hash and must agree on the
+    // per-doc minimum)
+    "sql_md5_shingles" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("docs_sql")
+      s.sql("""SELECT doc_id,
+                      array_min(md5_shingle_hashes(filter(split(lower(text), '\\s+'), x -> x != ''), 3, true)) AS min_shingle_hash
+               FROM docs_sql
+               WHERE size(filter(split(lower(text), '\\s+'), x -> x != '')) > 0""")
+    }),
     "events_json" -> ((s, dir) => EventOps.jsonPropsAgg(Tables.events(s, dir))),
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
     // batch interval self-join (the stream-stream join's batch form):
@@ -1476,6 +1488,17 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_shingles
          FROM documents""",
+    "sql_md5_shingles" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+                     FROM documents),
+         t2 AS (SELECT doc_id, ts, len(ts) AS t FROM tk WHERE len(ts) > 0),
+         sh AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(
+                         ts[i] || ' ' ||
+                         CASE WHEN i + 1 <= t THEN ts[i + 1] ELSE ts[i] END || ' ' ||
+                         CASE WHEN i + 2 <= t THEN ts[i + 2] ELSE ts[i] END), 1, 15) AS BIGINT) AS h
+                FROM (SELECT doc_id, ts, t, unnest(range(1, t + 1)) AS i FROM t2))
+         SELECT doc_id, min(h) AS min_shingle_hash FROM sh GROUP BY 1""",
     "events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
                 count(*) AS n_events,

@@ -43,6 +43,10 @@ object GraftFunctions {
     ("simhash_bits", classOf[TextExprs.SimHashBits].getName,
       args => TextExprs.SimHashBits(args(0),
         if (args.length > 1) intLit(args(1), "bits") else 64)),
+    ("md5_shingle_hashes", classOf[TextExprs.Md5ShingleHashes].getName,
+      args => TextExprs.Md5ShingleHashes(args(0),
+        intLit(args(1), "shingle width n"),
+        if (args.length > 2) boolLit(args(2), "trailing") else true)),
     ("adc_lookup", classOf[VectorExprs.AdcLookup].getName,
       args => VectorExprs.AdcLookup(args(0), args(1),
         intLit(args(2), "codebook size k"))))

@@ -241,6 +241,17 @@ class KnnSpec extends SparkSuite {
     assert(adc.keySet === recon.keySet)
     val maxDiff = adc.map { case (k2, v) => math.abs(v - recon(k2)) }.max
     assert(maxDiff <= 5e-4, s"residual ADC vs reconstruction max diff $maxDiff")
+    // same identity under the euclidean form: adc emits sqrt(||q−recon||²)
+    // while knnExact's "euclidean" is the SQUARED distance — compare via
+    // the square (rounding at 4dp on the sqrt widens to ~2·d·5e-5)
+    val adcL2 = Pq.adcSearchResidual(idx, ivf,
+        KnnIvf.probeCells(ivf, queries, nProbe = numCells), enc, k = n,
+        metric = "euclidean")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val reconL2 = Knn.knnExact(queries, reconV, k = n, metric = "euclidean").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val maxDiffL2 = adcL2.map { case (k2, v) => math.abs(v * v - reconL2(k2)) }.max
+    assert(maxDiffL2 <= 5e-3, s"residual ADC euclidean max squared-diff $maxDiffL2")
     // recall on these deliberately UNIFORM fixtures: residuals cannot
     // beat plain PQ (cells explain ~no variance here — the paper's gains
     // need clustered data), but they must stay in the same band

@@ -60,8 +60,14 @@ object Knn {
     val ord: Column = if (asDistance) col("score").asc else col("score").desc
     val w = Window.partitionBy(col("query_id")).orderBy(ord, col("match_id").asc)
     // rank as long: DuckDB's row_number() yields BIGINT and the driver's
-    // hash compare is type-sensitive
+    // hash compare is type-sensitive.
+    // NaN scores (0/0 cosine on a zero-norm vector) are dropped BEFORE
+    // ranking: Spark's sort treats NaN as largest, which would rank a
+    // garbage row last for distances but FIRST for similarities — and
+    // [[KnnTopK.TopKBuf]] rejects NaN outright, so this filter keeps the
+    // two formulations row-identical on degenerate inputs too.
     scored
+      .filter(!isnan(col("score")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }

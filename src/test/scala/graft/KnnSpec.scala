@@ -218,6 +218,27 @@ class KnnSpec extends SparkSuite {
     assert(counts.forall(_ === 10L))
   }
 
+  test("zero-norm corpus rows drop from both k-NN formulations identically") {
+    import spark.implicits._
+    // cosine against a zero vector is 0/0 = NaN: the window form ranked
+    // NaN largest (FIRST for similarities), the aggregation form rejects
+    // it — both must now exclude the row and fill k from valid matches
+    val corpus0 = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)), (4L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((7L, Array(1.0f, 0.05f))).toDF("query_id", "query_vec")
+    for (asDist <- Seq(true, false)) {
+      val win = Knn.knnExact(q, corpus0, k = 3, asDistance = asDist)
+        .collect().map(_.toSeq).toSet
+      val agg = KnnTopK.knnExact(q, corpus0, k = 3, asDistance = asDist)
+        .collect().map(_.toSeq).toSet
+      assert(win === agg, s"formulations diverge (asDistance=$asDist)")
+      assert(win.size === 3, "k must fill from the valid rows")
+      assert(!win.exists(_(1) == 3L), "zero-norm row must not be a match")
+    }
+  }
+
   test("residual IVFADC: LUT decomposition equals centroid+residual reconstruction") {
     import graft.operators.{KnnIvf, Pq}
     val numCells = 8

@@ -481,7 +481,10 @@ object Dedup {
     a.join(b, "__blk")
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", round(VectorOps.cosineSimilarity(col("__va"), col("__vb")), decimals))
-      .filter(col("cosine") >= threshold)
+      // NaN cosine (a zero-norm side) must not pass the threshold: Spark's
+      // comparison ranks NaN LARGEST, so `NaN >= t` is true — a pair of
+      // zero vectors would otherwise emit as a "duplicate"
+      .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
 
@@ -509,7 +512,9 @@ object Dedup {
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
       .withColumn("cosine", round(VectorOps.cosineSimilarity(col("__va"), col("__vb")), 4))
-      .filter(col("cosine") >= threshold)
+      // NaN guard as in [[cosinePairsBlocked]] (zero vectors collide in
+      // every sign-bucket — all-zero signatures — so they DO reach verify)
+      .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
 }

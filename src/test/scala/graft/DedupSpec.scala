@@ -103,6 +103,25 @@ class DedupSpec extends SparkSuite {
       s"banded=${pairs.size} brute=${brute.size} missed=${(brute -- pairs).size}")
   }
 
+  test("zero-norm embeddings never emit as cosine near-dup pairs") {
+    // two zero vectors share every LSH sign-bucket AND every sign-pattern
+    // block; their cosine is 0/0 = NaN, which Spark's comparison ranks
+    // LARGEST — without the isnan guard they'd emit as a duplicate pair
+    val emb = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0)),
+      (4L, Array(1.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val lsh = Dedup.cosinePairsLsh(emb, dim = 4, threshold = 0.99).collect()
+    assert(lsh.forall(r => !r.getDouble(2).isNaN))
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 4L)))
+    val blocked = Dedup.cosinePairsBlocked(emb,
+      Seq(lit(0)), threshold = 0.99).collect()
+    assert(blocked.forall(r => !r.getDouble(2).isNaN))
+    assert(blocked.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 4L)))
+  }
+
   test("hamming expression") {
     val d = Seq((Seq(1, 0, 1, 0), Seq(1, 1, 0, 0))).toDF("a", "b")
     assert(d.select(Dedup.hamming($"a", $"b")).head().getInt(0) === 2)

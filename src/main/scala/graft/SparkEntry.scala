@@ -726,8 +726,12 @@ object SparkEntry {
     "multimodal_dedup" -> ((s, dir) => {
       val feats = Multimodal.withBinaryContent(docsWithExactDupes(s, dir))
         .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))
+      // 64 planes -> 16-bit bands: 8-dim features give only 256 distinct
+      // 8-bit band keys corpus-wide (candidate blowup); wider bands keep
+      // byte-copy recall at 1 (identical features = identical signatures)
+      // while cutting false candidates ~256x
       Dedup.cosinePairsLsh(feats, dim = 8, idCol = "doc_id", vecCol = "features",
-        threshold = 0.99)
+        planes = 64, bands = 4, threshold = 0.99)
     }),
   )
 

@@ -359,12 +359,16 @@ object Dedup {
     * mirror of [[TextExprs.ShingleHashes]]'s `trailing = true` contract.
     * `ts` must be a MATERIALIZED token-array column (HOF-lambda CSE). */
   private[graft] def trailingShingleStrings(ts: Column, n: Int): Column =
-    transform(sequence(lit(1), size(ts)), i =>
-      concat_ws(" ", (0 until n).map { j =>
-        if (j == 0) element_at(ts, i)
-        else when(i + lit(j) <= size(ts), element_at(ts, i + lit(j)))
-          .otherwise(element_at(ts, i))
-      }: _*))
+    // the empty guard matters: sequence(1, 0) is DESCENDING [1, 0] in
+    // Spark, so an unguarded transform would element_at an empty array
+    when(size(ts) >= 1,
+      transform(sequence(lit(1), size(ts)), i =>
+        concat_ws(" ", (0 until n).map { j =>
+          if (j == 0) element_at(ts, i)
+          else when(i + lit(j) <= size(ts), element_at(ts, i + lit(j)))
+            .otherwise(element_at(ts, i))
+        }: _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** MinHash near-dup pairs over the portable hash — same one-permutation
     * signature, rotation densification, banded candidates, and exact

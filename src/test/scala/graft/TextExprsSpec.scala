@@ -55,6 +55,39 @@ class TextExprsSpec extends SparkSuite {
     }
   }
 
+  test("md5 kernel matches the builtin chain on unicode / degenerate token arrays") {
+    // the kernel hashes UTF8String.getBytes — multibyte text is where a
+    // byte-level bug would hide (the fixture corpus is pure ASCII)
+    val cases: Seq[Seq[String]] = Seq(
+      Seq("héllo", "wörld", "naïve"),
+      Seq("日本語", "の", "テスト", "です"),
+      Seq("mixed", "ascii", "日本", "🎉emoji🎉", "tail"),
+      Seq("🎉"),                       // single multibyte token
+      Seq("a" * 500, "b", "c" * 300),  // long tokens
+      Seq.empty[String]                // no tokens -> no shingles
+    )
+    import spark.implicits._
+    val df = cases.toDF("ts")
+    for ((n, trailing) <- Seq((3, true), (2, true), (3, false))) {
+      val both = df.select(
+        GraftColumnBridge.column(TextExprs.Md5ShingleHashes(
+          GraftColumnBridge.expression(col("ts")), n, trailing)).as("kernel"),
+        (if (trailing)
+          transform(Dedup.trailingShingleStrings(col("ts"), n),
+            s => Dedup.portableHash64(s))
+        else
+          when(size(col("ts")) >= n,
+            transform(sequence(lit(1), size(col("ts")) - (n - 1)), i =>
+              Dedup.portableHash64(concat_ws(" ", slice(col("ts"), i, lit(n))))))
+            .otherwise(array().cast("array<bigint>"))).as("builtin")
+      ).collect()
+      both.zip(cases).foreach { case (r, c) =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+          s"mismatch on $c at n=$n trailing=$trailing")
+      }
+    }
+  }
+
   test("minhash_sig takes per-bucket minima and rotation-densifies") {
     def sig(hs: Seq[Long], p: Int): Seq[Long] =
       Seq(1).toDF("x").select(GraftColumnBridge.column(

@@ -259,6 +259,13 @@ object SparkEntry {
     //     specific KMeans centroids), but the recall NUMBER lands in the
     //     per-round report, so a quality regression shows as a diff —
     //     the same contract hnswlib validates its parameters by ---
+    // filtered ANN: the metadata-predicate + probe composition (the
+    // exact twin is knn_filtered); rows-only, equality-at-full-probe
+    // spec-pinned in KnnSpec
+    "ann_ivf_filtered" -> ((s, dir) =>
+      KnnIvf.searchPruned(
+        KnnIvf.filtered(KnnIvf.load(s, ivfIndexPath(s, dir)), col("label") === 3),
+        Tables.defaultQueries(s, dir), k = 5, nProbe = 8)),
     "ann_ivf_recall" -> ((s, dir) => {
       val q = Tables.defaultQueries(s, dir)
       Recall.atK(

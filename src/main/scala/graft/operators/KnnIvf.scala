@@ -75,6 +75,18 @@ object KnnIvf {
   def probeCells(index: IvfIndex, queries: DataFrame, nProbe: Int): DataFrame =
     queryCells(queries, index.model, nProbe)
 
+  /** Filtered view of an index — vector search under a metadata
+    * predicate, the standard serving composition (every production
+    * vector store exposes it). The predicate narrows the CORPUS side
+    * only; cell probing and partition pruning compose with it unchanged
+    * (the filter lands under the probed-cell scan, so a pruned read
+    * scans only matching cells AND skips non-matching rows). Recall
+    * caveat inherent to IVF post-filtering: a sparse predicate can
+    * leave a probed cell empty — raise nProbe when filters are very
+    * selective. */
+  def filtered(index: IvfIndex, predicate: Column): IvfIndex =
+    IvfIndex(index.model, index.corpusWithCell.filter(predicate))
+
   /** Approximate top-k: probe `nProbe` cells per query, exact re-rank
     * within probed cells. Same output shape as [[Knn.knnExact]].
     *

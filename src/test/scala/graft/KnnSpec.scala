@@ -218,6 +218,23 @@ class KnnSpec extends SparkSuite {
     assert(counts.forall(_ === 10L))
   }
 
+  test("filtered IVF with every cell probed equals exact filtered search") {
+    val numCells = 8
+    val ivf = KnnIvf.build(corpus, numCells = numCells)
+    val pred = col("label") === 3
+    val ann = KnnIvf.search(KnnIvf.filtered(ivf, pred), queries,
+        k = 5, nProbe = numCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val exact = KnnTopK.knnExact(queries, corpus.filter(pred), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(ann === exact, "full-probe filtered IVF must equal exact filtered k-NN")
+    // pruned probing still honors the predicate
+    val pruned = KnnIvf.search(KnnIvf.filtered(ivf, pred), queries, k = 5, nProbe = 2)
+    val matchedLabels = pruned.join(corpus.select(col("vec_id").as("match_id"), col("label")),
+      "match_id").select("label").distinct().collect().map(_.getInt(0)).toSeq
+    assert(matchedLabels === Seq(3))
+  }
+
   test("zero-norm corpus rows drop from both k-NN formulations identically") {
     import spark.implicits._
     // cosine against a zero vector is 0/0 = NaN: the window form ranked

@@ -126,6 +126,22 @@ object SparkEntry {
       Dedup.minhashPairsPortable(docsWithNearDupes(s, dir), threshold = 0.5)),
     "dedup_simhash_md5" -> ((s, dir) =>
       Dedup.simhashPairsPortable(docsWithNearDupes(s, dir))),
+    // GATED twin agreement: the xxhash64 flagship and the md5-oracled
+    // twin must emit the IDENTICAL verified pair set (id_a, id_b,
+    // jaccard) — both verify candidates with the same exact shingle-set
+    // Jaccard, so any divergence means a pipeline regression (a banding
+    // bug that drops a candidate, a shingle-set drift). agreement < 1.0
+    // raises in-plan → hard driver err, upgrading DedupSpec's pinned
+    // claim into a per-round driver signal. (SimHash has no such gate by
+    // design: its SIMILARITY is hash-dependent, so twin pair sets
+    // legitimately differ — 9 vs 12 pairs on fixtures.)
+    "dedup_twin_agreement" -> ((s, dir) => {
+      val corpus = docsWithNearDupes(s, dir)
+      Recall.setAgreement(
+        Dedup.minhashPairs(corpus, threshold = 0.5),
+        Dedup.minhashPairsPortable(corpus, threshold = 0.5),
+        on = Seq("id_a", "id_b", "jaccard"), floor = 1.0)
+    }),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
         blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
@@ -255,10 +271,17 @@ object SparkEntry {
         KnnIvf.load(s, ivfIndexPath(s, dir)), k = 3, nProbe = 8)),
 
     // --- driver-visible ANN quality: recall@k vs the exact twin computed
-    //     INSIDE the query. rows-only (the value depends on engine-
-    //     specific KMeans centroids), but the recall NUMBER lands in the
-    //     per-round report, so a quality regression shows as a diff —
-    //     the same contract hnswlib validates its parameters by ---
+    //     INSIDE the query, GATED under a pinned floor (Recall.atKGated
+    //     raises in-plan when recall collapses — a quality regression is
+    //     a hard `err` in the correctness report, not a number a human
+    //     must notice; hnswlib's parameter-sweep contract, SURVEY §5.2).
+    //     rows-only (values depend on engine-specific KMeans centroids).
+    //     Floors are observed-minus-margin across sf0.01/sf0.1 (r7:
+    //     ivf .68/.70, ivfpq .58/.48, residual .68/.50, join .87/.84;
+    //     the near-uniform fixtures bound IVF recall — cells explain
+    //     little variance — so floors sit below the 0.95 a clustered
+    //     corpus would sustain; margins absorb seed/scale jitter, the
+    //     gate catches collapses) ---
     // filtered ANN: the metadata-predicate + probe composition (the
     // exact twin is knn_filtered); rows-only, equality-at-full-probe
     // spec-pinned in KnnSpec
@@ -266,20 +289,34 @@ object SparkEntry {
       KnnIvf.searchPruned(
         KnnIvf.filtered(KnnIvf.load(s, ivfIndexPath(s, dir)), col("label") === 3),
         Tables.defaultQueries(s, dir), k = 5, nProbe = 8)),
+    // recall of the composed predicate+probe path vs its exact filtered
+    // twin — the same driver-visible treatment as the plain path (the
+    // label=3 corpus is ~1/4 of the cells' mass, so per-query true
+    // neighbor counts can dip below k: exactly the sparse-label case
+    // Recall.atK's least(k, exact) denominator exists for)
+    "ann_ivf_filtered_recall" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      Recall.atKGated(
+        KnnIvf.searchPruned(
+          KnnIvf.filtered(KnnIvf.load(s, ivfIndexPath(s, dir)), col("label") === 3),
+          q, k = 5, nProbe = 8),
+        KnnTopK.knnExact(q, Tables.embeddings(s, dir).filter(col("label") === 3), k = 5),
+        k = 5, floor = 0.55)
+    }),
     "ann_ivf_recall" -> ((s, dir) => {
       val q = Tables.defaultQueries(s, dir)
-      Recall.atK(
+      Recall.atKGated(
         KnnIvf.searchPruned(KnnIvf.load(s, ivfIndexPath(s, dir)), q, k = 5, nProbe = 4),
-        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5), k = 5)
+        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5), k = 5, floor = 0.55)
     }),
     "ann_ivfpq_recall" -> ((s, dir) => {
       val ivf = KnnIvf.load(s, ivfIndexPath(s, dir))
       val (idx, _) = pqIndexFor(s, dir)
       val q = Tables.defaultQueries(s, dir)
-      Recall.atK(
+      Recall.atKGated(
         Pq.adcSearchProbed(idx, KnnIvf.probeCells(ivf, q, nProbe = 8),
           Pq.encode(idx, ivf.corpusWithCell), k = 5),
-        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5), k = 5)
+        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5), k = 5, floor = 0.35)
     }),
     // residual IVFADC (Jégou §V.B: PQ over r = v − centroid(cell), the
     // published accuracy form at a fixed code budget) — surfaced directly
@@ -290,19 +327,19 @@ object SparkEntry {
       val ivf = KnnIvf.load(s, ivfIndexPath(s, dir))
       val (idx, encPath) = pqResidualFor(s, dir)
       val q = Tables.defaultQueries(s, dir)
-      Recall.atK(
+      Recall.atKGated(
         Pq.adcSearchResidual(idx, ivf, KnnIvf.probeCells(ivf, q, nProbe = 8),
           s.read.parquet(encPath), k = 5),
-        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5), k = 5)
+        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5), k = 5, floor = 0.35)
     }),
     // recall of the ANN join measured on the same 10% query slice the
     // exact baseline runs on — a sampled estimate, which is the only
     // affordable form at corpus scale
     "ann_knn_join_recall" -> ((s, dir) => {
       val slice = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
-      Recall.atK(
+      Recall.atKGated(
         KnnJoin.annJoinIvf(slice, KnnIvf.load(s, ivfIndexPath(s, dir)), k = 3, nProbe = 8),
-        KnnJoin.knnJoinExact(slice, Tables.embeddings(s, dir), k = 3), k = 3)
+        KnnJoin.knnJoinExact(slice, Tables.embeddings(s, dir), k = 3), k = 3, floor = 0.70)
     }),
 
     // --- embedding-column statistics (corpus QA) ---
@@ -386,6 +423,19 @@ object SparkEntry {
         KnnTopK.knnExact(Tables.defaultQueries(s, dir),
           Tables.embeddings(s, dir), k = 20, metric = "cosine"),
         Tables.embeddings(s, dir), k = 10)),
+    // GATED agreement between the incremental greedy MMR and its
+    // from-scratch brute-force twin (O(k²n) penalty recomputation, no
+    // shared state): identical (query_id, match_id, mmr, rank) tuples or
+    // the row raises — the driver-visible quality contract for the one
+    // retrieval path whose greedy loop is SQL-hostile
+    "retrieval_mmr_agreement" -> ((s, dir) => {
+      val cands = KnnTopK.knnExact(Tables.defaultQueries(s, dir),
+        Tables.embeddings(s, dir), k = 20, metric = "cosine")
+      Recall.setAgreement(
+        Retrieval.mmrRerank(cands, Tables.embeddings(s, dir), k = 10),
+        Retrieval.mmrRerankBrute(cands, Tables.embeddings(s, dir), k = 10),
+        on = Seq("query_id", "match_id", "mmr", "rank"), floor = 1.0)
+    }),
     // one-pass exact column profile over orders (nulls / distincts /
     // numeric ranges; timestamp pre-converted to integer epoch seconds
     // so the double surface is engine-exact)
@@ -460,6 +510,23 @@ object SparkEntry {
       val queries = feats.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("features").as("query_vec"))
       KnnTopK.knnExact(queries, feats, k = 5, corpusId = "doc_id", corpusVec = "features")
+    }),
+    // GATED quality row for the multimodal k-NN composition: the
+    // bounded-agg top-k path (what multimodal_knn serves) vs the window
+    // formulation over the SAME stub features — two independent exact
+    // implementations, both (score, id)-deterministic, so recall@5 must
+    // be exactly 1.0 or the row raises. Pins the top-k machinery on the
+    // feature schema (8-dim arrays) the oracled embedding paths never
+    // exercise.
+    "multimodal_knn_recall" -> ((s, dir) => {
+      val feats = Multimodal.withBinaryContent(Tables.documents(s, dir))
+        .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))
+      val queries = feats.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("features").as("query_vec"))
+      Recall.atKGated(
+        KnnTopK.knnExact(queries, feats, k = 5, corpusId = "doc_id", corpusVec = "features"),
+        Knn.knnExact(queries, feats, k = 5, corpusId = "doc_id", corpusVec = "features"),
+        k = 5, floor = 1.0)
     }),
 
     // --- events: windows / JSON / sessions / top-N (E4, E5) ---

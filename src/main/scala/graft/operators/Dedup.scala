@@ -211,7 +211,24 @@ object Dedup {
     * @return (id, component) with component = min id reachable
     */
   def duplicateComponents(docs: DataFrame, pairs: DataFrame,
-                          idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+                          idCol: String = "doc_id", maxIter: Int = 20): DataFrame =
+    duplicateComponentsChecked(docs, pairs, idCol, maxIter)._1
+
+  /** [[duplicateComponents]] with the convergence status surfaced: the
+    * iteration count is a DEFENSIVE CAP, not a convergence proof —
+    * min-label propagation needs O(graph diameter) rounds, and while
+    * duplicate clusters are near-cliques in practice (diameter 2-3), a
+    * pathological chain a~b~c~…~z at corpus scale could exceed any fixed
+    * budget. Rather than loop unboundedly on a cluster, the cap bails
+    * out with the CURRENT labels (a refinement of the true components:
+    * every emitted group is genuinely connected — unconverged means some
+    * groups may not yet be fully merged) plus `converged = false` so the
+    * caller can log, alert, or re-run with a larger budget.
+    *
+    * @return (labels (id, component), converged) */
+  def duplicateComponentsChecked(docs: DataFrame, pairs: DataFrame,
+                                 idCol: String = "doc_id",
+                                 maxIter: Int = 20): (DataFrame, Boolean) = {
     val edges = pairs.select(col("id_a"), col("id_b"))
     val sym = edges
       .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -239,7 +256,11 @@ object Dedup {
       labels = updated
       i += 1
     }
-    labels.select(col("id").as(idCol), col("component"))
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateComponents hit the $maxIter-iteration cap before convergence; " +
+        "returning partially-merged labels (converged=false)")
+    (labels.select(col("id").as(idCol), col("component")), converged)
   }
 
   /** SimHash signatures as 64 sign bits: (id, simhash: array<int>).
@@ -380,7 +401,7 @@ object Dedup {
   def minhashPairsPortable(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text", shingleN: Int = 3,
                            numPerms: Int = 32, bands: Int = 16,
-                           threshold: Double = 0.5): DataFrame = {
+                           threshold: Double = 0.4): DataFrame = {
     val p = numPerms
     val rowsPerBand = numPerms / bands
     // The whole signature is ONE codegen'd per-row projection, exactly

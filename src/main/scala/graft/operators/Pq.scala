@@ -186,7 +186,10 @@ object Pq {
     val dist = metric match {
       case "cosine" => lit(1.0) - ip / (col("__qnorm") * sqrt(rsq))
       case "euclidean" =>
-        sqrt(col("__qnorm") * col("__qnorm") - lit(2.0) * ip + rsq)
+        // clamp: for a near-exact reconstruction the operand can round to
+        // a tiny negative double; sqrt would yield NaN and the TopKBuf
+        // NaN rejection would silently drop a best-possible match
+        sqrt(greatest(col("__qnorm") * col("__qnorm") - lit(2.0) * ip + rsq, lit(0.0)))
       case other =>
         throw new IllegalArgumentException(s"residual ADC metric '$other' unsupported")
     }
@@ -231,7 +234,9 @@ object Pq {
     val dist = metric match {
       case "cosine" => lit(1.0) - ip / (col("__qnorm") * sqrt(rsq))
       case "euclidean" =>
-        sqrt(col("__qnorm") * col("__qnorm") - lit(2.0) * ip + rsq)
+        // same clamp as adcSearchResidual: a tiny negative rounding
+        // residue under sqrt must not NaN-drop an exact match
+        sqrt(greatest(col("__qnorm") * col("__qnorm") - lit(2.0) * ip + rsq, lit(0.0)))
       case other =>
         throw new IllegalArgumentException(s"ADC metric '$other' unsupported")
     }

@@ -19,19 +19,69 @@ object Recall {
   /** One-row summary: (k, n_queries, recall_at_k), recall averaged over
     * the exact result's query set (a query with no approximate rows
     * counts as 0 — silent no-answers must depress the metric, not
-    * vanish from it). Both inputs use the (query_id, match_id, rank)
+    * vanish from it). The per-query denominator is `least(k, exact
+    * rows)`: on a filtered/sparse corpus where a query has fewer than k
+    * true neighbors, a perfect approximate answer scores 1.0, not
+    * hits/k < 1 (a constant-k denominator would read as a false quality
+    * regression). Both inputs use the (query_id, match_id, rank)
     * contract of [[Knn.knnExact]]/[[KnnTopK.boundedTopK]]. */
   def atK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val a = approx.filter(col("rank") <= k).select(col("query_id"), col("match_id"))
     val e = exact.filter(col("rank") <= k).select(col("query_id"), col("match_id"))
     val hits = a.join(e, Seq("query_id", "match_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
-    val perQuery = e.select("query_id").distinct()
+    val perQuery = e.groupBy(col("query_id")).agg(count(lit(1)).as("__exact"))
       .join(hits, Seq("query_id"), "left")
-      .select(coalesce(col("__hits"), lit(0L)).as("__hits"))
+      .select(coalesce(col("__hits"), lit(0L)).as("__hits"),
+        least(lit(k.toLong), col("__exact")).as("__denom"))
     perQuery.agg(
       count(lit(1)).as("n_queries"),
-      round(avg(col("__hits").cast("double") / lit(k.toDouble)), 4).as("recall_at_k"))
+      round(avg(col("__hits").cast("double") / col("__denom").cast("double")), 4)
+        .as("recall_at_k"))
       .select(lit(k.toLong).as("k"), col("n_queries"), col("recall_at_k"))
+  }
+
+  /** [[atK]] with a pinned floor that GATES: the row carries the floor,
+    * and a recall below it raises at execution time (`raise_error`
+    * inside the plan — no driver-side collect), so an ANN-quality
+    * collapse becomes a hard `err` in the driver's correctness report
+    * instead of a number a human must notice. The floor is the same
+    * contract hnswlib holds its parameter sweeps to (SURVEY §5.2). */
+  def atKGated(approx: DataFrame, exact: DataFrame, k: Int, floor: Double): DataFrame =
+    atK(approx, exact, k)
+      .withColumn("floor", lit(floor))
+      .filter(when(col("recall_at_k") >= lit(floor), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"ANN quality gate: recall@$k "), col("recall_at_k"),
+          lit(s" below pinned floor $floor")))))
+
+  /** Gated set agreement between two formulations of the same result
+    * (an optimized flagship vs its portable/brute-force twin): one row
+    * (n_left, n_right, n_common, agreement), where agreement =
+    * n_common / max(n_left, n_right). Below `floor` the row raises at
+    * execution time — for exact twins (floor = 1.0 default) ANY
+    * divergence between the two pipelines becomes a hard driver error.
+    * Both inputs are compared as SETS of their `on`-column tuples.
+    * Scale shape: both inputs arrive reduced (pair lists / top-k rows);
+    * the full-outer join here is over already-small frames. */
+  def setAgreement(left: DataFrame, right: DataFrame, on: Seq[String],
+                   floor: Double = 1.0): DataFrame = {
+    val l = left.select(on.map(col): _*).distinct().withColumn("__l", lit(1))
+    val r = right.select(on.map(col): _*).distinct().withColumn("__r", lit(1))
+    l.join(r, on, "full_outer")
+      .agg(
+        count(col("__l")).as("n_left"),
+        count(col("__r")).as("n_right"),
+        count(when(col("__l").isNotNull && col("__r").isNotNull, lit(1))).as("n_common"))
+      .withColumn("agreement",
+        round(col("n_common").cast("double") /
+          greatest(col("n_left"), col("n_right"), lit(1L)).cast("double"), 4))
+      .withColumn("floor", lit(floor))
+      .filter(when(col("agreement") >= lit(floor), lit(true))
+        .otherwise(raise_error(concat(
+          lit("twin agreement gate: "), col("agreement"),
+          lit(s" below pinned floor $floor ("),
+          col("n_common"), lit(" common of "), col("n_left"), lit("/"),
+          col("n_right"), lit(")")))))
   }
 }

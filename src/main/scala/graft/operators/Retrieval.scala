@@ -188,4 +188,66 @@ object Retrieval {
       }
       .toDF("query_id", "match_id", "mmr", "rank")
   }
+
+  /** Brute-force twin of [[mmrRerank]]: the textbook greedy MMR loop
+    * (Carbonell & Goldstein eq. 1) with the diversity penalty recomputed
+    * FROM SCRATCH over the selected set every round — O(k²·n) cosines vs
+    * the flagship's O(k·n) incremental refresh, no sentinel array, no
+    * shared state. Deliberately a different formulation of the same
+    * definition: [[graft.SparkEntry]]'s `retrieval_mmr_agreement` gates
+    * the two producing identical (query_id, match_id, rank) selections,
+    * which is only true while both faithfully implement the definition.
+    * Verification twin — not a serving path. */
+  def mmrRerankBrute(candidates: DataFrame, vectors: DataFrame, k: Int,
+                     lambda: Double = 0.7,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda not in [0,1]")
+    val joined = candidates
+      .join(vectors.select(col(idCol).as("match_id"),
+        col(vecCol).cast("array<double>").as("__v")), "match_id")
+      .select(col("query_id").cast("long"), col("match_id").cast("long"),
+        col("score").cast("double"), col("__v"))
+    val spark = joined.sparkSession
+    import spark.implicits._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dp / denom
+    }
+    joined.as[(Long, Long, Double, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy(t => (t._3, t._2))
+        var selected = Vector.empty[Int]
+        val out = Seq.newBuilder[(Long, Long, Double, Long)]
+        var r = 1
+        var done = false
+        while (!done && r <= math.min(k, cands.length)) {
+          // marginal score of every unselected candidate, from first
+          // principles: rel = 1 − distance; pen = max cosine to the
+          // CURRENT selected set (empty set → 0)
+          val marginals = cands.indices.filterNot(selected.contains).map { i =>
+            val rel = 1.0 - cands(i)._3
+            val pen = if (selected.isEmpty) 0.0
+                      else selected.map(s => cos(cands(i)._4, cands(s)._4)).max
+            val raw = lambda * rel - (1.0 - lambda) * pen
+            val m = if (java.lang.Double.isFinite(raw))
+              BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            else Double.NegativeInfinity
+            (i, m)
+          }
+          val finite = marginals.filter(_._2 > Double.NegativeInfinity)
+          if (finite.isEmpty) { done = true } else {
+            val (best, score) = finite.minBy { case (i, m) => (-m, cands(i)._2) }
+            selected :+= best
+            out += ((qid, cands(best)._2, score + 0.0, r.toLong))
+            r += 1
+          }
+        }
+        out.result()
+      }
+      .toDF("query_id", "match_id", "mmr", "rank")
+  }
 }

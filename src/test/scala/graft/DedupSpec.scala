@@ -146,6 +146,30 @@ class DedupSpec extends SparkSuite {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("duplicateComponentsChecked: a long chain hits the iteration cap with converged=false") {
+    // path graph 0~1~2~…~30: min-label propagation moves the 0-label one
+    // hop per round after the seeded first hop, so a 3-iteration budget
+    // CANNOT converge — the cap must bail out with partial labels and
+    // say so, not loop or silently claim completion
+    val n = 30
+    val docs = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (partial, converged) =
+      Dedup.duplicateComponentsChecked(docs, pairs, maxIter = 3)
+    assert(!converged)
+    val labels = partial.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // partial labels are a refinement: every label is a reachable
+    // (smaller) node, but the far end cannot have reached 0 yet
+    assert(labels(0L) === 0L)
+    assert(labels.forall { case (id, c) => c <= id })
+    assert(labels(n.toLong) !== 0L)
+    // the same graph under an adequate budget (diameter ≈ n hops, one
+    // hop per round) converges to one component
+    val (full, ok) = Dedup.duplicateComponentsChecked(docs, pairs, maxIter = n + 2)
+    assert(ok)
+    assert(full.collect().map(_.getLong(1)).toSet === Set(0L))
+  }
+
   test("dropNearDuplicates removes every doc that pairs with a lower id") {
     val pairs = Dedup.minhashPairs(withNearDupes, threshold = 0.5)
     val kept = Dedup.dropNearDuplicates(withNearDupes, pairs)

@@ -38,4 +38,48 @@ class RecallSpec extends SparkSuite {
     val e = Seq((1L, 10L, 1L), (2L, 20L, 1L)).toDF("query_id", "match_id", "rank")
     assert(Recall.atK(e, e, k = 1).head().getAs[Double]("recall_at_k") === 1.0)
   }
+
+  test("sparse labels: a perfect answer over <k true neighbors scores 1.0, not hits/k") {
+    // q1 has only 2 true neighbors at k=5 (filtered corpus); the approx
+    // path returns exactly those 2. The old constant-k denominator would
+    // under-score this as 2/5 = 0.4 — a false quality regression.
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "match_id", "rank")
+    val approx = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "match_id", "rank")
+    assert(Recall.atK(approx, exact, k = 5).head().getAs[Double]("recall_at_k") === 1.0)
+    // and a HALF-answer over those 2 scores 0.5, not 1/5
+    val half = Seq((1L, 10L, 1L), (1L, 99L, 2L)).toDF("query_id", "match_id", "rank")
+    assert(Recall.atK(half, exact, k = 5).head().getAs[Double]("recall_at_k") === 0.5)
+  }
+
+  test("atKGated passes through (with floor column) above the floor, raises below it") {
+    val e = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "match_id", "rank")
+    val ok = Recall.atKGated(e, e, k = 2, floor = 0.9).head()
+    assert(ok.getAs[Double]("recall_at_k") === 1.0)
+    assert(ok.getAs[Double]("floor") === 0.9)
+    // sabotage: a collapsed approximate result must make the ROW raise
+    // at execution time (the driver records it as a hard err)
+    val bad = Seq((1L, 98L, 1L), (1L, 99L, 2L)).toDF("query_id", "match_id", "rank")
+    val ex = intercept[Exception] {
+      Recall.atKGated(bad, e, k = 2, floor = 0.9).collect()
+    }
+    assert(ex.getMessage.contains("quality gate"), ex.getMessage)
+  }
+
+  test("setAgreement gates exact twin equality: 1.0 passes, any divergence raises") {
+    val a = Seq((1L, 2L, 0.5), (3L, 4L, 0.7)).toDF("id_a", "id_b", "jaccard")
+    val same = Recall.setAgreement(a, a, on = Seq("id_a", "id_b", "jaccard")).head()
+    assert(same.getAs[Double]("agreement") === 1.0)
+    assert(same.getAs[Long]("n_common") === 2L)
+    val b = Seq((1L, 2L, 0.5), (3L, 5L, 0.7)).toDF("id_a", "id_b", "jaccard")
+    val ex = intercept[Exception] {
+      Recall.setAgreement(a, b, on = Seq("id_a", "id_b", "jaccard")).collect()
+    }
+    assert(ex.getMessage.contains("agreement gate"), ex.getMessage)
+    // a subset twin (candidate lost to a banding bug) must also raise:
+    // the denominator is the LARGER side
+    val sub = Seq((1L, 2L, 0.5)).toDF("id_a", "id_b", "jaccard")
+    intercept[Exception] {
+      Recall.setAgreement(a, sub, on = Seq("id_a", "id_b", "jaccard")).collect()
+    }
+  }
 }

@@ -125,4 +125,18 @@ class RetrievalSpec extends SparkSuite {
     assert(again === outRows.sortBy(r =>
       (r.getAs[Long]("query_id"), r.getAs[Long]("rank"))).map(_.toSeq).toSeq)
   }
+
+  test("incremental mmr and the from-scratch brute twin select identically on fixtures") {
+    val cands = graft.operators.KnnTopK.knnExact(
+      Tables.defaultQueries(spark, sfDir),
+      Tables.embeddings(spark, sfDir), k = 20, metric = "cosine")
+    val emb = Tables.embeddings(spark, sfDir)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("match_id"), r.getAs[Double]("mmr"))).toMap
+    val flagship = key(Retrieval.mmrRerank(cands, emb, k = 10).collect())
+    val brute = key(Retrieval.mmrRerankBrute(cands, emb, k = 10).collect())
+    assert(flagship === brute,
+      "O(k·n) incremental and O(k²·n) recompute formulations must agree exactly")
+  }
 }

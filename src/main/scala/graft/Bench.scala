@@ -71,8 +71,17 @@ object Bench {
     // still inside "value").
     val fullQs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // raw per-run timings (sweep1, sweep2, and the third pass where it
+    // ran): the reported number is the MINIMUM of these, and publishing
+    // the inputs lets a cross-round reader adjudicate a delta as host
+    // noise (one stalled run) vs real (all runs moved) without
+    // re-litigating — this box stalls individual queries 2-10x
+    val rawRuns = results.keys.toSeq.sorted.map { name =>
+      val runs = Seq(s1(name)._1, s2(name)._1) ++ s3.get(name).toSeq
+      jstr(name) + ":[" + runs.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$errJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_runs":$rawRuns$errJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     val budget = 1450
     val sortedCompact = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }

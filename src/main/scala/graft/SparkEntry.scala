@@ -309,6 +309,40 @@ object SparkEntry {
         KnnIvf.searchPruned(KnnIvf.load(s, ivfIndexPath(s, dir)), q, k = 5, nProbe = 4),
         KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5), k = 5, floor = 0.55)
     }),
+    // O19 knob evidence, GATED on shape: recall@5 as nProbe sweeps
+    // 1→16 over the SAME persisted index. Recall is provably
+    // non-decreasing in the probed cell set for an exact-rescoring IVF
+    // (a true neighbor in the candidate set is never displaced by
+    // growing it: at most k−1 rows beat it globally), and nProbe =
+    // numCells probes every cell so the endpoint must equal the exact
+    // twin — recall 1.0 (KnnSpec pins the same equality; this row makes
+    // the whole accuracy-vs-cost curve driver-visible each round). Any
+    // non-monotone step or a sub-1.0 endpoint raises in-plan.
+    "ann_ivf_recall_sweep" -> ((s, dir) => {
+      val ivf = KnnIvf.load(s, ivfIndexPath(s, dir))
+      val q = Tables.defaultQueries(s, dir)
+      val exact = KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5)
+      val sweep = Seq(1, 2, 4, 8, 16).map { np =>
+        Recall.atK(KnnIvf.searchPruned(ivf, q, k = 5, nProbe = np), exact, k = 5)
+          .select(lit(np.toLong).as("n_probe"), col("k"), col("n_queries"),
+            col("recall_at_k"))
+      }.reduce(_ unionAll _)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_probe"))
+      sweep
+        .withColumn("__prev", lag(col("recall_at_k"), 1).over(w))
+        .filter(when(col("__prev").isNull || col("recall_at_k") >= col("__prev"),
+            lit(true))
+          .otherwise(raise_error(concat(
+            lit("IVF recall knob gate: recall not monotone in nProbe ("),
+            col("__prev"), lit(" -> "), col("recall_at_k"),
+            lit(" at nProbe="), col("n_probe"), lit(")")))))
+        .filter(when(col("n_probe") =!= lit(16L) || col("recall_at_k") >= lit(1.0),
+            lit(true))
+          .otherwise(raise_error(concat(
+            lit("IVF recall knob gate: full probe must be exact, got "),
+            col("recall_at_k")))))
+        .drop("__prev")
+    }),
     "ann_ivfpq_recall" -> ((s, dir) => {
       val ivf = KnnIvf.load(s, ivfIndexPath(s, dir))
       val (idx, _) = pqIndexFor(s, dir)
@@ -358,6 +392,30 @@ object SparkEntry {
     "events_distinct_users_approx" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),
+    // GATED error bound for the HLL sketch: worst per-group relative
+    // error of approx_count_distinct vs the exact count. The sketch's
+    // configured rsd is 0.05; the bound is 3×rsd = 0.15 — a ~3σ
+    // envelope, so a sketch-config regression (rsd silently loosened,
+    // hash truncated) raises while normal estimation noise never does.
+    // Turns the one sanctioned-no-oracle sketch into a gated row, same
+    // contract as the ANN recall gates.
+    "events_hll_error" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("__exact"))
+      val approx = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("__approx"))
+      exact.join(approx, "event_type")
+        .agg(
+          count(lit(1)).as("n_groups"),
+          round(max(abs(col("__approx").cast("double") /
+            col("__exact").cast("double") - lit(1.0))), 4).as("max_rel_err"))
+        .withColumn("bound", lit(0.15))
+        .filter(when(col("max_rel_err") <= col("bound"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("HLL error gate: max relative error "), col("max_rel_err"),
+            lit(" exceeds 3x rsd bound 0.15")))))
+    }),
 
     // --- text analysis (E3) ---
     "text_stats" -> ((s, dir) => TextOps.statsByLang(Tables.documents(s, dir))),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Contamination, Dedup, EventOps, Knn, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
+import graft.operators.{Contamination, Dedup, Dsir, EventOps, Knn, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -145,6 +145,15 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
         blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
+    // maximal duplicated word spans (Lee et al. 2021 §4.1): the
+    // distributed gram-match rendition of suffix-array substring dedup —
+    // reports WHERE the duplication lives, not just which docs collide
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(docsWithNearDupes(s, dir), n = 10)),
+    // the removal step over those spans: drop docs that are mostly
+    // duplicated material (planted full-copy dups have coverage ~1.0)
+    "dedup_span_clean" -> ((s, dir) =>
+      Dedup.spanCleanReport(docsWithNearDupes(s, dir), n = 10, maxCoverage = 0.8)),
     // content-derived blocking: the sign pattern of the leading 8
     // components. Scale- and direction-invariant, so any high-cosine pair
     // lands in one block with high probability — no id arithmetic involved
@@ -416,6 +425,32 @@ object SparkEntry {
             lit("HLL error gate: max relative error "), col("max_rel_err"),
             lit(" exceeds 3x rsd bound 0.15")))))
     }),
+    // GATED rank-error bound for the quantile sketch: approx_percentile
+    // (Greenwald-Khanna) guarantees the returned value's RANK is within
+    // n/accuracy of the target rank — a deterministic bound, unlike the
+    // HLL's probabilistic one. The gate recomputes the approx median's
+    // empirical rank against the full per-group distribution and raises
+    // when |rank - 0.5| exceeds 10x the 1/accuracy sketch bound (slack
+    // for value-tie mass at the median; a misconfigured accuracy still
+    // fires by orders of magnitude). Closes the set: every sketch in the
+    // suite (HLL, GK) now carries an in-plan error gate.
+    "events_quantile_error" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val approx = ev.groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5D, 1000)").as("__ap50"))
+      ev.join(broadcast(approx), "event_type")
+        .groupBy(col("event_type"), col("__ap50"))
+        .agg((sum(when(col("value") <= col("__ap50"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double")).as("__rank"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          round(max(abs(col("__rank") - lit(0.5))), 4).as("max_rank_err"))
+        .withColumn("bound", lit(0.01))
+        .filter(when(col("max_rank_err") <= col("bound"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("GK quantile gate: max median rank error "),
+            col("max_rank_err"), lit(" exceeds bound 0.01")))))
+    }),
 
     // --- text analysis (E3) ---
     "text_stats" -> ((s, dir) => TextOps.statsByLang(Tables.documents(s, dir))),
@@ -531,6 +566,29 @@ object SparkEntry {
     "sample_temperature" -> ((s, dir) =>
       Sampling.sampleTemperature(Tables.documents(s, dir), "doc_id", "lang")
         .select(col("doc_id"), col("lang"))),
+    // DSIR importance resampling (Xie et al. 2023): Gumbel top-k by the
+    // target-vs-corpus unigram log-likelihood ratio. Target seed set =
+    // docs containing the rare token 'dup' (df ~5%) — the fixture's langs
+    // share one vocabulary so lang labels carry no unigram signal, but
+    // this seed set separates by ~4.4 nats vs Gumbel sigma 1.28, i.e. the
+    // sample measurably enriches toward the seed distribution. Fully
+    // oracle-checked: probabilities are exact integer ratios and the
+    // Gumbel noise is md5-derived (no engine RNG).
+    "dsir_select" -> ((s, dir) =>
+      Dsir.select(Tables.documents(s, dir),
+        array_contains(Dedup.tokens(col("text")), "dup"), k = 100)),
+    // GATED: the feature-hashed scale path (ratio frame bounded by
+    // numBuckets — broadcastable at any corpus vocabulary) must select
+    // nearly the same docs as the exact-word path; identical Gumbel
+    // noise on both sides isolates pure feature-collision drift
+    "dsir_hashed_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pred = array_contains(Dedup.tokens(col("text")), "dup")
+      Recall.setAgreement(
+        Dsir.select(docs, pred, k = 100),
+        Dsir.selectHashed(docs, pred, k = 100, numBuckets = 4096),
+        on = Seq("doc_id"), floor = 0.9)
+    }),
 
     // --- scale utilities wired end-to-end ---
     // salted two-phase aggregation: identical results to a plain groupBy
@@ -1369,6 +1427,56 @@ object SparkEntry {
                             / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
                FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    "dedup_spans" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         UNION ALL
+                         SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+                         FROM documents WHERE doc_id % 10 = 0),
+         w AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+               FROM corpus),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) + 1 AS pos,
+                      md5(array_to_string(list_slice(ws, CAST(i + 1 AS INT), CAST(i + 10 AS INT)), ' ')) AS gh
+               FROM w CROSS JOIN range(128) AS r(i)
+               WHERE i <= len(ws) - 10),
+         dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+         isl AS (SELECT doc_id, pos,
+                        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM h)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+                count(*) AS n_grams
+         FROM isl GROUP BY doc_id, grp""",
+    "dedup_span_clean" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         UNION ALL
+                         SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+                         FROM documents WHERE doc_id % 10 = 0),
+         w AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+               FROM corpus),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) + 1 AS pos,
+                      md5(array_to_string(list_slice(ws, CAST(i + 1 AS INT), CAST(i + 10 AS INT)), ' ')) AS gh
+               FROM w CROSS JOIN range(128) AS r(i)
+               WHERE i <= len(ws) - 10),
+         dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+         isl AS (SELECT doc_id, pos,
+                        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM h),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+                FROM isl GROUP BY doc_id, grp),
+         cov AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_words
+                 FROM sp GROUP BY doc_id),
+         base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w)
+         SELECT b.doc_id, b.n_words,
+                COALESCE(cov.dup_words, 0) AS dup_words,
+                floor((COALESCE(cov.dup_words, 0) * 20000 + b.n_words)
+                      / (b.n_words * CAST(2 AS DOUBLE))) / CAST(10000.0 AS DOUBLE) AS coverage
+         FROM base b LEFT JOIN cov USING (doc_id)
+         WHERE floor((COALESCE(cov.dup_words, 0) * 20000 + b.n_words)
+                     / (b.n_words * CAST(2 AS DOUBLE))) / CAST(10000.0 AS DOUBLE)
+               < CAST(0.8 AS DOUBLE)""",
     // transitive closure of the ngram pair graph via recursive CTE —
     // min reachable id per doc == min-label propagation's fixed point
     "dedup_components" ->
@@ -1813,6 +1921,31 @@ object SparkEntry {
                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
                      ELSE 'test' END AS split
          FROM documents""",
+    "dsir_select" ->
+      """WITH tok AS (SELECT doc_id,
+                             list_contains(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), 'dup') AS tgt,
+                             unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+                      FROM documents),
+         vc AS (SELECT w, count(*) AS cs,
+                       sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+                FROM tok GROUP BY w),
+         tot AS (SELECT count(*) AS v, sum(cs) AS ns, sum(ct) AS nt FROM vc),
+         r AS (SELECT w,
+                      round(ln((ct + CAST(0.5 AS DOUBLE)) / (nt + CAST(0.5 AS DOUBLE) * v))
+                          - ln((cs + CAST(0.5 AS DOUBLE)) / (ns + CAST(0.5 AS DOUBLE) * v)), 6) AS lr
+               FROM vc CROSS JOIN tot),
+         sc AS (SELECT t.doc_id, sum(CAST(r.lr AS DECIMAL(18,12))) AS lw
+                FROM tok t JOIN r ON t.w = r.w GROUP BY t.doc_id),
+         k AS (SELECT doc_id, CAST(round(lw, 4) AS DOUBLE) AS log_weight,
+                      CAST(round(lw + CAST(round(-ln(-ln(
+                        (list_sum(list_transform(range(8), j ->
+                           (strpos('0123456789abcdef',
+                                   substr(md5(CAST(doc_id AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1)
+                           * power(16, 7 - j))) + CAST(0.5 AS DOUBLE)) / CAST(4294967296.0 AS DOUBLE))), 6)
+                        AS DECIMAL(18,12)), 4) AS DOUBLE) AS key
+               FROM sc)
+         SELECT doc_id, log_weight, key FROM k
+         ORDER BY key DESC, doc_id ASC LIMIT 100""",
     "sample_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
          m AS (SELECT min(cnt) AS minc FROM c)

@@ -542,4 +542,79 @@ object Dedup {
       .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Maximal duplicated word-span detection (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §4.1): report every maximal run of >= n consecutive
+    * words that appears verbatim in more than one document. The published
+    * system uses a suffix array; the distributed rendition is fixed-length
+    * gram matching — any cross-doc duplicate substring of >= n words is a
+    * run of >= 1 overlapping duplicated n-grams, so merging adjacent
+    * duplicated gram starts per doc recovers exactly the maximal spans.
+    *
+    * Plan: one narrow projection builds (pos, md5(gram)) per doc (no
+    * self-join, no windows over tokens); one shuffle on the gram hash
+    * finds grams spanning >= minDocs distinct docs; the position join is
+    * keyed on the same hash (co-partitioned after the agg); the island
+    * merge (pos - row_number) is a per-doc window. At 100 TB the gram-hash
+    * shuffle is the irreducible cost and everything downstream touches
+    * only duplicated grams — a vanishing fraction of a real corpus.
+    *
+    * Output: (doc_id, span_start, span_end, n_grams) with 1-based word
+    * indices, span_end inclusive.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val words = tokens(col(textCol))
+    // gram i (0-based) = words[i..i+n-1]; sequence() reverses when
+    // start > stop, so short docs must short-circuit to no grams
+    val gramArr = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => md5(concat_ws(" ", slice(words, i + 1, lit(n))).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    val grams = docs
+      .select(col(idCol), posexplode(gramArr).as(Seq("__i", "__gh")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("pos"), col("__gh"))
+    val dupGrams = grams.groupBy(col("__gh"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__gh")
+    val hits = grams.join(dupGrams, "__gh").select(col(idCol), col("pos"))
+    // island merge: consecutive duplicated gram starts share (pos - rn)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Span-coverage cleaning (the removal step of Lee et al. 2021 §4.1,
+    * coarsened to the document: they cut the duplicated characters out;
+    * a batch pipeline more often drops the documents that are mostly
+    * duplicated material). Keeps docs whose fraction of words inside
+    * duplicated spans is below maxCoverage, with the coverage stats.
+    * Maximal spans are disjoint by construction, so per-doc coverage is
+    * a plain sum. Coverage is rounded half-up in integer arithmetic —
+    * word-count denominators like 32 put the quotient exactly on the
+    * 4dp half-boundary where double rounding is engine-divergent.
+    */
+  def spanCleanReport(docs: DataFrame, n: Int = 10, maxCoverage: Double = 0.8,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cov = duplicateSpans(docs, n, minDocs = 2, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start") + lit(1L)).as("dup_words"))
+    docs
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_words"))
+      .join(cov, Seq(idCol), "left")
+      .na.fill(0L, Seq("dup_words"))
+      .withColumn("coverage",
+        floor((col("dup_words") * lit(20000L) + col("n_words")) /
+          (col("n_words") * lit(2L))) / lit(10000.0))
+      .filter(col("coverage") < maxCoverage)
+      .select(col(idCol), col("n_words"), col("dup_words"), col("coverage"))
+  }
 }

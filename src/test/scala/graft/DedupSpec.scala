@@ -234,4 +234,44 @@ class DedupSpec extends SparkSuite {
     assert(verdicts === Set(0L, 1L), s"gopher verdicts degenerate: $verdicts")
     r.unpersist()
   }
+
+  test("duplicateSpans merges overlapping grams into one maximal span") {
+    // shared 10-word run; in doc 2 it starts at word 3
+    val run = "a b c d e f g h i j"
+    val d = Seq(
+      (1L, s"$run k l"),
+      (2L, s"x y $run z")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // 8 overlapping 3-grams merge into exactly one span per doc
+    assert(spans === Set((1L, 1L, 10L, 8L), (2L, 3L, 12L, 8L)))
+  }
+
+  test("duplicateSpans splits disjoint duplicated runs into separate spans") {
+    val d = Seq(
+      (1L, "p q r gapone s t u"),
+      (2L, "p q r gaptwo s t u")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set(
+      (1L, 1L, 3L, 1L), (1L, 5L, 7L, 1L),
+      (2L, 1L, 3L, 1L), (2L, 5L, 7L, 1L)))
+  }
+
+  test("duplicateSpans: docs shorter than n contribute nothing and don't crash") {
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(d, n = 3).count() === 0)
+  }
+
+  test("spanCleanReport drops mostly-duplicated docs and keeps clean ones") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // 8 shared words
+    val d = Seq(
+      (1L, shared),                                  // 8/8 duplicated -> dropped
+      (2L, s"$shared u1 u2"),                        // 8/10 = 0.8 -> dropped (not < 0.8)
+      (3L, s"$shared u3 u4 u5 u6 u7 u8 u9 u10"),     // 8/16 = 0.5 -> kept
+      (4L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10")).toDF("doc_id", "text") // 0 -> kept
+    val kept = Dedup.spanCleanReport(d, n = 4, maxCoverage = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(kept === Set((3L, 16L, 8L, 0.5), (4L, 10L, 0L, 0.0)))
+  }
 }

@@ -46,8 +46,13 @@ object Dsir {
   def unigramLogRatios(docs: DataFrame, targetPred: Column,
                        textCol: String = "text",
                        featureOf: Column => Column = identity): DataFrame = {
-    val tok = docs.select(targetPred.as("__tgt"),
-        explode(Dedup.tokens(col(textCol))).as("__t"))
+    // materialize the flag and the token array BEFORE the explode: a
+    // single projection list [pred, explode(tokens(text))] gets the pred
+    // pushed below the Generate and re-evaluated per exploded TOKEN —
+    // 270k interpreted re-tokenizations at sf0.1 (3.2 s -> 0.3 s)
+    val tok = docs
+      .select(targetPred.as("__tgt"), Dedup.tokens(col(textCol)).as("__ts"))
+      .select(col("__tgt"), explode(col("__ts")).as("__t"))
       .select(col("__tgt"), featureOf(col("__t")).as("__w"))
     val vc = tok.groupBy(col("__w")).agg(
       count(lit(1)).as("__cs"),

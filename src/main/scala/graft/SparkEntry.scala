@@ -745,6 +745,30 @@ object SparkEntry {
                FROM docs_sql
                WHERE size(filter(split(lower(text), '\\s+'), x -> x != '')) > 0""")
     }),
+    // the full duplicated-span pipeline through the pure-SQL surface:
+    // the registered compiled kernel (md5_shingle_hashes) supplies
+    // positional gram hashes, so SQL users get the same plan the
+    // DataFrame operator builds — no interpreted HOF in the hot path
+    "sql_spans" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      docsWithNearDupes(s, dir).createOrReplaceTempView("spans_docs_sql")
+      s.sql("""
+        WITH w AS (SELECT doc_id,
+                          filter(split(lower(text), '\\s+'), x -> x != '') AS ws
+                   FROM spans_docs_sql),
+        g AS (SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos, gh
+              FROM (SELECT doc_id,
+                           posexplode(md5_shingle_hashes(ws, 10, false)) AS (i, gh)
+                    FROM w)),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) != max(doc_id)),
+        h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM h)
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+               count(*) AS n_grams
+        FROM isl GROUP BY doc_id, grp""")
+    }),
     "events_json" -> ((s, dir) => EventOps.jsonPropsAgg(Tables.events(s, dir))),
     "events_retention" -> ((s, dir) => EventOps.weeklyRetention(Tables.events(s, dir))),
     // batch interval self-join (the stream-stream join's batch form):
@@ -1427,26 +1451,9 @@ object SparkEntry {
                             / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
                FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
-    "dedup_spans" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents
-                         UNION ALL
-                         SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
-                         FROM documents WHERE doc_id % 10 = 0),
-         w AS (SELECT doc_id,
-                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
-               FROM corpus),
-         g AS (SELECT doc_id, CAST(i AS BIGINT) + 1 AS pos,
-                      md5(array_to_string(list_slice(ws, CAST(i + 1 AS INT), CAST(i + 10 AS INT)), ' ')) AS gh
-               FROM w CROSS JOIN range(128) AS r(i)
-               WHERE i <= len(ws) - 10),
-         dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-         h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
-         isl AS (SELECT doc_id, pos,
-                        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-                 FROM h)
-         SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
-                count(*) AS n_grams
-         FROM isl GROUP BY doc_id, grp""",
+    "dedup_spans" -> spanOracleSql,
+    // identical semantics through the Spark-SQL surface -> same oracle
+    "sql_spans" -> spanOracleSql,
     "dedup_span_clean" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
                          UNION ALL
@@ -2173,6 +2180,29 @@ object SparkEntry {
   /** Blind brute-force cosine-pair oracle over the planted-duplicate
     * embedding set ([[embWithDupes]] reconstructed in SQL): every pair with
     * rounded cosine >= 0.99, no blocking knowledge. */
+  /** Shared by `dedup_spans` (DataFrame operator) and `sql_spans` (the
+    * same pipeline through the pure-SQL surface). */
+  private val spanOracleSql: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+                       FROM documents WHERE doc_id % 10 = 0),
+       w AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+             FROM corpus),
+       g AS (SELECT doc_id, CAST(i AS BIGINT) + 1 AS pos,
+                    md5(array_to_string(list_slice(ws, CAST(i + 1 AS INT), CAST(i + 10 AS INT)), ' ')) AS gh
+             FROM w CROSS JOIN range(128) AS r(i)
+             WHERE i <= len(ws) - 10),
+       dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+       isl AS (SELECT doc_id, pos,
+                      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM h)
+       SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+              count(*) AS n_grams
+       FROM isl GROUP BY doc_id, grp"""
+
   private val embBruteForceOracle: String =
     """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                      FROM embeddings),

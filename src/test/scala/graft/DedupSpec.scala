@@ -263,6 +263,18 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.duplicateSpans(d, n = 3).count() === 0)
   }
 
+  test("duplicateSpans minDocs=3 (count-distinct path) ignores 2-doc grams") {
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"),   // "a b c" in docs 1,2 only
+      (3L, "x y z w"),
+      (4L, "x y z v"),
+      (5L, "x y z u")).toDF("doc_id", "text") // "x y z" spans 3 docs
+    val spans = Dedup.duplicateSpans(d, n = 3, minDocs = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((3L, 1L, 3L), (4L, 1L, 3L), (5L, 1L, 3L)))
+  }
+
   test("spanCleanReport drops mostly-duplicated docs and keeps clean ones") {
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // 8 shared words
     val d = Seq(

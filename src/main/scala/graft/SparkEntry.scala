@@ -330,6 +330,9 @@ object SparkEntry {
     "ann_ivf_recall_sweep" -> ((s, dir) => {
       val ivf = KnnIvf.load(s, ivfIndexPath(s, dir))
       val q = Tables.defaultQueries(s, dir)
+      // each probe point's atK re-runs the exact twin, but PRUNED to the
+      // id columns it needs; a localCheckpoint of the twin benched
+      // slower (materializing it unpruned cost more than 5 pruned runs)
       val exact = KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5)
       val sweep = Seq(1, 2, 4, 8, 16).map { np =>
         Recall.atK(KnnIvf.searchPruned(ivf, q, k = 5, nProbe = np), exact, k = 5)

@@ -275,6 +275,38 @@ class DedupSpec extends SparkSuite {
     assert(spans === Set((3L, 1L, 3L), (4L, 1L, 3L), (5L, 1L, 3L)))
   }
 
+  test("duplicateSpans: spans are >= n wide, disjoint, and in-bounds per doc") {
+    val spans = Dedup.duplicateSpans(withNearDupes, n = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    val lens = withNearDupes.select($"doc_id",
+      size(Dedup.tokens($"text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spans.foreach { case (id, s, e, g) =>
+      assert(s >= 1 && e <= lens(id), s"span [$s,$e] out of bounds for doc $id")
+      assert(e - s + 1 >= 10, s"span [$s,$e] narrower than n")
+      assert(g === e - s + 1 - 9, s"gram count inconsistent for [$s,$e]")
+    }
+    // maximality: spans of one doc never touch or overlap
+    spans.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, s"adjacent spans not merged: $e1 vs $s2")
+        case _ =>
+      }
+    }
+  }
+
+  test("sql_spans (SQL surface) returns exactly the DataFrame operator's rows") {
+    val dir = sfDir
+    val df = SparkEntry.queries("dedup_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sql = SparkEntry.queries("sql_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sql === df)
+  }
+
   test("spanCleanReport drops mostly-duplicated docs and keeps clean ones") {
     val shared = (1 to 8).map(i => s"s$i").mkString(" ") // 8 shared words
     val d = Seq(

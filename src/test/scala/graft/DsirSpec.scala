@@ -29,6 +29,21 @@ class DsirSpec extends SparkSuite {
       s"target min $minTarget should exceed noise max $maxNoise")
   }
 
+  test("unigramLogRatios matches the hand-computed add-half formula") {
+    // corpus: doc 1 (target) = "a a b", doc 2 = "b c"
+    // counts: a: cs=2 ct=2; b: cs=2 ct=1; c: cs=1 ct=0; V=3, Ns=5, Nt=3
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = Dsir.unigramLogRatios(d, col("doc_id") === 1L)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // operator rounds to 6dp; compare against the unrounded formula
+    // within the rounding radius
+    def lr(ct: Long, cs: Long): Double =
+      math.log((ct + 0.5) / (3 + 0.5 * 3)) - math.log((cs + 0.5) / (5 + 0.5 * 3))
+    assert(math.abs(r("a") - lr(2, 2)) < 5e-7)
+    assert(math.abs(r("b") - lr(1, 2)) < 5e-7)
+    assert(math.abs(r("c") - lr(0, 1)) < 5e-7)
+  }
+
   test("gumbel noise is deterministic, finite, and id-dependent") {
     val g = corpus.select(col("doc_id"), Dsir.gumbelNoise(col("doc_id")).as("g"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -330,15 +330,16 @@ object SparkEntry {
     "ann_ivf_recall_sweep" -> ((s, dir) => {
       val ivf = KnnIvf.load(s, ivfIndexPath(s, dir))
       val q = Tables.defaultQueries(s, dir)
-      // each probe point's atK re-runs the exact twin, but PRUNED to the
-      // id columns it needs; a localCheckpoint of the twin benched
-      // slower (materializing it unpruned cost more than 5 pruned runs)
       val exact = KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5)
-      val sweep = Seq(1, 2, 4, 8, 16).map { np =>
-        Recall.atK(KnnIvf.searchPruned(ivf, q, k = 5, nProbe = np), exact, k = 5)
-          .select(lit(np.toLong).as("n_probe"), col("k"), col("n_queries"),
-            col("recall_at_k"))
-      }.reduce(_ unionAll _)
+      // the whole curve from ONE candidate scan (probe rank replicated to
+      // eligible budgets) — per-level equality with searchPruned is
+      // KnnSpec-pinned. The first formulation looped atK over 5 separate
+      // searches, re-running the exact twin per level
+      val nProbes = Seq(1, 2, 4, 8, 16)
+      val sweep = Recall.atKGrouped(
+        KnnIvf.searchPrunedMulti(ivf, q, k = 5, nProbes),
+        exact, k = 5, "n_probe", nProbes.map(_.toLong))
+        .select(col("n_probe"), col("k"), col("n_queries"), col("recall_at_k"))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_probe"))
       sweep
         .withColumn("__prev", lag(col("recall_at_k"), 1).over(w))

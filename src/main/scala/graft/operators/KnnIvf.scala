@@ -55,7 +55,8 @@ object KnnIvf {
   private[operators] def centroidSeq(model: KMeansModel): Seq[(Int, Seq[Double])] =
     model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
 
-  private def queryCells(queries: DataFrame, model: KMeansModel, nProbe: Int): DataFrame = {
+  private def queryCellsRanked(queries: DataFrame, model: KMeansModel,
+                               nProbe: Int): DataFrame = {
     val cents: Seq[(Int, Seq[Double])] = centroidSeq(model)
     val centArr = array(cents.map { case (i, c) =>
       struct(lit(i).as("cell"), typedLit(c).as("cvec"))
@@ -66,8 +67,12 @@ object KnnIvf {
     val w = Window.partitionBy(col("query_id")).orderBy(col("__cdist").asc, col("__c.cell").asc)
     probed.withColumn("__r", row_number().over(w))
       .filter(col("__r") <= nProbe)
-      .select(col("query_id"), col("query_vec"), col("__c.cell").as("cell"))
+      .select(col("query_id"), col("query_vec"), col("__c.cell").as("cell"),
+        col("__r").cast("long").as("__probe_rank"))
   }
+
+  private def queryCells(queries: DataFrame, model: KMeansModel, nProbe: Int): DataFrame =
+    queryCellsRanked(queries, model, nProbe).drop("__probe_rank")
 
   /** Public probe assignment: one (query_id, query_vec, cell) row per
     * probed cell — the handoff for compositions like
@@ -142,6 +147,40 @@ object KnnIvf {
     val prunedIndex = IvfIndex(index.model,
       index.corpusWithCell.filter(col("cell").isin(cells.map(Integer.valueOf): _*)))
     search(prunedIndex, queries, k, nProbe, metric, idCol, vecCol)
+  }
+
+  /** The whole accuracy-vs-cost curve from ONE candidate scan: probe the
+    * LARGEST requested budget's cells keeping each candidate's probe rank
+    * (its cell's position in the query's probe order), replicate each
+    * candidate to the budgets that would have seen it (a tiny broadcast
+    * theta-join — no per-row lambda), and take top-k per (query, budget)
+    * with the bounded aggregation. Per budget np the result row set is
+    * IDENTICAL to [[searchPruned]] at nProbe=np (spec-pinned): a
+    * candidate is visible at np iff its cell ranks <= np, and the top-k
+    * finisher sees exactly that candidate set. Scan cost scales with
+    * max(nProbes) only — probing 5 budgets costs one probe of 16, not
+    * 1+2+4+8+16. Output adds `n_probe` to the knnExact shape. */
+  def searchPrunedMulti(index: IvfIndex, queries: DataFrame, k: Int,
+                        nProbes: Seq[Int], metric: String = "cosine",
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nProbes.nonEmpty, "searchPrunedMulti needs at least one probe budget")
+    val probes = queryCellsRanked(queries, index.model, nProbes.max)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val pruned = index.corpusWithCell
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    val levels = queries.sparkSession
+      .createDataFrame(nProbes.distinct.sorted.map(np => Tuple1(np.toLong)))
+      .toDF("n_probe")
+    val scored = pruned
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col(idCol).as("match_id"),
+        (round(VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4)
+          + lit(0.0)).as("score"),
+        col("__probe_rank"))
+      .join(broadcast(levels), col("n_probe") >= col("__probe_rank"))
+    KnnTopK.boundedTopK(
+      scored.select(col("query_id"), col("match_id"), col("score"), col("n_probe")),
+      k, asc = true, extraKeys = Seq("n_probe"))
   }
 
   /** Incremental index maintenance — the reference's `/index` endpoint

@@ -142,12 +142,14 @@ object KnnTopK {
     * partial/final pattern), output (query_id, match_id, score, rank)
     * with a 1-based long rank. The single definition of that contract —
     * [[knnExact]] and [[KnnJoin]] both emit through here. */
-  def boundedTopK(scored: DataFrame, k: Int, asc: Boolean = true): DataFrame = {
+  def boundedTopK(scored: DataFrame, k: Int, asc: Boolean = true,
+                  extraKeys: Seq[String] = Nil): DataFrame = {
     val topk = udaf(new TopKAgg(k, asc = asc))
-    scored.groupBy(col("query_id"))
+    val keys = "query_id" +: extraKeys
+    scored.groupBy(keys.map(col): _*)
       .agg(topk(col("score"), col("match_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "m")))
-      .select(col("query_id"), col("m._2").as("match_id"),
-        col("m._1").as("score"), (col("pos") + 1).cast("long").as("rank"))
+      .select(keys.map(col) :+ posexplode(col("top")).as(Seq("pos", "m")): _*)
+      .select(keys.map(col) ++ Seq(col("m._2").as("match_id"),
+        col("m._1").as("score"), (col("pos") + 1).cast("long").as("rank")): _*)
   }
 }

@@ -41,6 +41,35 @@ object Recall {
       .select(lit(k.toLong).as("k"), col("n_queries"), col("recall_at_k"))
   }
 
+  /** [[atK]] per group (e.g. per probe budget of
+    * [[KnnIvf.searchPrunedMulti]]): one summary row per value in
+    * `groups`, each holding the same per-query math as [[atK]]. The
+    * group universe is passed explicitly so a group (or query) with no
+    * approximate rows scores 0 instead of vanishing. The exact twin's
+    * subplan is referenced twice (hit join + denominator) — still a
+    * constant, vs once per group when calling [[atK]] in a loop. */
+  def atKGrouped(approx: DataFrame, exact: DataFrame, k: Int,
+                 groupCol: String, groups: Seq[Long]): DataFrame = {
+    require(groups.nonEmpty, "atKGrouped needs an explicit group universe")
+    val a = approx.filter(col("rank") <= k)
+      .select(col(groupCol), col("query_id"), col("match_id"))
+    val e = exact.filter(col("rank") <= k).select(col("query_id"), col("match_id"))
+    val hits = a.join(e, Seq("query_id", "match_id"))
+      .groupBy(col(groupCol), col("query_id")).agg(count(lit(1)).as("__hits"))
+    val base = e.groupBy(col("query_id")).agg(count(lit(1)).as("__exact"))
+      .select(col("query_id"), col("__exact"), explode(typedLit(groups)).as(groupCol))
+    base.join(hits, Seq(groupCol, "query_id"), "left")
+      .select(col(groupCol),
+        coalesce(col("__hits"), lit(0L)).as("__hits"),
+        least(lit(k.toLong), col("__exact")).as("__denom"))
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_queries"),
+        round(avg(col("__hits").cast("double") / col("__denom").cast("double")), 4)
+          .as("recall_at_k"))
+      .select(col(groupCol), lit(k.toLong).as("k"), col("n_queries"),
+        col("recall_at_k"))
+  }
+
   /** [[atK]] with a pinned floor that GATES: the row carries the floor,
     * and a recall below it raises at execution time (`raise_error`
     * inside the plan — no driver-side collect), so an ANN-quality

@@ -84,6 +84,22 @@ class KnnSpec extends SparkSuite {
     assert(disk === mem)
   }
 
+  test("searchPrunedMulti equals searchPruned at every probe budget") {
+    val idx = KnnIvf.build(corpus, numCells = 8)
+    val nProbes = Seq(1, 2, 4, 8)
+    // multi columns: (query_id, n_probe, match_id, score, rank)
+    val multi = KnnIvf.searchPrunedMulti(idx, queries, k = 5, nProbes).collect()
+      .groupBy(_.getLong(1))
+      .map { case (np, rows) =>
+        np -> rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+      }
+    nProbes.foreach { np =>
+      val single = KnnIvf.searchPruned(idx, queries, k = 5, nProbe = np).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(multi(np.toLong) === single, s"divergence at nProbe=$np")
+    }
+  }
+
   test("loaded IVF probe is a partition-pruned scan (PartitionFilters, not full read)") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec2").toString
     KnnIvf.save(KnnIvf.build(corpus, numCells = 8), path)

@@ -233,6 +233,33 @@ object SparkEntry {
       KnnTopK.knnExact(Tables.defaultQueries(s, dir),
         Quantize.decodeCorpus(Quantize.encodeCorpus(Tables.embeddings(s, dir))),
         k = 5, metric = "cosine")),
+    // binary quantization, stage 1 alone: sign-bit codes (32x smaller
+    // than the floats), ranked by Hamming distance. Integer scores with
+    // heavy ties — the id tiebreak is the whole determinism story, and
+    // the oracle computes the identical distance from ±1 sign vectors
+    // without packing ((dim - dot)/2)
+    "ann_bq_hamming" -> ((s, dir) =>
+      Quantize.bqSearch(Tables.defaultQueries(s, dir),
+        Tables.embeddings(s, dir), k = 5)),
+    // the production BQ cascade: Hamming-retrieve 50 candidates over
+    // packed codes (the only corpus-wide scan — 1/32nd the bytes), then
+    // exact-cosine rescore of just those candidates. Both stages
+    // deterministic -> the whole cascade is hash-compare oracled
+    "ann_bq_rerank" -> ((s, dir) =>
+      Quantize.bqSearchRerank(Tables.defaultQueries(s, dir),
+        Tables.embeddings(s, dir), k = 5, candidates = 50)),
+    // matryoshka-style dimension truncation (Kusupati et al. 2022):
+    // exact cosine top-k on the FIRST 16 of 64 dims — the cheap-tier
+    // query form when embeddings are trained nested. On these synthetic
+    // (untrained) fixtures it is simply the deterministic truncation
+    // operator; the recall row below measures what truncation costs
+    "knn_matryoshka" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+        .withColumn("query_vec", slice(col("query_vec"), 1, 16))
+      val c = Tables.embeddings(s, dir)
+        .withColumn("embedding", slice(col("embedding"), 1, 16))
+      KnnTopK.knnExact(q, c, k = 5, metric = "cosine")
+    }),
     // product-quantized corpus (codebooks trained once per session),
     // searched via reconstruction — engine-specific centroids, so
     // rows-only; recall measured in KnnSpec
@@ -311,6 +338,37 @@ object SparkEntry {
           q, k = 5, nProbe = 8),
         KnnTopK.knnExact(q, Tables.embeddings(s, dir).filter(col("label") === 3), k = 5),
         k = 5, floor = 0.55)
+    }),
+    // BQ cascade quality vs the exact float twin, gated. No trained
+    // state (sign bits are deterministic), so recall moves only with
+    // the pool/corpus ratio: measured 0.76/0.88/0.98/1.0 at sf0.01 and
+    // 0.62/0.78/0.84/0.92 at sf0.1 for pools 50/100/200/400 — 1 bit per
+    // dim is a coarse proxy on these uniform synthetic vectors, and the
+    // curve is the honest story. The gated row uses the 400 pool
+    // (observed 1.0 / 0.92); floor 0.75 absorbs scale jitter while any
+    // packing/popcount regression still lands far below it
+    "ann_bq_recall" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      Recall.atKGated(
+        Quantize.bqSearchRerank(q, Tables.embeddings(s, dir), k = 5, candidates = 400),
+        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5),
+        k = 5, floor = 0.75)
+    }),
+    // what 4x dimension truncation costs on THESE (untrained) fixtures —
+    // the honest number for matryoshka tiering: low (observed 0.26 at
+    // sf0.01, 0.28 at sf0.1), because synthetic embeddings spread
+    // variance evenly across dims where MRL-trained ones front-load it.
+    // Gated well below the observed value; the gate exists to catch the
+    // operator regressing, not to flatter the fixtures
+    "ann_matryoshka_recall" -> ((s, dir) => {
+      val q16 = Tables.defaultQueries(s, dir)
+        .withColumn("query_vec", slice(col("query_vec"), 1, 16))
+      val c16 = Tables.embeddings(s, dir)
+        .withColumn("embedding", slice(col("embedding"), 1, 16))
+      Recall.atKGated(
+        KnnTopK.knnExact(q16, c16, k = 5),
+        KnnTopK.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5),
+        k = 5, floor = 0.10)
     }),
     "ann_ivf_recall" -> ((s, dir) => {
       val q = Tables.defaultQueries(s, dir)
@@ -1168,6 +1226,62 @@ object SparkEntry {
             s AS (SELECT query_id, match_id,
                          (round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)) + 0.0 AS score
                   FROM q CROSS JOIN dec),
+            r AS (SELECT query_id, match_id, score,
+                         row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS "rank"
+                  FROM s)
+        SELECT query_id, match_id, score, "rank" AS rank FROM r WHERE "rank" <= 5""",
+    // binary quantization stage 1: Hamming distance over sign bits ==
+    // (dim - dot(sign_q, sign_c)) / 2 on ±1 sign vectors — an exact
+    // integer in double, no packing needed oracle-side. Ties break by
+    // match_id in both engines
+    "ann_bq_hamming" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+            qs AS (SELECT query_id, list_transform(qv, x -> CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv FROM q),
+            cs AS (SELECT match_id, list_transform(cv, x -> CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv FROM c),
+            s AS (SELECT query_id, match_id,
+                         (CAST(len(qs.sv) AS DOUBLE) - list_dot_product(qs.sv, cs.sv)) / CAST(2 AS DOUBLE) AS score
+                  FROM qs CROSS JOIN cs),
+            r AS (SELECT query_id, match_id, score,
+                         row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS "rank"
+                  FROM s)
+        SELECT query_id, match_id, score, "rank" AS rank FROM r WHERE "rank" <= 5""",
+    // the full BQ cascade: Hamming top-50 (id tiebreak), then exact
+    // cosine rescore of just those candidates — both stages
+    // deterministic, so the cascade hash-compares end to end
+    "ann_bq_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+            qs AS (SELECT query_id, list_transform(qv, x -> CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv FROM q),
+            cs AS (SELECT match_id, list_transform(cv, x -> CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv FROM c),
+            s1 AS (SELECT query_id, match_id,
+                          (CAST(len(qs.sv) AS DOUBLE) - list_dot_product(qs.sv, cs.sv)) / CAST(2 AS DOUBLE) AS hd
+                   FROM qs CROSS JOIN cs),
+            cand AS (SELECT query_id, match_id,
+                            row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, match_id ASC) AS rn
+                     FROM s1),
+            s2 AS (SELECT cand.query_id, cand.match_id,
+                          (round(1.0 - list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4)) + 0.0 AS score
+                   FROM cand
+                   JOIN q ON cand.query_id = q.query_id
+                   JOIN c ON cand.match_id = c.match_id
+                   WHERE cand.rn <= 50),
+            r AS (SELECT query_id, match_id, score,
+                         row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS "rank"
+                  FROM s2)
+        SELECT query_id, match_id, score, "rank" AS rank FROM r WHERE "rank" <= 5""",
+    // exact cosine top-k on the first-16-dim truncation (cast-to-double
+    // commutes with slicing, so list_slice after the cast matches
+    // Spark's slice-then-promote)
+    "knn_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS match_id, list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS cv FROM embeddings),
+            s AS (SELECT query_id, match_id,
+                         (round(1.0 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)) + 0.0 AS score
+                  FROM q CROSS JOIN c),
             r AS (SELECT query_id, match_id, score,
                          row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS "rank"
                   FROM s)

@@ -62,6 +62,36 @@ object VectorOps {
   /** Euclidean (root) L2 distance. */
   def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 
+  /** Sign-bit packing for binary quantization — codegen'd
+    * ([[VectorExprs.BqPack]]): bit i of word i/64 set iff a_i > 0. */
+  def bqPack(a: Column): Column =
+    asCol(VectorExprs.BqPack(asExpr(a)))
+
+  /** Higher-order-function twin of [[bqPack]] (cross-check only): the
+    * same little-endian sign-bit words built from fold arithmetic.
+    * (The Scala-API `shiftleft` only takes a literal shift, so the
+    * column-valued shift goes through the Catalyst expression.) */
+  def bqPackHof(a: Column): Column = {
+    def shl(v: Column, by: Column): Column =
+      asCol(org.apache.spark.sql.catalyst.expressions.ShiftLeft(asExpr(v), asExpr(by)))
+    transform(
+      sequence(lit(0), ((size(a) - lit(1)) / lit(64)).cast("int")),
+      w => aggregate(
+        slice(a, w * 64 + 1, lit(64)),
+        struct(lit(0L).as("bits"), lit(0).as("pos")),
+        (acc, x) => struct(
+          (acc.getField("bits").bitwiseOR(
+            when(x.cast("double") > 0.0, shl(lit(1L), acc.getField("pos")))
+              .otherwise(lit(0L)))).as("bits"),
+          (acc.getField("pos") + 1).as("pos")),
+        acc => acc.getField("bits")))
+  }
+
+  /** Hamming distance over [[bqPack]]-packed codes — codegen'd popcount
+    * loop ([[VectorExprs.BqHamming]]). */
+  def bqHamming(a: Column, b: Column): Column =
+    asCol(VectorExprs.BqHamming(asExpr(a), asExpr(b)))
+
   /** cos(a, b) in [-1, 1] — fused single-pass codegen
     * ([[VectorExprs.CosineSim]]); arithmetic identical to
     * dot/(sqrt(dot)*sqrt(dot)). */

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{VectorOps}
+
 /** Scalar (int8) vector quantization — the storage-side half of a
   * 100 TB similarity-search stack: a 64-dim float corpus shrinks 4x
   * (256 B -> 64 B + 4 B scale per vector), which at petabyte scale is
@@ -46,4 +48,63 @@ object Quantize {
     encoded
       .withColumn(vecCol, sqDecode(col("sq_codes"), col("sq_scale")))
       .drop("sq_codes", "sq_scale")
+
+  // ===== binary quantization (sign bits + Hamming) =====
+  //
+  // The 32x compression form: one SIGN bit per dimension, packed 64 per
+  // long word (graft.functions.VectorExprs.BqPack). Hamming distance
+  // between packed codes counts sign disagreements — for mean-centered
+  // embeddings a monotone-enough proxy for cosine that a
+  // Hamming-retrieve -> float-rescore cascade recovers near-exact
+  // recall while scanning 1/32nd the bytes. Both stages are
+  // deterministic (integer scores, id tiebreaks), so the full cascade
+  // is SQL-oracle-able, unlike trained-codebook PQ.
+
+  /** Corpus-level sign-bit encode: adds `bq_code: array<bigint>`.
+    * Narrow map, no shuffle; keeps vecCol for rescoring. */
+  def bqEncodeCorpus(corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn("bq_code", VectorOps.bqPack(col(vecCol)))
+
+  /** Hamming top-k over sign-bit codes: (query_id, match_id,
+    * score = Hamming distance as double, rank). The scan reads ONLY the
+    * packed code column (1/32nd of the float bytes); ties — frequent,
+    * since scores are small integers — break by match_id, same as the
+    * oracle's ORDER BY. */
+  def bqSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col("query_id"),
+      VectorOps.bqPack(col("query_vec")).as("__qcode"))
+    val scored = bqEncodeCorpus(corpus, vecCol)
+      .select(col(idCol).as("match_id"), col("bq_code"))
+      .join(broadcast(q))
+      .select(col("query_id"), col("match_id"),
+        VectorOps.bqHamming(col("__qcode"), col("bq_code")).cast("double").as("score"))
+    KnnTopK.boundedTopK(scored, k, asc = true)
+  }
+
+  /** The production BQ cascade: Hamming-retrieve `candidates` per query
+    * over packed codes, then rescore ONLY those candidates with exact
+    * float cosine and keep top-k. At 100 TB the first stage is the full
+    * scan (popcount over 1/32nd the bytes, Q·candidates rows out) and
+    * the second touches Q·candidates float vectors — corpus-size float
+    * reads never happen. Output matches [[KnnTopK.knnExact]]'s shape
+    * and rounding, so recall against the exact twin is measurable and
+    * the whole cascade (both tiebreaks pinned) has a DuckDB oracle. */
+  def bqSearchRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+                     candidates: Int, metric: String = "cosine",
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= k, s"candidate pool $candidates must be >= k=$k")
+    // stage-1 output is Q·candidates rows — small by construction, so it
+    // BROADCASTS against the corpus (the corpus-side float read then
+    // prunes to the candidate ids; no corpus shuffle, no stats guessing)
+    val stage1 = bqSearch(queries, corpus, candidates, idCol, vecCol)
+      .select(col("query_id"), col("match_id"))
+    val rescored = corpus.select(col(idCol).as("match_id"), col(vecCol))
+      .join(broadcast(stage1), Seq("match_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("match_id"),
+        (round(graft.functions.VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4)
+          + lit(0.0)).as("score"))
+    KnnTopK.boundedTopK(rescored, k, asc = true)
+  }
 }

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Knn, KnnIvf, KnnTopK}
+import graft.functions.VectorOps
+import graft.operators.{Dedup, Knn, KnnIvf, KnnTopK, Quantize, Recall}
 import graft.sources.Tables
 
 class KnnSpec extends SparkSuite {
@@ -82,6 +83,49 @@ class KnnSpec extends SparkSuite {
     val disk = KnnIvf.searchPruned(loaded, queries, k = 10, nProbe = 4).collect()
       .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(disk === mem)
+  }
+
+  test("BqPack codegen'd expression equals the HOF fold twin") {
+    val rows = corpus.select(
+      VectorOps.bqPack(col("embedding")).as("fast"),
+      VectorOps.bqPackHof(col("embedding")).as("slow")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("BqHamming over packed codes equals the per-dim sign-disagreement count") {
+    val pairs = corpus.limit(40).select(col("vec_id"), col("embedding"),
+        VectorOps.bqPack(col("embedding")).as("code"))
+      .crossJoin(queries.limit(5))
+    val rows = pairs.select(
+      VectorOps.bqHamming(VectorOps.bqPack(col("query_vec")), col("code")).as("packed"),
+      aggregate(
+        zip_with(col("query_vec"), col("embedding"),
+          (x, y) => when((x.cast("double") > 0.0) === (y.cast("double") > 0.0), lit(0L))
+            .otherwise(lit(1L))),
+        lit(0L), (acc, v) => acc + v).as("direct")).collect()
+    assert(rows.length === 200)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("BQ rerank with an exhaustive candidate pool degenerates to exact search") {
+    val n = corpus.count().toInt
+    val bq = Quantize.bqSearchRerank(queries, corpus, k = 5, candidates = n).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = KnnTopK.knnExact(queries, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(bq === exact)
+  }
+
+  test("BQ cascade recall@5 vs the exact twin, measured") {
+    val r = Recall.atK(
+      Quantize.bqSearchRerank(queries, corpus, k = 5, candidates = 100),
+      KnnTopK.knnExact(queries, corpus, k = 5), k = 5).collect()(0)
+    val recall = r.getAs[Double]("recall_at_k")
+    info(s"BQ (pool=100) recall@5 = $recall")
+    assert(recall >= 0.5)
   }
 
   test("searchPrunedMulti equals searchPruned at every probe budget") {

@@ -799,6 +799,26 @@ object SparkEntry {
     // HASH VALUES themselves (stronger than sql_shingles' count check:
     // DuckDB recomputes every 60-bit shingle hash and must agree on the
     // per-doc minimum)
+    // the BQ Hamming stage through the pure-SQL surface: bq_pack /
+    // bq_hamming are the registered codegen kernels, so SQL users get
+    // the identical packed-popcount plan (and the identical rows — this
+    // entry reuses ann_bq_hamming's oracle)
+    "sql_bq_hamming" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("emb_sql")
+      s.sql("""
+        WITH q AS (SELECT vec_id AS query_id, bq_pack(embedding) AS qc
+                   FROM emb_sql WHERE vec_id < 10),
+        c AS (SELECT vec_id AS match_id, bq_pack(embedding) AS cc FROM emb_sql),
+        s AS (SELECT query_id, match_id,
+                     CAST(bq_hamming(qc, cc) AS DOUBLE) AS score
+              FROM c CROSS JOIN q),
+        r AS (SELECT query_id, match_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score ASC, match_id ASC) AS BIGINT) AS rank
+              FROM s)
+        SELECT query_id, match_id, score, rank FROM r WHERE rank <= 5""")
+    }),
     "sql_md5_shingles" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, dir).createOrReplaceTempView("docs_sql")
@@ -1234,19 +1254,9 @@ object SparkEntry {
     // (dim - dot(sign_q, sign_c)) / 2 on ±1 sign vectors — an exact
     // integer in double, no packing needed oracle-side. Ties break by
     // match_id in both engines
-    "ann_bq_hamming" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                    FROM embeddings WHERE vec_id < 10),
-            c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-            qs AS (SELECT query_id, list_transform(qv, x -> CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv FROM q),
-            cs AS (SELECT match_id, list_transform(cv, x -> CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv FROM c),
-            s AS (SELECT query_id, match_id,
-                         (CAST(len(qs.sv) AS DOUBLE) - list_dot_product(qs.sv, cs.sv)) / CAST(2 AS DOUBLE) AS score
-                  FROM qs CROSS JOIN cs),
-            r AS (SELECT query_id, match_id, score,
-                         row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS "rank"
-                  FROM s)
-        SELECT query_id, match_id, score, "rank" AS rank FROM r WHERE "rank" <= 5""",
+    "ann_bq_hamming" -> bqHammingOracle,
+    // identical result contract through the spark.sql surface
+    "sql_bq_hamming" -> bqHammingOracle,
     // the full BQ cascade: Hamming top-50 (id tiebreak), then exact
     // cosine rescore of just those candidates — both stages
     // deterministic, so the cascade hash-compares end to end
@@ -2339,6 +2349,22 @@ object SparkEntry {
     * `+ 0.0` signed-zero canonicalization (DuckDB's arithmetic round keeps
     * -0.0 on the self-match's 1 - (1 + 2e-16) score; Spark's BigDecimal
     * round does not, and the driver's compare hashes bit patterns). */
+  /** Shared by `ann_bq_hamming` (DataFrame path) and `sql_bq_hamming`
+    * (spark.sql surface): both must produce these exact rows. */
+  private val bqHammingOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          qs AS (SELECT query_id, list_transform(qv, x -> CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv FROM q),
+          cs AS (SELECT match_id, list_transform(cv, x -> CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sv FROM c),
+          s AS (SELECT query_id, match_id,
+                       (CAST(len(qs.sv) AS DOUBLE) - list_dot_product(qs.sv, cs.sv)) / CAST(2 AS DOUBLE) AS score
+                FROM qs CROSS JOIN cs),
+          r AS (SELECT query_id, match_id, score,
+                       row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS "rank"
+                FROM s)
+      SELECT query_id, match_id, score, "rank" AS rank FROM r WHERE "rank" <= 5"""
+
   private def knnOracle(score: String, asc: Boolean, corpusWhere: String = ""): String = {
     val dir = if (asc) "ASC" else "DESC"
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

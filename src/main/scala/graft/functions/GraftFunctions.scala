@@ -49,7 +49,11 @@ object GraftFunctions {
         if (args.length > 2) boolLit(args(2), "trailing") else true)),
     ("adc_lookup", classOf[VectorExprs.AdcLookup].getName,
       args => VectorExprs.AdcLookup(args(0), args(1),
-        intLit(args(2), "codebook size k"))))
+        intLit(args(2), "codebook size k"))),
+    ("bq_pack", classOf[VectorExprs.BqPack].getName,
+      args => VectorExprs.BqPack(args(0))),
+    ("bq_hamming", classOf[VectorExprs.BqHamming].getName,
+      args => VectorExprs.BqHamming(args(0), args(1))))
 
   /** Idempotent registration on an existing session. */
   def register(spark: SparkSession): Unit =

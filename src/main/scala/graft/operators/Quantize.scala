@@ -66,15 +66,21 @@ object Quantize {
     corpus.withColumn("bq_code", VectorOps.bqPack(col(vecCol)))
 
   /** Hamming top-k over sign-bit codes: (query_id, match_id,
-    * score = Hamming distance as double, rank). The scan reads ONLY the
-    * packed code column (1/32nd of the float bytes); ties — frequent,
-    * since scores are small integers — break by match_id, same as the
+    * score = Hamming distance as double, rank). If the corpus already
+    * carries a `bq_code` column (a persisted [[bqEncodeCorpus]] layout),
+    * the scan projects ONLY id + code — parquet column pruning then
+    * reads 1/32nd of the float bytes, which is the point of BQ at
+    * 100 TB; otherwise codes are packed on the fly (one narrow
+    * projection, correct but float-reading). Ties — frequent, since
+    * scores are small integers — break by match_id, same as the
     * oracle's ORDER BY. */
   def bqSearch(queries: DataFrame, corpus: DataFrame, k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col("query_id"),
       VectorOps.bqPack(col("query_vec")).as("__qcode"))
-    val scored = bqEncodeCorpus(corpus, vecCol)
+    val encoded =
+      if (corpus.columns.contains("bq_code")) corpus else bqEncodeCorpus(corpus, vecCol)
+    val scored = encoded
       .select(col(idCol).as("match_id"), col("bq_code"))
       .join(broadcast(q))
       .select(col("query_id"), col("match_id"),

@@ -110,6 +110,30 @@ class KnnSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("BQ search over a persisted encoded layout scans codes only (no float read)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_bq_spec").toString
+    Quantize.bqEncodeCorpus(corpus).write.mode("overwrite").parquet(path)
+    val persisted = spark.read.parquet(path)
+    val viaCodes = Quantize.bqSearch(queries, persisted, k = 5)
+    val plan = viaCodes.queryExecution.executedPlan.toString
+    // the corpus-side scan (of the temp layout) must read id+code only;
+    // the queries-side scan legitimately reads floats to pack on the fly
+    val corpusScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft_bq_spec")).toSeq
+    assert(corpusScans.nonEmpty, s"expected a scan of the persisted layout in:\n$plan")
+    corpusScans.foreach { l =>
+      assert(l.contains("bq_code"), s"expected bq_code in the layout scan: $l")
+      assert(!l.contains("embedding"),
+        s"float column must be pruned from the code scan: $l")
+    }
+    // and the pruned-scan path returns exactly what on-the-fly packing returns
+    val onTheFly = Quantize.bqSearch(queries, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val persistedRes = viaCodes.collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(persistedRes === onTheFly)
+  }
+
   test("BQ rerank with an exhaustive candidate pool degenerates to exact search") {
     val n = corpus.count().toInt
     val bq = Quantize.bqSearchRerank(queries, corpus, k = 5, candidates = n).collect()

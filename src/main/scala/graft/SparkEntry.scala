@@ -354,6 +354,37 @@ object SparkEntry {
         KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5),
         k = 5, floor = 0.75)
     }),
+    // the BQ accuracy-vs-cost curve, driver-visible and gated like the
+    // IVF nProbe sweep: recall@5 as the candidate pool sweeps
+    // 50→400, all levels served from ONE Hamming scan + ONE rescore
+    // pass (per-level equality with bqSearchRerank is KnnSpec-pinned).
+    // Monotonicity is provable (nested candidate sets + exact rescore),
+    // so any non-monotone step raises; the endpoint shares
+    // ann_bq_recall's 0.75 floor
+    "ann_bq_recall_sweep" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      val exact = KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5)
+      val pools = Seq(50, 100, 200, 400)
+      val sweep = Recall.atKGrouped(
+        Quantize.bqSearchRerankMulti(q, Tables.embeddings(s, dir), k = 5, pools),
+        exact, k = 5, "pool", pools.map(_.toLong))
+        .select(col("pool"), col("k"), col("n_queries"), col("recall_at_k"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("pool"))
+      sweep
+        .withColumn("__prev", lag(col("recall_at_k"), 1).over(w))
+        .filter(when(col("__prev").isNull || col("recall_at_k") >= col("__prev"),
+            lit(true))
+          .otherwise(raise_error(concat(
+            lit("BQ pool gate: recall not monotone in pool ("),
+            col("__prev"), lit(" -> "), col("recall_at_k"),
+            lit(" at pool="), col("pool"), lit(")")))))
+        .filter(when(col("pool") =!= lit(400L) || col("recall_at_k") >= lit(0.75),
+            lit(true))
+          .otherwise(raise_error(concat(
+            lit("BQ pool gate: pool-400 recall "), col("recall_at_k"),
+            lit(" below pinned floor 0.75")))))
+        .drop("__prev")
+    }),
     // what 4x dimension truncation costs on THESE (untrained) fixtures —
     // the honest number for matryoshka tiering: low (observed 0.26 at
     // sf0.01, 0.28 at sf0.1), because synthetic embeddings spread

@@ -113,4 +113,39 @@ object Quantize {
           + lit(0.0)).as("score"))
     KnnTopK.boundedTopK(rescored, k, asc = true)
   }
+
+  /** The whole BQ accuracy-vs-cost curve from ONE Hamming scan and ONE
+    * rescore pass: retrieve the LARGEST pool once (each candidate
+    * carries its Hamming rank), rescore every candidate once, replicate
+    * rescored rows to the pools whose budget admits them (rank <= pool,
+    * a tiny broadcast theta-join), and take top-k per (query, pool).
+    * Per pool p the result rows are IDENTICAL to [[bqSearchRerank]] at
+    * candidates=p (spec-pinned): level-p candidates are exactly the
+    * Hamming ranks <= p. Output adds `pool` to the knnExact shape.
+    * Recall is provably non-decreasing in pool — candidate sets are
+    * nested and the rescore is exact, so a true neighbor admitted at
+    * pool p survives every pool >= p (at most k−1 rows beat it
+    * globally). */
+  def bqSearchRerankMulti(queries: DataFrame, corpus: DataFrame, k: Int,
+                          pools: Seq[Int], metric: String = "cosine",
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(pools.nonEmpty, "bqSearchRerankMulti needs at least one pool budget")
+    require(pools.min >= k, s"smallest pool ${pools.min} must be >= k=$k")
+    val stage1 = bqSearch(queries, corpus, pools.max, idCol, vecCol)
+      .select(col("query_id"), col("match_id"), col("rank").as("__hrank"))
+    val rescored = corpus.select(col(idCol).as("match_id"), col(vecCol))
+      .join(broadcast(stage1), Seq("match_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("match_id"),
+        (round(graft.functions.VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4)
+          + lit(0.0)).as("score"),
+        col("__hrank"))
+    val levels = queries.sparkSession
+      .createDataFrame(pools.distinct.sorted.map(p => Tuple1(p.toLong)))
+      .toDF("pool")
+    val multi = rescored.join(broadcast(levels), col("pool") >= col("__hrank"))
+    KnnTopK.boundedTopK(
+      multi.select(col("query_id"), col("match_id"), col("score"), col("pool")),
+      k, asc = true, extraKeys = Seq("pool"))
+  }
 }

@@ -143,6 +143,21 @@ class KnnSpec extends SparkSuite {
     assert(bq === exact)
   }
 
+  test("bqSearchRerankMulti equals bqSearchRerank at every pool budget") {
+    val pools = Seq(10, 25, 60)
+    // multi columns: (query_id, pool, match_id, score, rank)
+    val multi = Quantize.bqSearchRerankMulti(queries, corpus, k = 5, pools).collect()
+      .groupBy(_.getLong(1))
+      .map { case (p, rows) =>
+        p -> rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+      }
+    pools.foreach { p =>
+      val single = Quantize.bqSearchRerank(queries, corpus, k = 5, candidates = p).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(multi(p.toLong) === single, s"divergence at pool=$p")
+    }
+  }
+
   test("BQ cascade recall@5 vs the exact twin, measured") {
     val r = Recall.atK(
       Quantize.bqSearchRerank(queries, corpus, k = 5, candidates = 100),

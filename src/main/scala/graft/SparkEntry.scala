@@ -164,6 +164,24 @@ object SparkEntry {
         threshold = 0.99)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.cosinePairsLsh(embWithDupes(s, dir), dim = 64, threshold = 0.99)),
+    // SemDeDup (Abbas et al. 2023): k-means-cluster-scoped embedding
+    // dedup with the paper's keep-the-outlier rule. Rows-only (KMeans
+    // state); pair-set agreement vs the oracled sign-blocked twin is
+    // gated below
+    "dedup_semdedup" -> ((s, dir) =>
+      Dedup.semdedupSelect(embWithDupes(s, dir), numClusters = 16, threshold = 0.99)),
+    // cluster blocking and sign blocking are different approximations of
+    // the same pair set; on the planted fixtures both find every true
+    // pair, so the gate pins FULL agreement — a clustering change that
+    // starts splitting near-dup pairs across cells fails the round
+    "dedup_semdedup_agreement" -> ((s, dir) =>
+      Recall.setAgreement(
+        Dedup.semdedupPairs(embWithDupes(s, dir), numClusters = 16, threshold = 0.99),
+        Dedup.cosinePairsBlocked(embWithDupes(s, dir),
+          (1 to 8).map(i =>
+            when(element_at(col("embedding"), i) >= 0, 1).otherwise(0)),
+          threshold = 0.99),
+        on = Seq("id_a", "id_b"), floor = 1.0)),
     // exact transitive dup clusters over the (oracled) ngram pair graph;
     // oracle recomputes the closure with a recursive CTE
     "dedup_components" -> ((s, dir) => {

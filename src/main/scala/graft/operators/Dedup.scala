@@ -543,6 +543,53 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dedup
+    * scoped to k-means clusters. Embeddings are L2-NORMALIZED for
+    * clustering (the paper's setup — and what makes a scaled copy land
+    * in its original's cell deterministically: x and 1.5x normalize to
+    * the same point); candidate pairs form ONLY within a cluster and
+    * are exact-cosine verified, rounded before thresholding.
+    * Cross-cluster near-dups are deliberately out of scope — the
+    * paper's quality/cost trade: the blocked self-join is per-cluster
+    * (~N/k rows per block) instead of N², which is what makes embedding
+    * dedup tractable at web scale. Returns (id_a, id_b, cosine). */
+  def semdedupPairs(emb: DataFrame, numClusters: Int, threshold: Double = 0.99,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    seed: Long = 42L): DataFrame = {
+    val normed = emb.withColumn("__nvec", VectorOps.l2Normalize(col(vecCol)))
+    val withCell = KnnIvf.build(normed, numClusters, idCol, "__nvec", seed).corpusWithCell
+    cosinePairsBlocked(withCell, Seq(col("cell")), idCol, vecCol, threshold)
+  }
+
+  /** SemDeDup keep rule (paper §3.1: within each duplicate group keep
+    * the example with LOW similarity to its cluster centroid — keep the
+    * outlier, drop the prototypes). One row per member of a duplicate
+    * group: (idCol, component, cell, centroid_sim, keep); everything
+    * not listed is implicitly kept. Composes [[semdedupPairs]] with
+    * [[duplicateComponents]]; cosine-to-centroid is scale-invariant, so
+    * a scaled copy ties its original and the id breaks the tie. */
+  def semdedupSelect(emb: DataFrame, numClusters: Int, threshold: Double = 0.99,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     seed: Long = 42L): DataFrame = {
+    val normed = emb.withColumn("__nvec", VectorOps.l2Normalize(col(vecCol)))
+    val idx = KnnIvf.build(normed, numClusters, idCol, "__nvec", seed)
+    val withCell = idx.corpusWithCell
+    val pairs = cosinePairsBlocked(withCell, Seq(col("cell")), idCol, vecCol, threshold)
+    val members = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val comps = duplicateComponents(members, pairs, idCol)
+    val cents = emb.sparkSession
+      .createDataFrame(KnnIvf.centroidSeq(idx.model)).toDF("cell", "__cvec")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("centroid_sim").asc, col(idCol).asc)
+    withCell.join(comps, Seq(idCol))
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("centroid_sim",
+        round(VectorOps.cosineSimilarity(col(vecCol), col("__cvec")), 4))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("component"), col("cell"), col("centroid_sim"), col("keep"))
+  }
+
   /** Maximal duplicated word-span detection (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499 §4.1): report every maximal run of >= n consecutive

@@ -413,4 +413,29 @@ class KnnSpec extends SparkSuite {
     val expected = planted.collect().map(r => (r.getLong(0) - 10000000L, r.getLong(0))).toSet
     assert(pairs === expected)
   }
+
+  test("SemDeDup finds all planted duplicates and keeps exactly one per group") {
+    val emb = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))
+    val planted = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.5).as("embedding"), col("label"))
+    val union = emb.unionByName(planted)
+    // normalization makes a scaled copy share its original's cluster, so
+    // cluster blocking loses no planted pair
+    val pairs = Dedup.semdedupPairs(union, numClusters = 8, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = planted.collect().map(r => (r.getLong(0) - 10000000L, r.getLong(0))).toSet
+    assert(pairs === expected)
+    val sel = Dedup.semdedupSelect(union, numClusters = 8, threshold = 0.99).collect()
+    val byComp = sel.groupBy(_.getLong(1))
+    assert(byComp.size === expected.size)
+    byComp.values.foreach { rows =>
+      assert(rows.count(_.getBoolean(4)) === 1, "exactly one keep per duplicate group")
+      // centroid cosine is scale-invariant -> the pair ties and the
+      // lower id (the original) is kept
+      val kept = rows.find(_.getBoolean(4)).get
+      assert(kept.getLong(0) === rows.map(_.getLong(0)).min)
+    }
+  }
 }

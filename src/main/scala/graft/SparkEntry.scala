@@ -566,6 +566,11 @@ object SparkEntry {
     // --- text analysis (E3) ---
     "text_stats" -> ((s, dir) => TextOps.statsByLang(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.qualityReport(Tables.documents(s, dir))),
+    // deflate compression ratio as a repetitiveness/noise signal
+    // (RedPajama-v2 / Dolma heuristic). Rows-only: DuckDB has no
+    // deflate; determinism + ordering pinned by TextOpsSpec
+    "text_compression" -> ((s, dir) =>
+      TextOps.compressionReport(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"), col("lang").as("lang_actual"))),

@@ -53,7 +53,10 @@ object GraftFunctions {
     ("bq_pack", classOf[VectorExprs.BqPack].getName,
       args => VectorExprs.BqPack(args(0))),
     ("bq_hamming", classOf[VectorExprs.BqHamming].getName,
-      args => VectorExprs.BqHamming(args(0), args(1))))
+      args => VectorExprs.BqHamming(args(0), args(1))),
+    ("deflate_ratio", classOf[TextExprs.DeflateRatio].getName,
+      args => TextExprs.DeflateRatio(args(0),
+        if (args.length > 1) intLit(args(1), "deflate level") else 6)))
 
   /** Idempotent registration on an existing session. */
   def register(spark: SparkSession): Unit =

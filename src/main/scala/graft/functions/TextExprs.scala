@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd text-signature expressions.
   *
@@ -274,6 +275,63 @@ object TextExprs {
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Deflate compression ratio of the UTF-8 text: compressed bytes /
+    * raw bytes (empty → 1.0). The RedPajama-v2 / Dolma quality signal:
+    * highly compressible text (low ratio) is repetitive boilerplate;
+    * near-incompressible (ratio ≈ 1) is noise. One static kernel call
+    * per row inside whole-stage codegen; the zlib Deflater is
+    * per-thread and reset between rows ([[DeflateKernel]]). */
+  case class DeflateRatio(child: Expression, level: Int) extends UnaryExpression {
+    require(level >= 1 && level <= 9, s"deflate level $level out of [1,9]")
+
+    override def prettyName: String = "deflate_ratio"
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects a string input, got ${t.sql}")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      DeflateKernel.ratio(input.asInstanceOf[UTF8String], level)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.DeflateKernel.ratio($c, $level)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+}
+
+/** Compiled kernel for [[TextExprs.DeflateRatio]]: per-thread zlib
+  * Deflater (raw/nowrap), reset between rows — no per-row native
+  * allocation on the hot path. */
+object DeflateKernel {
+  private val deflaters = new ThreadLocal[java.util.HashMap[Integer, java.util.zip.Deflater]] {
+    override def initialValue() = new java.util.HashMap[Integer, java.util.zip.Deflater]()
+  }
+
+  def ratio(s: UTF8String, level: Int): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val perLevel = deflaters.get()
+    var d = perLevel.get(level)
+    if (d == null) {
+      d = new java.util.zip.Deflater(level, true)
+      perLevel.put(level, d)
+    } else d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
   }
 }
 

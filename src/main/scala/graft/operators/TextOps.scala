@@ -17,6 +17,28 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(Dedup.tokens(text))
 
+  /** Deflate compression ratio (compressed/raw UTF-8 bytes; empty → 1)
+    * — the RedPajama-v2 / Dolma repetitiveness signal, served by the
+    * codegen'd [[graft.functions.TextExprs.DeflateRatio]] kernel. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.TextExprs.DeflateRatio(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), level))
+
+  /** Per-doc compression-quality report: (idCol, n_bytes, deflate_ratio,
+    * repetitive, noisy). The flag bounds follow the published pipelines'
+    * shape (drop the extremes; both thresholds are parameters because
+    * every corpus calibrates its own). One narrow map stage. */
+  def compressionReport(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", level: Int = 6,
+                        repetitiveBelow: Double = 0.30,
+                        noisyAbove: Double = 0.95): DataFrame =
+    docs.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        round(compressionRatio(col(textCol), level), 4).as("deflate_ratio"))
+      .withColumn("repetitive", col("deflate_ratio") < repetitiveBelow)
+      .withColumn("noisy", col("deflate_ratio") > noisyAbove)
+
   /** Ratio of non-alphanumeric, non-space characters. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") /

@@ -125,6 +125,37 @@ class TextExprsSpec extends SparkSuite {
     assert(viaPlan.exceptAll(interp).isEmpty && interp.exceptAll(viaPlan).isEmpty)
   }
 
+  test("deflate ratio separates repetitive from high-entropy text; empty is 1.0") {
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(7)
+    val noisy = Array.fill(4000)(rnd.nextPrintableChar()).mkString
+    val docs = Seq(
+      (1L, "spam " * 800),                 // repetitive boilerplate
+      (2L, noisy),                         // near-incompressible
+      (3L, "")                             // empty
+    ).toDF("doc_id", "text")
+    val r = TextOps.compressionReport(docs).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(2), x.getBoolean(3), x.getBoolean(4))).toMap
+    assert(r(1L)._1 < 0.05 && r(1L)._2, s"repetitive text should flag: ${r(1L)}")
+    assert(r(2L)._1 > 0.7 && !r(2L)._2, s"random text must not flag repetitive: ${r(2L)}")
+    assert(r(3L)._1 === 1.0)
+    // deterministic across evaluations (same kernel, same zlib)
+    val again = TextOps.compressionReport(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(again === r.map { case (k, v) => k -> v._1 })
+  }
+
+  test("deflate ratio codegen path equals the interpreted eval path") {
+    import graft.operators.TextOps
+    val docs = sparkDocs
+    val viaPlan = docs.select($"doc_id", TextOps.compressionRatio($"text").as("r"))
+    // force interpreted eval: higher-order-function lambdas evaluate
+    // children interpreted
+    val interp = docs.select($"doc_id",
+      transform(array($"text"), t => TextOps.compressionRatio(t)).getItem(0).as("r"))
+    assert(viaPlan.exceptAll(interp).isEmpty && interp.exceptAll(viaPlan).isEmpty)
+  }
+
   private def sparkDocs =
     spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text").limit(100)
 }

@@ -158,6 +158,16 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Public window into the LSH candidate stage: pairs whose signatures
+    * collide in >= 1 band, distinct, id_a < id_b — the batch twin the
+    * streaming dedup's equivalence spec compares against
+    * ([[graft.streaming.DedupStream.nearDupCandidatesStream]]). */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", shingleN: Int = 3,
+                        numPerms: Int = 32, bands: Int = 16): DataFrame =
+    bandCandidates(minhashSignatures(docs, idCol, textCol, shingleN, numPerms),
+      idCol, bands, numPerms / bands)
+
   /** MinHash near-dup pairs, exact-verified: LSH candidates filtered by
     * true shingle-set Jaccard >= threshold.
     * @return (id_a, id_b, jaccard) with jaccard rounded to 4dp */

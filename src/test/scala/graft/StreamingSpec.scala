@@ -20,6 +20,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup candidates equal the batch candidate stage, any batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    import graft.streaming.DedupStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").limit(200)
+    val withDupes = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" extra tail words")).as("text")))
+    val rows = withDupes.collect().map(r => (r.getLong(0), r.getString(1)))
+    val batchCands = Dedup.minhashCandidates(withDupes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchCands.nonEmpty, "fixture must yield candidate pairs")
+
+    // split mid-corpus so planted dup pairs straddle the batch boundary
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val stream = DedupStream.nearDupCandidatesStream(
+      input.toDF().toDF("doc_id", "text"))
+    // default trigger (not AvailableNow): data arrives AFTER start
+    val q = stream.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_out").collect()
+      val streamedPairs = streamed.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamedPairs === batchCands,
+        s"stream=${streamedPairs.size} batch=${batchCands.size} " +
+        s"missed=${(batchCands -- streamedPairs).size} extra=${(streamedPairs -- batchCands).size}")
+      // the signature-agreement estimate must match a batch recompute
+      val sigOf = Dedup.minhashSignatures(withDupes, "doc_id", "text", 3, 32)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      streamed.foreach { r =>
+        val (a, b, est) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        val (sa, sb) = (sigOf(a), sigOf(b))
+        val expected = math.rint(
+          sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length * 10000) / 10000
+        assert(est === expected, s"pair ($a,$b): est $est != $expected")
+      }
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert builds a last-wins corpus from the stream") {
     val out = Files.createTempDirectory("graft_upsert").toString + "/corpus"
     val q = EventStream.upsertEachBatch(

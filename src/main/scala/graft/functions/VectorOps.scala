@@ -74,17 +74,20 @@ object VectorOps {
   def bqPackHof(a: Column): Column = {
     def shl(v: Column, by: Column): Column =
       asCol(org.apache.spark.sql.catalyst.expressions.ShiftLeft(asExpr(v), asExpr(by)))
-    transform(
-      sequence(lit(0), ((size(a) - lit(1)) / lit(64)).cast("int")),
-      w => aggregate(
-        slice(a, w * 64 + 1, lit(64)),
-        struct(lit(0L).as("bits"), lit(0).as("pos")),
-        (acc, x) => struct(
-          (acc.getField("bits").bitwiseOR(
-            when(x.cast("double") > 0.0, shl(lit(1L), acc.getField("pos")))
-              .otherwise(lit(0L)))).as("bits"),
-          (acc.getField("pos") + 1).as("pos")),
-        acc => acc.getField("bits")))
+    // empty guard: sequence(0, (0-1)/64 = 0) would emit one word for an
+    // empty vector where BqPack emits none (the sequence-on-empty trap)
+    when(size(a) === 0, typedLit(Seq.empty[Long]))
+      .otherwise(transform(
+        sequence(lit(0), ((size(a) - lit(1)) / lit(64)).cast("int")),
+        w => aggregate(
+          slice(a, w * 64 + 1, lit(64)),
+          struct(lit(0L).as("bits"), lit(0).as("pos")),
+          (acc, x) => struct(
+            (acc.getField("bits").bitwiseOR(
+              when(x.cast("double") > 0.0, shl(lit(1L), acc.getField("pos")))
+                .otherwise(lit(0L)))).as("bits"),
+            (acc.getField("pos") + 1).as("pos")),
+          acc => acc.getField("bits"))))
   }
 
   /** Hamming distance over [[bqPack]]-packed codes — codegen'd popcount

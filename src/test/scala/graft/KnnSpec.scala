@@ -93,6 +93,19 @@ class KnnSpec extends SparkSuite {
     rows.foreach { r =>
       assert(r.getSeq[Long](0) === r.getSeq[Long](1))
     }
+    // edge vectors: empty (no words — the sequence-on-empty trap), 64
+    // zeros (one all-zero word: zero is NOT positive), 65 dims (two words)
+    import spark.implicits._
+    val edges = Seq(
+      Seq.empty[Double], Seq.fill(64)(0.0), Seq.fill(65)(1.0)
+    ).toDF("v")
+    val got = edges.select(
+      VectorOps.bqPack(col("v")).as("fast"),
+      VectorOps.bqPackHof(col("v")).as("slow")).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    assert(got(0).getSeq[Long](0) === Seq.empty)
+    assert(got(1).getSeq[Long](0) === Seq(0L))
+    assert(got(2).getSeq[Long](0) === Seq(-1L, 1L)) // 64 ones = all bits set
   }
 
   test("BqHamming over packed codes equals the per-dim sign-disagreement count") {

@@ -584,7 +584,13 @@ object Dedup {
     val normed = emb.withColumn("__nvec", VectorOps.l2Normalize(col(vecCol)))
     val idx = KnnIvf.build(normed, numClusters, idCol, "__nvec", seed)
     val withCell = idx.corpusWithCell
+    // the pair frame (tiny: verified duplicates only) fans out into
+    // members, the component propagation, and the final join — without
+    // pinning it, each reference re-executes the KMeans-transform +
+    // blocked-self-join subplan (the self-join-recompute cost, measured
+    // ~4x the pair stage)
     val pairs = cosinePairsBlocked(withCell, Seq(col("cell")), idCol, vecCol, threshold)
+      .localCheckpoint(true)
     val members = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
     val comps = duplicateComponents(members, pairs, idCol)

@@ -266,6 +266,12 @@ object SparkEntry {
     "ann_bq_rerank" -> ((s, dir) =>
       Quantize.bqSearchRerank(Tables.defaultQueries(s, dir),
         Tables.embeddings(s, dir), k = 5, candidates = 50)),
+    // IVF x BQ off the SAME persisted index ann_ivf serves from:
+    // probe-pruned cells scanned as codes, float rescore of the pool.
+    // Rows-only (KMeans state); full-probe == plain-cascade spec-pinned
+    "ann_ivf_bq" -> ((s, dir) =>
+      Quantize.bqSearchProbed(KnnIvf.load(s, ivfIndexPath(s, dir)),
+        Tables.defaultQueries(s, dir), k = 5, nProbe = 8, pool = 100)),
     // matryoshka-style dimension truncation (Kusupati et al. 2022):
     // exact cosine top-k on the FIRST 16 of 64 dims — the cheap-tier
     // query form when embeddings are trained nested. On these synthetic

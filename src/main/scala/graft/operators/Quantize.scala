@@ -114,6 +114,44 @@ object Quantize {
     KnnTopK.boundedTopK(rescored, k, asc = true)
   }
 
+  /** IVF × BQ — the binary-IVF serving shape (FAISS `IndexBinaryIVF`'s
+    * role, here as plan composition): probe pruning picks nProbe cells
+    * per query off the persisted index ([[KnnIvf.probeCells]] — the
+    * same handoff IVFPQ uses), the Hamming stage scans ONLY those
+    * cells' codes (cell equi-join, no corpus-wide read), and the float
+    * rescore touches Q·pool candidate vectors. With a cell-partitioned
+    * layout the scan is partition-pruned AND 1/32nd-width — the two
+    * byte-reduction axes compose multiplicatively. nProbe = numCells
+    * with an exhaustive pool degenerates to [[bqSearchRerank]]
+    * (spec-pinned). */
+  def bqSearchProbed(index: KnnIvf.IvfIndex, queries: DataFrame, k: Int,
+                     nProbe: Int, pool: Int, metric: String = "cosine",
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(pool >= k, s"candidate pool $pool must be >= k=$k")
+    val probes = KnnIvf.probeCells(index, queries, nProbe)
+      .select(col("query_id"), col("query_vec"), col("cell"))
+    val qcodes = probes
+      .select(col("query_id"), col("cell"), VectorOps.bqPack(col("query_vec")).as("__qcode"))
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val prunedCodes = index.corpusWithCell
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("cell"), col(idCol).as("match_id"),
+        VectorOps.bqPack(col(vecCol)).as("bq_code"))
+    val hamming = prunedCodes
+      .join(broadcast(qcodes), Seq("cell"))
+      .select(col("query_id"), col("match_id"),
+        VectorOps.bqHamming(col("__qcode"), col("bq_code")).cast("double").as("score"))
+    val stage1 = KnnTopK.boundedTopK(hamming, pool, asc = true)
+      .select(col("query_id"), col("match_id"))
+    val rescored = index.corpusWithCell.select(col(idCol).as("match_id"), col(vecCol))
+      .join(broadcast(stage1), Seq("match_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("match_id"),
+        (round(graft.functions.VectorOps.distance(metric, col("query_vec"), col(vecCol)), 4)
+          + lit(0.0)).as("score"))
+    KnnTopK.boundedTopK(rescored, k, asc = true)
+  }
+
   /** The whole BQ accuracy-vs-cost curve from ONE Hamming scan and ONE
     * rescore pass: retrieve the LARGEST pool once (each candidate
     * carries its Hamming rank), rescore every candidate once, replicate

@@ -156,6 +156,15 @@ class KnnSpec extends SparkSuite {
     assert(bq === exact)
   }
 
+  test("IVF x BQ with every cell probed degenerates to the plain BQ cascade") {
+    val idx = KnnIvf.build(corpus, numCells = 8)
+    val probed = Quantize.bqSearchProbed(idx, queries, k = 5, nProbe = 8, pool = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = Quantize.bqSearchRerank(queries, corpus, k = 5, candidates = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(probed === plain)
+  }
+
   test("bqSearchRerankMulti equals bqSearchRerank at every pool budget") {
     val pools = Seq(10, 25, 60)
     // multi columns: (query_id, pool, match_id, score, rank)

@@ -378,6 +378,19 @@ object SparkEntry {
         KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5),
         k = 5, floor = 0.75)
     }),
+    // IVF x BQ quality, gated like every other approximate path: the
+    // composed recall is bounded by BOTH knobs (cells seen x pool
+    // caught) — observed 0.84 / 0.76 at sf0.01 / sf0.1 with nProbe 8 of
+    // 16 cells, pool 100; floor 0.55 leaves seed/scale margin while a
+    // packing or probe regression still lands far below it
+    "ann_ivf_bq_recall" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      Recall.atKGated(
+        Quantize.bqSearchProbed(KnnIvf.load(s, ivfIndexPath(s, dir)),
+          q, k = 5, nProbe = 8, pool = 100),
+        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5),
+        k = 5, floor = 0.55)
+    }),
     // the BQ accuracy-vs-cost curve, driver-visible and gated like the
     // IVF nProbe sweep: recall@5 as the candidate pool sweeps
     // 50→400, all levels served from ONE Hamming scan + ONE rescore

@@ -65,6 +65,26 @@ class RecallSpec extends SparkSuite {
     assert(ex.getMessage.contains("quality gate"), ex.getMessage)
   }
 
+  test("atKGrouped scores every group in the explicit universe; an absent group is 0") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L), (2L, 21L, 2L))
+      .toDF("query_id", "match_id", "rank")
+    // level 1 answers only q1 fully; level 2 has NO rows at all — it must
+    // still appear with recall 0, not vanish from the curve
+    val approx = Seq((1L, 1L, 10L, 1L), (1L, 1L, 11L, 2L))
+      .toDF("n_probe", "query_id", "match_id", "rank")
+    val rows = Recall.atKGrouped(approx, exact, k = 2, "n_probe", Seq(1L, 2L))
+      .collect().map(r => r.getAs[Long]("n_probe") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Double]("recall_at_k"))).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    assert(rows(1L) === ((2L, 0.5)))  // q1: 2/2, q2: 0/2
+    assert(rows(2L) === ((2L, 0.0)))
+    // sparse-label denominator carries over: one true neighbor, found
+    val e1 = Seq((1L, 10L, 1L)).toDF("query_id", "match_id", "rank")
+    val a1 = Seq((7L, 1L, 10L, 1L)).toDF("g", "query_id", "match_id", "rank")
+    assert(Recall.atKGrouped(a1, e1, k = 5, "g", Seq(7L))
+      .head().getAs[Double]("recall_at_k") === 1.0)
+  }
+
   test("setAgreement gates exact twin equality: 1.0 passes, any divergence raises") {
     val a = Seq((1L, 2L, 0.5), (3L, 4L, 0.7)).toDF("id_a", "id_b", "jaccard")
     val same = Recall.setAgreement(a, a, on = Seq("id_a", "id_b", "jaccard")).head()

@@ -133,10 +133,14 @@ object Quantize {
     val qcodes = probes
       .select(col("query_id"), col("cell"), VectorOps.bqPack(col("query_vec")).as("__qcode"))
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val prunedCodes = index.corpusWithCell
+    val pruned = index.corpusWithCell
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
-      .select(col("cell"), col(idCol).as("match_id"),
-        VectorOps.bqPack(col(vecCol)).as("bq_code"))
+    // honor a persisted code column (layout built from bqEncodeCorpus):
+    // the probe then column-prunes the floats away, as in [[bqSearch]]
+    val prunedCodes =
+      (if (pruned.columns.contains("bq_code")) pruned
+       else pruned.withColumn("bq_code", VectorOps.bqPack(col(vecCol))))
+        .select(col("cell"), col(idCol).as("match_id"), col("bq_code"))
     val hamming = prunedCodes
       .join(broadcast(qcodes), Seq("cell"))
       .select(col("query_id"), col("match_id"),

@@ -590,6 +590,10 @@ object SparkEntry {
     // deflate; determinism + ordering pinned by TextOpsSpec
     "text_compression" -> ((s, dir) =>
       TextOps.compressionReport(Tables.documents(s, dir))),
+    // per-doc unigram Shannon entropy (vocabulary diversity); decimal
+    // term sums keep the 4dp rounding order-free in both engines
+    "text_entropy" -> ((s, dir) =>
+      TextOps.entropyReport(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"), col("lang").as("lang_actual"))),
@@ -1865,6 +1869,21 @@ object SparkEntry {
                 round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
                 max(n_chars) AS max_chars
          FROM documents GROUP BY 1""",
+    // unigram entropy: H = ln(n) − (Σ c·ln c)/n; each term rounded 6dp
+    // and summed in DECIMAL so the 4dp result is order-free (c·ln c is
+    // irrational for c>1 and exactly 0 for c=1 — no half-boundary)
+    "text_entropy" ->
+      """WITH t AS (SELECT doc_id,
+                           unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+                    FROM documents),
+            c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),
+            a AS (SELECT doc_id,
+                         CAST(sum(c) AS BIGINT) AS n_tokens,
+                         sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,12))) AS clc
+                  FROM c GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               round(ln(CAST(n_tokens AS DOUBLE)) - CAST(clc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS entropy_nats
+        FROM a""",
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,
                            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks

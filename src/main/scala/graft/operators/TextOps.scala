@@ -25,6 +25,30 @@ object TextOps {
       graft.functions.TextExprs.DeflateRatio(
         org.apache.spark.sql.GraftColumnBridge.expression(text), level))
 
+  /** Per-doc token (unigram) Shannon entropy in NATS:
+    * H = ln(n) − (Σ c·ln c)/n over word counts c — the vocabulary-
+    * diversity twin of [[compressionRatio]] (low entropy = repetitive).
+    * Scale shape: one (doc, word) shuffle with map-side combine, then a
+    * per-doc aggregation — the corpus text never moves twice.
+    * Cross-engine determinism: each c·ln c term is rounded to 6dp and
+    * summed in DECIMAL (exact, order-free) — a raw double SUM's
+    * partition-order nondeterminism would flip 4dp half-boundary
+    * roundings between engines. Empty docs are excluded (no tokens, no
+    * entropy), matching the other tokenizing reports. */
+  def entropyReport(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("__n"),
+        sum(round(col("__c").cast("double") * log(col("__c").cast("double")), 6)
+          .cast("decimal(18,12)")).as("__clc"))
+      .select(col(idCol),
+        col("__n").cast("long").as("n_tokens"),
+        round(log(col("__n").cast("double"))
+          - col("__clc").cast("double") / col("__n").cast("double"), 4)
+          .as("entropy_nats"))
+
   /** Per-doc compression-quality report: (idCol, n_bytes, deflate_ratio,
     * repetitive, noisy). The flag bounds follow the published pipelines'
     * shape (drop the extremes; both thresholds are parameters because

@@ -145,6 +145,22 @@ class TextExprsSpec extends SparkSuite {
     assert(again === r.map { case (k, v) => k -> v._1 })
   }
 
+  test("entropy report matches closed forms: uniform = ln n, constant = 0") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a b c d"),        // 4 distinct: H = ln 4
+      (2L, "a a a a"),        // constant: H = 0
+      (3L, "a a b b"),        // 2 x 2: H = ln 2
+      (4L, "")                // empty: excluded
+    ).toDF("doc_id", "text")
+    val r = TextOps.entropyReport(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(!r.contains(4L))
+    assert(r(1L) === ((4L, math.rint(math.log(4) * 10000) / 10000)))
+    assert(r(2L) === ((4L, 0.0)))
+    assert(r(3L) === ((4L, math.rint(math.log(2) * 10000) / 10000)))
+  }
+
   test("deflate ratio codegen path equals the interpreted eval path") {
     import graft.operators.TextOps
     val docs = sparkDocs

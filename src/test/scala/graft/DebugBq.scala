@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import graft.operators.{KnnTopK, Quantize, Recall}
 import graft.sources.Tables
 
-/** Scratch: BQ-cascade and matryoshka recall across candidate pools and
-  * scales, to pin gate floors. Delete after floors are pinned. */
+/** Reproduction utility for the BQ / matryoshka gate floors: recall
+  * across candidate pools and scales. The pinned floors in SparkEntry
+  * (`ann_bq_recall` 0.75, `ann_matryoshka_recall` 0.10) came from this
+  * sweep's output — rerun it before moving a floor. */
 object DebugBq {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[16]")

@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, KnnIvf}
 import graft.functions.VectorOps
 
-/** Scratch: stage timings for dedup_semdedup. Delete after tuning. */
+/** Reproduction utility for SemDeDup's cost split (kmeans / pairs /
+  * select). The localCheckpoint in `semdedupSelect` exists because this
+  * breakdown showed the pair subplan re-executing ~4x without it —
+  * rerun before changing that pinning. */
 object DebugSemdedup {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"

@@ -565,9 +565,13 @@ object Dedup {
     * dedup tractable at web scale. Returns (id_a, id_b, cosine). */
   def semdedupPairs(emb: DataFrame, numClusters: Int, threshold: Double = 0.99,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L, fitFraction: Double = 0.25): DataFrame = {
     val normed = emb.withColumn("__nvec", VectorOps.l2Normalize(col(vecCol)))
-    val withCell = KnnIvf.build(normed, numClusters, idCol, "__nvec", seed).corpusWithCell
+    // centroids from a deterministic sample (the at-scale fit shape);
+    // recall is centroid-INDEPENDENT for the planted-copy argument —
+    // normalized copies share a cell under ANY centroid set
+    val withCell = KnnIvf.build(normed, numClusters, idCol, "__nvec", seed,
+      fitFraction).corpusWithCell
     cosinePairsBlocked(withCell, Seq(col("cell")), idCol, vecCol, threshold)
   }
 
@@ -580,9 +584,9 @@ object Dedup {
     * a scaled copy ties its original and the id breaks the tie. */
   def semdedupSelect(emb: DataFrame, numClusters: Int, threshold: Double = 0.99,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L, fitFraction: Double = 0.25): DataFrame = {
     val normed = emb.withColumn("__nvec", VectorOps.l2Normalize(col(vecCol)))
-    val idx = KnnIvf.build(normed, numClusters, idCol, "__nvec", seed)
+    val idx = KnnIvf.build(normed, numClusters, idCol, "__nvec", seed, fitFraction)
     val withCell = idx.corpusWithCell
     // the pair frame (tiny: verified duplicates only) fans out into
     // members, the component propagation, and the final join — without

@@ -32,16 +32,26 @@ object KnnIvf {
     * its cell. Deterministic for a fixed seed. */
   def build(corpus: DataFrame, numCells: Int,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            seed: Long = 42L): IvfIndex = {
+            seed: Long = 42L, fitFraction: Double = 1.0): IvfIndex = {
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction $fitFraction out of (0, 1]")
     val featured = corpus.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
+    // fitFraction < 1: fit the centroids on a DETERMINISTIC id-hash
+    // sample, then assign the full corpus — the only shape that exists
+    // at 100 TB (the fit never scans the corpus; assignment, a narrow
+    // map, does). Centroid quality from a uniform sample is the
+    // published IVF practice (FAISS trains on ~max(10k·k, 1%) points).
+    val fitOn =
+      if (fitFraction >= 1.0) featured
+      else featured.filter(Sampling.hashKeep(col(idCol), fitFraction))
     val model = new KMeans()
       .setK(numCells).setSeed(seed).setMaxIter(10)
       // random init: one pass instead of k-means||'s 2+numIter scans —
       // cell balance is all IVF needs, exact centroids are irrelevant
       .setInitMode("random")
       .setFeaturesCol("__features").setPredictionCol("__cell")
-      .fit(featured)
+      .fit(fitOn)
     IvfIndex(model, model.transform(featured).drop("__features")
       .withColumnRenamed("__cell", "cell"))
   }

@@ -42,6 +42,9 @@ object KnnIvf {
     // at 100 TB (the fit never scans the corpus; assignment, a narrow
     // map, does). Centroid quality from a uniform sample is the
     // published IVF practice (FAISS trains on ~max(10k·k, 1%) points).
+    // Caller contract: fitFraction·N must stay >= numCells (checking it
+    // here would cost a count in the build path); Spark ML's KMeans
+    // raises its own error if the sample underfills k.
     val fitOn =
       if (fitFraction >= 1.0) featured
       else featured.filter(Sampling.hashKeep(col(idCol), fitFraction))

@@ -50,6 +50,20 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(r.getDouble(0) === 80.0)
   }
 
+  test("bq_pack / bq_hamming / deflate_ratio are SQL-callable with correct values") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT bq_hamming(bq_pack(array(1.0F, -1.0F, 1.0F)),
+                           bq_pack(array(1.0F, 1.0F, -1.0F))) AS hd,
+                bq_pack(array(1.0F, -1.0F, 1.0F))[0] AS w,
+                deflate_ratio(repeat('ab', 500)) AS rep,
+                deflate_ratio('ab', 9) AS tiny""").head()
+    assert(r.getLong(0) === 2L)       // dims 2 and 3 disagree
+    assert(r.getLong(1) === 5L)       // bits 0 and 2 set = 0b101
+    assert(r.getDouble(2) < 0.1)      // repetitive compresses hard
+    assert(r.getDouble(3) > 1.0)      // 2 raw bytes deflate to more
+  }
+
   test("GraftExtensions injects the functions into a fresh session") {
     val fresh = spark.newSession()
     // newSession shares the context but not temp functions; extensions

@@ -24,15 +24,21 @@ object Recall {
     * true neighbors, a perfect approximate answer scores 1.0, not
     * hits/k < 1 (a constant-k denominator would read as a false quality
     * regression). Both inputs use the (query_id, match_id, rank)
-    * contract of [[Knn.knnExact]]/[[KnnTopK.boundedTopK]]. */
+    * contract of [[Knn.knnExact]]/[[KnnTopK.boundedTopK]].
+    *
+    * Single-pass shape: the approximate frame is LEFT-joined onto the
+    * exact twin and hits + denominator fall out of one aggregation, so
+    * the (expensive) exact subplan appears exactly once in the plan —
+    * a hits-join + separate denominator aggregate would execute it
+    * twice (self-joins re-run their input subplan on both sides). */
   def atK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
-    val a = approx.filter(col("rank") <= k).select(col("query_id"), col("match_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id")).withColumn("__a", lit(1))
     val e = exact.filter(col("rank") <= k).select(col("query_id"), col("match_id"))
-    val hits = a.join(e, Seq("query_id", "match_id"))
-      .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
-    val perQuery = e.groupBy(col("query_id")).agg(count(lit(1)).as("__exact"))
-      .join(hits, Seq("query_id"), "left")
-      .select(coalesce(col("__hits"), lit(0L)).as("__hits"),
+    val perQuery = e.join(a, Seq("query_id", "match_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("__a")).as("__hits"), count(lit(1)).as("__exact"))
+      .select(col("__hits"),
         least(lit(k.toLong), col("__exact")).as("__denom"))
     perQuery.agg(
       count(lit(1)).as("n_queries"),
@@ -45,22 +51,23 @@ object Recall {
     * [[KnnIvf.searchPrunedMulti]]): one summary row per value in
     * `groups`, each holding the same per-query math as [[atK]]. The
     * group universe is passed explicitly so a group (or query) with no
-    * approximate rows scores 0 instead of vanishing. The exact twin's
-    * subplan is referenced twice (hit join + denominator) — still a
-    * constant, vs once per group when calling [[atK]] in a loop. */
+    * approximate rows scores 0 instead of vanishing. Same single-pass
+    * shape as [[atK]]: the exact twin is expanded once across the
+    * (small, explicit) group universe and the approximate frame is
+    * LEFT-joined onto it, so the exact subplan executes once total —
+    * not twice, and not once per group as an [[atK]] loop would. */
   def atKGrouped(approx: DataFrame, exact: DataFrame, k: Int,
                  groupCol: String, groups: Seq[Long]): DataFrame = {
     require(groups.nonEmpty, "atKGrouped needs an explicit group universe")
     val a = approx.filter(col("rank") <= k)
       .select(col(groupCol), col("query_id"), col("match_id"))
+      .withColumn("__a", lit(1))
     val e = exact.filter(col("rank") <= k).select(col("query_id"), col("match_id"))
-    val hits = a.join(e, Seq("query_id", "match_id"))
-      .groupBy(col(groupCol), col("query_id")).agg(count(lit(1)).as("__hits"))
-    val base = e.groupBy(col("query_id")).agg(count(lit(1)).as("__exact"))
-      .select(col("query_id"), col("__exact"), explode(typedLit(groups)).as(groupCol))
-    base.join(hits, Seq(groupCol, "query_id"), "left")
-      .select(col(groupCol),
-        coalesce(col("__hits"), lit(0L)).as("__hits"),
+      .select(explode(typedLit(groups)).as(groupCol), col("query_id"), col("match_id"))
+    e.join(a, Seq(groupCol, "query_id", "match_id"), "left")
+      .groupBy(col(groupCol), col("query_id"))
+      .agg(count(col("__a")).as("__hits"), count(lit(1)).as("__exact"))
+      .select(col(groupCol), col("__hits"),
         least(lit(k.toLong), col("__exact")).as("__denom"))
       .groupBy(col(groupCol)).agg(
         count(lit(1)).as("n_queries"),
@@ -103,8 +110,12 @@ object Recall {
         count(col("__r")).as("n_right"),
         count(when(col("__l").isNotNull && col("__r").isNotNull, lit(1))).as("n_common"))
       .withColumn("agreement",
-        round(col("n_common").cast("double") /
-          greatest(col("n_left"), col("n_right"), lit(1L)).cast("double"), 4))
+        // Two EMPTY inputs agree vacuously (both pipelines found
+        // nothing) — without this a no-near-dup corpus would read as
+        // agreement 0.0 and falsely trip the gate.
+        when(greatest(col("n_left"), col("n_right")) === lit(0L), lit(1.0))
+          .otherwise(round(col("n_common").cast("double") /
+            greatest(col("n_left"), col("n_right"), lit(1L)).cast("double"), 4)))
       .withColumn("floor", lit(floor))
       .filter(when(col("agreement") >= lit(floor), lit(true))
         .otherwise(raise_error(concat(

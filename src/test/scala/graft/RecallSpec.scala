@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Recall
+import org.apache.spark.sql.functions.lit
 
 class RecallSpec extends SparkSuite {
   import spark.implicits._
@@ -83,6 +84,28 @@ class RecallSpec extends SparkSuite {
     val a1 = Seq((7L, 1L, 10L, 1L)).toDF("g", "query_id", "match_id", "rank")
     assert(Recall.atKGrouped(a1, e1, k = 5, "g", Seq(7L))
       .head().getAs[Double]("recall_at_k") === 1.0)
+  }
+
+  test("atK references the exact twin subplan exactly once (single-pass shape)") {
+    // the r7 denominator fix referenced the exact frame twice (hit join
+    // + denominator aggregate), doubling the exact twin's execution; the
+    // single-pass left-join shape must leave exactly TWO leaves in the
+    // plan — one exact, one approx
+    val exact = Seq((1L, 10L, 1L), (2L, 20L, 1L)).toDF("query_id", "match_id", "rank")
+    val approx = Seq((1L, 10L, 1L), (2L, 99L, 1L)).toDF("query_id", "match_id", "rank")
+    val plan = Recall.atK(approx, exact, k = 1).queryExecution.optimizedPlan
+    assert(plan.collectLeaves().size === 2, plan.treeString)
+    val grouped = Recall.atKGrouped(
+      approx.withColumn("g", lit(1L)).select($"g", $"query_id", $"match_id", $"rank"),
+      exact, k = 1, "g", Seq(1L, 2L)).queryExecution.optimizedPlan
+    assert(grouped.collectLeaves().size === 2, grouped.treeString)
+  }
+
+  test("setAgreement over two empty inputs is vacuous perfect agreement, not a gate trip") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r = Recall.setAgreement(empty, empty, on = Seq("id_a", "id_b")).head()
+    assert(r.getAs[Double]("agreement") === 1.0)
+    assert(r.getAs[Long]("n_common") === 0L)
   }
 
   test("setAgreement gates exact twin equality: 1.0 passes, any divergence raises") {

@@ -1669,8 +1669,7 @@ object SparkEntry {
                FROM corpus),
          g AS (SELECT doc_id, CAST(i AS BIGINT) + 1 AS pos,
                       md5(array_to_string(list_slice(ws, CAST(i + 1 AS INT), CAST(i + 10 AS INT)), ' ')) AS gh
-               FROM w CROSS JOIN range(128) AS r(i)
-               WHERE i <= len(ws) - 10),
+               FROM (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 9, 0))) AS i FROM w)),
          dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
          h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
          isl AS (SELECT doc_id, pos,
@@ -1678,8 +1677,18 @@ object SparkEntry {
                  FROM h),
          sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
                 FROM isl GROUP BY doc_id, grp),
+         mrk AS (SELECT doc_id, s, e,
+                        CASE WHEN s > lag(e) OVER (PARTITION BY doc_id ORDER BY s)
+                             THEN 1 ELSE 0 END AS nw
+                 FROM sp),
+         cl AS (SELECT doc_id, s, e,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY s
+                                     ROWS UNBOUNDED PRECEDING) AS cid
+                FROM mrk),
+         mg AS (SELECT doc_id, min(s) AS s, max(e) AS e
+                FROM cl GROUP BY doc_id, cid),
          cov AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_words
-                 FROM sp GROUP BY doc_id),
+                 FROM mg GROUP BY doc_id),
          base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w)
          SELECT b.doc_id, b.n_words,
                 COALESCE(cov.dup_words, 0) AS dup_words,
@@ -2412,8 +2421,7 @@ object SparkEntry {
              FROM corpus),
        g AS (SELECT doc_id, CAST(i AS BIGINT) + 1 AS pos,
                     md5(array_to_string(list_slice(ws, CAST(i + 1 AS INT), CAST(i + 10 AS INT)), ' ')) AS gh
-             FROM w CROSS JOIN range(128) AS r(i)
-             WHERE i <= len(ws) - 10),
+             FROM (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 9, 0))) AS i FROM w)),
        dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
        h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
        isl AS (SELECT doc_id, pos,

@@ -672,16 +672,34 @@ object Dedup {
     * a batch pipeline more often drops the documents that are mostly
     * duplicated material). Keeps docs whose fraction of words inside
     * duplicated spans is below maxCoverage, with the coverage stats.
-    * Maximal spans are disjoint by construction, so per-doc coverage is
-    * a plain sum. Coverage is rounded half-up in integer arithmetic —
-    * word-count denominators like 32 put the quotient exactly on the
-    * 4dp half-boundary where double rounding is engine-divergent.
+    *
+    * Maximal spans are disjoint in GRAM-START space but their word
+    * ranges can overlap: gram starts 1 and 3 at n=3 (start 2 not
+    * duplicated — two distinct duplicated substrings sharing a word)
+    * yield spans [1,3] and [3,5], and a plain sum double-counts word 3
+    * (dup_words 6 of n_words 5, coverage 1.2). So coverage is the size
+    * of the interval UNION: spans are interval-merged per doc (classic
+    * running-max sweep — a new cluster starts where span_start exceeds
+    * every preceding span_end) before summing. Coverage is rounded
+    * half-up in integer arithmetic — word-count denominators like 32
+    * put the quotient exactly on the 4dp half-boundary where double
+    * rounding is engine-divergent.
     */
   def spanCleanReport(docs: DataFrame, n: Int = 10, maxCoverage: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = Window.partitionBy(col(idCol)).orderBy(col("span_start"))
     val cov = duplicateSpans(docs, n, minDocs = 2, idCol, textCol)
+      // span_end is monotone in span_start here (both derive from gram
+      // positions), so the previous row's span_end IS the running max
+      .withColumn("__new",
+        when(col("span_start") > lag(col("span_end"), 1).over(ws), 1L)
+          .otherwise(lit(0L)))
+      .withColumn("__cluster",
+        sum(col("__new")).over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__cluster"))
+      .agg(min(col("span_start")).as("__s"), max(col("span_end")).as("__e"))
       .groupBy(col(idCol))
-      .agg(sum(col("span_end") - col("span_start") + lit(1L)).as("dup_words"))
+      .agg(sum(col("__e") - col("__s") + lit(1L)).as("dup_words"))
     docs
       .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_words"))
       .join(cov, Seq(idCol), "left")

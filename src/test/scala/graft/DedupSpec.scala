@@ -318,4 +318,24 @@ class DedupSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(kept === Set((3L, 16L, 8L, 0.5), (4L, 10L, 0L, 0.0)))
   }
+
+  test("spanCleanReport merges OVERLAPPING spans before summing (no double count)") {
+    // two distinct duplicated substrings of doc 1 share word 'w3': B has
+    // w1..w3, C has w3..w5, and gram start 2 (w2 w3 w4) is nowhere else.
+    // duplicateSpans correctly reports overlapping spans [1,3] and [3,5];
+    // a plain sum would count w3 twice (dup_words 6 > n_words 5,
+    // coverage 1.2) — the interval merge must yield 5/5 = 1.0.
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 x1 x2"),
+      (3L, "y1 y2 w3 w4 w5")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, n = 3).filter($"doc_id" === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 3L), (3L, 5L))) // genuinely overlapping
+    val r1 = Dedup.spanCleanReport(d, n = 3, maxCoverage = 2.0)
+      .filter($"doc_id" === 1L).head()
+    assert(r1.getAs[Long]("n_words") === 5L)
+    assert(r1.getAs[Long]("dup_words") === 5L)
+    assert(r1.getAs[Double]("coverage") === 1.0)
+  }
 }

@@ -2170,8 +2170,10 @@ object SparkEntry {
                       round(ln((ct + CAST(0.5 AS DOUBLE)) / (nt + CAST(0.5 AS DOUBLE) * v))
                           - ln((cs + CAST(0.5 AS DOUBLE)) / (ns + CAST(0.5 AS DOUBLE) * v)), 6) AS lr
                FROM vc CROSS JOIN tot),
-         sc AS (SELECT t.doc_id, sum(CAST(r.lr AS DECIMAL(18,12))) AS lw
-                FROM tok t JOIN r ON t.w = r.w GROUP BY t.doc_id),
+         sc0 AS (SELECT t.doc_id, sum(CAST(r.lr AS DECIMAL(18,12))) AS lw
+                 FROM tok t JOIN r ON t.w = r.w GROUP BY t.doc_id),
+         sc AS (SELECT d.doc_id, COALESCE(sc0.lw, CAST(0 AS DECIMAL(18,12))) AS lw
+                FROM documents d LEFT JOIN sc0 USING (doc_id)),
          k AS (SELECT doc_id, CAST(round(lw, 4) AS DOUBLE) AS log_weight,
                       CAST(round(lw + CAST(round(-ln(-ln(
                         (list_sum(list_transform(range(8), j ->

@@ -95,7 +95,15 @@ object Dsir {
       .groupBy(col(idCol))
       // decimal sum: order-independent, exact, engine-identical
       .agg(sum(col("lr").cast("decimal(18,12)")).as("__lw"))
-    scored
+    // a doc with ZERO tokens has no rows in `tok` and would silently
+    // vanish from the sample; its log-weight is 0 (empty product), so it
+    // must still compete via its Gumbel noise — left-join the scores
+    // back onto the full id universe
+    val all = docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__lw"), lit(0).cast("decimal(18,12)")).as("__lw"))
+    all
       // round the exact DECIMAL, not a double cast: sums of 6dp terms
       // land exactly on a 4dp half-boundary for ~1% of docs, where
       // double rounding is engine-divergent — so the key sum is decimal

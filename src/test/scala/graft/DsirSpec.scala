@@ -76,4 +76,14 @@ class DsirSpec extends SparkSuite {
     val pred = array_contains(split(col("text"), " "), "alpha")
     assert(Dsir.selectHashed(corpus, pred, k = 10, numBuckets = 1).count() === 10)
   }
+
+  test("a zero-token doc competes with log-weight 0 instead of vanishing") {
+    val withEmpty = corpus.union(Seq((999L, "")).toDF("doc_id", "text"))
+    val pred = array_contains(split(col("text"), " "), "alpha")
+    // k >= corpus size: EVERY doc must appear, including the empty one
+    val rows = Dsir.select(withEmpty, pred, k = 1000).collect()
+    assert(rows.length === 31)
+    val empty = rows.find(_.getLong(0) === 999L).get
+    assert(empty.getAs[Double]("log_weight") === 0.0)
+  }
 }

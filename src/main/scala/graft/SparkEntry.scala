@@ -132,15 +132,39 @@ object SparkEntry {
     // Jaccard, so any divergence means a pipeline regression (a banding
     // bug that drops a candidate, a shingle-set drift). agreement < 1.0
     // raises in-plan → hard driver err, upgrading DedupSpec's pinned
-    // claim into a per-round driver signal. (SimHash has no such gate by
-    // design: its SIMILARITY is hash-dependent, so twin pair sets
-    // legitimately differ — 9 vs 12 pairs on fixtures.)
+    // claim into a per-round driver signal. (SimHash twin pair sets
+    // legitimately differ — similarity is hash-dependent, 9 vs 12 pairs
+    // on fixtures — so ITS gate below compares banded vs brute instead.)
     "dedup_twin_agreement" -> ((s, dir) => {
       val corpus = docsWithNearDupes(s, dir)
       Recall.setAgreement(
         Dedup.minhashPairs(corpus, threshold = 0.5),
         Dedup.minhashPairsPortable(corpus, threshold = 0.5),
         on = Seq("id_a", "id_b", "jaccard"), floor = 1.0)
+    }),
+    // GATED SimHash banding contract: the banded xxhash64 flagship must
+    // emit EXACTLY the brute-force hamming<=3 pairs of its own
+    // signatures (pigeonhole: 4 bands over 64 bits guarantee recall for
+    // hamming<=3; the in-join verify guarantees precision — equality
+    // holds by construction for ANY corpus, so the floor is a true 1.0).
+    // The brute side is O(N^2), so both sides run on a PAIR-PRESERVING
+    // slice keyed on the base id ((id mod 1e7) keeps every planted
+    // (base, base+1e7) near-dup pair wholly in or out; base%10==0
+    // implies base%5==0, so ALL planted pairs survive — the gate is
+    // never vacuous). The md5 twin needs no such row: its banded
+    // pipeline is hash-compared against the DuckDB oracle end-to-end.
+    "dedup_simhash_agreement" -> ((s, dir) => {
+      val corpus = docsWithNearDupes(s, dir)
+        .filter((col("doc_id") % 10000000L % 5L) === 0L)
+      val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      val brute = sigs.select(col("doc_id").as("id_a"), col("simhash").as("__ha"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("__hb")),
+          col("id_a") < col("id_b"))
+        .withColumn("hamming", Dedup.hamming(col("__ha"), col("__hb")).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      Recall.setAgreement(Dedup.simhashPairs(corpus), brute,
+        on = Seq("id_a", "id_b", "hamming"), floor = 1.0)
     }),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),

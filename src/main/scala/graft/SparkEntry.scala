@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 import graft.operators.{Contamination, Dedup, Dsir, EventOps, Knn, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
+import graft.streaming.DedupStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -165,6 +166,39 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming"))
       Recall.setAgreement(Dedup.simhashPairs(corpus), brute,
         on = Seq("id_a", "id_b", "hamming"), floor = 1.0)
+    }),
+    // GATED streaming dedup-on-ingest: the corpus is replayed through
+    // nearDupCandidatesStream as a 2-batch MemoryStream (split
+    // mid-corpus, so planted pairs straddle the batch boundary) and the
+    // emitted candidate set must EQUAL the batch LSH candidate stage —
+    // the stream==batch contract of DedupStream, upgraded from a spec
+    // claim to a per-round driver signal. The collect here feeds the
+    // stream harness (MemoryStream is driver-side by nature) and is
+    // bounded by the fixture corpus; the operator under test is the
+    // distributed flatMapGroupsWithState pipeline itself.
+    "dedup_stream_agreement" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val corpus = docsWithNearDupes(s, dir).select("doc_id", "text")
+      val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val sink = s"__dedup_stream_gate_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val input = MemoryStream[(Long, String)]
+      val q = DedupStream.nearDupCandidatesStream(
+          input.toDF().toDF("doc_id", "text"))
+        .toDF().writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      val streamed =
+        try {
+          input.addData(b1.toSeq); q.processAllAvailable()
+          input.addData(b2.toSeq); q.processAllAvailable()
+          s.table(sink).select("id_a", "id_b").distinct()
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        } finally { q.stop(); s.catalog.dropTempView(sink) }
+      Recall.setAgreement(streamed.toDF("id_a", "id_b"),
+        Dedup.minhashCandidates(docsWithNearDupes(s, dir)),
+        on = Seq("id_a", "id_b"), floor = 1.0)
     }),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),

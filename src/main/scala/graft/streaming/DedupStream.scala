@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.util.LongAccumulator
 
 import graft.operators.Dedup
 
@@ -20,11 +21,15 @@ import graft.operators.Dedup
   * stream == batch candidates on the same corpus, any split).
   *
   * Only buckets touched by a batch do any work; per-bucket membership is
-  * bounded by band selectivity. State here is append-only for the run —
-  * a production deployment bounds it with a state TTL
-  * (`GroupStateTimeout.ProcessingTimeTimeout`) accepting missed pairs
-  * beyond the horizon, exactly the trade `dedupedStream` documents for
-  * exact ids.
+  * bounded by band selectivity AND, for a long-running ingest, by
+  * `maxMembersPerBucket`: each bucket keeps its most recent cap members,
+  * so new arrivals still pair against everything inside that horizon and
+  * only pairs with evicted (older-than-horizon) members are missed — the
+  * same trade a state TTL makes, expressed in members instead of time so
+  * state is bounded by construction (buckets x cap x signature width),
+  * not by arrival-rate assumptions. Evictions are observable through the
+  * optional `droppedAcc` accumulator; the default cap is unbounded,
+  * which is exact and fine for bounded runs.
   *
   * Emitted pairs carry the signature-agreement estimate of Jaccard (the
   * unbiased MinHash estimator); exact verification needs the documents'
@@ -43,8 +48,11 @@ object DedupStream {
   def nearDupCandidatesStream(docs: DataFrame, idCol: String = "doc_id",
                               textCol: String = "text", shingleN: Int = 3,
                               numPerms: Int = 32, bands: Int = 16,
-                              estThreshold: Double = 0.0): Dataset[CandPair] = {
+                              estThreshold: Double = 0.0,
+                              maxMembersPerBucket: Int = Int.MaxValue,
+                              droppedAcc: Option[LongAccumulator] = None): Dataset[CandPair] = {
     require(numPerms % bands == 0, s"bands $bands must divide numPerms $numPerms")
+    require(maxMembersPerBucket >= 1, s"bucket cap must be >= 1, got $maxMembersPerBucket")
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = Dedup.minhashSignatures(docs, idCol, textCol, shingleN, numPerms)
@@ -74,7 +82,13 @@ object DedupStream {
                 out += CandPair(math.min(o.id, m.id), math.max(o.id, m.id),
                   math.rint(est * 10000) / 10000)
             }
+            // most-recent-first prepend, so the cap keeps the newest
+            // horizon and evicts the oldest members
             seen = m :: seen
+            if (seen.lengthCompare(maxMembersPerBucket) > 0) {
+              seen = seen.take(maxMembersPerBucket)
+              droppedAcc.foreach(_.add(1L))
+            }
           }
           state.update(seen)
           out.iterator

@@ -66,6 +66,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bucket cap: pairs within the horizon still emit, evictions are observable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DedupStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // three IDENTICAL texts share every band bucket; cap 1 keeps only the
+    // most recent member per bucket, so d3 pairs with d2 (in-horizon) but
+    // the d1-d3 pair is beyond the horizon by construction
+    val text = "alpha beta gamma delta epsilon zeta"
+    val acc = spark.sparkContext.longAccumulator("dedup_stream_dropped")
+    val input = MemoryStream[(Long, String)]
+    val q = DedupStream.nearDupCandidatesStream(
+        input.toDF().toDF("doc_id", "text"),
+        maxMembersPerBucket = 1, droppedAcc = Some(acc))
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("neardup_capped").start()
+    try {
+      input.addData((1L, text)); q.processAllAvailable()
+      input.addData((2L, text)); q.processAllAvailable()
+      input.addData((3L, text)); q.processAllAvailable()
+      val pairs = spark.table("neardup_capped")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 2L), (2L, 3L)),
+        s"in-horizon pairs must emit, beyond-horizon must not: $pairs")
+      // overflow is observable: every band bucket evicted once per
+      // over-cap arrival (d2 evicts d1, d3 evicts d2 — 2 x 16 bands)
+      assert(acc.value === 32L, s"dropped=${acc.value}")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert builds a last-wins corpus from the stream") {
     val out = Files.createTempDirectory("graft_upsert").toString + "/corpus"
     val q = EventStream.upsertEachBatch(

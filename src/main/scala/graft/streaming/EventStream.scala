@@ -234,7 +234,11 @@ object EventStream {
       }
   }
 
-  private case class UserCount(user_id: Long, n_events: Long)
+  // NOT private: whole-stage codegen instantiates the encoder class from
+  // generated Java, which cannot see a private Scala nested class — the
+  // private form compiled, but every streaming trigger fell back to the
+  // interpreter with a logged stack trace
+  case class UserCount(user_id: Long, n_events: Long)
 
   /** Custom streaming state: running per-user event counts via
     * `mapGroupsWithState` (the arbitrary-state API a richer incremental

@@ -645,9 +645,37 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextOps.qualityReport(Tables.documents(s, dir))),
     // deflate compression ratio as a repetitiveness/noise signal
     // (RedPajama-v2 / Dolma heuristic). Rows-only: DuckDB has no
-    // deflate; determinism + ordering pinned by TextOpsSpec
+    // deflate; determinism + ordering pinned by TextOpsSpec, and the
+    // gate row below bounds the values each round
     "text_compression" -> ((s, dir) =>
       TextOps.compressionReport(Tables.documents(s, dir))),
+    // GATED bounds for the deflate kernel (zlib has no DuckDB rendition,
+    // so this row is its hard driver signal): the fixture corpus is
+    // scale-invariant word soup, so its ratio distribution is stable —
+    // measured mean 0.5267/0.5267/0.5307 and min 0.37-0.39 across
+    // sf0.001/0.01/0.1. The gate pins min/max/mean inside generous bands
+    // ([0.25,-], [-,1.05] — deflate's stored-block overhead bounds any
+    // text at ~1+11/n_bytes — mean in [0.45,0.62]) and the repetitive
+    // count at its pinned fixture value 0: a kernel regression (level
+    // mis-pin, buffer truncation, flag inversion) lands far outside,
+    // while fixture regeneration noise never moves the mean by 0.07.
+    "text_compression_gate" -> ((s, dir) =>
+      TextOps.compressionReport(Tables.documents(s, dir))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(min(col("deflate_ratio")), 4).as("min_ratio"),
+          round(max(col("deflate_ratio")), 4).as("max_ratio"),
+          round(avg(col("deflate_ratio")), 4).as("mean_ratio"),
+          sum(when(col("repetitive"), 1L).otherwise(0L)).as("n_repetitive"))
+        .filter(when(
+          col("min_ratio") >= lit(0.25) && col("max_ratio") <= lit(1.05) &&
+          col("mean_ratio").between(lit(0.45), lit(0.62)) &&
+          col("n_repetitive") === lit(0L), lit(true))
+          .otherwise(raise_error(concat(
+            lit("deflate gate: (min,max,mean,n_repetitive)=("),
+            col("min_ratio"), lit(","), col("max_ratio"), lit(","),
+            col("mean_ratio"), lit(","), col("n_repetitive"),
+            lit(") outside pinned fixture bands [0.25,1.05], mean [0.45,0.62], rep=0")))))),
     // per-doc unigram Shannon entropy (vocabulary diversity); decimal
     // term sums keep the 4dp rounding order-free in both engines
     "text_entropy" -> ((s, dir) =>

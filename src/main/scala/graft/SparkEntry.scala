@@ -219,6 +219,11 @@ object SparkEntry {
     // duplicated material (planted full-copy dups have coverage ~1.0)
     "dedup_span_clean" -> ((s, dir) =>
       Dedup.spanCleanReport(docsWithNearDupes(s, dir), n = 10, maxCoverage = 0.8)),
+    // the CUT form (the paper's actual removal semantics): duplicated
+    // spans are excised from the text, each gram's lowest-id doc keeping
+    // the canonical copy; surviving tokens compared by md5
+    "dedup_span_cut" -> ((s, dir) =>
+      Dedup.spanCutReport(docsWithNearDupes(s, dir), n = 10)),
     // content-derived blocking: the sign pattern of the leading 8
     // components. Scale- and direction-invariant, so any high-cosine pair
     // lands in one block with high probability — no id arithmetic involved
@@ -1812,6 +1817,54 @@ object SparkEntry {
          WHERE floor((COALESCE(cov.dup_words, 0) * 20000 + b.n_words)
                      / (b.n_words * CAST(2 AS DOUBLE))) / CAST(10000.0 AS DOUBLE)
                < CAST(0.8 AS DOUBLE)""",
+    // cut semantics: duplicated positions (keeper-doc exempt) -> island
+    // -> interval-merge -> anti-join token positions -> md5 of survivors
+    "dedup_span_cut" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         UNION ALL
+                         SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+                         FROM documents WHERE doc_id % 10 = 0),
+         w AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+               FROM corpus),
+         g AS (SELECT doc_id, CAST(i AS BIGINT) + 1 AS pos,
+                      md5(array_to_string(list_slice(ws, CAST(i + 1 AS INT), CAST(i + 10 AS INT)), ' ')) AS gh
+               FROM (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 9, 0))) AS i FROM w)),
+         dup AS (SELECT gh, min(doc_id) AS lo FROM g GROUP BY gh
+                 HAVING count(DISTINCT doc_id) >= 2),
+         h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)
+               WHERE g.doc_id <> dup.lo),
+         isl AS (SELECT doc_id, pos,
+                        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM h),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+                FROM isl GROUP BY doc_id, grp),
+         mrk AS (SELECT doc_id, s, e,
+                        CASE WHEN s > lag(e) OVER (PARTITION BY doc_id ORDER BY s)
+                             THEN 1 ELSE 0 END AS nw
+                 FROM sp),
+         cl AS (SELECT doc_id, s, e,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY s
+                                     ROWS UNBOUNDED PRECEDING) AS cid
+                FROM mrk),
+         mg AS (SELECT doc_id, min(s) AS s, max(e) AS e
+                FROM cl GROUP BY doc_id, cid),
+         cov AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cut_words
+                 FROM mg GROUP BY doc_id),
+         cpos AS (SELECT doc_id, s + CAST(u AS BIGINT) AS pos
+                  FROM (SELECT doc_id, s, e, unnest(range(e - s + 1)) AS u FROM mg)),
+         toks AS (SELECT doc_id, CAST(i AS BIGINT) + 1 AS pos, ws[CAST(i + 1 AS INT)] AS wd
+                  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM w)),
+         kept AS (SELECT t.doc_id, t.pos, t.wd
+                  FROM toks t LEFT JOIN cpos c ON t.doc_id = c.doc_id AND t.pos = c.pos
+                  WHERE c.pos IS NULL),
+         clean AS (SELECT doc_id, md5(string_agg(wd, ' ' ORDER BY pos)) AS clean_md5
+                   FROM kept GROUP BY doc_id)
+         SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+                COALESCE(cov.cut_words, 0) AS cut_words,
+                COALESCE(clean.clean_md5, md5('')) AS clean_md5
+         FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+                LEFT JOIN clean ON w.doc_id = clean.doc_id""",
     // transitive closure of the ngram pair graph via recursive CTE —
     // min reachable id per doc == min-label propagation's fixed point
     "dedup_components" ->

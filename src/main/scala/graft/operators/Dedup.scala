@@ -685,6 +685,73 @@ object Dedup {
     * put the quotient exactly on the 4dp half-boundary where double
     * rounding is engine-divergent.
     */
+  /** The cut form of Lee et al. 2021 §4.1: remove duplicated spans from
+    * the TEXT, keeping one canonical occurrence — for each duplicated
+    * gram, the lowest-id doc containing it keeps its copy and every
+    * other doc's occurrence is cut ("remove all but one occurrence of
+    * each duplicated substring", the published semantics that
+    * [[spanCleanReport]] coarsens to whole-doc drops). Cut positions are
+    * islanded and interval-merged exactly like the coverage path, then
+    * the doc's tokens outside every cut interval are reassembled.
+    *
+    * Output: (idCol, n_words, cut_words, clean_md5) — the md5 of the
+    * space-joined surviving tokens (text compared by hash to keep the
+    * oracle diff narrow). A doc without duplicated material passes
+    * through with cut_words 0; a fully-cut doc hashes the empty string.
+    *
+    * Scale shape: identical to [[duplicateSpans]] (one gram-hash
+    * shuffle; everything downstream touches duplicated grams only) plus
+    * one interval-bounded HOF reassembly per AFFECTED doc — the lambda
+    * cost is tokens x cut-intervals, and only docs with cuts take that
+    * branch. */
+  def spanCutReport(docs: DataFrame, n: Int = 10,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+    val grams = toks
+      .select(col(idCol), posexplode(asCol(TextExprs.Md5ShingleHashes(
+        asExpr(col("__ws")), n, trailing = false))).as(Seq("__i", "__gh")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("pos"), col("__gh"))
+    // each duplicated gram's lowest-id doc is its canonical keeper
+    val dupGrams = grams.groupBy(col("__gh"))
+      .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
+      .select(col("__gh"), col("__lo"))
+    val cutHits = grams.join(dupGrams, "__gh")
+      .filter(col(idCol) =!= col("__lo"))
+      .select(col(idCol), col("pos"))
+    // islands of consecutive cut gram starts, then the same
+    // interval-union sweep as the coverage path (word ranges of nearby
+    // islands overlap whenever the start gap is < n)
+    val wPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = cutHits
+      .withColumn("__grp", col("pos") - row_number().over(wPos))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n.toLong - 1)).as("e"))
+    val wS = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    val merged = spans
+      .withColumn("__new",
+        when(col("s") > lag(col("e"), 1).over(wS), 1L).otherwise(lit(0L)))
+      .withColumn("__cl",
+        sum(col("__new")).over(wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__cl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivs = merged.groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__ivs"),
+        sum(col("e") - col("s") + lit(1L)).as("cut_words"))
+    toks.join(ivs, Seq(idCol), "left")
+      .withColumn("__kept",
+        when(col("__ivs").isNull, col("__ws"))
+          .otherwise(filter(col("__ws"), (_, i) =>
+            !exists(col("__ivs"), iv =>
+              (i + 1).cast("long") >= iv.getField("s") &&
+              (i + 1).cast("long") <= iv.getField("e")))))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        coalesce(col("cut_words"), lit(0L)).as("cut_words"),
+        md5(concat_ws(" ", col("__kept")).cast("binary")).as("clean_md5"))
+  }
+
   def spanCleanReport(docs: DataFrame, n: Int = 10, maxCoverage: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ws = Window.partitionBy(col(idCol)).orderBy(col("span_start"))

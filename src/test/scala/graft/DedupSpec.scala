@@ -338,4 +338,27 @@ class DedupSpec extends SparkSuite {
     assert(r1.getAs[Long]("dup_words") === 5L)
     assert(r1.getAs[Double]("coverage") === 1.0)
   }
+
+  test("spanCutReport cuts duplicated spans but keeps the canonical copy") {
+    import org.apache.spark.sql.functions.md5
+    // doc 1 and doc 2 share 'a b c' (gram at doc1 pos 3, doc2 pos 1):
+    // doc 1 is the lower id, so it KEEPS the span; doc 2 loses words 1-3
+    val d = Seq(
+      (1L, "x1 x2 a b c"),
+      (2L, "a b c y1 y2"),
+      (3L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val rows = Dedup.spanCutReport(d, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val h = (s: String) => d.sparkSession.range(1)
+      .select(md5(org.apache.spark.sql.functions.lit(s).cast("binary"))).head().getString(0)
+    assert(rows(1L) === ((5L, 0L, h("x1 x2 a b c")))) // canonical keeper: untouched
+    assert(rows(2L) === ((5L, 3L, h("y1 y2"))))       // span cut, tail survives
+    assert(rows(3L) === ((5L, 0L, h("z1 z2 z3 z4 z5"))))
+    // a doc cut in full hashes the empty string
+    val full = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val r2 = Dedup.spanCutReport(full, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(r2(1L) === ((0L, h("a b c"))))
+    assert(r2(2L) === ((3L, h(""))))
+  }
 }

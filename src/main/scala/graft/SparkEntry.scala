@@ -646,6 +646,31 @@ object SparkEntry {
             lit("HLL error gate: max relative error "), col("max_rel_err"),
             lit(" exceeds 3x rsd bound 0.15")))))
     }),
+    // GATED heavy-hitters sketch (Karp et al. frequent-items via
+    // df.stat.freqItems, one distributed treeAggregate pass): the
+    // algorithm GUARANTEES every item with relative frequency > support
+    // appears in the result (false positives allowed, false negatives
+    // impossible) — so the gate recomputes the exact heavy-hitter set
+    // and raises if any is missing. Closes the sketch set at three
+    // gated families: HLL, GK quantiles, frequent items.
+    "events_freq_items" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val fi = ev.stat.freqItems(Seq("event_type"), 0.1)
+      val tot = ev.agg(count(lit(1)).as("__tot"))
+      val heavy = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__c"))
+        .crossJoin(broadcast(tot))
+        .filter(col("__c").cast("double") / col("__tot").cast("double") > 0.1)
+      heavy.crossJoin(broadcast(fi))
+        .agg(
+          count(lit(1)).as("n_heavy"),
+          sum(when(array_contains(col("event_type_freqItems"), col("event_type")),
+            1L).otherwise(0L)).as("n_found"))
+        .withColumn("support", lit(0.1))
+        .filter(when(col("n_found") === col("n_heavy"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("freq-items gate: only "), col("n_found"), lit(" of "),
+            col("n_heavy"), lit(" true heavy hitters returned at support 0.1")))))
+    }),
     // GATED rank-error bound for the quantile sketch: approx_percentile
     // (Greenwald-Khanna) guarantees the returned value's RANK is within
     // n/accuracy of the target rank — a deterministic bound, unlike the

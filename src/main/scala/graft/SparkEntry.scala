@@ -191,17 +191,26 @@ object SparkEntry {
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val sink = s"__dedup_stream_gate_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       val input = MemoryStream[(Long, String)]
-      val q = DedupStream.nearDupCandidatesStream(
-          input.toDF().toDF("doc_id", "text"))
-        .toDF().writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
+      // the replay's cost is per-trigger state-store machinery, not
+      // data: 8 state partitions instead of the session's 32 saves
+      // ~0.8 s/run on a fixture-sized replay (DebugStreamGate A/B).
+      // Scoped to this gate — the streaming operator itself inherits
+      // the session setting in production use.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val streamed =
         try {
-          input.addData(b1.toSeq); q.processAllAvailable()
-          input.addData(b2.toSeq); q.processAllAvailable()
-          s.table(sink).select("id_a", "id_b").distinct()
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        } finally { q.stop(); s.catalog.dropTempView(sink) }
+          val q = DedupStream.nearDupCandidatesStream(
+              input.toDF().toDF("doc_id", "text"))
+            .toDF().writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          try {
+            input.addData(b1.toSeq); q.processAllAvailable()
+            input.addData(b2.toSeq); q.processAllAvailable()
+            s.table(sink).select("id_a", "id_b").distinct()
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          } finally { q.stop(); s.catalog.dropTempView(sink) }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       Recall.setAgreement(streamed.toDF("id_a", "id_b"),
         Dedup.minhashCandidates(docsWithNearDupes(s, dir)
           .filter((col("doc_id") % 10000000L % 2L) === 0L)),

@@ -138,10 +138,14 @@ object SparkEntry {
     // on fixtures — so ITS gate below compares banded vs brute instead.)
     "dedup_twin_agreement" -> ((s, dir) => {
       val corpus = docsWithNearDupes(s, dir)
+      // both pipelines feed from the pinned shared signature frames
+      // (fixture corpus plants dupes, so minCount=1 guards against a
+      // wiring regression emptying both sides reading as agreement)
       Recall.setAgreement(
-        Dedup.minhashPairs(corpus, threshold = 0.5),
-        Dedup.minhashPairsPortable(corpus, threshold = 0.5),
-        on = Seq("id_a", "id_b", "jaccard"), floor = 1.0)
+        Dedup.minhashPairsFromSigs(corpus, nearDupMinhashSigs(s, dir), threshold = 0.5),
+        Dedup.minhashPairsPortableFromSigs(corpus, nearDupMinhashSigsMd5(s, dir),
+          threshold = 0.5),
+        on = Seq("id_a", "id_b", "jaccard"), floor = 1.0, minCount = 1L)
     }),
     // GATED SimHash banding contract: the banded xxhash64 flagship must
     // emit EXACTLY the brute-force hamming<=3 pairs of its own
@@ -156,8 +160,13 @@ object SparkEntry {
     // The md5 twin needs no such row: its banded pipeline is
     // hash-compared against the DuckDB oracle end-to-end.
     "dedup_simhash_agreement" -> ((s, dir) => {
-      val corpus = docsWithNearDupes(s, dir)
-      val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      // both sides read the ONE pinned signature frame; the brute side's
+      // N^2 self-join is SLICE-GUARDED above BruteGateMaxDocs signatures
+      // (pair-preserving id-parity slice, same rule as the stream gate):
+      // a future 10x fixture growth degrades this row to a sliced-but-
+      // still-exhaustive check instead of growing the bench 100x.
+      val rawSigs = nearDupSimhashSigs(s, dir)
+      val sigs = bruteGateSlice(rawSigs)
         .withColumn("__pk",
           VectorOps.bqPack(transform(col("simhash"), x => x.cast("double"))))
       val brute = sigs.select(col("doc_id").as("id_a"), col("__pk").as("__pa"))
@@ -166,8 +175,9 @@ object SparkEntry {
         .withColumn("hamming", VectorOps.bqHamming(col("__pa"), col("__pb")))
         .filter(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
-      Recall.setAgreement(Dedup.simhashPairs(corpus), brute,
-        on = Seq("id_a", "id_b", "hamming"), floor = 1.0)
+      Recall.setAgreement(
+        Dedup.simhashPairsFromSigs(bruteGateSlice(rawSigs)), brute,
+        on = Seq("id_a", "id_b", "hamming"), floor = 1.0, minCount = 1L)
     }),
     // GATED streaming dedup-on-ingest: the corpus is replayed through
     // nearDupCandidatesStream as a 2-batch MemoryStream (split
@@ -183,38 +193,44 @@ object SparkEntry {
     // bound the replay cost; the contract is corpus-independent.
     "dedup_stream_agreement" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
       val corpus = docsWithNearDupes(s, dir).select("doc_id", "text")
         .filter((col("doc_id") % 10000000L % 2L) === 0L)
       val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val sink = s"__dedup_stream_gate_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      // The replay's cost is per-trigger state-store machinery, not
+      // data: 4 state partitions instead of the session's 32 cover the
+      // fixture-sized replay (8 was already ~0.8 s under 32; the state
+      // rows per partition stay trivial either way). The knob lives in
+      // an ISOLATED child session (spark.newSession — shared context,
+      // private conf), so nothing planned concurrently in the caller's
+      // session can inherit it; production use of the streaming
+      // operator inherits whatever session it runs under.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = s2.sqlContext
+      import s2.implicits._
       val input = MemoryStream[(Long, String)]
-      // the replay's cost is per-trigger state-store machinery, not
-      // data: 8 state partitions instead of the session's 32 saves
-      // ~0.8 s/run on a fixture-sized replay (DebugStreamGate A/B).
-      // Scoped to this gate — the streaming operator itself inherits
-      // the session setting in production use.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val streamed =
+      val streamed = {
+        val q = DedupStream.nearDupCandidatesStream(
+            input.toDF().toDF("doc_id", "text"))
+          .toDF().writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
         try {
-          val q = DedupStream.nearDupCandidatesStream(
-              input.toDF().toDF("doc_id", "text"))
-            .toDF().writeStream.outputMode("append")
-            .format("memory").queryName(sink).start()
-          try {
-            input.addData(b1.toSeq); q.processAllAvailable()
-            input.addData(b2.toSeq); q.processAllAvailable()
-            s.table(sink).select("id_a", "id_b").distinct()
-              .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-          } finally { q.stop(); s.catalog.dropTempView(sink) }
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      Recall.setAgreement(streamed.toDF("id_a", "id_b"),
-        Dedup.minhashCandidates(docsWithNearDupes(s, dir)
+          input.addData(b1.toSeq); q.processAllAvailable()
+          input.addData(b2.toSeq); q.processAllAvailable()
+          s2.table(sink).select("id_a", "id_b").distinct()
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        } finally { q.stop(); s2.catalog.dropTempView(sink) }
+      }
+      // batch twin from the pinned shared signature frame: signatures
+      // are per-row, so slicing the frame == signaturing the slice.
+      // The comparison is built under the CALLER's session (s, not s2) so
+      // the agreement join itself runs at the session's partitioning.
+      Recall.setAgreement(s.createDataFrame(streamed).toDF("id_a", "id_b"),
+        Dedup.minhashCandidatesFromSigs(nearDupMinhashSigs(s, dir)
           .filter((col("doc_id") % 10000000L % 2L) === 0L)),
-        on = Seq("id_a", "id_b"), floor = 1.0)
+        on = Seq("id_a", "id_b"), floor = 1.0, minCount = 1L)
     }),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
@@ -260,7 +276,7 @@ object SparkEntry {
           (1 to 8).map(i =>
             when(element_at(col("embedding"), i) >= 0, 1).otherwise(0)),
           threshold = 0.99),
-        on = Seq("id_a", "id_b"), floor = 1.0)),
+        on = Seq("id_a", "id_b"), floor = 1.0, minCount = 1L)),
     // exact transitive dup clusters over the (oracled) ngram pair graph;
     // oracle recomputes the closure with a recursive CTE
     "dedup_components" -> ((s, dir) => {
@@ -672,8 +688,10 @@ object SparkEntry {
       heavy.crossJoin(broadcast(fi))
         .agg(
           count(lit(1)).as("n_heavy"),
-          sum(when(array_contains(col("event_type_freqItems"), col("event_type")),
-            1L).otherwise(0L)).as("n_found"))
+          // coalesce: over an EMPTY heavy set sum() is NULL and the
+          // equality below would be NULL -> spurious raise; 0 == 0 passes
+          coalesce(sum(when(array_contains(col("event_type_freqItems"), col("event_type")),
+            1L).otherwise(0L)), lit(0L)).as("n_found"))
         .withColumn("support", lit(0.1))
         .filter(when(col("n_found") === col("n_heavy"), lit(true))
           .otherwise(raise_error(concat(
@@ -819,7 +837,7 @@ object SparkEntry {
       Recall.setAgreement(
         Retrieval.mmrRerank(cands, Tables.embeddings(s, dir), k = 10),
         Retrieval.mmrRerankBrute(cands, Tables.embeddings(s, dir), k = 10),
-        on = Seq("query_id", "match_id", "mmr", "rank"), floor = 1.0)
+        on = Seq("query_id", "match_id", "mmr", "rank"), floor = 1.0, minCount = 1L)
     }),
     // one-pass exact column profile over orders (nulls / distincts /
     // numeric ranges; timestamp pre-converted to integer epoch seconds
@@ -879,7 +897,7 @@ object SparkEntry {
       Recall.setAgreement(
         Dsir.select(docs, pred, k = 100),
         Dsir.selectHashed(docs, pred, k = 100, numBuckets = 4096),
-        on = Seq("doc_id"), floor = 0.9)
+        on = Seq("doc_id"), floor = 0.9, minCount = 1L)
     }),
 
     // --- scale utilities wired end-to-end ---
@@ -1433,6 +1451,56 @@ object SparkEntry {
         lit(" closing words")).as("text"))
     (d.filter(col("doc_id") % 25 =!= 0).unionByName(planted), eval)
   }
+
+  /** Signature frames SHARED by the per-round dedup agreement gates.
+    * Before round 9 each gate rebuilt the planted-dupe corpus and its
+    * signatures from scratch, and every band self-join re-executed the
+    * signature subplan on both sides — the suite paid signature
+    * construction ~6x per run. Pinned with `localCheckpoint` once per
+    * (SparkContext, fixture dir), the repo's own fixed-point pattern
+    * (`Dedup.semdedupSelect`); the frames are narrow (id + 32 longs /
+    * 60-64 ints per doc), so the pinned footprint is a few MB at any
+    * fixture scale. The flagship QUERY entries (dedup_minhash,
+    * dedup_simhash, dedup_minhash_md5, dedup_simhash_md5) deliberately
+    * do NOT read these frames: their benched time stays the honest
+    * full-pipeline cost; only the agreement GATES — whose value is the
+    * comparison, not the pipeline timing — feed from the shared frames. */
+  private val sharedDedupFrames =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  private def sharedSigFrame(s: SparkSession, dir: String, key: String)
+                            (build: => DataFrame): DataFrame =
+    sharedDedupFrames.getOrElseUpdate(
+      (System.identityHashCode(s.sparkContext), dir, key),
+      build.localCheckpoint(true))
+  private def nearDupMinhashSigs(s: SparkSession, dir: String): DataFrame =
+    sharedSigFrame(s, dir, "mh") {
+      Dedup.minhashSignatures(docsWithNearDupes(s, dir), "doc_id", "text",
+        shingleN = 3, numPerms = 32) }
+  private def nearDupMinhashSigsMd5(s: SparkSession, dir: String): DataFrame =
+    sharedSigFrame(s, dir, "mh_md5") {
+      Dedup.minhashSignaturesPortable(docsWithNearDupes(s, dir)) }
+  private def nearDupSimhashSigs(s: SparkSession, dir: String): DataFrame =
+    sharedSigFrame(s, dir, "sh") {
+      Dedup.simhashSignatures(docsWithNearDupes(s, dir), "doc_id", "text") }
+
+  /** Pair-preserving slice guard for the O(N^2) brute agreement gate:
+    * above [[BruteGateMaxDocs]] signatures the gate runs on the id-parity
+    * half slice ((id mod 1e7) even — a planted copy at base+1e7 shares
+    * its base's parity, so every planted pair survives WHOLE; the slice
+    * quarters the pair count per doubling). Fixture sizes today (5.5k
+    * docs at sf0.1) stay under the threshold and the gate is exhaustive;
+    * the guard exists so a 10x fixture regeneration degrades this row to
+    * a sliced-but-still-planted-pair-complete check instead of letting
+    * the N^2 term grow 100x and dominate the bench (the same rule
+    * dedup_stream_agreement has carried since r8). The input must be a
+    * pinned (checkpointed) frame so the guard's count() is a cache read,
+    * not a recompute. Threshold + slice behavior pinned by DedupSpec. */
+  private[graft] val BruteGateMaxDocs = 20000L
+  private[graft] def bruteGateSlice(sigs: DataFrame,
+                                    maxDocs: Long = BruteGateMaxDocs): DataFrame =
+    if (sigs.count() > maxDocs)
+      sigs.filter((col("doc_id") % 10000000L % 2L) === 0L)
+    else sigs
 
   /** documents plus near-copies (three words appended) of every 10th doc. */
   private def docsWithNearDupes(s: SparkSession, dir: String): DataFrame = {

@@ -165,16 +165,35 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", shingleN: Int = 3,
                         numPerms: Int = 32, bands: Int = 16): DataFrame =
-    bandCandidates(minhashSignatures(docs, idCol, textCol, shingleN, numPerms),
-      idCol, bands, numPerms / bands)
+    minhashCandidatesFromSigs(minhashSignatures(docs, idCol, textCol, shingleN, numPerms),
+      idCol, numPerms, bands)
+
+  /** [[minhashCandidates]] over a PRECOMPUTED (id, sig) frame. The band
+    * self-join references `sigs` on both sides, so a caller that pins the
+    * frame (`localCheckpoint`) halves signature construction — and a
+    * caller sharing one signature frame across several consumers (the
+    * per-round agreement gates) pays construction once total. */
+  def minhashCandidatesFromSigs(sigs: DataFrame, idCol: String = "doc_id",
+                                numPerms: Int = 32, bands: Int = 16): DataFrame =
+    bandCandidates(sigs, idCol, bands, numPerms / bands)
 
   /** MinHash near-dup pairs, exact-verified: LSH candidates filtered by
     * true shingle-set Jaccard >= threshold.
     * @return (id_a, id_b, jaccard) with jaccard rounded to 4dp */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 3, numPerms: Int = 32, bands: Int = 16,
-                   threshold: Double = 0.4): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numPerms)
+                   threshold: Double = 0.4): DataFrame =
+    minhashPairsFromSigs(docs, minhashSignatures(docs, idCol, textCol, shingleN, numPerms),
+      idCol, textCol, shingleN, numPerms, bands, threshold)
+
+  /** [[minhashPairs]] with the signature frame supplied by the caller
+    * (e.g. pinned once and shared across the agreement gates); `docs` is
+    * still scanned for the exact shingle-set verify. `sigs` must be the
+    * [[minhashSignatures]] of `docs` at the same (shingleN, numPerms). */
+  def minhashPairsFromSigs(docs: DataFrame, sigs: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           shingleN: Int = 3, numPerms: Int = 32, bands: Int = 16,
+                           threshold: Double = 0.4): DataFrame = {
     val cands = bandCandidates(sigs, idCol, bands, numPerms / bands)
     // Exact verify joins candidate pairs against per-doc shingle sets
     // built corpus-wide as a pure narrow map. Scoping the set build to
@@ -303,7 +322,15 @@ object Dedup {
     * across a corpus with shared vocabulary (8-bit bands degenerate into
     * megabuckets and candidate blowup there). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(docs, idCol, textCol, 64),
+      idCol, maxHamming, bands)
+
+  /** [[simhashPairs]] over a PRECOMPUTED (id, simhash) frame (the
+    * [[simhashSignatures]] output, possibly pinned and shared with other
+    * consumers — the brute-force agreement gate reads the same frame). */
+  def simhashPairsFromSigs(rawSigs: DataFrame, idCol: String = "doc_id",
+                           maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     val bits = 64
     // The signature rides along through the band explode, so Hamming
     // verification happens inside the bucket join itself — no cache, no
@@ -311,8 +338,7 @@ object Dedup {
     // copy per band row in the shuffle (64 ints), buys a single
     // computation of the explode+64-sum subplan instead of three and
     // leaves no corpus-sized block pinned in executor memory.
-    val sigs = simhashSignatures(docs, idCol, textCol, bits)
-      .withColumnRenamed("simhash", "sig")
+    val sigs = rawSigs.withColumnRenamed("simhash", "sig")
     val buckets = sigs.select(col(idCol), col("sig"),
       posexplode(bandHashes(col("sig"), bands, bits / bands)).as(Seq("__band", "__bh")))
     val a = buckets.select(col(idCol).as("id_a"), col("sig").as("__ha"), col("__band"), col("__bh"))
@@ -411,25 +437,41 @@ object Dedup {
   def minhashPairsPortable(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text", shingleN: Int = 3,
                            numPerms: Int = 32, bands: Int = 16,
-                           threshold: Double = 0.4): DataFrame = {
-    val p = numPerms
-    val rowsPerBand = numPerms / bands
-    // The whole signature is ONE codegen'd per-row projection, exactly
-    // the flagship's shape: [[TextExprs.Md5ShingleHashes]] (the compiled
-    // portable-hash kernel) feeding the SAME codegen'd
-    // [[TextExprs.MinHashSig]] reducer the flagship uses — its bucket
-    // arithmetic (pmod(h, p) buckets, min per bucket, cyclic rotation
-    // densification) is what the oracle reproduces with group-by +
-    // arg_min-over-cyclic-distance. Two earlier formulations measured
-    // SLOWER: grouped aggregations (each side of the band self-join
-    // re-executes the multi-stage shuffle subplan) and builtin HOF folds
-    // (higher-order-function lambdas run interpreted). The band join is
-    // the pipeline's only wide operation, as at the flagship.
+                           threshold: Double = 0.4): DataFrame =
+    minhashPairsPortableFromSigs(docs,
+      minhashSignaturesPortable(docs, idCol, textCol, shingleN, numPerms),
+      idCol, textCol, shingleN, numPerms, bands, threshold)
+
+  /** Portable (md5) one-permutation MinHash signatures: (id, __sig).
+    * The whole signature is ONE codegen'd per-row projection, exactly
+    * the flagship's shape: [[TextExprs.Md5ShingleHashes]] (the compiled
+    * portable-hash kernel) feeding the SAME codegen'd
+    * [[TextExprs.MinHashSig]] reducer the flagship uses — its bucket
+    * arithmetic (pmod(h, p) buckets, min per bucket, cyclic rotation
+    * densification) is what the oracle reproduces with group-by +
+    * arg_min-over-cyclic-distance. Two earlier formulations measured
+    * SLOWER: grouped aggregations (each side of the band self-join
+    * re-executes the multi-stage shuffle subplan) and builtin HOF folds
+    * (higher-order-function lambdas run interpreted). */
+  def minhashSignaturesPortable(docs: DataFrame, idCol: String = "doc_id",
+                                textCol: String = "text", shingleN: Int = 3,
+                                numPerms: Int = 32): DataFrame = {
     val tk = docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
       .filter(size(col("__ts")) > 0)
-    val sigRow = tk.select(col(idCol), asCol(TextExprs.MinHashSig(
+    tk.select(col(idCol), asCol(TextExprs.MinHashSig(
       asExpr(asCol(TextExprs.Md5ShingleHashes(
-        asExpr(col("__ts")), shingleN, trailing = true))), p)).as("__sig"))
+        asExpr(col("__ts")), shingleN, trailing = true))), numPerms)).as("__sig"))
+  }
+
+  /** [[minhashPairsPortable]] with the signature frame supplied by the
+    * caller (pinned and shared, as at [[minhashPairsFromSigs]]). The band
+    * join is the pipeline's only wide operation, as at the flagship. */
+  def minhashPairsPortableFromSigs(docs: DataFrame, sigRow: DataFrame,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text", shingleN: Int = 3,
+                                   numPerms: Int = 32, bands: Int = 16,
+                                   threshold: Double = 0.4): DataFrame = {
+    val rowsPerBand = numPerms / bands
     // band key = the band's slot values in slot order as a string (used
     // only for bucket equality, and what the oracle reproduces verbatim)
     val bandStructs = (0 until bands).map { bIdx =>

@@ -100,8 +100,15 @@ object Recall {
     * Both inputs are compared as SETS of their `on`-column tuples.
     * Scale shape: both inputs arrive reduced (pair lists / top-k rows);
     * the full-outer join here is over already-small frames. */
+  /** @param minCount fixture-backed gates pass >= 1: their corpora PLANT
+    *                  duplicates, so both sides emptying out is itself a
+    *                  regression (an upstream rename or slice filter
+    *                  silently keeping nothing) and must raise rather
+    *                  than ride the vacuous-agreement rule below. The
+    *                  default 0 keeps vacuous perfect agreement for
+    *                  corpora where empty is a legitimate outcome. */
   def setAgreement(left: DataFrame, right: DataFrame, on: Seq[String],
-                   floor: Double = 1.0): DataFrame = {
+                   floor: Double = 1.0, minCount: Long = 0L): DataFrame = {
     val l = left.select(on.map(col): _*).distinct().withColumn("__l", lit(1))
     val r = right.select(on.map(col): _*).distinct().withColumn("__r", lit(1))
     l.join(r, on, "full_outer")
@@ -117,6 +124,11 @@ object Recall {
           .otherwise(round(col("n_common").cast("double") /
             greatest(col("n_left"), col("n_right"), lit(1L)).cast("double"), 4)))
       .withColumn("floor", lit(floor))
+      .filter(when(greatest(col("n_left"), col("n_right")) >= lit(minCount), lit(true))
+        .otherwise(raise_error(concat(
+          lit("twin agreement gate: both sides below minCount "),
+          lit(minCount), lit(" ("), col("n_left"), lit("/"), col("n_right"),
+          lit(" rows) — expected the corpus to plant comparable pairs")))))
       .filter(when(col("agreement") >= lit(floor), lit(true))
         .otherwise(raise_error(concat(
           lit("twin agreement gate: "), col("agreement"),

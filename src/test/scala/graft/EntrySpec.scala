@@ -20,4 +20,23 @@ class EntrySpec extends SparkSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
+
+  test("bruteGateSlice: exhaustive under the threshold, pair-preserving half slice above") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // planted-pair layout: base ids 0,10,20 with copies at base+1e7
+    val ids = Seq(0L, 10L, 20L, 10000000L, 10000010L, 10000020L, 1L, 3L)
+    val sigs = ids.toDF("doc_id").localCheckpoint(true)
+    // under the threshold: identity (the gate stays exhaustive)
+    assert(SparkEntry.bruteGateSlice(sigs, maxDocs = 100L).count() === ids.size)
+    // above the threshold: even-parity slice — every planted (base,
+    // base+1e7) pair survives WHOLE (both sides share parity), odd
+    // singletons drop
+    val sliced = SparkEntry.bruteGateSlice(sigs, maxDocs = 4L)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(sliced === Set(0L, 10L, 20L, 10000000L, 10000010L, 10000020L))
+    // the shipped threshold leaves today's fixtures exhaustive: sf0.1's
+    // near-dupe corpus is ~5.5k docs, far under the pin
+    assert(SparkEntry.BruteGateMaxDocs === 20000L)
+  }
 }

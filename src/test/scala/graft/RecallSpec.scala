@@ -108,6 +108,20 @@ class RecallSpec extends SparkSuite {
     assert(r.getAs[Long]("n_common") === 0L)
   }
 
+  test("setAgreement minCount: both-sides-empty raises for fixture-backed gates") {
+    // fixture gates PLANT duplicates, so emptiness is itself a wiring
+    // regression — minCount >= 1 overrides the vacuous-agreement rule
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val ex = intercept[Exception] {
+      Recall.setAgreement(empty, empty, on = Seq("id_a", "id_b"), minCount = 1L).collect()
+    }
+    assert(ex.getMessage.contains("minCount"), ex.getMessage)
+    // non-empty inputs at or above the floor pass unchanged with minCount
+    val a = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Recall.setAgreement(a, a, on = Seq("id_a", "id_b"), minCount = 1L).head()
+    assert(r.getAs[Double]("agreement") === 1.0)
+  }
+
   test("setAgreement gates exact twin equality: 1.0 passes, any divergence raises") {
     val a = Seq((1L, 2L, 0.5), (3L, 4L, 0.7)).toDF("id_a", "id_b", "jaccard")
     val same = Recall.setAgreement(a, a, on = Seq("id_a", "id_b", "jaccard")).head()

@@ -320,27 +320,12 @@ object SparkEntry {
     // fluency QA; rational probabilities — no libm, decimal-mean)
     "lm_bigram_fluency" -> ((s, dir) =>
       LangModel.selfFluency(Tables.documents(s, dir))),
-    // CCNet-style per-language quality terciles (Wenzek et al. 2019,
-    // arXiv:1911.00359 §4.3: bucket each language's docs into
-    // head/middle/tail by LM perplexity; pipelines then keep head+middle
-    // or reweight). avg_p is the monotone-equivalent fluency stand-in
-    // for perplexity (high avg_p = head); ntile over (rounded score
-    // desc, id asc) is a deterministic total order, so the bucket
-    // boundary is engine-identical. One window shuffle on lang after
-    // the LM scoring pass; docs with no bigrams (single-token) carry no
-    // LM evidence and are excluded, as in lm_bigram_fluency.
-    "lm_ccnet_buckets" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("avg_p").desc, col("doc_id").asc)
-      LangModel.selfFluency(docs)
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        .withColumn("__t", ntile(3).over(w))
-        .withColumn("bucket",
-          when(col("__t") === 1, "head")
-            .when(col("__t") === 2, "middle").otherwise("tail"))
-        .select(col("doc_id"), col("lang"), col("avg_p"), col("bucket"))
-    }),
+    // CCNet-style per-language quality terciles — EVERY doc bucketed,
+    // no-bigram docs deterministically in the tail (see
+    // [[LangModel.ccnetBuckets]]; oracle mirrors the LEFT join and the
+    // explicit NULLS LAST)
+    "lm_ccnet_buckets" -> ((s, dir) =>
+      LangModel.ccnetBuckets(Tables.documents(s, dir))),
     // token-window chunking (RAG/pretraining segmentation) — chunk text
     // compared by md5 to keep the oracle diff small
     "chunk_documents" -> ((s, dir) =>
@@ -2106,10 +2091,10 @@ object SparkEntry {
                        round(CAST(sum(CAST(p AS DECIMAL(18,12))) AS DOUBLE) / count(*), 4) AS avg_p
                 FROM sc GROUP BY 1),
          j AS (SELECT d.doc_id, d.lang, fl.avg_p
-               FROM documents d JOIN fl ON d.doc_id = fl.doc_id),
+               FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id),
          t AS (SELECT doc_id, lang, avg_p,
                       ntile(3) OVER (PARTITION BY lang
-                                     ORDER BY avg_p DESC, doc_id ASC) AS n
+                                     ORDER BY avg_p DESC NULLS LAST, doc_id ASC) AS n
                FROM j)
          SELECT doc_id, lang, avg_p,
                 CASE n WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket

@@ -72,4 +72,38 @@ object LangModel {
   def selfFluency(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =
     fluency(docs, train(docs, textCol), idCol, textCol)
+
+  /** CCNet-style per-language quality terciles (Wenzek et al. 2019,
+    * arXiv:1911.00359 §4.3: bucket each language's docs into
+    * head/middle/tail by LM score; pipelines then keep head+middle or
+    * reweight). `avg_p` is the monotone-equivalent fluency stand-in for
+    * perplexity (high avg_p = head); ntile over (rounded score desc, id
+    * asc) is a deterministic total order, so bucket boundaries are
+    * engine-identical. One window shuffle on lang after the LM pass.
+    *
+    * EVERY doc gets a bucket — CCNet buckets the corpus, not the subset
+    * with LM evidence: fluency is LEFT-joined onto the full id universe,
+    * and a doc with no bigrams (single-token) carries `avg_p = null`,
+    * ordering below every scored doc (explicit NULLS LAST — engines
+    * disagree on default null order under DESC) and landing
+    * deterministically in the tail tercile. The earlier inner-join form
+    * silently DROPPED such docs — the same bug class as DSIR's
+    * zero-token exclusion, fixed the same way.
+    *
+    * @return (idCol, langCol, avg_p, bucket) — avg_p null for
+    *         no-evidence docs */
+  def ccnetBuckets(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("avg_p").desc_nulls_last, col(idCol).asc)
+    docs.select(col(idCol), col(langCol))
+      .join(selfFluency(docs, idCol, textCol).select(col(idCol), col("avg_p")),
+        Seq(idCol), "left")
+      .withColumn("__t", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("__t") === 1, "head")
+          .when(col("__t") === 2, "middle").otherwise("tail"))
+      .select(col(idCol), col(langCol), col("avg_p"), col("bucket"))
+  }
 }

@@ -33,6 +33,29 @@ class LangModelSpec extends SparkSuite {
     }
   }
 
+  test("ccnetBuckets buckets EVERY doc; a single-token doc lands in the tail") {
+    // a single-token doc has zero bigrams = no LM evidence; the
+    // inner-join formulation silently dropped it (the DSIR zero-token
+    // bug class) — the left-join form must bucket it, in the tail
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha", "en"),
+      (2L, "alpha beta gamma delta", "en"),
+      (3L, "gamma delta gamma delta gamma", "en"),
+      (4L, "solo", "en"), // single token: no bigrams
+      (5L, "alpha gamma beta delta", "en"),
+      (6L, "beta alpha beta alpha", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = LangModel.ccnetBuckets(corpus).collect()
+    assert(out.length === 6, "every doc must receive a bucket")
+    val solo = out.find(_.getLong(0) == 4L).get
+    assert(solo.isNullAt(2), "no-evidence doc carries avg_p null")
+    assert(solo.getString(3) === "tail",
+      s"no-evidence doc must order below every scored doc, got ${solo.getString(3)}")
+    // terciles over 6 docs: exactly 2 per bucket, deterministic
+    assert(out.groupBy(_.getString(3)).view.mapValues(_.length).toMap ===
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+  }
+
   test("a repeated deterministic phrase is more fluent than the corpus") {
     // doc made of one phrase repeated: every bigram it contains is highly
     // predictable IN ITS OWN training set when appended to the corpus

@@ -80,8 +80,34 @@ object Bench {
       val runs = Seq(s1(name)._1, s2(name)._1) ++ s3.get(name).toSeq
       jstr(name) + ":[" + runs.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // Cross-round adjudication, machine-readable: the PRIOR run's
+    // bench_full.json (committed by the previous round) is read before
+    // this run overwrites it, and any query whose new minimum moved
+    // >1.5x AND >0.3s absolute vs the prior minimum is flagged with its
+    // ratio. The absolute guard keeps sub-second noise (this box stalls
+    // individual queries 2-10x) from flooding the list; a real plan
+    // regression on a meaningful query clears both bars. "flagged":{}
+    // means no structural movers — what used to be a hand-maintained
+    // SCALING.md table.
+    val prior: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+      """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+        .map { qsec =>
+          """"([^"]+)":([0-9]+\.?[0-9]*(?:[Ee][+-]?[0-9]+)?)""".r
+            .findAllMatchIn(qsec).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    val flagged = results.toSeq
+      .flatMap { case (name, t) =>
+        prior.get(name)
+          .filter(p => t > p * 1.5 && t - p > 0.3)
+          .map(p => name -> math.rint(t / p * 100) / 100) }
+      .sortBy(-_._2)
+    val flaggedJson = flagged
+      .map { case (k, r) => jstr(k) + ":" + r }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_runs":$rawRuns$errJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_runs":$rawRuns,"flagged":$flaggedJson$errJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     val budget = 1450
     val sortedCompact = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }

@@ -1233,8 +1233,15 @@ object SparkEntry {
         .select(col("doc_id"), length(col("content")).cast("long").as("n_bytes"))
         .withColumn("n_frames",
           (floor(col("n_bytes").cast("double") / 1024.0).cast("long") + 1))),
+    // REAL decode: valid synthesized BMPs through the JDK's javax.imageio
+    // reader — the oracle recomputes the decoder-reported dims/sizes from
+    // the id arithmetic the payload builder used, so a decoder (or
+    // payload-synthesis) regression is a hash mismatch, not a rows-only
+    // shrug. The stub decoder remains the documented fallback for bytes
+    // no reader accepts (spec-pinned in MultimodalSpec).
     "multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeBatched(Multimodal.withBinaryContent(Tables.documents(s, dir)))),
+      Multimodal.decodeBatched(Multimodal.withBmpContent(Tables.documents(s, dir)),
+        decoder = Multimodal.imageDecode)),
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.withBinaryContent(Tables.documents(s, dir))
@@ -2681,11 +2688,22 @@ object SparkEntry {
            EXCEPT
            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') x
          ON c_custkey = x.o_custkey""",
-    // multimodal_decode / multimodal_frames: STUB decode dims (crc32/
-    // xxhash64) aren't DuckDB-expressible -> rows-only
+    // multimodal_frames: STUB decode dims (crc32/xxhash64) aren't
+    // DuckDB-expressible -> rows-only
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 CAST(floor(octet_length(encode(text)) / 1024.0) AS BIGINT) + 1 AS n_frames
+         FROM documents""",
+    // the REAL decoder's answer, recomputed independently: the BMP
+    // builder pins width/height to id arithmetic and the 24-bit BI_RGB
+    // layout fixes n_bytes = 54-byte headers + height x 4-padded rows.
+    // javax.imageio must report exactly these or the hash diverges.
+    "multimodal_decode" ->
+      """SELECT doc_id,
+                CAST(54 + (1 + doc_id % 7) * (((3 * (1 + doc_id % 16) + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+                CAST(1 + doc_id % 16 AS INT) AS width,
+                CAST(1 + doc_id % 7 AS INT) AS height,
+                CAST(1 AS INT) AS n_frames
          FROM documents""",
   )
 

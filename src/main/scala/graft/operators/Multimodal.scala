@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, and run decode / feature-extract /
   * frame-sample as partition-local batch transforms.
   *
-  * The actual byte decoding is a ===== STUB =====: no codec libraries
-  * exist in this environment, so [[stubDecode]] derives deterministic fake
-  * dimensions from the bytes. Everything around it — binary schema,
-  * batched `mapPartitions` shape, metadata struct, frame-sampling
-  * explode — is the real, tested Spark plumbing a decoder would plug
-  * into.
+  * IMAGE decode is REAL: [[withBmpContent]] synthesizes valid BMP
+  * payloads (this environment ships no media fixtures) and
+  * [[imageDecode]] reads them with the JDK's pure-Java `javax.imageio`
+  * — true decoder-reported dimensions, oracle-checkable because the
+  * synthesized dims derive from id arithmetic. Audio/video decode and
+  * feature extraction remain ===== STUBs ===== ([[stubDecode]],
+  * [[extractFeatures]]): no audio/video codec libraries exist here, so
+  * those derive deterministic fake values while the binary schema,
+  * batched `mapPartitions` shape, metadata struct, and frame-sampling
+  * explode stay the real, tested Spark plumbing a codec would plug into.
   */
 object Multimodal {
 
@@ -27,6 +31,71 @@ object Multimodal {
   def withBinaryContent(df: DataFrame, textCol: String = "text",
                         outCol: String = "content"): DataFrame =
     df.withColumn(outCol, encode(col(textCol), "UTF-8"))
+
+  /** Deterministic tiny VALID BMP payload for a doc: dimensions from id
+    * arithmetic (width = 1 + id mod 16, height = 1 + id mod 7 — chosen
+    * so an oracle can recompute the decoder's answer independently),
+    * pixel bytes from the doc's text. 24-bit BI_RGB, bottom-up, rows
+    * padded to 4 bytes — the simplest format every BMP reader accepts,
+    * including the JDK's pure-Java `javax.imageio` one. */
+  def bmpBytes(id: Long, text: String): Array[Byte] = {
+    val width = (1L + java.lang.Math.floorMod(id, 16L)).toInt
+    val height = (1L + java.lang.Math.floorMod(id, 7L)).toInt
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val imageSize = rowSize * height
+    val fileSize = 54 + imageSize
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val tb = text.getBytes("UTF-8")
+    var r = 0
+    while (r < height) {
+      var c = 0
+      while (c < rowSize) {
+        // pixel bytes cycle through the text; row padding stays zero
+        val v: Byte =
+          if (c >= 3 * width || tb.isEmpty) 0
+          else tb(java.lang.Math.floorMod(r * rowSize + c, tb.length))
+        buf.put(v)
+        c += 1
+      }
+      r += 1
+    }
+    buf.array()
+  }
+
+  /** Attach a REAL decodable media column: one valid BMP per doc (built
+    * by [[bmpBytes]] in the same partition-local batch shape as the
+    * decode side). This is what lets `multimodal_decode` run an actual
+    * image decoder end-to-end in a codec-library-free environment. */
+  def withBmpContent(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", outCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(rows => rows.map { case (id, t) => (id, bmpBytes(id, t)) })
+      .toDF(idCol, outCol)
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (its BMP/PNG/GIF
+    * readers are pure Java and ship in every JRE — no native codec
+    * libraries involved): width/height come from the DECODER, not from
+    * payload arithmetic. Bytes no reader accepts fall back to the
+    * documented [[stubDecode]], so mixed-media columns still produce a
+    * row per payload. A decoded still image is one frame. Streams are
+    * memory-cached — no ImageIO temp-file I/O per payload. */
+  def imageDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => null }
+    if (img == null) stubDecode(id, bytes)
+    else MediaMeta(id, bytes.length.toLong, img.getWidth, img.getHeight, n_frames = 1)
+  }
 
   /** Expression-level metadata over the binary payload. Width/height are
     * STUB values derived from a byte hash (deterministic); n_bytes and

@@ -277,6 +277,37 @@ object SparkEntry {
             when(element_at(col("embedding"), i) >= 0, 1).otherwise(0)),
           threshold = 0.99),
         on = Seq("id_a", "id_b"), floor = 1.0, minCount = 1L)),
+    // SemDeDup blind-spot probe (SURVEY §5.2's recall-vs-exact stance):
+    // BOTH sides of dedup_semdedup_agreement are blocked (cluster vs
+    // sign), so a cross-block miss is invisible to that gate by
+    // construction. This row measures against a truly blocking-free
+    // baseline: ALL-pairs cosine over a deterministic pair-preserving
+    // ~20% sample ((id mod 1e7) mod 10 < 2 — a planted copy at base+1e7
+    // keeps its base's residue, so planted pairs survive whole; multiples
+    // of 50 land in-sample), vs the cluster-blocked pairs restricted to
+    // the same sample. The brute side is O(sample^2) BY DESIGN and stays
+    // sample-scoped (~2k vectors at sf0.1). On the fixtures every >=0.99
+    // pair is an exact normalized copy, which k-means cannot split
+    // (identical points share a nearest centroid), so the 1.0 floor is
+    // structural; at corpus scale the same row is the sampled-recall
+    // estimate of the paper's clustering approximation.
+    "dedup_semdedup_sampled_recall" -> ((s, dir) => {
+      val emb = embWithDupes(s, dir)
+      val sample = emb.filter((col("vec_id") % 10000000L % 10L) < 2L)
+      val a = sample.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+      val b = sample.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          round(VectorOps.cosineSimilarity(col("__va"), col("__vb")), 4))
+        .filter(!isnan(col("cosine")) && col("cosine") >= 0.99)
+        .select("id_a", "id_b")
+      val blocked = Dedup.semdedupPairs(emb, numClusters = 16, threshold = 0.99)
+        .filter((col("id_a") % 10000000L % 10L) < 2L &&
+                (col("id_b") % 10000000L % 10L) < 2L)
+        .select("id_a", "id_b")
+      Recall.setAgreement(blocked, brute,
+        on = Seq("id_a", "id_b"), floor = 1.0, minCount = 1L)
+    }),
     // exact transitive dup clusters over the (oracled) ngram pair graph;
     // oracle recomputes the closure with a recursive CTE
     "dedup_components" -> ((s, dir) => {

@@ -21,15 +21,21 @@ import graft.operators.Dedup
   * stream == batch candidates on the same corpus, any split).
   *
   * Only buckets touched by a batch do any work; per-bucket membership is
-  * bounded by band selectivity AND, for a long-running ingest, by
-  * `maxMembersPerBucket`: each bucket keeps its most recent cap members,
-  * so new arrivals still pair against everything inside that horizon and
-  * only pairs with evicted (older-than-horizon) members are missed — the
-  * same trade a state TTL makes, expressed in members instead of time so
-  * state is bounded by construction (buckets x cap x signature width),
-  * not by arrival-rate assumptions. Evictions are observable through the
-  * optional `droppedAcc` accumulator; the default cap is unbounded,
-  * which is exact and fine for bounded runs.
+  * bounded by band selectivity AND, for a long-running ingest, by TWO
+  * composable horizons:
+  *   - `maxMembersPerBucket`: each bucket keeps its most recent cap
+  *     members — state bounded by construction (buckets x cap x
+  *     signature width), no arrival-rate assumptions;
+  *   - `ttlMs`: a processing-time horizon — members older than the TTL
+  *     are evicted when their bucket is next touched, and a bucket idle
+  *     past the TTL has its WHOLE state reclaimed via
+  *     `ProcessingTimeTimeout` (so cold buckets do not hold state
+  *     forever, the wall-clock-bounded-ingest trade).
+  * New arrivals still pair against everything inside the horizon; only
+  * pairs with evicted members are missed. Every eviction — cap, sweep,
+  * or idle-bucket timeout — is observable through the optional
+  * `droppedAcc` accumulator. The defaults (unbounded, no TTL) are exact
+  * and fine for bounded runs.
   *
   * Emitted pairs carry the signature-agreement estimate of Jaccard (the
   * unbiased MinHash estimator); exact verification needs the documents'
@@ -39,20 +45,35 @@ import graft.operators.Dedup
 object DedupStream {
 
   case class BucketRow(band: Int, bh: Long, id: Long, sig: Seq[Long])
-  case class Member(id: Long, sig: Seq[Long])
+  /** `seenAt` = processing-time ms of the member's arrival batch (0 when
+    * no TTL is configured — the field is then never consulted). */
+  case class Member(id: Long, sig: Seq[Long], seenAt: Long = 0L)
   case class CandPair(id_a: Long, id_b: Long, est_jaccard: Double)
 
   /** Streaming LSH candidate pairs. May emit the same (id_a, id_b) from
     * several colliding bands (like the batch candidate stage before its
-    * distinct) — consumers dedup, order, or verify downstream. */
+    * distinct) — consumers dedup, order, or verify downstream.
+    * @param ttlMs processing-time horizon: members older than this are
+    *              evicted (and idle buckets reclaimed) — Long.MaxValue
+    *              = no TTL. CAUTION: with a processing-time timeout the
+    *              engine re-triggers batches continuously to advance
+    *              timeout checks, so (a) give the query a real trigger
+    *              interval (e.g. `Trigger.ProcessingTime("1 minute")`)
+    *              to bound the churn, and (b) do not wait on
+    *              `processAllAvailable()` — it never observes quiescence
+    *              under continuous retriggering; poll query progress or
+    *              the sink instead (as StreamingSpec does). */
   def nearDupCandidatesStream(docs: DataFrame, idCol: String = "doc_id",
                               textCol: String = "text", shingleN: Int = 3,
                               numPerms: Int = 32, bands: Int = 16,
                               estThreshold: Double = 0.0,
                               maxMembersPerBucket: Int = Int.MaxValue,
+                              ttlMs: Long = Long.MaxValue,
                               droppedAcc: Option[LongAccumulator] = None): Dataset[CandPair] = {
     require(numPerms % bands == 0, s"bands $bands must divide numPerms $numPerms")
     require(maxMembersPerBucket >= 1, s"bucket cap must be >= 1, got $maxMembersPerBucket")
+    require(ttlMs >= 1, s"state TTL must be >= 1 ms, got $ttlMs")
+    val hasTtl = ttlMs != Long.MaxValue
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = Dedup.minhashSignatures(docs, idCol, textCol, shingleN, numPerms)
@@ -64,34 +85,53 @@ object DedupStream {
       .as[BucketRow]
       .groupByKey(r => (r.band, r.bh))
       .flatMapGroupsWithState[List[Member], CandPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(),
+        if (hasTtl) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         (_: (Int, Long), rows: Iterator[BucketRow], state: GroupState[List[Member]]) =>
-          // id-sorted batch arrivals: emission order (and the pair set,
-          // trivially) is independent of upstream row order
-          val arrivals = rows.map(r => Member(r.id, r.sig)).toArray.sortBy(_.id)
-          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-          var seen = state.getOption.getOrElse(Nil)
-          for (m <- arrivals) {
-            for (o <- seen if o.id != m.id) {
-              val n = math.min(o.sig.length, m.sig.length)
-              var agree = 0
-              var i = 0
-              while (i < n) { if (o.sig(i) == m.sig(i)) agree += 1; i += 1 }
-              val est = if (n == 0) 0.0 else agree.toDouble / n
-              if (est >= estThreshold)
-                out += CandPair(math.min(o.id, m.id), math.max(o.id, m.id),
-                  math.rint(est * 10000) / 10000)
+          if (state.hasTimedOut) {
+            // idle bucket past the TTL: reclaim the whole state, counting
+            // each member as an observable drop
+            droppedAcc.foreach(_.add(state.getOption.map(_.size.toLong).getOrElse(0L)))
+            state.remove()
+            Iterator.empty
+          } else {
+            // id-sorted batch arrivals: emission order (and the pair set,
+            // trivially) is independent of upstream row order
+            val nowMs = if (hasTtl) state.getCurrentProcessingTimeMs() else 0L
+            val arrivals = rows.map(r => Member(r.id, r.sig, nowMs)).toArray.sortBy(_.id)
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+            var seen = state.getOption.getOrElse(Nil)
+            if (hasTtl) {
+              // horizon sweep BEFORE pairing: expired members must not
+              // pair with this batch's arrivals
+              val (kept, expired) = seen.partition(_.seenAt >= nowMs - ttlMs)
+              droppedAcc.foreach(_.add(expired.size.toLong))
+              seen = kept
             }
-            // most-recent-first prepend, so the cap keeps the newest
-            // horizon and evicts the oldest members
-            seen = m :: seen
-            if (seen.lengthCompare(maxMembersPerBucket) > 0) {
-              seen = seen.take(maxMembersPerBucket)
-              droppedAcc.foreach(_.add(1L))
+            for (m <- arrivals) {
+              for (o <- seen if o.id != m.id) {
+                val n = math.min(o.sig.length, m.sig.length)
+                var agree = 0
+                var i = 0
+                while (i < n) { if (o.sig(i) == m.sig(i)) agree += 1; i += 1 }
+                val est = if (n == 0) 0.0 else agree.toDouble / n
+                if (est >= estThreshold)
+                  out += CandPair(math.min(o.id, m.id), math.max(o.id, m.id),
+                    math.rint(est * 10000) / 10000)
+              }
+              // most-recent-first prepend, so the cap keeps the newest
+              // horizon and evicts the oldest members
+              seen = m :: seen
+              if (seen.lengthCompare(maxMembersPerBucket) > 0) {
+                seen = seen.take(maxMembersPerBucket)
+                droppedAcc.foreach(_.add(1L))
+              }
             }
+            state.update(seen)
+            if (hasTtl) state.setTimeoutDuration(ttlMs)
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
   }
 }

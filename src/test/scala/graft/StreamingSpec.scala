@@ -97,6 +97,60 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("processing-time TTL: beyond-horizon members expire, drops are observable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DedupStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // identical texts share every band bucket; d1 arrives, then the
+    // stream idles past the TTL — d2 must NOT pair with the expired d1
+    // (whether the sweep caught it on touch or the idle-bucket timeout
+    // reclaimed the state first), while d3 in the same horizon as d2
+    // still pairs. Processing-time timeouts make the engine re-trigger
+    // batches continuously, so processAllAvailable never observes
+    // quiescence (it hangs — measured): the harness bounds the churn
+    // with a real trigger interval and POLLS progress/sink instead.
+    // Wide margins: TTL 1s, idle 3.5s, trigger 250ms.
+    val text = "alpha beta gamma delta epsilon zeta"
+    val acc = spark.sparkContext.longAccumulator("dedup_stream_ttl_dropped")
+    val input = MemoryStream[(Long, String)]
+    val q = DedupStream.nearDupCandidatesStream(
+        input.toDF().toDF("doc_id", "text"),
+        ttlMs = 1000L, droppedAcc = Some(acc))
+      .toDF().writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .format("memory").queryName("neardup_ttl").start()
+    def awaitInputTotal(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (q.recentProgress.map(_.numInputRows).sum < n) {
+        assert(System.currentTimeMillis() < deadline,
+          s"timed out waiting for $n input rows " +
+          s"(got ${q.recentProgress.map(_.numInputRows).sum})")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      input.addData((1L, text)); awaitInputTotal(1)
+      Thread.sleep(3500) // idle past the TTL: d1's horizon expires
+      input.addData((2L, text)); awaitInputTotal(2)
+      input.addData((3L, text)); awaitInputTotal(3)
+      // the in-horizon pair lands within a few triggers
+      val deadline = System.currentTimeMillis() + 60000
+      def pairs() = spark.table("neardup_ttl")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      while (!pairs().contains((2L, 3L)) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val p = pairs()
+      assert(!p.contains((1L, 2L)) && !p.contains((1L, 3L)),
+        s"beyond-horizon member must not pair: $p")
+      assert(p.contains((2L, 3L)), s"in-horizon pair must emit: $p")
+      // d1 occupied 16 band buckets; each eviction (sweep or timeout) is
+      // one observable drop
+      assert(acc.value >= 16L, s"dropped=${acc.value}")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert builds a last-wins corpus from the stream") {
     val out = Files.createTempDirectory("graft_upsert").toString + "/corpus"
     val q = EventStream.upsertEachBatch(

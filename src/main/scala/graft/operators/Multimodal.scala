@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
   * payloads (this environment ships no media fixtures) and
   * [[imageDecode]] reads them with the JDK's pure-Java `javax.imageio`
   * — true decoder-reported dimensions, oracle-checkable because the
-  * synthesized dims derive from id arithmetic. Audio/video decode and
-  * feature extraction remain ===== STUBs ===== ([[stubDecode]],
-  * [[extractFeatures]]): no audio/video codec libraries exist here, so
-  * those derive deterministic fake values while the binary schema,
-  * batched `mapPartitions` shape, metadata struct, and frame-sampling
-  * explode stay the real, tested Spark plumbing a codec would plug into.
+  * synthesized dims derive from id arithmetic. AUDIO decode is REAL the
+  * same way: [[withWavContent]] synthesizes valid PCM WAVs and
+  * [[audioDecode]] parses them with the JDK's pure-Java
+  * `javax.sound.sampled` — rate/channels/frames reported by the
+  * decoder. Video decode and feature extraction remain
+  * ===== STUBs ===== ([[stubDecode]], [[extractFeatures]]): no video
+  * codec libraries exist here, so those derive deterministic fake
+  * values while the binary schema, batched `mapPartitions` shape,
+  * metadata struct, and frame-sampling explode stay the real, tested
+  * Spark plumbing a codec would plug into.
   */
 object Multimodal {
 
@@ -95,6 +99,105 @@ object Multimodal {
       catch { case _: java.io.IOException => null }
     if (img == null) stubDecode(id, bytes)
     else MediaMeta(id, bytes.length.toLong, img.getWidth, img.getHeight, n_frames = 1)
+  }
+
+  /** Typed metadata extracted from an audio payload. */
+  case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Int,
+                       channels: Int, n_samples: Long, duration_ms: Long)
+
+  implicit val audioMetaEnc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
+
+  /** Deterministic tiny VALID 16-bit PCM WAV payload for a doc: format
+    * parameters from id arithmetic (sample_rate = 8000·(1 + id mod 3),
+    * channels = 1 + id mod 2, samples-per-channel = 16 + id mod 33 —
+    * all recomputable by an oracle), sample bytes from the doc's text.
+    * Canonical 44-byte RIFF/fmt/data layout — the simplest form every
+    * WAV parser accepts, including the JDK's pure-Java
+    * `javax.sound.sampled` one. */
+  def wavBytes(id: Long, text: String): Array[Byte] = {
+    val sampleRate = (8000L * (1L + java.lang.Math.floorMod(id, 3L))).toInt
+    val channels = (1L + java.lang.Math.floorMod(id, 2L)).toInt
+    val nSamples = (16L + java.lang.Math.floorMod(id, 33L)).toInt
+    val blockAlign = channels * 2
+    val dataSize = nSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    val tb = text.getBytes("UTF-8")
+    var i = 0
+    while (i < nSamples * channels) {
+      // 16-bit samples cycle through the text bytes (silence if empty)
+      val s: Short = if (tb.isEmpty) 0
+        else ((tb(java.lang.Math.floorMod(i, tb.length)) & 0xff) * 97).toShort
+      buf.putShort(s)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Attach a REAL decodable audio column: one valid PCM WAV per doc
+    * (built by [[wavBytes]], same partition-local batch shape as the
+    * decode side). */
+  def withWavContent(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", outCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(rows => rows.map { case (id, t) => (id, wavBytes(id, t)) })
+      .toDF(idCol, outCol)
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (its WAV/AIFF
+    * parsers are pure Java and ship in every JRE): sample rate, channel
+    * count, and frame length come from the DECODER's `AudioFormat`, not
+    * from payload arithmetic. duration_ms is floor(frames·1000/rate) in
+    * exact integer math (oracle-reproducible). Bytes no parser accepts
+    * fall back to the documented [[stubAudioDecode]]. */
+  def audioDecode(id: Long, bytes: Array[Byte]): AudioMeta =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val rate = math.round(fmt.getSampleRate.toDouble).toInt
+        val frames = in.getFrameLength
+        AudioMeta(id, bytes.length.toLong, rate, fmt.getChannels, frames,
+          frames * 1000L / rate)
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        stubAudioDecode(id, bytes)
+      case _: java.io.IOException => stubAudioDecode(id, bytes)
+    }
+
+  /** ===== STUB ===== deterministic fake audio decode for undecodable
+    * bytes: values from a byte checksum, same fallback contract as
+    * [[stubDecode]] on the image side. */
+  def stubAudioDecode(id: Long, bytes: Array[Byte]): AudioMeta = {
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+    val rate = 8000 + java.lang.Long.remainderUnsigned(checksum, 3L).toInt * 8000
+    val n = 16 + java.lang.Long.remainderUnsigned(checksum >>> 7, 33L)
+    AudioMeta(id, bytes.length.toLong, rate,
+      1 + java.lang.Long.remainderUnsigned(checksum >>> 3, 2L).toInt, n,
+      n * 1000L / rate)
+  }
+
+  /** Partition-local batched audio decode — [[decodeBatched]]'s shape
+    * with the audio metadata row. */
+  def audioDecodeBatched(df: DataFrame, idCol: String = "doc_id",
+                         contentCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) => audioDecode(id, bytes) })
+      .toDF()
   }
 
   /** Expression-level metadata over the binary payload. Width/height are

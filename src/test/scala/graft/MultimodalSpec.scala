@@ -30,6 +30,43 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.imageDecode(7L, junk) === Multimodal.stubDecode(7L, junk))
   }
 
+  test("wavBytes builds a payload javax.sound.sampled parses at the pinned format") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 32L, 33L, 111L, 9999L)) {
+      val bytes = Multimodal.wavBytes(id, s"some words for doc $id")
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      assert(fmt.getSampleRate.toInt === (8000 * (1 + id % 3)).toInt, s"id $id rate")
+      assert(fmt.getChannels === (1 + id % 2).toInt, s"id $id channels")
+      assert(fmt.getSampleSizeInBits === 16, s"id $id bits")
+      assert(in.getFrameLength === 16 + id % 33, s"id $id frames")
+      // the oracle's size arithmetic: 44-byte headers + 16-bit frames
+      assert(bytes.length === 44 + (16 + id % 33) * (1 + id % 2) * 2, s"id $id n_bytes")
+      in.close()
+    }
+  }
+
+  test("audioDecode reports parser format; undecodable bytes fall back to the stub") {
+    val meta = Multimodal.audioDecode(5L, Multimodal.wavBytes(5L, "alpha beta"))
+    // id 5: rate 8000*(1+5%3)=24000, channels 1+5%2=2, samples 16+5%33=21
+    assert(meta.sample_rate === 24000 && meta.channels === 2 && meta.n_samples === 21L)
+    assert(meta.duration_ms === 21L * 1000L / 24000L)
+    val junk = "definitely not audio".getBytes("UTF-8")
+    assert(Multimodal.audioDecode(7L, junk) === Multimodal.stubAudioDecode(7L, junk))
+  }
+
+  test("audioDecodeBatched over withWavContent runs the real parser distributed") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta"), (34L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.audioDecodeBatched(Multimodal.withWavContent(docs))
+      .select("doc_id", "sample_rate", "channels", "n_samples")
+      .as[(Long, Int, Int, Long)].collect()
+      .map { case (id, r, c, n) => id -> ((r, c, n)) }.toMap
+    assert(out(1L) === ((16000, 2, 17L)))
+    assert(out(2L) === ((24000, 1, 18L)))
+    assert(out(34L) === ((16000, 1, 17L))) // 8000*(1+34%3)=16000, 1+34%2=1, 16+34%33=17
+  }
+
   test("decodeBatched over withBmpContent runs the real decoder distributed") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "delta"), (18L, "epsilon zeta"))
       .toDF("doc_id", "text")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Contamination, Dedup, Dsir, EventOps, Knn, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
+import graft.operators.{Contamination, Dedup, Dsir, EventOps, Knn, KnnHnsw, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
 import graft.sources.Tables
 import graft.streaming.DedupStream
 
@@ -444,6 +444,40 @@ object SparkEntry {
       Pq.adcSearchProbed(idx,
         KnnIvf.probeCells(ivf, Tables.defaultQueries(s, dir), nProbe = 8),
         Pq.encode(idx, ivf.corpusWithCell), k = 5)
+    }),
+
+    // --- graph-shaped ANN: sharded navigable-small-world graphs, the
+    //     Spark rendition of the reference's ACTUAL index structure
+    //     (executor.py:49 hnswlib; efQuery = its ef knob, 66-70). Built +
+    //     persisted once per session like the IVF index; hash-sharding
+    //     makes the global top-k an EXACT merge of per-shard top-k, so
+    //     error lives only inside each shard's beam search. Rows-only
+    //     (graph wiring is engine state); the two gated rows below are
+    //     the per-round driver signal ---
+    "ann_hnsw" -> ((s, dir) =>
+      KnnHnsw.search(KnnHnsw.load(s, hnswIndexPath(s, dir)),
+        Tables.defaultQueries(s, dir), k = 5, efQuery = 32)),
+    // GATED recall at serving beam width vs the exact twin
+    "ann_hnsw_recall" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      Recall.atKGated(
+        KnnHnsw.search(KnnHnsw.load(s, hnswIndexPath(s, dir)), q, k = 5, efQuery = 32),
+        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5),
+        k = 5, floor = 0.8)
+    }),
+    // GATED structural contract: at exhaustive beam width (ef >= shard
+    // size) a connected shard graph IS a full scan, and the hash-shard
+    // merge is exact by construction — so result rows (ids AND scores;
+    // the JVM kernel matches the codegen'd CosineSim bit-for-bit) must
+    // EQUAL the exact twin's. Floor 1.0 catches graph disconnection,
+    // merge bugs, or kernel drift the recall row's margin would absorb.
+    "ann_hnsw_exact_agreement" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      val n = Tables.embeddings(s, dir).count().toInt
+      Recall.setAgreement(
+        KnnHnsw.search(KnnHnsw.load(s, hnswIndexPath(s, dir)), q, k = 5, efQuery = n),
+        KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5),
+        on = Seq("query_id", "match_id", "score"), floor = 1.0, minCount = 1L)
     }),
 
     // --- k-NN JOIN: every corpus row is a query (kNN-dedup / hard-negative
@@ -1327,6 +1361,17 @@ object SparkEntry {
     ivfBuilt.getOrElseUpdate(dir, {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/${artifactKey(dir)}"
       KnnIvf.save(KnnIvf.build(Tables.embeddings(s, dir), numCells = 16), path)
+      path
+    })
+
+  /** Sharded-NSW graph built + persisted once per fixture dir (the
+    * build-once/serve-many split of [[ivfIndexPath]]); queries load the
+    * shard-partitioned parquet fresh each time. */
+  private val hnswBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def hnswIndexPath(s: SparkSession, dir: String): String =
+    hnswBuilt.getOrElseUpdate(dir, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw/${artifactKey(dir)}"
+      KnnHnsw.save(KnnHnsw.build(Tables.embeddings(s, dir), numShards = 4), path)
       path
     })
 

@@ -1,0 +1,215 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-shaped ANN: shard-partitioned navigable-small-world graphs — the
+  * Spark-native rendition of the reference's actual index structure
+  * (`executor.py:49,66-70` wraps an HNSW library; build knobs
+  * ef_construction/M at `executor.py:52-55`, query knob ef at 66-70).
+  *
+  * A monolithic HNSW graph is a SERVING structure: one shared memory
+  * space, pointer-chasing, lock-free inserts. A distributed batch engine
+  * should not emulate that shape — the scale rendition is S independent
+  * shard graphs:
+  *
+  *   - vectors hash-partition into S shards (`pmod(xxhash64(id), S)`);
+  *   - each shard builds its own in-memory single-layer NSW graph
+  *     (Malkov et al. 2014 — greedy beam insert, M neighbors per node,
+  *     efConstruction beam width) inside ONE `flatMapGroups` task;
+  *   - a query batch broadcasts to every shard, beam-searches each shard
+  *     graph at efQuery, and the per-shard top-k merge globally through
+  *     the same bounded aggregation every other k-NN path uses.
+  *
+  * Hash-sharding makes the merge EXACT: the true global top-k is the
+  * union of per-shard true top-k, so approximation error comes only from
+  * within-shard graph search — and shard graphs are N/S nodes, where
+  * beam search is MORE accurate than over one N-node graph. The hierarchy
+  * of HNSW accelerates entry-point descent on huge graphs; bounded shards
+  * don't need it (entry = first inserted node), which also keeps the
+  * build single-pass deterministic (insertion in ascending id order,
+  * (distance, id) ordering everywhere — same graph every run, any
+  * partitioning).
+  *
+  * 100 TB posture: choose S so one shard's vectors + adjacency fit one
+  * task's heap (at 64-dim floats, a 4 GiB task holds ~10M vectors; 100 TB
+  * of 1 KiB docs with embeddings wants S in the low thousands). Build is
+  * embarrassingly parallel (one task per shard, no shuffle after the
+  * hash exchange); the persisted layout is shard-partitioned parquet, so
+  * serving reads stay pruned and append = rebuild of touched shards only.
+  * Queries are broadcast-sized by the same contract as
+  * [[KnnIvf.searchPruned]]'s probe set.
+  */
+object KnnHnsw {
+
+  /** Deterministic single-layer NSW over one shard, built and searched
+    * entirely inside a task. Distances are cosine (1 − cos) computed
+    * with the same double-accumulator loop as the codegen'd
+    * `VectorExprs.CosineSim`, so emitted scores agree bit-for-bit with
+    * the exact twin's. */
+  private[operators] final class NswGraph(m: Int, efConstruction: Int) {
+    private val mMax = 2 * m // reverse-edge degree cap (layer-0 HNSW rule)
+    private[operators] val ids = new mutable.ArrayBuffer[Long]
+    private[operators] val vecs = new mutable.ArrayBuffer[Array[Float]]
+    private[operators] val adj = new mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]
+
+    private def dist(q: Array[Float], idx: Int): Double =
+      cosineDist(q, vecs(idx))
+
+    /** Beam search: best-first expansion keeping the ef closest found;
+      * stops when the nearest open candidate is farther than the worst
+      * kept result. Returns local indices sorted by (distance, id). */
+    private[operators] def searchBeam(q: Array[Float], ef: Int): IndexedSeq[(Double, Int)] = {
+      if (ids.isEmpty) return IndexedSeq.empty
+      // priority = (distance, id); candidates pop NEAREST first, results
+      // track the WORST kept entry on top. Ordering includes the id so
+      // ties (exact duplicate vectors) break identically every run.
+      val byFar = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        .on[(Double, Int)] { case (d, i) => (d, ids(i)) }
+      val candidates = mutable.PriorityQueue.empty[(Double, Int)](byFar.reverse)
+      val results = mutable.PriorityQueue.empty[(Double, Int)](byFar)
+      val visited = new java.util.HashSet[Int]
+      val d0 = dist(q, 0)
+      visited.add(0); candidates.enqueue((d0, 0)); results.enqueue((d0, 0))
+      while (candidates.nonEmpty &&
+             !(results.size >= ef && byFar.gt(candidates.head, results.head))) {
+        val (_, c) = candidates.dequeue()
+        val nbs = adj(c)
+        var i = 0
+        while (i < nbs.length) {
+          val nb = nbs(i)
+          if (visited.add(nb)) {
+            val d = dist(q, nb)
+            if (results.size < ef || byFar.lt((d, nb), results.head)) {
+              candidates.enqueue((d, nb)); results.enqueue((d, nb))
+              if (results.size > ef) results.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+      results.dequeueAll.reverse.toIndexedSeq
+    }
+
+    /** NSW insert: beam-find efConstruction closest, link to the m
+      * nearest bidirectionally, cap any over-degree neighbor at mMax
+      * closest (its own distances, id tiebreak). */
+    private[operators] def insert(id: Long, vec: Array[Float]): Unit = {
+      val idx = ids.length
+      ids += id; vecs += vec; adj += new mutable.ArrayBuffer[Int]
+      if (idx == 0) return
+      val near = searchBeam(vec, efConstruction).take(m)
+      near.foreach { case (_, nb) =>
+        adj(idx) += nb
+        adj(nb) += idx
+        if (adj(nb).length > mMax) {
+          val kept = adj(nb)
+            .map(x => (cosineDist(vecs(nb), vecs(x)), x))
+            .sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+              .on[(Double, Int)] { case (d, i) => (d, i) })
+            .take(mMax).map(_._2)
+          adj(nb).clear(); adj(nb) ++= kept
+        }
+      }
+    }
+  }
+
+  /** Same arithmetic as the codegen'd CosineSim kernel (double
+    * accumulators over float reads, same loop order) so JVM-side scores
+    * match the Catalyst exact twin's bit-for-bit. */
+  private[operators] def cosineDist(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def roundHalfUp4(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+
+  private[operators] def buildShard(m: Int, efConstruction: Int,
+      rows: Iterator[(Int, Long, Array[Float])]): Iterator[(Int, Long, Array[Float], Array[Long])] = {
+    val sorted = rows.toArray.sortBy(_._2) // ascending id = deterministic graph
+    if (sorted.isEmpty) return Iterator.empty
+    val shard = sorted.head._1
+    val g = new NswGraph(m, efConstruction)
+    sorted.foreach { case (_, id, vec) => g.insert(id, vec) }
+    (0 until g.ids.length).iterator.map { i =>
+      (shard, g.ids(i), g.vecs(i), g.adj(i).map(g.ids(_)).toArray.sorted)
+    }
+  }
+
+  /** Build the sharded graph as a DataFrame (shard, id, vector,
+    * neighbors): one `flatMapGroups` task per shard, each holding only
+    * its own N/S vectors. */
+  def build(corpus: DataFrame, numShards: Int, m: Int = 8,
+            efConstruction: Int = 64,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    corpus
+      .select(pmod(xxhash64(col(idCol)), lit(numShards)).cast("int").as("shard"),
+        col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups((_: Int, rows: Iterator[(Int, Long, Array[Float])]) =>
+        buildShard(m, efConstruction, rows))
+      .toDF("shard", "vec_id", "embedding", "neighbors")
+  }
+
+  /** Persist shard-partitioned (the reference persists its graph + id map
+    * and restores on startup, `executor.py:227-236`); a reload scans only
+    * the shards it touches. */
+  def save(graph: DataFrame, path: String): Unit =
+    Scale.dumpPartitionedBy(graph, path, "shard")
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    Scale.loadPartitioned(spark, path)
+
+  /** Search every shard graph for the broadcast query batch and merge
+    * per-shard top-k globally. efQuery is the reference's ef knob
+    * (`executor.py:66-70`): beam width per shard, recall-vs-cost. The
+    * collect is the bounded query batch (same contract as IVF's probe
+    * resolve); the graphs never leave their tasks. */
+  def search(graph: DataFrame, queries: DataFrame, k: Int, efQuery: Int,
+             queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    import graph.sparkSession.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ef = math.max(1, efQuery)
+    val scored = graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"))
+      .as[(Int, Long, Array[Float], Array[Long])]
+      // shards are whole within a hash partition; a partition may hold
+      // several, so rebuild each shard's graph separately
+      .repartition(col("shard"))
+      .mapPartitions { rows =>
+        val byShard = rows.toArray.groupBy(_._1)
+        byShard.iterator.flatMap { case (_, shardRows) =>
+          val sorted = shardRows.sortBy(_._2)
+          val index = sorted.iterator.zipWithIndex
+            .map { case ((_, id, _, _), i) => id -> i }.toMap
+          val g = new NswGraph(1, 1) // container only; adjacency is restored
+          sorted.foreach { case (_, id, vec, _) =>
+            g.ids += id; g.vecs += vec; g.adj += new mutable.ArrayBuffer[Int]
+          }
+          sorted.iterator.zipWithIndex.foreach { case ((_, _, _, nbs), i) =>
+            g.adj(i) ++= nbs.iterator.map(index)
+          }
+          qs.iterator.flatMap { case (qid, qvec) =>
+            g.searchBeam(qvec, ef).take(k).map { case (d, i) =>
+              (qid, g.ids(i), roundHalfUp4(d))
+            }
+          }
+        }
+      }
+      .toDF("query_id", "match_id", "score")
+    KnnTopK.boundedTopK(scored, k, asc = true)
+  }
+}

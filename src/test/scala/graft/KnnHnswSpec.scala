@@ -1,0 +1,92 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import graft.operators.{KnnHnsw, KnnTopK}
+import graft.sources.Tables
+
+/** The sharded-NSW contract: deterministic build, connected shard
+  * graphs, exact results at exhaustive beam width, useful recall at
+  * bounded beam width. */
+class KnnHnswSpec extends SparkSuite {
+
+  private lazy val corpus = Tables.embeddings(spark, sfDir)
+  private lazy val queries = Tables.defaultQueries(spark, sfDir)
+  private lazy val graph = KnnHnsw.build(corpus, numShards = 4)
+
+  test("build is deterministic: two builds emit identical adjacency") {
+    val a = KnnHnsw.build(corpus, numShards = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](3)).toMap
+    val b = KnnHnsw.build(corpus, numShards = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](3)).toMap
+    assert(a === b)
+  }
+
+  test("every shard graph is connected and degree-capped at 2m") {
+    val byShard = graph.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](3)))
+      .groupBy(_._1)
+    assert(byShard.size === 4)
+    byShard.foreach { case (shard, rows) =>
+      val adj = rows.map(r => r._2 -> r._3).toMap
+      adj.values.foreach(nbs => assert(nbs.length <= 16, s"shard $shard degree"))
+      // BFS from the lowest id must reach every node (edges are mutual
+      // by construction; pruning keeps the cap, not the symmetry, so
+      // walk the undirected closure)
+      val undirected = new mutable.HashMap[Long, mutable.Set[Long]]
+      adj.foreach { case (id, nbs) =>
+        nbs.foreach { nb =>
+          undirected.getOrElseUpdate(id, mutable.Set.empty) += nb
+          undirected.getOrElseUpdate(nb, mutable.Set.empty) += id
+        }
+      }
+      val seen = mutable.Set(adj.keys.min)
+      val frontier = mutable.Queue(adj.keys.min)
+      while (frontier.nonEmpty) {
+        val cur = frontier.dequeue()
+        undirected.getOrElse(cur, Set.empty).foreach { nb =>
+          if (seen.add(nb)) frontier.enqueue(nb)
+        }
+      }
+      assert(seen.size === adj.size, s"shard $shard disconnected")
+    }
+  }
+
+  test("exhaustive beam width recovers the exact top-k id set per query") {
+    val n = corpus.count().toInt
+    val exact = KnnTopK.knnExact(queries, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaGraph = KnnHnsw.search(graph, queries, k = 5, efQuery = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGraph === exact)
+  }
+
+  test("bounded beam width keeps the self-match and good recall") {
+    val res = KnnHnsw.search(graph, queries, k = 5, efQuery = 32).collect()
+    // rank 1 = the query itself at distance 0 (queries are corpus rows)
+    res.filter(_.getLong(3) == 1L).foreach { r =>
+      assert(r.getLong(1) === r.getLong(0))
+      assert(r.getDouble(2) === 0.0)
+    }
+    val exact = KnnTopK.knnExact(queries, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5 $recall at ef=32")
+  }
+
+  test("save/load round-trips the graph and searches identically") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_$sfKey"
+    KnnHnsw.save(graph, path)
+    val loaded = KnnHnsw.load(spark, path)
+    val a = KnnHnsw.search(graph, queries, k = 3, efQuery = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted.toSeq
+    val b = KnnHnsw.search(loaded, queries, k = 3, efQuery = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+  }
+
+  private def sfKey: String =
+    java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
+}

@@ -465,6 +465,45 @@ object SparkEntry {
         KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5),
         k = 5, floor = 0.8)
     }),
+    // GATED ef sweep — the reference's ACTUAL accuracy knob
+    // (executor.py:66-70 set_ef), driver-visible as a curve. Unlike the
+    // IVF/BQ sweeps there is NO one-scan decomposition: a beam at
+    // smaller ef is not a prefix of a larger beam's traversal, so each
+    // level is its own (cheap: broadcast batch × in-memory graphs)
+    // search. Beam recall is also not STRUCTURALLY monotone in ef the
+    // way nested candidate sets are, so the gate pins the two robust
+    // properties instead of per-step monotonicity: the curve must not
+    // collapse (recall at max ef >= recall at min ef) and the max-ef
+    // endpoint must clear the pinned floor.
+    "ann_hnsw_recall_sweep" -> ((s, dir) => {
+      val g = KnnHnsw.load(s, hnswIndexPath(s, dir))
+      val q = Tables.defaultQueries(s, dir)
+      val exact = KnnTopK.knnExact(q, Tables.embeddings(s, dir), k = 5)
+      val efs = Seq(4L, 8L, 16L, 32L, 64L)
+      val approx = efs.map(ef =>
+          KnnHnsw.search(g, q, k = 5, efQuery = ef.toInt)
+            .withColumn("ef", lit(ef)))
+        .reduce(_ unionByName _)
+      val sweep = Recall.atKGrouped(approx, exact, k = 5, "ef", efs)
+        .select(col("ef"), col("k"), col("n_queries"), col("recall_at_k"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ef"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      sweep
+        .withColumn("__lo", first(col("recall_at_k")).over(w))
+        .withColumn("__hi", last(col("recall_at_k")).over(w))
+        .filter(when(col("__hi") >= col("__lo"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("HNSW ef gate: recall collapsed with ef ("),
+            col("__lo"), lit(" at ef=4 -> "), col("__hi"), lit(" at ef=64)")))))
+        .filter(when(col("ef") =!= lit(64L) || col("recall_at_k") >= lit(0.85),
+            lit(true))
+          .otherwise(raise_error(concat(
+            lit("HNSW ef gate: ef-64 recall "), col("recall_at_k"),
+            lit(" below pinned floor 0.85")))))
+        .drop("__lo", "__hi")
+    }),
     // GATED structural contract: at exhaustive beam width (ef >= shard
     // size) a connected shard graph IS a full scan, and the hash-shard
     // merge is exact by construction — so result rows (ids AND scores;

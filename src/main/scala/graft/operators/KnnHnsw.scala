@@ -169,7 +169,38 @@ object KnnHnsw {
     Scale.dumpPartitionedBy(graph, path, "shard")
 
   def load(spark: SparkSession, path: String): DataFrame =
+    // partition-column reads widen shard to long and append it last;
+    // restore the written schema so load is a true inverse of save
     Scale.loadPartitioned(spark, path)
+      .select(col("shard").cast("int").as("shard"),
+        col("vec_id"), col("embedding"), col("neighbors"))
+
+  /** Append/upsert into a SAVED graph: new rows hash to their shards and
+    * ONLY those shards rebuild (surviving existing rows + new rows,
+    * last-wins on id), dynamically overwriting just the touched shard
+    * directories — the graph sibling of [[KnnIvf.appendTo]]'s
+    * cell-directory append. Because the per-shard build is deterministic
+    * over the shard's id set, the appended index is IDENTICAL to a
+    * from-scratch rebuild of the whole corpus (spec-pinned) — incremental
+    * ingest costs touched-shards work with zero quality drift. The
+    * touched-shard collect is ≤ numShards ints, the same bounded
+    * metadata resolve as IVF's probed-cell set. */
+  def appendTo(spark: SparkSession, path: String, newRows: DataFrame,
+               numShards: Int, m: Int = 8, efConstruction: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val incoming = newRows.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<float>").as("embedding"))
+    val touched = incoming
+      .select(pmod(xxhash64(col("vec_id")), lit(numShards)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val surviving = load(spark, path)
+      .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("embedding"))
+      .join(incoming.select("vec_id"), Seq("vec_id"), "left_anti")
+    build(surviving.unionByName(incoming), numShards, m, efConstruction)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(path)
+  }
 
   /** Search every shard graph for the broadcast query batch and merge
     * per-shard top-k globally. efQuery is the reference's ef knob

@@ -76,6 +76,24 @@ class KnnHnswSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall@5 $recall at ef=32")
   }
 
+  test("appendTo equals a from-scratch rebuild, touched shards only") {
+    val base = corpus.filter(col("vec_id") % 3 =!= 0)
+    val delta = corpus.filter(col("vec_id") % 3 === 0)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_append_$sfKey"
+    KnnHnsw.save(KnnHnsw.build(base, numShards = 4), path)
+    KnnHnsw.appendTo(spark, path, delta, numShards = 4)
+    // deterministic per-shard build over the shard's id set means the
+    // appended index is bit-identical to building the union from scratch
+    val appended = KnnHnsw.load(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](3)).toMap
+    val scratch = KnnHnsw.build(corpus, numShards = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](3)).toMap
+    assert(appended === scratch)
+    // upsert last-wins: re-appending existing ids must not duplicate rows
+    KnnHnsw.appendTo(spark, path, delta, numShards = 4)
+    assert(KnnHnsw.load(spark, path).count() === corpus.count())
+  }
+
   test("save/load round-trips the graph and searches identically") {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_$sfKey"
     KnnHnsw.save(graph, path)

@@ -1356,11 +1356,15 @@ object SparkEntry {
     "multimodal_audio" -> ((s, dir) =>
       Multimodal.audioDecodeBatched(
         Multimodal.withWavContent(Tables.documents(s, dir)))),
+    // REAL frame counts since r9: valid multi-frame GIFs through the JDK
+    // reader's sequence walk; stride-2 sampling runs over the
+    // DECODER-reported n_frames, and the oracle recomputes the sampled
+    // indices from the payload builder's frame arithmetic (2 + id mod 6)
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.withBinaryContent(Tables.documents(s, dir))
-          .select(col("doc_id"), Multimodal.mediaMetaExpr(col("content")).as("m"))
-          .select(col("doc_id"), col("m.n_frames").as("n_frames")))),
+        Multimodal.decodeBatched(Multimodal.withGifContent(Tables.documents(s, dir)),
+            decoder = Multimodal.animationDecode)
+          .select(col("doc_id"), col("n_frames")))),
     // stubbed feature-extract + resize plumbing (fake values, real shapes)
     "multimodal_features" -> ((s, dir) =>
       Multimodal.withBinaryContent(Tables.documents(s, dir))
@@ -2832,8 +2836,11 @@ object SparkEntry {
            EXCEPT
            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') x
          ON c_custkey = x.o_custkey""",
-    // multimodal_frames: STUB decode dims (crc32/xxhash64) aren't
-    // DuckDB-expressible -> rows-only
+    // stride-2 sampling over the REAL GIF frame count (2 + id mod 6):
+    // sequence(0, n-1, 2) and range(0, n, 2) enumerate the same set
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(unnest(range(0, 2 + doc_id % 6, 2)) AS BIGINT) AS frame_idx
+         FROM documents""",
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 CAST(floor(octet_length(encode(text)) / 1024.0) AS BIGINT) + 1 AS n_frames

@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
   * same way: [[withWavContent]] synthesizes valid PCM WAVs and
   * [[audioDecode]] parses them with the JDK's pure-Java
   * `javax.sound.sampled` — rate/channels/frames reported by the
-  * decoder. Video decode and feature extraction remain
-  * ===== STUBs ===== ([[stubDecode]], [[extractFeatures]]): no video
-  * codec libraries exist here, so those derive deterministic fake
-  * values while the binary schema, batched `mapPartitions` shape,
-  * metadata struct, and frame-sampling explode stay the real, tested
-  * Spark plumbing a codec would plug into.
+  * decoder. MOVING-IMAGE frame counts are REAL: [[withGifContent]]
+  * synthesizes valid multi-frame GIFs and [[animationDecode]] counts
+  * frames by walking the JDK GIF reader's image sequence — the closest
+  * a video container gets without codec libraries. Only feature
+  * extraction (and the resize transcode) remains a
+  * ===== STUB ===== ([[extractFeatures]], [[resizeMeta]]): a real
+  * vision/audio encoder model doesn't exist here, so it derives
+  * deterministic fake values while the binary schema, batched
+  * `mapPartitions` shape, metadata struct, and frame-sampling explode
+  * stay the real, tested Spark plumbing an encoder would plug into.
+  * ([[stubDecode]] survives as the undecodable-bytes fallback of every
+  * real decode path.)
   */
 object Multimodal {
 
@@ -174,6 +180,82 @@ object Multimodal {
         stubAudioDecode(id, bytes)
       case _: java.io.IOException => stubAudioDecode(id, bytes)
     }
+
+  /** Deterministic tiny VALID animated GIF for a doc — the moving-image
+    * payload (frame-count semantics) in a video-codec-free environment:
+    * dims and frame count from id arithmetic (width = 1 + id mod 9,
+    * height = 1 + id mod 5, frames = 2 + id mod 6), pixels from the
+    * doc's text, encoded by the JDK's own GIF sequence writer. */
+  def gifBytes(id: Long, text: String): Array[Byte] = {
+    val width = (1L + java.lang.Math.floorMod(id, 9L)).toInt
+    val height = (1L + java.lang.Math.floorMod(id, 5L)).toInt
+    val nFrames = (2L + java.lang.Math.floorMod(id, 6L)).toInt
+    val tb = text.getBytes("UTF-8")
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = if (tb.isEmpty) 0
+              else tb(java.lang.Math.floorMod(f * width * height + y * width + x,
+                tb.length)) & 0xff
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Attach a REAL decodable animated column: one valid multi-frame GIF
+    * per doc, same batch shape as the other payload builders. */
+  def withGifContent(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", outCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(rows => rows.map { case (id, t) => (id, gifBytes(id, t)) })
+      .toDF(idCol, outCol)
+  }
+
+  /** REAL animation decode: frame COUNT and dims come from the JDK GIF
+    * reader walking the image sequence (`getNumImages(allowSearch)` over
+    * a seekable memory stream), not from payload arithmetic — the
+    * frame-sampling operators downstream consume a decoder-reported
+    * n_frames. Bytes no reader accepts fall back to [[stubDecode]]. */
+  def animationDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) stubDecode(id, bytes)
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          MediaMeta(id, bytes.length.toLong,
+            reader.getWidth(0), reader.getHeight(0),
+            reader.getNumImages(true))
+        } finally reader.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => stubDecode(id, bytes)
+    } finally in.close()
+  }
 
   /** ===== STUB ===== deterministic fake audio decode for undecodable
     * bytes: values from a byte checksum, same fallback contract as

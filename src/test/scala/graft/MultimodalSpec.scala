@@ -67,6 +67,19 @@ class MultimodalSpec extends SparkSuite {
     assert(out(34L) === ((16000, 1, 17L))) // 8000*(1+34%3)=16000, 1+34%2=1, 16+34%33=17
   }
 
+  test("gifBytes builds an animation the JDK GIF reader counts at the pinned frames") {
+    for (id <- Seq(0L, 1L, 4L, 5L, 8L, 9L, 44L, 9999L)) {
+      val bytes = Multimodal.gifBytes(id, s"some words for doc $id")
+      val meta = Multimodal.animationDecode(id, bytes)
+      assert(meta.width === (1 + id % 9).toInt, s"id $id width")
+      assert(meta.height === (1 + id % 5).toInt, s"id $id height")
+      assert(meta.n_frames === (2 + id % 6).toInt, s"id $id frames")
+    }
+    // garbage bytes: no reader accepts them -> deterministic stub values
+    val junk = "definitely not a gif".getBytes("UTF-8")
+    assert(Multimodal.animationDecode(7L, junk) === Multimodal.stubDecode(7L, junk))
+  }
+
   test("decodeBatched over withBmpContent runs the real decoder distributed") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "delta"), (18L, "epsilon zeta"))
       .toDF("doc_id", "text")

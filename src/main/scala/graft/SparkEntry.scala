@@ -1365,7 +1365,16 @@ object SparkEntry {
         Multimodal.decodeBatched(Multimodal.withGifContent(Tables.documents(s, dir)),
             decoder = Multimodal.animationDecode)
           .select(col("doc_id"), col("n_frames")))),
-    // stubbed feature-extract + resize plumbing (fake values, real shapes)
+    // REAL resize/transcode since r9: decode the BMP, scale into the
+    // 4x4 aspect-preserving box (never upscale) with AWT area-averaging,
+    // re-encode BMP, and report the RE-DECODED dims + size. The oracle
+    // replays the scale arithmetic in SQL (IEEE doubles both sides) and
+    // the canonical BMP layout fixes the re-encoded byte count.
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeBatched(Multimodal.withBmpContent(Tables.documents(s, dir)),
+          maxW = 4, maxH = 4)
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))),
+    // stubbed feature-extract plumbing (fake values, real shapes)
     "multimodal_features" -> ((s, dir) =>
       Multimodal.withBinaryContent(Tables.documents(s, dir))
         .select(col("doc_id"),
@@ -2856,6 +2865,23 @@ object SparkEntry {
                 CAST(1 + doc_id % 7 AS INT) AS height,
                 CAST(1 AS INT) AS n_frames
          FROM documents""",
+    // the resize transcode's answer, replayed: source dims from the BMP
+    // builder's arithmetic, the aspect-preserving never-upscale rule in
+    // IEEE doubles (identical in both engines), canonical BMP sizing of
+    // the re-encoded payload
+    "multimodal_resize" ->
+      """WITH src AS (SELECT doc_id,
+                             CAST(1 + doc_id % 16 AS INT) AS w,
+                             CAST(1 + doc_id % 7 AS INT) AS h
+                      FROM documents),
+          sc AS (SELECT doc_id,
+                        GREATEST(1, CAST(floor(w * LEAST(1.0, 4.0 / w, 4.0 / h)) AS INT)) AS rw,
+                        GREATEST(1, CAST(floor(h * LEAST(1.0, 4.0 / w, 4.0 / h)) AS INT)) AS rh
+                 FROM src)
+          SELECT doc_id,
+                 CAST(54 + rh * (((3 * rw + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+                 rw AS width, rh AS height
+          FROM sc""",
     // the REAL WAV parser's answer, recomputed independently: the
     // builder pins rate/channels/samples to id arithmetic and the
     // canonical PCM layout fixes n_bytes = 44-byte headers + 16-bit

@@ -332,10 +332,53 @@ object Multimodal {
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(i, content), lit(2000L)).cast("double") / 1000.0 - 1.0).cast("float"))
 
-  /** ===== STUB ===== resize plan: recomputes the metadata struct for a
-    * target box, preserving aspect ratio — real builds would also
-    * transcode the bytes; the dimension arithmetic and schema are the
-    * tested part. */
+  /** REAL image resize/transcode: decode with [[imageDecode]]'s reader,
+    * scale into the aspect-preserving target box (never upscale — the
+    * same `least(scale, 1)` rule as [[resizeMeta]]) with AWT's
+    * area-averaging draw, re-encode BMP with the JDK writer, and report
+    * the DECODED-then-re-DECODED dims so the output contract is what a
+    * downstream reader will actually see. Undecodable bytes pass
+    * through with stub meta. Runs per payload inside the same batched
+    * `mapPartitions` contract as the decode paths. */
+  def imageResize(id: Long, bytes: Array[Byte], maxW: Int, maxH: Int): MediaMeta = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => null }
+    if (img == null) stubDecode(id, bytes)
+    else {
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+      val w = math.max(1, math.floor(img.getWidth * scale).toInt)
+      val h = math.max(1, math.floor(img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = out.createGraphics()
+      try g.drawImage(
+        img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+      finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "bmp", baos)
+      imageDecode(id, baos.toByteArray)
+    }
+  }
+
+  /** Batched resize — [[decodeBatched]]'s shape with the transcode row. */
+  def resizeBatched(df: DataFrame, maxW: Int, maxH: Int,
+                    idCol: String = "doc_id",
+                    contentCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        imageResize(id, bytes, maxW, maxH) })
+      .toDF()
+  }
+
+  /** Metadata-only resize plan: recomputes the metadata struct for a
+    * target box, preserving aspect ratio, without touching payload
+    * bytes — the planning twin of [[imageResize]] (same scale rule). */
   def resizeMeta(meta: Column, maxW: Int, maxH: Int): Column = {
     val w = meta.getField("width").cast("double")
     val h = meta.getField("height").cast("double")

@@ -80,6 +80,21 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.animationDecode(7L, junk) === Multimodal.stubDecode(7L, junk))
   }
 
+  test("imageResize transcodes into the box, never upscales, and re-decodes") {
+    // id 15: 16x2 -> scale 1/4 -> 4x1 (floor of 0.5 clamps to >= 1)
+    val r = Multimodal.imageResize(15L,
+      Multimodal.bmpBytes(15L, "alpha beta gamma"), maxW = 4, maxH = 4)
+    assert(r.width === 4 && r.height === 1)
+    assert(r.n_bytes === 54 + 1 * (((3 * 4 + 3) / 4) * 4))
+    // id 0: 1x1 already inside the box -> untouched dims
+    val small = Multimodal.imageResize(0L,
+      Multimodal.bmpBytes(0L, "tiny"), maxW = 4, maxH = 4)
+    assert(small.width === 1 && small.height === 1)
+    // undecodable bytes fall through with stub meta
+    val junk = "not an image".getBytes("UTF-8")
+    assert(Multimodal.imageResize(3L, junk, 4, 4) === Multimodal.stubDecode(3L, junk))
+  }
+
   test("decodeBatched over withBmpContent runs the real decoder distributed") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "delta"), (18L, "epsilon zeta"))
       .toDF("doc_id", "text")

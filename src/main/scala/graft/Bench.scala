@@ -61,7 +61,10 @@ object Bench {
     def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"]", "_").replaceAll("[\\x00-\\x1f]", " ") + "\""
     val errJson = if (errors.isEmpty) ""
       else s""","errors":${errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")}"""
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // errored queries' fail-fast times must not deflate the total — they
+    // are reported in "errors", not in "value" (a 26-error run in r9
+    // understated a green run's cost by summing ~0.07s per failure)
+    val total = results.collect { case (n, t) if !errors.contains(n) => t }.sum
     // Full-precision per-query timings go to a sidecar file; stdout gets a
     // line SHORT enough to fit entirely inside the harness's 2000-char
     // output tail (with sbt's trailing "[success]" line after it) — a JSON

@@ -19,6 +19,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +27,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +45,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure sentinel: a query that throws must be LOUD, not a silently
+    // shorter result list (r9 lost 26 driver rows to one analysis error
+    // with nothing in the output marking them). _ERRORS.json is always
+    // written — `{}` asserts "every registered query produced a dump";
+    // nonempty maps name -> error. The suite-level invariant is
+    // |query dirs| + |_ERRORS.json keys| == |SparkEntry.queries|.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_ERRORS.json"), errJson)
+    // stderr + sentinel only — rc stays 0 so the driver still grades the
+    // queries that DID produce dumps (a partial suite graded is strictly
+    // better than a partial suite discarded)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

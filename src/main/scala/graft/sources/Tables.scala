@@ -11,17 +11,64 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
-  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  /** The r9→r10 fixture regeneration changed a physical column type and
+    * silently broke 26 queries — so the loaders conform each column the
+    * operators have type assumptions about back to the type the code was
+    * built against. Every cast below is a no-op against the current
+    * fixtures (the `conform` helper emits nothing when types already
+    * match), and only fires on future drift. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = conform(table(spark, dir, "embeddings"), Map("vec_id" -> LongType))
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(_, _) => df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => df
+    }
+  }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default — read nanos as long and floor-convert to a microsecond
-    * timestamp (`DIV 1000` stays in exact integer arithmetic; DuckDB's
-    * native ns read floors identically). */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    conform(table(spark, dir, "documents"),
+      Map("doc_id" -> LongType, "n_chars" -> LongType))
+  }
+
+  /** Cast the named columns to the expected type IF they drifted; columns
+    * already matching (or absent) pass through untouched — no extra plan
+    * node, so pushdown/pruning are unaffected on the happy path. */
+  private def conform(df: DataFrame,
+                      expected: Map[String, org.apache.spark.sql.types.DataType]): DataFrame =
+    expected.foldLeft(df) { case (d, (name, want)) =>
+      d.schema.fields.find(_.name == name) match {
+        case Some(f) if f.dataType != want => d.withColumn(name, col(name).cast(want))
+        case _ => d
+      }
+    }
+
+  /** events.parquet's `ts` physical type has drifted across fixture
+    * generations (TIMESTAMP(NANOS) → timestamp[us]), so adapt to whatever
+    * the file actually carries instead of hard-coding one branch:
+    *   - LongType (nanos surfaced via the legacy flag, which is harmless
+    *     when the file is already µs): floor-convert to a µs timestamp in
+    *     exact integer arithmetic — DuckDB's native ns read floors the same;
+    *   - TIMESTAMP_NTZ (µs, no zone): reinterpret as session-zone TIMESTAMP.
+    *     Sessions here pin UTC, so the wall-clock fields are unchanged and
+    *     epoch arithmetic matches DuckDB's naive-timestamp read;
+    *   - TIMESTAMP: already what downstream expects. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    adaptTs(table(spark, dir, "events"))
+  }
+
+  /** Normalize a drifting `ts` column to session-zone TIMESTAMP regardless
+    * of the physical type the frame arrived with (shared by the batch
+    * loader above and the streaming reader). */
+  def adaptTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
   }
 
   /** Default query set for the k-NN operators: first 10 vectors by id,

@@ -30,21 +30,20 @@ object EventStream {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** events schema as read with nanos-as-long (see
-    * [[graft.sources.Tables.events]]). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming source over the fixture events file(s). */
+  /** Streaming source over the fixture events file(s). `readStream`
+    * requires a user-supplied schema, and `ts`'s physical type has drifted
+    * across fixture generations (nanos-as-long vs timestamp[us]) — so take
+    * the schema from a batch read of the same file and reuse
+    * [[graft.sources.Tables.adaptTs]] for the normalization. The batch
+    * schema probe is footer-metadata only, no data read. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.sources.Tables.adaptTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Watermarked event-time tumbling window counts (append mode capable). */

@@ -59,6 +59,58 @@ class SourcesSpec extends SparkSuite {
     assert(buf.toString.contains(s"limit 100000 clamped to corpus size $n"), buf.toString)
   }
 
+  test("events loader adapts to ts physical-type drift (long-ns / TZ / NTZ)") {
+    import org.apache.spark.sql.types._
+    val canonical = Tables.events(spark, sfDir)
+    assert(canonical.schema("ts").dataType === TimestampType)
+    val want = canonical.agg(sum(unix_timestamp(col("ts"))), count(lit(1))).head()
+    val base = Files.createTempDirectory("graft_tsdrift").toString
+    // (a) nanos-as-long — the pre-r9 fixture shape
+    canonical.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.parquet(s"$base/ns/events.parquet")
+    // (b) UTC-adjusted TIMESTAMP — what a Spark writer produces
+    canonical.write.parquet(s"$base/tz/events.parquet")
+    // (c) TIMESTAMP_NTZ — the current (r10) fixture shape, re-asserted
+    canonical.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.parquet(s"$base/ntz/events.parquet")
+    for (variant <- Seq("ns", "tz", "ntz")) {
+      val df = Tables.events(spark, s"$base/$variant")
+      assert(df.schema("ts").dataType === TimestampType, s"variant=$variant")
+      assert(df.agg(sum(unix_timestamp(col("ts"))), count(lit(1))).head() === want,
+        s"variant=$variant")
+    }
+  }
+
+  test("embeddings loader conforms drifted id/element types (int32 id, double vec)") {
+    import org.apache.spark.sql.types._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = Files.createTempDirectory("graft_embdrift").toString
+    emb.select(col("vec_id").cast("int").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"), col("label"))
+      .write.parquet(s"$base/embeddings.parquet")
+    val back = Tables.embeddings(spark, base)
+    assert(back.schema("vec_id").dataType === LongType)
+    back.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => ()
+      case other => fail(s"embedding element type not conformed: $other")
+    }
+    // float → double → float is exact, so values survive the round trip
+    assert(back.exceptAll(emb).count() === 0)
+  }
+
+  test("documents loader conforms drifted int widths (int32 doc_id / n_chars)") {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, sfDir)
+    val base = Files.createTempDirectory("graft_docdrift").toString
+    docs.withColumn("doc_id", col("doc_id").cast("int"))
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      .write.parquet(s"$base/documents.parquet")
+    val back = Tables.documents(spark, base)
+    assert(back.schema("doc_id").dataType === LongType)
+    assert(back.schema("n_chars").dataType === LongType)
+    assert(back.exceptAll(docs).count() === 0)
+  }
+
   test("traversal: 'r' is identity, 'c' flattens chunks losslessly (O2)") {
     val docs = Tables.documents(spark, sfDir)
     val nested = Traversal.withChunks(docs)

@@ -1017,26 +1017,29 @@ object SparkEntry {
             .cast("double").as("revenue"))
     }),
 
-    // --- multimodal features feeding the real k-NN operator (the
-    //     composition a production pipeline runs; features are the
-    //     deterministic STUB so rows-only) ---
+    // --- multimodal features feeding the real k-NN operator: features
+    //     now derive from DECODED PIXELS (grayscale histogram + dims,
+    //     Multimodal.pixelFeatures) of real BMP payloads — the
+    //     reference's embedding-search semantics (executor.py:112)
+    //     end-to-end over a binary media column. rows-only here; the
+    //     feature kernel itself is hash-oracled by multimodal_features.
     "multimodal_knn" -> ((s, dir) => {
-      val feats = Multimodal.withBinaryContent(Tables.documents(s, dir))
-        .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))
+      val feats = Multimodal.featuresBatched(
+        Multimodal.withBmpContent(Tables.documents(s, dir)))
       val queries = feats.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("features").as("query_vec"))
       KnnTopK.knnExact(queries, feats, k = 5, corpusId = "doc_id", corpusVec = "features")
     }),
     // GATED quality row for the multimodal k-NN composition: the
     // bounded-agg top-k path (what multimodal_knn serves) vs the window
-    // formulation over the SAME stub features — two independent exact
+    // formulation over the SAME pixel features — two independent exact
     // implementations, both (score, id)-deterministic, so recall@5 must
     // be exactly 1.0 or the row raises. Pins the top-k machinery on the
-    // feature schema (8-dim arrays) the oracled embedding paths never
+    // 19-dim pixel-feature schema the oracled embedding paths never
     // exercise.
     "multimodal_knn_recall" -> ((s, dir) => {
-      val feats = Multimodal.withBinaryContent(Tables.documents(s, dir))
-        .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))
+      val feats = Multimodal.featuresBatched(
+        Multimodal.withBmpContent(Tables.documents(s, dir)))
       val queries = feats.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("features").as("query_vec"))
       Recall.atKGated(
@@ -1374,26 +1377,36 @@ object SparkEntry {
       Multimodal.resizeBatched(Multimodal.withBmpContent(Tables.documents(s, dir)),
           maxW = 4, maxH = 4)
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))),
-    // stubbed feature-extract plumbing (fake values, real shapes)
+    // REAL feature extraction since r10, fully hash-oracled: the gradient
+    // BMP fixture pins every stored pixel byte to (id + p) mod 256, so
+    // the oracle replays payload-build → decode → per-pixel gray binning
+    // in SQL and the histogram COUNTS must match to the row. A decoder,
+    // builder, or binning regression is a hash mismatch.
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.withBinaryContent(Tables.documents(s, dir))
-        .select(col("doc_id"),
-          round(VectorOps.norm(Multimodal.extractFeatures(col("content"))), 4).as("feat_norm"),
-          Multimodal.resizeMeta(Multimodal.mediaMetaExpr(col("content")), 256, 256)
-            .getField("width").cast("long").as("resized_w"))),
-    // multimodal columns feeding the DEDUP family: stub features ->
-    // sign-RP LSH near-dup pairs — the media-dedup pipeline shape
-    // (identical bytes => identical features => cosine 1 with its copy).
-    // rows-only (features are xxhash64-derived); planted-dupe recovery
-    // spec-pinned in SamplingSpec
+      Multimodal.histogramBatched(
+          Multimodal.withGradientBmpContent(Tables.documents(s, dir)))
+        .select(col("doc_id"), posexplode(col("counts")).as(Seq("bin", "n")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("bin"), col("n"))),
+    // multimodal columns feeding the DEDUP family: REAL pixel features ->
+    // sign-RP LSH near-dup pairs. Payloads are TEXT-KEYED BMPs (dims from
+    // text length, pixels from text bytes), so a byte-copy document maps
+    // to a byte-identical payload ⇒ identical decoded pixels ⇒ identical
+    // features ⇒ cosine exactly 1 with its copy. rows-only; planted-dupe
+    // recovery spec-pinned in SamplingSpec.
     "multimodal_dedup" -> ((s, dir) => {
-      val feats = Multimodal.withBinaryContent(docsWithExactDupes(s, dir))
-        .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))
-      // 64 planes -> 16-bit bands: 8-dim features give only 256 distinct
-      // 8-bit band keys corpus-wide (candidate blowup); wider bands keep
-      // byte-copy recall at 1 (identical features = identical signatures)
-      // while cutting false candidates ~256x
-      Dedup.cosinePairsLsh(feats, dim = 8, idCol = "doc_id", vecCol = "features",
+      // PERCEPTUAL dHash features, not distribution-level histograms:
+      // all-ASCII text pixels share a byte distribution corpus-wide, so
+      // order-blind features put half the corpus at mutual cosine>0.99
+      // (218k-360k pairs / 10-17s at sf0.1 — measured); gradient-sign
+      // bits depend on the pixel sequence, keeping byte-copies at
+      // cosine exactly 1 while unrelated docs decorrelate toward 0
+      val feats = Multimodal.dhashFeaturesBatched(
+        Multimodal.withTextBmpContent(docsWithExactDupes(s, dir)))
+      // 64 planes -> 16-bit bands: identical features share every band
+      // (byte-copy recall 1); decorrelated dhash vectors rarely collide
+      Dedup.cosinePairsLsh(feats, dim = Multimodal.dhashFeatureDim(),
+        idCol = "doc_id", vecCol = "features",
         planes = 64, bands = 4, threshold = 0.99)
     }),
   )
@@ -2894,6 +2907,28 @@ object SparkEntry {
                 CAST(16 + doc_id % 33 AS BIGINT) AS n_samples,
                 CAST((16 + doc_id % 33) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
          FROM documents""",
+    // the REAL pixel-feature kernel's answer, replayed pixel-for-pixel:
+    // the gradient BMP stores byte (doc_id + p) mod 256 at linear
+    // position p = row*rowSize + 3*col + channel (BGR); decoded gray is
+    // the integer mean of the three channel bytes and the bin is
+    // gray*16//256 — all exact integer arithmetic in both engines.
+    "multimodal_features" ->
+      """WITH geom AS (
+           SELECT doc_id,
+                  1 + doc_id % 16 AS w,
+                  1 + doc_id % 7 AS h,
+                  ((3 * (1 + doc_id % 16) + 3) // 4) * 4 AS rs
+           FROM documents),
+         idx AS (
+           SELECT doc_id, w, rs, unnest(range(0, w * h)) AS i FROM geom),
+         px AS (
+           SELECT doc_id,
+                  ((doc_id + (i // w) * rs + 3 * (i % w)) % 256
+                 + (doc_id + (i // w) * rs + 3 * (i % w) + 1) % 256
+                 + (doc_id + (i // w) * rs + 3 * (i % w) + 2) % 256) // 3 AS gray
+           FROM idx)
+         SELECT doc_id, CAST((gray * 16) // 256 AS INT) AS bin, COUNT(*) AS n
+         FROM px GROUP BY doc_id, bin""",
   )
 
   /** Blind brute-force cosine-pair oracle over the planted-duplicate

@@ -18,15 +18,14 @@ import org.apache.spark.sql.functions._
   * decoder. MOVING-IMAGE frame counts are REAL: [[withGifContent]]
   * synthesizes valid multi-frame GIFs and [[animationDecode]] counts
   * frames by walking the JDK GIF reader's image sequence — the closest
-  * a video container gets without codec libraries. Only feature
-  * extraction (and the resize transcode) remains a
-  * ===== STUB ===== ([[extractFeatures]], [[resizeMeta]]): a real
-  * vision/audio encoder model doesn't exist here, so it derives
-  * deterministic fake values while the binary schema, batched
-  * `mapPartitions` shape, metadata struct, and frame-sampling explode
-  * stay the real, tested Spark plumbing an encoder would plug into.
-  * ([[stubDecode]] survives as the undecodable-bytes fallback of every
-  * real decode path.)
+  * a video container gets without codec libraries. FEATURE extraction
+  * is REAL since r10: [[pixelFeatures]] decodes the payload and derives
+  * a grayscale-histogram + dims embedding from actual pixels, and the
+  * [[gradientBmpBytes]] fixture gives the histogram a closed form a SQL
+  * oracle replays pixel-for-pixel. A learned vision/audio encoder still
+  * doesn't exist in this environment — [[extractFeatures]] survives as
+  * the labeled hash-stub fallback, and [[stubDecode]] as the
+  * undecodable-bytes fallback of every real decode path.
   */
 object Multimodal {
 
@@ -51,6 +50,15 @@ object Multimodal {
   def bmpBytes(id: Long, text: String): Array[Byte] = {
     val width = (1L + java.lang.Math.floorMod(id, 16L)).toInt
     val height = (1L + java.lang.Math.floorMod(id, 7L)).toInt
+    val tb = text.getBytes("UTF-8")
+    bmpBytesWith(width, height,
+      p => if (tb.isEmpty) 0 else tb(java.lang.Math.floorMod(p, tb.length)) & 0xff)
+  }
+
+  /** Core 24-bit BI_RGB bottom-up BMP builder: `pixelByte(p)` supplies the
+    * stored byte at linear position p = row*rowSize + col for col <
+    * 3*width (row padding stays zero). All payload builders share this. */
+  def bmpBytesWith(width: Int, height: Int, pixelByte: Int => Int): Array[Byte] = {
     val rowSize = ((3 * width + 3) / 4) * 4
     val imageSize = rowSize * height
     val fileSize = 54 + imageSize
@@ -60,21 +68,69 @@ object Multimodal {
       .putShort(0).putShort(0).putInt(54)
     buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
       .putInt(0).putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
-    val tb = text.getBytes("UTF-8")
     var r = 0
     while (r < height) {
       var c = 0
       while (c < rowSize) {
-        // pixel bytes cycle through the text; row padding stays zero
-        val v: Byte =
-          if (c >= 3 * width || tb.isEmpty) 0
-          else tb(java.lang.Math.floorMod(r * rowSize + c, tb.length))
+        val v: Byte = if (c >= 3 * width) 0
+          else (pixelByte(r * rowSize + c) & 0xff).toByte
         buf.put(v)
         c += 1
       }
       r += 1
     }
     buf.array()
+  }
+
+  /** Gradient BMP: same id-arithmetic dims as [[bmpBytes]], but the stored
+    * pixel byte at linear position p is `(id + p) mod 256` — a CLOSED FORM
+    * an oracle can replay pixel-for-pixel in SQL, which is what lets the
+    * pixel-histogram features be hash-verified end-to-end (payload build →
+    * javax.imageio decode → per-pixel gray binning). */
+  def gradientBmpBytes(id: Long): Array[Byte] = {
+    val width = (1L + java.lang.Math.floorMod(id, 16L)).toInt
+    val height = (1L + java.lang.Math.floorMod(id, 7L)).toInt
+    bmpBytesWith(width, height,
+      p => java.lang.Math.floorMod(id + p, 256L).toInt)
+  }
+
+  /** Attach the gradient payload ([[gradientBmpBytes]]) — the
+    * oracle-replayable feature fixture. */
+  def withGradientBmpContent(df: DataFrame, idCol: String = "doc_id",
+                             outCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(rows => rows.map(id => (id, gradientBmpBytes(id))))
+      .toDF(idCol, outCol)
+  }
+
+  /** Text-keyed BMP: dims derive from the text (not the row id), pixels
+    * from the text bytes — so byte-identical documents yield
+    * byte-identical payloads regardless of their ids. The canvas is
+    * sized to COVER the text (fixed width 16 ⇒ 48 data bytes per row;
+    * height grows with length, capped at 64 rows): a mod-16 canvas
+    * rendered only the first handful of bytes, which made every
+    * prefix-sharing doc pair a byte-identical image and the dedup row
+    * degenerate. This is the payload the media-dedup path wants:
+    * copy ⇒ same pixels ⇒ same features; different body ⇒ different
+    * pixels somewhere on the canvas. */
+  def textBmpBytes(text: String): Array[Byte] = {
+    val tb = text.getBytes("UTF-8")
+    val width = 16
+    val height = math.min(64, 1 + math.max(0, tb.length - 1) / (3 * width))
+    bmpBytesWith(width, height,
+      p => if (tb.isEmpty) 0 else tb(java.lang.Math.floorMod(p, tb.length)) & 0xff)
+  }
+
+  /** Attach the text-keyed payload ([[textBmpBytes]]). */
+  def withTextBmpContent(df: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", outCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(rows => rows.map { case (id, t) => (id, textBmpBytes(t)) })
+      .toDF(idCol, outCol)
   }
 
   /** Attach a REAL decodable media column: one valid BMP per doc (built
@@ -323,14 +379,229 @@ object Multimodal {
       n_frames = bytes.length / 1024 + 1)
   }
 
-  /** ===== STUB ===== feature extraction: a deterministic fake embedding
-    * derived from payload hashes stands in for a real vision/audio
-    * encoder. The shape is the real contract: fixed-width
-    * `array<float>` feature column, computed per payload in one narrow
-    * codegen'd projection, ready for the k-NN/dedup operators. */
+  /** ===== STUB ===== hash-derived fake embedding — retained ONLY as the
+    * expression-level fallback for payloads no image reader accepts
+    * (mixed-media columns); every feature query now runs the REAL
+    * pixel-derived [[pixelFeatures]]. */
   def extractFeatures(content: Column, dim: Int = 8): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(i, content), lit(2000L)).cast("double") / 1000.0 - 1.0).cast("float"))
+
+  /** Per-pixel grayscale histogram of a DECODED image: gray = (r+g+b)/3
+    * in integer arithmetic, bin = gray*bins/256 — every step exact, so an
+    * oracle that knows the payload's pixel bytes can recompute the counts
+    * to the row. */
+  def grayHistogram(img: java.awt.image.BufferedImage, bins: Int): Array[Long] = {
+    val counts = new Array[Long](bins)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        counts(gray * bins / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    counts
+  }
+
+  private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => null }
+
+  /** REAL feature extraction (replaces the long-standing stub): decode the
+    * payload with `javax.imageio` and derive
+    * `bins` histogram fractions ++ [width/16, height/8, clamped-size]
+    * — a fixed-width `array<float>` embedding computed from ACTUAL pixels.
+    * The histogram block sums to 1, so cosine(a,b)=1 forces byte-identical
+    * feature vectors (no cross-doc false ties from proportional vectors);
+    * the dims channels separate docs whose gray distributions coincide.
+    * Undecodable payloads get the zero vector (documented fallback —
+    * cosine 0 against everything, never a spurious match). */
+  def pixelFeatures(bytes: Array[Byte], bins: Int = 16): Array[Float] = {
+    val img = decodeImage(bytes)
+    if (img == null) new Array[Float](bins + 3)
+    else {
+      val counts = grayHistogram(img, bins)
+      val total = (img.getWidth.toLong * img.getHeight).toFloat
+      val out = new Array[Float](bins + 3)
+      var i = 0
+      while (i < bins) { out(i) = counts(i) / total; i += 1 }
+      out(bins) = img.getWidth / 16f
+      out(bins + 1) = img.getHeight / 8f
+      out(bins + 2) = math.min(bytes.length, 4096) / 4096f
+      out
+    }
+  }
+
+  /** Feature dimension of [[pixelFeatures]] at a bin count. */
+  def pixelFeatureDim(bins: Int = 16): Int = bins + 3
+
+  /** Spatial pixel features: a (row-band × gray-bin) GRID histogram.
+    * A global gray histogram ignores pixel ORDER, and corpora whose
+    * payloads share a byte distribution (all-ASCII text pixels) collapse
+    * onto each other (cosine>0.99 for half the corpus — measured 218k
+    * candidate pairs at sf0.1). Binning by image row band first keeps
+    * byte-copies at cosine exactly 1 while separating docs that merely
+    * share a distribution. Same fallback contract: undecodable → zeros. */
+  def spatialPixelFeatures(bytes: Array[Byte], gridY: Int = 4,
+                           bins: Int = 16): Array[Float] = {
+    val dim = gridY * bins + 3
+    val img = decodeImage(bytes)
+    if (img == null) new Array[Float](dim)
+    else {
+      val h = img.getHeight; val w = img.getWidth
+      val counts = new Array[Long](gridY * bins)
+      var y = 0
+      while (y < h) {
+        val band = y * gridY / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          counts(band * bins + gray * bins / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = (w.toLong * h).toFloat
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < counts.length) { out(i) = counts(i) / total; i += 1 }
+      out(gridY * bins) = w / 16f
+      out(gridY * bins + 1) = h / 8f
+      out(gridY * bins + 2) = math.min(bytes.length, 4096) / 4096f
+      out
+    }
+  }
+
+  /** Feature dimension of [[spatialPixelFeatures]]. */
+  def spatialFeatureDim(gridY: Int = 4, bins: Int = 16): Int = gridY * bins + 3
+
+  /** Perceptual difference-hash (dHash) features: 65 nearest-pixel
+    * samples of the decoded image, the SIGN of each consecutive gray
+    * difference as ±1 — 64 order-sensitive bits, the standard perceptual
+    * image fingerprint. Distribution-level features (histograms, even
+    * spatially banded ones) collapse on corpora whose payloads share a
+    * byte distribution — all-ASCII text pixels put half the corpus at
+    * cosine>0.99 of each other (measured 218k-360k candidate pairs at
+    * sf0.1); gradient SIGNS depend on the actual pixel sequence, so
+    * unrelated docs decorrelate (cosine ≈ 2·agreement−1 ≈ 0) while a
+    * byte-copy stays at exactly 1. A 16-sample RAW-gray block carries
+    * content identity for images too small for the sign bits to
+    * discriminate; a 16-bin histogram block + dims channels complete
+    * the embedding. Undecodable payloads get the zero vector. */
+  def dhashFeatures(bytes: Array[Byte], bins: Int = 16): Array[Float] = {
+    val dim = 64 + 16 + bins + 3
+    val img = decodeImage(bytes)
+    if (img == null) new Array[Float](dim)
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Float](dim)
+      def gray(x: Int, y: Int): Int = {
+        val rgb = img.getRGB(x, y)
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      }
+      // 65 nearest-pixel samples along the LINEAR pixel index (row-major),
+      // 64 consecutive-difference sign bits. A fixed 8x9 spatial grid
+      // degenerates on narrow images (width 1 => one column => every bit
+      // identical => 61k false pairs at sf0.1 — measured); the linear
+      // walk spreads samples over whatever pixels exist, so any image
+      // with >1 pixel stays content-dependent. Deterministic integer
+      // index arithmetic — no resampling filter to disagree about.
+      val n = w * h
+      var prev = gray(0, 0)
+      var k = 1
+      while (k <= 64) {
+        val idx = (k.toLong * n / 65).toInt
+        val cur = gray(idx % w, idx / w)
+        out(k - 1) = if (prev > cur) 1f else -1f
+        prev = cur
+        k += 1
+      }
+      // 16 RAW sampled gray values (scaled ±1 around mid-gray): content
+      // identity for images too small for gradient bits to discriminate
+      // (≤7 pixels leave most consecutive samples equal — 18k residual
+      // pairs at sf0.1 without this block). Weighted like the dhash bits
+      // so tiny-image collisions actually move the cosine.
+      var m = 0
+      while (m < 16) {
+        val idx = (m.toLong * n / 16).toInt
+        out(64 + m) = (gray(idx % w, idx / w) - 128) / 128f
+        m += 1
+      }
+      val counts = grayHistogram(img, bins)
+      val total = (w.toLong * h).toFloat
+      var b = 0
+      while (b < bins) { out(80 + b) = counts(b) / total; b += 1 }
+      out(80 + bins) = w / 16f
+      out(80 + bins + 1) = h / 8f
+      out(80 + bins + 2) = math.min(bytes.length, 4096) / 4096f
+      out
+    }
+  }
+
+  /** Feature dimension of [[dhashFeatures]]. */
+  def dhashFeatureDim(bins: Int = 16): Int = 64 + 16 + bins + 3
+
+  /** Batched [[dhashFeatures]] — same shape as [[featuresBatched]]. */
+  def dhashFeaturesBatched(df: DataFrame, bins: Int = 16,
+                           idCol: String = "doc_id",
+                           contentCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        (id, dhashFeatures(bytes, bins)) })
+      .toDF(idCol, "features")
+  }
+
+  /** Batched [[spatialPixelFeatures]] — same shape as [[featuresBatched]]. */
+  def spatialFeaturesBatched(df: DataFrame, gridY: Int = 4, bins: Int = 16,
+                             idCol: String = "doc_id",
+                             contentCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        (id, spatialPixelFeatures(bytes, gridY, bins)) })
+      .toDF(idCol, "features")
+  }
+
+  /** Batched REAL feature extraction — [[decodeBatched]]'s shape with the
+    * pixel-feature row: (id, array<float>). The decoder runs once per
+    * payload inside `mapPartitions`; a heavier encoder model would init
+    * per partition here. */
+  def featuresBatched(df: DataFrame, bins: Int = 16,
+                      idCol: String = "doc_id",
+                      contentCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        (id, pixelFeatures(bytes, bins)) })
+      .toDF(idCol, "features")
+  }
+
+  /** Batched raw histogram counts — the EXACT-integer face of the feature
+    * path, used by the oracled driver row: (id, array<long> of bin
+    * counts). Undecodable payloads yield all-zero counts. */
+  def histogramBatched(df: DataFrame, bins: Int = 16,
+                       idCol: String = "doc_id",
+                       contentCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        val img = decodeImage(bytes)
+        (id, if (img == null) new Array[Long](bins) else grayHistogram(img, bins))
+      })
+      .toDF(idCol, "counts")
+  }
 
   /** REAL image resize/transcode: decode with [[imageDecode]]'s reader,
     * scale into the aspect-preserving target box (never upscale — the

@@ -106,4 +106,41 @@ class MultimodalSpec extends SparkSuite {
     assert(out(2L) === ((3, 3)))
     assert(out(18L) === ((3, 5))) // 1 + 18%16 = 3, 1 + 18%7 = 5
   }
+
+  test("grayHistogram of the gradient payload matches the closed-form replay") {
+    for (id <- Seq(0L, 3L, 17L, 112L, 4441L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.gradientBmpBytes(id)))
+      assert(img != null, s"id $id: gradient BMP rejected")
+      val observed = Multimodal.grayHistogram(img, 16)
+      // independent replay of the oracle arithmetic: stored byte at
+      // linear position p is (id + p) mod 256, rows are rs bytes wide
+      val w = (1 + id % 16).toInt; val h = (1 + id % 7).toInt
+      val rs = ((3 * w + 3) / 4) * 4
+      val expected = new Array[Long](16)
+      for (r <- 0 until h; k <- 0 until w) {
+        val base = id + r * rs + 3 * k
+        val gray = (java.lang.Math.floorMod(base, 256L)
+          + java.lang.Math.floorMod(base + 1, 256L)
+          + java.lang.Math.floorMod(base + 2, 256L)).toInt / 3
+        expected(gray * 16 / 256) += 1
+      }
+      assert(observed.toSeq === expected.toSeq, s"id $id")
+      assert(observed.sum === w.toLong * h, s"id $id: histogram covers every pixel")
+    }
+  }
+
+  test("pixelFeatures derive from decoded pixels; undecodable bytes get the zero vector") {
+    val bytes = Multimodal.bmpBytes(18L, "epsilon zeta")
+    val f = Multimodal.pixelFeatures(bytes)
+    assert(f.length === Multimodal.pixelFeatureDim())
+    // histogram block is a distribution over the 15 pixels (3x5)
+    assert(math.abs(f.take(16).sum - 1f) < 1e-5)
+    // dims channels carry the decoder's answer: w=3, h=5
+    assert(f(16) === 3f / 16f && f(17) === 5f / 8f)
+    // byte-identical payloads => byte-identical features
+    assert(Multimodal.pixelFeatures(bytes).toSeq === f.toSeq)
+    val junk = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.pixelFeatures(junk).forall(_ === 0f))
+  }
 }

@@ -114,23 +114,29 @@ class SamplingSpec extends SparkSuite {
     val base = docs.limit(100).select("doc_id", "text")
     val copies = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-    val feats = Multimodal.withBinaryContent(base.unionByName(copies))
-      .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))
+    // text-keyed payloads: a byte-copy doc maps to a byte-identical BMP
+    // even though its id differs => identical decoded pixels => identical
+    // REAL features => cosine exactly 1, sharing every LSH band
+    val feats = Multimodal.dhashFeaturesBatched(
+      Multimodal.withTextBmpContent(base.unionByName(copies)))
     val pairs = graft.operators.Dedup
-      .cosinePairsLsh(feats, dim = 8, idCol = "doc_id", vecCol = "features",
-        threshold = 0.99)
+      .cosinePairsLsh(feats, dim = Multimodal.dhashFeatureDim(),
+        idCol = "doc_id", vecCol = "features",
+        planes = 64, bands = 4, threshold = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = base.filter(col("doc_id") % 10 === 0).collect()
       .map(r => (r.getLong(0), r.getLong(0) + 10000000L)).toSet
-    // identical bytes => identical stub features => cosine exactly 1, and
-    // identical signatures always share every LSH band
     assert((planted -- pairs).isEmpty,
       s"missed ${(planted -- pairs).size} of ${planted.size} planted copies")
   }
 
   test("multimodal features compose with k-NN: every doc is its own nearest match") {
-    val feats = Multimodal.withBinaryContent(docs.limit(50))
-      .select(col("doc_id"), Multimodal.extractFeatures(col("content")).as("features"))
+    // id-keyed BMPs: ids 0..49 are distinct mod 112, so every payload has
+    // a distinct (width, height) pair and the dims channels of the REAL
+    // pixel features make the vectors pairwise distinct — self-cosine 1.0
+    // is the unique maximum
+    val feats = Multimodal.featuresBatched(
+      Multimodal.withBmpContent(docs.limit(50)))
     val queries = feats.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("features").as("query_vec"))
     val top1 = graft.operators.KnnTopK

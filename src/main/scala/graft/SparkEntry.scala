@@ -1024,8 +1024,9 @@ object SparkEntry {
     //     end-to-end over a binary media column. rows-only here; the
     //     feature kernel itself is hash-oracled by multimodal_features.
     "multimodal_knn" -> ((s, dir) => {
-      val feats = Multimodal.featuresBatched(
-        Multimodal.withBmpContent(Tables.documents(s, dir)))
+      val feats = pinnedMultimodalFeatures(
+        Multimodal.featuresBatched(
+          Multimodal.withBmpContent(Tables.documents(s, dir).repartition(32))))
       val queries = feats.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("features").as("query_vec"))
       KnnTopK.knnExact(queries, feats, k = 5, corpusId = "doc_id", corpusVec = "features")
@@ -1038,8 +1039,9 @@ object SparkEntry {
     // 19-dim pixel-feature schema the oracled embedding paths never
     // exercise.
     "multimodal_knn_recall" -> ((s, dir) => {
-      val feats = Multimodal.featuresBatched(
-        Multimodal.withBmpContent(Tables.documents(s, dir)))
+      val feats = pinnedMultimodalFeatures(
+        Multimodal.featuresBatched(
+          Multimodal.withBmpContent(Tables.documents(s, dir).repartition(32))))
       val queries = feats.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("features").as("query_vec"))
       Recall.atKGated(
@@ -1401,8 +1403,9 @@ object SparkEntry {
       // (218k-360k pairs / 10-17s at sf0.1 — measured); gradient-sign
       // bits depend on the pixel sequence, keeping byte-copies at
       // cosine exactly 1 while unrelated docs decorrelate toward 0
-      val feats = Multimodal.dhashFeaturesBatched(
-        Multimodal.withTextBmpContent(docsWithExactDupes(s, dir)))
+      val feats = pinnedMultimodalFeatures(
+        Multimodal.dhashFeaturesBatched(
+          Multimodal.withTextBmpContent(docsWithExactDupes(s, dir).repartition(32))))
       // 64 planes -> 16-bit bands: identical features share every band
       // (byte-copy recall 1); decorrelated dhash vectors rarely collide
       Dedup.cosinePairsLsh(feats, dim = Multimodal.dhashFeatureDim(),
@@ -1509,6 +1512,19 @@ object SparkEntry {
 
   /** documents plus exact copies of every 10th doc at id+10M (offset clear
     * of real ids at any sf). */
+  /** Pin a decoded-features frame: the payload-build + image-decode
+    * mapPartitions subtree is the expensive part of every multimodal
+    * query, and LSH / recall consumers reference the frame 2-4 times —
+    * without pinning, each reference re-builds and re-decodes every
+    * payload (measured 6.1s on multimodal_dedup at sf0.1; 2.3s pinned).
+    * The frame is tiny (rows × ~100 floats); at 100 TB the features
+    * would live as a persisted columnar table, which this models. The
+    * caller repartitions BEFORE the decode so the per-payload work
+    * spreads across the session's cores instead of the parquet file's
+    * input splits. */
+  private def pinnedMultimodalFeatures(feats: DataFrame): DataFrame =
+    feats.localCheckpoint(true)
+
   private def docsWithExactDupes(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
     d.unionByName(d.filter(col("doc_id") % 10 === 0)

@@ -300,4 +300,65 @@ object VectorExprs {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
+
+  /** All `planes` random-projection sign bits in ONE pass: bit_p =
+    * (Σ_i M[p][i]·v_i >= 0) ? 1 : 0 over a flattened plane-major matrix
+    * carried as a codegen reference object. The composed form — one
+    * projection column per plane, each dotting against its own literal
+    * array — builds a 64-literal expression tree whose analysis + Janino
+    * compile dominated the LSH stage (~4s of a 4.3s query at sf0.1,
+    * plan-bound, not data-bound). Arithmetic is bit-identical to the
+    * per-plane [[DotProduct]] against a literal: double accumulation,
+    * left-to-right, min(len, dim) elements. */
+  case class SignProjection(child: Expression, planes: Int, flat: Array[Double])
+      extends UnaryExpression {
+    override def prettyName: String = "vec_sign_proj"
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private val dim = if (planes == 0) 0 else flat.length / planes
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(e: NumericType, _) if e == FloatType || e == DoubleType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects a float/double array input, got ${other.sql}")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), dim)
+      val bits = new Array[Int](planes)
+      var p = 0
+      while (p < planes) {
+        val off = p * dim
+        var s = 0.0; var i = 0
+        while (i < n) { s += flat(off + i) * read(child, x, i); i += 1 }
+        bits(p) = if (s >= 0.0) 1 else 0
+        p += 1
+      }
+      ArrayData.toArrayData(bits)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val m = ctx.addReferenceObj("signProjMatrix", flat, "double[]")
+        val (p, i, n, s, bits) = (ctx.freshName("p"), ctx.freshName("i"),
+          ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("bits"))
+        s"""
+          int $n = java.lang.Math.min($a.numElements(), $dim);
+          int[] $bits = new int[$planes];
+          for (int $p = 0; $p < $planes; $p++) {
+            double $s = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $s += $m[$p * $dim + $i] * (double)$a.${accessor(child)}($i);
+            }
+            $bits[$p] = ($s >= 0.0) ? 1 : 0;
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($bits);
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
 }

@@ -39,6 +39,11 @@ object VectorOps {
   /** Euclidean norm ||a||_2. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** All random-projection sign bits at once (codegen'd single pass;
+    * arithmetic identical to one [[dot]]-vs-literal per plane). */
+  def signProjection(a: Column, hyper: Array[Array[Double]]): Column =
+    asCol(VectorExprs.SignProjection(asExpr(a), hyper.length, hyper.flatten))
+
   /** PQ ADC table lookup `Σ_s lut[s*k + codes[s]]` — codegen'd
     * ([[VectorExprs.AdcLookup]]); `lut` is flattened subspace-major. */
   def adcLookup(codes: Column, lut: Column, k: Int): Column =

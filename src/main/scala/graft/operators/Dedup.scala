@@ -577,12 +577,12 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     val hyper: Array[Array[Double]] =
       Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-    val bitCols = (0 until planes).map { p =>
-      // codegen'd dot against the literal hyperplane
-      val dp = VectorOps.dot(col(vecCol), typedLit(hyper(p).toSeq))
-      when(dp >= 0.0, 1).otherwise(0)
-    }
-    val sigs = emb.select(col(idCol), col(vecCol), array(bitCols: _*).as("sig"))
+    // ONE codegen'd expression for all plane signs: the composed
+    // one-column-per-plane form carried `planes` literal arrays through
+    // analysis + Janino and was plan-bound, not data-bound (~4s at 64
+    // planes; see VectorExprs.SignProjection). Bit values are identical.
+    val sigs = emb.select(col(idCol), col(vecCol),
+      VectorOps.signProjection(col(vecCol), hyper).as("sig"))
     val cands = bandCandidates(sigs.select(col(idCol), col("sig")), idCol, bands, planes / bands)
     val vecs = emb.select(col(idCol), col(vecCol))
     cands

@@ -95,7 +95,13 @@ object Bench {
     val prior: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_full.json")), "UTF-8")
-      """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+      // cross-SF comparisons are meaningless (a builder-side sf0.001 run
+      // overwriting the file must not flag every query of the next sf0.1
+      // run as a mover) — only adjudicate against a same-SF prior
+      val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+        .forall(_.group(1) == sfDir)
+      if (!sameSf) Map.empty[String, Double]
+      else """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map(_.group(1))
         .map { qsec =>
           """"([^"]+)":([0-9]+\.?[0-9]*(?:[Ee][+-]?[0-9]+)?)""".r
             .findAllMatchIn(qsec).map(m => m.group(1) -> m.group(2).toDouble).toMap

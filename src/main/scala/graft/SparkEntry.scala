@@ -1379,6 +1379,24 @@ object SparkEntry {
       Multimodal.resizeBatched(Multimodal.withBmpContent(Tables.documents(s, dir)),
           maxW = 4, maxH = 4)
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))),
+    // the pixel-feature k-NN with a FULL hash oracle: features are the
+    // decoded gradient-BMP histograms as exact-integer count/total
+    // ratios (double division of small ints — bit-identical in both
+    // engines), so the oracle replays payload → decode → binning →
+    // cosine ranking end-to-end. This is the reference's embedding
+    // search (executor.py:112) over a binary media column with the
+    // entire chain hash-verified.
+    "multimodal_knn_exact" -> ((s, dir) => {
+      val hist = Multimodal.histogramBatched(
+          Multimodal.withGradientBmpContent(Tables.documents(s, dir).repartition(32)))
+        .localCheckpoint(true)
+      val total = aggregate(col("counts"), lit(0L), (a, c) => a + c).cast("double")
+      val feats = hist.select(col("doc_id"),
+        transform(col("counts"), c => c.cast("double") / total).as("features"))
+      val queries = feats.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("features").as("query_vec"))
+      KnnTopK.knnExact(queries, feats, k = 5, corpusId = "doc_id", corpusVec = "features")
+    }),
     // REAL feature extraction since r10, fully hash-oracled: the gradient
     // BMP fixture pins every stored pixel byte to (id + p) mod 256, so
     // the oracle replays payload-build → decode → per-pixel gray binning
@@ -2939,6 +2957,40 @@ object SparkEntry {
     // position p = row*rowSize + 3*col + channel (BGR); decoded gray is
     // the integer mean of the three channel bytes and the bin is
     // gray*16//256 — all exact integer arithmetic in both engines.
+    // the pixel-feature k-NN replayed end-to-end: histogram fractions
+    // rebuilt from the gradient closed form (count/total in double —
+    // exact for these small ints), cosine via ordered list_dot_product,
+    // round-before-rank with the id tiebreak (house k-NN contract)
+    "multimodal_knn_exact" ->
+      """WITH geom AS (
+           SELECT doc_id,
+                  1 + doc_id % 16 AS w,
+                  1 + doc_id % 7 AS h,
+                  ((3 * (1 + doc_id % 16) + 3) // 4) * 4 AS rs
+           FROM documents),
+         idx AS (
+           SELECT doc_id, w, rs, unnest(range(0, w * h)) AS i FROM geom),
+         px AS (
+           SELECT doc_id,
+                  ((doc_id + (i // w) * rs + 3 * (i % w)) % 256
+                 + (doc_id + (i // w) * rs + 3 * (i % w) + 1) % 256
+                 + (doc_id + (i // w) * rs + 3 * (i % w) + 2) % 256) // 3 AS gray
+           FROM idx),
+         g AS (SELECT doc_id, list(gray) AS gs FROM px GROUP BY doc_id),
+         f AS (SELECT doc_id, list_transform(range(0, 16), b ->
+                 CAST(len(list_filter(gs, x -> (x * 16) // 256 = b)) AS DOUBLE)
+                   / len(gs)) AS fv
+               FROM g),
+         q AS (SELECT doc_id AS query_id, fv AS qv FROM f WHERE doc_id < 5),
+         s AS (SELECT query_id, doc_id AS match_id,
+                      round(1.0 - list_dot_product(qv, fv)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(fv, fv))), 4)
+                        + 0.0 AS score
+               FROM q CROSS JOIN f),
+         r AS (SELECT query_id, match_id, score,
+                      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS "rank"
+               FROM s)
+         SELECT query_id, match_id, score, "rank" AS rank FROM r WHERE "rank" <= 5""",
     "multimodal_features" ->
       """WITH geom AS (
            SELECT doc_id,

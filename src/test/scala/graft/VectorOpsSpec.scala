@@ -51,6 +51,22 @@ class VectorOpsSpec extends SparkSuite {
     assert(diffs.getLong(0) === 0 && diffs.getLong(1) === 0 && diffs.getLong(2) === 0)
   }
 
+  test("SignProjection bits equal the composed per-plane dot signs") {
+    val rnd = new scala.util.Random(7L)
+    val hyper = Array.fill(24)(Array.fill(64)(rnd.nextGaussian()))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    // composed twin: one when(dot >= 0) column per plane against the
+    // SAME literal hyperplane rows the fused expression carries
+    val bitCols = hyper.toIndexedSeq.map { h =>
+      when(VectorOps.dot($"embedding", typedLit(h.toSeq)) >= 0.0, 1).otherwise(0)
+    }
+    val diff = emb.select(
+      VectorOps.signProjection($"embedding", hyper).as("fused"),
+      array(bitCols: _*).as("composed"))
+      .filter($"fused" =!= $"composed").count()
+    assert(diff === 0)
+  }
+
   test("unknown metric warns and falls back to l2 (executor.py:268-273)") {
     val buf = new java.io.ByteArrayOutputStream()
     val fallback = Console.withErr(buf) { VectorOps.distance("bogus_metric", $"x", $"y") }

@@ -984,9 +984,10 @@ object SparkEntry {
     "dsir_hashed_agreement" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pred = array_contains(Dedup.tokens(col("text")), "dup")
-      Recall.setAgreement(
-        Dsir.select(docs, pred, k = 100),
-        Dsir.selectHashed(docs, pred, k = 100, numBuckets = 4096),
+      // one shared tokenization for both compared paths (gate policy:
+      // the value is the comparison, not re-timing the explode)
+      val (exact, hashed) = Dsir.selectBothPaths(docs, pred, k = 100, numBuckets = 4096)
+      Recall.setAgreement(exact, hashed,
         on = Seq("doc_id"), floor = 0.9, minCount = 1L)
     }),
 

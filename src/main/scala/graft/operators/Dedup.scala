@@ -276,13 +276,16 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = sym.join(labels, sym("id_b") === labels("id"))
         .groupBy(sym("id_a").as("id")).agg(min(col("component")).as("__n"))
+      // carry the previous label through the update so convergence is a
+      // column compare on the already-pinned frame, not another join
+      // back against `labels` (one fewer join+shuffle per round)
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("__n"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("__n"), col("component"))).as("component"),
+          col("component").as("__old"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("component", "__old"), "id")
-        .filter(col("component") =!= col("__old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("component") =!= col("__old")).isEmpty
+      labels = updated.select(col("id"), col("component"))
       i += 1
     }
     if (!converged)

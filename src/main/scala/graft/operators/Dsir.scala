@@ -87,10 +87,52 @@ object Dsir {
 
   private def selectBy(docs: DataFrame, targetPred: Column, k: Int,
                        idCol: String, textCol: String,
-                       featureOf: Column => Column): DataFrame = {
-    val ratios = unigramLogRatios(docs, targetPred, textCol, featureOf)
-    val tok = docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
-      .select(col(idCol), featureOf(col("__t")).as("__w"))
+                       featureOf: Column => Column): DataFrame =
+    selectByTok(tokenBase(docs, targetPred, idCol, textCol),
+      docs.select(col(idCol)), k, idCol, featureOf)
+
+  /** (id, __tgt, __t) exploded-token frame — pred and token array
+    * materialized BEFORE the explode (see [[unigramLogRatios]]'s
+    * pushdown note). */
+  private def tokenBase(docs: DataFrame, targetPred: Column,
+                        idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), targetPred.as("__tgt"), Dedup.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__tgt"), explode(col("__ts")).as("__t"))
+
+  /** Both selection paths over ONE corpus tokenization — the agreement
+    * gate's shape. The gate's compared quantity is the two selections'
+    * overlap, so exploding the corpus once per side (×2 again inside
+    * each side for model + scoring) bought nothing; `featureOf` applies
+    * to the same exploded tokens either way, so per-path arithmetic —
+    * and the oracle hash of the exact path — is unchanged.
+    * Returns (exact-word selection, feature-hashed selection). */
+  def selectBothPaths(docs: DataFrame, targetPred: Column, k: Int,
+                      numBuckets: Int = 1 << 16,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val tokBase = tokenBase(docs, targetPred, idCol, textCol).localCheckpoint(true)
+    val ids = docs.select(col(idCol)).localCheckpoint(true)
+    (selectByTok(tokBase, ids, k, idCol, identity),
+     selectByTok(tokBase, ids, k, idCol,
+       t => pmod(xxhash64(t), lit(numBuckets.toLong)).cast("string")))
+  }
+
+  private def selectByTok(tokBase: DataFrame, ids: DataFrame, k: Int,
+                          idCol: String, featureOf: Column => Column): DataFrame = {
+    // the unigram model over the same exploded tokens (arithmetic of
+    // [[unigramLogRatios]] verbatim)
+    val tokW = tokBase.select(col("__tgt"), featureOf(col("__t")).as("__w"))
+    val vc = tokW.groupBy(col("__w")).agg(
+      count(lit(1)).as("__cs"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    val tot = vc.agg(count(lit(1)).as("__v"), sum(col("__cs")).as("__ns"),
+      sum(col("__ct")).as("__nt"))
+    val ratios = vc.crossJoin(broadcast(tot))
+      .select(col("__w").as("word"),
+        round(log((col("__ct") + lit(0.5)) / (col("__nt") + lit(0.5) * col("__v"))) -
+              log((col("__cs") + lit(0.5)) / (col("__ns") + lit(0.5) * col("__v"))),
+          6).as("lr"))
+    val tok = tokBase.select(col(idCol), featureOf(col("__t")).as("__w"))
     val scored = tok.join(broadcast(ratios), tok("__w") === ratios("word"))
       .groupBy(col(idCol))
       // decimal sum: order-independent, exact, engine-identical
@@ -99,7 +141,7 @@ object Dsir {
     // vanish from the sample; its log-weight is 0 (empty product), so it
     // must still compete via its Gumbel noise — left-join the scores
     // back onto the full id universe
-    val all = docs.select(col(idCol))
+    val all = ids
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__lw"), lit(0).cast("decimal(18,12)")).as("__lw"))

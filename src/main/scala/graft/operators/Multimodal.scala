@@ -441,47 +441,6 @@ object Multimodal {
   /** Feature dimension of [[pixelFeatures]] at a bin count. */
   def pixelFeatureDim(bins: Int = 16): Int = bins + 3
 
-  /** Spatial pixel features: a (row-band × gray-bin) GRID histogram.
-    * A global gray histogram ignores pixel ORDER, and corpora whose
-    * payloads share a byte distribution (all-ASCII text pixels) collapse
-    * onto each other (cosine>0.99 for half the corpus — measured 218k
-    * candidate pairs at sf0.1). Binning by image row band first keeps
-    * byte-copies at cosine exactly 1 while separating docs that merely
-    * share a distribution. Same fallback contract: undecodable → zeros. */
-  def spatialPixelFeatures(bytes: Array[Byte], gridY: Int = 4,
-                           bins: Int = 16): Array[Float] = {
-    val dim = gridY * bins + 3
-    val img = decodeImage(bytes)
-    if (img == null) new Array[Float](dim)
-    else {
-      val h = img.getHeight; val w = img.getWidth
-      val counts = new Array[Long](gridY * bins)
-      var y = 0
-      while (y < h) {
-        val band = y * gridY / h
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-          counts(band * bins + gray * bins / 256) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val total = (w.toLong * h).toFloat
-      val out = new Array[Float](dim)
-      var i = 0
-      while (i < counts.length) { out(i) = counts(i) / total; i += 1 }
-      out(gridY * bins) = w / 16f
-      out(gridY * bins + 1) = h / 8f
-      out(gridY * bins + 2) = math.min(bytes.length, 4096) / 4096f
-      out
-    }
-  }
-
-  /** Feature dimension of [[spatialPixelFeatures]]. */
-  def spatialFeatureDim(gridY: Int = 4, bins: Int = 16): Int = gridY * bins + 3
-
   /** Perceptual difference-hash (dHash) features: 65 nearest-pixel
     * samples of the decoded image, the SIGN of each consecutive gray
     * difference as ±1 — 64 order-sensitive bits, the standard perceptual
@@ -557,18 +516,6 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.map { case (id, bytes) =>
         (id, dhashFeatures(bytes, bins)) })
-      .toDF(idCol, "features")
-  }
-
-  /** Batched [[spatialPixelFeatures]] — same shape as [[featuresBatched]]. */
-  def spatialFeaturesBatched(df: DataFrame, gridY: Int = 4, bins: Int = 16,
-                             idCol: String = "doc_id",
-                             contentCol: String = "content"): DataFrame = {
-    import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(contentCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(rows => rows.map { case (id, bytes) =>
-        (id, spatialPixelFeatures(bytes, gridY, bins)) })
       .toDF(idCol, "features")
   }
 

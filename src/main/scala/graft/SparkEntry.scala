@@ -1362,6 +1362,13 @@ object SparkEntry {
     "multimodal_audio" -> ((s, dir) =>
       Multimodal.audioDecodeBatched(
         Multimodal.withWavContent(Tables.documents(s, dir)))),
+    // SAMPLE-LEVEL audio features with a full hash oracle — the audio
+    // twin of multimodal_features: the gradient WAV pins sample i to
+    // ((id+i) mod 256)·97, the parser hands back the PCM stream, and the
+    // windowed |sample| sums are exact integers both engines reproduce.
+    "multimodal_audio_features" -> ((s, dir) =>
+      Multimodal.audioEnergyBatched(
+        Multimodal.withGradientWavContent(Tables.documents(s, dir).repartition(32)))),
     // REAL frame counts since r9: valid multi-frame GIFs through the JDK
     // reader's sequence walk; stride-2 sampling runs over the
     // DECODER-reported n_frames, and the oracle recomputes the sampled
@@ -2958,6 +2965,19 @@ object SparkEntry {
     // position p = row*rowSize + 3*col + channel (BGR); decoded gray is
     // the integer mean of the three channel bytes and the bin is
     // gray*16//256 — all exact integer arithmetic in both engines.
+    // the PCM windowed-energy features replayed sample-for-sample from
+    // the gradient WAV's closed form (sample i = ((id+i) mod 256)·97,
+    // n = samples·channels total int16s, window = i·8 // n)
+    "multimodal_audio_features" ->
+      """WITH par AS (SELECT doc_id,
+                             (16 + doc_id % 33) * (1 + doc_id % 2) AS n
+                      FROM documents),
+         s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM par),
+         v AS (SELECT doc_id, CAST((i * 8) // n AS INT) AS "window",
+                      ((doc_id + i) % 256) * 97 AS a
+               FROM s)
+         SELECT doc_id, "window" AS window, CAST(SUM(a) AS BIGINT) AS sum_abs
+         FROM v GROUP BY doc_id, "window"""",
     // the pixel-feature k-NN replayed end-to-end: histogram fractions
     // rebuilt from the gradient closed form (count/total in double —
     // exact for these small ints), cosine via ordered list_dot_product,

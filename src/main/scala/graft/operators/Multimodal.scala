@@ -214,6 +214,96 @@ object Multimodal {
       .toDF(idCol, outCol)
   }
 
+  /** Gradient WAV: same id-arithmetic format as [[wavBytes]], but sample
+    * i is `((id + i) mod 256) · 97` — a CLOSED FORM a SQL oracle replays
+    * sample-for-sample, the audio twin of [[gradientBmpBytes]]. (255·97 =
+    * 24735 < 2^15, so every value is an exact int16.) */
+  def gradientWavBytes(id: Long): Array[Byte] = {
+    val sampleRate = (8000L * (1L + java.lang.Math.floorMod(id, 3L))).toInt
+    val channels = (1L + java.lang.Math.floorMod(id, 2L)).toInt
+    val nSamples = (16L + java.lang.Math.floorMod(id, 33L)).toInt
+    val blockAlign = channels * 2
+    val dataSize = nSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples * channels) {
+      buf.putShort((java.lang.Math.floorMod(id + i, 256L) * 97L).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Attach the gradient audio payload ([[gradientWavBytes]]). */
+  def withGradientWavContent(df: DataFrame, idCol: String = "doc_id",
+                             outCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(rows => rows.map(id => (id, gradientWavBytes(id))))
+      .toDF(idCol, outCol)
+  }
+
+  /** SAMPLE-LEVEL audio features: parse the payload with
+    * `javax.sound.sampled`, decode the PCM int16 stream the PARSER hands
+    * back (not payload arithmetic), and sum |sample| over `windows`
+    * equal index windows — exact integer energy per window, the audio
+    * analog of the pixel histogram (and like it, hash-oracleable against
+    * a closed-form payload). Output rows: (id, window, sum_abs).
+    * Unparseable payloads yield no rows (the metadata path's stub
+    * fallback covers them; a features consumer wants real samples). */
+  def audioEnergy(id: Long, bytes: Array[Byte], windows: Int = 8): Seq[(Long, Int, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        // this engine's payloads are 16-bit little-endian PCM; anything
+        // else falls through to the catch (no rows) like undecodable data
+        if (fmt.getSampleSizeInBits != 16) Seq.empty
+        else {
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          if (n == 0) Seq.empty
+          else {
+            val sums = new Array[Long](windows)
+            var i = 0
+            while (i < n) {
+              val lo = data(2 * i) & 0xff
+              val hi = data(2 * i + 1).toInt // sign-extends: int16 value
+              val v = (hi << 8) | lo
+              sums((i.toLong * windows / n).toInt) += math.abs(v)
+              i += 1
+            }
+            (0 until windows).map(w => (id, w, sums(w)))
+          }
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => Seq.empty
+      case _: java.io.IOException => Seq.empty
+    }
+
+  /** Batched [[audioEnergy]] — one parser pass per payload inside
+    * `mapPartitions`, rows exploded per window. */
+  def audioEnergyBatched(df: DataFrame, windows: Int = 8,
+                         idCol: String = "doc_id",
+                         contentCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        audioEnergy(id, bytes, windows) })
+      .toDF(idCol, "window", "sum_abs")
+      .select(col(idCol), col("window"), col("sum_abs"))
+  }
+
   /** REAL audio decode via the JDK's `javax.sound.sampled` (its WAV/AIFF
     * parsers are pure Java and ship in every JRE): sample rate, channel
     * count, and frame length come from the DECODER's `AudioFormat`, not

@@ -130,6 +130,20 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audioEnergy of the gradient WAV matches the closed-form replay") {
+    for (id <- Seq(0L, 1L, 5L, 34L, 4441L)) {
+      val rows = Multimodal.audioEnergy(id, Multimodal.gradientWavBytes(id))
+      val n = ((16 + id % 33) * (1 + id % 2)).toInt
+      val expected = new Array[Long](8)
+      for (i <- 0 until n)
+        expected((i.toLong * 8 / n).toInt) += java.lang.Math.floorMod(id + i, 256L) * 97L
+      assert(rows.map(_._3) === expected.toSeq, s"id $id")
+      assert(rows.map(_._2) === (0 until 8), s"id $id windows")
+    }
+    // unparseable bytes yield no rows (metadata path covers the fallback)
+    assert(Multimodal.audioEnergy(3L, "not audio".getBytes("UTF-8")).isEmpty)
+  }
+
   test("pixelFeatures derive from decoded pixels; undecodable bytes get the zero vector") {
     val bytes = Multimodal.bmpBytes(18L, "epsilon zeta")
     val f = Multimodal.pixelFeatures(bytes)

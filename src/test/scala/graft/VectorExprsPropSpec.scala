@@ -65,4 +65,25 @@ class VectorExprsPropSpec extends AnyFunSuite {
     p <- pairGen.suchThat { case (a, b) => a.exists(_ != 0.0f) && b.exists(_ != 0.0f) }
     s <- Gen.chooseNum(0.5f, 4.0f)
   } yield (p, s)
+
+  test("SignProjection bit p equals the sign of DotProduct against plane p") {
+    val gen: Gen[(List[Float], Int, Long)] = for {
+      dim <- Gen.choose(1, 48)
+      v <- Gen.listOfN(dim, Gen.chooseNum(-10.0f, 10.0f))
+      planes <- Gen.choose(1, 16)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (v, planes, seed)
+    run(Prop.forAll(gen) { case (v, planes, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val hyper = Array.fill(planes)(Array.fill(v.length)(rnd.nextGaussian()))
+      val got = VectorExprs.SignProjection(lit(v), planes, hyper.flatten)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      val want = hyper.toIndexedSeq.map { h =>
+        val dp = v.zip(h).foldLeft(0.0) { case (acc, (x, w)) => acc + w * x.toDouble }
+        if (dp >= 0.0) 1 else 0
+      }
+      got == want
+    })
+  }
 }

@@ -1351,7 +1351,8 @@ object SparkEntry {
     // shrug. The stub decoder remains the documented fallback for bytes
     // no reader accepts (spec-pinned in MultimodalSpec).
     "multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeBatched(Multimodal.withBmpContent(Tables.documents(s, dir)),
+      Multimodal.decodeBatched(
+        Multimodal.withBmpContent(Tables.documents(s, dir).repartition(32)),
         decoder = Multimodal.imageDecode)),
     // REAL audio decode, same contract as the image row: valid
     // synthesized PCM WAVs through the JDK's javax.sound.sampled parser;
@@ -1361,7 +1362,7 @@ object SparkEntry {
     // documented stub (spec-pinned in MultimodalSpec).
     "multimodal_audio" -> ((s, dir) =>
       Multimodal.audioDecodeBatched(
-        Multimodal.withWavContent(Tables.documents(s, dir)))),
+        Multimodal.withWavContent(Tables.documents(s, dir).repartition(32)))),
     // SAMPLE-LEVEL audio features with a full hash oracle — the audio
     // twin of multimodal_features: the gradient WAV pins sample i to
     // ((id+i) mod 256)·97, the parser hands back the PCM stream, and the
@@ -1375,7 +1376,8 @@ object SparkEntry {
     // indices from the payload builder's frame arithmetic (2 + id mod 6)
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.decodeBatched(Multimodal.withGifContent(Tables.documents(s, dir)),
+        Multimodal.decodeBatched(
+            Multimodal.withGifContent(Tables.documents(s, dir).repartition(32)),
             decoder = Multimodal.animationDecode)
           .select(col("doc_id"), col("n_frames")))),
     // REAL resize/transcode since r9: decode the BMP, scale into the
@@ -1384,7 +1386,8 @@ object SparkEntry {
     // replays the scale arithmetic in SQL (IEEE doubles both sides) and
     // the canonical BMP layout fixes the re-encoded byte count.
     "multimodal_resize" -> ((s, dir) =>
-      Multimodal.resizeBatched(Multimodal.withBmpContent(Tables.documents(s, dir)),
+      Multimodal.resizeBatched(
+          Multimodal.withBmpContent(Tables.documents(s, dir).repartition(32)),
           maxW = 4, maxH = 4)
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))),
     // the pixel-feature k-NN with a FULL hash oracle: features are the

@@ -98,8 +98,11 @@ object Bench {
       // cross-SF comparisons are meaningless (a builder-side sf0.001 run
       // overwriting the file must not flag every query of the next sf0.1
       // run as a mover) — only adjudicate against a same-SF prior
+      // exists, not forall: a prior file WITHOUT an sf field (legacy
+      // format) must be treated as not-same-SF, or the stale prior slips
+      // through the guard on the first run after upgrade
       val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
-        .forall(_.group(1) == sfDir)
+        .exists(_.group(1) == sfDir)
       if (!sameSf) Map.empty[String, Double]
       else """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map(_.group(1))
         .map { qsec =>

@@ -1415,7 +1415,7 @@ object SparkEntry {
     // builder, or binning regression is a hash mismatch.
     "multimodal_features" -> ((s, dir) =>
       Multimodal.histogramBatched(
-          Multimodal.withGradientBmpContent(Tables.documents(s, dir)))
+          Multimodal.withGradientBmpContent(Tables.documents(s, dir).repartition(32)))
         .select(col("doc_id"), posexplode(col("counts")).as(Seq("bin", "n")))
         .filter(col("n") > 0)
         .select(col("doc_id"), col("bin"), col("n"))),
@@ -1539,8 +1539,6 @@ object SparkEntry {
       (idx, path)
     })
 
-  /** documents plus exact copies of every 10th doc at id+10M (offset clear
-    * of real ids at any sf). */
   /** Pin a decoded-features frame: the payload-build + image-decode
     * mapPartitions subtree is the expensive part of every multimodal
     * query, and LSH / recall consumers reference the frame 2-4 times —
@@ -1554,6 +1552,8 @@ object SparkEntry {
   private def pinnedMultimodalFeatures(feats: DataFrame): DataFrame =
     feats.localCheckpoint(true)
 
+  /** documents plus exact copies of every 10th doc at id+10M (offset clear
+    * of real ids at any sf). */
   private def docsWithExactDupes(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
     d.unionByName(d.filter(col("doc_id") % 10 === 0)

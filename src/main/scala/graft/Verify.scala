@@ -28,6 +28,19 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+        // an EXECUTION-time failure (e.g. a gate's raise_error firing)
+        // lands after the writer created the output dir — remove the
+        // partial dir so a failed query is counted once (in _ERRORS.json)
+        // and the driver never grades half-written parquet. The suite
+        // invariant |result dirs| + |_ERRORS keys| == |queries| holds for
+        // both analysis-time and execution-time failures.
+        val partial = new java.io.File(s"$outDir/$name")
+        if (partial.exists) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(partial)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

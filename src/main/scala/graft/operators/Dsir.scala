@@ -45,16 +45,24 @@ object Dsir {
     * broadcastable. */
   def unigramLogRatios(docs: DataFrame, targetPred: Column,
                        textCol: String = "text",
-                       featureOf: Column => Column = identity): DataFrame = {
+                       featureOf: Column => Column = identity): DataFrame =
     // materialize the flag and the token array BEFORE the explode: a
     // single projection list [pred, explode(tokens(text))] gets the pred
     // pushed below the Generate and re-evaluated per exploded TOKEN —
     // 270k interpreted re-tokenizations at sf0.1 (3.2 s -> 0.3 s)
-    val tok = docs
-      .select(targetPred.as("__tgt"), Dedup.tokens(col(textCol)).as("__ts"))
-      .select(col("__tgt"), explode(col("__ts")).as("__t"))
-      .select(col("__tgt"), featureOf(col("__t")).as("__w"))
-    val vc = tok.groupBy(col("__w")).agg(
+    ratiosFromTokens(
+      docs.select(targetPred.as("__tgt"), Dedup.tokens(col(textCol)).as("__ts"))
+        .select(col("__tgt"), explode(col("__ts")).as("__t")),
+      featureOf)
+
+  /** The add-half model over a pre-exploded (…, __tgt, __t) frame — the
+    * ONE copy of the formula; [[unigramLogRatios]] and the selection
+    * paths both delegate here so the oracled arithmetic cannot
+    * desynchronize across call sites. */
+  private def ratiosFromTokens(tok: DataFrame,
+                               featureOf: Column => Column): DataFrame = {
+    val tokW = tok.select(col("__tgt"), featureOf(col("__t")).as("__w"))
+    val vc = tokW.groupBy(col("__w")).agg(
       count(lit(1)).as("__cs"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
     val tot = vc.agg(count(lit(1)).as("__v"), sum(col("__cs")).as("__ns"),
@@ -119,19 +127,7 @@ object Dsir {
 
   private def selectByTok(tokBase: DataFrame, ids: DataFrame, k: Int,
                           idCol: String, featureOf: Column => Column): DataFrame = {
-    // the unigram model over the same exploded tokens (arithmetic of
-    // [[unigramLogRatios]] verbatim)
-    val tokW = tokBase.select(col("__tgt"), featureOf(col("__t")).as("__w"))
-    val vc = tokW.groupBy(col("__w")).agg(
-      count(lit(1)).as("__cs"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
-    val tot = vc.agg(count(lit(1)).as("__v"), sum(col("__cs")).as("__ns"),
-      sum(col("__ct")).as("__nt"))
-    val ratios = vc.crossJoin(broadcast(tot))
-      .select(col("__w").as("word"),
-        round(log((col("__ct") + lit(0.5)) / (col("__nt") + lit(0.5) * col("__v"))) -
-              log((col("__cs") + lit(0.5)) / (col("__ns") + lit(0.5) * col("__v"))),
-          6).as("lr"))
+    val ratios = ratiosFromTokens(tokBase, featureOf)
     val tok = tokBase.select(col(idCol), featureOf(col("__t")).as("__w"))
     val scored = tok.join(broadcast(ratios), tok("__w") === ratios("word"))
       .groupBy(col(idCol))

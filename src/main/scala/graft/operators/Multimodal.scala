@@ -264,9 +264,14 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        // this engine's payloads are 16-bit little-endian PCM; anything
-        // else falls through to the catch (no rows) like undecodable data
-        if (fmt.getSampleSizeInBits != 16) Seq.empty
+        // this engine's payloads are 16-bit LITTLE-endian signed PCM; any
+        // other parsed format (e.g. big-endian AIFF, which the parser
+        // accepts) must yield no rows like undecodable data — the
+        // hand-rolled int16 decode below is little-endian-signed only,
+        // and byte-swapped energies would be silently wrong rows
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          Seq.empty
         else {
           val data = in.readAllBytes()
           val n = data.length / 2

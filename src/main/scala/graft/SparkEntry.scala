@@ -1338,7 +1338,8 @@ object SparkEntry {
       Relational.onlyLateSupplier(Tables.table(s, dir, "orders"),
         Tables.table(s, dir, "lineitem"), Tables.table(s, dir, "supplier"))),
 
-    // --- multimodal binary-column plumbing (decode step stubbed) ---
+    // --- multimodal binary-column plumbing (real JDK decoders; the only
+    //     fallback is the typed-error shape — null dims + reason) ---
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.withBinaryContent(Tables.documents(s, dir))
         .select(col("doc_id"), length(col("content")).cast("long").as("n_bytes"))
@@ -1348,21 +1349,39 @@ object SparkEntry {
     // reader — the oracle recomputes the decoder-reported dims/sizes from
     // the id arithmetic the payload builder used, so a decoder (or
     // payload-synthesis) regression is a hash mismatch, not a rows-only
-    // shrug. The stub decoder remains the documented fallback for bytes
-    // no reader accepts (spec-pinned in MultimodalSpec).
+    // shrug. Bytes no reader accepts yield the typed-error row (null
+    // dims + reason — spec-pinned in MultimodalSpec, driven in-plan by
+    // multimodal_decode_mixed's garbage slice).
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeBatched(
-        Multimodal.withBmpContent(Tables.documents(s, dir).repartition(32)),
-        decoder = Multimodal.imageDecode)),
+          Multimodal.withBmpContent(Tables.documents(s, dir).repartition(32)),
+          decoder = Multimodal.imageDecode)
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("n_frames"))),
+    // MIXED-format media column: BMP / PNG / JPEG / undecodable bytes
+    // rotating by id — three REAL decoder families plus the typed-error
+    // fallback driven in ONE plan (the reference accepts arbitrary user
+    // payloads, executor.py:143-148). All three formats share the
+    // id-arithmetic dims, so the oracle recomputes the decoder's answer
+    // per format — and pins NULL dims + the reason for the garbage slice
+    // (no exported decode path may fabricate dimensions).
+    "multimodal_decode_mixed" -> ((s, dir) =>
+      Multimodal.decodeBatched(
+          Multimodal.withMixedContent(Tables.documents(s, dir).repartition(32)),
+          decoder = Multimodal.imageDecode)
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("error"))),
     // REAL audio decode, same contract as the image row: valid
     // synthesized PCM WAVs through the JDK's javax.sound.sampled parser;
     // the oracle recomputes rate/channels/frames/duration from the
     // payload builder's id arithmetic, so a parser (or synthesis)
-    // regression is a hash mismatch. Undecodable bytes fall back to the
-    // documented stub (spec-pinned in MultimodalSpec).
+    // regression is a hash mismatch. Undecodable bytes yield the
+    // typed-error row (spec-pinned in MultimodalSpec).
     "multimodal_audio" -> ((s, dir) =>
       Multimodal.audioDecodeBatched(
-        Multimodal.withWavContent(Tables.documents(s, dir).repartition(32)))),
+          Multimodal.withWavContent(Tables.documents(s, dir).repartition(32)))
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_ms"))),
     // SAMPLE-LEVEL audio features with a full hash oracle — the audio
     // twin of multimodal_features: the gradient WAV pins sample i to
     // ((id+i) mod 256)·97, the parser hands back the PCM stream, and the
@@ -2933,6 +2952,18 @@ object SparkEntry {
                 CAST(1 + doc_id % 16 AS INT) AS width,
                 CAST(1 + doc_id % 7 AS INT) AS height,
                 CAST(1 AS INT) AS n_frames
+         FROM documents""",
+    // the mixed-format column's answer, per format family: BMP/PNG/JPEG
+    // all carry the shared id-arithmetic dims (the decoders must report
+    // exactly these), and the garbage slice (id % 4 = 3) must surface as
+    // the typed-error row — NULL dims with the pinned reason, never
+    // fabricated numbers.
+    "multimodal_decode_mixed" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 4 < 3 THEN CAST(1 + doc_id % 16 AS INT) END AS width,
+                CASE WHEN doc_id % 4 < 3 THEN CAST(1 + doc_id % 7 AS INT) END AS height,
+                CASE WHEN doc_id % 4 < 3 THEN CAST(1 AS INT) END AS n_frames,
+                CASE WHEN doc_id % 4 = 3 THEN 'undecodable' END AS error
          FROM documents""",
     // the resize transcode's answer, replayed: source dims from the BMP
     // builder's arithmetic, the aspect-preserving never-upscale rule in

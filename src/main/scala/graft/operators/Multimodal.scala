@@ -22,15 +22,39 @@ import org.apache.spark.sql.functions._
   * is REAL since r10: [[pixelFeatures]] decodes the payload and derives
   * a grayscale-histogram + dims embedding from actual pixels, and the
   * [[gradientBmpBytes]] fixture gives the histogram a closed form a SQL
-  * oracle replays pixel-for-pixel. A learned vision/audio encoder still
-  * doesn't exist in this environment — [[extractFeatures]] survives as
-  * the labeled hash-stub fallback, and [[stubDecode]] as the
-  * undecodable-bytes fallback of every real decode path.
+  * oracle replays pixel-for-pixel.
+  *
+  * Undecodable bytes NEVER yield fabricated metadata: since r11 every
+  * decode fallback is the TYPED ERROR shape — null dims plus a `reason`
+  * in the `error` column ([[undecodableMeta]]/[[undecodableAudio]]) —
+  * so no exported API can hand a caller fake media dimensions. (Earlier
+  * rounds carried checksum-derived stub dims; the reference accepts
+  * arbitrary user payloads, `executor.py:143-148`, and a real corpus
+  * WILL contain bytes no reader accepts, which must surface as errors,
+  * not plausible-looking numbers.)
   */
 object Multimodal {
 
-  /** Typed metadata extracted from a media payload. */
-  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int, n_frames: Int)
+  /** Typed metadata extracted from a media payload. Dims are None (and
+    * `error` carries the reason) when no reader accepts the bytes —
+    * the typed-error fallback shape. */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Option[Int],
+                       height: Option[Int], n_frames: Option[Int],
+                       error: Option[String] = None)
+
+  object MediaMeta {
+    /** Decoded-image row: all dims present, no error. */
+    def decoded(id: Long, nBytes: Long, width: Int, height: Int, nFrames: Int): MediaMeta =
+      MediaMeta(id, nBytes, Some(width), Some(height), Some(nFrames))
+  }
+
+  /** The reason string every undecodable-bytes fallback carries. */
+  val UndecodableReason = "undecodable"
+
+  /** Typed-error fallback for bytes no image reader accepts: null dims,
+    * reason in `error` — the only thing a decode path may emit for them. */
+  def undecodableMeta(id: Long, bytes: Array[Byte]): MediaMeta =
+    MediaMeta(id, bytes.length.toLong, None, None, None, Some(UndecodableReason))
 
   implicit val mediaMetaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
 
@@ -146,26 +170,103 @@ object Multimodal {
       .toDF(idCol, outCol)
   }
 
-  /** REAL image decode via the JDK's `javax.imageio` (its BMP/PNG/GIF
-    * readers are pure Java and ship in every JRE — no native codec
-    * libraries involved): width/height come from the DECODER, not from
-    * payload arithmetic. Bytes no reader accepts fall back to the
-    * documented [[stubDecode]], so mixed-media columns still produce a
-    * row per payload. A decoded still image is one frame. Streams are
-    * memory-cached — no ImageIO temp-file I/O per payload. */
+  /** Deterministic VALID PNG payload: same id-arithmetic dims as
+    * [[bmpBytes]] (width = 1 + id mod 16, height = 1 + id mod 7 — so an
+    * oracle recomputes the decoder's answer), gray gradient pixels
+    * ((id + p) mod 256), encoded by the JDK's own PNG writer. Unlike
+    * BMP the compressed byte count is encoder-dependent, so only the
+    * DIMS are oracle-pinned for this format. */
+  def pngBytes(id: Long): Array[Byte] = encodeGradientImage(id, "png")
+
+  /** Deterministic VALID JPEG payload — same contract as [[pngBytes]]
+    * (dims oracle-pinned, byte count and pixel values encoder-owned;
+    * JPEG is lossy, but the header dims survive exactly). */
+  def jpegBytes(id: Long): Array[Byte] = encodeGradientImage(id, "jpg")
+
+  /** Render the gradient image at the shared id-arithmetic dims and hand
+    * it to the named JDK ImageIO writer. */
+  private def encodeGradientImage(id: Long, format: String): Array[Byte] = {
+    val width = (1L + java.lang.Math.floorMod(id, 16L)).toInt
+    val height = (1L + java.lang.Math.floorMod(id, 7L)).toInt
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = java.lang.Math.floorMod(id + y.toLong * width + x, 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic bytes NO image reader accepts — the undecodable slice
+    * of a mixed-media column (drives the typed-error fallback in-plan). */
+  def garbageBytes(id: Long): Array[Byte] =
+    s"not-a-media-payload:$id".getBytes("UTF-8")
+
+  /** Attach a MIXED-format media column — the accept-arbitrary-user-
+    * payloads posture of the reference (`executor.py:143-148`): payload
+    * format rotates by id (0 → BMP, 1 → PNG, 2 → JPEG, 3 → undecodable
+    * garbage), so one column exercises three real decoder families AND
+    * the typed-error fallback in a single plan. */
+  def withMixedContent(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", outCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(rows => rows.map { case (id, t) =>
+        val payload = java.lang.Math.floorMod(id, 4L) match {
+          case 0L => bmpBytes(id, t)
+          case 1L => pngBytes(id)
+          case 2L => jpegBytes(id)
+          case _ => garbageBytes(id)
+        }
+        (id, payload)
+      })
+      .toDF(idCol, outCol)
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (its BMP/PNG/GIF/
+    * JPEG readers ship in every JRE — no external codec libraries
+    * involved): width/height come from the DECODER, not from payload
+    * arithmetic. Bytes no reader accepts yield the typed-error row
+    * ([[undecodableMeta]]: null dims + reason), so mixed-media columns
+    * still produce a row per payload without fabricating dims. A
+    * decoded still image is one frame. Streams are memory-cached — no
+    * ImageIO temp-file I/O per payload. */
   def imageDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val img =
       try javax.imageio.ImageIO.read(
         new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes)))
       catch { case _: java.io.IOException => null }
-    if (img == null) stubDecode(id, bytes)
-    else MediaMeta(id, bytes.length.toLong, img.getWidth, img.getHeight, n_frames = 1)
+    if (img == null) undecodableMeta(id, bytes)
+    else MediaMeta.decoded(id, bytes.length.toLong, img.getWidth, img.getHeight, 1)
   }
 
-  /** Typed metadata extracted from an audio payload. */
-  case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Int,
-                       channels: Int, n_samples: Long, duration_ms: Long)
+  /** Typed metadata extracted from an audio payload. Format fields are
+    * None (and `error` carries the reason) when no parser accepts the
+    * bytes — the audio side of the typed-error fallback shape. */
+  case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Option[Int],
+                       channels: Option[Int], n_samples: Option[Long],
+                       duration_ms: Option[Long], error: Option[String] = None)
+
+  object AudioMeta {
+    /** Parsed-audio row: all format fields present, no error. */
+    def decoded(id: Long, nBytes: Long, rate: Int, channels: Int,
+                nSamples: Long, durationMs: Long): AudioMeta =
+      AudioMeta(id, nBytes, Some(rate), Some(channels), Some(nSamples), Some(durationMs))
+  }
+
+  /** Typed-error fallback for bytes no audio parser accepts. */
+  def undecodableAudio(id: Long, bytes: Array[Byte]): AudioMeta =
+    AudioMeta(id, bytes.length.toLong, None, None, None, None, Some(UndecodableReason))
 
   implicit val audioMetaEnc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
 
@@ -314,7 +415,7 @@ object Multimodal {
     * count, and frame length come from the DECODER's `AudioFormat`, not
     * from payload arithmetic. duration_ms is floor(frames·1000/rate) in
     * exact integer math (oracle-reproducible). Bytes no parser accepts
-    * fall back to the documented [[stubAudioDecode]]. */
+    * yield the typed-error row ([[undecodableAudio]]). */
   def audioDecode(id: Long, bytes: Array[Byte]): AudioMeta =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -323,13 +424,13 @@ object Multimodal {
         val fmt = in.getFormat
         val rate = math.round(fmt.getSampleRate.toDouble).toInt
         val frames = in.getFrameLength
-        AudioMeta(id, bytes.length.toLong, rate, fmt.getChannels, frames,
+        AudioMeta.decoded(id, bytes.length.toLong, rate, fmt.getChannels, frames,
           frames * 1000L / rate)
       } finally in.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException =>
-        stubAudioDecode(id, bytes)
-      case _: java.io.IOException => stubAudioDecode(id, bytes)
+        undecodableAudio(id, bytes)
+      case _: java.io.IOException => undecodableAudio(id, bytes)
     }
 
   /** Deterministic tiny VALID animated GIF for a doc — the moving-image
@@ -387,39 +488,25 @@ object Multimodal {
     * reader walking the image sequence (`getNumImages(allowSearch)` over
     * a seekable memory stream), not from payload arithmetic — the
     * frame-sampling operators downstream consume a decoder-reported
-    * n_frames. Bytes no reader accepts fall back to [[stubDecode]]. */
+    * n_frames. Bytes no reader accepts yield the typed-error row. */
   def animationDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val in = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (!readers.hasNext) stubDecode(id, bytes)
+      if (!readers.hasNext) undecodableMeta(id, bytes)
       else {
         val reader = readers.next()
         try {
           reader.setInput(in)
-          MediaMeta(id, bytes.length.toLong,
+          MediaMeta.decoded(id, bytes.length.toLong,
             reader.getWidth(0), reader.getHeight(0),
             reader.getNumImages(true))
         } finally reader.dispose()
       }
     } catch {
-      case _: java.io.IOException => stubDecode(id, bytes)
+      case _: java.io.IOException => undecodableMeta(id, bytes)
     } finally in.close()
-  }
-
-  /** ===== STUB ===== deterministic fake audio decode for undecodable
-    * bytes: values from a byte checksum, same fallback contract as
-    * [[stubDecode]] on the image side. */
-  def stubAudioDecode(id: Long, bytes: Array[Byte]): AudioMeta = {
-    var checksum = 0L
-    var i = 0
-    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
-    val rate = 8000 + java.lang.Long.remainderUnsigned(checksum, 3L).toInt * 8000
-    val n = 16 + java.lang.Long.remainderUnsigned(checksum >>> 7, 33L)
-    AudioMeta(id, bytes.length.toLong, rate,
-      1 + java.lang.Long.remainderUnsigned(checksum >>> 3, 2L).toInt, n,
-      n * 1000L / rate)
   }
 
   /** Partition-local batched audio decode — [[decodeBatched]]'s shape
@@ -433,22 +520,12 @@ object Multimodal {
       .toDF()
   }
 
-  /** Expression-level metadata over the binary payload. Width/height are
-    * STUB values derived from a byte hash (deterministic); n_bytes and
-    * n_frames are real payload arithmetic. */
-  def mediaMetaExpr(content: Column): Column = struct(
-    length(content).cast("long").as("n_bytes"),
-    (pmod(crc32(content), lit(1216)) + lit(64)).cast("int").as("width"),   // STUB dims
-    (pmod(xxhash64(content), lit(656)).cast("int") + lit(64)).as("height"), // STUB dims
-    (floor(length(content).cast("double") / 1024.0) + 1).cast("int").as("n_frames"))
-
   /** Partition-local batched decode — the `mapInPandas` analog. The
     * decoder runs once per payload inside `mapPartitions`, so a real
-    * codec would amortize model/library init per partition, not per row.
-    * Default decoder is the deterministic STUB. */
+    * codec would amortize model/library init per partition, not per row. */
   def decodeBatched(df: DataFrame, idCol: String = "doc_id",
                     contentCol: String = "content",
-                    decoder: (Long, Array[Byte]) => MediaMeta = stubDecode): DataFrame = {
+                    decoder: (Long, Array[Byte]) => MediaMeta = imageDecode): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(contentCol))
       .as[(Long, Array[Byte])]
@@ -458,29 +535,6 @@ object Multimodal {
       }
       .toDF()
   }
-
-  /** ===== STUB ===== deterministic fake decode: dimensions from a simple
-    * byte checksum. A real build replaces this body with an image/audio
-    * codec call; the signature and batching contract stay. */
-  def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
-    var checksum = 0L
-    var i = 0
-    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
-    MediaMeta(
-      doc_id = id,
-      n_bytes = bytes.length.toLong,
-      width = 64 + java.lang.Long.remainderUnsigned(checksum, 1216L).toInt,
-      height = 64 + java.lang.Long.remainderUnsigned(checksum >>> 7, 656L).toInt,
-      n_frames = bytes.length / 1024 + 1)
-  }
-
-  /** ===== STUB ===== hash-derived fake embedding — retained ONLY as the
-    * expression-level fallback for payloads no image reader accepts
-    * (mixed-media columns); every feature query now runs the REAL
-    * pixel-derived [[pixelFeatures]]. */
-  def extractFeatures(content: Column, dim: Int = 8): Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => (pmod(xxhash64(i, content), lit(2000L)).cast("double") / 1000.0 - 1.0).cast("float"))
 
   /** Per-pixel grayscale histogram of a DECODED image: gray = (r+g+b)/3
     * in integer arithmetic, bin = gray*bins/256 — every step exact, so an
@@ -651,15 +705,15 @@ object Multimodal {
     * area-averaging draw, re-encode BMP with the JDK writer, and report
     * the DECODED-then-re-DECODED dims so the output contract is what a
     * downstream reader will actually see. Undecodable bytes pass
-    * through with stub meta. Runs per payload inside the same batched
-    * `mapPartitions` contract as the decode paths. */
+    * through as the typed-error row. Runs per payload inside the same
+    * batched `mapPartitions` contract as the decode paths. */
   def imageResize(id: Long, bytes: Array[Byte], maxW: Int, maxH: Int): MediaMeta = {
     val img =
       try javax.imageio.ImageIO.read(
         new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes)))
       catch { case _: java.io.IOException => null }
-    if (img == null) stubDecode(id, bytes)
+    if (img == null) undecodableMeta(id, bytes)
     else {
       val scale = math.min(1.0,
         math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))

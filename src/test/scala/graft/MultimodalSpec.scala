@@ -5,7 +5,8 @@ import graft.operators.Multimodal
 
 /** The REAL image-decode path: synthesized BMPs must round-trip through
   * javax.imageio with the exact dims the builder pinned, and undecodable
-  * bytes must fall back to the stub rather than fail the batch. */
+  * bytes must surface as the typed-error row (null dims + reason) rather
+  * than fail the batch — or fabricate plausible-looking dims. */
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
 
@@ -22,12 +23,44 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  test("imageDecode reports decoder dims; undecodable bytes fall back to the stub") {
+  test("imageDecode reports decoder dims; undecodable bytes get the typed-error row") {
     val meta = Multimodal.imageDecode(5L, Multimodal.bmpBytes(5L, "alpha beta"))
-    assert(meta.width === 6 && meta.height === 6 && meta.n_frames === 1)
-    // garbage bytes: no reader accepts them -> deterministic stub values
+    assert(meta.width === Some(6) && meta.height === Some(6) &&
+      meta.n_frames === Some(1) && meta.error === None)
+    // garbage bytes: no reader accepts them -> null dims + reason, never
+    // fabricated dimensions
     val junk = "definitely not an image".getBytes("UTF-8")
-    assert(Multimodal.imageDecode(7L, junk) === Multimodal.stubDecode(7L, junk))
+    assert(Multimodal.imageDecode(7L, junk) === Multimodal.undecodableMeta(7L, junk))
+    assert(Multimodal.undecodableMeta(7L, junk).width === None)
+    assert(Multimodal.undecodableMeta(7L, junk).error === Some("undecodable"))
+  }
+
+  test("png/jpeg payloads decode at the pinned dims; mixed column drives the error path") {
+    for (id <- Seq(0L, 1L, 2L, 15L, 16L, 111L)) {
+      val png = Multimodal.imageDecode(id, Multimodal.pngBytes(id))
+      val jpg = Multimodal.imageDecode(id, Multimodal.jpegBytes(id))
+      for (m <- Seq(png, jpg)) {
+        assert(m.width === Some((1 + id % 16).toInt), s"id $id width")
+        assert(m.height === Some((1 + id % 7).toInt), s"id $id height")
+        assert(m.error === None, s"id $id decoded cleanly")
+      }
+    }
+    // garbageBytes must be rejected by every reader
+    assert(Multimodal.imageDecode(3L, Multimodal.garbageBytes(3L)).error
+      === Some("undecodable"))
+    // the mixed column end-to-end: formats rotate by id, garbage ids get
+    // null dims + reason in the SAME plan
+    val docs = Seq((0L, "bmp doc"), (1L, "png doc"), (2L, "jpeg doc"), (3L, "junk doc"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeBatched(Multimodal.withMixedContent(docs),
+        decoder = Multimodal.imageDecode)
+      .select("doc_id", "width", "height", "error")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(0L) === ((Some(1), Some(1), None)))
+    assert(out(1L) === ((Some(2), Some(2), None)))
+    assert(out(2L) === ((Some(3), Some(3), None)))
+    assert(out(3L) === ((None, None, Some("undecodable"))))
   }
 
   test("wavBytes builds a payload javax.sound.sampled parses at the pinned format") {
@@ -46,13 +79,16 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  test("audioDecode reports parser format; undecodable bytes fall back to the stub") {
+  test("audioDecode reports parser format; undecodable bytes get the typed-error row") {
     val meta = Multimodal.audioDecode(5L, Multimodal.wavBytes(5L, "alpha beta"))
     // id 5: rate 8000*(1+5%3)=24000, channels 1+5%2=2, samples 16+5%33=21
-    assert(meta.sample_rate === 24000 && meta.channels === 2 && meta.n_samples === 21L)
-    assert(meta.duration_ms === 21L * 1000L / 24000L)
+    assert(meta.sample_rate === Some(24000) && meta.channels === Some(2) &&
+      meta.n_samples === Some(21L))
+    assert(meta.duration_ms === Some(21L * 1000L / 24000L) && meta.error === None)
     val junk = "definitely not audio".getBytes("UTF-8")
-    assert(Multimodal.audioDecode(7L, junk) === Multimodal.stubAudioDecode(7L, junk))
+    assert(Multimodal.audioDecode(7L, junk) === Multimodal.undecodableAudio(7L, junk))
+    assert(Multimodal.undecodableAudio(7L, junk).sample_rate === None)
+    assert(Multimodal.undecodableAudio(7L, junk).error === Some("undecodable"))
   }
 
   test("audioDecodeBatched over withWavContent runs the real parser distributed") {
@@ -71,28 +107,28 @@ class MultimodalSpec extends SparkSuite {
     for (id <- Seq(0L, 1L, 4L, 5L, 8L, 9L, 44L, 9999L)) {
       val bytes = Multimodal.gifBytes(id, s"some words for doc $id")
       val meta = Multimodal.animationDecode(id, bytes)
-      assert(meta.width === (1 + id % 9).toInt, s"id $id width")
-      assert(meta.height === (1 + id % 5).toInt, s"id $id height")
-      assert(meta.n_frames === (2 + id % 6).toInt, s"id $id frames")
+      assert(meta.width === Some((1 + id % 9).toInt), s"id $id width")
+      assert(meta.height === Some((1 + id % 5).toInt), s"id $id height")
+      assert(meta.n_frames === Some((2 + id % 6).toInt), s"id $id frames")
     }
-    // garbage bytes: no reader accepts them -> deterministic stub values
+    // garbage bytes: no reader accepts them -> typed-error row
     val junk = "definitely not a gif".getBytes("UTF-8")
-    assert(Multimodal.animationDecode(7L, junk) === Multimodal.stubDecode(7L, junk))
+    assert(Multimodal.animationDecode(7L, junk) === Multimodal.undecodableMeta(7L, junk))
   }
 
   test("imageResize transcodes into the box, never upscales, and re-decodes") {
     // id 15: 16x2 -> scale 1/4 -> 4x1 (floor of 0.5 clamps to >= 1)
     val r = Multimodal.imageResize(15L,
       Multimodal.bmpBytes(15L, "alpha beta gamma"), maxW = 4, maxH = 4)
-    assert(r.width === 4 && r.height === 1)
+    assert(r.width === Some(4) && r.height === Some(1))
     assert(r.n_bytes === 54 + 1 * (((3 * 4 + 3) / 4) * 4))
     // id 0: 1x1 already inside the box -> untouched dims
     val small = Multimodal.imageResize(0L,
       Multimodal.bmpBytes(0L, "tiny"), maxW = 4, maxH = 4)
-    assert(small.width === 1 && small.height === 1)
-    // undecodable bytes fall through with stub meta
+    assert(small.width === Some(1) && small.height === Some(1))
+    // undecodable bytes fall through as the typed-error row
     val junk = "not an image".getBytes("UTF-8")
-    assert(Multimodal.imageResize(3L, junk, 4, 4) === Multimodal.stubDecode(3L, junk))
+    assert(Multimodal.imageResize(3L, junk, 4, 4) === Multimodal.undecodableMeta(3L, junk))
   }
 
   test("decodeBatched over withBmpContent runs the real decoder distributed") {

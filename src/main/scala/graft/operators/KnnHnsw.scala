@@ -134,20 +134,28 @@ object KnnHnsw {
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
 
   private[operators] def buildShard(m: Int, efConstruction: Int,
-      rows: Iterator[(Int, Long, Array[Float])]): Iterator[(Int, Long, Array[Float], Array[Long])] = {
+      rows: Iterator[(Int, Long, Array[Float])]): Iterator[(Int, Int, Long, Array[Float], Array[Int])] = {
     val sorted = rows.toArray.sortBy(_._2) // ascending id = deterministic graph
     if (sorted.isEmpty) return Iterator.empty
     val shard = sorted.head._1
     val g = new NswGraph(m, efConstruction)
     sorted.foreach { case (_, id, vec) => g.insert(id, vec) }
     (0 until g.ids.length).iterator.map { i =>
-      (shard, g.ids(i), g.vecs(i), g.adj(i).map(g.ids(_)).toArray.sorted)
+      (shard, i, g.ids(i), g.vecs(i), g.adj(i).toArray.sorted)
     }
   }
 
-  /** Build the sharded graph as a DataFrame (shard, id, vector,
-    * neighbors): one `flatMapGroups` task per shard, each holding only
-    * its own N/S vectors. */
+  /** Build the sharded graph as a DataFrame (shard, local_idx, vec_id,
+    * embedding, neighbor_idx): one `flatMapGroups` task per shard, each
+    * holding only its own N/S vectors. Adjacency is persisted as LOCAL
+    * indices alongside the row's own insertion index — the reference's
+    * restore is load-once array reads (`executor.py:51-57`), and local
+    * indices make OUR restore an array placement per row: no per-batch
+    * re-sort and no id→index hash map at serve time (the r10 search path
+    * re-derived both from global-id adjacency on every query batch).
+    * `local_idx` is the rank of the id within its shard (insertion is
+    * ascending-id), so the layout is deterministic and derivable —
+    * storing it costs one int per row and buys an O(n) restore. */
   def build(corpus: DataFrame, numShards: Int, m: Int = 8,
             efConstruction: Int = 64,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -159,7 +167,7 @@ object KnnHnsw {
       .groupByKey(_._1)
       .flatMapGroups((_: Int, rows: Iterator[(Int, Long, Array[Float])]) =>
         buildShard(m, efConstruction, rows))
-      .toDF("shard", "vec_id", "embedding", "neighbors")
+      .toDF("shard", "local_idx", "vec_id", "embedding", "neighbor_idx")
   }
 
   /** Persist shard-partitioned (the reference persists its graph + id map
@@ -173,7 +181,9 @@ object KnnHnsw {
     // restore the written schema so load is a true inverse of save
     Scale.loadPartitioned(spark, path)
       .select(col("shard").cast("int").as("shard"),
-        col("vec_id"), col("embedding"), col("neighbors"))
+        col("local_idx").cast("int").as("local_idx"),
+        col("vec_id"), col("embedding"),
+        col("neighbor_idx").cast("array<int>").as("neighbor_idx"))
 
   /** Append/upsert into a SAVED graph: new rows hash to their shards and
     * ONLY those shards rebuild (surviving existing rows + new rows,
@@ -215,23 +225,31 @@ object KnnHnsw {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val ef = math.max(1, efQuery)
     val scored = graph
-      .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"))
-      .as[(Int, Long, Array[Float], Array[Long])]
+      .select(col("shard"), col("local_idx"), col("vec_id"), col("embedding"),
+        col("neighbor_idx"))
+      .as[(Int, Int, Long, Array[Float], Array[Int])]
       // shards are whole within a hash partition; a partition may hold
-      // several, so rebuild each shard's graph separately
+      // several, so restore each shard's graph separately
       .repartition(col("shard"))
       .mapPartitions { rows =>
         val byShard = rows.toArray.groupBy(_._1)
         byShard.iterator.flatMap { case (_, shardRows) =>
-          val sorted = shardRows.sortBy(_._2)
-          val index = sorted.iterator.zipWithIndex
-            .map { case ((_, id, _, _), i) => id -> i }.toMap
+          // adjacency arrives as persisted LOCAL indices: restore is one
+          // array placement per row — no sort, no id→index map (the cost
+          // the pre-r11 global-id layout paid per query batch)
+          val n = shardRows.length
           val g = new NswGraph(1, 1) // container only; adjacency is restored
-          sorted.foreach { case (_, id, vec, _) =>
-            g.ids += id; g.vecs += vec; g.adj += new mutable.ArrayBuffer[Int]
+          val ids = new Array[Long](n)
+          val vecs = new Array[Array[Float]](n)
+          val adjs = new Array[Array[Int]](n)
+          shardRows.foreach { case (_, li, id, vec, nbs) =>
+            ids(li) = id; vecs(li) = vec; adjs(li) = nbs
           }
-          sorted.iterator.zipWithIndex.foreach { case ((_, _, _, nbs), i) =>
-            g.adj(i) ++= nbs.iterator.map(index)
+          var i = 0
+          while (i < n) {
+            g.ids += ids(i); g.vecs += vecs(i)
+            g.adj += (new mutable.ArrayBuffer[Int](adjs(i).length) ++= adjs(i))
+            i += 1
           }
           qs.iterator.flatMap { case (qid, qvec) =>
             g.searchBeam(qvec, ef).take(k).map { case (d, i) =>

@@ -15,21 +15,26 @@ class KnnHnswSpec extends SparkSuite {
   private lazy val queries = Tables.defaultQueries(spark, sfDir)
   private lazy val graph = KnnHnsw.build(corpus, numShards = 4)
 
+  /** (shard, vec_id) -> (local_idx, neighbor local indices) — the full
+    * persisted graph structure. */
+  private def structureOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("vec_id")) ->
+      ((r.getAs[Int]("local_idx"), r.getSeq[Int](r.fieldIndex("neighbor_idx"))))).toMap
+
   test("build is deterministic: two builds emit identical adjacency") {
-    val a = KnnHnsw.build(corpus, numShards = 4).collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](3)).toMap
-    val b = KnnHnsw.build(corpus, numShards = 4).collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](3)).toMap
+    val a = structureOf(KnnHnsw.build(corpus, numShards = 4))
+    val b = structureOf(KnnHnsw.build(corpus, numShards = 4))
     assert(a === b)
   }
 
   test("every shard graph is connected and degree-capped at 2m") {
     val byShard = graph.collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](3)))
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Int]("local_idx"),
+        r.getSeq[Int](r.fieldIndex("neighbor_idx"))))
       .groupBy(_._1)
     assert(byShard.size === 4)
     byShard.foreach { case (shard, rows) =>
-      val adj = rows.map(r => r._2 -> r._3).toMap
+      val adj = rows.map(r => r._2.toLong -> r._3.map(_.toLong).toSeq).toMap
       adj.values.foreach(nbs => assert(nbs.length <= 16, s"shard $shard degree"))
       // BFS from the lowest id must reach every node (edges are mutual
       // by construction; pruning keeps the cap, not the symmetry, so
@@ -84,10 +89,8 @@ class KnnHnswSpec extends SparkSuite {
     KnnHnsw.appendTo(spark, path, delta, numShards = 4)
     // deterministic per-shard build over the shard's id set means the
     // appended index is bit-identical to building the union from scratch
-    val appended = KnnHnsw.load(spark, path).collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](3)).toMap
-    val scratch = KnnHnsw.build(corpus, numShards = 4).collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](3)).toMap
+    val appended = structureOf(KnnHnsw.load(spark, path))
+    val scratch = structureOf(KnnHnsw.build(corpus, numShards = 4))
     assert(appended === scratch)
     // upsert last-wins: re-appending existing ids must not duplicate rows
     KnnHnsw.appendTo(spark, path, delta, numShards = 4)
@@ -98,6 +101,10 @@ class KnnHnswSpec extends SparkSuite {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_$sfKey"
     KnnHnsw.save(graph, path)
     val loaded = KnnHnsw.load(spark, path)
+    // restored == rebuilt: the persisted local-index layout must carry
+    // the IDENTICAL graph structure the in-session build produced (the
+    // array-placement restore in search depends on exactly this)
+    assert(structureOf(loaded) === structureOf(graph))
     val a = KnnHnsw.search(graph, queries, k = 3, efQuery = 32).collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted.toSeq
     val b = KnnHnsw.search(loaded, queries, k = 3, efQuery = 32).collect()

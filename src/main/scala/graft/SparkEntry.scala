@@ -232,6 +232,66 @@ object SparkEntry {
           .filter((col("doc_id") % 10000000L % 2L) === 0L)),
         on = Seq("id_a", "id_b"), floor = 1.0, minCount = 1L)
     }),
+    // GATED planted-hot-bucket skew: an adversarial all-identical corpus
+    // hashes every doc into ONE bucket per band, so the uncapped band
+    // self-join is C(n,2)-quadratic by construction — the pathological
+    // case a web-scale corpus WILL contain (boilerplate pages, empty
+    // docs). With maxBucketMembers the candidate stage must emit EXACTLY
+    // C(min(n,cap),2) pairs (the lowest-id cap members, identical in
+    // every band) and report EXACTLY bands*(n-cap) evicted members via
+    // bandBucketDrops — the bounded-state story DedupStream's bucket cap
+    // already gives ingest, pinned for the batch band joins. Any drift
+    // raises in-plan -> hard driver err.
+    "dedup_skew_gate" -> ((s, dir) => {
+      val cap = 32; val bands = 16
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 256)
+        .select(col("doc_id"), lit("planted hot bucket adversarial text").as("text"))
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+        .localCheckpoint(true)
+      val n = sigs.count() // bounded metadata: <= 256 rows, pinned frame
+      val kept = math.min(n, cap.toLong)
+      val expPairs = kept * (kept - 1) / 2
+      val expDrops = bands.toLong * math.max(0L, n - cap)
+      Dedup.minhashCandidatesFromSigs(sigs, maxBucketMembers = cap)
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(Dedup.bandBucketDrops(sigs, maxBucketMembers = cap)))
+        .select(lit(n).as("n_docs"), lit(cap).as("cap"), col("n_pairs"),
+          lit(expPairs).as("expected_pairs"), col("n_dropped"),
+          lit(expDrops).as("expected_dropped"))
+        .filter(when(col("n_pairs") === col("expected_pairs") &&
+                     col("n_dropped") === col("expected_dropped"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("dedup skew gate: pairs "), col("n_pairs"),
+            lit(" (expected "), col("expected_pairs"),
+            lit("), dropped "), col("n_dropped"),
+            lit(" (expected "), col("expected_dropped"), lit(")")))))
+    }),
+    // GATED processing-time TTL horizon (DedupStream.ttlMs), upgraded
+    // from a spec claim to a per-round driver signal: a 3-batch replay
+    // where batch 1's doc falls out of the TTL horizon before batch 3
+    // re-sends its content under new ids. The evicted member must NOT
+    // pair with the re-send (null state either swept on touch or
+    // reclaimed by the idle-bucket timeout), the in-horizon pair must
+    // emit, and every eviction must be observable through the drop
+    // accumulator. Timing margins are one-sided by construction: the
+    // re-sent pair rides ONE batch (arrivals pair against same-batch
+    // arrivals), so no assertion depends on two batches landing within
+    // the TTL — only on the idle gap EXCEEDING it, which the sleep
+    // guarantees (processing-time is monotone across triggers).
+    "dedup_stream_ttl_gate" -> ((s, dir) => {
+      val (streamed, dropped) = ttlGateReplay(s)
+      // the contract, gated in-plan: emitted pairs == exactly the
+      // in-horizon pair, and doc 1's 16 band-bucket memberships were
+      // observably dropped (sweep or idle-timeout — either counts once)
+      Recall.setAgreement(
+        s.createDataFrame(streamed.toSeq).toDF("id_a", "id_b"),
+        s.createDataFrame(Seq((3L, 4L))).toDF("id_a", "id_b"),
+        on = Seq("id_a", "id_b"), floor = 1.0, minCount = 1L)
+        .withColumn("n_dropped", lit(dropped))
+        .filter(when(col("n_dropped") >= 16L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("ttl gate: evictions must be observable, dropped="), col("n_dropped")))))
+    }),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
         blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
@@ -1719,6 +1779,73 @@ object SparkEntry {
         (1 to 8).map(i =>
           when(element_at(col("embedding"), i) >= 0, 1).otherwise(0)),
         threshold = 0.99) }
+
+  /** The TTL gate's replay, once per (SparkContext): unlike every other
+    * gate input, the replay's cost is dominated by WALL-CLOCK sleeps
+    * (the idle gap that expires the horizon) plus ProcessingTimeTimeout
+    * trigger churn — re-running it per bench sweep times Thread.sleep,
+    * not engine work. Memoized under the same once-per-JVM policy as the
+    * index builds (ivfBuilt/hnswBuilt): the contract plan (agreement +
+    * drop-count gates) still builds and executes on every call. The
+    * replay is fixture-independent (a planted 4-doc corpus), so the memo
+    * keys on the context alone. */
+  private val ttlReplayMemo =
+    scala.collection.concurrent.TrieMap.empty[Int, (Set[(Long, Long)], Long)]
+  private def ttlGateReplay(s: SparkSession): (Set[(Long, Long)], Long) =
+    ttlReplayMemo.getOrElseUpdate(System.identityHashCode(s.sparkContext), {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val text = "ttl horizon gate shared text body"
+      val sink = s"__dedup_ttl_gate_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val s2 = s.newSession()
+      // 4 state partitions, the stream-agreement gate's tuning: each
+      // continuous re-trigger (the ProcessingTimeTimeout churn) pays one
+      // state-store task per partition
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = s2.sqlContext
+      import s2.implicits._
+      val acc = s2.sparkContext.longAccumulator(sink + "_dropped")
+      val input = MemoryStream[(Long, String)]
+      val streamed = {
+        val q = graft.streaming.DedupStream.nearDupCandidatesStream(
+            input.toDF().toDF("doc_id", "text"),
+            ttlMs = 250L, droppedAcc = Some(acc))
+          .toDF().writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+          .format("memory").queryName(sink).start()
+        try {
+          // ProcessingTimeTimeout re-triggers continuously, so
+          // processAllAvailable never observes quiescence — poll
+          // progress/sink instead (the StreamingSpec harness pattern)
+          def awaitInputTotal(n: Long): Unit = {
+            val deadline = System.currentTimeMillis() + 60000
+            while (q.recentProgress.map(_.numInputRows).sum < n) {
+              if (System.currentTimeMillis() > deadline)
+                throw new IllegalStateException(s"ttl gate: stream stalled before $n inputs")
+              Thread.sleep(50)
+            }
+          }
+          input.addData((1L, text)); awaitInputTotal(1)         // batch 1
+          input.addData((2L, "unrelated batch two text")); awaitInputTotal(2) // batch 2
+          Thread.sleep(700) // idle past the 250ms TTL: doc 1's horizon expires
+          // batch 3 re-sends batch 1's content under new ids. The
+          // re-sent PAIR rides one batch (same-batch arrivals pair), so
+          // no assertion depends on two batches landing within the TTL —
+          // only on the idle gap exceeding it, which the sleep
+          // guarantees (processing-time is monotone across triggers).
+          input.addData((3L, text), (4L, text)); awaitInputTotal(4)
+          // the in-horizon (3,4) pair lands within a few triggers
+          val deadline = System.currentTimeMillis() + 60000
+          def pairs() = s2.table(sink).select("id_a", "id_b").distinct()
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          var p = pairs()
+          while (!p.contains((3L, 4L)) && System.currentTimeMillis() < deadline) {
+            Thread.sleep(50); p = pairs()
+          }
+          p
+        } finally { q.stop(); s2.catalog.dropTempView(sink) }
+      }
+      (streamed, acc.value)
+    })
 
   /** Pair-preserving slice guard for the O(N^2) brute agreement gate:
     * above [[BruteGateMaxDocs]] signatures the gate runs on the id-parity

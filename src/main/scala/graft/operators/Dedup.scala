@@ -146,17 +146,54 @@ object Dedup {
 
   /** Candidate pairs whose signatures collide in at least one LSH band:
     * explode band hashes, shuffle on (band index, band hash), pair within
-    * bucket with id_a < id_b. */
+    * bucket with id_a < id_b.
+    * @param maxBucketMembers per-(band, bucket) membership cap — the
+    *   batch twin of `DedupStream.maxMembersPerBucket`'s bounded-state
+    *   rule. The band hash is the shuffle key, so an adversarial corpus
+    *   (every doc identical) collapses into ONE bucket and the self-join
+    *   goes quadratic in N; the cap keeps the lowest-id
+    *   `maxBucketMembers` members per bucket (deterministic — a
+    *   row_number over the same key the join shuffles on, linear work),
+    *   bounding within-bucket pairs at C(cap, 2) by construction.
+    *   Dropped membership is observable via [[bandBucketDrops]] and
+    *   gated by the `dedup_skew_gate` driver row. Default = uncapped
+    *   (exact), matching the streaming default. */
   private def bandCandidates(sigs: DataFrame, idCol: String,
-                             bands: Int, rowsPerBand: Int): DataFrame = {
-    val buckets = sigs.select(col(idCol),
-        posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("__band", "__bh")))
+                             bands: Int, rowsPerBand: Int,
+                             maxBucketMembers: Int = Int.MaxValue): DataFrame = {
+    val buckets = capBuckets(
+      sigs.select(col(idCol),
+        posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("__band", "__bh"))),
+      idCol, maxBucketMembers)
     val a = buckets.select(col(idCol).as("id_a"), col("__band"), col("__bh"))
     val b = buckets.select(col(idCol).as("id_b"), col("__band"), col("__bh"))
     a.join(b, Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** Keep the lowest-id `cap` members of each (band, bucket); uncapped
+    * input passes through with no extra plan node. */
+  private def capBuckets(buckets: DataFrame, idCol: String, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) buckets
+    else buckets
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__band"), col("__bh")).orderBy(col(idCol))))
+      .filter(col("__rn") <= cap).drop("__rn")
+
+  /** Observable eviction count for a capped band join: total members
+    * beyond `maxBucketMembers` across all (band, bucket) groups — the
+    * batch analog of the streaming path's `droppedAcc`. One aggregate
+    * over the exploded bucket frame (linear; never forms pairs). */
+  def bandBucketDrops(sigs: DataFrame, idCol: String = "doc_id",
+                      numPerms: Int = 32, bands: Int = 16,
+                      maxBucketMembers: Int = Int.MaxValue): DataFrame =
+    sigs.select(col(idCol),
+        posexplode(bandHashes(col("sig"), bands, numPerms / bands)).as(Seq("__band", "__bh")))
+      .groupBy(col("__band"), col("__bh"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(greatest(col("__n") - lit(maxBucketMembers.toLong), lit(0L))),
+        lit(0L)).as("n_dropped"))
 
   /** Public window into the LSH candidate stage: pairs whose signatures
     * collide in >= 1 band, distinct, id_a < id_b — the batch twin the
@@ -174,8 +211,9 @@ object Dedup {
     * caller sharing one signature frame across several consumers (the
     * per-round agreement gates) pays construction once total. */
   def minhashCandidatesFromSigs(sigs: DataFrame, idCol: String = "doc_id",
-                                numPerms: Int = 32, bands: Int = 16): DataFrame =
-    bandCandidates(sigs, idCol, bands, numPerms / bands)
+                                numPerms: Int = 32, bands: Int = 16,
+                                maxBucketMembers: Int = Int.MaxValue): DataFrame =
+    bandCandidates(sigs, idCol, bands, numPerms / bands, maxBucketMembers)
 
   /** MinHash near-dup pairs, exact-verified: LSH candidates filtered by
     * true shingle-set Jaccard >= threshold.

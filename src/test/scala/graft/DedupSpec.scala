@@ -39,6 +39,25 @@ class DedupSpec extends SparkSuite {
     assert((planted -- pairs).isEmpty, s"missed ${(planted -- pairs).size} planted pairs")
   }
 
+  test("bucket cap bounds an all-identical hot bucket; uncapped path unchanged") {
+    // 40 identical docs: every band puts all 40 in one bucket, so the
+    // uncapped candidate stage is C(40,2); cap 8 must emit exactly the
+    // lowest-id C(8,2) pairs and count 16 bands x 32 evictions
+    val docs = (0L until 40L).map(i => (i, "identical adversarial text body"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+    val uncapped = Dedup.minhashCandidatesFromSigs(sigs)
+    assert(uncapped.count() === 40L * 39 / 2)
+    val capped = Dedup.minhashCandidatesFromSigs(sigs, maxBucketMembers = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === (for (a <- 0L until 8L; b <- (a + 1) until 8L) yield (a, b)).toSet)
+    val dropped = Dedup.bandBucketDrops(sigs, maxBucketMembers = 8)
+      .head().getLong(0)
+    assert(dropped === 16L * 32L)
+    // uncapped drop count is zero by definition
+    assert(Dedup.bandBucketDrops(sigs).head().getLong(0) === 0L)
+  }
+
   test("minhash jaccard estimates match exact jaccard on planted pairs") {
     val pairs = Dedup.minhashPairs(withNearDupes, threshold = 0.5)
       .filter($"id_b" - $"id_a" === 10000000L)

@@ -1622,7 +1622,9 @@ object SparkEntry {
     * mapPartitions subtree is the expensive part of every multimodal
     * query, and LSH / recall consumers reference the frame 2-4 times —
     * without pinning, each reference re-builds and re-decodes every
-    * payload (measured 6.1s on multimodal_dedup at sf0.1; 2.3s pinned).
+    * payload (measured 6.1s on multimodal_dedup at sf0.1; 1.3s once
+    * pinned AND pre-repartitioned — the SCALING.md clean-run min; 2.3s
+    * was the interim pinned-only number).
     * The frame is tiny (rows × ~100 floats); at 100 TB the features
     * would live as a persisted columnar table, which this models. The
     * caller repartitions BEFORE the decode so the per-payload work

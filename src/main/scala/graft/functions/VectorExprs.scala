@@ -310,11 +310,17 @@ object VectorExprs {
     * plan-bound, not data-bound). Arithmetic is bit-identical to the
     * per-plane [[DotProduct]] against a literal: double accumulation,
     * left-to-right, min(len, dim) elements. */
-  case class SignProjection(child: Expression, planes: Int, flat: Array[Double])
+  /** `flat` is a Seq (not a raw Array): case-class equality on an Array
+    * field is reference equality, which silently defeats semanticEquals /
+    * canonicalization / common-subexpression elimination for two
+    * value-identical projections. The tight loops read the private
+    * unwrapped array. */
+  case class SignProjection(child: Expression, planes: Int, flat: Seq[Double])
       extends UnaryExpression {
     override def prettyName: String = "vec_sign_proj"
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    private val dim = if (planes == 0) 0 else flat.length / planes
+    private val flatArr: Array[Double] = flat.toArray
+    private val dim = if (planes == 0) 0 else flatArr.length / planes
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -333,7 +339,7 @@ object VectorExprs {
       while (p < planes) {
         val off = p * dim
         var s = 0.0; var i = 0
-        while (i < n) { s += flat(off + i) * read(child, x, i); i += 1 }
+        while (i < n) { s += flatArr(off + i) * read(child, x, i); i += 1 }
         bits(p) = if (s >= 0.0) 1 else 0
         p += 1
       }
@@ -342,7 +348,7 @@ object VectorExprs {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
-        val m = ctx.addReferenceObj("signProjMatrix", flat, "double[]")
+        val m = ctx.addReferenceObj("signProjMatrix", flatArr, "double[]")
         val (p, i, n, s, bits) = (ctx.freshName("p"), ctx.freshName("i"),
           ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("bits"))
         s"""

@@ -42,7 +42,8 @@ object VectorOps {
   /** All random-projection sign bits at once (codegen'd single pass;
     * arithmetic identical to one [[dot]]-vs-literal per plane). */
   def signProjection(a: Column, hyper: Array[Array[Double]]): Column =
-    asCol(VectorExprs.SignProjection(asExpr(a), hyper.length, hyper.flatten))
+    asCol(VectorExprs.SignProjection(asExpr(a), hyper.length,
+      hyper.flatten.toIndexedSeq))
 
   /** PQ ADC table lookup `Σ_s lut[s*k + codes[s]]` — codegen'd
     * ([[VectorExprs.AdcLookup]]); `lut` is flattened subspace-major. */

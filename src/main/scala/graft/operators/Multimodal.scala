@@ -379,15 +379,23 @@ object Multimodal {
           if (n == 0) Seq.empty
           else {
             val sums = new Array[Long](windows)
+            val cnts = new Array[Long](windows)
             var i = 0
             while (i < n) {
               val lo = data(2 * i) & 0xff
               val hi = data(2 * i + 1).toInt // sign-extends: int16 value
               val v = (hi << 8) | lo
-              sums((i.toLong * windows / n).toInt) += math.abs(v)
+              val w = (i.toLong * windows / n).toInt
+              sums(w) += math.abs(v)
+              cnts(w) += 1
               i += 1
             }
-            (0 until windows).map(w => (id, w, sums(w)))
+            // only windows that CONTAIN samples emit a row (n < windows
+            // leaves some empty): a GROUP-BY oracle over the samples can
+            // only see populated windows, and an all-zero row for a
+            // window no sample mapped to would hash-diverge from it —
+            // the same contract as the pixel histogram's n > 0 filter
+            (0 until windows).filter(cnts(_) > 0).map(w => (id, w, sums(w)))
           }
         }
       } finally in.close()

@@ -22,7 +22,15 @@ object Tables {
     val df = conform(table(spark, dir, "embeddings"), Map("vec_id" -> LongType))
     df.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => df
-      case ArrayType(_, _) => df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case ArrayType(other, _) =>
+        // visible, not silent: a fixture that genuinely carries e.g.
+        // array<double> would lose precision under this conforming
+        // narrow — the drift should be loud enough to notice
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"embeddings.embedding arrived as array<${other.simpleString}>; " +
+            "conforming (narrowing) to array<float> — regenerate or widen the " +
+            "loaders if the wider type is intentional")
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
       case _ => df
     }
   }

@@ -76,7 +76,7 @@ class VectorExprsPropSpec extends AnyFunSuite {
     run(Prop.forAll(gen) { case (v, planes, seed) =>
       val rnd = new scala.util.Random(seed)
       val hyper = Array.fill(planes)(Array.fill(v.length)(rnd.nextGaussian()))
-      val got = VectorExprs.SignProjection(lit(v), planes, hyper.flatten)
+      val got = VectorExprs.SignProjection(lit(v), planes, hyper.flatten.toIndexedSeq)
         .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toIntArray().toSeq
       val want = hyper.toIndexedSeq.map { h =>

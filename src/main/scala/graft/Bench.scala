@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query minima of the PRIOR run's bench_full.json (committed by
+    * the previous round), read before this run overwrites it. Cross-SF
+    * comparisons are meaningless (a builder-side sf0.001 run must not
+    * flag every query of the next sf0.1 run as a mover), so only a
+    * same-SF prior is used — `exists`, not `forall`: a legacy file
+    * WITHOUT an sf field is treated as not-same-SF. */
+  private def loadPrior(sfDir: String): Map[String, Double] = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+    val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == sfDir)
+    if (!sameSf) Map.empty[String, Double]
+    else """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+      .map { qsec =>
+        """"([^"]+)":([0-9]+\.?[0-9]*(?:[Ee][+-]?[0-9]+)?)""".r
+          .findAllMatchIn(qsec).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+  } catch { case _: Throwable => Map.empty[String, Double] }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,13 +59,19 @@ object Bench {
       }
     val s1 = sweep(); val s2 = sweep()
     val twoSweep = s1.map { case (name, (t, _)) => name -> math.min(t, s2(name)._1) }
-    // Host-level stalls hit individual queries for 2-10x on this box and
-    // can survive both sweeps for the expensive ones; one more timing of
-    // the current top-8 costs a bounded ~30% extra and pins their minima
-    // (r5's three false regression flags were all mid-range queries that
-    // caught stalls in both sweeps — a wider third pass is the fix).
-    val slow = twoSweep.toSeq.sortBy(-_._2).take(8).map(_._1)
-    val s3 = slow.flatMap { name =>
+    // Same-SF prior minima, loaded BEFORE the extra passes (and reused
+    // for the flagged report below): a query whose current minimum still
+    // exceeds the prior by the flag thresholds is most likely a stall
+    // that survived both sweeps — exactly the queries that deserve
+    // another measurement window before the number is published.
+    val prior = loadPrior(sfDir)
+    def stallSuspects(mins: Map[String, Double]): Seq[String] =
+      mins.toSeq
+        .flatMap { case (name, t) =>
+          prior.get(name).filter(p => t > p * 1.4 && t - p > 0.3)
+            .map(p => name -> t / p) }
+        .sortBy(-_._2).map(_._1)
+    def extraPass(names: Seq[String]): Map[String, Double] = names.flatMap { name =>
       val t0 = System.nanoTime()
       // only a successful run may contribute a minimum — a transient
       // failure here must not bench as a speedup
@@ -54,8 +79,21 @@ object Bench {
             Some(name -> (System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
     }.toMap
-    val results = twoSweep.map { case (name, t) =>
+    // Host-level stalls hit individual queries for 2-10x on this box and
+    // can survive both sweeps (r10's driver run flagged 8 movers, all on
+    // untouched code). Third pass: the current top-8 PLUS every
+    // prior-flag suspect, bounded; fourth pass: whoever still looks
+    // stalled after the third. Cost is bounded (<=24+12 re-timings of
+    // mostly 1-3s queries); the payoff is a published number the noise
+    // mode can't inflate without surviving FOUR separated windows.
+    val slow = twoSweep.toSeq.sortBy(-_._2).take(8).map(_._1)
+    val third = (slow ++ stallSuspects(twoSweep)).distinct.take(24)
+    val s3 = extraPass(third)
+    val afterThird = twoSweep.map { case (name, t) =>
       name -> math.min(t, s3.getOrElse(name, t)) }
+    val s4 = extraPass(stallSuspects(afterThird).take(12))
+    val results = afterThird.map { case (name, t) =>
+      name -> math.min(t, s4.getOrElse(name, t)) }
     val errors = (s1.toSeq ++ s2.toSeq)
       .collect { case (name, (_, Some(e))) => name -> e }.toMap
     def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"]", "_").replaceAll("[\\x00-\\x1f]", " ") + "\""
@@ -80,36 +118,17 @@ object Bench {
     // noise (one stalled run) vs real (all runs moved) without
     // re-litigating — this box stalls individual queries 2-10x
     val rawRuns = results.keys.toSeq.sorted.map { name =>
-      val runs = Seq(s1(name)._1, s2(name)._1) ++ s3.get(name).toSeq
+      val runs = Seq(s1(name)._1, s2(name)._1) ++ s3.get(name).toSeq ++ s4.get(name).toSeq
       jstr(name) + ":[" + runs.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    // Cross-round adjudication, machine-readable: the PRIOR run's
-    // bench_full.json (committed by the previous round) is read before
-    // this run overwrites it, and any query whose new minimum moved
-    // >1.5x AND >0.3s absolute vs the prior minimum is flagged with its
-    // ratio. The absolute guard keeps sub-second noise (this box stalls
-    // individual queries 2-10x) from flooding the list; a real plan
-    // regression on a meaningful query clears both bars. "flagged":{}
-    // means no structural movers — what used to be a hand-maintained
-    // SCALING.md table.
-    val prior: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("bench_full.json")), "UTF-8")
-      // cross-SF comparisons are meaningless (a builder-side sf0.001 run
-      // overwriting the file must not flag every query of the next sf0.1
-      // run as a mover) — only adjudicate against a same-SF prior
-      // exists, not forall: a prior file WITHOUT an sf field (legacy
-      // format) must be treated as not-same-SF, or the stale prior slips
-      // through the guard on the first run after upgrade
-      val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
-        .exists(_.group(1) == sfDir)
-      if (!sameSf) Map.empty[String, Double]
-      else """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map(_.group(1))
-        .map { qsec =>
-          """"([^"]+)":([0-9]+\.?[0-9]*(?:[Ee][+-]?[0-9]+)?)""".r
-            .findAllMatchIn(qsec).map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }.getOrElse(Map.empty)
-    } catch { case _: Throwable => Map.empty[String, Double] }
+    // Cross-round adjudication, machine-readable: any query whose new
+    // minimum moved >1.5x AND >0.3s absolute vs the prior (same-SF)
+    // minimum is flagged with its ratio. The absolute guard keeps
+    // sub-second noise (this box stalls individual queries 2-10x) from
+    // flooding the list; a real plan regression on a meaningful query
+    // clears both bars. "flagged":{} means no structural movers — and
+    // the adaptive third/fourth passes above mean anything still listed
+    // survived four separated measurement windows.
     val flagged = results.toSeq
       .flatMap { case (name, t) =>
         prior.get(name)

@@ -137,14 +137,22 @@ object SparkEntry {
     // legitimately differ — similarity is hash-dependent, 9 vs 12 pairs
     // on fixtures — so ITS gate below compares banded vs brute instead.)
     "dedup_twin_agreement" -> ((s, dir) => {
-      val corpus = docsWithNearDupes(s, dir)
       // both pipelines feed from the pinned shared signature frames
       // (fixture corpus plants dupes, so minCount=1 guards against a
-      // wiring regression emptying both sides reading as agreement)
+      // wiring regression emptying both sides reading as agreement).
+      // Both sides run on the pair-preserving id-parity HALF slice
+      // (planted copies share their base's parity, so every planted
+      // pair survives whole): the contract is corpus-independent — the
+      // two pipelines must agree on WHATEVER corpus they see — and the
+      // slice quarters the band-join + verify work this gate re-pays
+      // per bench sweep (signatures are per-row, so slicing the pinned
+      // frame == signaturing the slice).
+      val corpus = parityHalf(docsWithNearDupes(s, dir))
       Recall.setAgreement(
-        Dedup.minhashPairsFromSigs(corpus, nearDupMinhashSigs(s, dir), threshold = 0.5),
-        Dedup.minhashPairsPortableFromSigs(corpus, nearDupMinhashSigsMd5(s, dir),
+        Dedup.minhashPairsFromSigs(corpus, parityHalf(nearDupMinhashSigs(s, dir)),
           threshold = 0.5),
+        Dedup.minhashPairsPortableFromSigs(corpus,
+          parityHalf(nearDupMinhashSigsMd5(s, dir)), threshold = 0.5),
         on = Seq("id_a", "id_b", "jaccard"), floor = 1.0, minCount = 1L)
     }),
     // GATED SimHash banding contract: the banded xxhash64 flagship must
@@ -188,13 +196,17 @@ object SparkEntry {
     // stream harness (MemoryStream is driver-side by nature) and is
     // bounded by the fixture corpus; the operator under test is the
     // distributed flatMapGroupsWithState pipeline itself. Both sides
-    // run on a pair-preserving half slice ((id mod 1e7) even keeps
-    // every planted (base, base+1e7) pair — base%10==0 is even) to
-    // bound the replay cost; the contract is corpus-independent.
+    // run on a pair-preserving QUARTER slice ((id mod 1e7) % 4 == 0:
+    // a planted copy at base+1e7 shares its base's residue, and bases
+    // are multiples of 10, so every base%20==0 pair survives WHOLE —
+    // still several planted pairs at every fixture SF, minCount-guarded)
+    // to bound the replay cost; the contract is corpus-independent.
+    // (r10 ran the half slice at 2.95s — #2 in the bench; the replay
+    // cost scales with rows through the per-trigger state machinery.)
     "dedup_stream_agreement" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val corpus = docsWithNearDupes(s, dir).select("doc_id", "text")
-        .filter((col("doc_id") % 10000000L % 2L) === 0L)
+        .filter((col("doc_id") % 10000000L % 4L) === 0L)
       val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val sink = s"__dedup_stream_gate_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
@@ -229,7 +241,7 @@ object SparkEntry {
       // the agreement join itself runs at the session's partitioning.
       Recall.setAgreement(s.createDataFrame(streamed).toDF("id_a", "id_b"),
         Dedup.minhashCandidatesFromSigs(nearDupMinhashSigs(s, dir)
-          .filter((col("doc_id") % 10000000L % 2L) === 0L)),
+          .filter((col("doc_id") % 10000000L % 4L) === 0L)),
         on = Seq("id_a", "id_b"), floor = 1.0, minCount = 1L)
     }),
     // GATED planted-hot-bucket skew: an adversarial all-identical corpus
@@ -1042,7 +1054,12 @@ object SparkEntry {
     // nearly the same docs as the exact-word path; identical Gumbel
     // noise on both sides isolates pure feature-collision drift
     "dsir_hashed_agreement" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // the half slice bounds the tokenize+ratio work this gate re-pays
+      // per bench sweep; the contract is corpus-independent (identical
+      // Gumbel noise on both sides isolates pure feature-collision
+      // drift at ANY corpus), and the seed-token docs are uniform in id
+      // so the slice keeps the target set populated at every SF
+      val docs = parityHalf(Tables.documents(s, dir))
       val pred = array_contains(Dedup.tokens(col("text")), "dup")
       // one shared tokenization for both compared paths (gate policy:
       // the value is the comparison, not re-timing the explode)
@@ -1864,9 +1881,17 @@ object SparkEntry {
   private[graft] val BruteGateMaxDocs = 20000L
   private[graft] def bruteGateSlice(sigs: DataFrame,
                                     maxDocs: Long = BruteGateMaxDocs): DataFrame =
-    if (sigs.count() > maxDocs)
-      sigs.filter((col("doc_id") % 10000000L % 2L) === 0L)
+    if (sigs.count() > maxDocs) parityHalf(sigs)
     else sigs
+
+  /** The pair-preserving id-parity HALF slice shared by the agreement
+    * gates: (id mod 1e7) even — a planted copy at base+1e7 shares its
+    * base's parity, so every planted (base, base+1e7) pair survives
+    * whole while the pair universe quarters. Gates may slice because
+    * their contracts are corpus-independent (two pipelines must agree
+    * on whatever corpus they see); flagship rows never do. */
+  private def parityHalf(df: DataFrame, idCol: String = "doc_id"): DataFrame =
+    df.filter((col(idCol) % 10000000L % 2L) === 0L)
 
   /** documents plus near-copies (three words appended) of every 10th doc. */
   private def docsWithNearDupes(s: SparkSession, dir: String): DataFrame = {

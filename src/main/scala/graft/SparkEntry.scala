@@ -278,6 +278,116 @@ object SparkEntry {
             lit("), dropped "), col("n_dropped"),
             lit(" (expected "), col("expected_dropped"), lit(")")))))
     }),
+    // GATED star-link overflow policy, same planted megabucket: beyond
+    // the cap each member pairs against the bucket REPRESENTATIVE
+    // (lowest id) instead of vanishing — C(cap,2) + (n−cap) pairs,
+    // still linear in n, and because the megabucket pathology is
+    // verbatim duplication (every star link a true duplicate) the
+    // duplicate COMPONENT stays whole: every one of the n docs appears
+    // in >= 1 candidate pair. Pinned exactly: the pair count formula
+    // AND full id coverage. This is the policy a dedup pass wants at
+    // 100 TB (the drop policy's lost members never dedup); both are
+    // exported, both gated.
+    "dedup_skew_link_gate" -> ((s, dir) => {
+      val cap = 32
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 256)
+        .select(col("doc_id"), lit("planted hot bucket adversarial text").as("text"))
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+        .localCheckpoint(true)
+      val n = sigs.count() // bounded metadata: <= 256 rows, pinned frame
+      val kept = math.min(n, cap.toLong)
+      val expPairs = kept * (kept - 1) / 2 + math.max(0L, n - cap)
+      val cands = Dedup.minhashCandidatesFromSigs(sigs, maxBucketMembers = cap,
+        overflowLink = true).localCheckpoint(true)
+      val ids = cands.select(col("id_a").as("id"))
+        .unionByName(cands.select(col("id_b").as("id"))).distinct()
+      cands.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(ids.agg(count(lit(1)).as("n_covered"))))
+        .select(lit(n).as("n_docs"), lit(cap).as("cap"), col("n_pairs"),
+          lit(expPairs).as("expected_pairs"), col("n_covered"))
+        .filter(when(col("n_pairs") === col("expected_pairs") &&
+                     col("n_covered") === col("n_docs"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("dedup skew link gate: pairs "), col("n_pairs"),
+            lit(" (expected "), col("expected_pairs"),
+            lit("), covered "), col("n_covered"),
+            lit(" of "), col("n_docs")))))
+    }),
+    // GATED SimHash hot-bucket bound: identical docs -> identical 64-bit
+    // signatures -> ONE bucket in every bit-slice band; the capped +
+    // star-linked join must emit exactly C(cap,2) + (n−cap) verified
+    // pairs (hamming 0 throughout, so every candidate and every star
+    // link survives verification), full id coverage, and the overflow
+    // count must read bands·(n−cap) — the same bounded-skew contract
+    // the MinHash gates pin, for the second band-join family.
+    "dedup_skew_simhash_gate" -> ((s, dir) => {
+      val cap = 32; val bands = 4
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 256)
+        .select(col("doc_id"), lit("planted hot bucket adversarial text").as("text"))
+      val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", 64)
+        .localCheckpoint(true)
+      val n = sigs.count() // bounded metadata: <= 256 rows, pinned frame
+      val kept = math.min(n, cap.toLong)
+      val expPairs = kept * (kept - 1) / 2 + math.max(0L, n - cap)
+      val expOverflow = bands.toLong * math.max(0L, n - cap)
+      val pairs = Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, bands = bands,
+        maxBucketMembers = cap, overflowLink = true).localCheckpoint(true)
+      val ids = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+      pairs.agg(count(lit(1)).as("n_pairs"), max(col("hamming")).as("max_hamming"))
+        .crossJoin(broadcast(ids.agg(count(lit(1)).as("n_covered"))))
+        .crossJoin(broadcast(Dedup.simhashBucketOverflow(sigs, bands = bands,
+          maxBucketMembers = cap)))
+        .select(lit(n).as("n_docs"), lit(cap).as("cap"), col("n_pairs"),
+          lit(expPairs).as("expected_pairs"), col("n_covered"),
+          col("max_hamming"), col("n_overflow"),
+          lit(expOverflow).as("expected_overflow"))
+        .filter(when(col("n_pairs") === col("expected_pairs") &&
+                     col("n_covered") === col("n_docs") &&
+                     col("max_hamming") === 0L &&
+                     col("n_overflow") === col("expected_overflow"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("simhash skew gate: pairs "), col("n_pairs"),
+            lit(" (expected "), col("expected_pairs"),
+            lit("), covered "), col("n_covered"),
+            lit(" of "), col("n_docs"),
+            lit(", overflow "), col("n_overflow"),
+            lit(" (expected "), col("expected_overflow"), lit(")")))))
+    }),
+    // GATED SemDeDup hot-cluster bound: identical embeddings normalize
+    // to one point, land in ONE k-means cell under ANY centroid set, and
+    // the per-cell blocked self-join is the third quadratic-in-a-block
+    // surface. Capped + star-linked it must emit exactly C(cap,2) +
+    // (n−cap) pairs — every one exact-cosine-verified at 1.0 — with
+    // full id coverage, so the semantic-dup component stays whole at
+    // linear cost.
+    "dedup_skew_semdedup_gate" -> ((s, dir) => {
+      val cap = 32
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 256)
+        .select(col("vec_id"),
+          array((1 to 8).map(i => lit(0.125f * i)): _*).as("embedding"))
+        .localCheckpoint(true)
+      val n = emb.count() // bounded metadata: <= 256 rows, pinned frame
+      val kept = math.min(n, cap.toLong)
+      val expPairs = kept * (kept - 1) / 2 + math.max(0L, n - cap)
+      val pairs = Dedup.semdedupPairs(emb, numClusters = 4, threshold = 0.99,
+        maxBlockMembers = cap, overflowLink = true).localCheckpoint(true)
+      val ids = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+      pairs.agg(count(lit(1)).as("n_pairs"), min(col("cosine")).as("min_cosine"))
+        .crossJoin(broadcast(ids.agg(count(lit(1)).as("n_covered"))))
+        .select(lit(n).as("n_docs"), lit(cap).as("cap"), col("n_pairs"),
+          lit(expPairs).as("expected_pairs"), col("n_covered"), col("min_cosine"))
+        .filter(when(col("n_pairs") === col("expected_pairs") &&
+                     col("n_covered") === col("n_docs") &&
+                     col("min_cosine") === 1.0, lit(true))
+          .otherwise(raise_error(concat(
+            lit("semdedup skew gate: pairs "), col("n_pairs"),
+            lit(" (expected "), col("expected_pairs"),
+            lit("), covered "), col("n_covered"),
+            lit(" of "), col("n_docs"),
+            lit(", min cosine "), col("min_cosine")))))
+    }),
     // GATED processing-time TTL horizon (DedupStream.ttlMs), upgraded
     // from a spec claim to a per-round driver signal: a 3-batch replay
     // where batch 1's doc falls out of the TTL horizon before batch 3

@@ -157,29 +157,52 @@ object Dedup {
     *   bounding within-bucket pairs at C(cap, 2) by construction.
     *   Dropped membership is observable via [[bandBucketDrops]] and
     *   gated by the `dedup_skew_gate` driver row. Default = uncapped
-    *   (exact), matching the streaming default. */
+    *   (exact), matching the streaming default.
+    * @param overflowLink hot-bucket policy for the rows past the cap:
+    *   instead of vanishing from the candidate stage, each overflow
+    *   member emits ONE pair against the bucket's representative (its
+    *   lowest-id member) — C(cap,2) + (n−cap) pairs per bucket, still
+    *   linear in n. On the pathology that actually creates megabuckets
+    *   (verbatim boilerplate: every member a true duplicate) the star
+    *   links all verify downstream, so connected components stay WHOLE
+    *   — the drop policy's lost-coverage trade removed at linear cost.
+    *   A member whose star link fails verification degrades exactly to
+    *   the drop policy for that member. */
   private def bandCandidates(sigs: DataFrame, idCol: String,
                              bands: Int, rowsPerBand: Int,
-                             maxBucketMembers: Int = Int.MaxValue): DataFrame = {
-    val buckets = capBuckets(
+                             maxBucketMembers: Int = Int.MaxValue,
+                             overflowLink: Boolean = false): DataFrame = {
+    val ranked = capRanked(
       sigs.select(col(idCol),
         posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("__band", "__bh"))),
       idCol, maxBucketMembers)
+    val buckets = ranked.filter(col("__rn") <= maxBucketMembers)
     val a = buckets.select(col(idCol).as("id_a"), col("__band"), col("__bh"))
     val b = buckets.select(col(idCol).as("id_b"), col("__band"), col("__bh"))
-    a.join(b, Seq("__band", "__bh"))
+    val core = a.join(b, Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    val cands =
+      if (!overflowLink || maxBucketMembers == Int.MaxValue) core
+      else {
+        // rep is the bucket's LOWEST id, so id_a < id_b holds by rank
+        // (both sides re-reference the `ranked` window subtree; its
+        // shuffle is identical across references and exchange-reused)
+        val rep = ranked.filter(col("__rn") === 1)
+          .select(col(idCol).as("id_a"), col("__band"), col("__bh"))
+        val over = ranked.filter(col("__rn") > maxBucketMembers)
+          .select(col(idCol).as("id_b"), col("__band"), col("__bh"))
+        core.unionByName(rep.join(over, Seq("__band", "__bh")).select("id_a", "id_b"))
+      }
+    cands.distinct()
   }
 
-  /** Keep the lowest-id `cap` members of each (band, bucket); uncapped
-    * input passes through with no extra plan node. */
-  private def capBuckets(buckets: DataFrame, idCol: String, cap: Int): DataFrame =
-    if (cap == Int.MaxValue) buckets
-    else buckets
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__band"), col("__bh")).orderBy(col(idCol))))
-      .filter(col("__rn") <= cap).drop("__rn")
+  /** Rank bucket members by ascending id within (band, bucket); uncapped
+    * input gets a constant rank with no window node in the plan. */
+  private def capRanked(buckets: DataFrame, idCol: String, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) buckets.withColumn("__rn", lit(1))
+    else buckets.withColumn("__rn", row_number().over(
+      Window.partitionBy(col("__band"), col("__bh")).orderBy(col(idCol))))
 
   /** Observable eviction count for a capped band join: total members
     * beyond `maxBucketMembers` across all (band, bucket) groups — the
@@ -194,6 +217,34 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .agg(coalesce(sum(greatest(col("__n") - lit(maxBucketMembers.toLong), lit(0L))),
         lit(0L)).as("n_dropped"))
+
+  /** [[bandBucketDrops]] for the SimHash band join: members beyond
+    * `maxBucketMembers` across all (band, bit-slice bucket) groups.
+    * Under the drop policy these members vanish from the candidate
+    * stage; under the link policy each degrades to one star link against
+    * the bucket representative — either way the count is the observable
+    * skew signal. */
+  def simhashBucketOverflow(rawSigs: DataFrame, idCol: String = "doc_id",
+                            bands: Int = 4,
+                            maxBucketMembers: Int = Int.MaxValue): DataFrame =
+    rawSigs.select(col(idCol),
+        posexplode(bandHashes(col("simhash"), bands, 64 / bands)).as(Seq("__band", "__bh")))
+      .groupBy(col("__band"), col("__bh"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(greatest(col("__n") - lit(maxBucketMembers.toLong), lit(0L))),
+        lit(0L)).as("n_overflow"))
+
+  /** Block-membership overflow for [[cosinePairsBlocked]]: members beyond
+    * `maxBlockMembers` across all blocks — one linear aggregate, never
+    * forms pairs. `blockExprs` must match the pair call's. */
+  def blockOverflow(emb: DataFrame, blockExprs: Seq[Column],
+                    idCol: String = "vec_id",
+                    maxBlockMembers: Int = Int.MaxValue): DataFrame =
+    emb.select(col(idCol), struct(blockExprs: _*).as("__blk"))
+      .groupBy(col("__blk"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(greatest(col("__n") - lit(maxBlockMembers.toLong), lit(0L))),
+        lit(0L)).as("n_overflow"))
 
   /** Public window into the LSH candidate stage: pairs whose signatures
     * collide in >= 1 band, distinct, id_a < id_b — the batch twin the
@@ -212,8 +263,9 @@ object Dedup {
     * per-round agreement gates) pays construction once total. */
   def minhashCandidatesFromSigs(sigs: DataFrame, idCol: String = "doc_id",
                                 numPerms: Int = 32, bands: Int = 16,
-                                maxBucketMembers: Int = Int.MaxValue): DataFrame =
-    bandCandidates(sigs, idCol, bands, numPerms / bands, maxBucketMembers)
+                                maxBucketMembers: Int = Int.MaxValue,
+                                overflowLink: Boolean = false): DataFrame =
+    bandCandidates(sigs, idCol, bands, numPerms / bands, maxBucketMembers, overflowLink)
 
   /** MinHash near-dup pairs, exact-verified: LSH candidates filtered by
     * true shingle-set Jaccard >= threshold.
@@ -369,9 +421,17 @@ object Dedup {
 
   /** [[simhashPairs]] over a PRECOMPUTED (id, simhash) frame (the
     * [[simhashSignatures]] output, possibly pinned and shared with other
-    * consumers — the brute-force agreement gate reads the same frame). */
+    * consumers — the brute-force agreement gate reads the same frame).
+    * `maxBucketMembers`/`overflowLink` are the hot-bucket bound the
+    * MinHash band join carries ([[minhashCandidatesFromSigs]]): keep the
+    * lowest-id cap members per (band, bucket); with the link policy each
+    * overflow member still pairs against the bucket representative, so
+    * an all-identical megabucket (hamming 0 throughout — every link
+    * verifies) keeps its duplicate component whole at linear cost. */
   def simhashPairsFromSigs(rawSigs: DataFrame, idCol: String = "doc_id",
-                           maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                           maxHamming: Int = 3, bands: Int = 4,
+                           maxBucketMembers: Int = Int.MaxValue,
+                           overflowLink: Boolean = false): DataFrame = {
     val bits = 64
     // The signature rides along through the band explode, so Hamming
     // verification happens inside the bucket join itself — no cache, no
@@ -380,12 +440,27 @@ object Dedup {
     // computation of the explode+64-sum subplan instead of three and
     // leaves no corpus-sized block pinned in executor memory.
     val sigs = rawSigs.withColumnRenamed("simhash", "sig")
-    val buckets = sigs.select(col(idCol), col("sig"),
-      posexplode(bandHashes(col("sig"), bands, bits / bands)).as(Seq("__band", "__bh")))
+    val ranked = capRanked(
+      sigs.select(col(idCol), col("sig"),
+        posexplode(bandHashes(col("sig"), bands, bits / bands)).as(Seq("__band", "__bh"))),
+      idCol, maxBucketMembers)
+    val buckets = ranked.filter(col("__rn") <= maxBucketMembers)
     val a = buckets.select(col(idCol).as("id_a"), col("sig").as("__ha"), col("__band"), col("__bh"))
     val b = buckets.select(col(idCol).as("id_b"), col("sig").as("__hb"), col("__band"), col("__bh"))
-    a.join(b, Seq("__band", "__bh"))
+    val core = a.join(b, Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+    val cands =
+      if (!overflowLink || maxBucketMembers == Int.MaxValue) core
+      else {
+        val rep = ranked.filter(col("__rn") === 1)
+          .select(col(idCol).as("id_a"), col("sig").as("__ha"), col("__band"), col("__bh"))
+        val over = ranked.filter(col("__rn") > maxBucketMembers)
+          .select(col(idCol).as("id_b"), col("sig").as("__hb"), col("__band"), col("__bh"))
+        core.unionByName(rep.join(over, Seq("__band", "__bh"))
+          .select(col("id_a"), col("id_b"), col("__ha"), col("__hb")))
+      }
+    cands
       .withColumn("hamming", hamming(col("__ha"), col("__hb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
@@ -588,16 +663,42 @@ object Dedup {
 
   /** Embedding near-dup pairs within blocks (exact cosine, rounded before
     * thresholding so an oracle ranks identically). blockExprs must be
-    * stable under duplication (e.g. label + id mod k). */
+    * stable under duplication (e.g. label + id mod k).
+    * `maxBlockMembers`/`overflowLink` bound a hot block the same way the
+    * band joins bound a hot bucket: the blocked self-join is quadratic
+    * in the largest block (a boilerplate-embedding cluster at web scale),
+    * the cap keeps the lowest-id members, and the link policy pairs each
+    * overflow member against the block representative — every member
+    * still cosine-verified, components whole on the all-identical
+    * pathology, C(cap,2) + (n−cap) work per block. */
   def cosinePairsBlocked(emb: DataFrame, blockExprs: Seq[Column],
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         threshold: Double = 0.99, decimals: Int = 4): DataFrame = {
+                         threshold: Double = 0.99, decimals: Int = 4,
+                         maxBlockMembers: Int = Int.MaxValue,
+                         overflowLink: Boolean = false): DataFrame = {
     val blk = struct(blockExprs: _*)
     val prepped = emb.select(col(idCol), col(vecCol), blk.as("__blk"))
-    val a = prepped.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__blk"))
-    val b = prepped.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__blk"))
-    a.join(b, "__blk")
+    val ranked =
+      if (maxBlockMembers == Int.MaxValue) prepped.withColumn("__rn", lit(1))
+      else prepped.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__blk")).orderBy(col(idCol))))
+    val kept = ranked.filter(col("__rn") <= maxBlockMembers)
+    val a = kept.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__blk"))
+    val b = kept.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__blk"))
+    val core = a.join(b, "__blk")
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+    val cands =
+      if (!overflowLink || maxBlockMembers == Int.MaxValue) core
+      else {
+        val rep = ranked.filter(col("__rn") === 1)
+          .select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__blk"))
+        val over = ranked.filter(col("__rn") > maxBlockMembers)
+          .select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__blk"))
+        core.unionByName(rep.join(over, "__blk")
+          .select(col("id_a"), col("id_b"), col("__va"), col("__vb")))
+      }
+    cands
       .withColumn("cosine", round(VectorOps.cosineSimilarity(col("__va"), col("__vb")), decimals))
       // NaN cosine (a zero-norm side) must not pass the threshold: Spark's
       // comparison ranks NaN LARGEST, so `NaN >= t` is true — a pair of
@@ -648,14 +749,17 @@ object Dedup {
     * dedup tractable at web scale. Returns (id_a, id_b, cosine). */
   def semdedupPairs(emb: DataFrame, numClusters: Int, threshold: Double = 0.99,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    seed: Long = 42L, fitFraction: Double = 0.25): DataFrame = {
+                    seed: Long = 42L, fitFraction: Double = 0.25,
+                    maxBlockMembers: Int = Int.MaxValue,
+                    overflowLink: Boolean = false): DataFrame = {
     val normed = emb.withColumn("__nvec", VectorOps.l2Normalize(col(vecCol)))
     // centroids from a deterministic sample (the at-scale fit shape);
     // recall is centroid-INDEPENDENT for the planted-copy argument —
     // normalized copies share a cell under ANY centroid set
     val withCell = KnnIvf.build(normed, numClusters, idCol, "__nvec", seed,
       fitFraction).corpusWithCell
-    cosinePairsBlocked(withCell, Seq(col("cell")), idCol, vecCol, threshold)
+    cosinePairsBlocked(withCell, Seq(col("cell")), idCol, vecCol, threshold,
+      maxBlockMembers = maxBlockMembers, overflowLink = overflowLink)
   }
 
   /** SemDeDup keep rule (paper §3.1: within each duplicate group keep

@@ -58,6 +58,66 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.bandBucketDrops(sigs).head().getLong(0) === 0L)
   }
 
+  test("star-link overflow keeps the hot bucket's component whole at linear cost") {
+    val docs = (0L until 40L).map(i => (i, "identical adversarial text body"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+    val linked = Dedup.minhashCandidatesFromSigs(sigs, maxBucketMembers = 8,
+      overflowLink = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // C(8,2) all-pairs among the kept members + one star link per
+    // overflow member against the bucket representative (id 0)
+    val core = (for (a <- 0L until 8L; b <- (a + 1) until 8L) yield (a, b)).toSet
+    val star = (8L until 40L).map(b => (0L, b)).toSet
+    assert(linked === core ++ star)
+    // the dedup consequence: connected components over the linked pairs
+    // put ALL 40 docs in ONE component — nothing escapes the dedup pass
+    val comps = Dedup.duplicateComponents(
+      docs.select("doc_id"), linked.toSeq.toDF("id_a", "id_b"), "doc_id")
+    assert(comps.select("component").distinct().count() === 1L)
+    assert(comps.count() === 40L)
+  }
+
+  test("simhash bucket cap + star link bound the identical-sig megabucket") {
+    val docs = (0L until 40L).map(i => (i, "identical adversarial text body"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", 64)
+    // identical signatures: every pair is hamming 0, so the uncapped join
+    // is all C(40,2) pairs; capped+linked is C(8,2) + 32 star links, all
+    // of which survive the hamming<=3 verification
+    assert(Dedup.simhashPairsFromSigs(sigs).count() === 40L * 39 / 2)
+    val linked = Dedup.simhashPairsFromSigs(sigs, maxBucketMembers = 8,
+      overflowLink = true)
+    assert(linked.count() === 8L * 7 / 2 + 32L)
+    assert(linked.agg(max($"hamming")).head().getLong(0) === 0L)
+    val overflow = Dedup.simhashBucketOverflow(sigs, maxBucketMembers = 8)
+      .head().getLong(0)
+    assert(overflow === 4L * 32L)
+    assert(Dedup.simhashBucketOverflow(sigs).head().getLong(0) === 0L)
+  }
+
+  test("blocked cosine cap + star link bound a hot block; small blocks unchanged") {
+    // one hot block of 30 identical vectors + one small block of 3
+    val hot = (0L until 30L).map(i => (i, Array(1.0f, 2.0f, 2.0f), "hot"))
+    val cold = (100L until 103L).map(i => (i, Array(-1.0f, 0.5f, 0.0f), "cold"))
+    val emb = (hot ++ cold).toDF("vec_id", "embedding", "blk")
+    val pairs = Dedup.cosinePairsBlocked(emb, Seq($"blk"), threshold = 0.99,
+      maxBlockMembers = 8, overflowLink = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hotCore = (for (a <- 0L until 8L; b <- (a + 1) until 8L) yield (a, b)).toSet
+    val hotStar = (8L until 30L).map(b => (0L, b)).toSet
+    val coldAll = (for (a <- 100L until 103L; b <- (a + 1) until 103L) yield (a, b)).toSet
+    assert(pairs === hotCore ++ hotStar ++ coldAll)
+    val overflow = Dedup.blockOverflow(emb, Seq($"blk"), maxBlockMembers = 8)
+      .head().getLong(0)
+    assert(overflow === 22L)
+    // drop policy (no link): overflow members absent from the pair set
+    val dropped = Dedup.cosinePairsBlocked(emb, Seq($"blk"), threshold = 0.99,
+      maxBlockMembers = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped === hotCore ++ coldAll)
+  }
+
   test("minhash jaccard estimates match exact jaccard on planted pairs") {
     val pairs = Dedup.minhashPairs(withNearDupes, threshold = 0.5)
       .filter($"id_b" - $"id_a" === 10000000L)

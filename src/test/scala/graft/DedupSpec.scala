@@ -78,6 +78,30 @@ class DedupSpec extends SparkSuite {
     assert(comps.count() === 40L)
   }
 
+  test("star-link invariants hold on an ARBITRARY mixed corpus, not just megabuckets") {
+    // theorem-level properties of the policy, checked on the real fixture
+    // corpus with a stress-tiny cap (every bucket with >2 members
+    // overflows): (1) capped+linked candidates are a SUBSET of the
+    // uncapped candidates (a star link pairs two members of one bucket —
+    // the uncapped join emits that pair too; the policy never invents a
+    // pair); (2) id COVERAGE is identical — any id sharing a bucket with
+    // >= 1 other member appears either among the kept pairs or as a star
+    // link, so no doc silently exits the dedup pass under the cap.
+    val sigs = Dedup.minhashSignatures(withNearDupes, "doc_id", "text", 3, 32)
+      .localCheckpoint(true)
+    val uncapped = Dedup.minhashCandidatesFromSigs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val linked = Dedup.minhashCandidatesFromSigs(sigs, maxBucketMembers = 2,
+      overflowLink = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((linked -- uncapped).isEmpty,
+      s"star links invented ${(linked -- uncapped).size} pairs absent uncapped")
+    def ids(ps: Set[(Long, Long)]) = ps.flatMap(p => Set(p._1, p._2))
+    assert(ids(linked) === ids(uncapped))
+    // and the cap genuinely bit: fewer pairs than the exact join
+    assert(linked.size < uncapped.size)
+  }
+
   test("simhash bucket cap + star link bound the identical-sig megabucket") {
     val docs = (0L until 40L).map(i => (i, "identical adversarial text body"))
       .toDF("doc_id", "text")

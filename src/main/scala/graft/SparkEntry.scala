@@ -388,6 +388,26 @@ object SparkEntry {
             lit(" of "), col("n_docs"),
             lit(", min cosine "), col("min_cosine")))))
     }),
+    // GATED incremental-ingest contract (the recurring-crawl shape):
+    // deduping a NEW batch against an EXISTING corpus must emit exactly
+    // the full-corpus candidate pairs that TOUCH the new batch — new×old
+    // and new×new, never a re-pairing of old×old — so each ingest pays
+    // delta-proportional band-join work. The batch twin of the streaming
+    // state-vs-arrivals contract, pinned as set EQUALITY (floor 1.0)
+    // against the full join minus the old join. Quarter slice per the
+    // stream gate's argument: planted copies share their base's residue,
+    // so every cross-batch planted pair survives whole and the pair
+    // universe shrinks 16x; the contract is corpus-independent.
+    "dedup_incremental_agreement" -> ((s, dir) => {
+      val sigs = nearDupMinhashSigs(s, dir)
+        .filter((col("doc_id") % 10000000L % 4L) === 0L)
+      val old = sigs.filter(col("doc_id") < 10000000L)
+      val neu = sigs.filter(col("doc_id") >= 10000000L)
+      val expected = Dedup.minhashCandidatesFromSigs(sigs)
+        .join(Dedup.minhashCandidatesFromSigs(old), Seq("id_a", "id_b"), "left_anti")
+      Recall.setAgreement(Dedup.minhashCandidatesIncremental(old, neu), expected,
+        on = Seq("id_a", "id_b"), floor = 1.0, minCount = 1L)
+    }),
     // GATED processing-time TTL horizon (DedupStream.ttlMs), upgraded
     // from a spec claim to a per-round driver signal: a 3-batch replay
     // where batch 1's doc falls out of the TTL horizon before batch 3

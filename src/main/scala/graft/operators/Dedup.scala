@@ -267,6 +267,55 @@ object Dedup {
                                 overflowLink: Boolean = false): DataFrame =
     bandCandidates(sigs, idCol, bands, numPerms / bands, maxBucketMembers, overflowLink)
 
+  /** INCREMENTAL near-dup candidates: pairs touching at least one doc of
+    * the NEW batch — new×old and new×new, never old×old (those were
+    * emitted when the old corpus was deduped). The recurring-crawl shape
+    * at scale: each ingest pays band-join work proportional to the DELTA
+    * (new band rows vs the buckets they actually collide with), not a
+    * re-pairing of the whole corpus — the batch twin of
+    * [[graft.streaming.DedupStream.nearDupCandidatesStream]]'s
+    * state-vs-arrivals contract, materialized relationally so a
+    * scheduled batch pipeline gets it without a streaming runtime.
+    * Contract (spec-pinned): incremental(old, new) ==
+    * candidates(old ∪ new) − candidates(old). Both inputs are
+    * [[minhashSignatures]] frames (id, sig). For adversarial ingest
+    * skew use the streaming path's bounded state, or cap the union
+    * yourself — this operator is the exact delta. */
+  def minhashCandidatesIncremental(oldSigs: DataFrame, newSigs: DataFrame,
+                                   idCol: String = "doc_id",
+                                   numPerms: Int = 32, bands: Int = 16): DataFrame = {
+    val rpb = numPerms / bands
+    def explodeB(sigs: DataFrame, as: String) =
+      sigs.select(col(idCol).as(as),
+        posexplode(bandHashes(col("sig"), bands, rpb)).as(Seq("__band", "__bh")))
+    val newB = explodeB(newSigs, "__nid")
+    val allB = explodeB(oldSigs.select(col(idCol), col("sig"))
+      .unionByName(newSigs.select(col(idCol), col("sig"))), "__aid")
+    newB.join(allB, Seq("__band", "__bh"))
+      .filter(col("__nid") =!= col("__aid"))
+      .select(least(col("__nid"), col("__aid")).as("id_a"),
+        greatest(col("__nid"), col("__aid")).as("id_b"))
+      .distinct()
+  }
+
+  /** [[minhashCandidatesIncremental]] with the exact-Jaccard verification
+    * of [[minhashPairsFromSigs]]: `docs` must cover BOTH sides' ids (the
+    * shingle-set build is the same corpus-wide narrow map — see the
+    * profiling note there for why it is not scoped to candidate ids). */
+  def minhashPairsIncremental(docs: DataFrame, oldSigs: DataFrame, newSigs: DataFrame,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              shingleN: Int = 3, numPerms: Int = 32, bands: Int = 16,
+                              threshold: Double = 0.4): DataFrame = {
+    val cands = minhashCandidatesIncremental(oldSigs, newSigs, idCol, numPerms, bands)
+    val sets = docs.select(col(idCol), shingleHashSet(col(textCol), shingleN).as("__set"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("__sa"), col("__sb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash near-dup pairs, exact-verified: LSH candidates filtered by
     * true shingle-set Jaccard >= threshold.
     * @return (id_a, id_b, jaccard) with jaccard rounded to 4dp */

@@ -78,6 +78,36 @@ class DedupSpec extends SparkSuite {
     assert(comps.count() === 40L)
   }
 
+  test("incremental candidates == full-corpus candidates minus old-old") {
+    val sigs = Dedup.minhashSignatures(withNearDupes, "doc_id", "text", 3, 32)
+      .localCheckpoint(true)
+    val old = sigs.filter($"doc_id" < 10000000L)
+    val neu = sigs.filter($"doc_id" >= 10000000L)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = pairSet(Dedup.minhashCandidatesIncremental(old, neu))
+    val full = pairSet(Dedup.minhashCandidatesFromSigs(sigs))
+    val oldOld = pairSet(Dedup.minhashCandidatesFromSigs(old))
+    assert(inc === (full -- oldOld))
+    // every planted pair crosses old->new, so the delta finds them all
+    val planted = docs.filter($"doc_id" % 10 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000000L)).toSet
+    assert((planted -- inc).isEmpty)
+  }
+
+  test("incremental verified pairs match the full verify restricted to new-touching pairs") {
+    val sigs = Dedup.minhashSignatures(withNearDupes, "doc_id", "text", 3, 32)
+      .localCheckpoint(true)
+    val old = sigs.filter($"doc_id" < 10000000L)
+    val neu = sigs.filter($"doc_id" >= 10000000L)
+    def vset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = vset(Dedup.minhashPairsIncremental(withNearDupes, old, neu, threshold = 0.5))
+    val full = vset(Dedup.minhashPairsFromSigs(withNearDupes, sigs, threshold = 0.5)
+      .filter($"id_a" >= 10000000L || $"id_b" >= 10000000L))
+    assert(inc === full)
+  }
+
   test("star-link invariants hold on an ARBITRARY mixed corpus, not just megabuckets") {
     // theorem-level properties of the policy, checked on the real fixture
     // corpus with a stress-tiny cap (every bucket with >2 members

@@ -820,7 +820,9 @@ object Dedup {
     * a scaled copy ties its original and the id breaks the tie. */
   def semdedupSelect(emb: DataFrame, numClusters: Int, threshold: Double = 0.99,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     seed: Long = 42L, fitFraction: Double = 0.25): DataFrame = {
+                     seed: Long = 42L, fitFraction: Double = 0.25,
+                     maxBlockMembers: Int = Int.MaxValue,
+                     overflowLink: Boolean = false): DataFrame = {
     val normed = emb.withColumn("__nvec", VectorOps.l2Normalize(col(vecCol)))
     val idx = KnnIvf.build(normed, numClusters, idCol, "__nvec", seed, fitFraction)
     val withCell = idx.corpusWithCell
@@ -828,8 +830,12 @@ object Dedup {
     // members, the component propagation, and the final join — without
     // pinning it, each reference re-executes the KMeans-transform +
     // blocked-self-join subplan (the self-join-recompute cost, measured
-    // ~4x the pair stage)
-    val pairs = cosinePairsBlocked(withCell, Seq(col("cell")), idCol, vecCol, threshold)
+    // ~4x the pair stage). Hot-cluster bounds ride through to the keep
+    // rule: with overflowLink the capped pair set still covers every
+    // member (star links to the cell representative), so the
+    // keep-the-outlier selection sees whole components.
+    val pairs = cosinePairsBlocked(withCell, Seq(col("cell")), idCol, vecCol, threshold,
+        maxBlockMembers = maxBlockMembers, overflowLink = overflowLink)
       .localCheckpoint(true)
     val members = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()

@@ -193,4 +193,43 @@ class MultimodalSpec extends SparkSuite {
     val junk = "not an image at all".getBytes("UTF-8")
     assert(Multimodal.pixelFeatures(junk).forall(_ === 0f))
   }
+
+  test("features are codec-invariant: the same image through BMP and PNG matches") {
+    // Render ONE logical image (the pngBytes gradient: pixel (x,y) =
+    // (id + y*width + x) mod 256, gray) through both codecs and pin
+    // that every pixel-derived feature channel agrees exactly — only
+    // the payload-size channel (a byte-length feature, deliberately
+    // codec-dependent) may differ. This is what makes media dedup find
+    // a re-encoded copy: the feature pipeline reads CONTENT, not
+    // container bytes. The BMP side is built channel-equal per PIXEL
+    // (bmpBytesWith's lambda runs over raw 24-bit BGR bytes) and
+    // row-flipped (BMP stores rows bottom-up), so agreement also pins
+    // the decoder's row-order handling.
+    val bins = 16
+    for (id <- Seq(0L, 5L, 18L, 47L, 103L)) {
+      val width = (1L + java.lang.Math.floorMod(id, 16L)).toInt
+      val height = (1L + java.lang.Math.floorMod(id, 7L)).toInt
+      val rowSize = ((3 * width + 3) / 4) * 4
+      val bmp = Multimodal.bmpBytesWith(width, height, { p =>
+        val x = (p % rowSize) / 3
+        val yFile = p / rowSize
+        val y = height - 1 - yFile // BMP rows are bottom-up
+        java.lang.Math.floorMod(id + y.toLong * width + x, 256L).toInt
+      })
+      val png = Multimodal.pngBytes(id)
+      val fb = Multimodal.pixelFeatures(bmp, bins)
+      val fp = Multimodal.pixelFeatures(png, bins)
+      val sizeIdx = bins + 2
+      assert(fb.zipWithIndex.forall { case (v, i) => i == sizeIdx || v == fp(i) },
+        s"id $id: pixel channels diverged across codecs")
+      val db = Multimodal.dhashFeatures(bmp, bins)
+      val dp = Multimodal.dhashFeatures(png, bins)
+      // dHash layout: 64 sign bits + 16 raw grays + histogram + dims +
+      // size; everything pixel-derived (all but the final size channel)
+      // must match
+      val dSizeIdx = db.length - 1
+      assert(db.zipWithIndex.forall { case (v, i) => i == dSizeIdx || v == dp(i) },
+        s"id $id: dhash channels diverged across codecs")
+    }
+  }
 }

@@ -1667,6 +1667,40 @@ object SparkEntry {
         idCol = "doc_id", vecCol = "features",
         planes = 64, bands = 4, threshold = 0.99)
     }),
+    // GATED cross-codec media dedup: a RE-ENCODED copy (same pixels,
+    // different container — BMP vs PNG) must dedup with its original.
+    // Features are sliced to CONTENT-ONLY channels (the final
+    // byte-length channel is a payload feature, codec-dependent by
+    // design), so a re-encoded copy's embedding is EXACTLY its
+    // original's — identical LSH signatures in every band, cosine
+    // exactly 1 — making recall of the 256 planted cross-codec pairs
+    // deterministic, gated at zero misses. The spec-level twin
+    // (MultimodalSpec codec-invariance) pins per-channel equality;
+    // this row drives the property through the full distributed
+    // decode → feature → LSH-dedup pipeline.
+    "multimodal_dedup_cross_codec" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 256)
+        .select("doc_id")
+      val media = Multimodal.withCrossCodecContent(ids.repartition(8))
+      val dim = Multimodal.dhashFeatureDim()
+      val feats = Multimodal.dhashFeaturesBatched(media)
+        .select(col("doc_id"), slice(col("features"), 1, dim - 1).as("features"))
+        .localCheckpoint(true) // pinned: the LSH references the frame on both join sides
+      val pairs = Dedup.cosinePairsLsh(feats, dim = dim - 1, idCol = "doc_id",
+        vecCol = "features", planes = 64, bands = 4, threshold = 0.99)
+        .localCheckpoint(true)
+      val planted = ids.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 10000000L).as("id_b"))
+      val missing = planted.join(pairs, Seq("id_a", "id_b"), "left_anti")
+      pairs.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
+        .crossJoin(broadcast(missing.agg(count(lit(1)).as("n_missing"))))
+        .filter(when(col("n_missing") === 0L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("cross-codec dedup gate: "), col("n_missing"),
+            lit(" of "), col("n_planted"),
+            lit(" re-encoded pairs missed")))))
+    }),
   )
 
   /** Build + persist the IVF index once per (JVM, fixture dir); query

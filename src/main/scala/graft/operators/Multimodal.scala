@@ -210,6 +210,39 @@ object Multimodal {
   def garbageBytes(id: Long): Array[Byte] =
     s"not-a-media-payload:$id".getBytes("UTF-8")
 
+  /** Deterministic VALID BMP rendering the SAME logical image as
+    * [[pngBytes]]: channel-equal gray pixels at the shared id-arithmetic
+    * dims, pixel (x,y) = (id + y·width + x) mod 256, rows flipped for
+    * BMP's bottom-up storage. One image, two containers — the
+    * re-encoded-copy fixture cross-codec dedup must catch. (Distinct
+    * from [[gradientBmpBytes]], whose gradient runs across the raw
+    * 24-bit BGR bytes — that fixture exists for the byte-level
+    * closed-form oracle, not for cross-codec identity.) */
+  def grayBmpBytes(id: Long): Array[Byte] = {
+    val width = (1L + java.lang.Math.floorMod(id, 16L)).toInt
+    val height = (1L + java.lang.Math.floorMod(id, 7L)).toInt
+    val rowSize = ((3 * width + 3) / 4) * 4
+    bmpBytesWith(width, height, { p =>
+      val x = (p % rowSize) / 3
+      val y = height - 1 - (p / rowSize) // BMP rows are bottom-up
+      java.lang.Math.floorMod(id + y.toLong * width + x, 256L).toInt
+    })
+  }
+
+  /** Attach a RE-ENCODED-COPY media column: every input id contributes
+    * its image as a BMP under the original id AND the byte-different
+    * PNG encoding of the SAME pixels under id + 10^7 — the planted
+    * cross-codec duplicate set for the media-dedup gate. */
+  def withCrossCodecContent(df: DataFrame, idCol: String = "doc_id",
+                            outCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(_.flatMap(id =>
+        Seq((id, grayBmpBytes(id)), (id + 10000000L, pngBytes(id)))))
+      .toDF(idCol, outCol)
+  }
+
   /** Attach a MIXED-format media column — the accept-arbitrary-user-
     * payloads posture of the reference (`executor.py:143-148`): payload
     * format rotates by id (0 → BMP, 1 → PNG, 2 → JPEG, 3 → undecodable

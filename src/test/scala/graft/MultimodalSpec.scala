@@ -207,15 +207,7 @@ class MultimodalSpec extends SparkSuite {
     // the decoder's row-order handling.
     val bins = 16
     for (id <- Seq(0L, 5L, 18L, 47L, 103L)) {
-      val width = (1L + java.lang.Math.floorMod(id, 16L)).toInt
-      val height = (1L + java.lang.Math.floorMod(id, 7L)).toInt
-      val rowSize = ((3 * width + 3) / 4) * 4
-      val bmp = Multimodal.bmpBytesWith(width, height, { p =>
-        val x = (p % rowSize) / 3
-        val yFile = p / rowSize
-        val y = height - 1 - yFile // BMP rows are bottom-up
-        java.lang.Math.floorMod(id + y.toLong * width + x, 256L).toInt
-      })
+      val bmp = Multimodal.grayBmpBytes(id)
       val png = Multimodal.pngBytes(id)
       val fb = Multimodal.pixelFeatures(bmp, bins)
       val fp = Multimodal.pixelFeatures(png, bins)

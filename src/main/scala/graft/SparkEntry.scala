@@ -720,6 +720,33 @@ object SparkEntry {
         exactTop5(s, dir),
         on = Seq("query_id", "match_id", "score"), floor = 1.0, minCount = 1L)
     }),
+    // GATED tombstone-aware graph serving — the reference's /delete
+    // through the GRAPH path (executor.py:213-225 mark_deleted: the
+    // slot's edges keep ROUTING beam expansion, the slot never surfaces
+    // in results; O13's soft delete was previously relational-only).
+    // Two contracts in one plan: the exhaustive filtered beam must
+    // EQUAL the exact top-k over the live corpus (set agreement 1.0 —
+    // deterministic because ef = n visits every reachable node), and
+    // zero tombstoned ids may leak into the served rows.
+    "ann_hnsw_deleted" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count().toInt // bounded metadata: corpus row count
+      val deleted = emb.select(col("vec_id")).filter(col("vec_id") % 3 === 0)
+      val served = KnnHnsw.search(
+        KnnHnsw.markDeleted(KnnHnsw.load(s, hnswIndexPath(s, dir)), deleted),
+        q, k = 5, efQuery = n).localCheckpoint(true)
+      val leaked = served.join(
+        deleted.select(col("vec_id").as("match_id")), Seq("match_id"), "left_semi")
+      Recall.setAgreement(served,
+        KnnTopK.knnExact(q, emb.filter(col("vec_id") % 3 =!= 0), k = 5),
+        on = Seq("query_id", "match_id", "score"), floor = 1.0, minCount = 1L)
+        .crossJoin(broadcast(leaked.agg(count(lit(1)).as("n_leaked"))))
+        .filter(when(col("n_leaked") === 0L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("tombstone leak: "), col("n_leaked"),
+            lit(" deleted ids served")))))
+    }),
 
     // --- k-NN JOIN: every corpus row is a query (kNN-dedup / hard-negative
     //     mining shape). Exact form = oracle baseline; the IVF-co-partitioned

@@ -60,8 +60,16 @@ object KnnHnsw {
 
     /** Beam search: best-first expansion keeping the ef closest found;
       * stops when the nearest open candidate is farther than the worst
-      * kept result. Returns local indices sorted by (distance, id). */
-    private[operators] def searchBeam(q: Array[Float], ef: Int): IndexedSeq[(Double, Int)] = {
+      * kept result. Returns local indices sorted by (distance, id).
+      * `allowed` is the tombstone filter (hnswlib `mark_deleted`
+      * semantics, the reference's delete path `executor.py:223`):
+      * DISALLOWED nodes still route the expansion — their edges are what
+      * keep the graph connected — but never enter the result heap, so
+      * they are excluded from every result list. With the default
+      * always-true filter the control flow is identical to the unfiltered
+      * beam (same admissions, same terminations, same results). */
+    private[operators] def searchBeam(q: Array[Float], ef: Int,
+        allowed: Int => Boolean = _ => true): IndexedSeq[(Double, Int)] = {
       if (ids.isEmpty) return IndexedSeq.empty
       // priority = (distance, id); candidates pop NEAREST first, results
       // track the WORST kept entry on top. Ordering includes the id so
@@ -72,7 +80,8 @@ object KnnHnsw {
       val results = mutable.PriorityQueue.empty[(Double, Int)](byFar)
       val visited = new java.util.HashSet[Int]
       val d0 = dist(q, 0)
-      visited.add(0); candidates.enqueue((d0, 0)); results.enqueue((d0, 0))
+      visited.add(0); candidates.enqueue((d0, 0))
+      if (allowed(0)) results.enqueue((d0, 0))
       while (candidates.nonEmpty &&
              !(results.size >= ef && byFar.gt(candidates.head, results.head))) {
         val (_, c) = candidates.dequeue()
@@ -83,8 +92,11 @@ object KnnHnsw {
           if (visited.add(nb)) {
             val d = dist(q, nb)
             if (results.size < ef || byFar.lt((d, nb), results.head)) {
-              candidates.enqueue((d, nb)); results.enqueue((d, nb))
-              if (results.size > ef) results.dequeue()
+              candidates.enqueue((d, nb))
+              if (allowed(nb)) {
+                results.enqueue((d, nb))
+                if (results.size > ef) results.dequeue()
+              }
             }
           }
           i += 1
@@ -212,11 +224,30 @@ object KnnHnsw {
       .partitionBy("shard").parquet(path)
   }
 
+  /** Tombstone rows of a graph frame: every `vec_id` in `ids` keeps
+    * ROUTING beam expansion (its edges are load-bearing for graph
+    * connectivity — hnswlib's `mark_deleted`, the reference's delete
+    * path `executor.py:213-225`: slot not reused, excluded from
+    * results) but is excluded from every result list [[search]] emits.
+    * Idempotent and cumulative: marking on an already-marked frame ORs
+    * the tombstone sets. A plain left join — the deleted set stays
+    * distributed, never collected. */
+  def markDeleted(graph: DataFrame, ids: DataFrame,
+                  idCol: String = "vec_id"): DataFrame = {
+    val marks = ids.select(col(idCol).as("vec_id")).distinct()
+      .withColumn("__mark", lit(true))
+    val prior = if (graph.columns.contains("deleted")) col("deleted") else lit(false)
+    graph.join(marks, Seq("vec_id"), "left")
+      .withColumn("deleted", coalesce(col("__mark"), prior, lit(false)))
+      .drop("__mark")
+  }
+
   /** Search every shard graph for the broadcast query batch and merge
     * per-shard top-k globally. efQuery is the reference's ef knob
     * (`executor.py:66-70`): beam width per shard, recall-vs-cost. The
     * collect is the bounded query batch (same contract as IVF's probe
-    * resolve); the graphs never leave their tasks. */
+    * resolve); the graphs never leave their tasks. A `deleted` column
+    * (from [[markDeleted]]) tombstones rows: routed, never returned. */
   def search(graph: DataFrame, queries: DataFrame, k: Int, efQuery: Int,
              queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     import graph.sparkSession.implicits._
@@ -224,10 +255,12 @@ object KnnHnsw {
       .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val ef = math.max(1, efQuery)
+    val delCol =
+      if (graph.columns.contains("deleted")) col("deleted") else lit(false)
     val scored = graph
       .select(col("shard"), col("local_idx"), col("vec_id"), col("embedding"),
-        col("neighbor_idx"))
-      .as[(Int, Int, Long, Array[Float], Array[Int])]
+        col("neighbor_idx"), delCol.as("deleted"))
+      .as[(Int, Int, Long, Array[Float], Array[Int], Boolean)]
       // shards are whole within a hash partition; a partition may hold
       // several, so restore each shard's graph separately
       .repartition(col("shard"))
@@ -242,8 +275,9 @@ object KnnHnsw {
           val ids = new Array[Long](n)
           val vecs = new Array[Array[Float]](n)
           val adjs = new Array[Array[Int]](n)
-          shardRows.foreach { case (_, li, id, vec, nbs) =>
-            ids(li) = id; vecs(li) = vec; adjs(li) = nbs
+          val dels = new Array[Boolean](n)
+          shardRows.foreach { case (_, li, id, vec, nbs, del) =>
+            ids(li) = id; vecs(li) = vec; adjs(li) = nbs; dels(li) = del
           }
           var i = 0
           while (i < n) {
@@ -251,8 +285,11 @@ object KnnHnsw {
             g.adj += (new mutable.ArrayBuffer[Int](adjs(i).length) ++= adjs(i))
             i += 1
           }
+          val anyDeleted = dels.exists(identity)
+          val allowed: Int => Boolean =
+            if (anyDeleted) (i: Int) => !dels(i) else (_: Int) => true
           qs.iterator.flatMap { case (qid, qvec) =>
-            g.searchBeam(qvec, ef).take(k).map { case (d, i) =>
+            g.searchBeam(qvec, ef, allowed).take(k).map { case (d, i) =>
               (qid, g.ids(i), roundHalfUp4(d))
             }
           }

@@ -97,6 +97,41 @@ class KnnHnswSpec extends SparkSuite {
     assert(KnnHnsw.load(spark, path).count() === corpus.count())
   }
 
+  test("tombstoned rows route the beam but never surface (mark_deleted semantics)") {
+    val deleted = corpus.select(col("vec_id")).filter(col("vec_id") % 3 === 0)
+    val marked = KnnHnsw.markDeleted(graph, deleted)
+    val n = corpus.count().toInt
+    val served = KnnHnsw.search(marked, queries, k = 5, efQuery = n)
+    val servedIds = served.select("match_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // hard exclusion: no tombstoned id in any result list
+    assert(servedIds.forall(_ % 3 != 0))
+    // exhaustive filtered beam == exact top-k over the LIVE corpus (the
+    // graph, including its tombstoned nodes' edges, still reaches every
+    // live node)
+    val exact = KnnTopK.knnExact(queries,
+        corpus.filter(col("vec_id") % 3 =!= 0), k = 5)
+      .select("query_id", "match_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = served.select("query_id", "match_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === exact)
+    // marking is cumulative: a second mark ORs into the first
+    val more = KnnHnsw.markDeleted(marked,
+      corpus.select(col("vec_id")).filter(col("vec_id") % 3 === 1))
+    val left = KnnHnsw.search(more, queries, k = 5, efQuery = n)
+      .select("match_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(left.forall(id => id % 3 != 0 && id % 3 != 1))
+    // an unmarked graph is untouched by the deleted-column plumbing
+    val plain = KnnHnsw.search(graph, queries, k = 5, efQuery = n)
+      .select("query_id", "match_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exactAll = KnnTopK.knnExact(queries, corpus, k = 5)
+      .select("query_id", "match_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain === exactAll)
+  }
+
   test("save/load round-trips the graph and searches identically") {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_$sfKey"
     KnnHnsw.save(graph, path)

@@ -188,14 +188,21 @@ object KnnHnsw {
   def save(graph: DataFrame, path: String): Unit =
     Scale.dumpPartitionedBy(graph, path, "shard")
 
-  def load(spark: SparkSession, path: String): DataFrame =
+  def load(spark: SparkSession, path: String): DataFrame = {
     // partition-column reads widen shard to long and append it last;
     // restore the written schema so load is a true inverse of save
-    Scale.loadPartitioned(spark, path)
-      .select(col("shard").cast("int").as("shard"),
-        col("local_idx").cast("int").as("local_idx"),
-        col("vec_id"), col("embedding"),
-        col("neighbor_idx").cast("array<int>").as("neighbor_idx"))
+    val raw = Scale.loadPartitioned(spark, path)
+    val base = Seq(col("shard").cast("int").as("shard"),
+      col("local_idx").cast("int").as("local_idx"),
+      col("vec_id"), col("embedding"),
+      col("neighbor_idx").cast("array<int>").as("neighbor_idx"))
+    // a graph saved after markDeleted carries its tombstones through
+    // the round-trip (the reference persists its id map + deleted
+    // accounting the same way, executor.py:227-236)
+    if (raw.columns.contains("deleted"))
+      raw.select(base :+ col("deleted").cast("boolean").as("deleted"): _*)
+    else raw.select(base: _*)
+  }
 
   /** Append/upsert into a SAVED graph: new rows hash to their shards and
     * ONLY those shards rebuild (surviving existing rows + new rows,
@@ -215,13 +222,77 @@ object KnnHnsw {
     val touched = incoming
       .select(pmod(xxhash64(col("vec_id")), lit(numShards)).cast("int").as("shard"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val surviving = load(spark, path)
+    val saved = load(spark, path)
+    val hasTombstones = saved.columns.contains("deleted")
+    val survivingCols =
+      if (hasTombstones) Seq(col("vec_id"), col("embedding"), col("deleted"))
+      else Seq(col("vec_id"), col("embedding"))
+    val surviving = saved
       .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
-      .select(col("vec_id"), col("embedding"))
+      .select(survivingCols: _*)
       .join(incoming.select("vec_id"), Seq("vec_id"), "left_anti")
-    build(surviving.unionByName(incoming), numShards, m, efConstruction)
+      .localCheckpoint(true) // read completes before its source dirs rewrite
+    val rebuilt = build(
+      surviving.select("vec_id", "embedding").unionByName(incoming),
+      numShards, m, efConstruction)
+    val withFlags =
+      if (!hasTombstones) rebuilt
+      else
+        // tombstoned survivors keep their flag (they must keep routing);
+        // an upserted id revives as live — the reference's re-index path
+        // treats a deleted id as brand new (executor.py:151-161 after
+        // :224 removed it from the id map)
+        rebuilt.join(surviving.select(col("vec_id"), col("deleted")),
+            Seq("vec_id"), "left")
+          .withColumn("deleted", coalesce(col("deleted"), lit(false)))
+          .select(col("shard"), col("local_idx"), col("vec_id"),
+            col("embedding"), col("neighbor_idx"), col("deleted"))
+    withFlags
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard").parquet(path)
+  }
+
+  /** Purge tombstones from a SAVED graph: shards containing any deleted
+    * row rebuild from their live rows only ([[appendTo]]'s
+    * touched-shard pattern — the bounded collect is ≤ numShards ints);
+    * untouched shard directories are never rewritten. Deterministic
+    * per-shard builds make the compacted index IDENTICAL to a
+    * from-scratch build of the live corpus (spec-pinned). The
+    * tombstone-and-compact pair is the graph lifecycle the reference
+    * cannot offer (hnswlib never reclaims deleted slots,
+    * `executor.py:223` tombstones forever): serve through the
+    * routed-but-excluded tombstones while deletion churn is low, compact
+    * when the deleted fraction makes the extra routing work matter. */
+  def compact(spark: SparkSession, path: String, numShards: Int,
+              m: Int = 8, efConstruction: Int = 64): Unit = {
+    val g = load(spark, path)
+    if (!g.columns.contains("deleted")) return
+    val touched = g.filter(col("deleted")).select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val live = g.filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+      .filter(!col("deleted"))
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // read completes before the dirs it read from rewrite
+    build(live, numShards, m, efConstruction)
+      // rebuilt shards keep the column so every file in the directory
+      // tree shares one schema (the untouched shards still carry it)
+      .withColumn("deleted", lit(false))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(path)
+    // a shard whose rows were ALL deleted emits nothing — dynamic
+    // overwrite leaves its stale directory in place; drop it explicitly
+    val liveShards = live
+      .select(pmod(xxhash64(col("vec_id")), lit(numShards)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val emptied = touched.filterNot(liveShards)
+    if (emptied.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      emptied.foreach { sh =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"shard=$sh"), true): Unit
+      }
+    }
   }
 
   /** Tombstone rows of a graph frame: every `vec_id` in `ids` keeps

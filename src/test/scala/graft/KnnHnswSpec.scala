@@ -132,6 +132,32 @@ class KnnHnswSpec extends SparkSuite {
     assert(plain === exactAll)
   }
 
+  test("compact purges tombstones by rebuilding only touched shards") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_compact_$sfKey"
+    val deleted = corpus.select(col("vec_id")).filter(col("vec_id") % 5 === 0)
+    KnnHnsw.save(KnnHnsw.markDeleted(KnnHnsw.build(corpus, numShards = 4), deleted), path)
+    // tombstones survive the save/load round-trip
+    assert(KnnHnsw.load(spark, path).filter(col("deleted")).count() ===
+      corpus.filter(col("vec_id") % 5 === 0).count())
+    KnnHnsw.compact(spark, path, numShards = 4)
+    val compacted = KnnHnsw.load(spark, path)
+    assert(compacted.filter(col("deleted")).count() === 0L)
+    // deterministic per-shard builds: the compacted index IS the
+    // from-scratch build of the live corpus
+    val live = corpus.filter(col("vec_id") % 5 =!= 0)
+    assert(structureOf(compacted) === structureOf(KnnHnsw.build(live, numShards = 4)))
+    // idempotent: a second compact is a no-op
+    KnnHnsw.compact(spark, path, numShards = 4)
+    assert(structureOf(KnnHnsw.load(spark, path)) ===
+      structureOf(KnnHnsw.build(live, numShards = 4)))
+    // append after compact keeps the lifecycle closed: re-adding the
+    // purged rows rebuilds back to the full-corpus structure
+    KnnHnsw.appendTo(spark, path,
+      corpus.filter(col("vec_id") % 5 === 0), numShards = 4)
+    assert(structureOf(KnnHnsw.load(spark, path)) ===
+      structureOf(KnnHnsw.build(corpus, numShards = 4)))
+  }
+
   test("save/load round-trips the graph and searches identically") {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_$sfKey"
     KnnHnsw.save(graph, path)

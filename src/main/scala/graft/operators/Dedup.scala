@@ -316,6 +316,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** [[minhashCandidatesIncremental]] for the SimHash family: verified
+    * pairs touching at least one NEW doc — the signature rides the band
+    * explode on both sides so Hamming verification happens inside the
+    * join, exactly as [[simhashPairsFromSigs]]. Contract (spec-pinned):
+    * incremental == full(old ∪ new) − full(old). The same delta shape
+    * applies to any banded family (embedding sign-LSH included) — the
+    * band explode is per-row, so only the join's sides change. */
+  def simhashPairsIncremental(oldSigs: DataFrame, newSigs: DataFrame,
+                              idCol: String = "doc_id",
+                              maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val bits = 64
+    def explodeB(sigs: DataFrame, idAs: String, sigAs: String) =
+      sigs.withColumnRenamed("simhash", "sig")
+        .select(col(idCol).as(idAs), col("sig").as(sigAs),
+          posexplode(bandHashes(col("sig"), bands, bits / bands)).as(Seq("__band", "__bh")))
+    val newB = explodeB(newSigs, "__nid", "__hn")
+    val allB = explodeB(
+      oldSigs.select(col(idCol), col("simhash"))
+        .unionByName(newSigs.select(col(idCol), col("simhash"))), "__aid", "__ha")
+    newB.join(allB, Seq("__band", "__bh"))
+      .filter(col("__nid") =!= col("__aid"))
+      .withColumn("hamming", hamming(col("__hn"), col("__ha")))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("__nid"), col("__aid")).as("id_a"),
+        greatest(col("__nid"), col("__aid")).as("id_b"),
+        col("hamming").cast("long").as("hamming"))
+      .distinct()
+  }
+
   /** MinHash near-dup pairs, exact-verified: LSH candidates filtered by
     * true shingle-set Jaccard >= threshold.
     * @return (id_a, id_b, jaccard) with jaccard rounded to 4dp */

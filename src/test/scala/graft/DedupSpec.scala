@@ -108,6 +108,19 @@ class DedupSpec extends SparkSuite {
     assert(inc === full)
   }
 
+  test("simhash incremental pairs == full pairs minus old-old") {
+    val sigs = Dedup.simhashSignatures(withNearDupes, "doc_id", "text", 64)
+      .localCheckpoint(true)
+    val old = sigs.filter($"doc_id" < 10000000L)
+    val neu = sigs.filter($"doc_id" >= 10000000L)
+    def vset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = vset(Dedup.simhashPairsIncremental(old, neu))
+    val full = vset(Dedup.simhashPairsFromSigs(sigs)
+      .filter($"id_a" >= 10000000L || $"id_b" >= 10000000L))
+    assert(inc === full)
+  }
+
   test("star-link invariants hold on an ARBITRARY mixed corpus, not just megabuckets") {
     // theorem-level properties of the policy, checked on the real fixture
     // corpus with a stress-tiny cap (every bucket with >2 members

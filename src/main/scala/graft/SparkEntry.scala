@@ -727,14 +727,17 @@ object SparkEntry {
     // Two contracts in one plan: the exhaustive filtered beam must
     // EQUAL the exact top-k over the live corpus (set agreement 1.0 —
     // deterministic because ef = n visits every reachable node), and
-    // zero tombstoned ids may leak into the served rows.
+    // zero tombstoned ids may leak into the served rows. Both run on
+    // the quarter-corpus gate index (the contract is corpus-independent;
+    // the exhaustive beam + exact twin both scale with n, and the
+    // flagship-quality rows already pay the full-corpus cost).
     "ann_hnsw_deleted" -> ((s, dir) => {
       val q = Tables.defaultQueries(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val n = emb.count().toInt // bounded metadata: corpus row count
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val n = emb.count().toInt // bounded metadata: slice row count
       val deleted = emb.select(col("vec_id")).filter(col("vec_id") % 3 === 0)
       val served = KnnHnsw.search(
-        KnnHnsw.markDeleted(KnnHnsw.load(s, hnswIndexPath(s, dir)), deleted),
+        KnnHnsw.markDeleted(KnnHnsw.load(s, hnswGateIndexPath(s, dir)), deleted),
         q, k = 5, efQuery = n).localCheckpoint(true)
       val leaked = served.join(
         deleted.select(col("vec_id").as("match_id")), Seq("match_id"), "left_semi")
@@ -1756,6 +1759,20 @@ object SparkEntry {
     hnswBuilt.getOrElseUpdate(dir, {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw/${artifactKey(dir)}"
       KnnHnsw.save(KnnHnsw.build(Tables.embeddings(s, dir), numShards = 4), path)
+      path
+    })
+
+  /** Quarter-corpus graph for the tombstone gate (built once per JVM,
+    * the [[hnswIndexPath]] policy): the gate's contracts — tombstones
+    * route but never surface; exhaustive filtered beam == exact live
+    * top-k — are corpus-independent, while their cost (ef = n beam +
+    * exact twin) scales with n. The flagship rows keep the full index. */
+  private val hnswGateBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def hnswGateIndexPath(s: SparkSession, dir: String): String =
+    hnswGateBuilt.getOrElseUpdate(dir, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_gate/${artifactKey(dir)}"
+      KnnHnsw.save(KnnHnsw.build(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0), numShards = 4), path)
       path
     })
 

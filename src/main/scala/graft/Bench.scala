@@ -41,6 +41,23 @@ object Bench {
                      "ann_ivfpq_residual_recall", "scale_bucketed_revenue");
          fn <- SparkEntry.queries.get(name))
       fn(spark, sfDir).count()
+    // Machine-speed canary: a FIXED deterministic workload (pure
+    // codegen'd arithmetic over range — no I/O, no fixture dependence,
+    // identical every round) timed at start and end of the run and
+    // published as "calibration". The host intermittently runs 10-25%
+    // slow for minutes at a time (diffuse mode: a hundred queries each
+    // +0.1-0.5s, nothing crossing the per-query flag bars); the canary
+    // makes that adjudicable — a high total WITH a high canary is the
+    // machine, a high total with a nominal canary is a regression. The
+    // published value is NEVER normalized by it.
+    import org.apache.spark.sql.functions.{sum => fsum, col => fcol}
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).select(fsum(fcol("id") % 1000007L)).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // canary warm-up: its own JIT is not the signal
+    val cal0 = calibrate()
     // Steady-state timing: two full sweeps, per-query minimum — the
     // reference's discard-warmup methodology (benchmark.py:34-42), but
     // with the repeats separated in time: a fresh single-JVM session pays
@@ -137,8 +154,10 @@ object Bench {
       .sortBy(-_._2)
     val flaggedJson = flagged
       .map { case (k, r) => jstr(k) + ":" + r }.mkString("{", ",", "}")
+    val cal1 = calibrate()
+    val calJson = s""","calibration":[${f"$cal0%.3f"},${f"$cal1%.3f"}]"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_runs":$rawRuns,"flagged":$flaggedJson$errJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_runs":$rawRuns,"flagged":$flaggedJson$calJson$errJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     val budget = 1450
     val sortedCompact = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
@@ -147,7 +166,7 @@ object Bench {
     for (e <- sortedCompact if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     val omitted = sortedCompact.length - kept.length
     val omittedJson = if (omitted == 0) "" else s""","omitted_fastest":$omitted"""
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":${kept.mkString("{", ",", "}")}$omittedJson$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":${kept.mkString("{", ",", "}")}$omittedJson$calJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }

@@ -751,6 +751,76 @@ object SparkEntry {
             lit(" deleted ids served")))))
     }),
 
+    // GATED IVF deletion lifecycle — the side the graph index got in
+    // r11, completed for the inverted file: deletes are a deletion-vector
+    // side table (O(marks) append, no cell directory touched), load
+    // anti-joins it out so EVERY serve composition excludes deleted ids,
+    // and compact folds the tombstones into touched-cell rewrites. The
+    // gate serves BOTH states of a once-per-JVM mutated quarter-corpus
+    // index pair — tombstone-served and compacted — at full probe and
+    // pins both equal to the exact top-k over the live slice (floor 1.0),
+    // plus a zero-leak check on the tombstoned serve. Any surviving
+    // deleted id, lost live row, or compact corruption raises in-plan.
+    "ann_ivf_deleted" -> ((s, dir) => {
+      val (tombstonedIdx, compactedIdx) = ivfDeleteGateIndexes(s, dir)
+      val q = Tables.defaultQueries(s, dir)
+      val live = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 4 === 0 && col("vec_id") % 3 =!= 0)
+      val exact = KnnTopK.knnExact(q, live, k = 5).localCheckpoint(true)
+      // full probe scans every cell — plain search, no pruning resolve
+      val servedT = KnnIvf.search(tombstonedIdx, q, k = 5, nProbe = 8)
+        .localCheckpoint(true)
+      val servedC = KnnIvf.search(compactedIdx, q, k = 5, nProbe = 8)
+      val deleted = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 4 === 0 && col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("match_id"))
+      val leaked = servedT.join(deleted, Seq("match_id"), "left_semi")
+      val cols = Seq("query_id", "match_id", "score")
+      val compactDiff = servedC.select(cols.map(col): _*)
+        .except(exact.select(cols.map(col): _*))
+        .unionByName(exact.select(cols.map(col): _*)
+          .except(servedC.select(cols.map(col): _*)))
+      Recall.setAgreement(servedT, exact, on = cols, floor = 1.0, minCount = 1L)
+        .crossJoin(broadcast(leaked.agg(count(lit(1)).as("n_leaked"))))
+        .filter(when(col("n_leaked") === 0L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("IVF tombstone leak: "), col("n_leaked"),
+            lit(" deleted ids served")))))
+        .crossJoin(broadcast(compactDiff.agg(count(lit(1)).as("n_compact_diff"))))
+        .filter(when(col("n_compact_diff") === 0L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("IVF compact drift: "), col("n_compact_diff"),
+            lit(" rows differ from the exact live top-k")))))
+    }),
+    // GATED streaming index ingest — the reference's incremental
+    // `index()` endpoint (executor.py:127-150) as Structured Streaming:
+    // micro-batches of embeddings cell-assigned with the stored model
+    // and appended under only their touched cell directories
+    // (IndexStream.indexEachBatch). Cell assignment is a pure per-row
+    // function of the FIXED model, so stream==batch is EXACT, and the
+    // gate pins it twice on a once-per-JVM built twin pair: (a) the
+    // streamed index's (vec_id, cell) corpus EQUALS the single-call
+    // batch-append twin's, and (b) the streamed index served at full
+    // probe EQUALS the exact top-k over base ∪ delta (floor 1.0) — a
+    // lost row, duplicate append, or drifted assignment raises in-plan.
+    "ann_ivf_stream_ingest" -> ((s, dir) => {
+      val (streamedIdx, batchedIdx) = ivfStreamIngestIndexes(s, dir)
+      val q = Tables.defaultQueries(s, dir)
+      val exact = KnnTopK.knnExact(q,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0), k = 5)
+      val served = KnnIvf.search(streamedIdx, q, k = 5, nProbe = 8)
+      val sc = streamedIdx.corpusWithCell.select("vec_id", "cell")
+      val bc = batchedIdx.corpusWithCell.select("vec_id", "cell")
+      val corpusDiff = sc.except(bc).unionByName(bc.except(sc))
+      Recall.setAgreement(served, exact,
+          on = Seq("query_id", "match_id", "score"), floor = 1.0, minCount = 1L)
+        .crossJoin(broadcast(corpusDiff.agg(count(lit(1)).as("n_corpus_diff"))))
+        .filter(when(col("n_corpus_diff") === 0L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("stream-ingest drift: "), col("n_corpus_diff"),
+            lit(" (vec_id, cell) rows differ from the batch-append twin")))))
+    }),
+
     // --- k-NN JOIN: every corpus row is a query (kNN-dedup / hard-negative
     //     mining shape). Exact form = oracle baseline; the IVF-co-partitioned
     //     form is the 100 TB path (cell-equi join, linear shuffle) ---
@@ -1775,6 +1845,111 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0), numShards = 4), path)
       path
     })
+
+  /** Quarter-corpus IVF indexes for the deletion-lifecycle gate, built +
+    * mutated ONCE per JVM (the [[hnswGateIndexPath]] policy — the gate's
+    * contracts are corpus-independent; only their cost scales with n):
+    * two identical saves of the same built index, a third of the slice
+    * tombstoned into BOTH, and one of them compacted. The gate row then
+    * only reads + compares — re-running it never re-mutates, so the
+    * bench's repeated sweeps time the serve path, not the mutation.
+    * Cross-JVM reruns are safe: [[KnnIvf.save]] fully overwrites the
+    * corpus, and stale tombstone marks from a prior JVM name the same
+    * deterministic id slice the fresh marks do. */
+  private val ivfDeleteGateBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def ivfDeleteGatePaths(s: SparkSession, dir: String): (String, String) =
+    ivfDeleteGateBuilt.getOrElseUpdate(dir, {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_gate/${artifactKey(dir)}"
+      val slice = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val idx = KnnIvf.build(slice, numCells = 8)
+      val tombstoned = s"$root/tombstoned"; val compacted = s"$root/compacted"
+      KnnIvf.save(idx, tombstoned); KnnIvf.save(idx, compacted)
+      val dels = slice.select("vec_id").filter(col("vec_id") % 3 === 0)
+      KnnIvf.markDeletedSaved(s, tombstoned, dels)
+      KnnIvf.markDeletedSaved(s, compacted, dels)
+      KnnIvf.compact(s, compacted)
+      (tombstoned, compacted)
+    })
+
+  /** Loaded-and-pinned gate index pair, once per (SparkContext, dir):
+    * the gate's contract is AGREEMENT between the two serve states and
+    * the exact twin, not per-call restore cost (ann_ivf keeps the
+    * honest load-per-serve timing), and Spark ML's KMeansModel.load is
+    * multiple jobs per call — two loads per sweep was the whole cost of
+    * the row. The pinned corpus frames make repeated sweeps time the
+    * serve-and-compare plan itself. */
+  private val ivfDeleteGateLoaded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (KnnIvf.IvfIndex, KnnIvf.IvfIndex)]
+  private def ivfDeleteGateIndexes(s: SparkSession, dir: String)
+      : (KnnIvf.IvfIndex, KnnIvf.IvfIndex) =
+    ivfDeleteGateLoaded.getOrElseUpdate(
+      (System.identityHashCode(s.sparkContext), dir), {
+        val (tombstonedPath, compactedPath) = ivfDeleteGatePaths(s, dir)
+        def pin(p: String) = {
+          val idx = KnnIvf.load(s, p)
+          idx.copy(corpusWithCell = idx.corpusWithCell.localCheckpoint(true))
+        }
+        (pin(tombstonedPath), pin(compactedPath))
+      })
+
+  /** Stream-vs-batch ingest twin indexes, built ONCE per JVM (same memo
+    * policy as [[ivfDeleteGatePaths]]): one base IVF index saved twice,
+    * the delta half streamed into one copy as two genuine micro-batches
+    * ([[graft.streaming.IndexStream.indexEachBatch]] — the collect feeds
+    * the MemoryStream harness, bounded by the fixture slice; the
+    * operator under test is the distributed assign-and-append itself)
+    * and batch-appended into the other in one [[KnnIvf.appendTo]] call.
+    * The gate row reads + compares only. */
+  private val ivfStreamIngestBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def ivfStreamIngestPaths(s: SparkSession, dir: String): (String, String) =
+    ivfStreamIngestBuilt.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_stream/${artifactKey(dir)}"
+      val slice = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val base = slice.filter(col("vec_id") % 8 === 0)
+      val delta = slice.filter(col("vec_id") % 8 =!= 0)
+      val idx = KnnIvf.build(base, numCells = 8)
+      val streamed = s"$root/streamed"; val batched = s"$root/batched"
+      KnnIvf.save(idx, streamed); KnnIvf.save(idx, batched)
+      KnnIvf.appendTo(s, batched, delta)
+      val rows = delta.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      // isolated child session, the dedup_stream_agreement pattern: the
+      // low-partition knob for trigger machinery must not leak out
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = s2.sqlContext
+      import s2.implicits._
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.IndexStream.indexEachBatch(
+        input.toDF().toDF("vec_id", "embedding"), streamed,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      try {
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      (streamed, batched)
+    })
+
+  /** Loaded-and-pinned twin pair, once per (SparkContext, dir) — the
+    * [[ivfDeleteGateIndexes]] policy for the stream-ingest gate. */
+  private val ivfStreamIngestLoaded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (KnnIvf.IvfIndex, KnnIvf.IvfIndex)]
+  private def ivfStreamIngestIndexes(s: SparkSession, dir: String)
+      : (KnnIvf.IvfIndex, KnnIvf.IvfIndex) =
+    ivfStreamIngestLoaded.getOrElseUpdate(
+      (System.identityHashCode(s.sparkContext), dir), {
+        val (streamedPath, batchedPath) = ivfStreamIngestPaths(s, dir)
+        def pin(p: String) = {
+          val idx = KnnIvf.load(s, p)
+          idx.copy(corpusWithCell = idx.corpusWithCell.localCheckpoint(true))
+        }
+        (pin(streamedPath), pin(batchedPath))
+      })
 
   /** One-time-per-session bucketed copies of orders + lineitem, co-
     * bucketed on the order key so their join needs no exchange (the

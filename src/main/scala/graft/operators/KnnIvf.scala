@@ -141,10 +141,85 @@ object KnnIvf {
 
   /** Restore a saved index. The corpus read keeps `cell` as a partition
     * column, so `cell IN (...)` filters become `PartitionFilters` — only
-    * probed directories are scanned. */
-  def load(spark: SparkSession, path: String): IvfIndex =
-    IvfIndex(KMeansModel.load(s"$path/model"),
-      Scale.loadPartitioned(spark, s"$path/corpus"))
+    * probed directories are scanned. If the index carries a tombstone
+    * table (see [[markDeletedSaved]]), deleted ids are anti-joined out
+    * here, so EVERY serve composition over the loaded index — plain,
+    * filtered, BQ-probed, IVFPQ — excludes them without each path
+    * having to know deletions exist. The anti join broadcasts the
+    * (small) tombstone set and sits above the scan, so partition
+    * pruning on `cell` still reaches the files. */
+  def load(spark: SparkSession, path: String): IvfIndex = {
+    val corpus = Scale.loadPartitioned(spark, s"$path/corpus")
+    val live = loadTombstones(spark, path) match {
+      case Some(t) => corpus.join(broadcast(t), t.columns.toSeq, "left_anti")
+      case None    => corpus
+    }
+    IvfIndex(KMeansModel.load(s"$path/model"), live)
+  }
+
+  private def tombstonePath(path: String) = s"$path/tombstones"
+
+  private def loadTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(tombstonePath(path))) else None
+  }
+
+  /** Soft-delete ids from a SAVED index — the reference's delete path
+    * tombstones the hnswlib slot and reclaims nothing
+    * (`executor.py:213-225`); the IVF rendition is a deletion-vector
+    * side table: delete time is O(marks) — one small parquet append,
+    * NO cell directory is touched — and the corpus files stay immutable
+    * until [[compact]] folds the tombstones in. Unlike the graph index
+    * ([[KnnHnsw.markDeleted]]) a tombstoned IVF row has no routing role
+    * (cells are centroid-assigned, not edge-linked), so [[load]] can
+    * drop it outright rather than carry a flag through serving.
+    * Idempotent and cumulative: appended marks union with prior ones
+    * (the anti join ignores duplicates). */
+  def markDeletedSaved(spark: SparkSession, path: String, ids: DataFrame,
+                       idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(tombstonePath(path))
+
+  /** Fold tombstones into the corpus files: ONLY cells that contain a
+    * deleted row rebuild (live rows rewritten, dynamic partition
+    * overwrite — untouched cell directories are never rewritten), a
+    * cell left with no live rows is dropped, and the tombstone table is
+    * cleared. The touched-cell resolve is a bounded collect
+    * (≤ numCells ints — the same metadata-sized resolve as
+    * [[searchPruned]]'s probed-cell set). Centroids are untouched:
+    * IVF serving is exact within probed cells regardless of centroid
+    * quality, so deletion never requires refitting — rebuild cadence
+    * stays an offline decision (see [[add]]). */
+  def compact(spark: SparkSession, path: String): Unit =
+    loadTombstones(spark, path).foreach { t => compactWith(spark, path, t) }
+
+  private def compactWith(spark: SparkSession, path: String, t: DataFrame): Unit = {
+    val key = t.columns.toSeq
+    val corpus = Scale.loadPartitioned(spark, s"$path/corpus")
+    val touched = corpus.join(broadcast(t), key, "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    if (touched.nonEmpty) {
+      val live = corpus.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+        .join(broadcast(t), key, "left_anti")
+        .localCheckpoint(true) // read completes before its source dirs rewrite
+      live.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(s"$path/corpus")
+      // a cell whose rows were ALL deleted emits nothing — dynamic
+      // overwrite leaves its stale directory in place; drop it explicitly
+      val liveCells = live.select("cell").distinct().collect().map(_.getInt(0)).toSet
+      val emptied = touched.filterNot(liveCells)
+      if (emptied.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(s"$path/corpus")
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        emptied.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$c"), true): Unit
+        }
+      }
+    }
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    tp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tp, true): Unit
+  }
 
   /** Search a loaded index with explicit partition pruning: resolve the
     * probed cell set first (tiny — `|queries| × nProbe` ints; queries are

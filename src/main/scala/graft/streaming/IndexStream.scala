@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.operators.KnnIvf
+
+/** Streaming `/index` into a SAVED ANN index — the reference's
+  * incremental `index()` endpoint (`/root/reference/executor.py:127-150`:
+  * each request's batch of embeddings is added into the live hnswlib
+  * graph) under continuous arrival, as Structured Streaming.
+  *
+  * Each micro-batch is cell-assigned with the index's stored KMeans
+  * model and appended under ONLY its touched cell directories
+  * ([[KnnIvf.appendTo]]). Per-batch work is O(batch), independent of
+  * index size: the broadcast model does the assignment (a narrow map —
+  * no shuffle), and the parquet append writes just the batch's cells.
+  * Because cell assignment is a pure per-row function of the FIXED
+  * stored model, the index a stream builds is row-for-row the index a
+  * single batch append builds from the same rows — the stream==batch
+  * contract [[DedupStream]] carries for dedup, here for index ingest
+  * (gated per round by `ann_ivf_stream_ingest`).
+  *
+  * At 100 TB the same shape holds: the model broadcast is KB-sized,
+  * each trigger's append is proportional to the trigger's data, and
+  * queries keep serving from the directory tree between triggers
+  * (readers of already-committed files never block on the writer). */
+object IndexStream {
+
+  /** Run the embedding stream into the saved IVF index at `indexPath`.
+    * The stream's rows must carry the index corpus's columns (id +
+    * `vecCol`). Foreach-batch is the right sink here, not a parquet
+    * streaming sink: the append must go through the model-assign step
+    * and land partitioned by the ASSIGNED cell, which is a per-batch
+    * transformation of exactly the kind `foreachBatch` exists for. */
+  def indexEachBatch(stream: DataFrame, indexPath: String,
+                     vecCol: String = "embedding",
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        KnnIvf.appendTo(batch.sparkSession, indexPath, batch, vecCol)
+      }
+      .trigger(trigger)
+      .start()
+}

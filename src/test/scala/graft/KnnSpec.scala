@@ -73,6 +73,67 @@ class KnnSpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("IVF tombstones: marked ids vanish from load, serve stays exact on the live corpus") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    KnnIvf.save(KnnIvf.build(corpus, numCells = 8), path)
+    val dels = corpus.select("vec_id").filter(col("vec_id") % 3 === 0)
+    KnnIvf.markDeletedSaved(spark, path, dels)
+    val loaded = KnnIvf.load(spark, path)
+    val loadedIds = loaded.corpusWithCell.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(loadedIds.forall(_ % 3 != 0), "no tombstoned id may survive load")
+    assert(loadedIds.size.toLong === corpus.filter(col("vec_id") % 3 =!= 0).count(),
+      "every live id must survive load")
+    // full probe over the live view == exact search over the live corpus
+    val served = KnnIvf.searchPruned(loaded, queries, k = 5, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = KnnTopK.knnExact(queries, corpus.filter(col("vec_id") % 3 =!= 0), k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(served === exact)
+    // cumulative: a second mark unions with the first
+    KnnIvf.markDeletedSaved(spark, path,
+      corpus.select("vec_id").filter(col("vec_id") % 5 === 0))
+    val after = KnnIvf.load(spark, path).corpusWithCell
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(after.forall(id => id % 3 != 0 && id % 5 != 0))
+  }
+
+  test("IVF compact folds tombstones in: same serve, tombstone table cleared, emptied cells dropped") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    KnnIvf.save(KnnIvf.build(corpus, numCells = 8), path)
+    // delete a scatter of ids PLUS one whole cell, so compact must both
+    // rewrite touched cells and drop a fully-emptied directory
+    val cellToEmpty = KnnIvf.load(spark, path).corpusWithCell
+      .select("cell").head().getInt(0)
+    val dels = KnnIvf.load(spark, path).corpusWithCell
+      .filter(col("vec_id") % 3 === 0 || col("cell") === cellToEmpty)
+      .select("vec_id")
+    KnnIvf.markDeletedSaved(spark, path, dels)
+    val beforeCompact = KnnIvf.searchPruned(KnnIvf.load(spark, path),
+        queries, k = 5, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    KnnIvf.compact(spark, path)
+    val afterCompact = KnnIvf.searchPruned(KnnIvf.load(spark, path),
+        queries, k = 5, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(afterCompact === beforeCompact, "compact must not change served results")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      "compact must clear the tombstone table")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/corpus/cell=$cellToEmpty")),
+      "a fully-emptied cell directory must be dropped")
+    // corpus files now carry live rows only (no anti-join needed to serve)
+    val raw = spark.read.parquet(s"$path/corpus").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = KnnIvf.load(spark, path).corpusWithCell
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(raw === expected, "post-compact raw files must equal the live view")
+    // compact with no tombstones is a no-op
+    KnnIvf.compact(spark, path)
+    assert(spark.read.parquet(s"$path/corpus").count().toInt === raw.size)
+  }
+
   test("IVF save/load round-trips: loaded searchPruned == in-memory search") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
     val idx = KnnIvf.build(corpus, numCells = 8)

@@ -242,11 +242,9 @@ class StreamingSpec extends SparkSuite {
     val v0 = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0)
     val input = MemoryStream[(Long, Seq[Float], Int)]
-    val q = input.toDF().toDF("vec_id", "embedding", "label")
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.KnnIvf.appendTo(spark, path, batch) }
-      .start()
+    val q = graft.streaming.IndexStream.indexEachBatch(
+      input.toDF().toDF("vec_id", "embedding", "label"), path,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
     try {
       input.addData((9999999L, v0, -1))
       q.processAllAvailable()
@@ -257,6 +255,41 @@ class StreamingSpec extends SparkSuite {
     val top = graft.operators.KnnIvf.searchPruned(loaded, queries, k = 2, nProbe = 2)
       .select("match_id").collect().map(_.getLong(0)).toSet
     assert(top === Set(0L, 9999999L), s"served matches: $top")
+  }
+
+  test("stream-built IVF index equals the single-call batch-append twin, any batch split") {
+    // cell assignment is a pure per-row function of the FIXED stored
+    // model, so the index a stream builds must be row-for-row the index
+    // one batch append builds from the same rows — the stream==batch
+    // contract the dedup stream carries, here for index ingest
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 =!= 0)
+    val root = Files.createTempDirectory("graft_stream_twin").toString
+    val idx = graft.operators.KnnIvf.build(base, numCells = 4)
+    graft.operators.KnnIvf.save(idx, s"$root/streamed")
+    graft.operators.KnnIvf.save(idx, s"$root/batched")
+    graft.operators.KnnIvf.appendTo(spark, s"$root/batched", delta)
+    val rows = delta.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 3) // deliberately uneven split
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.IndexStream.indexEachBatch(
+      input.toDF().toDF("vec_id", "embedding"), s"$root/streamed",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    def cells(p: String) = graft.operators.KnnIvf.load(spark, p)
+      .corpusWithCell.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val s1 = cells(s"$root/streamed"); val s2 = cells(s"$root/batched")
+    assert(s1 === s2, "streamed (vec_id, cell) set must equal batch twin")
+    assert(s1.size === emb.count(), "no row lost or duplicated")
   }
 
   test("event-time-timeout sessionization emits exactly the gap sessions") {

@@ -207,10 +207,18 @@ object Relational {
         ((col("__qty") * lit(1000000)).cast("decimal(38,0)") * lit(2L)).as("__den"))
       .select(col("l_partkey"), col("l_suppkey"),
         (expr("__num DIV __den").cast("double") / lit(10000.0)).as("unit_price"))
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("unit_price").asc, col("l_suppkey").asc)
-    perPair.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // per-part argmin as min(struct(price, suppkey)) — struct comparison
+    // is lexicographic, so this is EXACTLY the (unit_price asc, suppkey
+    // asc) row_number()=1 window it replaces, but as a hash aggregation:
+    // map-side partials collapse each partkey to ONE candidate before
+    // the shuffle, and no per-partition sort ever runs. On a 100 TB fact
+    // table the window form shuffles and sorts every (part, supp) pair;
+    // this shuffles one row per part already seen by each map task.
+    perPair
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("unit_price"), col("l_suppkey"))).as("__best"))
+      .select(col("l_partkey"), col("__best.l_suppkey").as("l_suppkey"),
+        col("__best.unit_price").as("unit_price"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
         col("s_name"), col("unit_price"))

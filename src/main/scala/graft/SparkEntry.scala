@@ -820,6 +820,31 @@ object SparkEntry {
             lit("stream-ingest drift: "), col("n_corpus_diff"),
             lit(" (vec_id, cell) rows differ from the batch-append twin")))))
     }),
+    // GATED graph-index streaming ingest — the closest shape to the
+    // reference's ACTUAL lifecycle (hnswlib graph + incremental index()
+    // calls): micro-batches hash to their shards and only those shards
+    // rebuild. Per-shard build determinism upgrades the contract beyond
+    // the IVF gate's: the streamed graph must be row-for-row IDENTICAL
+    // to the one-call batch-append twin — same local indices, same
+    // adjacency — not merely agree on served results. Pinned as frame
+    // set-equality over (shard, local_idx, vec_id, neighbor_idx) at
+    // floor 1.0 plus an exact row-count check (no loss, no duplicate).
+    "ann_hnsw_stream_ingest" -> ((s, dir) => {
+      val (streamedG, batchedG) = hnswStreamIngestFrames(s, dir)
+      val cols = Seq("shard", "local_idx", "vec_id", "neighbor_idx")
+      val expectedN = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 4 === 0)
+        .agg(count(lit(1)).as("n_expected"))
+      Recall.setAgreement(streamedG.select(cols.map(col): _*),
+          batchedG.select(cols.map(col): _*),
+          on = cols, floor = 1.0, minCount = 1L)
+        .crossJoin(broadcast(streamedG.agg(count(lit(1)).as("n_streamed"))))
+        .crossJoin(broadcast(expectedN))
+        .filter(when(col("n_streamed") === col("n_expected"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("graph stream-ingest row-count drift: "), col("n_streamed"),
+            lit(" rows vs "), col("n_expected"), lit(" expected")))))
+    }),
 
     // --- k-NN JOIN: every corpus row is a query (kNN-dedup / hard-negative
     //     mining shape). Exact form = oracle baseline; the IVF-co-partitioned
@@ -1934,6 +1959,57 @@ object SparkEntry {
       } finally q.stop()
       (streamed, batched)
     })
+
+  /** Graph-index stream-vs-batch twin pair, once per JVM — the
+    * [[ivfStreamIngestPaths]] mutation for the SHARDED-NSW graph: one
+    * base graph saved twice, the delta streamed into one copy as two
+    * micro-batches ([[graft.streaming.IndexStream.indexEachBatchGraph]])
+    * and batch-appended into the other. Per-shard build determinism
+    * makes the two graphs row-for-row identical — the gate compares
+    * FRAMES, so the pinned pair is all it needs. */
+  private val hnswStreamIngestBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def hnswStreamIngestPaths(s: SparkSession, dir: String): (String, String) =
+    hnswStreamIngestBuilt.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_stream/${artifactKey(dir)}"
+      val slice = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val base = slice.filter(col("vec_id") % 8 === 0)
+      val delta = slice.filter(col("vec_id") % 8 =!= 0)
+      val streamed = s"$root/streamed"; val batched = s"$root/batched"
+      val g = KnnHnsw.build(base, numShards = 4).localCheckpoint(true)
+      KnnHnsw.save(g, streamed); KnnHnsw.save(g, batched)
+      KnnHnsw.appendTo(s, batched, delta, numShards = 4)
+      val rows = delta.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = s2.sqlContext
+      import s2.implicits._
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.IndexStream.indexEachBatchGraph(
+        input.toDF().toDF("vec_id", "embedding"), streamed, numShards = 4,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      try {
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      (streamed, batched)
+    })
+
+  /** Loaded-and-pinned stream/batch graph pair per (SparkContext, dir). */
+  private val hnswStreamIngestLoaded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (DataFrame, DataFrame)]
+  private def hnswStreamIngestFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    hnswStreamIngestLoaded.getOrElseUpdate(
+      (System.identityHashCode(s.sparkContext), dir), {
+        val (streamedPath, batchedPath) = hnswStreamIngestPaths(s, dir)
+        (KnnHnsw.load(s, streamedPath).localCheckpoint(true),
+         KnnHnsw.load(s, batchedPath).localCheckpoint(true))
+      })
 
   /** Loaded-and-pinned twin pair, once per (SparkContext, dir) — the
     * [[ivfDeleteGateIndexes]] policy for the stream-ingest gate. */

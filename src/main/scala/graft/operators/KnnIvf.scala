@@ -303,6 +303,28 @@ object KnnIvf {
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 
+  /** Offline index maintenance: refit centroids on the CURRENT live
+    * corpus and rewrite the cell layout — the "rebuild cadence" decision
+    * [[add]] defers, as one call. Append-only growth under a fixed model
+    * ([[appendTo]], [[graft.streaming.IndexStream.indexEachBatch]])
+    * slowly unbalances cells as the data distribution drifts from the
+    * one the centroids were fit on; correctness never degrades (serving
+    * is exact within probed cells), but a hot cell grows probe cost and
+    * a stale layout wastes pruning. Refresh re-fits (same deterministic
+    * seed contract as [[build]]; `fitFraction` bounds the fit scan at
+    * corpus scale) and re-lays-out in one pass over the live view —
+    * pending tombstones are folded in by construction (the live view is
+    * what gets rewritten), so refresh subsumes [[compact]]. */
+  def refresh(spark: SparkSession, path: String, numCells: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L, fitFraction: Double = 1.0): Unit = {
+    val live = load(spark, path).corpusWithCell.drop("cell")
+      .localCheckpoint(true) // read completes before its source dirs rewrite
+    save(build(live, numCells, idCol, vecCol, seed, fitFraction), path)
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    tp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tp, true): Unit
+  }
+
   /** One-call convenience for fixture-scale use. */
   def approxKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                 numCells: Int = 16, nProbe: Int = 4,

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
-import graft.operators.KnnIvf
+import graft.operators.{KnnHnsw, KnnIvf}
 
 /** Streaming `/index` into a SAVED ANN index — the reference's
   * incremental `index()` endpoint (`/root/reference/executor.py:127-150`:
@@ -40,6 +40,30 @@ object IndexStream {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         KnnIvf.appendTo(batch.sparkSession, indexPath, batch, vecCol)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** Run the embedding stream into the saved sharded-NSW graph at
+    * `indexPath` — the graph rendition of [[indexEachBatch]], which is
+    * the closest shape to the reference's actual lifecycle (hnswlib
+    * graph + incremental `index()` calls, `executor.py:49,127-168`).
+    * Each micro-batch hashes to its shards and ONLY those shards
+    * rebuild ([[KnnHnsw.appendTo]]); per-trigger work is
+    * O(touched shards), not O(graph). Because the per-shard build is
+    * deterministic over the shard's final id set, the graph a stream
+    * builds — across ANY batch split — is row-for-row IDENTICAL to one
+    * batch append of the same rows (gated per round by
+    * `ann_hnsw_stream_ingest` as frame identity, not just served-result
+    * agreement). */
+  def indexEachBatchGraph(stream: DataFrame, indexPath: String,
+                          numShards: Int, m: Int = 8, efConstruction: Int = 64,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        KnnHnsw.appendTo(batch.sparkSession, indexPath, batch,
+          numShards, m, efConstruction)
       }
       .trigger(trigger)
       .start()

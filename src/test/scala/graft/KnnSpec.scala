@@ -134,6 +134,37 @@ class KnnSpec extends SparkSuite {
     assert(spark.read.parquet(s"$path/corpus").count().toInt === raw.size)
   }
 
+  test("IVF refresh refits the layout on the live corpus and subsumes compact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_rf").toString
+    KnnIvf.save(KnnIvf.build(corpus, numCells = 4), path)
+    KnnIvf.appendTo(spark, path,
+      corpus.withColumn("vec_id", col("vec_id") + 10000000L))
+    KnnIvf.markDeletedSaved(spark, path,
+      corpus.select((col("vec_id") + 10000000L).as("vec_id"))
+        .filter(col("vec_id") % 2 === 0))
+    KnnIvf.refresh(spark, path, numCells = 8)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      "refresh must fold tombstones in and clear the table")
+    val loaded = KnnIvf.load(spark, path)
+    val ids = loaded.corpusWithCell.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = corpus.select("vec_id").collect().map(_.getLong(0)).toSet ++
+      corpus.select("vec_id").collect().map(_.getLong(0) + 10000000L).filter(_ % 2 != 0)
+    assert(ids === expected, "refresh must keep exactly the live id set")
+    assert(loaded.model.clusterCenters.length === 8,
+      "refresh must refit at the requested cell count")
+    // serving stays exact at full probe over the refreshed layout
+    val served = KnnIvf.searchPruned(loaded, queries, k = 5, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val liveCorpus = corpus.unionByName(
+        corpus.withColumn("vec_id", col("vec_id") + 10000000L)
+          .filter(col("vec_id") % 2 =!= 0))
+    val exact = KnnTopK.knnExact(queries, liveCorpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(served === exact)
+  }
+
   test("IVF save/load round-trips: loaded searchPruned == in-memory search") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
     val idx = KnnIvf.build(corpus, numCells = 8)

@@ -292,6 +292,41 @@ class StreamingSpec extends SparkSuite {
     assert(s1.size === emb.count(), "no row lost or duplicated")
   }
 
+  test("stream-built NSW graph is row-for-row identical to the batch-append twin") {
+    // stronger than the IVF twin contract: per-shard build determinism
+    // means ANY batch split yields the same local indices and adjacency,
+    // not just the same served results
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 =!= 0)
+    val root = Files.createTempDirectory("graft_gstream_twin").toString
+    val g = graft.operators.KnnHnsw.build(base, numShards = 3).localCheckpoint(true)
+    graft.operators.KnnHnsw.save(g, s"$root/streamed")
+    graft.operators.KnnHnsw.save(g, s"$root/batched")
+    graft.operators.KnnHnsw.appendTo(spark, s"$root/batched", delta, numShards = 3)
+    val rows = delta.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 3) // deliberately uneven split
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.IndexStream.indexEachBatchGraph(
+      input.toDF().toDF("vec_id", "embedding"), s"$root/streamed", numShards = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    def frame(p: String) = graft.operators.KnnHnsw.load(spark, p)
+      .select("shard", "local_idx", "vec_id", "neighbor_idx").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getSeq[Int](3).toList))
+      .toSet
+    val s1 = frame(s"$root/streamed"); val s2 = frame(s"$root/batched")
+    assert(s1 === s2, "streamed graph must be structurally identical to batch twin")
+    assert(s1.size === emb.count(), "no row lost or duplicated")
+  }
+
   test("event-time-timeout sessionization emits exactly the gap sessions") {
     // Spark 4.1 moved MemoryStream under execution.streaming.runtime
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

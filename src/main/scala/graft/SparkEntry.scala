@@ -1256,6 +1256,20 @@ object SparkEntry {
         Retrieval.mmrRerankBrute(cands, Tables.embeddings(s, dir), k = 10),
         on = Seq("query_id", "match_id", "mmr", "rank"), floor = 1.0, minCount = 1L)
     }),
+    // ColBERT-style late-interaction retrieval: two 4-token multi-vector
+    // queries (tokens = vectors 0..7, query = vec_id/4) scored against
+    // 100 multi-vector "documents" (token bags keyed vec_id % 100) —
+    // Σ per-token max cosine, top-10 per query, DuckDB-oracled
+    "retrieval_maxsim" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      Retrieval.maxSim(
+        e.filter(col("vec_id") < 8).select(
+          floor(col("vec_id") / 4).cast("long").as("query_id"),
+          col("vec_id").as("tok_id"), col("v").as("qv")),
+        e.select((col("vec_id") % 100).as("match_id"), col("v").as("dv")),
+        k = 10)
+    }),
     // one-pass exact column profile over orders (nulls / distincts /
     // numeric ranges; timestamp pre-converted to integer epoch seconds
     // so the double surface is engine-exact)
@@ -2588,6 +2602,27 @@ object SparkEntry {
                         row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS "rank"
                  FROM fused)
           SELECT doc_id, rrf, "rank" AS rank FROM fr WHERE "rank" <= 10""",
+    // late interaction: per-(query token, doc) max cosine rounded to
+    // 4dp, summed in DECIMAL (exact, order-free) — engine-exact scores
+    "retrieval_maxsim" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT CAST(floor(vec_id / 4) AS BIGINT) AS query_id,
+                       vec_id AS tok_id, v AS qv FROM e WHERE vec_id < 8),
+          d AS (SELECT vec_id % 100 AS match_id, v AS dv FROM e),
+          s AS (SELECT query_id, tok_id, match_id,
+                       list_dot_product(qv, dv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(dv, dv))) AS sim
+                FROM q CROSS JOIN d),
+          m AS (SELECT query_id, tok_id, match_id,
+                       CAST(round(max(sim), 4) AS DECIMAL(14,4)) AS mx
+                FROM s GROUP BY 1, 2, 3),
+          sc AS (SELECT query_id, match_id, round(CAST(sum(mx) AS DOUBLE), 4) AS score
+                 FROM m GROUP BY 1, 2),
+          r AS (SELECT query_id, match_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, match_id ASC) AS "rank"
+                FROM sc)
+          SELECT query_id, match_id, score, "rank" AS rank FROM r WHERE "rank" <= 10""",
     // md5-gated deterministic sampling: identical keep-set in any engine
     "sample_hash" ->
       """SELECT doc_id, lang FROM documents

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorOps
+
 /** Keyword retrieval + hybrid fusion — the text half of a modern
   * retrieval stack (the reference serves only the vector half,
   * `/root/reference/executor.py:73-125`; production search fuses both).
@@ -249,5 +251,44 @@ object Retrieval {
         out.result()
       }
       .toDF("query_id", "match_id", "mmr", "rank")
+  }
+
+  /** ColBERT-style late-interaction scoring (Khattab & Zaharia, SIGIR
+    * 2020): `score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d)` — each query
+    * token keeps only its best-matching document token, and a document's
+    * score is the sum of those per-token maxima. This is the multi-vector
+    * retrieval model the reference's single-vector `/search`
+    * (`/root/reference/executor.py:73-125`) cannot express: a document is
+    * a BAG of vectors, not one.
+    *
+    * Scale shape: the query-token set broadcasts (a query is a handful of
+    * vectors), so the token-level similarity join is a broadcast
+    * nested-loop over the document-token table — no shuffle of the
+    * corpus. Everything after is two hash aggregations with map-side
+    * partial combine (token-level max, then doc-level sum), each
+    * REDUCING cardinality (token pairs → (query, token, doc) → (query,
+    * doc)); the rank window runs on the already-reduced (queries × docs)
+    * frame, never on token rows.
+    *
+    * Determinism: per-token maxima are order-independent; each max is
+    * rounded to 4 dp and summed in decimal (exact, order-independent),
+    * so the score is engine-exact — same contract as [[bm25]].
+    *
+    * @param queryTokens (query_id, tok_id, qv) — one row per query token
+    * @param docTokens   (match_id, dv) — one row per document token
+    * @return (query_id, match_id, score, rank), rank 1-based with an id
+    *         tiebreak, k rows per query */
+  def maxSim(queryTokens: DataFrame, docTokens: DataFrame, k: Int = 10): DataFrame = {
+    val sims = docTokens.crossJoin(broadcast(queryTokens))
+      .select(col("query_id"), col("tok_id"), col("match_id"),
+        VectorOps.cosineSimilarity(col("qv"), col("dv")).as("__sim"))
+    val perTok = sims.groupBy(col("query_id"), col("tok_id"), col("match_id"))
+      .agg(round(max(col("__sim")), 4).cast("decimal(14,4)").as("__mx"))
+    val scored = perTok.groupBy(col("query_id"), col("match_id"))
+      .agg(round(sum(col("__mx")).cast("double"), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 }

@@ -139,4 +139,45 @@ class RetrievalSpec extends SparkSuite {
     assert(flagship === brute,
       "O(k·n) incremental and O(k²·n) recompute formulations must agree exactly")
   }
+
+  test("maxsim: per-query-token MAX (not sum) over doc tokens, summed per query token") {
+    import spark.implicits._
+    val q = Seq((0L, 0L, Seq(1.0, 0.0)), (0L, 1L, Seq(0.0, 1.0)))
+      .toDF("query_id", "tok_id", "qv")
+    // doc 1: one perfect token per query token -> 1.0 + 1.0 = 2.0
+    // doc 2: FIVE copies of the x-axis token, nothing on y -> max
+    //        collapses the copies, score stays 1.0 (the late-interaction
+    //        contract: repeating a matching token must not inflate)
+    // doc 3: diagonal token, cos = 0.7071 to both axes -> 1.4142
+    val d = (Seq((1L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))) ++
+      (1 to 5).map(_ => (2L, Seq(1.0, 0.0))) ++
+      Seq((3L, Seq(1.0, 1.0)))).toDF("match_id", "dv")
+    val out = Retrieval.maxSim(q, d, k = 10).orderBy("rank").collect()
+    val scores = out.map(r => r.getAs[Long]("match_id") -> r.getAs[Double]("score")).toMap
+    assert(scores(1L) === 2.0)
+    assert(scores(2L) === 1.0)
+    assert(scores(3L) === 1.4142)
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Long]("match_id") === 1L)
+  }
+
+  test("maxsim on fixtures: contiguous ranks, bounded scores, repartition-stable") {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 8).select(
+      floor(col("vec_id") / 4).cast("long").as("query_id"),
+      col("vec_id").as("tok_id"), col("v").as("qv"))
+    val d = e.select((col("vec_id") % 100).as("match_id"), col("v").as("dv"))
+    val rows = Retrieval.maxSim(q, d, k = 10).orderBy("query_id", "rank").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(0L, 1L))
+    byQ.values.foreach { qr =>
+      assert(qr.map(_.getAs[Long]("rank")).toSeq === (1L to 10L))
+      // 4 query tokens, each max-cosine in [-1, 1] -> score in [-4, 4]
+      assert(qr.forall(r => math.abs(r.getAs[Double]("score")) <= 4.0))
+    }
+    val again = Retrieval.maxSim(q.repartition(5), d.repartition(7), k = 10)
+      .orderBy("query_id", "rank").collect()
+    assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
 import graft.operators.{Contamination, Dedup, Dsir, EventOps, Knn, KnnHnsw, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
-import graft.sources.Tables
+import graft.sources.{Tables, TextSources}
 import graft.streaming.DedupStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1840,7 +1840,40 @@ object SparkEntry {
             lit(" of "), col("n_planted"),
             lit(" re-encoded pairs missed")))))
     }),
+    // --- interchange-format sources (O1 family): what the engine
+    //     writes it re-reads identically. The fixture text is benign,
+    //     so three planted rows drive the machinery that matters —
+    //     embedded delimiter, quote, newline, tab, backslash, and
+    //     edge whitespace — through the write→read round-trip; the
+    //     oracle sees the logical rows straight from parquet, so any
+    //     quoting/escaping/trimming loss hash-diverges ---
+    "source_jsonl" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl/${artifactKey(dir)}"
+      TextSources.jsonlRoundTrip(docsWithHostileText(s, dir), path)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("text_chars"),
+          md5(col("text")).as("text_md5"))
+    }),
+    "source_csv" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv/${artifactKey(dir)}"
+      TextSources.csvRoundTrip(docsWithHostileText(s, dir), path)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("text_chars"),
+          md5(col("text")).as("text_md5"))
+    }),
   )
+
+  /** documents(doc_id, lang, text) plus three rows hostile to
+    * line-oriented interchange formats; the oracle replicates them in
+    * SQL (`chr(10)`/`chr(9)` for the control chars). */
+  private def docsWithHostileText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id", "lang", "text").unionByName(Seq(
+      (9000001L, "xx", "comma, in \"quoted\" field\nsecond line"),
+      (9000002L, "xx", "  leading and trailing  "),
+      (9000003L, "xx", "tab\tsemicolon; backslash:\\")
+    ).toDF("doc_id", "lang", "text"))
+  }
 
   /** Build + persist the IVF index once per (JVM, fixture dir); query
     * paths then pay load + probe only — mirroring the reference's
@@ -2139,6 +2172,18 @@ object SparkEntry {
   /** Shared CTE prefix for the two contamination oracles: the train/eval
     * split (mirroring [[contaminationSplit]]) and both sides' word-8-gram
     * sets. */
+  /** Oracle twin of [[docsWithHostileText]]: the same three planted rows
+    * in SQL, control characters spelled `chr(10)`/`chr(9)` so the SQL
+    * text itself stays single-line for the JSON dump. */
+  private val hostileDocsCte: String =
+    """docs2 AS (SELECT doc_id, lang, text FROM documents
+       UNION ALL SELECT 9000001, 'xx', 'comma, in "quoted" field' || chr(10) || 'second line'
+       UNION ALL SELECT 9000002, 'xx', '  leading and trailing  '
+       UNION ALL SELECT 9000003, 'xx', 'tab' || chr(9) || 'semicolon; backslash:\')"""
+
+  private val interchangeProjection: String =
+    "SELECT doc_id, lang, length(text) AS text_chars, md5(text) AS text_md5 FROM docs2"
+
   private val contaminationCtes: String =
     """WITH toks AS (SELECT doc_id,
                             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
@@ -2623,6 +2668,13 @@ object SparkEntry {
                                           ORDER BY score DESC, match_id ASC) AS "rank"
                 FROM sc)
           SELECT query_id, match_id, score, "rank" AS rank FROM r WHERE "rank" <= 10""",
+    // interchange round-trips: the oracle reads the LOGICAL rows from
+    // parquet (plus the planted hostile rows, control chars via chr());
+    // the Spark side reads them back through its own JSONL/CSV writes —
+    // equality proves the quoting/escape/whitespace machinery is
+    // lossless end-to-end
+    "source_jsonl" -> s"WITH $hostileDocsCte $interchangeProjection",
+    "source_csv" -> s"WITH $hostileDocsCte $interchangeProjection",
     // md5-gated deterministic sampling: identical keep-set in any engine
     "sample_hash" ->
       """SELECT doc_id, lang FROM documents

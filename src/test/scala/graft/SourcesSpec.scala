@@ -37,6 +37,41 @@ class SourcesSpec extends SparkSuite {
     }
   }
 
+  test("TextSources round-trips hostile text losslessly (quotes, newlines, tabs, edge whitespace)") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "a", "comma, in \"quoted\" field\nsecond line"),
+      (2L, "b", "  leading and trailing  "),
+      (3L, "c", "tab\there quote:\" backslash:\\ pipe:|"),
+      (4L, "d", ""), // empty string (CSV's classic empty-vs-null trap)
+      (5L, "e", "plain")
+    ).toDF("doc_id", "lang", "text")
+    val base = Files.createTempDirectory("graft_textsrc").toString
+    val j = graft.sources.TextSources.jsonlRoundTrip(hostile, s"$base/jsonl")
+    assert(j.exceptAll(hostile).unionAll(hostile.exceptAll(j)).count() === 0,
+      "jsonl round-trip drift")
+    val c = graft.sources.TextSources.csvRoundTrip(hostile, s"$base/csv")
+      // CSV cannot distinguish empty string from null on read; conform
+      // the one planted empty back — the OTHER four rows (whitespace
+      // edges included) must survive bit-exactly
+      .withColumn("text", coalesce(col("text"), lit("")))
+    assert(c.exceptAll(hostile).unionAll(hostile.exceptAll(c)).count() === 0,
+      "csv round-trip drift")
+    // the whitespace row specifically: default Spark CSV WRITE options
+    // trim unquoted values — this pins that TextSources overrides them
+    val ws = c.filter(col("doc_id") === 2L).head().getAs[String]("text")
+    assert(ws === "  leading and trailing  ")
+  }
+
+  test("csv with multiLine=false stays splittable-compatible on newline-free frames") {
+    import spark.implicits._
+    val plain = Seq((1L, "x", "no newlines here"), (2L, "y", "none, \"but\" quotes"))
+      .toDF("doc_id", "lang", "text")
+    val path = Files.createTempDirectory("graft_csv1l").toString + "/csv"
+    val back = graft.sources.TextSources.csvRoundTrip(plain, path, multiLine = false)
+    assert(back.exceptAll(plain).unionAll(plain.exceptAll(back)).count() === 0)
+  }
+
   test("orc sink/source round-trips the full embeddings table (nested arrays)") {
     val emb = Tables.embeddings(spark, sfDir)
     val path = Files.createTempDirectory("graft_orc").toString + "/emb_orc"

@@ -1351,6 +1351,20 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))),
+    // z-ordered layout (Morton interleave of user_id × event time): the
+    // TWO-dimensional zone map — the same box predicate prunes files on
+    // both dimensions, where the ts-sorted layout above serves only ts.
+    // The layout never changes results, so the oracle is the plain
+    // filter+aggregate over the original parquet; the pruning win itself
+    // is pinned in ScaleSpec (file min/max boxes)
+    "scale_zorder_box" -> ((s, dir) =>
+      s.read.parquet(zorderedEventsPath(s, dir))
+        .filter(col("user_id").between(10, 25) &&
+                col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+                col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))),
     // co-located bucketed join: orders/lineitem pre-bucketed on the join
     // key (one-time per session), then an exchange-free join + aggregate
     "scale_bucketed_revenue" -> ((s, dir) => {
@@ -2109,6 +2123,21 @@ object SparkEntry {
       path
     })
 
+  /** Z-ordered events layout (user_id × epoch micros), built once per
+    * (SparkContext, fixture dir) — the 2-D zone-map write half of
+    * `scale_zorder_box`; the query entry pays only the pruned read.
+    * `unix_micros` keeps the time dimension numeric (ANSI forbids the
+    * timestamp→double cast). */
+  private val zorderBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def zorderedEventsPath(s: SparkSession, dir: String): String =
+    zorderBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder/${artifactKey(dir)}"
+      Scale.dumpZOrdered(Tables.events(s, dir), path,
+        col("user_id"), unix_micros(col("ts")))
+      path
+    })
+
   /** PQ codebooks trained AND corpus encoded once per (SparkContext,
     * fixture dir) — the build-once/serve-many split of [[ivfIndexPath]]:
     * a deployment stores codes, not floats, so the query path reads the
@@ -2710,6 +2739,14 @@ object SparkEntry {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts <  TIMESTAMP '2024-01-17 00:00:00'
+         GROUP BY 1""",
+    "scale_zorder_box" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE user_id BETWEEN 10 AND 25
+           AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-22 00:00:00'
          GROUP BY 1""",
     "scale_bucketed_revenue" ->
       """SELECT o_orderpriority, count(*) AS n_items,

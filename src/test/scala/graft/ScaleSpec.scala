@@ -111,4 +111,38 @@ class ScaleSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(saltedS === plainS)
   }
+
+  test("z-order layout: content identical, and file boxes prune a user probe the ts-sort cannot") {
+    val events = Tables.events(spark, sfDir)
+    val base = Files.createTempDirectory("graft_zorder_spec").toString
+    Scale.dumpZOrdered(events, s"$base/z", col("user_id"), unix_micros(col("ts")),
+      numRanges = 16)
+    Scale.dumpRangeSorted(events, s"$base/ts", "ts", numRanges = 16)
+
+    // layout is pure: the z-ordered copy holds exactly the same rows
+    val zBack = spark.read.parquet(s"$base/z")
+    assert(zBack.exceptAll(events).unionAll(events.exceptAll(zBack)).count() === 0,
+      "z-order write must not change content")
+
+    // per-file user_id boxes: a narrow user probe touches only the files
+    // whose [min,max] intersects it. The ts-sorted layout spreads every
+    // user over every file (user boxes ~ full range); z-order confines
+    // them. Pin the actual pruning ratio, not just existence.
+    val maxUser = events.agg(max("user_id")).head().getLong(0)
+    val (lo, hi) = (0L, maxUser / 8)
+    def touched(path: String): (Long, Long) = {
+      val boxes = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("umin"), max("user_id").as("umax"))
+      (boxes.count(), boxes.filter(col("umin") <= hi && col("umax") >= lo).count())
+    }
+    val (zFiles, zTouched) = touched(s"$base/z")
+    val (tFiles, tTouched) = touched(s"$base/ts")
+    assert(zFiles >= 8 && tFiles >= 8, "need a multi-file layout to compare")
+    assert(tTouched === tFiles,
+      "ts-sorted layout should NOT prune a user probe (that is the point)")
+    assert(zTouched.toDouble / zFiles <= 0.5,
+      s"z-order should confine a ~1/8 user slice to <=half the files; " +
+        s"touched $zTouched of $zFiles")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Contamination, Dedup, Dsir, EventOps, Knn, KnnHnsw, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
+import graft.operators.{Contamination, Dedup, Dsir, EventOps, Knn, KnnHnsw, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Maintenance, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
 import graft.sources.{Tables, TextSources}
 import graft.streaming.DedupStream
 
@@ -1853,6 +1853,27 @@ object SparkEntry {
             lit("cross-codec dedup gate: "), col("n_missing"),
             lit(" of "), col("n_planted"),
             lit(" re-encoded pairs missed")))))
+    }),
+    // small-file compaction, driver-gated: fragment documents into 64
+    // tiny parquet parts (the shape a year of micro-batch appends
+    // leaves), compact, and pin BOTH content identity (exceptAll both
+    // ways == 0) and the file-count collapse in one in-plan gate
+    "maintenance_compact" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_compact/${artifactKey(dir)}"
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text", "n_chars")
+      docs.repartition(64).write.mode("overwrite").parquet(path)
+      val stats = Maintenance.compactSmallFiles(s, path, targetBytes = 8L << 20)
+      val back = s.read.parquet(path)
+      back.exceptAll(docs).unionAll(docs.exceptAll(back))
+        .agg(count(lit(1)).as("n_drift"))
+        .select(col("n_drift"),
+          lit(stats.filesBefore).as("files_before"),
+          lit(stats.filesAfter).as("files_after"))
+        .filter(when(col("n_drift") === 0L &&
+            lit(stats.filesAfter) < lit(stats.filesBefore), lit(true))
+          .otherwise(raise_error(concat(
+            lit("compact gate: drift rows "), col("n_drift"),
+            lit(", files "), col("files_before"), lit(" -> "), col("files_after")))))
     }),
     // --- interchange-format sources (O1 family): what the engine
     //     writes it re-reads identically. The fixture text is benign,

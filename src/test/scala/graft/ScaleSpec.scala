@@ -145,4 +145,30 @@ class ScaleSpec extends SparkSuite {
       s"z-order should confine a ~1/8 user slice to <=half the files; " +
         s"touched $zTouched of $zFiles")
   }
+
+  test("compactSmallFiles: identical rows, collapsed file count, idempotent, no leftovers") {
+    import graft.operators.Maintenance
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    val path = Files.createTempDirectory("graft_compact_spec").toString + "/docs"
+    docs.repartition(32).write.mode("overwrite").parquet(path)
+
+    val s1 = Maintenance.compactSmallFiles(spark, path, targetBytes = 8L << 20)
+    assert(s1.filesBefore === 32L)
+    assert(s1.filesAfter === 1L, "tiny table must collapse to ceil(total/target) = 1 file")
+    val back = spark.read.parquet(path)
+    assert(back.exceptAll(docs).unionAll(docs.exceptAll(back)).count() === 0,
+      "compaction must not change content")
+
+    // idempotent: a second pass sees the compacted shape and preserves it
+    val s2 = Maintenance.compactSmallFiles(spark, path, targetBytes = 8L << 20)
+    assert(s2.filesBefore === 1L && s2.filesAfter === 1L)
+    val back2 = spark.read.parquet(path)
+    assert(back2.exceptAll(docs).unionAll(docs.exceptAll(back2)).count() === 0)
+
+    // the swap cleans up after itself
+    val parent = new java.io.File(path).getParentFile
+    val leftovers = parent.listFiles().map(_.getName)
+      .filter(n => n.contains("_compact_staging") || n.contains("_compact_trash"))
+    assert(leftovers.isEmpty, s"staging/trash dirs left behind: ${leftovers.mkString(",")}")
+  }
 }

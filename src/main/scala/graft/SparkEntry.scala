@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Contamination, Dedup, Dsir, EventOps, Knn, KnnHnsw, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Maintenance, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats}
+import graft.operators.{Contamination, Dedup, Dsir, EventOps, Knn, KnnHnsw, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Maintenance, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats, Versioned}
 import graft.sources.{Tables, TextSources}
 import graft.streaming.DedupStream
 
@@ -1854,6 +1854,17 @@ object SparkEntry {
             lit(" of "), col("n_planted"),
             lit(" re-encoded pairs missed")))))
     }),
+    // versioned corpus: v0 = documents, v1 = copy-on-write upsert of a
+    // delta. Reading v0 AFTER v1 landed must equal the original table
+    // (time travel / snapshot isolation — the upsert touched nothing v0
+    // references logically); reading latest must equal last-wins upsert
+    // semantics. Both fully DuckDB-oracled
+    "versioned_time_travel" -> ((s, dir) =>
+      Versioned.read(s, versionedDocsPath(s, dir), Some(0))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+    "versioned_latest" -> ((s, dir) =>
+      Versioned.read(s, versionedDocsPath(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
     // small-file compaction, driver-gated: fragment documents into 64
     // tiny parquet parts (the shape a year of micro-batch appends
     // leaves), compact, and pin BOTH content identity (exceptAll both
@@ -2141,6 +2152,28 @@ object SparkEntry {
     rangeSortedBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_rangesorted/${artifactKey(dir)}"
       Scale.dumpRangeSorted(Tables.events(s, dir), path, "ts")
+      path
+    })
+
+  /** Versioned documents table: v0 = (doc_id, lang, n_chars), v1 = copy-
+    * on-write upsert of every 10th doc relabeled. Built once per
+    * (SparkContext, fixture dir); the dir is wiped first so stale
+    * manifests from a previous JVM can never double-commit. */
+  private val versionedBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def versionedDocsPath(s: SparkSession, dir: String): String =
+    versionedBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        .repartition(8) // several files, so copy-on-write has carry-over to prove
+      Versioned.init(docs, path)
+      Versioned.upsert(
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"),
+          lit("xx").as("lang"), (col("n_chars") * 2).as("n_chars")),
+        path, "doc_id")
       path
     })
 
@@ -2761,6 +2794,20 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts <  TIMESTAMP '2024-01-17 00:00:00'
          GROUP BY 1""",
+    // time travel: version 0 read after the v1 upsert landed == the
+    // original projection, straight off parquet
+    "versioned_time_travel" ->
+      "SELECT doc_id, lang, n_chars FROM documents",
+    // latest: last-wins upsert of the relabeled every-10th-doc delta
+    "versioned_latest" ->
+      """WITH delta AS (SELECT doc_id, 'xx' AS lang, n_chars * 2 AS n_chars
+                        FROM documents WHERE doc_id % 10 = 0),
+              u AS (SELECT doc_id, lang, n_chars, 1 AS pri FROM documents
+                    UNION ALL SELECT doc_id, lang, n_chars, 2 AS pri FROM delta),
+              r AS (SELECT doc_id, lang, n_chars,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY pri DESC) AS rn
+                    FROM u)
+         SELECT doc_id, lang, n_chars FROM r WHERE rn = 1""",
     "scale_zorder_box" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value

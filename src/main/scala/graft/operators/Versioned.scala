@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned corpus: snapshot isolation + time travel over plain
+  * parquet, manifest-per-version (the minimal table-format core —
+  * what Delta/Iceberg make industrial). The reference's store is a
+  * single mutable memmap + binary index rewritten in place
+  * (`/root/reference/executor.py:227-247`): a crashed dump corrupts it,
+  * and yesterday's corpus is gone the moment an upsert lands. Here every
+  * version is an immutable LIST OF FILES; a commit writes new files plus
+  * one manifest, so:
+  *
+  *   - readers pin a manifest and see one consistent version end-to-end,
+  *     never a half-written mix (snapshot isolation);
+  *   - any historical version stays readable until its files are
+  *     vacuumed (time travel — reproducing the exact training corpus of
+  *     a past run is a first-class query);
+  *   - upsert/delete are copy-on-write at FILE granularity: only files
+  *     actually containing touched ids are rewritten, the rest are
+  *     REFERENCED by the new manifest unchanged. At 100 TB with a
+  *     clustered id layout, an upsert of 0.1% of rows rewrites ~0.1% of
+  *     files, not the table;
+  *   - commits race safely: the manifest rename is the atomic commit
+  *     point, and a lost race surfaces as an error, not silent
+  *     last-writer-wins corruption (optimistic concurrency).
+  *
+  * Paths are stored scheme-less (`Path.toUri.getPath`), which is exact
+  * for a single-filesystem deployment (local/HDFS default FS); a
+  * multi-scheme lakehouse would keep the URIs.
+  */
+object Versioned {
+
+  case class Snapshot(version: Int, files: Seq[String])
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(tableDir: String, v: Int) =
+    new Path(s"$tableDir/_manifests/v${"%05d".format(v)}.manifest")
+
+  private def norm(p: Path): String = p.toUri.getPath
+
+  /** All committed versions, ascending (empty if uninitialized). */
+  def versions(spark: SparkSession, tableDir: String): Seq[Int] = {
+    val dir = new Path(s"$tableDir/_manifests")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{5}\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted.toSeq
+  }
+
+  /** Pin a version's file list (latest when `version` is None). */
+  def snapshot(spark: SparkSession, tableDir: String,
+               version: Option[Int] = None): Snapshot = {
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no versions at $tableDir")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in $vs at $tableDir")
+    val p = manifestPath(tableDir, v)
+    val in = fs(spark, p).open(p)
+    val files = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+    Snapshot(v, files)
+  }
+
+  /** Read a pinned version (latest by default). The file list comes from
+    * ONE manifest read, so the scan is consistent no matter what commits
+    * land mid-query. */
+  def read(spark: SparkSession, tableDir: String,
+           version: Option[Int] = None): DataFrame = {
+    val snap = snapshot(spark, tableDir, version)
+    require(snap.files.nonEmpty,
+      s"version ${snap.version} of $tableDir has no files (fully deleted)")
+    spark.read.parquet(snap.files: _*)
+  }
+
+  /** Write `df`'s rows as this version's new data files and return their
+    * normalized paths. One directory per version — names never collide
+    * across commits. */
+  private def writeData(df: DataFrame, tableDir: String, v: Int): Seq[String] = {
+    val dataDir = s"$tableDir/data/v${"%05d".format(v)}"
+    df.write.mode("overwrite").parquet(dataDir)
+    val dir = new Path(dataDir)
+    fs(df.sparkSession, dir).listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => norm(s.getPath)).sorted.toSeq
+  }
+
+  /** Atomic commit: manifest written to a dot-temp, then RENAMED into
+    * place. rename-to-existing fails, so two writers committing the same
+    * next version cannot both succeed — the loser gets an exception and
+    * retries against the new snapshot. */
+  private[graft] def commitManifest(spark: SparkSession, tableDir: String, v: Int,
+                                    files: Seq[String]): Int = {
+    val target = manifestPath(tableDir, v)
+    val f = fs(spark, target)
+    f.mkdirs(target.getParent)
+    if (f.exists(target))
+      throw new java.io.IOException(
+        s"concurrent commit: version $v already exists at $tableDir")
+    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"concurrent commit: lost the rename race for version $v at $tableDir")
+    }
+    v
+  }
+
+  /** Create version 0 from `df`. Fails if the table already exists. */
+  def init(df: DataFrame, tableDir: String): Int = {
+    require(versions(df.sparkSession, tableDir).isEmpty,
+      s"table already initialized at $tableDir")
+    commitManifest(df.sparkSession, tableDir, 0, writeData(df, tableDir, 0))
+  }
+
+  /** Append-only commit: O(delta) data write; every existing file is
+    * carried into the new manifest by reference. */
+  def append(df: DataFrame, tableDir: String): Int = {
+    val s = df.sparkSession
+    val snap = snapshot(s, tableDir)
+    val v = snap.version + 1
+    commitManifest(s, tableDir, v, snap.files ++ writeData(df, tableDir, v))
+  }
+
+  /** Last-wins upsert as a copy-on-write commit: only files CONTAINING a
+    * delta id are rewritten (their surviving rows + the delta, one
+    * write); untouched files carry over by reference. The touched-file
+    * discovery is a semi-join on the snapshot scan and collects ≤ |files|
+    * strings — bounded by layout, not data. */
+  def upsert(delta: DataFrame, tableDir: String, idCol: String): Int =
+    copyOnWrite(delta, tableDir, idCol, keepDelta = true)
+
+  /** Delete by id: the same copy-on-write commit without new rows for
+    * the deleted ids; a file emptied entirely simply leaves the
+    * manifest. */
+  def deleteIds(ids: DataFrame, tableDir: String, idCol: String): Int =
+    copyOnWrite(ids.select(idCol), tableDir, idCol, keepDelta = false)
+
+  private def copyOnWrite(delta: DataFrame, tableDir: String, idCol: String,
+                          keepDelta: Boolean): Int = {
+    val s = delta.sparkSession
+    val snap = snapshot(s, tableDir)
+    val v = snap.version + 1
+    val cur = s.read.parquet(snap.files: _*)
+      .withColumn("__file", regexp_replace(input_file_name(), "^file:/*", "/"))
+    val deltaIds = delta.select(col(idCol)).distinct()
+    val touched = cur.join(deltaIds, Seq(idCol), "left_semi")
+      .select("__file").distinct().collect().map(_.getString(0)).toSet
+    val survivors = cur.filter(col("__file").isInCollection(touched))
+      .drop("__file")
+      .join(deltaIds, Seq(idCol), "left_anti")
+    val rewritten = if (keepDelta) survivors.unionByName(delta) else survivors
+    val newFiles =
+      if (touched.isEmpty && !keepDelta) Seq.empty
+      else writeData(rewritten, tableDir, v)
+    commitManifest(s, tableDir, v, snap.files.filterNot(touched) ++ newFiles)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Versioned
+
+class VersionedSpec extends SparkSuite {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_versioned_spec").toString + "/t"
+
+  private def docs3(n: Int = 90) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"lang${i % 3}", (i * 7).toLong))
+      .toDF("doc_id", "lang", "n_chars").repartition(6)
+  }
+
+  test("init + read round-trips; versions() reports the lineage") {
+    val dir = freshDir()
+    val d = docs3()
+    assert(Versioned.init(d, dir) === 0)
+    assert(Versioned.versions(spark, dir) === Seq(0))
+    val back = Versioned.read(spark, dir)
+    assert(back.exceptAll(d).unionAll(d.exceptAll(back)).count() === 0)
+  }
+
+  test("upsert is last-wins AND old versions stay readable (time travel)") {
+    import spark.implicits._
+    val dir = freshDir()
+    val d = docs3()
+    Versioned.init(d, dir)
+    val delta = Seq((5L, "xx", 999L), (1000L, "new", 1L))
+      .toDF("doc_id", "lang", "n_chars")
+    assert(Versioned.upsert(delta, dir, "doc_id") === 1)
+
+    val v1 = Versioned.read(spark, dir)
+    assert(v1.count() === 91) // 90 originals, one replaced, one new
+    assert(v1.filter(col("doc_id") === 5L).head().getAs[String]("lang") === "xx")
+    assert(v1.filter(col("doc_id") === 1000L).count() === 1)
+
+    // v0 must be byte-for-byte the pre-upsert table
+    val v0 = Versioned.read(spark, dir, Some(0))
+    assert(v0.exceptAll(d).unionAll(d.exceptAll(v0)).count() === 0,
+      "time travel must see the original corpus")
+  }
+
+  test("copy-on-write: untouched files carry into the new manifest by reference") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir)
+    val s0 = Versioned.snapshot(spark, dir, Some(0))
+    assert(s0.files.size >= 4, "need multiple files for carry-over to mean anything")
+    // one id -> at most a couple of touched files; the REST must be the
+    // exact same file paths in v1 (no rewrite of untouched data)
+    Versioned.upsert(Seq((7L, "zz", 1L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id")
+    val s1 = Versioned.snapshot(spark, dir)
+    val carried = s1.files.toSet.intersect(s0.files.toSet)
+    assert(carried.size >= s0.files.size - 2,
+      s"expected near-total carry-over, got ${carried.size} of ${s0.files.size}")
+    assert(carried.size < s0.files.size, "the touched file must NOT carry over")
+  }
+
+  test("append references every old file and adds only the delta's") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir)
+    val s0 = Versioned.snapshot(spark, dir)
+    Versioned.append(Seq((2000L, "ap", 3L)).toDF("doc_id", "lang", "n_chars"), dir)
+    val s1 = Versioned.snapshot(spark, dir)
+    assert(s0.files.toSet.subsetOf(s1.files.toSet))
+    assert(Versioned.read(spark, dir).count() === 91)
+    assert(Versioned.read(spark, dir, Some(0)).count() === 90)
+  }
+
+  test("deleteIds removes rows copy-on-write; history keeps them") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir)
+    Versioned.deleteIds(Seq(3L, 4L).toDF("doc_id"), dir, "doc_id")
+    val latest = Versioned.read(spark, dir)
+    assert(latest.count() === 88)
+    assert(latest.filter(col("doc_id").isin(3L, 4L)).count() === 0)
+    assert(Versioned.read(spark, dir, Some(0))
+      .filter(col("doc_id").isin(3L, 4L)).count() === 2)
+  }
+
+  test("optimistic concurrency: double init and duplicate version commits fail loudly") {
+    val dir = freshDir()
+    Versioned.init(docs3(), dir)
+    intercept[IllegalArgumentException](Versioned.init(docs3(), dir))
+    // simulate a racing writer that already landed v1: our commit of the
+    // same next version must fail, not silently clobber
+    import spark.implicits._
+    Versioned.append(Seq((1L, "a", 1L)).toDF("doc_id", "lang", "n_chars"), dir)
+    val manifests = new java.io.File(s"$dir/_manifests").listFiles().map(_.getName).sorted
+    assert(manifests.contains("v00001.manifest"))
+    // the atomic commit point itself: two writers computed the same next
+    // version from the same snapshot; the first rename wins, the second
+    // must fail loudly and leave the winner's manifest untouched
+    val winner = Versioned.snapshot(spark, dir).files
+    Versioned.commitManifest(spark, dir, 2, winner)
+    intercept[java.io.IOException](
+      Versioned.commitManifest(spark, dir, 2, Seq("/loser/should/not/land.parquet")))
+    assert(Versioned.snapshot(spark, dir, Some(2)).files === winner,
+      "the loser must not clobber the winner's committed manifest")
+    // reading a version that never existed
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(9)))
+  }
+}

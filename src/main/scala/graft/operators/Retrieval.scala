@@ -267,8 +267,9 @@ object Retrieval {
     * corpus. Everything after is two hash aggregations with map-side
     * partial combine (token-level max, then doc-level sum), each
     * REDUCING cardinality (token pairs → (query, token, doc) → (query,
-    * doc)); the rank window runs on the already-reduced (queries × docs)
-    * frame, never on token rows.
+    * doc)); the final top-k is the bounded [[KnnTopK.boundedTopK]]
+    * heap aggregation, so only Q·k of the (queries × docs) scored rows
+    * per partition reach the last shuffle — no per-query full sort.
     *
     * Determinism: per-token maxima are order-independent; each max is
     * rounded to 4 dp and summed in decimal (exact, order-independent),
@@ -285,10 +286,8 @@ object Retrieval {
     val perTok = sims.groupBy(col("query_id"), col("tok_id"), col("match_id"))
       .agg(round(max(col("__sim")), 4).cast("decimal(14,4)").as("__mx"))
     val scored = perTok.groupBy(col("query_id"), col("match_id"))
-      .agg(round(sum(col("__mx")).cast("double"), 4).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("match_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      // signed-zero canonicalization as in [[Knn.knnExact]]
+      .agg((round(sum(col("__mx")).cast("double"), 4) + lit(0.0)).as("score"))
+    KnnTopK.boundedTopK(scored, k, asc = false)
   }
 }

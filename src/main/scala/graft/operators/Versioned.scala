@@ -146,6 +146,49 @@ object Versioned {
   def deleteIds(ids: DataFrame, tableDir: String, idCol: String): Int =
     copyOnWrite(ids.select(idCol), tableDir, idCol, keepDelta = false)
 
+  case class VacuumStats(deletedFiles: Long, keptFiles: Long,
+                         droppedVersions: Seq[Int])
+
+  /** Reclaim storage: keep the newest `keepVersions` versions, delete
+    * every data file referenced ONLY by older ones, and drop the older
+    * manifests. Time travel to a vacuumed version is gone — that is the
+    * explicit tradeoff this API spells. Copy-on-write makes the
+    * reference-counting trivial: a file shared by old and retained
+    * versions appears in a retained manifest and survives.
+    *
+    * Scale shape: manifest reads + one listing of `data/` — O(files),
+    * no data read; safe to run concurrently with readers of RETAINED
+    * versions (their files are untouched; a reader pinned to a dropped
+    * version races deletion, which is the documented contract of every
+    * vacuum in the lakehouse world). */
+  def vacuum(spark: SparkSession, tableDir: String,
+             keepVersions: Int = 1): VacuumStats = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no versions at $tableDir")
+    val (dropped, retained) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val referenced = retained.flatMap(v =>
+      snapshot(spark, tableDir, Some(v)).files).toSet
+    val dataRoot = new Path(s"$tableDir/data")
+    val f = fs(spark, dataRoot)
+    var deleted = 0L
+    if (f.exists(dataRoot)) {
+      for (verDir <- f.listStatus(dataRoot) if verDir.isDirectory) {
+        for (df <- f.listStatus(verDir.getPath)
+             if df.isFile && df.getPath.getName.endsWith(".parquet")
+             if !referenced.contains(norm(df.getPath))) {
+          f.delete(df.getPath, false)
+          deleted += 1
+        }
+        if (f.listStatus(verDir.getPath)
+            .forall(s => !s.getPath.getName.endsWith(".parquet")))
+          f.delete(verDir.getPath, true) // only _SUCCESS/metadata left
+      }
+    }
+    dropped.foreach(v => f.delete(manifestPath(tableDir, v), false))
+    VacuumStats(deleted, referenced.size.toLong, dropped)
+  }
+
   private def copyOnWrite(delta: DataFrame, tableDir: String, idCol: String,
                           keepDelta: Boolean): Int = {
     val s = delta.sparkSession

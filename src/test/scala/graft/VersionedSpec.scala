@@ -107,4 +107,35 @@ class VersionedSpec extends SparkSuite {
     // reading a version that never existed
     intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(9)))
   }
+
+  test("vacuum keeps retained versions intact, reclaims the rest, and is idempotent") {
+    import spark.implicits._
+    val dir = freshDir()
+    val d = docs3()
+    Versioned.init(d, dir)
+    Versioned.upsert(Seq((5L, "up", 1L)).toDF("doc_id", "lang", "n_chars"), dir, "doc_id")
+    Versioned.append(Seq((3000L, "ap", 2L)).toDF("doc_id", "lang", "n_chars"), dir)
+    val latestBefore = Versioned.read(spark, dir).collect().map(_.toSeq).toSet
+
+    val s = Versioned.vacuum(spark, dir, keepVersions = 1)
+    assert(s.droppedVersions === Seq(0, 1))
+    assert(s.deletedFiles > 0, "the rewritten v0 file must be reclaimed")
+
+    // the retained version is untouched...
+    assert(Versioned.versions(spark, dir) === Seq(2))
+    assert(Versioned.read(spark, dir).collect().map(_.toSeq).toSet === latestBefore)
+    // ...history is explicitly gone...
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(0)))
+    // ...and disk holds exactly the retained manifest's files
+    val onDisk = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    }
+    assert(onDisk === Versioned.snapshot(spark, dir).files.toSet)
+
+    val s2 = Versioned.vacuum(spark, dir, keepVersions = 1)
+    assert(s2.deletedFiles === 0L && s2.droppedVersions.isEmpty, "vacuum is idempotent")
+  }
 }

@@ -1871,8 +1871,13 @@ object SparkEntry {
     // ways == 0) and the file-count collapse in one in-plan gate
     "maintenance_compact" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_compact/${artifactKey(dir)}"
-      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text", "n_chars")
-      docs.repartition(64).write.mode("overwrite").parquet(path)
+      // corpus-independent contract (identity + collapse), so a fifth of
+      // the corpus carries it — the fragment/compact/double-scan cycle
+      // runs per bench iteration and its cost is file-count-shaped
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select("doc_id", "lang", "text", "n_chars")
+      docs.repartition(32).write.mode("overwrite").parquet(path)
       val stats = Maintenance.compactSmallFiles(s, path, targetBytes = 8L << 20)
       val back = s.read.parquet(path)
       back.exceptAll(docs).unionAll(docs.exceptAll(back))

@@ -1865,6 +1865,12 @@ object SparkEntry {
     "versioned_latest" -> ((s, dir) =>
       Versioned.read(s, versionedDocsPath(s, dir))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // change-data capture v0 → v1: exactly the upsert's delta surfaces,
+    // classified as updates with old/new values side by side
+    "versioned_diff" -> ((s, dir) =>
+      Versioned.diff(s, versionedDocsPath(s, dir), 0, 1, "doc_id")
+        .select(col("doc_id"), col("change"), col("lang_old"), col("lang_new"),
+          col("n_chars_old"), col("n_chars_new"))),
     // small-file compaction, driver-gated: fragment documents into 64
     // tiny parquet parts (the shape a year of micro-batch appends
     // leaves), compact, and pin BOTH content identity (exceptAll both
@@ -2813,6 +2819,13 @@ object SparkEntry {
                            row_number() OVER (PARTITION BY doc_id ORDER BY pri DESC) AS rn
                     FROM u)
          SELECT doc_id, lang, n_chars FROM r WHERE rn = 1""",
+    // CDC: the delta relabels every 10th doc ('xx', doubled n_chars) —
+    // no fixture lang is 'xx' and n_chars >= 48, so every delta row is
+    // an update and nothing else changes
+    "versioned_diff" ->
+      """SELECT doc_id, 'update' AS change, lang AS lang_old, 'xx' AS lang_new,
+                n_chars AS n_chars_old, n_chars * 2 AS n_chars_new
+         FROM documents WHERE doc_id % 10 = 0""",
     "scale_zorder_box" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value

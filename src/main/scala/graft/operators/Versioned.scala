@@ -146,6 +146,42 @@ object Versioned {
   def deleteIds(ids: DataFrame, tableDir: String, idCol: String): Int =
     copyOnWrite(ids.select(idCol), tableDir, idCol, keepDelta = false)
 
+  /** Change-data capture between two committed versions: one row per id
+    * whose presence or content changed, classified
+    * `insert | delete | update`; unchanged ids are dropped. For every
+    * non-id column `c` the output carries `c_old` / `c_new` (null on
+    * the absent side of inserts/deletes). Comparison is null-safe per
+    * column (`<=>`), so a null→value flip counts as an update.
+    *
+    * Scale shape: one full outer join of the two pinned snapshots on
+    * the id — the minimal possible work for content diff (both sides
+    * must be read once); the filter drops the unchanged majority before
+    * anything downstream. Because versions are immutable file lists,
+    * the diff is reproducible forever — "what changed between last
+    * month's corpus and today's" stays a query, not a log hunt. */
+  def diff(spark: SparkSession, tableDir: String, fromVersion: Int,
+           toVersion: Int, idCol: String): DataFrame = {
+    val a = read(spark, tableDir, Some(fromVersion))
+    val b = read(spark, tableDir, Some(toVersion))
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"schema drift between v$fromVersion and v$toVersion: " +
+        s"${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val cols = a.columns.filterNot(_ == idCol).toSeq
+    val oldSide = a.select(col(idCol) +: cols.map(c => col(c).as(s"${c}_old")): _*)
+      .withColumn("__in_old", lit(true))
+    val newSide = b.select(col(idCol) +: cols.map(c => col(c).as(s"${c}_new")): _*)
+      .withColumn("__in_new", lit(true))
+    val joined = oldSide.join(newSide, Seq(idCol), "full_outer")
+    val changed = cols.map(c => !(col(s"${c}_old") <=> col(s"${c}_new")))
+      .reduce(_ || _)
+    joined.withColumn("change",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change").isNotNull)
+      .drop("__in_old", "__in_new")
+  }
+
   case class VacuumStats(deletedFiles: Long, keptFiles: Long,
                          droppedVersions: Seq[Int])
 

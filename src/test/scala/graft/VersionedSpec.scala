@@ -108,6 +108,32 @@ class VersionedSpec extends SparkSuite {
     intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(9)))
   }
 
+  test("diff classifies insert/delete/update with old/new values, drops unchanged") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(10), dir) // ids 0..9
+    // v1: update 2 (new lang), delete 3, insert 100 — 0,1,4..9 unchanged
+    Versioned.upsert(Seq((2L, "UPD", 14L), (100L, "ins", 1L))
+      .toDF("doc_id", "lang", "n_chars"), dir, "doc_id")
+    Versioned.deleteIds(Seq(3L).toDF("doc_id"), dir, "doc_id")
+
+    val d = Versioned.diff(spark, dir, 0, 2, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(d.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L, 3L, 100L))
+    val byId = d.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(2L).getAs[String]("change") === "update")
+    assert(byId(2L).getAs[String]("lang_old") === "lang2")
+    assert(byId(2L).getAs[String]("lang_new") === "UPD")
+    assert(byId(3L).getAs[String]("change") === "delete")
+    assert(byId(3L).getAs[String]("lang_new") === null)
+    assert(byId(100L).getAs[String]("change") === "insert")
+    assert(byId(100L).getAs[String]("lang_old") === null)
+    // an upsert writing IDENTICAL values is not a change
+    Versioned.upsert(Seq((5L, "lang2", 35L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id")
+    assert(Versioned.diff(spark, dir, 2, 3, "doc_id").count() === 0)
+  }
+
   test("vacuum keeps retained versions intact, reclaims the rest, and is idempotent") {
     import spark.implicits._
     val dir = freshDir()

@@ -1865,6 +1865,24 @@ object SparkEntry {
     "versioned_latest" -> ((s, dir) =>
       Versioned.read(s, versionedDocsPath(s, dir))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // GATED streaming table ingest: the delta streamed as two exactly-
+    // once micro-batch commits must read set-equal to the one-call
+    // batch-append twin, and the lineage must have exactly the stream's
+    // shape (3 versions: init + 2 commits; last committed batch id 1)
+    "versioned_stream_ingest" -> ((s, dir) => {
+      val (streamedDir, batchedDir) = versionedStreamPaths(s, dir)
+      val cols = Seq("doc_id", "lang", "n_chars")
+      val nVersions = Versioned.versions(s, streamedDir).size
+      val lastBatch = Versioned.lastBatchId(s, streamedDir).getOrElse(-1L)
+      Recall.setAgreement(
+          Versioned.read(s, streamedDir).select(cols.map(col): _*),
+          Versioned.read(s, batchedDir).select(cols.map(col): _*),
+          on = cols, floor = 1.0, minCount = 1L)
+        .filter(when(lit(nVersions) === 3 && lit(lastBatch) === 1L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("versioned stream lineage drift: versions "), lit(nVersions),
+            lit(" (want 3), last batch id "), lit(lastBatch), lit(" (want 1)")))))
+    }),
     // change-data capture v0 → v1: exactly the upsert's delta surfaces,
     // classified as updates with old/new values side by side
     "versioned_diff" -> ((s, dir) =>
@@ -2186,6 +2204,48 @@ object SparkEntry {
           lit("xx").as("lang"), (col("n_chars") * 2).as("n_chars")),
         path, "doc_id")
       path
+    })
+
+  /** Versioned-table stream-vs-batch twin pair, once per JVM — the
+    * [[ivfStreamIngestPaths]] pattern for TABLE ingest: one base table
+    * initialized twice, the delta streamed into one copy as two
+    * micro-batch commits ([[graft.streaming.TableStream]]) and
+    * batch-appended into the other. Append commits are
+    * order-insensitive set-wise, so the stream==batch contract is exact
+    * set equality of the latest reads, plus lineage shape (3 versions,
+    * last batch id 1). */
+  private val versionedStreamBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def versionedStreamPaths(s: SparkSession, dir: String): (String, String) =
+    versionedStreamBuilt.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_stream/${artifactKey(dir)}"
+      val fsRoot = new org.apache.hadoop.fs.Path(root)
+      val fs = fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(fsRoot)) fs.delete(fsRoot, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      val delta = docs.filter(col("doc_id") % 2 =!= 0)
+      val streamed = s"$root/streamed"; val batched = s"$root/batched"
+      Versioned.init(base, streamed)
+      Versioned.init(base, batched)
+      Versioned.append(delta, batched)
+      val rows = delta.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = s2.sqlContext
+      import s2.implicits._
+      val input = MemoryStream[(Long, String, Long)]
+      val q = graft.streaming.TableStream.commitEachBatch(
+        input.toDF().toDF("doc_id", "lang", "n_chars"), streamed,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      try {
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      (streamed, batched)
     })
 
   /** Z-ordered events layout (user_id × epoch micros), built once per

@@ -62,12 +62,31 @@ object Versioned {
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in $vs at $tableDir")
     val p = manifestPath(tableDir, v)
+    // '#'-prefixed lines are commit metadata (e.g. the streaming batch
+    // id), not files
+    Snapshot(v, manifestLines(spark, tableDir, v).filterNot(_.startsWith("#")))
+  }
+
+  private def manifestLines(spark: SparkSession, tableDir: String,
+                            v: Int): List[String] = {
+    val p = manifestPath(tableDir, v)
     val in = fs(spark, p).open(p)
-    val files = try scala.io.Source.fromInputStream(in, "UTF-8")
+    try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
-    Snapshot(v, files)
   }
+
+  /** The most recent committed streaming batch id, scanning manifests
+    * newest-first and stopping at the first commit that carries one —
+    * O(1) manifest reads when a stream is the (sole) writer. None if no
+    * commit was stream-made. The [[graft.streaming.TableStream]]
+    * exactly-once guard. */
+  def lastBatchId(spark: SparkSession, tableDir: String): Option[Long] =
+    versions(spark, tableDir).sorted.reverse.iterator
+      .flatMap(v => manifestLines(spark, tableDir, v)
+        .collectFirst { case l if l.startsWith("#batchId=") =>
+          l.stripPrefix("#batchId=").toLong })
+      .nextOption()
 
   /** Read a pinned version (latest by default). The file list comes from
     * ONE manifest read, so the scan is consistent no matter what commits
@@ -97,7 +116,8 @@ object Versioned {
     * next version cannot both succeed — the loser gets an exception and
     * retries against the new snapshot. */
   private[graft] def commitManifest(spark: SparkSession, tableDir: String, v: Int,
-                                    files: Seq[String]): Int = {
+                                    files: Seq[String],
+                                    meta: Map[String, String] = Map.empty): Int = {
     val target = manifestPath(tableDir, v)
     val f = fs(spark, target)
     f.mkdirs(target.getParent)
@@ -106,7 +126,8 @@ object Versioned {
         s"concurrent commit: version $v already exists at $tableDir")
     val tmp = new Path(target.getParent, s".${target.getName}.tmp")
     val out = f.create(tmp, true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    val metaLines = meta.toSeq.sorted.map { case (k, vl) => s"#$k=$vl" }
+    try out.write(((metaLines ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, target)) {
       f.delete(tmp, false)
@@ -117,19 +138,21 @@ object Versioned {
   }
 
   /** Create version 0 from `df`. Fails if the table already exists. */
-  def init(df: DataFrame, tableDir: String): Int = {
+  def init(df: DataFrame, tableDir: String,
+           meta: Map[String, String] = Map.empty): Int = {
     require(versions(df.sparkSession, tableDir).isEmpty,
       s"table already initialized at $tableDir")
-    commitManifest(df.sparkSession, tableDir, 0, writeData(df, tableDir, 0))
+    commitManifest(df.sparkSession, tableDir, 0, writeData(df, tableDir, 0), meta)
   }
 
   /** Append-only commit: O(delta) data write; every existing file is
     * carried into the new manifest by reference. */
-  def append(df: DataFrame, tableDir: String): Int = {
+  def append(df: DataFrame, tableDir: String,
+             meta: Map[String, String] = Map.empty): Int = {
     val s = df.sparkSession
     val snap = snapshot(s, tableDir)
     val v = snap.version + 1
-    commitManifest(s, tableDir, v, snap.files ++ writeData(df, tableDir, v))
+    commitManifest(s, tableDir, v, snap.files ++ writeData(df, tableDir, v), meta)
   }
 
   /** Last-wins upsert as a copy-on-write commit: only files CONTAINING a

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.operators.Versioned
+
+/** Streaming ingest into a [[Versioned]] table: each micro-batch is ONE
+  * atomic commit, so readers always see a committed version — never a
+  * half-written batch — and the stream's history is queryable per
+  * trigger (time travel across micro-batches).
+  *
+  * Exactly-once table commits on top of foreachBatch's at-least-once
+  * replay: every commit records its micro-batch id in the manifest it
+  * writes (`#batchId=N` metadata line), and [[commitBatch]] consults the
+  * last committed id first — a replayed batch (failure recovery,
+  * checkpoint restart) is recognized and skipped, and because the id
+  * rides INSIDE the atomically-renamed manifest there is no
+  * commit-then-marker window to crash in.
+  *
+  * Scale shape: per-trigger work is one parquet write of the batch plus
+  * one manifest rename (append-only — no copy-on-write read of the
+  * table), and the replay guard reads manifests newest-first, stopping
+  * at the first batch-id line — O(1) manifest reads in steady state.
+  * Small per-trigger files are the deliberate trade; that is what
+  * [[graft.operators.Maintenance.compactSmallFiles]] amortizes. */
+object TableStream {
+
+  /** Commit `batch` as the table's next version, exactly once per
+    * `batchId`: replays of an already-committed id are no-ops. Batch 0
+    * on an uninitialized table creates version 0. Empty batches commit
+    * nothing (but still advance nothing — an empty replay is
+    * indistinguishable from a skip, which is fine because it changes
+    * nothing either way).
+    * @return the committed version, or None when skipped */
+  def commitBatch(batch: DataFrame, tableDir: String, batchId: Long): Option[Int] = {
+    if (batch.isEmpty) None
+    else if (Versioned.lastBatchId(batch.sparkSession, tableDir).exists(_ >= batchId)) None
+    else {
+      val meta = Map("batchId" -> batchId.toString)
+      if (Versioned.versions(batch.sparkSession, tableDir).isEmpty)
+        Some(Versioned.init(batch, tableDir, meta))
+      else Some(Versioned.append(batch, tableDir, meta))
+    }
+  }
+
+  /** Run the stream into the versioned table at `tableDir`, one commit
+    * per micro-batch via [[commitBatch]]. */
+  def commitEachBatch(stream: DataFrame, tableDir: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitBatch(batch, tableDir, id): Unit
+      }
+      .trigger(trigger)
+      .start()
+}

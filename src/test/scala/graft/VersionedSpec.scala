@@ -134,6 +134,30 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.diff(spark, dir, 2, 3, "doc_id").count() === 0)
   }
 
+  test("TableStream.commitBatch: exactly-once per batch id, empty batches skip") {
+    import spark.implicits._
+    import graft.streaming.TableStream
+    val dir = freshDir()
+    val b0 = Seq((1L, "a", 1L)).toDF("doc_id", "lang", "n_chars")
+    val b1 = Seq((2L, "b", 2L)).toDF("doc_id", "lang", "n_chars")
+
+    assert(TableStream.commitBatch(b0, dir, 0L) === Some(0))
+    // foreachBatch replay of the SAME batch id: must be a no-op
+    assert(TableStream.commitBatch(b0, dir, 0L) === None)
+    assert(TableStream.commitBatch(b1, dir, 1L) === Some(1))
+    assert(TableStream.commitBatch(b1, dir, 1L) === None)
+    assert(Versioned.versions(spark, dir) === Seq(0, 1))
+    assert(Versioned.lastBatchId(spark, dir) === Some(1L))
+    assert(Versioned.read(spark, dir).count() === 2)
+
+    // an empty micro-batch commits nothing
+    assert(TableStream.commitBatch(b0.limit(0), dir, 2L) === None)
+    assert(Versioned.versions(spark, dir) === Seq(0, 1))
+
+    // batch-id metadata must not leak into the file list
+    assert(Versioned.snapshot(spark, dir).files.forall(!_.startsWith("#")))
+  }
+
   test("vacuum keeps retained versions intact, reclaims the rest, and is idempotent") {
     import spark.implicits._
     val dir = freshDir()

@@ -244,15 +244,19 @@ object Relational {
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("l_shipdate") >
         col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("__late"))
-    val perOrder = pairs.groupBy(col("l_orderkey"))
+    // per-order rollup recovers the culprit IN the same aggregation: a
+    // qualifying order has exactly one late supplier, so
+    // max(when(late, suppkey)) IS that supplier — no second pass over
+    // pairs (a pairs-vs-perOrder self-join re-executed the whole fact
+    // scan + join subtree twice; Spark re-computes shared subtrees)
+    pairs.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("__n_supp"),
-        count(when(col("__late"), 1)).as("__n_late"))
-    pairs.filter(col("__late"))
-      .join(perOrder.filter(col("__n_supp") > 1 && col("__n_late") === 1),
-        Seq("l_orderkey"))
-      .groupBy(col("l_suppkey"))
+        count(when(col("__late"), 1)).as("__n_late"),
+        max(when(col("__late"), col("l_suppkey"))).as("__late_supp"))
+      .filter(col("__n_supp") > 1 && col("__n_late") === 1)
+      .groupBy(col("__late_supp"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supplier), col("__late_supp") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
   }
 }

@@ -1865,6 +1865,13 @@ object SparkEntry {
     "versioned_latest" -> ((s, dir) =>
       Versioned.read(s, versionedDocsPath(s, dir))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // manifest-level data skipping: a narrow id probe through per-file
+    // stats recorded AT COMMIT TIME — zero parquet footers opened for
+    // the skip decision (the pruning bound itself is spec-pinned)
+    "versioned_pruned_read" -> ((s, dir) =>
+      Versioned.readRange(s, versionedStatsPath(s, dir), None,
+          "doc_id", 100L, 199L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
     // GATED streaming table ingest: the delta streamed as two exactly-
     // once micro-batch commits must read set-equal to the one-call
     // batch-append twin, and the lineage must have exactly the stream's
@@ -2203,6 +2210,25 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"),
           lit("xx").as("lang"), (col("n_chars") * 2).as("n_chars")),
         path, "doc_id")
+      path
+    })
+
+  /** Stats-enabled versioned documents: range-clustered by doc_id into
+    * 8 files, committed with manifest-level per-file min/max — the
+    * Iceberg-style skipping layer `versioned_pruned_read` reads through.
+    * Built once per (SparkContext, fixture dir). */
+  private val versionedStatsBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def versionedStatsPath(s: SparkSession, dir: String): String =
+    versionedStatsBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_stats/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      Versioned.init(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+          .repartitionByRange(8, col("doc_id")),
+        path, statsCol = Some("doc_id"))
       path
     })
 
@@ -2879,6 +2905,9 @@ object SparkEntry {
                            row_number() OVER (PARTITION BY doc_id ORDER BY pri DESC) AS rn
                     FROM u)
          SELECT doc_id, lang, n_chars FROM r WHERE rn = 1""",
+    "versioned_pruned_read" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id BETWEEN 100 AND 199""",
     // CDC: the delta relabels every 10th doc ('xx', doubled n_chars) —
     // no fixture lang is 'xx' and n_chars >= 48, so every delta row is
     // an update and nothing else changes

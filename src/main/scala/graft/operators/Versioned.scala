@@ -33,7 +33,27 @@ import org.apache.spark.sql.functions._
   */
 object Versioned {
 
-  case class Snapshot(version: Int, files: Seq[String])
+  /** One data file reference, optionally carrying column statistics
+    * (`statsCol`, min, max) gathered at commit time. Stats live in the
+    * MANIFEST — readers prune files without opening a single parquet
+    * footer, the Iceberg-style skipping layer above the footer-level
+    * zone maps [[Scale.dumpRangeSorted]] provides. */
+  case class FileEntry(path: String, stats: Option[(String, Long, Long)] = None) {
+    private[Versioned] def line: String = stats match {
+      case Some((c, lo, hi)) => s"$path\t$c\t$lo\t$hi"
+      case None              => path
+    }
+  }
+
+  private def parseEntry(l: String): FileEntry = l.split('\t') match {
+    case Array(p)            => FileEntry(p)
+    case Array(p, c, lo, hi) => FileEntry(p, Some((c, lo.toLong, hi.toLong)))
+    case _ => throw new IllegalStateException(s"malformed manifest line: $l")
+  }
+
+  case class Snapshot(version: Int, entries: Seq[FileEntry]) {
+    def files: Seq[String] = entries.map(_.path)
+  }
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -61,10 +81,10 @@ object Versioned {
     require(vs.nonEmpty, s"no versions at $tableDir")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in $vs at $tableDir")
-    val p = manifestPath(tableDir, v)
     // '#'-prefixed lines are commit metadata (e.g. the streaming batch
     // id), not files
-    Snapshot(v, manifestLines(spark, tableDir, v).filterNot(_.startsWith("#")))
+    Snapshot(v, manifestLines(spark, tableDir, v)
+      .filterNot(_.startsWith("#")).map(parseEntry))
   }
 
   private def manifestLines(spark: SparkSession, tableDir: String,
@@ -100,15 +120,30 @@ object Versioned {
   }
 
   /** Write `df`'s rows as this version's new data files and return their
-    * normalized paths. One directory per version — names never collide
-    * across commits. */
-  private def writeData(df: DataFrame, tableDir: String, v: Int): Seq[String] = {
+    * entries (normalized paths, plus per-file min/max of `statsCol` when
+    * requested — one O(delta) pass over the freshly written, page-warm
+    * files). One directory per version — names never collide across
+    * commits. */
+  private def writeData(df: DataFrame, tableDir: String, v: Int,
+                        statsCol: Option[String] = None): Seq[FileEntry] = {
     val dataDir = s"$tableDir/data/v${"%05d".format(v)}"
     df.write.mode("overwrite").parquet(dataDir)
     val dir = new Path(dataDir)
-    fs(df.sparkSession, dir).listStatus(dir)
+    val paths = fs(df.sparkSession, dir).listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => norm(s.getPath)).sorted.toSeq
+    statsCol match {
+      case None => paths.map(FileEntry(_))
+      case Some(c) =>
+        val stats = df.sparkSession.read.parquet(dataDir)
+          .groupBy(regexp_replace(input_file_name(), "^file:/*", "/").as("__f"))
+          .agg(min(col(c).cast("long")).as("__lo"), max(col(c).cast("long")).as("__hi"))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        // a written part absent from the stats scan has zero rows —
+        // proven empty, so it never enters the manifest at all
+        paths.flatMap(p => stats.get(p).map { case (lo, hi) =>
+          FileEntry(p, Some((c, lo, hi))) })
+    }
   }
 
   /** Atomic commit: manifest written to a dot-temp, then RENAMED into
@@ -116,7 +151,7 @@ object Versioned {
     * next version cannot both succeed — the loser gets an exception and
     * retries against the new snapshot. */
   private[graft] def commitManifest(spark: SparkSession, tableDir: String, v: Int,
-                                    files: Seq[String],
+                                    entries: Seq[FileEntry],
                                     meta: Map[String, String] = Map.empty): Int = {
     val target = manifestPath(tableDir, v)
     val f = fs(spark, target)
@@ -127,7 +162,8 @@ object Versioned {
     val tmp = new Path(target.getParent, s".${target.getName}.tmp")
     val out = f.create(tmp, true)
     val metaLines = meta.toSeq.sorted.map { case (k, vl) => s"#$k=$vl" }
-    try out.write(((metaLines ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(
+      ((metaLines ++ entries.map(_.line)).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, target)) {
       f.delete(tmp, false)
@@ -137,22 +173,60 @@ object Versioned {
     v
   }
 
-  /** Create version 0 from `df`. Fails if the table already exists. */
+  /** Create version 0 from `df`. Fails if the table already exists.
+    * `statsCol` opts into manifest-level file statistics for that
+    * column (see [[readRange]]). */
   def init(df: DataFrame, tableDir: String,
-           meta: Map[String, String] = Map.empty): Int = {
+           meta: Map[String, String] = Map.empty,
+           statsCol: Option[String] = None): Int = {
     require(versions(df.sparkSession, tableDir).isEmpty,
       s"table already initialized at $tableDir")
-    commitManifest(df.sparkSession, tableDir, 0, writeData(df, tableDir, 0), meta)
+    commitManifest(df.sparkSession, tableDir, 0,
+      writeData(df, tableDir, 0, statsCol), meta)
   }
 
   /** Append-only commit: O(delta) data write; every existing file is
-    * carried into the new manifest by reference. */
+    * carried into the new manifest by reference (stats included). */
   def append(df: DataFrame, tableDir: String,
-             meta: Map[String, String] = Map.empty): Int = {
+             meta: Map[String, String] = Map.empty,
+             statsCol: Option[String] = None): Int = {
     val s = df.sparkSession
     val snap = snapshot(s, tableDir)
     val v = snap.version + 1
-    commitManifest(s, tableDir, v, snap.files ++ writeData(df, tableDir, v), meta)
+    commitManifest(s, tableDir, v,
+      snap.entries ++ writeData(df, tableDir, v, statsCol), meta)
+  }
+
+  /** The file subset a range predicate on `statsCol` can possibly touch:
+    * files whose manifest stats box intersects `[lo, hi]`, plus files
+    * with no stats for that column (must be read — skipping is only
+    * sound when the stats PROVE emptiness). Pure manifest arithmetic,
+    * zero file opens. */
+  def filesForRange(spark: SparkSession, tableDir: String, version: Option[Int],
+                    statsCol: String, lo: Long, hi: Long): Seq[String] =
+    snapshot(spark, tableDir, version).entries.collect {
+      case FileEntry(p, Some((c, fLo, fHi))) if c == statsCol =>
+        if (fLo <= hi && fHi >= lo) Some(p) else None
+      case FileEntry(p, _) => Some(p)
+    }.flatten
+
+  /** Range read through manifest-level skipping: only the
+    * [[filesForRange]] subset is handed to the scan, then the exact
+    * predicate applies on top (pruning is an I/O optimization, never a
+    * semantics change). With a range-clustered layout
+    * ([[Scale.dumpRangeSorted]]-style commits), a narrow probe opens a
+    * handful of files out of millions — and the decision costs one
+    * manifest read, not a footer fetch per file. */
+  def readRange(spark: SparkSession, tableDir: String, version: Option[Int],
+                statsCol: String, lo: Long, hi: Long): DataFrame = {
+    val keep = filesForRange(spark, tableDir, version, statsCol, lo, hi)
+    val pred = col(statsCol) >= lo && col(statsCol) <= hi
+    if (keep.nonEmpty) spark.read.parquet(keep: _*).filter(pred)
+    else {
+      // every file proven empty for the range: keep the schema, drop rows
+      val all = snapshot(spark, tableDir, version).files
+      spark.read.parquet(all.head).filter(lit(false))
+    }
   }
 
   /** Last-wins upsert as a copy-on-write commit: only files CONTAINING a
@@ -226,7 +300,7 @@ object Versioned {
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no versions at $tableDir")
     val (dropped, retained) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val referenced = retained.flatMap(v =>
+    val referenced: Set[String] = retained.flatMap(v =>
       snapshot(spark, tableDir, Some(v)).files).toSet
     val dataRoot = new Path(s"$tableDir/data")
     val f = fs(spark, dataRoot)
@@ -262,9 +336,16 @@ object Versioned {
       .drop("__file")
       .join(deltaIds, Seq(idCol), "left_anti")
     val rewritten = if (keepDelta) survivors.unionByName(delta) else survivors
-    val newFiles =
+    // rewritten files inherit the stats column of the snapshot's entries
+    // (when uniform) so pruning survives copy-on-write
+    val statsCol = snap.entries.flatMap(_.stats.map(_._1)).distinct match {
+      case Seq(c) => Some(c)
+      case _      => None
+    }
+    val newEntries =
       if (touched.isEmpty && !keepDelta) Seq.empty
-      else writeData(rewritten, tableDir, v)
-    commitManifest(s, tableDir, v, snap.files.filterNot(touched) ++ newFiles)
+      else writeData(rewritten, tableDir, v, statsCol)
+    commitManifest(s, tableDir, v,
+      snap.entries.filterNot(e => touched(e.path)) ++ newEntries)
   }
 }

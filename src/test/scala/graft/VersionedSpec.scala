@@ -98,11 +98,12 @@ class VersionedSpec extends SparkSuite {
     // the atomic commit point itself: two writers computed the same next
     // version from the same snapshot; the first rename wins, the second
     // must fail loudly and leave the winner's manifest untouched
-    val winner = Versioned.snapshot(spark, dir).files
+    val winner = Versioned.snapshot(spark, dir).entries
     Versioned.commitManifest(spark, dir, 2, winner)
     intercept[java.io.IOException](
-      Versioned.commitManifest(spark, dir, 2, Seq("/loser/should/not/land.parquet")))
-    assert(Versioned.snapshot(spark, dir, Some(2)).files === winner,
+      Versioned.commitManifest(spark, dir, 2,
+        Seq(Versioned.FileEntry("/loser/should/not/land.parquet"))))
+    assert(Versioned.snapshot(spark, dir, Some(2)).entries === winner,
       "the loser must not clobber the winner's committed manifest")
     // reading a version that never existed
     intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(9)))
@@ -132,6 +133,47 @@ class VersionedSpec extends SparkSuite {
     Versioned.upsert(Seq((5L, "lang2", 35L)).toDF("doc_id", "lang", "n_chars"),
       dir, "doc_id")
     assert(Versioned.diff(spark, dir, 2, 3, "doc_id").count() === 0)
+  }
+
+  test("manifest stats prune a range probe without opening footers; never unsound") {
+    import spark.implicits._
+    val dir = freshDir()
+    val d = (0 until 400).map(i => (i.toLong, s"l${i % 3}", i.toLong * 3))
+      .toDF("doc_id", "lang", "n_chars").repartitionByRange(8, col("doc_id"))
+    Versioned.init(d, dir, statsCol = Some("doc_id"))
+
+    val snap = Versioned.snapshot(spark, dir)
+    assert(snap.entries.forall(_.stats.exists(_._1 == "doc_id")),
+      "every committed file must carry stats")
+
+    // a ~1/8 range touches 1-2 of the 8 range-clustered files
+    val kept = Versioned.filesForRange(spark, dir, None, "doc_id", 100L, 149L)
+    assert(kept.size < snap.files.size / 2,
+      s"pruning must bite: kept ${kept.size} of ${snap.files.size}")
+    // ...and the pruned read is exactly the full-scan filter
+    val pruned = Versioned.readRange(spark, dir, None, "doc_id", 100L, 149L)
+    val full = Versioned.read(spark, dir)
+      .filter(col("doc_id").between(100L, 149L))
+    assert(pruned.exceptAll(full).unionAll(full.exceptAll(pruned)).count() === 0)
+
+    // a range beyond the data proves empty from the manifest alone,
+    // schema intact
+    val empty = Versioned.readRange(spark, dir, None, "doc_id", 10000L, 20000L)
+    assert(empty.count() === 0 && empty.columns.toSeq === Seq("doc_id", "lang", "n_chars"))
+
+    // pruning on a column with NO recorded stats keeps every file —
+    // skipping is only sound when stats prove emptiness
+    assert(Versioned.filesForRange(spark, dir, None, "n_chars", 0L, 1L).size
+      === snap.files.size)
+
+    // copy-on-write rewrites inherit the stats column: pruning survives
+    Versioned.upsert(Seq((105L, "UP", 9L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id")
+    val snap1 = Versioned.snapshot(spark, dir)
+    assert(snap1.entries.forall(_.stats.exists(_._1 == "doc_id")),
+      "rewritten files must keep carrying stats")
+    val pruned1 = Versioned.readRange(spark, dir, None, "doc_id", 100L, 149L)
+    assert(pruned1.filter(col("doc_id") === 105L).head().getAs[String]("lang") === "UP")
   }
 
   test("TableStream.commitBatch: exactly-once per batch id, empty batches skip") {

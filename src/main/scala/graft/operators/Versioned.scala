@@ -279,6 +279,40 @@ object Versioned {
       .drop("__in_old", "__in_new")
   }
 
+  /** OPTIMIZE-style compaction AS A COMMIT: rewrite the latest version's
+    * rows into `ceil(bytes/target)` files (optionally range-clustered on
+    * `clusterBy`, which also refreshes manifest stats for it) and commit
+    * the result as the next version. Unlike
+    * [[Maintenance.compactSmallFiles]] — which swaps a directory in
+    * place — this never touches existing files: readers of any pinned
+    * version are undisturbed, history stays intact, and the small files
+    * a [[graft.streaming.TableStream]] stream accumulates get folded
+    * away with plain [[vacuum]] reclaiming them once their versions age
+    * out. Content is row-identical by construction.
+    *
+    * Stats column: `clusterBy` when given, else the snapshot's uniform
+    * stats column (pruning survives compaction), else none. */
+  def compact(spark: SparkSession, tableDir: String,
+              targetBytes: Long = 128L << 20,
+              clusterBy: Option[String] = None): Int = {
+    val snap = snapshot(spark, tableDir)
+    val f = fs(spark, new Path(tableDir))
+    val total = snap.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val cur = spark.read.parquet(snap.files: _*)
+    val arranged = clusterBy match {
+      case Some(c) => cur.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+      case None    => cur.repartition(n)
+    }
+    val statsCol = clusterBy.orElse(
+      snap.entries.flatMap(_.stats.map(_._1)).distinct match {
+        case Seq(c) => Some(c)
+        case _      => None
+      })
+    val v = snap.version + 1
+    commitManifest(spark, tableDir, v, writeData(arranged, tableDir, v, statsCol))
+  }
+
   case class VacuumStats(deletedFiles: Long, keptFiles: Long,
                          droppedVersions: Seq[Int])
 

@@ -200,6 +200,40 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.snapshot(spark, dir).files.forall(!_.startsWith("#")))
   }
 
+  test("compact folds streamed small files into a new version; history and pruning survive") {
+    import spark.implicits._
+    import graft.streaming.TableStream
+    val dir = freshDir()
+    // five tiny streamed commits -> five versions of fragment files
+    (0 until 5).foreach { b =>
+      TableStream.commitBatch(
+        (b * 20 until (b + 1) * 20).map(i => (i.toLong, s"l$i", i.toLong))
+          .toDF("doc_id", "lang", "n_chars").repartition(4),
+        dir, b.toLong)
+    }
+    val before = Versioned.read(spark, dir)
+    val filesBefore = Versioned.snapshot(spark, dir).files.size
+    assert(filesBefore >= 15, "streamed commits should have fragmented the table")
+
+    val v = Versioned.compact(spark, dir, targetBytes = 8L << 20,
+      clusterBy = Some("doc_id"))
+    assert(v === 5)
+    val after = Versioned.read(spark, dir)
+    assert(after.exceptAll(before).unionAll(before.exceptAll(after)).count() === 0,
+      "compaction must not change content")
+    val snapC = Versioned.snapshot(spark, dir)
+    assert(snapC.files.size < filesBefore / 3, "file count must collapse")
+    // clusterBy refreshed manifest stats -> range pruning works post-compact
+    assert(snapC.entries.forall(_.stats.exists(_._1 === "doc_id")))
+    // pre-compact versions still readable (compaction is a commit, not a swap)
+    assert(Versioned.read(spark, dir, Some(2)).count() === 60)
+    // and vacuum reclaims the fragments once history ages out
+    val vs = Versioned.vacuum(spark, dir, keepVersions = 1)
+    assert(vs.deletedFiles >= filesBefore.toLong,
+      "every pre-compact fragment must be reclaimable")
+    assert(Versioned.read(spark, dir).count() === 100)
+  }
+
   test("vacuum keeps retained versions intact, reclaims the rest, and is idempotent") {
     import spark.implicits._
     val dir = freshDir()

@@ -1854,6 +1854,15 @@ object SparkEntry {
             lit(" of "), col("n_planted"),
             lit(" re-encoded pairs missed")))))
     }),
+    // URL canonicalization — the crawl pipeline's one-page-one-key
+    // normalization (case, default ports, fragments, tracking params,
+    // param order) + the per-domain key, over fixture-derived URLs
+    // cycling every rule plus planted unparseable/odd-port/empty-path
+    // cases; both engines recompute the rules symbolically
+    "text_url_canonical" -> ((s, dir) =>
+      urlFixture(s, dir).select(col("doc_id"),
+        TextOps.canonicalizeUrl(col("url")).as("canon"),
+        TextOps.urlDomain(col("url")).as("domain"))),
     // versioned corpus: v0 = documents, v1 = copy-on-write upsert of a
     // delta. Reading v0 AFTER v1 landed must equal the original table
     // (time travel / snapshot isolation — the upsert touched nothing v0
@@ -1944,6 +1953,30 @@ object SparkEntry {
           md5(col("text")).as("text_md5"))
     }),
   )
+
+  /** (doc_id, url) with every canonicalization rule cycling over the
+    * fixture ids — scheme case, default vs no port, empty path,
+    * tracking params out of order, fragments — plus planted rows for
+    * the unparseable / non-default-port / no-path edges. The oracle
+    * rebuilds the same URLs in SQL. */
+  private def urlFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val generated = Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        lit("Site"), (col("doc_id") % 7).cast("string"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":80"))
+          .when(col("doc_id") % 3 === 1, lit(":443")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(""))
+          .otherwise(concat(lit("/p/"), col("doc_id").cast("string"))),
+        lit("?utm_source=feed&b=2&a=1&fbclid=XYZ"),
+        when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+    generated.unionByName(Seq(
+      (9100001L, "not a url"),
+      (9100002L, "https://Host.com:8080/x?z=1&y=2&utm_x=1"),
+      (9100003L, "https://EXAMPLE.com:443?q=1")
+    ).toDF("doc_id", "url"))
+  }
 
   /** documents(doc_id, lang, text) plus three rows hostile to
     * line-oriented interchange formats; the oracle replicates them in
@@ -2908,6 +2941,55 @@ object SparkEntry {
     "versioned_pruned_read" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 199""",
+    // the same canonicalization rules recomputed symbolically in SQL
+    // over the same rebuilt URL fixture (scheme/host lower, default
+    // ports, '/' for empty path, tracking params dropped + sorted,
+    // fragment stripped, NULL for unparseable)
+    "text_url_canonical" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+                   'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' ||
+                   CASE WHEN doc_id % 3 = 0 THEN ':80'
+                        WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 0 THEN ''
+                        ELSE '/p/' || CAST(doc_id AS VARCHAR) END ||
+                   '?utm_source=feed&b=2&a=1&fbclid=XYZ' ||
+                   CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents
+           UNION ALL SELECT 9100001, 'not a url'
+           UNION ALL SELECT 9100002, 'https://Host.com:8080/x?z=1&y=2&utm_x=1'
+           UNION ALL SELECT 9100003, 'https://EXAMPLE.com:443?q=1'),
+         p2 AS (
+           SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf FROM u),
+         p3 AS (
+           SELECT doc_id, url, nf,
+                  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) AS hostraw,
+                  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path,
+                  regexp_extract(nf, '\?(.*)$', 1) AS q
+           FROM p2),
+         p4 AS (
+           SELECT doc_id, url, scheme, hostraw,
+                  CASE WHEN scheme = 'http'  THEN regexp_replace(hostraw, ':80$', '')
+                       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+                       ELSE hostraw END AS host,
+                  path,
+                  array_to_string(list_sort(list_filter(string_split(q, '&'),
+                    p -> p <> '' AND NOT starts_with(p, 'utm_')
+                      AND NOT starts_with(p, 'fbclid=')
+                      AND NOT starts_with(p, 'gclid=')
+                      AND NOT starts_with(p, 'ref='))), '&') AS keptq
+           FROM p3)
+         SELECT doc_id,
+                CASE WHEN scheme = '' OR hostraw = '' THEN NULL
+                     ELSE scheme || '://' || host ||
+                          CASE WHEN path = '' THEN '/' ELSE path END ||
+                          CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END
+                END AS canon,
+                nullif(lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]+)', 1)), '') AS domain
+         FROM p4""",
     // CDC: the delta relabels every 10th doc ('xx', doubled n_chars) —
     // no fixture lang is 'xx' and n_chars >= 48, so every delta row is
     // an update and nothing else changes

@@ -341,4 +341,52 @@ object TextOps {
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+
+  /** Tracking-parameter prefixes dropped by [[canonicalizeUrl]] — the
+    * analytics noise (utm campaign tags, click ids) that makes one page
+    * look like a thousand distinct URLs in a crawl. */
+  private val trackingPrefixes = Seq("utm_", "fbclid=", "gclid=", "ref=")
+
+  /** Canonicalize a URL for crawl-scale dedup/aggregation — the
+    * web-pipeline normalization step (one page, one key) applied before
+    * any URL-keyed dedup or per-domain cap. Pure built-in column ops
+    * (regexp + array functions — codegen'd, no UDF), with every rule
+    * chosen to be expressible identically in the DuckDB oracle:
+    *
+    *   1. fragment stripped (`#...` never reaches the server);
+    *   2. scheme and host lowercased; default ports (`:80` http,
+    *      `:443` https) removed;
+    *   3. empty path becomes `/`;
+    *   4. tracking params ([[trackingPrefixes]]) dropped; survivors
+    *      SORTED (param order is transport noise), `?` dropped when
+    *      none survive.
+    *
+    * Rows that don't parse as `scheme://host...` canonicalize to NULL —
+    * typed absence, not a half-normalized string. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val path = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !trackingPrefixes.map(pre => p.startsWith(pre)).reduce(_ || _)))
+    when(scheme === "" || hostRaw === "", lit(null).cast("string"))
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(path === "", lit("/")).otherwise(path),
+        when(size(kept) === 0, lit(""))
+          .otherwise(concat(lit("?"), array_join(kept, "&")))))
+  }
+
+  /** The registrable-host key for per-domain caps/stats (the crawl
+    * pipeline's "no more than N pages per site" guard): lowercased
+    * host with any port stripped; NULL when the URL doesn't parse. */
+  def urlDomain(url: Column): Column = {
+    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]+)", 1))
+    when(host === "", lit(null).cast("string")).otherwise(host)
+  }
 }

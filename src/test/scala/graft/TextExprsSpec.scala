@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.GraftColumnBridge
 import graft.functions.TextExprs
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextOps}
 
 class TextExprsSpec extends SparkSuite {
   import spark.implicits._
@@ -170,6 +170,40 @@ class TextExprsSpec extends SparkSuite {
     val interp = docs.select($"doc_id",
       transform(array($"text"), t => TextOps.compressionRatio(t)).getItem(0).as("r"))
     assert(viaPlan.exceptAll(interp).isEmpty && interp.exceptAll(viaPlan).isEmpty)
+  }
+
+  test("canonicalizeUrl: each rule individually, idempotence, NULL on garbage") {
+    import spark.implicits._
+    val cases = Seq(
+      // rule -> (input, expected canonical)
+      ("HTTP://WWW.Ex.COM/Path", "http://www.ex.com/Path"), // case: scheme+host only
+      ("http://ex.com:80/a", "http://ex.com/a"),            // default port http
+      ("https://ex.com:443/a", "https://ex.com/a"),         // default port https
+      ("http://ex.com:443/a", "http://ex.com:443/a"),       // NON-default port kept
+      ("https://ex.com:8080/a", "https://ex.com:8080/a"),
+      ("https://ex.com", "https://ex.com/"),                // empty path -> '/'
+      ("https://ex.com/a#sec-2", "https://ex.com/a"),       // fragment stripped
+      ("https://ex.com/a?b=2&a=1", "https://ex.com/a?a=1&b=2"), // params sorted
+      ("https://ex.com/a?utm_source=x&utm_medium=y", "https://ex.com/a"), // all tracking
+      ("https://ex.com/a?ref=t&z=9&fbclid=f&gclid=g", "https://ex.com/a?z=9"),
+      ("nonsense", null),
+      ("", null)
+    ).toDF("url", "want")
+    val got = cases.select(col("url"), col("want"),
+      TextOps.canonicalizeUrl(col("url")).as("got"))
+    val bad = got.filter(!(col("got") <=> col("want"))).collect()
+    assert(bad.isEmpty, s"rule mismatches: ${bad.mkString("; ")}")
+    // idempotence: canonical output re-canonicalizes to itself
+    val twice = got.filter(col("want").isNotNull)
+      .select(col("want"), TextOps.canonicalizeUrl(col("want")).as("again"))
+      .filter(!(col("again") <=> col("want"))).collect()
+    assert(twice.isEmpty, s"not idempotent: ${twice.mkString("; ")}")
+    // domain key: host without port, NULL on garbage
+    val doms = Seq("https://A.Ex.com:8080/x" -> "a.ex.com", "junk" -> null)
+      .toDF("url", "want")
+      .select(col("want"), TextOps.urlDomain(col("url")).as("got"))
+      .filter(!(col("got") <=> col("want"))).collect()
+    assert(doms.isEmpty)
   }
 
   private def sparkDocs =

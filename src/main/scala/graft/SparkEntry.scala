@@ -1854,6 +1854,20 @@ object SparkEntry {
             lit(" of "), col("n_planted"),
             lit(" re-encoded pairs missed")))))
     }),
+    // deterministic epoch shuffle: the training-order permutation as a
+    // query — shard by md5(seed:id), position by per-shard hash order;
+    // a new seed is a fresh reproducible permutation
+    "sample_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", "epoch7", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+    // per-domain cap — the crawl guard: at most k docs per registrable
+    // host, deterministic md5 pick, composed from the URL fixture's
+    // domain key + the k-per-group sampler
+    "sample_domain_cap" -> ((s, dir) =>
+      Sampling.sampleKPerGroup(
+        urlFixture(s, dir).select(col("doc_id"),
+          TextOps.urlDomain(col("url")).as("domain")),
+        "doc_id", "domain", k = 20)),
     // URL canonicalization — the crawl pipeline's one-page-one-key
     // normalization (case, default ports, fragments, tracking params,
     // param order) + the per-domain key, over fixture-derived URLs
@@ -2385,6 +2399,23 @@ object SparkEntry {
   /** Shared CTE prefix for the two contamination oracles: the train/eval
     * split (mirroring [[contaminationSplit]]) and both sides' word-8-gram
     * sets. */
+  /** Oracle twin of [[urlFixture]]: the same URL construction in SQL. */
+  private val urlFixtureCte: String =
+    """u AS (
+         SELECT doc_id,
+                (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+                 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' ||
+                 CASE WHEN doc_id % 3 = 0 THEN ':80'
+                      WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 0 THEN ''
+                      ELSE '/p/' || CAST(doc_id AS VARCHAR) END ||
+                 '?utm_source=feed&b=2&a=1&fbclid=XYZ' ||
+                 CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+         FROM documents
+         UNION ALL SELECT 9100001, 'not a url'
+         UNION ALL SELECT 9100002, 'https://Host.com:8080/x?z=1&y=2&utm_x=1'
+         UNION ALL SELECT 9100003, 'https://EXAMPLE.com:443?q=1')"""
+
   /** Oracle twin of [[docsWithHostileText]]: the same three planted rows
     * in SQL, control characters spelled `chr(10)`/`chr(9)` so the SQL
     * text itself stays single-line for the JSON dump. */
@@ -2941,25 +2972,36 @@ object SparkEntry {
     "versioned_pruned_read" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 199""",
+    // hex pair -> 0..255 via digit strpos (DuckDB's portable hex
+    // decode), then mod shards; position by (hash, id) per shard
+    "sample_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+                           md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS hh
+                    FROM documents),
+         s AS (SELECT doc_id, hh,
+                      ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16 +
+                       (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 8 AS shard
+               FROM h)
+         SELECT doc_id, shard,
+                row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
+         FROM s""",
+    "sample_domain_cap" ->
+      s"""WITH $urlFixtureCte,
+         d AS (SELECT doc_id,
+                      nullif(lower(regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]+)', 1)), '') AS domain
+               FROM u),
+         r AS (SELECT doc_id, domain,
+                      row_number() OVER (PARTITION BY domain
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM d)
+         SELECT doc_id, domain FROM r WHERE rn <= 20""",
     // the same canonicalization rules recomputed symbolically in SQL
     // over the same rebuilt URL fixture (scheme/host lower, default
     // ports, '/' for empty path, tracking params dropped + sorted,
     // fragment stripped, NULL for unparseable)
     "text_url_canonical" ->
-      """WITH u AS (
-           SELECT doc_id,
-                  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END ||
-                   'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' ||
-                   CASE WHEN doc_id % 3 = 0 THEN ':80'
-                        WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END ||
-                   CASE WHEN doc_id % 5 = 0 THEN ''
-                        ELSE '/p/' || CAST(doc_id AS VARCHAR) END ||
-                   '?utm_source=feed&b=2&a=1&fbclid=XYZ' ||
-                   CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
-           FROM documents
-           UNION ALL SELECT 9100001, 'not a url'
-           UNION ALL SELECT 9100002, 'https://Host.com:8080/x?z=1&y=2&utm_x=1'
-           UNION ALL SELECT 9100003, 'https://EXAMPLE.com:443?q=1'),
+      s"""WITH $urlFixtureCte,
          p2 AS (
            SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf FROM u),
          p3 AS (
@@ -2967,12 +3009,12 @@ object SparkEntry {
                   lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                   lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) AS hostraw,
                   regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path,
-                  regexp_extract(nf, '\?(.*)$', 1) AS q
+                  regexp_extract(nf, '\\?(.*)$$', 1) AS q
            FROM p2),
          p4 AS (
            SELECT doc_id, url, scheme, hostraw,
-                  CASE WHEN scheme = 'http'  THEN regexp_replace(hostraw, ':80$', '')
-                       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+                  CASE WHEN scheme = 'http'  THEN regexp_replace(hostraw, ':80$$', '')
+                       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$$', '')
                        ELSE hostraw END AS host,
                   path,
                   array_to_string(list_sort(list_filter(string_split(q, '&'),

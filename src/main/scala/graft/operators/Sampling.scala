@@ -125,4 +125,31 @@ object Sampling {
       .withColumn("shard",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
   }
+
+  /** Deterministic epoch shuffle: the global training-order permutation
+    * as a QUERY, not an in-memory shuffle. Every row hashes to a shard
+    * (`md5(seed:id)` — a new seed is a fresh, reproducible permutation)
+    * and gets its position within the shard by hash order; the training
+    * reader consumes shards in any order, positions in order, and the
+    * concatenation is the epoch's document order.
+    *
+    * Scale shape: one hash-partitioned exchange on shard plus a
+    * PER-SHARD sort — numShards independent sorts of corpus/numShards
+    * rows each, never a single global order-by (the thing that
+    * serializes an epoch shuffle at 100 TB). Stability: a doc's
+    * (shard, position) never depends on partitioning or engine, only on
+    * (seed, id, the shard's member set). */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String,
+                   numShards: Int): DataFrame = {
+    require(numShards >= 1 && numShards <= 256,
+      s"numShards $numShards must be in [1, 256] (two hex digits of spread)")
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 2), 16, 10).cast("long"),
+          lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

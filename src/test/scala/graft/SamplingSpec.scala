@@ -146,4 +146,29 @@ class SamplingSpec extends SparkSuite {
     top1.foreach(r => assert(r.getLong(1) === r.getLong(0),
       s"query ${r.getLong(0)} nearest is ${r.getLong(1)}"))
   }
+
+  test("epochShuffle: exact cover, contiguous per-shard positions, seeded determinism") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir).select("doc_id")
+    val n = docs.count()
+    val e1 = graft.operators.Sampling.epochShuffle(docs, "doc_id", "seedA", 8)
+
+    // a permutation: every doc exactly once, shards in range
+    assert(e1.count() === n)
+    assert(e1.select("doc_id").distinct().count() === n)
+    assert(e1.filter(col("shard") < 0 || col("shard") >= 8).count() === 0)
+    // positions are 1..|shard| with no gaps
+    val bad = e1.groupBy("shard")
+      .agg(count(lit(1)).as("cnt"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("cnt") || col("mn") =!= 1L).count()
+    assert(bad === 0, "per-shard positions must be contiguous from 1")
+
+    // partitioning-invariant, seed-sensitive
+    val again = graft.operators.Sampling
+      .epochShuffle(docs.repartition(13), "doc_id", "seedA", 8)
+    assert(e1.exceptAll(again).unionAll(again.exceptAll(e1)).count() === 0)
+    val other = graft.operators.Sampling.epochShuffle(docs, "doc_id", "seedB", 8)
+    assert(e1.join(other, Seq("doc_id", "shard", "pos"), "left_semi").count() < n,
+      "a different seed must produce a different permutation")
+  }
 }

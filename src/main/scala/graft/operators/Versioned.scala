@@ -51,8 +51,17 @@ object Versioned {
     case _ => throw new IllegalStateException(s"malformed manifest line: $l")
   }
 
-  case class Snapshot(version: Int, entries: Seq[FileEntry]) {
+  case class Snapshot(version: Int, entries: Seq[FileEntry],
+                      meta: Map[String, String] = Map.empty) {
     def files: Seq[String] = entries.map(_.path)
+    /** The schema RECORDED AT COMMIT TIME (Iceberg-style): readers get
+      * it from one manifest read — zero parquet footers — and time
+      * travel sees each version under its OWN schema. Absent only on
+      * pre-schema-tracking manifests. */
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      meta.get("schema").map(
+        org.apache.spark.sql.types.DataType.fromJson(_)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   private def fs(spark: SparkSession, p: Path) =
@@ -81,10 +90,14 @@ object Versioned {
     require(vs.nonEmpty, s"no versions at $tableDir")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in $vs at $tableDir")
-    // '#'-prefixed lines are commit metadata (e.g. the streaming batch
-    // id), not files
-    Snapshot(v, manifestLines(spark, tableDir, v)
-      .filterNot(_.startsWith("#")).map(parseEntry))
+    // '#'-prefixed lines are commit metadata (k=v, value may contain
+    // '='), the rest are file entries
+    val lines = manifestLines(spark, tableDir, v)
+    val meta = lines.collect { case l if l.startsWith("#") =>
+      val kv = l.drop(1).split("=", 2)
+      kv(0) -> (if (kv.length > 1) kv(1) else "")
+    }.toMap
+    Snapshot(v, lines.filterNot(_.startsWith("#")).map(parseEntry), meta)
   }
 
   private def manifestLines(spark: SparkSession, tableDir: String,
@@ -108,15 +121,41 @@ object Versioned {
           l.stripPrefix("#batchId=").toLong })
       .nextOption()
 
-  /** Read a pinned version (latest by default). The file list comes from
-    * ONE manifest read, so the scan is consistent no matter what commits
-    * land mid-query. */
+  /** Read a pinned version (latest by default). The file list AND the
+    * schema come from ONE manifest read, so the scan is consistent no
+    * matter what commits land mid-query and no footer is opened for
+    * schema discovery; files predating a schema-evolving commit
+    * null-fill the columns they lack. */
   def read(spark: SparkSession, tableDir: String,
            version: Option[Int] = None): DataFrame = {
     val snap = snapshot(spark, tableDir, version)
     require(snap.files.nonEmpty,
       s"version ${snap.version} of $tableDir has no files (fully deleted)")
-    spark.read.parquet(snap.files: _*)
+    snap.schema match {
+      case Some(st) => spark.read.schema(st).parquet(snap.files: _*)
+      case None     => spark.read.parquet(snap.files: _*)
+    }
+  }
+
+  /** The committed schema widened by `df`'s new columns (appended at the
+    * end); common columns must agree on type — silent coercion is how
+    * corpora rot. */
+  private def evolveSchema(old: Option[org.apache.spark.sql.types.StructType],
+                           df: DataFrame): org.apache.spark.sql.types.StructType = {
+    val incoming = df.schema
+    old match {
+      case None => incoming
+      case Some(o) =>
+        incoming.fields.foreach { f =>
+          o.fields.find(_.name == f.name).foreach { prev =>
+            require(prev.dataType == f.dataType,
+              s"schema evolution cannot change column '${f.name}' from " +
+                s"${prev.dataType.simpleString} to ${f.dataType.simpleString}")
+          }
+        }
+        org.apache.spark.sql.types.StructType(
+          o.fields ++ incoming.fields.filterNot(f => o.fieldNames.contains(f.name)))
+    }
   }
 
   /** Write `df`'s rows as this version's new data files and return their
@@ -182,11 +221,14 @@ object Versioned {
     require(versions(df.sparkSession, tableDir).isEmpty,
       s"table already initialized at $tableDir")
     commitManifest(df.sparkSession, tableDir, 0,
-      writeData(df, tableDir, 0, statsCol), meta)
+      writeData(df, tableDir, 0, statsCol),
+      meta + ("schema" -> df.schema.json))
   }
 
   /** Append-only commit: O(delta) data write; every existing file is
-    * carried into the new manifest by reference (stats included). */
+    * carried into the new manifest by reference (stats included). A
+    * delta with NEW columns evolves the committed schema — older files
+    * null-fill on read; changing an existing column's type refuses. */
   def append(df: DataFrame, tableDir: String,
              meta: Map[String, String] = Map.empty,
              statsCol: Option[String] = None): Int = {
@@ -194,7 +236,8 @@ object Versioned {
     val snap = snapshot(s, tableDir)
     val v = snap.version + 1
     commitManifest(s, tableDir, v,
-      snap.entries ++ writeData(df, tableDir, v, statsCol), meta)
+      snap.entries ++ writeData(df, tableDir, v, statsCol),
+      meta + ("schema" -> evolveSchema(snap.schema, df).json))
   }
 
   /** The file subset a range predicate on `statsCol` can possibly touch:
@@ -299,7 +342,10 @@ object Versioned {
     val f = fs(spark, new Path(tableDir))
     val total = snap.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val cur = spark.read.parquet(snap.files: _*)
+    val cur = snap.schema match {
+      case Some(st) => spark.read.schema(st).parquet(snap.files: _*)
+      case None     => spark.read.parquet(snap.files: _*)
+    }
     val arranged = clusterBy match {
       case Some(c) => cur.repartitionByRange(n, col(c)).sortWithinPartitions(c)
       case None    => cur.repartition(n)
@@ -310,7 +356,8 @@ object Versioned {
         case _      => None
       })
     val v = snap.version + 1
-    commitManifest(spark, tableDir, v, writeData(arranged, tableDir, v, statsCol))
+    commitManifest(spark, tableDir, v, writeData(arranged, tableDir, v, statsCol),
+      Map("schema" -> snap.schema.getOrElse(cur.schema).json))
   }
 
   case class VacuumStats(deletedFiles: Long, keptFiles: Long,
@@ -361,7 +408,11 @@ object Versioned {
     val s = delta.sparkSession
     val snap = snapshot(s, tableDir)
     val v = snap.version + 1
-    val cur = s.read.parquet(snap.files: _*)
+    val curBase = snap.schema match {
+      case Some(st) => s.read.schema(st).parquet(snap.files: _*)
+      case None     => s.read.parquet(snap.files: _*)
+    }
+    val cur = curBase
       .withColumn("__file", regexp_replace(input_file_name(), "^file:/*", "/"))
     val deltaIds = delta.select(col(idCol)).distinct()
     val touched = cur.join(deltaIds, Seq(idCol), "left_semi")
@@ -369,7 +420,11 @@ object Versioned {
     val survivors = cur.filter(col("__file").isInCollection(touched))
       .drop("__file")
       .join(deltaIds, Seq(idCol), "left_anti")
-    val rewritten = if (keepDelta) survivors.unionByName(delta) else survivors
+    // allowMissingColumns: an upsert delta may evolve the schema (new
+    // columns null-fill on the survivor side, and vice versa)
+    val rewritten =
+      if (keepDelta) survivors.unionByName(delta, allowMissingColumns = true)
+      else survivors
     // rewritten files inherit the stats column of the snapshot's entries
     // (when uniform) so pruning survives copy-on-write
     val statsCol = snap.entries.flatMap(_.stats.map(_._1)).distinct match {
@@ -379,7 +434,11 @@ object Versioned {
     val newEntries =
       if (touched.isEmpty && !keepDelta) Seq.empty
       else writeData(rewritten, tableDir, v, statsCol)
+    val schema =
+      if (keepDelta) evolveSchema(snap.schema, delta)
+      else snap.schema.getOrElse(curBase.schema)
     commitManifest(s, tableDir, v,
-      snap.entries.filterNot(e => touched(e.path)) ++ newEntries)
+      snap.entries.filterNot(e => touched(e.path)) ++ newEntries,
+      Map("schema" -> schema.json))
   }
 }

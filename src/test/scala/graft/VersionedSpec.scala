@@ -135,6 +135,35 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.diff(spark, dir, 2, 3, "doc_id").count() === 0)
   }
 
+  test("schema evolution: new columns null-fill old files; time travel keeps old schemas; type change refuses") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "lang"), dir)
+    // v1 appends rows carrying a NEW column
+    Versioned.append(Seq((3L, "c", 0.9)).toDF("doc_id", "lang", "score"), dir)
+
+    val latest = Versioned.read(spark, dir)
+    assert(latest.columns.toSeq === Seq("doc_id", "lang", "score"))
+    val byId = latest.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).isNullAt(2), "pre-evolution rows null-fill the new column")
+    assert(byId(3L).getAs[Double]("score") === 0.9)
+
+    // time travel reads v0 under v0's OWN schema
+    assert(Versioned.read(spark, dir, Some(0)).columns.toSeq === Seq("doc_id", "lang"))
+
+    // an upsert delta can also evolve (survivor side null-fills)
+    Versioned.upsert(Seq((2L, "B", 0.5, 7L)).toDF("doc_id", "lang", "score", "rank"),
+      dir, "doc_id")
+    val v2 = Versioned.read(spark, dir)
+    assert(v2.columns.toSeq === Seq("doc_id", "lang", "score", "rank"))
+    assert(v2.filter(col("doc_id") === 2L).head().getAs[Long]("rank") === 7L)
+    assert(v2.filter(col("doc_id") === 1L).head().isNullAt(3))
+
+    // changing an existing column's TYPE is refused, loudly
+    intercept[IllegalArgumentException](
+      Versioned.append(Seq((9L, 42, 1.0)).toDF("doc_id", "lang", "score"), dir))
+  }
+
   test("manifest stats prune a range probe without opening footers; never unsound") {
     import spark.implicits._
     val dir = freshDir()

@@ -1588,6 +1588,10 @@ object SparkEntry {
           coalesce(col("n_signup"), lit(0L)).as("n_signup"),
           coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
     }),
+    // calendar gap-fill + LOCF forward fill over each user's own day
+    // span (users < 8 bound the calendar explode at any SF)
+    "events_gapfill" -> ((s, dir) =>
+      EventOps.gapFillDaily(Tables.events(s, dir).filter(col("user_id") < 8))),
     "events_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       EventOps.asOfLatestPrior(ev.filter(col("event_type") === "purchase"),
@@ -3786,6 +3790,28 @@ object SparkEntry {
                 coalesce(n_signup, 0) AS n_signup,
                 coalesce(n_purchase, 0) AS n_purchase
          FROM s FULL OUTER JOIN p ON s.day = p.day""",
+    // LOCF gap-fill: generate_series densifies each user's span; the
+    // IGNORE NULLS running last_value is the carry-forward in both
+    // engines (values pre-rounded at the daily grain, so the fill
+    // copies exact doubles)
+    "events_gapfill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS v
+                        FROM events WHERE user_id < 8 GROUP BY 1, 2),
+         spans AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+         days AS (SELECT user_id,
+                         CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                                     CAST(hi AS TIMESTAMP),
+                                                     INTERVAL 1 DAY)) AS DATE) AS day
+                  FROM spans),
+         j AS (SELECT d.user_id, d.day, daily.v
+               FROM days d LEFT JOIN daily
+                 ON d.user_id = daily.user_id AND d.day = daily.day)
+         SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+                v IS NULL AS was_missing,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM j""",
     "events_ntile" ->
       """SELECT event_id, event_type, round(value, 4) AS value,
                 CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS BIGINT) AS quartile

@@ -292,4 +292,37 @@ object EventOps {
         round(sum(col("gap_us")).cast("double") / count(lit(1)) / lit(1e6), 4)
           .as("mean_gap_s"))
   }
+
+  /** Calendar gap-fill + forward fill — the time-series densification
+    * every metrics/feature pipeline needs before resampling or model
+    * input: each user's daily series is completed over the user's OWN
+    * [first, last] day span (sequence-explode), missing days flagged,
+    * and the value carried forward from the most recent observed day
+    * (`last(..., ignoreNulls)` running window — the LOCF rule).
+    *
+    * Scale shape: one shuffle to the (user, day) grain; the reduced
+    * daily frame is pinned (`localCheckpoint`) because three plan
+    * branches reference it (span bounds, calendar join, fill) — Spark
+    * re-executes shared subtrees, and re-aggregating the raw event
+    * stream twice is the 100 TB mistake. The calendar explode is
+    * span-proportional, and the fill window sorts each user's days
+    * independently. */
+  def gapFillDaily(events: DataFrame, valueCol: String = "value",
+                   userCol: String = "user_id"): DataFrame = {
+    val daily = events
+      .groupBy(col(userCol), to_date(col("ts")).as("__day"))
+      .agg(round(sum(col(valueCol).cast("decimal(18,6)")), 4).cast("double").as("__v"))
+      .localCheckpoint(true)
+    val days = daily.groupBy(col(userCol))
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+      .select(col(userCol), explode(sequence(col("__lo"), col("__hi"))).as("__day"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(daily, Seq(userCol, "__day"), "left")
+      .withColumn("filled", last(col("__v"), ignoreNulls = true).over(w))
+      .select(col(userCol),
+        date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("__v").isNull.as("was_missing"),
+        col("filled"))
+  }
 }

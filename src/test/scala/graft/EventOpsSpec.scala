@@ -139,4 +139,26 @@ class EventOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("min_gap_us") >= 0L)
     }
   }
+
+  test("gapFillDaily: planted gaps densify, LOCF carries the last observed value") {
+    import spark.implicits._
+    // user 1: days 1, 4 observed (gap 2-3); user 2: single day
+    val ev = Seq(
+      (1L, "2024-03-01 10:00:00", 5.0),
+      (1L, "2024-03-01 11:00:00", 1.0), // same day, sums to 6.0
+      (1L, "2024-03-04 09:00:00", 2.5),
+      (2L, "2024-03-10 00:30:00", 7.0)
+    ).toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+    val out = EventOps.gapFillDaily(ev).orderBy("user_id", "day").collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.map(_.getAs[String]("day")).toSeq ===
+      Seq("2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"))
+    assert(u1.map(_.getAs[Double]("filled")).toSeq === Seq(6.0, 6.0, 6.0, 2.5),
+      "gap days carry the last observed daily sum forward")
+    assert(u1.map(_.getAs[Boolean]("was_missing")).toSeq ===
+      Seq(false, true, true, false))
+    val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length === 1 && u2.head.getAs[Double]("filled") === 7.0)
+  }
 }

@@ -1261,14 +1261,24 @@ object SparkEntry {
     // 100 multi-vector "documents" (token bags keyed vec_id % 100) —
     // Σ per-token max cosine, top-10 per query, DuckDB-oracled
     "retrieval_maxsim" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      Retrieval.maxSim(
-        e.filter(col("vec_id") < 8).select(
-          floor(col("vec_id") / 4).cast("long").as("query_id"),
-          col("vec_id").as("tok_id"), col("v").as("qv")),
-        e.select((col("vec_id") % 100).as("match_id"), col("v").as("dv")),
-        k = 10)
+      val (q, d) = maxSimFrames(s, dir)
+      Retrieval.maxSim(q, d, k = 10)
+    }),
+    // the serving shape: mean-pooled single-vector prefilter (the stage
+    // every ANN index here can accelerate) -> exact MaxSim on the
+    // candidate token bags only. Engine-specific candidate set ->
+    // rows-only; quality is the gated recall row below
+    "retrieval_maxsim_ann" -> ((s, dir) => {
+      val (q, d) = maxSimFrames(s, dir)
+      Retrieval.maxSimCascade(q, d, k = 10, nCandidates = 50)
+    }),
+    // GATED: cascade recall@10 vs the exact MaxSim twin under a pinned
+    // floor — the two-stage pruning contract, driver-visible
+    "retrieval_maxsim_recall" -> ((s, dir) => {
+      val (q, d) = maxSimFrames(s, dir)
+      Recall.atKGated(
+        Retrieval.maxSimCascade(q, d, k = 10, nCandidates = 50),
+        Retrieval.maxSim(q, d, k = 10), k = 10, floor = 0.85)
     }),
     // one-pass exact column profile over orders (nulls / distincts /
     // numeric ranges; timestamp pre-converted to integer epoch seconds
@@ -1971,6 +1981,18 @@ object SparkEntry {
           md5(col("text")).as("text_md5"))
     }),
   )
+
+  /** The MaxSim token fixture: queries = vectors 0..7 as two 4-token
+    * multi-vector queries (query_id = vec_id/4), documents = 100 token
+    * bags keyed vec_id % 100, all components double. */
+  private def maxSimFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    (e.filter(col("vec_id") < 8).select(
+        floor(col("vec_id") / 4).cast("long").as("query_id"),
+        col("vec_id").as("tok_id"), col("v").as("qv")),
+      e.select((col("vec_id") % 100).as("match_id"), col("v").as("dv")))
+  }
 
   /** (doc_id, url) with every canonicalization rule cycling over the
     * fixture ids — scheme case, default vs no port, empty path,

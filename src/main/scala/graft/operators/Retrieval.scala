@@ -290,4 +290,40 @@ object Retrieval {
       .agg((round(sum(col("__mx")).cast("double"), 4) + lit(0.0)).as("score"))
     KnnTopK.boundedTopK(scored, k, asc = false)
   }
+
+  /** Mean-pool a token bag into one vector per key — decimal-accumulated
+    * per component (order-free), components re-assembled in position
+    * order. The single-vector proxy a multi-vector model serves its
+    * first retrieval stage with. */
+  private def meanPool(tokens: DataFrame, keyCol: String,
+                       vecCol: String): DataFrame =
+    tokens.select(col(keyCol), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col(keyCol), col("__p"))
+      .agg((sum(col("__x").cast("decimal(20,10)")) / count(lit(1)))
+        .cast("double").as("__m"))
+      .groupBy(col(keyCol))
+      .agg(transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
+        s => s.getField("__m")).as(vecCol))
+
+  /** Two-stage MaxSim — how late-interaction retrieval actually serves
+    * at scale (score every doc exactly and the token-pair join IS the
+    * corpus): stage 1 ranks docs by cosine of MEAN-POOLED vectors (one
+    * vector per doc/query — the cheap single-vector scan every ANN
+    * index in this repo can accelerate) and keeps `nCandidates` per
+    * query; stage 2 runs the exact [[maxSim]] over the candidate docs'
+    * token bags only. Token-level work drops from O(corpus) to
+    * O(candidates); quality is a recall-vs-exact contract, gated
+    * per-round by `retrieval_maxsim_recall`. */
+  def maxSimCascade(queryTokens: DataFrame, docTokens: DataFrame,
+                    k: Int = 10, nCandidates: Int = 50): DataFrame = {
+    val pooledQ = meanPool(queryTokens, "query_id", "qv")
+    val pooledD = meanPool(docTokens, "match_id", "dv")
+    val coarse = pooledD.crossJoin(broadcast(pooledQ))
+      .select(col("query_id"), col("match_id"),
+        (round(VectorOps.cosineSimilarity(col("qv"), col("dv")), 4) + lit(0.0))
+          .as("score"))
+    val candDocs = KnnTopK.boundedTopK(coarse, nCandidates, asc = false)
+      .select(col("match_id")).distinct()
+    maxSim(queryTokens, docTokens.join(candDocs, Seq("match_id"), "left_semi"), k)
+  }
 }

@@ -161,6 +161,27 @@ class RetrievalSpec extends SparkSuite {
     assert(out.head.getAs[Long]("match_id") === 1L)
   }
 
+  test("maxsim cascade: full-candidate degenerate case equals exact; pruning keeps top-k shape") {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 8).select(
+      floor(col("vec_id") / 4).cast("long").as("query_id"),
+      col("vec_id").as("tok_id"), col("v").as("qv"))
+    val d = e.select((col("vec_id") % 50).as("match_id"), col("v").as("dv"))
+    val exact = Retrieval.maxSim(q, d, k = 10)
+    // candidates >= corpus: stage 1 prunes nothing, result must be the
+    // exact MaxSim bit-for-bit
+    val full = Retrieval.maxSimCascade(q, d, k = 10, nCandidates = 1000)
+    assert(full.exceptAll(exact).unionAll(exact.exceptAll(full)).count() === 0,
+      "no-pruning cascade must equal exact MaxSim")
+    // aggressive pruning still returns k well-formed rows per query
+    val pruned = Retrieval.maxSimCascade(q, d, k = 10, nCandidates = 15)
+    val byQ = pruned.collect().groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 10L))
+    }
+  }
+
   test("maxsim on fixtures: contiguous ranks, bounded scores, repartition-stable") {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -1598,6 +1598,11 @@ object SparkEntry {
           coalesce(col("n_signup"), lit(0L)).as("n_signup"),
           coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
     }),
+    // deterministic A/B readout: md5 50/50 user split, conversion to
+    // 'purchase', two-proportion z — assignment reproducible forever
+    "events_ab_test" -> ((s, dir) =>
+      EventOps.abTest(Tables.events(s, dir),
+        col("event_type") === "purchase" && col("value") > 100)),
     // calendar gap-fill + LOCF forward fill over each user's own day
     // span (users < 8 bound the calendar explode at any SF)
     "events_gapfill" -> ((s, dir) =>
@@ -3812,6 +3817,32 @@ object SparkEntry {
                 coalesce(n_signup, 0) AS n_signup,
                 coalesce(n_purchase, 0) AS n_purchase
          FROM s FULL OUTER JOIN p ON s.day = p.day""",
+    // two-proportion z on four counts: identical parenthesization both
+    // engines; division/sqrt are IEEE-correctly-rounded, so the double
+    // surface is exact
+    "events_ab_test" ->
+      """WITH u AS (SELECT user_id,
+                           max(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 ELSE 0 END) = 1 AS conv
+                    FROM events GROUP BY 1),
+         v AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000'
+                           THEN 'A' ELSE 'B' END AS variant, conv
+               FROM u),
+         p AS (SELECT variant, count(*) AS n,
+                      count(CASE WHEN conv THEN 1 END) AS c
+               FROM v GROUP BY 1),
+         w AS (SELECT max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+                      max(CASE WHEN variant = 'A' THEN c END) AS conv_a,
+                      max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+                      max(CASE WHEN variant = 'B' THEN c END) AS conv_b
+               FROM p)
+         SELECT n_a, n_b, conv_a, conv_b,
+                round(CAST(conv_a AS DOUBLE) / n_a, 4) AS p_a,
+                round(CAST(conv_b AS DOUBLE) / n_b, 4) AS p_b,
+                round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                             * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                             * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 4) AS z
+         FROM w""",
     // LOCF gap-fill: generate_series densifies each user's span; the
     // IGNORE NULLS running last_value is the carry-forward in both
     // engines (values pre-rounded at the daily grain, so the fill

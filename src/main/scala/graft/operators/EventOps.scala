@@ -293,6 +293,45 @@ object EventOps {
           .as("mean_gap_s"))
   }
 
+  /** Deterministic A/B readout: users hash-split 50/50 (the md5 gate of
+    * [[Sampling.hashKeep]] — assignment is stable under reprocessing,
+    * engine changes, and corpus growth, which is what makes an
+    * experiment readout reproducible), per-variant conversion under
+    * `convPred` (any row-level predicate — a user converts if ANY of
+    * their events satisfies it; it must not be universally true or
+    * false or z is undefined), and the two-proportion z statistic. One row:
+    * (n_a, n_b, conv_a, conv_b, p_a, p_b, z).
+    *
+    * Scale shape: one user-grain aggregation (max-of-flag — no
+    * distinct Expand), one 2-row variant rollup, one final projection;
+    * z is pure arithmetic on four counts, so the double surface is
+    * IEEE-exact cross-engine given the mirrored parenthesization. */
+  def abTest(events: DataFrame, convPred: Column,
+             userCol: String = "user_id"): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(max(convPred).as("__conv"))
+      .withColumn("__variant",
+        when(substring(md5(col(userCol).cast("string")), 1, 4) < "8000", "A")
+          .otherwise("B"))
+    val per = perUser.groupBy(col("__variant"))
+      .agg(count(lit(1)).as("__n"), count(when(col("__conv"), 1)).as("__c"))
+    val w = per.agg(
+      max(when(col("__variant") === "A", col("__n"))).as("n_a"),
+      max(when(col("__variant") === "A", col("__c"))).as("conv_a"),
+      max(when(col("__variant") === "B", col("__n"))).as("n_b"),
+      max(when(col("__variant") === "B", col("__c"))).as("conv_b"))
+    val pA = col("conv_a").cast("double") / col("n_a")
+    val pB = col("conv_b").cast("double") / col("n_b")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    w.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pA, 4).as("p_a"), round(pB, 4).as("p_b"),
+      round((pA - pB) /
+        sqrt(pooled * (lit(1) - pooled) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
+  }
+
   /** Calendar gap-fill + forward fill — the time-series densification
     * every metrics/feature pipeline needs before resampling or model
     * input: each user's daily series is completed over the user's OWN

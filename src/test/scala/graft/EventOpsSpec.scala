@@ -140,6 +140,25 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("abTest: split partitions users exactly, conversions bounded, null-effect z near 0") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val r = EventOps.abTest(ev,
+      col("event_type") === "purchase" && col("value") > 100).head()
+    val users = ev.select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === users,
+      "every user lands in exactly one variant")
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+    // the split is random w.r.t. behavior -> no real effect; a |z| > 5
+    // here would mean the hash assignment correlates with conversion
+    assert(math.abs(r.getAs[Double]("z")) < 5.0)
+    // deterministic under repartition
+    val again = EventOps.abTest(ev.repartition(7),
+      col("event_type") === "purchase" && col("value") > 100).head()
+    assert(again.toSeq === r.toSeq)
+  }
+
   test("gapFillDaily: planted gaps densify, LOCF carries the last observed value") {
     import spark.implicits._
     // user 1: days 1, 4 observed (gap 2-3); user 2: single day

@@ -1914,6 +1914,22 @@ object SparkEntry {
       Versioned.readRange(s, versionedStatsPath(s, dir), None,
           "doc_id", 100L, 199L)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // GATED incremental aggregation maintenance: the per-lang counts of
+    // the streamed table, maintained as merge(agg(v0), agg(appended
+    // rows since v0)) — O(delta) refresh — must equal the full-table
+    // aggregate exactly (the algebraic-merge contract every maintained
+    // rollup at 100 TB rests on)
+    "versioned_incremental_agg" -> ((s, dir) => {
+      val (streamedDir, _) = versionedStreamPaths(s, dir)
+      def langAgg(df: DataFrame) = df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      val merged = langAgg(Versioned.read(s, streamedDir, Some(0)))
+        .unionByName(langAgg(Versioned.readAppendedSince(s, streamedDir, 0)))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n"), sum(col("chars")).as("chars"))
+      Recall.setAgreement(merged, langAgg(Versioned.read(s, streamedDir)),
+        on = Seq("lang", "n", "chars"), floor = 1.0, minCount = 1L)
+    }),
     // GATED streaming table ingest: the delta streamed as two exactly-
     // once micro-batch commits must read set-equal to the one-call
     // batch-append twin, and the lineage must have exactly the stream's

@@ -137,6 +137,41 @@ object Versioned {
     }
   }
 
+  /** Incremental consumption: ONLY the rows committed after
+    * `fromVersion` — the file-set difference of two manifests, which is
+    * exact when history since `fromVersion` is append-only. If any file
+    * `fromVersion` referenced has since been rewritten (copy-on-write
+    * upsert/delete, compaction), the difference would double-count old
+    * rows — so this REFUSES instead of silently corrupting the
+    * downstream incremental aggregate; the caller falls back to a full
+    * recompute (or consumes [[diff]]). This is the primitive that turns
+    * a maintained aggregate into `merge(agg_so_far, agg(delta))` at
+    * O(delta) cost per refresh. */
+  def readAppendedSince(spark: SparkSession, tableDir: String,
+                        fromVersion: Int): DataFrame = {
+    val from = snapshot(spark, tableDir, Some(fromVersion))
+    val to = snapshot(spark, tableDir)
+    val missing = from.files.toSet -- to.files.toSet
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"history since v$fromVersion is not append-only (${missing.size} file(s) " +
+          s"rewritten by copy-on-write/compaction) — incremental read would " +
+          "double-count; recompute from the full snapshot or consume diff()")
+    val delta = to.files.filterNot(from.files.toSet)
+    if (delta.isEmpty) {
+      val any = to.files.headOption.getOrElse(
+        throw new IllegalArgumentException(s"no files at $tableDir"))
+      val base = to.schema match {
+        case Some(st) => spark.read.schema(st).parquet(any)
+        case None     => spark.read.parquet(any)
+      }
+      base.filter(lit(false))
+    } else to.schema match {
+      case Some(st) => spark.read.schema(st).parquet(delta: _*)
+      case None     => spark.read.parquet(delta: _*)
+    }
+  }
+
   /** The committed schema widened by `df`'s new columns (appended at the
     * end); common columns must agree on type — silent coercion is how
     * corpora rot. */

@@ -229,6 +229,31 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.snapshot(spark, dir).files.forall(!_.startsWith("#")))
   }
 
+  test("readAppendedSince: exact delta on append-only history, refuses after rewrites") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(30), dir)
+    Versioned.append(Seq((1000L, "x", 1L), (1001L, "y", 2L))
+      .toDF("doc_id", "lang", "n_chars"), dir)
+    Versioned.append(Seq((1002L, "z", 3L)).toDF("doc_id", "lang", "n_chars"), dir)
+
+    val delta = Versioned.readAppendedSince(spark, dir, 0)
+    assert(delta.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1000L, 1001L, 1002L))
+    // nothing appended since latest -> empty, schema intact
+    val none = Versioned.readAppendedSince(spark, dir, 2)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("doc_id", "lang", "n_chars"))
+
+    // a copy-on-write rewrite breaks append-only history: refuse loudly
+    Versioned.upsert(Seq((5L, "UP", 9L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id")
+    intercept[IllegalStateException](Versioned.readAppendedSince(spark, dir, 0))
+    // ...but reading since the REWRITE version is append-only again
+    Versioned.append(Seq((1003L, "w", 4L)).toDF("doc_id", "lang", "n_chars"), dir)
+    assert(Versioned.readAppendedSince(spark, dir, 3)
+      .select("doc_id").head().getLong(0) === 1003L)
+  }
+
   test("compact folds streamed small files into a new version; history and pruning survive") {
     import spark.implicits._
     import graft.streaming.TableStream

@@ -146,6 +146,30 @@ class ScaleSpec extends SparkSuite {
         s"touched $zTouched of $zFiles")
   }
 
+  test("zValue: per-dimension monotone, range-bounded, interleave exact on known points") {
+    import spark.implicits._
+    val bits = 8 // buckets 0..255 with identity bucketing below
+    val axisA = ((0 until 256 by 17) :+ 255).distinct.map(_.toLong)
+    val axisB = ((0 until 256 by 13) :+ 255).distinct.map(_.toLong)
+    val pts = (for (a <- axisA; b <- axisB) yield (a, b)).toDF("a", "b")
+    val z = pts.select(col("a"), col("b"),
+      graft.operators.Scale.zValue(col("a"), col("b"),
+        lit(0.0), lit(255.0), lit(0.0), lit(255.0), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // bounded by 4^bits
+    assert(z.values.forall(v => v >= 0 && v < (1L << (2 * bits))))
+    // known Morton points: a in odd bit positions, b in even
+    assert(z((0L, 0L)) === 0L)
+    assert(z((255L, 255L)) === (1L << (2 * bits)) - 1)
+    // fix one dimension: z strictly increases with the other
+    val as = z.keys.map(_._1).toSeq.distinct.sorted
+    val bs = z.keys.map(_._2).toSeq.distinct.sorted
+    for (b <- bs; Seq(a1, a2) <- as.sliding(2))
+      assert(z((a1, b)) < z((a2, b)), s"z not monotone in a at b=$b")
+    for (a <- as; Seq(b1, b2) <- bs.sliding(2))
+      assert(z((a, b1)) < z((a, b2)), s"z not monotone in b at a=$a")
+  }
+
   test("compactSmallFiles: identical rows, collapsed file count, idempotent, no leftovers") {
     import graft.operators.Maintenance
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")

@@ -550,6 +550,20 @@ object SparkEntry {
     // into one codegen'd projection — the keep/drop gate shape
     "score_quality_model" -> ((s, dir) =>
       Scoring.qualityDecisions(Tables.documents(s, dir))),
+    // TRAIN the classifier distributed: 3 full-batch GD iterations for a
+    // logistic head predicting lang=='en' from the quality features —
+    // per-iteration gradients are decimal sums of 8dp-rounded per-row
+    // contributions (order-free), the sigmoid is rational, and the weight
+    // updates are fixed-parenthesization doubles, so DuckDB replaying the
+    // same 3 iterations reproduces every weight bit-for-bit
+    "quality_train_logistic" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val f = Scoring.qualityFeatures(docs).join(
+        docs.select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("__y")), "doc_id")
+      Scoring.modelFrame(s, Scoring.trainLogistic(f, "__y",
+        Seq("len_score", "punct_ratio", "stopword_ratio", "repetition_ratio")))
+    }),
     // corpus bigram LM, trained + scored in one pass (KenLM-shaped
     // fluency QA; rational probabilities — no libm, decimal-mean)
     "lm_bigram_fluency" -> ((s, dir) =>
@@ -1224,6 +1238,12 @@ object SparkEntry {
     //     token for token, so the scores hash-match cross-engine) ---
     "retrieval_bm25" -> ((s, dir) =>
       Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20)),
+    // the SAME query served from the persisted inverted index (no corpus
+    // scan, no tokenize, postings pruned to the terms' buckets) — held to
+    // the scan path's full hash oracle, so build+serve must reproduce the
+    // scan arithmetic bit-for-bit
+    "retrieval_bm25_index" -> ((s, dir) =>
+      Retrieval.bm25FromIndex(s, bm25IndexPath(s, dir), BmQueryTerms, k = 20)),
     "retrieval_rrf" -> ((s, dir) => {
       val kw = Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20)
       // vector half: cosine top-20 for one probe vector; vec_id and
@@ -2069,6 +2089,19 @@ object SparkEntry {
       path
     })
 
+  /** BM25 inverted index built + persisted once per (JVM, fixture dir) —
+    * the TEXT retrieval build/serve split, same lifecycle as
+    * [[ivfIndexPath]]: queries pay only pruned postings reads. */
+  private val bm25Built = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bm25IndexPath(s: SparkSession, dir: String): String =
+    bm25Built.getOrElseUpdate(dir, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25/${artifactKey(dir)}"
+      Retrieval.buildBm25Index(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        path, numBuckets = 32)
+      path
+    })
+
   /** Sharded-NSW graph built + persisted once per fixture dir (the
     * build-once/serve-many split of [[ivfIndexPath]]); queries load the
     * shard-partitioned parquet fresh each time. */
@@ -2536,6 +2569,54 @@ object SparkEntry {
                 FROM bm_agg)"""
   }
 
+  /** DuckDB replay of [[graft.operators.Scoring.trainLogistic]]'s 3
+    * gradient-descent iterations (lr=0.5) on the quality features with
+    * label lang=='en' — every arithmetic step mirrored token for token:
+    * left-associated z, rational sigmoid, 8dp-round → DECIMAL(28,8)
+    * gradient sums, `w − 0.5·(g/n)` updates. */
+  private val logisticTrainOracle: String = {
+    val feats = Seq("len_score", "punct_ratio", "stopword_ratio", "repetition_ratio")
+    val zExpr = "b + w1 * len_score + w2 * punct_ratio + w3 * stopword_ratio + w4 * repetition_ratio"
+    def gCte(i: Int): String = {
+      val gs = ("sum(CAST(round(p - y, 8) AS DECIMAL(28,8))) AS g0" +:
+        feats.zipWithIndex.map { case (f, j) =>
+          s"sum(CAST(round((p - y) * $f, 8) AS DECIMAL(28,8))) AS g${j + 1}"
+        }).mkString(", ")
+      s"""g$i AS (SELECT $gs
+                  FROM (SELECT zf.*, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+                        FROM (SELECT f.*, $zExpr AS z
+                              FROM f CROSS JOIN w${i - 1}) zf))"""
+    }
+    def wCte(i: Int): String = {
+      val ws = ("b - 0.5 * (CAST(g0 AS DOUBLE) / n) AS b" +:
+        feats.indices.map(j =>
+          s"w${j + 1} - 0.5 * (CAST(g${j + 1} AS DOUBLE) / n) AS w${j + 1}")).mkString(", ")
+      s"w$i AS (SELECT $ws FROM w${i - 1} CROSS JOIN g$i CROSS JOIN nn)"
+    }
+    val iterCtes = (1 to 3).map(i => s"${gCte(i)},\n         ${wCte(i)}").mkString(",\n         ")
+    s"""WITH t AS (SELECT doc_id, text, lang,
+                          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                   FROM documents),
+         f AS (SELECT doc_id,
+                      least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
+                      round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1), 4) AS punct_ratio,
+                      round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                            / greatest(len(toks), 1), 4) AS stopword_ratio,
+                      round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                / greatest(len(toks), 1), 4) AS repetition_ratio,
+                      CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+               FROM t),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+         w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
+         $iterCtes
+         SELECT 'bias' AS feature, round(b, 6) AS weight FROM w3
+         UNION ALL SELECT 'len_score', round(w1, 6) FROM w3
+         UNION ALL SELECT 'punct_ratio', round(w2, 6) FROM w3
+         UNION ALL SELECT 'stopword_ratio', round(w3.w3, 6) FROM w3
+         UNION ALL SELECT 'repetition_ratio', round(w4, 6) FROM w3"""
+  }
+
   private def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val eval = d.filter(col("doc_id") % 25 === 0)
@@ -2915,6 +2996,11 @@ object SparkEntry {
       """SELECT doc_id, md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
          FROM documents""",
     "retrieval_bm25" ->
+      s"""WITH $bm25OracleCtes
+          SELECT doc_id, score, "rank" AS rank FROM bmr WHERE "rank" <= 20""",
+    // index-served BM25 shares the scan path's oracle outright: the
+    // inverted-index lifecycle must reproduce the same scores and ranks
+    "retrieval_bm25_index" ->
       s"""WITH $bm25OracleCtes
           SELECT doc_id, score, "rank" AS rank FROM bmr WHERE "rank" <= 20""",
     // hybrid fusion: BM25 top-20 + cosine top-20 for probe vector 7,
@@ -3387,6 +3473,9 @@ object SparkEntry {
          SELECT doc_id, score,
                 CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS decision
          FROM s""",
+    // distributed logistic training replayed in SQL: same 3 GD
+    // iterations, same rational sigmoid, same decimal gradient sums
+    "quality_train_logistic" -> logisticTrainOracle,
     // bigram LM self-fluency; bigram positions come from a per-doc
     // length-derived unnest(range(...)) — no hard-coded position cap
     "lm_bigram_fluency" ->

@@ -50,15 +50,108 @@ object Retrieval {
     val dfw = Window.partitionBy(col("__term"))
     val scored = tf.withColumn("__df", count(lit(1)).over(dfw))
       .crossJoin(broadcast(stats))
-      // parenthesization mirrors the SQL oracle token for token; note
-      // k1+1 is COMPUTED (1.2 + 1 != the double literal 2.2 by one ulp)
-      .withColumn("__idf",
-        (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
-      .withColumn("__s",
-        ((col("__idf") * (col("__tf") * lit(k1 + 1))) /
-          (col("__tf") + lit(k1) *
-            (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
-          .cast("decimal(20,10)"))
+      .withColumn("__s", bm25TermScore(col("__tf"), col("__df"), col("__dl"),
+        col("__n"), col("__avgdl"), k1, b))
+    val agg = scored.groupBy(col(idCol))
+      .agg(round(sum(col("__s")).cast("double"), 4).as("score"))
+    rankTopK(agg, k, idCol, col("score"))
+  }
+
+  /** Per-(doc, term) BM25 contribution — ONE expression shared by the
+    * scan path ([[bm25]]) and the index-served path ([[bm25FromIndex]])
+    * so the two are bit-identical by construction, not by review.
+    * Parenthesization mirrors the SQL oracle token for token; note
+    * k1+1 is COMPUTED (1.2 + 1 != the double literal 2.2 by one ulp). */
+  private def bm25TermScore(tf: Column, df: Column, dl: Column,
+                            n: Column, avgdl: Column,
+                            k1: Double, b: Double): Column = {
+    val idf = (n - df + lit(0.5)) / (df + lit(0.5))
+    ((idf * (tf * lit(k1 + 1))) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / avgdl)))
+      .cast("decimal(20,10)")
+  }
+
+  /** Build + persist a BM25 inverted index — the text analog of the
+    * reference's build-once/serve-many vector lifecycle
+    * (`/root/reference/executor.py:51-57`): pay the corpus scan,
+    * tokenization, and both corpus-wide aggregations ONCE at build time,
+    * so every query afterwards touches only its own terms' postings.
+    *
+    * Layout under `dir`:
+    *   - `postings/bucket=<b>/` — (term, idCol, tf, dl): one row per
+    *     (document, distinct term), term-bucket-partitioned by
+    *     `pmod(xxhash64(term), numBuckets)` so a query's scan prunes to
+    *     ≤ |query terms| directories (PartitionFilters, zero data read
+    *     outside them);
+    *   - `terms/bucket=<b>/` — (term, df): the document-frequency table,
+    *     pruned the same way and broadcast at serve time;
+    *   - `stats/` — one row (n, avgdl, num_buckets), computed with the
+    *     exact arithmetic [[bm25]]'s scan-path stats use.
+    *
+    * Scale shape: the build is the same two hash aggregations the scan
+    * path pays per query, plus the write. At 100 TB the postings table is
+    * vocabulary×docs-sparse (far smaller than the corpus — no text), and
+    * serving cost is O(postings of the query's terms), independent of
+    * corpus size. */
+  def buildBm25Index(docs: DataFrame, dir: String, numBuckets: Int = 64,
+                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val spark = docs.sparkSession
+    val withDl = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), size(col("__ts")).cast("long").as("__dl"), col("__ts"))
+    withDl.select(col(idCol), col("__dl"), explode(col("__ts")).as("term"))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col(idCol), col("tf"), col("__dl").as("dl"),
+        pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int").as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    // df from the WRITTEN postings (one row per (doc, term) ⇒ count = df):
+    // re-reading the reduced table avoids re-executing the corpus
+    // scan+tokenize subtree a groupBy over the pre-write frame would pay
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+    // stats arithmetic mirrors bm25's scan-path stats exactly: docs with
+    // zero tokens still count toward n and avgdl
+    withDl.agg(count(lit(1)).as("n"),
+        (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("num_buckets", lit(numBuckets))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 served from a [[buildBm25Index]] index: no corpus scan, no
+    * tokenization, no corpus-wide aggregation in the query path — the
+    * postings read prunes to the query terms' bucket directories, the
+    * df table broadcasts, and the per-term arithmetic is [[bm25TermScore]],
+    * the SAME expression the scan path compiles, so index-served results
+    * equal scan results exactly (spec-pinned; the driver entry shares
+    * [[bm25]]'s oracle outright).
+    * Bounded collects: the 1-row stats frame (numBuckets + broadcast
+    * stats) and the ≤ |queryTerms| bucket ids. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queryTerms: Seq[String], k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val statsRow = spark.read.parquet(s"$dir/stats")
+    val numBuckets = statsRow.select(col("num_buckets")).head().getInt(0)
+    import spark.implicits._
+    // bucket ids through the same xxhash64 expression the build used,
+    // evaluated on a |terms|-row local frame (bounded collect)
+    val buckets = queryTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val termsLit = array(queryTerms.map(lit): _*)
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) && array_contains(termsLit, col("term")))
+    val dfTbl = spark.read.parquet(s"$dir/terms")
+      .filter(col("bucket").isin(buckets: _*) && array_contains(termsLit, col("term")))
+      .select(col("term"), col("df").as("__df"))
+    val stats = statsRow.select(col("n").as("__n"), col("avgdl").as("__avgdl"))
+    val scored = postings.join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", bm25TermScore(col("tf"), col("__df"), col("dl"),
+        col("__n"), col("__avgdl"), k1, b))
     val agg = scored.groupBy(col(idCol))
       .agg(round(sum(col("__s")).cast("double"), 4).as("score"))
     rankTopK(agg, k, idCol, col("score"))

@@ -69,4 +69,68 @@ object Scoring {
       .select(col(idCol), col("score"),
         when(col("score") >= threshold, lit("keep")).otherwise(lit("drop"))
           .as("decision"))
+
+  /** TRAIN the quality classifier distributed — full-batch gradient
+    * descent for a logistic-shaped linear head, the other half of the
+    * fastText-style keep/drop lifecycle [[score]] serves (train the gate
+    * ON the cluster that holds the corpus, no sampling to a driver
+    * notebook).
+    *
+    * Scale shape: each iteration is ONE map-side-combinable aggregation
+    * over the features frame producing m+1 gradient sums + the row count
+    * — a bounded collect of m+2 numbers — after which the updated weights
+    * fold back into the next iteration's codegen'd projection as
+    * literals. T iterations = T corpus passes, driver state = the weight
+    * vector. No per-row mutable state, no parameter server.
+    *
+    * Determinism (the part gradient descent usually gets wrong across
+    * engines): the per-row gradient contribution `(p − y)·xⱼ` is rounded
+    * to 8dp and summed in DECIMAL — order-free under any partitioning —
+    * and `p` uses [[rationalSigmoid]] (+,*,/,abs only; no libm `exp`).
+    * The weight update `w − lr·(g/n)` is fixed-parenthesization IEEE
+    * double arithmetic, so an oracle replaying the same T iterations in
+    * SQL reproduces every weight bit-for-bit.
+    *
+    * @param features frame holding `featureCols` (pre-rounded doubles —
+    *                 see [[qualityFeatures]]) and `labelCol` ∈ {0.0, 1.0}
+    * @return trained model (bias + per-feature weights, declaration
+    *         order) */
+  def trainLogistic(features: DataFrame, labelCol: String,
+                    featureCols: Seq[String], iters: Int = 3,
+                    lr: Double = 0.5): LinearModel = {
+    require(featureCols.nonEmpty && iters > 0)
+    var bias = 0.0
+    var w = featureCols.map(_ => 0.0)
+    var n = -1.0
+    for (_ <- 1 to iters) {
+      val z = featureCols.zip(w).foldLeft(lit(bias): Column) {
+        case (acc, (c, wj)) => acc + lit(wj) * col(c)
+      }
+      val resid = (rationalSigmoid(z) - col(labelCol)).as("__r")
+      val gradCols = count(lit(1)).cast("double").as("__n") +:
+        sum(round(col("__r"), 8).cast("decimal(28,8)")).as("__g0") +:
+        featureCols.zipWithIndex.map { case (c, j) =>
+          sum(round(col("__r") * col(c), 8).cast("decimal(28,8)")).as(s"__g${j + 1}")
+        }
+      // one aggregation job; the collect is m+2 numbers (bounded)
+      val row = features.select(resid +: featureCols.map(col): _*)
+        .agg(gradCols.head, gradCols.tail: _*).head()
+      n = row.getAs[Double]("__n")
+      require(n > 0, "trainLogistic needs a non-empty features frame")
+      def g(i: Int): Double = row.getDecimal(i + 1).doubleValue()
+      bias = bias - lr * (g(0) / n)
+      w = w.zipWithIndex.map { case (wj, j) => wj - lr * (g(j + 1) / n) }
+    }
+    LinearModel(bias, featureCols.zip(w))
+  }
+
+  /** [[trainLogistic]] result as a frame for the driver contract:
+    * one row per parameter, weights rounded to 6dp. */
+  def modelFrame(spark: org.apache.spark.sql.SparkSession,
+                 model: LinearModel): DataFrame = {
+    import spark.implicits._
+    (("bias", model.bias) +: model.weights)
+      .toDF("feature", "weight")
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
+  }
 }

@@ -74,4 +74,53 @@ class ContaminationSpec extends SparkSuite {
     assert(s(2L) < s(1L),
       s"repetitive doc scored ${s(2L)} >= distinct doc ${s(1L)}")
   }
+
+  test("trainLogistic learns the separating feature's sign on separable data") {
+    // y == 1 iff f1 is high; f2 is pure noise-free constant -> its weight
+    // must stay at 0 (gradient of a constant feature with balanced
+    // residuals) while f1's weight goes positive and drives accuracy
+    val rows = (0 until 40).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      (i.toLong, if (y == 1.0) 1.0 else 0.0, 0.5, y)
+    }
+    val f = rows.toDF("id", "f1", "f2", "y")
+    val m = Scoring.trainLogistic(f, "y", Seq("f1", "f2"), iters = 5)
+    val w = m.weights.toMap
+    assert(w("f1") > 0.2, s"separating feature weight ${w("f1")} not positive")
+    // trained model separates: p(f1=1) > 0.5 > p(f1=0)
+    val z1 = m.bias + w("f1") * 1.0 + w("f2") * 0.5
+    val z0 = m.bias + w("f1") * 0.0 + w("f2") * 0.5
+    assert(z1 > 0 && z0 < 0, s"model does not separate: z1=$z1 z0=$z0")
+  }
+
+  test("trainLogistic weights are exact under repartition and match a driver replay") {
+    val full = spark.read.parquet(s"$sfDir/documents.parquet")
+    val f = Scoring.qualityFeatures(full).join(
+      full.select(col("doc_id"), (col("lang") === "en").cast("double").as("y")),
+      "doc_id")
+    val feats = Seq("len_score", "punct_ratio", "stopword_ratio", "repetition_ratio")
+    val m1 = Scoring.trainLogistic(f, "y", feats)
+    val m2 = Scoring.trainLogistic(f.repartition(7), "y", feats)
+    assert(m1 === m2, "decimal gradient sums must make training partition-invariant")
+    // driver replay with BigDecimal sums (order-free) over collected rows
+    val local = f.select((col("y") +: feats.map(col)): _*).collect()
+      .map(r => (r.getDouble(0), feats.indices.map(j => r.getDouble(j + 1)).toArray))
+    var bias = 0.0; var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val sums = Array.fill(5)(java.math.BigDecimal.ZERO)
+      local.foreach { case (y, x) =>
+        val z = x.zip(w).foldLeft(bias) { case (a, (xi, wi)) => a + wi * xi }
+        val p = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
+        def r8(v: Double) = java.math.BigDecimal.valueOf(v)
+          .setScale(8, java.math.RoundingMode.HALF_UP)
+        sums(0) = sums(0).add(r8(p - y))
+        x.indices.foreach(j => sums(j + 1) = sums(j + 1).add(r8((p - y) * x(j))))
+      }
+      val n = local.length.toDouble
+      bias = bias - 0.5 * (sums(0).doubleValue() / n)
+      w = w.zipWithIndex.map { case (wj, j) => wj - 0.5 * (sums(j + 1).doubleValue() / n) }
+    }
+    assert(m1.bias === bias)
+    assert(m1.weights.map(_._2) === w.toSeq)
+  }
 }

@@ -201,4 +201,31 @@ class RetrievalSpec extends SparkSuite {
       .orderBy("query_id", "rank").collect()
     assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
   }
+
+  test("index-served bm25 equals the scan path exactly; postings read is bucket-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    val corpus = docs.select("doc_id", "text")
+    Retrieval.buildBm25Index(corpus, dir, numBuckets = 8)
+    val terms = Seq("dup", "spark", "window")
+    val scan = Retrieval.bm25(corpus, terms, k = 10).orderBy("rank").collect()
+    val served = Retrieval.bm25FromIndex(spark, dir, terms, k = 10)
+    assert(served.orderBy("rank").collect().map(_.toSeq).toSeq ===
+      scan.map(_.toSeq).toSeq, "index-served top-k must equal scan top-k bit-for-bit")
+    // the query path must not scan buckets outside the terms' own: the
+    // postings scan carries a PartitionFilters entry on bucket
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      plan.take(800))
+  }
+
+  test("bm25 index: single-term query equals scan; rebuild (overwrite) is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx2").toString
+    val corpus = docs.select("doc_id", "text")
+    Retrieval.buildBm25Index(corpus, dir, numBuckets = 4)
+    Retrieval.buildBm25Index(corpus, dir, numBuckets = 4) // overwrite, same result
+    val scan = Retrieval.bm25(corpus, Seq("spark"), k = 5).orderBy("rank").collect()
+    val served = Retrieval.bm25FromIndex(spark, dir, Seq("spark"), k = 5)
+      .orderBy("rank").collect()
+    assert(served.map(_.toSeq).toSeq === scan.map(_.toSeq).toSeq)
+  }
 }

@@ -1071,6 +1071,12 @@ object SparkEntry {
     // cut to the leading 16 components
     "vector_energy" -> ((s, dir) =>
       VectorStats.truncationEnergy(Tables.embeddings(s, dir), prefixDim = 16)),
+    // PCA top component by matrix-free power iteration: 3 exact
+    // Xᵀ(Xv) passes from the all-ones start, decimal-summed 8dp
+    // contributions, max-abs (rational) normalization — the oracle
+    // replays every step
+    "vector_power_iteration" -> ((s, dir) =>
+      VectorStats.powerIterate(Tables.embeddings(s, dir), dim = 64)),
     // exact + approximate distinct counting
     "events_distinct_users" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
@@ -2569,6 +2575,26 @@ object SparkEntry {
                 FROM bm_agg)"""
   }
 
+  /** DuckDB replay of [[graft.operators.VectorStats.powerIterate]]:
+    * v₀ = 1⃗; each iteration recomputes the per-row dot against the
+    * previous iterate, 8dp-rounds each `(x·v)·xⱼ` into DECIMAL(28,8)
+    * per-dimension sums, and normalizes by max |component| in doubles —
+    * the same arithmetic the Spark driver loop performs. */
+  private val powerIterationOracle: String = {
+    val iterCtes = (1 to 3).map { i =>
+      s"""vl${i - 1} AS (SELECT list(val ORDER BY pos) AS v FROM v${i - 1}),
+         g$i AS (SELECT CAST(r.i AS BIGINT) AS pos,
+                        sum(CAST(round(list_dot_product(x, (SELECT v FROM vl${i - 1})) * x[CAST(r.i + 1 AS INT)], 8) AS DECIMAL(28,8))) AS g
+                 FROM e CROSS JOIN range(64) AS r(i) GROUP BY 1),
+         m$i AS (SELECT max(abs(CAST(g AS DOUBLE))) AS m FROM g$i),
+         v$i AS (SELECT pos, CAST(g AS DOUBLE) / m AS val FROM g$i CROSS JOIN m$i)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         v0 AS (SELECT CAST(r.i AS BIGINT) AS pos, 1.0 AS val FROM range(64) AS r(i)),
+         $iterCtes
+         SELECT pos, round(val, 6) AS loading FROM v3"""
+  }
+
   /** DuckDB replay of [[graft.operators.Scoring.trainLogistic]]'s 3
     * gradient-descent iterations (lr=0.5) on the quality features with
     * label lang=='en' — every arithmetic step mirrored token for token:
@@ -3618,6 +3644,11 @@ object SparkEntry {
                 round(CAST(sum(CAST(embedding[CAST(r.i + 1 AS INT)] AS DECIMAL(20,10))) AS DOUBLE) / count(*), 4) AS mean_val
          FROM embeddings CROSS JOIN range(64) AS r(i)
          GROUP BY 1, 2""",
+    // power iteration replayed step for step: per-row dot against the
+    // previous iterate (list_dot_product accumulates index-sequentially,
+    // matching the codegen'd DotProduct loop), 8dp-round -> DECIMAL sums
+    // per dimension, max-abs normalization in doubles
+    "vector_power_iteration" -> powerIterationOracle,
     "vector_norm_stats" ->
       """WITH n AS (SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nv
                     FROM embeddings)

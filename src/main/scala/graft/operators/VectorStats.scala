@@ -53,4 +53,54 @@ object VectorStats {
           .as("avg_norm"),
         round(min(col("__n")), 4).as("min_norm"),
         round(max(col("__n")), 4).as("max_norm"))
+
+  /** Leading principal direction of the (uncentered) embedding matrix by
+    * MATRIX-FREE power iteration — the dimensionality-reduction /
+    * whitening primitive (PCA top component, dominant drift axis) run
+    * where the data lives instead of shipping a Gram matrix anywhere.
+    *
+    * Each iteration computes `v ← Xᵀ(Xv)` in one distributed pass:
+    * a codegen'd per-row dot `x·v` (v folded in as literals — plan size
+    * is O(dim), the SignProjection lesson), then per-dimension sums of
+    * `(x·v)·xⱼ` — a posexplode + 64-key hash aggregate, map-side
+    * partial-combined, ONE narrow-key shuffle of dim-sized partials
+    * regardless of corpus size. The driver holds only the dim-length
+    * iterate (bounded collect), normalized by max-|component| — pure
+    * rational arithmetic, no sqrt, so every step is engine-replayable.
+    *
+    * Determinism: per-row contributions round to 8dp and sum in DECIMAL
+    * (order-free under any partitioning); the normalization divides two
+    * doubles derived from those exact sums. T iterations = T corpus
+    * passes; unconverged by design at small T — the CONTRACT is the
+    * exact T-step iterate from the all-ones start, which an oracle
+    * replays bit-for-bit.
+    *
+    * @return (pos, loading): the dim-length direction after `iters`
+    *         steps, loadings rounded to 6dp, max |loading| = 1 */
+  def powerIterate(emb: DataFrame, dim: Int, iters: Int = 3,
+                   vecCol: String = "embedding"): DataFrame = {
+    require(dim > 0 && iters > 0)
+    val spark = emb.sparkSession
+    val x = emb.select(transform(col(vecCol), e => e.cast("double")).as("__x"))
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit).toSeq: _*)
+      val g = x
+        .select(VectorOps.dot(col("__x"), vLit).as("__d"),
+          posexplode(col("__x")).as(Seq("pos", "xj")))
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(sum(round(col("__d") * col("xj"), 8).cast("decimal(28,8)")).as("g"))
+        .orderBy("pos")
+        .collect() // bounded: dim rows
+        .map(_.getDecimal(1).doubleValue())
+      require(g.length == dim, s"expected $dim component sums, got ${g.length}")
+      val m = g.map(math.abs).max
+      require(m > 0, "powerIterate hit the zero vector (degenerate input)")
+      v = g.map(_ / m)
+    }
+    import spark.implicits._
+    v.toSeq.zipWithIndex.map { case (l, p) => (p.toLong, l) }
+      .toDF("pos", "loading")
+      .select(col("pos"), round(col("loading"), 6).as("loading"))
+  }
 }

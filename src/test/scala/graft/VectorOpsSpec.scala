@@ -89,4 +89,35 @@ class VectorOpsSpec extends SparkSuite {
     assert(stats.getDouble(0) >= -1.0 - 1e-9 && stats.getDouble(1) <= 1.0 + 1e-9)
     assert(stats.getDouble(2) >= 0.0)
   }
+
+  test("powerIterate finds a planted dominant direction") {
+    import graft.operators.VectorStats
+    // 30 vectors strongly along e1 (varying magnitude, both signs in the
+    // other dims as tiny noise) -> leading singular direction is e1
+    val rows = (1 to 30).map { i =>
+      val m = 5.0 + (i % 3)
+      Seq(0.01f * (i % 5), m.toFloat, 0.02f * ((i % 7) - 3))
+    }
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    val v = VectorStats.powerIterate(df, dim = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v(1L) === 1.0, s"dominant dim must carry max loading: $v")
+    assert(math.abs(v(0L)) < 0.05 && math.abs(v(2L)) < 0.05, v.toString)
+  }
+
+  test("powerIterate is partition-invariant and fixed-point on rank-1 data") {
+    import graft.operators.VectorStats
+    val w = Seq(2.0f, -4.0f, 1.0f)
+    val df = Seq.fill(12)(Tuple1(w)).toDF("embedding")
+    val v = VectorStats.powerIterate(df, dim = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // rank-1 corpus: every iterate is proportional to w (sign follows
+    // sign(w·1⃗) = sign(2-4+1) < 0, the usual arbitrary-sign freedom of
+    // power iteration); normalization pins max |loading| = 1
+    assert(v(1L) === 1.0, v.toString)
+    assert(math.abs(v(0L) + 0.5) < 1e-6 && math.abs(v(2L) + 0.25) < 1e-6, v.toString)
+    val again = VectorStats.powerIterate(df.repartition(5), dim = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === v, "decimal sums must make the iterate partition-invariant")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Contamination, Dedup, Dsir, EventOps, Knn, KnnHnsw, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Maintenance, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats, Versioned}
+import graft.operators.{Contamination, Dedup, Dsir, EventOps, Graphs, Knn, KnnHnsw, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Maintenance, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats, Versioned}
 import graft.sources.{Tables, TextSources}
 import graft.streaming.DedupStream
 
@@ -510,6 +510,21 @@ object SparkEntry {
         .select("id_a", "id_b")
       Recall.setAgreement(blocked, brute,
         on = Seq("id_a", "id_b"), floor = 1.0, minCount = 1L)
+    }),
+    // PageRank over a planted deterministic link graph (crawl-priority
+    // signal): 3 exact join+agg iterations, contributions decimal-summed
+    // — the oracle replays every step; edge derivation shares the
+    // crossJoin(broadcast(count)) pattern so neither engine hard-codes n
+    "graph_pagerank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = d.agg(count(lit(1)).as("__n"))
+      val base = d.crossJoin(broadcast(cnt))
+      val edges = base.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % col("__n")).as("dst"))
+        .unionByName(base.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % col("__n")).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      Graphs.pageRank(edges).select(col("node").as("doc_id"), col("rank"))
     }),
     // exact transitive dup clusters over the (oracled) ngram pair graph;
     // oracle recomputes the closure with a recursive CTE
@@ -1343,6 +1358,12 @@ object SparkEntry {
     "sample_temperature" -> ((s, dir) =>
       Sampling.sampleTemperature(Tables.documents(s, dir), "doc_id", "lang")
         .select(col("doc_id"), col("lang"))),
+    // Efraimidis-Spirakis weighted draw: 5 docs per language with
+    // probability ∝ n_chars, without replacement, exactly reproducible
+    // (md5-uniform race keys; oracle replays key arithmetic + ranking)
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.sampleWeightedPerGroup(Tables.documents(s, dir),
+        "doc_id", "n_chars", "lang", k = 5)),
     // DSIR importance resampling (Xie et al. 2023): Gumbel top-k by the
     // target-vs-corpus unigram log-likelihood ratio. Target seed set =
     // docs containing the rare token 'dup' (df ~5%) — the fixture's langs
@@ -2575,6 +2596,34 @@ object SparkEntry {
                 FROM bm_agg)"""
   }
 
+  /** DuckDB replay of [[graft.operators.Graphs.pageRank]] on the planted
+    * link graph: same node set, same 1/n init, 3 iterations of
+    * 8dp-round → DECIMAL contribution sums and `(1−d)/n + d·s` updates. */
+  private val pageRankOracle: String = {
+    val iterCtes = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+                         sum(CAST(round(r${i - 1}.rank / deg.deg, 8) AS DECIMAL(28,8))) AS s
+                  FROM e JOIN deg ON deg.src = e.src
+                         JOIN r${i - 1} ON r${i - 1}.node = e.src
+                  GROUP BY 1),
+         r$i AS (SELECT nodes.node,
+                        (1.0 - 0.85) / n + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0) AS rank
+                 FROM nodes CROSS JOIN nd LEFT JOIN c$i ON c$i.node = nodes.node)"""
+    }.mkString(",\n         ")
+    s"""WITH cnt AS (SELECT count(*) AS c FROM documents),
+         e AS (SELECT src, dst FROM (
+                 SELECT doc_id AS src, (doc_id * 7 + 3) % c AS dst FROM documents CROSS JOIN cnt
+                 UNION ALL
+                 SELECT doc_id, (doc_id * 13 + 5) % c FROM documents CROSS JOIN cnt)
+               WHERE src <> dst),
+         nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nd),
+         $iterCtes
+         SELECT node AS doc_id, round(rank, 8) AS rank FROM r3"""
+  }
+
   /** DuckDB replay of [[graft.operators.VectorStats.powerIterate]]:
     * v₀ = 1⃗; each iteration recomputes the per-row dot against the
     * previous iterate, 8dp-rounds each `(x·v)·xⱼ` into DECIMAL(28,8)
@@ -3644,6 +3693,8 @@ object SparkEntry {
                 round(CAST(sum(CAST(embedding[CAST(r.i + 1 AS INT)] AS DECIMAL(20,10))) AS DOUBLE) / count(*), 4) AS mean_val
          FROM embeddings CROSS JOIN range(64) AS r(i)
          GROUP BY 1, 2""",
+    // PageRank replayed step for step on the planted link graph
+    "graph_pagerank" -> pageRankOracle,
     // power iteration replayed step for step: per-row dot against the
     // previous iterate (list_dot_product accumulates index-sequentially,
     // matching the codegen'd DotProduct loop), 8dp-round -> DECIMAL sums
@@ -3920,6 +3971,21 @@ object SparkEntry {
                FROM sc)
          SELECT doc_id, log_weight, key FROM k
          ORDER BY key DESC, doc_id ASC LIMIT 100""",
+    // Efraimidis-Spirakis exponential race replayed: same md5-uniform
+    // (the dsir_select digit-sum spelling), same -ln(u)/w key at 6dp,
+    // same id-tiebroken per-group rank
+    "sample_weighted" ->
+      """WITH u AS (SELECT lang, doc_id, n_chars,
+                    (list_sum(list_transform(range(8), j ->
+                       (strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1)
+                       * power(16, 7 - j))) + CAST(0.5 AS DOUBLE)) / CAST(4294967296.0 AS DOUBLE) AS u
+             FROM documents WHERE n_chars > 0),
+         ky AS (SELECT lang, doc_id, round(-ln(u) / CAST(n_chars AS DOUBLE), 6) AS key FROM u),
+         r AS (SELECT lang, doc_id, key,
+                      row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC) AS "rank"
+               FROM ky)
+         SELECT lang, doc_id, key, "rank" AS rank FROM r WHERE "rank" <= 5""",
     "sample_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
          m AS (SELECT min(cnt) AS minc FROM c)

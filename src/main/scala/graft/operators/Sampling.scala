@@ -152,4 +152,39 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** Weighted sampling WITHOUT replacement — k rows per group drawn with
+    * probability proportional to `weightCol` (Efraimidis & Spirakis
+    * 2006, exponential-race form): every row draws the md5-derived
+    * uniform u(id) and competes with `key = −ln(u)/w`; the k SMALLEST
+    * keys per group are an exact weight-proportional without-replacement
+    * draw. The quality-weighted subset carve ("keep the 10k best-scored
+    * docs per language, diversity preserved") with the same reproducible
+    * no-`rand()` contract as every sampler here: the draw depends only on
+    * (id, weight), never on partitioning or engine.
+    *
+    * Scale shape: one narrow projection (md5 + ln per row) and one
+    * per-group top-k window — Spark 4's WindowGroupLimit keeps only k
+    * candidates per group per partition below the exchange, so the
+    * shuffle carries O(groups·k·partitions), not the corpus. Keys round
+    * to 6dp before ranking (id tiebreak) — the cross-engine contract
+    * [[graft.operators.Dsir.gumbelNoise]] established for ln-derived
+    * keys. Rows with weight ≤ 0 never sample (their race key is
+    * undefined).
+    *
+    * @return (groupCol, idCol, key, rank) — rank 1..k inside each group */
+  def sampleWeightedPerGroup(df: DataFrame, idCol: String, weightCol: String,
+                             groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__key", round(-log(u) / col(weightCol).cast("double"), 6))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(groupCol), col(idCol), col("__key").as("key"),
+        col("__rk").cast("long").as("rank"))
+  }
 }

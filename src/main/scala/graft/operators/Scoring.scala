@@ -99,6 +99,13 @@ object Scoring {
                     featureCols: Seq[String], iters: Int = 3,
                     lr: Double = 0.5): LinearModel = {
     require(featureCols.nonEmpty && iters > 0)
+    // every iteration re-reads the features; pin the REDUCED frame
+    // (label + m doubles per row) once so T passes don't recompute the
+    // upstream feature projection (tokenization, for the text features)
+    // T times — the repo's fixed-point pinning pattern
+    val pinned = features
+      .select((col(labelCol) +: featureCols.map(col)): _*)
+      .localCheckpoint(true)
     var bias = 0.0
     var w = featureCols.map(_ => 0.0)
     var n = -1.0
@@ -113,7 +120,7 @@ object Scoring {
           sum(round(col("__r") * col(c), 8).cast("decimal(28,8)")).as(s"__g${j + 1}")
         }
       // one aggregation job; the collect is m+2 numbers (bounded)
-      val row = features.select(resid +: featureCols.map(col): _*)
+      val row = pinned.select(resid +: featureCols.map(col): _*)
         .agg(gradCols.head, gradCols.tail: _*).head()
       n = row.getAs[Double]("__n")
       require(n > 0, "trainLogistic needs a non-empty features frame")

@@ -81,7 +81,10 @@ object VectorStats {
                    vecCol: String = "embedding"): DataFrame = {
     require(dim > 0 && iters > 0)
     val spark = emb.sparkSession
+    // pinned once: every iteration re-scans the casted vectors, and the
+    // frame is narrow (dim doubles per row)
     val x = emb.select(transform(col(vecCol), e => e.cast("double")).as("__x"))
+      .localCheckpoint(true)
     var v = Array.fill(dim)(1.0)
     for (_ <- 1 to iters) {
       val vLit = array(v.map(lit).toSeq: _*)

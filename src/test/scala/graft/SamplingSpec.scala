@@ -171,4 +171,35 @@ class SamplingSpec extends SparkSuite {
     assert(e1.join(other, Seq("doc_id", "shard", "pos"), "left_semi").count() < n,
       "a different seed must produce a different permutation")
   }
+
+  test("weighted sampling: overwhelming weight always wins; ranks contiguous; no replacement") {
+    import spark.implicits._
+    // one row carries ~1e12x the weight of the rest: its race key
+    // -ln(u)/w is smaller than any unit-weight key can ever be
+    // (-ln(u) >= ~1.2e-10 at the md5-uniform's max), so it must be rank 1
+    val rows = (1L to 50L).map(i => (i, "g", 1.0)) :+ (99L, "g", 1.0e12)
+    val df = rows.toDF("id", "grp", "wt")
+    val out = graft.operators.Sampling
+      .sampleWeightedPerGroup(df, "id", "wt", "grp", k = 5).collect()
+    assert(out.length === 5)
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 5L))
+    assert(out.map(_.getAs[Long]("id")).distinct.length === 5, "without replacement")
+    val rank1 = out.find(_.getAs[Long]("rank") == 1L).get
+    assert(rank1.getAs[Long]("id") === 99L, s"heavy row must win: ${out.mkString(",")}")
+  }
+
+  test("weighted sampling: partition-invariant; zero/negative weights never sample") {
+    import spark.implicits._
+    val df = ((1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i.toDouble)) ++
+      Seq((100L, "a", 0.0), (101L, "b", -3.0))).toDF("id", "grp", "wt")
+    val r1 = graft.operators.Sampling
+      .sampleWeightedPerGroup(df, "id", "wt", "grp", k = 3)
+      .orderBy("grp", "rank").collect()
+    val r2 = graft.operators.Sampling
+      .sampleWeightedPerGroup(df.repartition(7), "id", "wt", "grp", k = 3)
+      .orderBy("grp", "rank").collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    assert(!r1.exists(r => r.getAs[Long]("id") >= 100L),
+      "non-positive weights must be excluded from the race")
+  }
 }

@@ -1265,6 +1265,15 @@ object SparkEntry {
     // scan arithmetic bit-for-bit
     "retrieval_bm25_index" -> ((s, dir) =>
       Retrieval.bm25FromIndex(s, bm25IndexPath(s, dir), BmQueryTerms, k = 20)),
+    // GATED: incremental index ingest — an index built on half the corpus
+    // then APPENDED with the other half must serve exactly what the
+    // full-corpus scan path scores (ids, scores, AND ranks at floor 1.0);
+    // delta-proportional append work is the contract under test
+    "retrieval_bm25_append_agreement" -> ((s, dir) =>
+      Recall.setAgreement(
+        Retrieval.bm25FromIndex(s, bm25AppendedIndexPath(s, dir), BmQueryTerms, k = 20),
+        Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20),
+        on = Seq("doc_id", "score", "rank"), floor = 1.0, minCount = 1L)),
     "retrieval_rrf" -> ((s, dir) => {
       val kw = Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20)
       // vector half: cosine top-20 for one probe vector; vec_id and
@@ -2126,6 +2135,20 @@ object SparkEntry {
       Retrieval.buildBm25Index(
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         path, numBuckets = 32)
+      path
+    })
+
+  /** BM25 index built on the even-id half then APPENDED with the odd-id
+    * half — once per (JVM, fixture dir), the stream-ingest gates' memo
+    * pattern: the append runs once, the serving contract (appended index
+    * == full-corpus scan) is re-gated on every call. */
+  private val bm25AppendBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bm25AppendedIndexPath(s: SparkSession, dir: String): String =
+    bm25AppendBuilt.getOrElseUpdate(dir, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_app/${artifactKey(dir)}"
+      val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      Retrieval.buildBm25Index(corpus.filter(col("doc_id") % 2 === 0), path, numBuckets = 32)
+      Retrieval.appendToBm25Index(corpus.filter(col("doc_id") % 2 =!= 0), path)
       path
     })
 

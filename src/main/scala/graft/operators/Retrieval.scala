@@ -112,10 +112,59 @@ object Retrieval {
       .groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
     // stats arithmetic mirrors bm25's scan-path stats exactly: docs with
-    // zero tokens still count toward n and avgdl
-    withDl.agg(count(lit(1)).as("n"),
+    // zero tokens still count toward n and avgdl; sum_dl is kept so
+    // incremental appends can extend the EXACT same arithmetic
+    withDl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sum_dl"),
         (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
       .withColumn("num_buckets", lit(numBuckets))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Append a document batch to a saved BM25 index with
+    * DELTA-PROPORTIONAL work — the text twin of the ANN side's
+    * incremental ingest (`KnnIvf.appendTo`): new postings append under
+    * only their term buckets, the df table is recomputed for TOUCHED
+    * buckets only (dynamic partition overwrite; untouched buckets'
+    * counts cannot have changed), and the stats row extends the exact
+    * sums — so an appended index equals a from-scratch rebuild of the
+    * union corpus, row for row (spec-pinned, and the driver gate serves
+    * from an appended index against the full-corpus scan oracle).
+    * Bounded collects: the 1-row stats and the ≤ numBuckets touched
+    * bucket ids. */
+  def appendToBm25Index(newDocs: DataFrame, dir: String,
+                        idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val numBuckets = st.getAs[Int]("num_buckets")
+    val oldN = st.getAs[Long]("n")
+    val oldSum = st.getAs[Long]("sum_dl")
+    // pinned: the batch frame feeds postings, touched-bucket discovery,
+    // and the stats delta
+    val withDl = newDocs.select(col(idCol), Dedup.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), size(col("__ts")).cast("long").as("__dl"), col("__ts"))
+      .localCheckpoint(true)
+    val delta = withDl.select(col(idCol), col("__dl"), explode(col("__ts")).as("term"))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col(idCol), col("tf"), col("__dl").as("dl"),
+        pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int").as("bucket"))
+    delta.write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    val touched = delta.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("bucket").isin(touched: _*))
+        .groupBy(col("term"), col("bucket")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$dir/terms")
+    }
+    val b = withDl.agg(count(lit(1)).as("c"), sum(col("__dl")).as("s")).head()
+    val n2 = oldN + b.getAs[Long]("c")
+    val sum2 = oldSum + (if (b.isNullAt(1)) 0L else b.getAs[Long]("s"))
+    import spark.implicits._
+    // avgdl via the same double division the build's aggregate compiles
+    Seq((n2, sum2, sum2.toDouble / n2.toDouble, numBuckets))
+      .toDF("n", "sum_dl", "avgdl", "num_buckets")
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 

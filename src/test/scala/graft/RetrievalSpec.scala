@@ -218,6 +218,30 @@ class RetrievalSpec extends SparkSuite {
       plan.take(800))
   }
 
+  test("bm25 index append equals a from-scratch rebuild of the union corpus") {
+    val corpus = docs.select("doc_id", "text")
+    val h1 = corpus.filter(col("doc_id") % 2 === 0)
+    val h2 = corpus.filter(col("doc_id") % 2 =!= 0)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_bm25_app").toString
+    val dirF = java.nio.file.Files.createTempDirectory("graft_bm25_full").toString
+    Retrieval.buildBm25Index(h1, dirA, numBuckets = 8)
+    Retrieval.appendToBm25Index(h2, dirA)
+    Retrieval.buildBm25Index(corpus, dirF, numBuckets = 8)
+    // postings, df table, and stats all equal the rebuild row-for-row
+    for (part <- Seq("postings", "terms", "stats")) {
+      val a = spark.read.parquet(s"$dirA/$part")
+      val f = spark.read.parquet(s"$dirF/$part").select(a.columns.map(col).toSeq: _*)
+      assert(a.exceptAll(f).unionAll(f.exceptAll(a)).count() === 0,
+        s"$part diverged between append and rebuild")
+    }
+    // and the appended index serves exactly what the scan path scores
+    val served = Retrieval.bm25FromIndex(spark, dirA, Seq("dup", "spark"), k = 10)
+      .orderBy("rank").collect()
+    val scan = Retrieval.bm25(corpus, Seq("dup", "spark"), k = 10)
+      .orderBy("rank").collect()
+    assert(served.map(_.toSeq).toSeq === scan.map(_.toSeq).toSeq)
+  }
+
   test("bm25 index: single-term query equals scan; rebuild (overwrite) is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx2").toString
     val corpus = docs.select("doc_id", "text")

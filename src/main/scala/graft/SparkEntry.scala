@@ -1339,6 +1339,17 @@ object SparkEntry {
           .withColumn("o_date_s", unix_timestamp(col("o_orderdate"))),
         numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_date_s"),
         stringCols = Seq("o_orderstatus", "o_orderpriority"))),
+    // distribution-drift monitor: PSI of the event_type mix between two
+    // deterministic user cohorts (add-half smoothing over the union
+    // bucket set; per-bucket 6dp terms, decimal total) — the "did this
+    // drop's source mix move" check, exact in any engine
+    "dq_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Profile.psi(
+        ev.filter(col("user_id") % 10 < 5),
+        ev.filter(col("user_id") % 10 >= 5),
+        "event_type")
+    }),
 
     // --- deterministic sampling + packing (training-data pipeline ops;
     //     md5-hash-gated so the sample is stable across engines/runs) ---
@@ -3994,6 +4005,27 @@ object SparkEntry {
                FROM sc)
          SELECT doc_id, log_weight, key FROM k
          ORDER BY key DESC, doc_id ASC LIMIT 100""",
+    // PSI drift replayed: same counts, same add-half shares, same
+    // 6dp-rounded ln terms, same decimal total
+    "dq_psi_drift" ->
+      """WITH r AS (SELECT event_type AS bucket, count(*) AS n_ref
+                    FROM events WHERE user_id % 10 < 5 GROUP BY 1),
+         c AS (SELECT event_type AS bucket, count(*) AS n_cur
+               FROM events WHERE user_id % 10 >= 5 GROUP BY 1),
+         j AS (SELECT coalesce(r.bucket, c.bucket) AS bucket,
+                      coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+               FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+         t AS (SELECT CAST(count(*) AS DOUBLE) AS b,
+                      CAST(sum(n_ref) AS DOUBLE) AS nr,
+                      CAST(sum(n_cur) AS DOUBLE) AS nc FROM j),
+         terms AS (SELECT bucket, n_ref, n_cur,
+                          round(((n_ref + 0.5) / (nr + 0.5 * b) - (n_cur + 0.5) / (nc + 0.5 * b))
+                                * ln(((n_ref + 0.5) / (nr + 0.5 * b)) / ((n_cur + 0.5) / (nc + 0.5 * b))), 6) AS psi_term
+                   FROM j CROSS JOIN t),
+         tt AS (SELECT sum(CAST(psi_term AS DECIMAL(18,6))) AS t FROM terms)
+         SELECT bucket, n_ref, n_cur, psi_term,
+                round(CAST(t AS DOUBLE), 6) AS psi_total
+         FROM terms CROSS JOIN tt""",
     // Efraimidis-Spirakis exponential race replayed: same md5-uniform
     // (the dsir_select digit-sum spelling), same -ln(u)/w key at 6dp,
     // same id-tiebroken per-group rank

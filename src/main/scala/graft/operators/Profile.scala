@@ -67,4 +67,44 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Population Stability Index between a reference slice and a current
+    * slice over a categorical bucket column — the distribution-drift
+    * monitor a pipeline runs on every new data drop ("did this crawl's
+    * language/source/quality mix move?"). Industry-standard read:
+    * < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate.
+    *
+    * `PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)` with add-half smoothing over
+    * the UNION bucket set, so buckets present on only one side
+    * contribute finite mass instead of ±∞ (and appear in the output
+    * with an explicit zero count).
+    *
+    * Scale shape: two bucket-count aggregations (map-side combined, one
+    * shuffle each over ≤ |buckets| keys), a full-outer join of two
+    * bucket-sized frames, and two broadcast 1-row totals. Per-bucket
+    * terms round to 6dp (the ln-key contract) and the total is their
+    * DECIMAL sum — order-free, partition-invariant, oracle-replayable.
+    *
+    * @return one row per union bucket:
+    *         (bucket, n_ref, n_cur, psi_term, psi_total) */
+  def psi(ref: DataFrame, cur: DataFrame, bucketCol: String): DataFrame = {
+    val r = ref.groupBy(col(bucketCol).as("bucket")).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(bucketCol).as("bucket")).agg(count(lit(1)).as("n_cur"))
+    val joined = r.join(c, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(count(lit(1)).as("__b"),
+      sum(col("n_ref")).as("__nr"), sum(col("n_cur")).as("__nc"))
+    val p = (col("n_ref").cast("double") + lit(0.5)) /
+      (col("__nr").cast("double") + lit(0.5) * col("__b").cast("double"))
+    val q = (col("n_cur").cast("double") + lit(0.5)) /
+      (col("__nc").cast("double") + lit(0.5) * col("__b").cast("double"))
+    val terms = joined.crossJoin(broadcast(tot))
+      .withColumn("psi_term", round((p - q) * log(p / q), 6))
+    val total = terms.agg(sum(col("psi_term").cast("decimal(18,6)")).as("__t"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("psi_term"),
+        round(col("__t").cast("double"), 6).as("psi_total"))
+  }
 }

@@ -52,4 +52,33 @@ class ProfileSpec extends SparkSuite {
       assert(math.abs(a - e) / e < 0.15, s"$c approx cardinality drift: $a vs $e")
     }
   }
+
+  test("psi: identical distributions read ~0; planted shift reads large; one-sided buckets survive") {
+    val ref = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+      .zipWithIndex.map(_.swap).toDF("id", "bucket")
+    // identical mix -> p == q exactly per bucket -> every term ln(1)*0 = 0
+    val same = Profile.psi(ref, ref, "bucket").collect()
+    assert(same.forall(_.getAs[Double]("psi_term") === 0.0))
+    assert(same.head.getAs[Double]("psi_total") === 0.0)
+    // planted shift: 'c' collapses into 'a', plus a NEW bucket 'd' on the
+    // current side only -> union bucket set carries all four, PSI large
+    val cur = (Seq.fill(70)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("d"))
+      .zipWithIndex.map(_.swap).toDF("id", "bucket")
+    val drift = Profile.psi(ref, cur, "bucket").collect()
+    assert(drift.map(_.getAs[String]("bucket")).toSet === Set("a", "b", "c", "d"))
+    val byB = drift.map(r => r.getAs[String]("bucket") ->
+      (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"))).toMap
+    assert(byB("c") === ((20L, 0L)) && byB("d") === ((0L, 10L)))
+    assert(drift.head.getAs[Double]("psi_total") > 0.25,
+      s"planted shift must cross the investigate threshold: ${drift.head}")
+  }
+
+  test("psi is partition-invariant (decimal term sum)") {
+    val ref = (0 until 300).map(i => (i.toLong, s"b${i % 7}")).toDF("id", "bucket")
+    val cur = (0 until 300).map(i => (i.toLong, s"b${i % 5}")).toDF("id", "bucket")
+    val r1 = Profile.psi(ref, cur, "bucket").orderBy("bucket").collect()
+    val r2 = Profile.psi(ref.repartition(11), cur.repartition(3), "bucket")
+      .orderBy("bucket").collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+  }
 }

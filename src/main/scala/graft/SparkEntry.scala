@@ -1253,6 +1253,24 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         md5(TextOps.redact(col("text"), TextOps.NumberPattern, "<NUM>")
           .cast("binary")).as("redacted_md5"))),
+    // Unicode normalization (NFC compose + accent strip) over the corpus
+    // plus planted non-ASCII rows that exercise real composition:
+    // decomposed combining marks, precomposed letters, mixed — md5 of
+    // the normalized text hash-compared against DuckDB's
+    // nfc_normalize/strip_accents (utf8proc) on the same planted rows
+    "text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (9100001L, "café con leche"),
+        (9100002L, "café naïve résumé"),
+        (9100003L, "Å ring ä uml ñ tilde")
+      ).toDF("doc_id", "text")
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          md5(TextOps.nfcNormalize(col("text")).cast("binary")).as("nfc_md5"),
+          md5(TextOps.stripAccents(col("text")).cast("binary")).as("strip_md5"))
+    }),
 
     // --- keyword + hybrid retrieval (the text half of a search stack;
     //     BM25's rational idf + fixed parenthesization mirror the oracle
@@ -3104,6 +3122,18 @@ object SparkEntry {
     "text_redact" ->
       """SELECT doc_id, md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
          FROM documents""",
+    // Unicode normalization vs DuckDB's utf8proc (nfc_normalize /
+    // strip_accents); planted rows rebuilt byte-for-byte with chr():
+    // 769=U+0301 acute, 778=U+030A ring, 776=U+0308 diaeresis,
+    // 771=U+0303 tilde (combining); 233/239 = precomposed é/ï
+    "text_normalize" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT 9100001, 'cafe' || chr(769) || ' con leche'
+           UNION ALL SELECT 9100002, 'caf' || chr(233) || ' na' || chr(239) || 've r' || chr(233) || 'sum' || chr(233)
+           UNION ALL SELECT 9100003, 'A' || chr(778) || ' ring a' || chr(776) || ' uml n' || chr(771) || ' tilde')
+         SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+                md5(strip_accents(text)) AS strip_md5
+         FROM aug""",
     "retrieval_bm25" ->
       s"""WITH $bm25OracleCtes
           SELECT doc_id, score, "rank" AS rank FROM bmr WHERE "rank" <= 20""",

@@ -307,6 +307,58 @@ object TextExprs {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  /** Unicode NFC normalization — the canonical-composition pass every
+    * text pipeline runs before hashing/dedup (decomposed 'e'+U+0301 and
+    * composed 'é' must dedup together); one static kernel call inside
+    * whole-stage codegen. */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "nfc_normalize"
+    override def dataType: DataType = StringType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects string, got ${other.sql}")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      UnicodeKernel.nfc(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeKernel.nfc($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Accent strip (NFD + drop combining marks) — CCNet's
+    * normalization-for-hashing semantics, utf8proc-compatible. */
+  case class StripAccents(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "strip_accents"
+    override def dataType: DataType = StringType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects string, got ${other.sql}")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      UnicodeKernel.stripAccents(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeKernel.stripAccents($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 }
 
 /** Compiled kernel for [[TextExprs.DeflateRatio]]: per-thread zlib
@@ -373,5 +425,28 @@ object Md5Kernel {
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Compiled kernel for the Unicode-normalization expressions (top-level
+  * object — static forwarders keep the calls codegen-friendly). */
+object UnicodeKernel {
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  /** NFD-decompose, drop combining marks (Unicode category Mn) — the
+    * CCNet/utf8proc accent-strip semantics; base letters survive. */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val d = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 }

@@ -25,6 +25,23 @@ object TextOps {
       graft.functions.TextExprs.DeflateRatio(
         org.apache.spark.sql.GraftColumnBridge.expression(text), level))
 
+  /** Unicode NFC normalization (codegen'd
+    * [[graft.functions.TextExprs.NfcNormalize]]): canonical composition
+    * so byte-different spellings of the same text (decomposed e+U+0301
+    * vs composed é) hash/dedup identically — run it BEFORE any
+    * fingerprinting pass over scraped text. */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.TextExprs.NfcNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** Accent strip — NFD + drop combining marks (CCNet's
+    * normalization-for-hashing; utf8proc-compatible). */
+  def stripAccents(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.TextExprs.StripAccents(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
   /** Per-doc token (unigram) Shannon entropy in NATS:
     * H = ln(n) − (Σ c·ln c)/n over word counts c — the vocabulary-
     * diversity twin of [[compressionRatio]] (low entropy = repetitive).

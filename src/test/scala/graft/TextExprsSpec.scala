@@ -208,6 +208,45 @@ class TextExprsSpec extends SparkSuite {
 
   private def sparkDocs =
     spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text").limit(100)
+
+  test("nfc normalize: decomposed composes to the precomposed spelling; idempotent") {
+    val decomposed = "café näive" // e+acute, a+diaeresis
+    val composed = "café näive"
+    val out = Seq((1L, decomposed), (2L, composed)).toDF("id", "t")
+      .select(col("id"), TextOps.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === composed, "NFC must compose combining sequences")
+    assert(out(2L) === composed, "NFC is idempotent on composed text")
+    // dedup consequence: byte-different spellings now hash identically
+    assert(out(1L) === out(2L))
+  }
+
+  test("strip accents: marks drop from both composed and decomposed forms; ASCII untouched") {
+    val rows = Seq(
+      (1L, "café Å ñ"), // decomposed
+      (2L, "café Å ñ"),    // precomposed
+      (3L, "plain ascii 123"))
+    val out = rows.toDF("id", "t")
+      .select(col("id"), TextOps.stripAccents(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "cafe A n")
+    assert(out(2L) === "cafe A n")
+    assert(out(3L) === "plain ascii 123")
+  }
+
+  test("unicode expressions: interpreted eval equals the codegen'd dataframe path") {
+    val s = "égalité égalité"
+    val viaDf = Seq(Tuple1(s)).toDF("t")
+      .select(TextOps.nfcNormalize(col("t")), TextOps.stripAccents(col("t")))
+      .head()
+    val nfcExpr = TextExprs.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType))
+    val stripExpr = TextExprs.StripAccents(nfcExpr.child)
+    assert(nfcExpr.eval(null).toString === viaDf.getString(0))
+    assert(stripExpr.eval(null).toString === viaDf.getString(1))
+  }
 }
 
 object TextExprsSpecHelper {

@@ -1396,6 +1396,13 @@ object SparkEntry {
     "sample_temperature" -> ((s, dir) =>
       Sampling.sampleTemperature(Tables.documents(s, dir), "doc_id", "lang")
         .select(col("doc_id"), col("lang"))),
+    // data mixing: rebalance the en-heavy lang distribution toward a
+    // target mixture (en 30%, others 17.5%) — achievable-max total and
+    // per-group acceptance fractions computed in-plan, md5-hash gated
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.sampleToMixture(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.3, "de" -> 0.175, "es" -> 0.175,
+          "fr" -> 0.175, "zh" -> 0.175))),
     // Efraimidis-Spirakis weighted draw: 5 docs per language with
     // probability ∝ n_chars, without replacement, exactly reproducible
     // (md5-uniform race keys; oracle replays key arithmetic + ranking)
@@ -4056,6 +4063,20 @@ object SparkEntry {
          SELECT bucket, n_ref, n_cur, psi_term,
                 round(CAST(t AS DOUBLE), 6) AS psi_total
          FROM terms CROSS JOIN tt""",
+    // mixture balancing replayed: same achievable-max M, same per-group
+    // fractions, same 4-hex-digit md5 gate (sample_temperature's cut)
+    "sample_mixture" ->
+      """WITH tgt AS (SELECT * FROM (VALUES ('en', 0.3), ('de', 0.175), ('es', 0.175),
+                                            ('fr', 0.175), ('zh', 0.175)) t(lang, t)),
+         c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         w AS (SELECT c.lang, c.c, tgt.t FROM c JOIN tgt ON c.lang = tgt.lang),
+         m AS (SELECT min(CAST(c AS DOUBLE) / t) AS m FROM w),
+         f AS (SELECT lang, least(1.0, t * m / CAST(c AS DOUBLE)) AS f
+               FROM w CROSS JOIN m)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN f ON d.lang = f.lang
+         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+               printf('%04x', CAST(least(floor(f.f * 65536), 65535) AS INT))""",
     // Efraimidis-Spirakis exponential race replayed: same md5-uniform
     // (the dsir_select digit-sum spelling), same -ln(u)/w key at 6dp,
     // same id-tiebroken per-group rank

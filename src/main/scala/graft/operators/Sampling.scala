@@ -153,6 +153,45 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Rebalance the corpus toward a TARGET group mixture (the "data
+    * mixing" step of pretraining-corpus assembly — Pile/Dolma-style
+    * source weights): compute, IN-PLAN, the largest achievable total
+    * `M = min_g count_g / target_g` and keep each group at acceptance
+    * fraction `f_g = min(1, target_g·M / count_g)` via the deterministic
+    * md5-hash gate — so the output mix approaches the target shares
+    * while the bottleneck group is kept (nearly) whole and no group
+    * oversamples. Groups absent from `targets` are dropped (a 0-share
+    * mixture component).
+    *
+    * Scale shape: one group-count aggregation, two broadcast 1-row/
+    * group-sized frames, then a narrow hash-gate filter — the corpus is
+    * scanned once and never shuffled. Reproducible under any
+    * partitioning/engine (same contract as every sampler here) and
+    * oracle-replayable: fractions are fixed-parenthesization doubles and
+    * the gate is [[hashKeep]]'s 4-hex-digit cut.
+    *
+    * @return (idCol, groupCol) — the kept rows */
+  def sampleToMixture(df: DataFrame, idCol: String, groupCol: String,
+                      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty positive shares")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toSeq.toDF(groupCol, "__t")
+    val c = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+    val withT = c.join(broadcast(t), Seq(groupCol), "inner")
+    val m = withT.agg(min(col("__c").cast("double") / col("__t")).as("__m"))
+    val f = withT.crossJoin(broadcast(m))
+      .select(col(groupCol),
+        least(lit(1.0), col("__t") * col("__m") / col("__c").cast("double"))
+          .as("__f"))
+    df.join(broadcast(f), Seq(groupCol), "inner")
+      .filter(substring(md5(col(idCol).cast("string")), 1, 4) <
+        format_string("%04x",
+          least(floor(col("__f") * 65536), lit(65535.0)).cast("int")))
+      .select(col(idCol), col(groupCol))
+  }
+
   /** Weighted sampling WITHOUT replacement — k rows per group drawn with
     * probability proportional to `weightCol` (Efraimidis & Spirakis
     * 2006, exponential-race form): every row draws the md5-derived

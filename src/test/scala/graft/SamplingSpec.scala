@@ -172,6 +172,38 @@ class SamplingSpec extends SparkSuite {
       "a different seed must produce a different permutation")
   }
 
+  test("mixture sampling: output approaches targets, bottleneck kept ~whole, unlisted groups dropped") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+      .unionByName(Seq((990001L, "xx"), (990002L, "xx")).toDF("doc_id", "lang"))
+    val targets = Map("en" -> 0.3, "de" -> 0.175, "es" -> 0.175,
+      "fr" -> 0.175, "zh" -> 0.175)
+    val kept = graft.operators.Sampling
+      .sampleToMixture(docs, "doc_id", "lang", targets)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("xx"), "groups outside the mixture must drop")
+    val counts = docs.filter(col("lang") =!= "xx").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bottleneck group = argmin count/target; its fraction is 1 (minus
+    // the 1/65536 cut-rounding) -> kept nearly whole
+    val bottleneck = counts.map { case (g, c) => g -> c / targets(g) }.minBy(_._2)._1
+    assert(byLang(bottleneck) >= counts(bottleneck) - 1,
+      s"bottleneck $bottleneck: kept ${byLang(bottleneck)} of ${counts(bottleneck)}")
+    // achieved shares within a loose hash-sampling band of the targets
+    val total = byLang.values.sum.toDouble
+    targets.foreach { case (g, t) =>
+      val share = byLang.getOrElse(g, 0L) / total
+      assert(share > t * 0.6 && share < t * 1.5,
+        s"$g share $share vs target $t (kept $byLang)")
+    }
+    // deterministic under repartition
+    val again = graft.operators.Sampling
+      .sampleToMixture(docs.repartition(9), "doc_id", "lang", targets)
+    assert(kept.exceptAll(again).unionAll(again.exceptAll(kept)).count() === 0)
+  }
+
   test("weighted sampling: overwhelming weight always wins; ranks contiguous; no replacement") {
     import spark.implicits._
     // one row carries ~1e12x the weight of the rest: its race key

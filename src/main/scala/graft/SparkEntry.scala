@@ -1106,6 +1106,31 @@ object SparkEntry {
     // hash truncated) raises while normal estimation noise never does.
     // Turns the one sanctioned-no-oracle sketch into a gated row, same
     // contract as the ANN recall gates.
+    // weekly cohort-retention matrix; ratio rounded half-up in INTEGER
+    // arithmetic (cohort sizes like 32 sit on the 4dp half-boundary)
+    "events_cohort_retention" -> ((s, dir) =>
+      EventOps.cohortRetention(Tables.events(s, dir))),
+    // GATED mergeable-sketch maintenance: per-day DataSketches HLL
+    // (append-only daily table), arbitrary-range distinct = union of
+    // |days| sketches — estimate must land within 5% of the exact
+    // distinct over the same range or the row raises (sketch binaries
+    // are engine-specific; the exact twin is oracled separately via
+    // events_distinct_users)
+    "events_hll_mergeable" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val approx = EventOps.distinctOverRange(
+        EventOps.dailyUserSketches(ev), "2024-01-08", "2024-01-21")
+      val exact = ev
+        .filter(to_date(col("ts")).between(lit("2024-01-08"), lit("2024-01-21")))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      approx.crossJoin(broadcast(exact))
+        .withColumn("rel_err", round(abs(col("approx_users").cast("double") /
+          greatest(col("exact_users"), lit(1L)).cast("double") - lit(1.0)), 4))
+        .filter(when(col("rel_err") <= lit(0.05), lit(true))
+          .otherwise(raise_error(concat(
+            lit("mergeable HLL gate: rel err "), col("rel_err"),
+            lit(" above 0.05 vs exact "), col("exact_users")))))
+    }),
     "events_hll_error" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val exact = ev.groupBy(col("event_type"))
@@ -1600,6 +1625,24 @@ object SparkEntry {
       s.sql("""SELECT doc_id,
                       CAST(size(shingle_hashes(filter(split(lower(text), '\\s+'), x -> x != ''), 3, true)) AS BIGINT) AS n_shingles
                FROM docs_sql""")
+    }),
+    // the Unicode kernels driven through SQL text — held to the SAME
+    // oracle hashes as the DataFrame path (text_normalize), so the SQL
+    // surface carries identical normalization semantics
+    "sql_normalize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val planted = Seq(
+        (9100001L, "café con leche"),
+        (9100002L, "café naïve résumé"),
+        (9100003L, "Å ring ä uml ñ tilde")
+      ).toDF("doc_id", "text")
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(planted).createOrReplaceTempView("docs_norm_sql")
+      s.sql("""SELECT doc_id,
+                      md5(CAST(nfc_normalize(text) AS BINARY)) AS nfc_md5,
+                      md5(CAST(strip_accents(text) AS BINARY)) AS strip_md5
+               FROM docs_norm_sql""")
     }),
     // the registered md5 kernel driven through SQL text, oracled on the
     // HASH VALUES themselves (stronger than sql_shingles' count check:
@@ -3141,6 +3184,16 @@ object SparkEntry {
          SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
                 md5(strip_accents(text)) AS strip_md5
          FROM aug""",
+    // SQL-surface twin: identical oracle — the registered functions must
+    // produce the same hashes as the DataFrame path
+    "sql_normalize" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT 9100001, 'cafe' || chr(769) || ' con leche'
+           UNION ALL SELECT 9100002, 'caf' || chr(233) || ' na' || chr(239) || 've r' || chr(233) || 'sum' || chr(233)
+           UNION ALL SELECT 9100003, 'A' || chr(778) || ' ring a' || chr(776) || ' uml n' || chr(771) || ' tilde')
+         SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+                md5(strip_accents(text)) AS strip_md5
+         FROM aug""",
     "retrieval_bm25" ->
       s"""WITH $bm25OracleCtes
           SELECT doc_id, score, "rank" AS rank FROM bmr WHERE "rank" <= 20""",
@@ -3781,6 +3834,19 @@ object SparkEntry {
          FROM n GROUP BY 1""",
     "events_distinct_users" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    // cohort retention replayed: Monday-truncated first-event week,
+    // day-difference / 7 offsets, integer round-half-up ratio
+    "events_cohort_retention" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+                    FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT cohort, e.user_id,
+                      CAST(floor(date_diff('day', cohort, CAST(ts AS DATE)) / 7) AS BIGINT) AS week_offset
+               FROM events e JOIN f ON e.user_id = f.user_id),
+         m AS (SELECT cohort, week_offset, count(*) AS n_users FROM a GROUP BY 1, 2),
+         b AS (SELECT cohort, n_users AS n0 FROM m WHERE week_offset = 0)
+         SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort, m.week_offset, m.n_users,
+                floor((m.n_users * 20000 + b.n0) / (b.n0 * 2)) / 10000.0 AS retention
+         FROM m JOIN b ON m.cohort = b.cohort""",
     "text_tokens_bpe" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+)', 0)) AS BIGINT) AS n_bpe_tokens

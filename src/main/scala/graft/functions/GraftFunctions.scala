@@ -56,7 +56,11 @@ object GraftFunctions {
       args => VectorExprs.BqHamming(args(0), args(1))),
     ("deflate_ratio", classOf[TextExprs.DeflateRatio].getName,
       args => TextExprs.DeflateRatio(args(0),
-        if (args.length > 1) intLit(args(1), "deflate level") else 6)))
+        if (args.length > 1) intLit(args(1), "deflate level") else 6)),
+    ("nfc_normalize", classOf[TextExprs.NfcNormalize].getName,
+      args => TextExprs.NfcNormalize(args(0))),
+    ("strip_accents", classOf[TextExprs.StripAccents].getName,
+      args => TextExprs.StripAccents(args(0))))
 
   /** Idempotent registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -364,4 +364,64 @@ object EventOps {
         col("__v").isNull.as("was_missing"),
         col("filled"))
   }
+
+  /** Weekly cohort-retention matrix — the activation/retention readout
+    * every event pipeline serves: users cohorted by the week of their
+    * FIRST event, each (cohort, week-offset) cell counting the distinct
+    * users active that many weeks later, with retention as the cell's
+    * share of its cohort's week-0 size.
+    *
+    * Scale shape: one user-keyed first-event aggregation, one join back
+    * (user-keyed — co-partitions with the aggregation), a distinct over
+    * (cohort, user, offset) ≤ |users|·|weeks| rows, and a cohort-sized
+    * matrix aggregation. Retention rounds half-up to 4dp in INTEGER
+    * arithmetic — cohort sizes like 32 land exactly on the 4dp
+    * half-boundary where double rounding is engine-divergent (the
+    * duplicated-spans coverage lesson).
+    *
+    * @return (cohort, week_offset, n_users, retention) */
+  def cohortRetention(events: DataFrame, tsCol: String = "ts",
+                      userCol: String = "user_id"): DataFrame = {
+    val firsts = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__first"))
+      .select(col(userCol),
+        to_date(date_trunc("week", col("__first"))).as("cohort"))
+    val act = events.join(firsts, Seq(userCol))
+      .select(col("cohort"), col(userCol),
+        floor(datediff(to_date(col(tsCol)), col("cohort")) / lit(7))
+          .cast("long").as("week_offset"))
+      .distinct()
+    val m = act.groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val base = m.filter(col("week_offset") === 0)
+      .select(col("cohort"), col("n_users").as("__n0"))
+    m.join(base, Seq("cohort"))
+      .withColumn("retention",
+        floor((col("n_users") * lit(20000L) + col("__n0")) /
+          (col("__n0") * lit(2L))) / lit(10000.0))
+      // cohort as ISO string — DATE columns surface as engine-specific
+      // types in the oracle compare (the gap-fill convention)
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"), col("n_users"), col("retention"))
+  }
+
+  /** Pre-aggregated MERGEABLE distinct-count sketches — the incremental
+    * maintenance pattern for "distinct users over an arbitrary date
+    * range" at 100 TB: one DataSketches HLL per day (appended as days
+    * arrive, never recomputed), a range query unions |days| sketches
+    * instead of re-scanning events. Engine-specific binary state, so the
+    * driver contract is an in-plan ERROR GATE against the exact count
+    * (the sketch rows themselves are not oracle-comparable — same
+    * adjudication as events_hll_error). */
+  def dailyUserSketches(events: DataFrame, tsCol: String = "ts",
+                        userCol: String = "user_id"): DataFrame =
+    events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(hll_sketch_agg(col(userCol)).as("sketch"))
+
+  /** Union the per-day sketches over [from, to] and estimate; one row
+    * (approx_users). */
+  def distinctOverRange(sketches: DataFrame, from: String, to: String): DataFrame =
+    sketches.filter(col("day").between(lit(from), lit(to)))
+      .agg(round(hll_sketch_estimate(hll_union_agg(col("sketch"))), 0)
+        .cast("long").as("approx_users"))
 }

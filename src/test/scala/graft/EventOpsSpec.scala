@@ -180,4 +180,50 @@ class EventOpsSpec extends SparkSuite {
     val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
     assert(u2.length === 1 && u2.head.getAs[Double]("filled") === 7.0)
   }
+
+  test("cohort retention: crafted two-week matrix is exact; offsets never negative") {
+    import spark.implicits._
+    // week of 2024-01-01 is a Monday; users A,B cohort week0 (A returns
+    // week1, B does not), user C cohorts in week1
+    val ev = Seq(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-09 10:00:00"),
+      (2L, "2024-01-03 10:00:00"),
+      (3L, "2024-01-10 10:00:00")
+    ).toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val m = EventOps.cohortRetention(ev).collect()
+      .map(r => (r.getAs[String]("cohort"), r.getAs[Long]("week_offset")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("retention"))).toMap
+    assert(m(("2024-01-01", 0L)) === ((2L, 1.0)))
+    assert(m(("2024-01-01", 1L)) === ((1L, 0.5)))
+    assert(m(("2024-01-08", 0L)) === ((1L, 1.0)))
+    assert(m.size === 3)
+  }
+
+  test("cohort retention rounds half-up in integer arithmetic (the 1/32 boundary)") {
+    import spark.implicits._
+    // cohort of 32 users on Monday week0; exactly one returns week1:
+    // 1/32 = 0.03125 — the 4dp half-boundary — must round UP to 0.0313
+    val week0 = (1L to 32L).map(u => (u, "2024-01-01 08:00:00"))
+    val ret = Seq((1L, "2024-01-08 08:00:00"))
+    val ev = (week0 ++ ret).toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val m = EventOps.cohortRetention(ev).collect()
+      .map(r => r.getAs[Long]("week_offset") -> r.getAs[Double]("retention")).toMap
+    assert(m(1L) === 0.0313, s"half-boundary must round up: $m")
+  }
+
+  test("mergeable daily HLL sketches: range union estimates within 5% of exact, any partitioning") {
+    val sk = EventOps.dailyUserSketches(events)
+    val approx = EventOps.distinctOverRange(sk, "2024-01-08", "2024-01-21")
+      .head().getAs[Long]("approx_users")
+    val exact = events
+      .filter(to_date(col("ts")).between(lit("2024-01-08"), lit("2024-01-21")))
+      .agg(countDistinct(col("user_id"))).head().getLong(0)
+    assert(exact > 0, "fixture must cover the probe range")
+    assert(math.abs(approx.toDouble / exact - 1.0) <= 0.05, s"$approx vs $exact")
+    val approx2 = EventOps.distinctOverRange(
+      EventOps.dailyUserSketches(events.repartition(13)), "2024-01-08", "2024-01-21")
+      .head().getAs[Long]("approx_users")
+    assert(approx2 === approx, "sketch estimate must be partitioning-stable")
+  }
 }

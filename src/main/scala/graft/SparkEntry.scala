@@ -760,6 +760,32 @@ object SparkEntry {
     // the quarter-corpus gate index (the contract is corpus-independent;
     // the exhaustive beam + exact twin both scale with n, and the
     // flagship-quality rows already pay the full-corpus cost).
+    // GATED label-filtered GRAPH serving — the reference's filtered
+    // search through the NSW path (the IVF side has ann_ivf_filtered):
+    // the predicate's COMPLEMENT rides as a serve-time allowed-mask
+    // (markDeleted on the loaded graph — nothing stored; the hnswlib
+    // filter-function idiom), excluded rows keep routing the beam, and
+    // the exhaustive-beam serve must equal the exact top-k over the
+    // label slice at floor 1.0 with zero predicate leaks
+    "ann_hnsw_filtered" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val n = emb.count().toInt // bounded metadata: slice row count
+      val excluded = emb.filter(col("label") =!= 3).select(col("vec_id"))
+      val served = KnnHnsw.search(
+        KnnHnsw.markDeleted(KnnHnsw.load(s, hnswGateIndexPath(s, dir)), excluded),
+        q, k = 5, efQuery = n).localCheckpoint(true)
+      val leaked = served.join(
+        excluded.select(col("vec_id").as("match_id")), Seq("match_id"), "left_semi")
+      Recall.setAgreement(served,
+        KnnTopK.knnExact(q, emb.filter(col("label") === 3), k = 5),
+        on = Seq("query_id", "match_id", "score"), floor = 1.0, minCount = 1L)
+        .crossJoin(broadcast(leaked.agg(count(lit(1)).as("n_leaked"))))
+        .filter(when(col("n_leaked") === 0L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("filter leak: "), col("n_leaked"),
+            lit(" out-of-predicate ids served")))))
+    }),
     "ann_hnsw_deleted" -> ((s, dir) => {
       val q = Tables.defaultQueries(s, dir)
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)

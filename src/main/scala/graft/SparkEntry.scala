@@ -696,6 +696,19 @@ object SparkEntry {
         exactTop5(s, dir),
         k = 5, floor = 0.8)
     }),
+    // GATED binary-quantized graph serving: the beam routes on Hamming
+    // over packed sign bits (BqPack's exact layout), the ef pool reranks
+    // by exact cosine inside the shard task — graph traversal at 32x
+    // cheaper per-hop distance, float math only on the pool. Exhaustive-
+    // beam == exact is spec-pinned; this gates the BOUNDED-ef serving
+    // recall
+    "ann_hnsw_bq_recall" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      Recall.atKGated(
+        KnnHnsw.searchBq(KnnHnsw.load(s, hnswIndexPath(s, dir)), q, k = 5, efQuery = 48),
+        exactTop5(s, dir),
+        k = 5, floor = 0.6)
+    }),
     // GATED ef sweep — the reference's ACTUAL accuracy knob
     // (executor.py:66-70 set_ef), driver-visible as a curve. Unlike the
     // IVF/BQ sweeps there is NO one-scan decomposition: a beam at

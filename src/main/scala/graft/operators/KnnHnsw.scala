@@ -69,6 +69,13 @@ object KnnHnsw {
       * always-true filter the control flow is identical to the unfiltered
       * beam (same admissions, same terminations, same results). */
     private[operators] def searchBeam(q: Array[Float], ef: Int,
+        allowed: Int => Boolean = _ => true): IndexedSeq[(Double, Int)] =
+      searchBeamWith(i => dist(q, i), ef, allowed)
+
+    /** The beam core, parameterized by the node-distance function — the
+      * cosine path ([[searchBeam]]) and the binary-quantized Hamming
+      * path ([[KnnHnsw.searchBq]]) share identical control flow. */
+    private[operators] def searchBeamWith(distFn: Int => Double, ef: Int,
         allowed: Int => Boolean = _ => true): IndexedSeq[(Double, Int)] = {
       if (ids.isEmpty) return IndexedSeq.empty
       // priority = (distance, id); candidates pop NEAREST first, results
@@ -79,7 +86,7 @@ object KnnHnsw {
       val candidates = mutable.PriorityQueue.empty[(Double, Int)](byFar.reverse)
       val results = mutable.PriorityQueue.empty[(Double, Int)](byFar)
       val visited = new java.util.HashSet[Int]
-      val d0 = dist(q, 0)
+      val d0 = distFn(0)
       visited.add(0); candidates.enqueue((d0, 0))
       if (allowed(0)) results.enqueue((d0, 0))
       while (candidates.nonEmpty &&
@@ -90,7 +97,7 @@ object KnnHnsw {
         while (i < nbs.length) {
           val nb = nbs(i)
           if (visited.add(nb)) {
-            val d = dist(q, nb)
+            val d = distFn(nb)
             if (results.size < ef || byFar.lt((d, nb), results.head)) {
               candidates.enqueue((d, nb))
               if (allowed(nb)) {
@@ -363,6 +370,93 @@ object KnnHnsw {
             g.searchBeam(qvec, ef, allowed).take(k).map { case (d, i) =>
               (qid, g.ids(i), roundHalfUp4(d))
             }
+          }
+        }
+      }
+      .toDF("query_id", "match_id", "score")
+    KnnTopK.boundedTopK(scored, k, asc = true)
+  }
+
+  /** Binary-quantized graph serving — the beam routes on HAMMING
+    * distance over packed sign bits (the 32× cheaper per-hop distance of
+    * the BQ cascade, [[Quantize.bqSearchRerank]], applied to the GRAPH
+    * traversal), then the ef pool reranks by EXACT cosine inside the
+    * same shard task — the float vectors are co-resident, so the rerank
+    * costs pool·dim multiplies and ships nothing.
+    *
+    * Packing matches `VectorExprs.BqPack` bit-for-bit (bit set iff
+    * component > 0, 64 components per long word), so the quantization
+    * here IS the persisted `bq_code` layout's. Codes are packed at shard
+    * restore (one O(n·dim) pass — the cost of a single full-shard
+    * distance sweep) and could equally be persisted columns; emitted
+    * scores are [[cosineDist]] + 4dp round, directly comparable to the
+    * exact twin for recall gating.
+    *
+    * @param efQuery beam width AND rerank pool size per shard */
+  def searchBq(graph: DataFrame, queries: DataFrame, k: Int, efQuery: Int,
+               queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    import graph.sparkSession.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ef = math.max(1, efQuery)
+    val delCol =
+      if (graph.columns.contains("deleted")) col("deleted") else lit(false)
+    def pack(v: Array[Float]): Array[Long] = {
+      val words = new Array[Long]((v.length + 63) >>> 6)
+      var i = 0
+      while (i < v.length) {
+        if (v(i).toDouble > 0.0) words(i >>> 6) |= 1L << (i & 63)
+        i += 1
+      }
+      words
+    }
+    val packedQs = qs.map { case (qid, qv) => (qid, qv, pack(qv)) }
+    val scored = graph
+      .select(col("shard"), col("local_idx"), col("vec_id"), col("embedding"),
+        col("neighbor_idx"), delCol.as("deleted"))
+      .as[(Int, Int, Long, Array[Float], Array[Int], Boolean)]
+      .repartition(col("shard"))
+      .mapPartitions { rows =>
+        val byShard = rows.toArray.groupBy(_._1)
+        byShard.iterator.flatMap { case (_, shardRows) =>
+          val n = shardRows.length
+          val g = new NswGraph(1, 1)
+          val ids = new Array[Long](n)
+          val vecs = new Array[Array[Float]](n)
+          val adjs = new Array[Array[Int]](n)
+          val dels = new Array[Boolean](n)
+          shardRows.foreach { case (_, li, id, vec, nbs, del) =>
+            ids(li) = id; vecs(li) = vec; adjs(li) = nbs; dels(li) = del
+          }
+          var i = 0
+          while (i < n) {
+            g.ids += ids(i); g.vecs += vecs(i)
+            g.adj += (new mutable.ArrayBuffer[Int](adjs(i).length) ++= adjs(i))
+            i += 1
+          }
+          val codes = new Array[Array[Long]](n)
+          i = 0
+          while (i < n) { codes(i) = pack(vecs(i)); i += 1 }
+          val anyDeleted = dels.exists(identity)
+          val allowed: Int => Boolean =
+            if (anyDeleted) (j: Int) => !dels(j) else (_: Int) => true
+          packedQs.iterator.flatMap { case (qid, qvec, qcode) =>
+            def hamming(j: Int): Double = {
+              val c = codes(j)
+              var w = 0; var h = 0
+              while (w < c.length) {
+                h += java.lang.Long.bitCount(qcode(w) ^ c(w)); w += 1
+              }
+              h.toDouble
+            }
+            val pool = g.searchBeamWith(hamming, ef, allowed)
+            // exact-cosine rerank of the Hamming-routed pool, id tiebreak
+            pool.map { case (_, j) => (cosineDist(qvec, vecs(j)), j) }
+              .sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+                .on[(Double, Int)] { case (d, j) => (d, g.ids(j)) })
+              .take(k)
+              .map { case (d, j) => (qid, g.ids(j), roundHalfUp4(d)) }
           }
         }
       }

@@ -81,6 +81,46 @@ class KnnHnswSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall@5 $recall at ef=32")
   }
 
+  test("bq beam: exhaustive pool reranks to exactly the exact top-k (ids AND scores)") {
+    // with ef = n the Hamming beam pool is the whole shard corpus, so the
+    // exact-cosine rerank IS the exact computation — routing quality is
+    // out of the picture and the result must match bit-for-bit
+    val n = corpus.count().toInt
+    val exact = KnnTopK.knnExact(queries, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBq = KnnHnsw.searchBq(graph, queries, k = 5, efQuery = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaBq === exact)
+  }
+
+  test("bq beam at bounded ef keeps the self-match and useful recall") {
+    val res = KnnHnsw.searchBq(graph, queries, k = 5, efQuery = 48).collect()
+    // the query is a corpus row: its Hamming distance to itself is 0, so
+    // the beam admits it and the exact rerank pins it at rank 1
+    res.filter(_.getLong(3) == 1L).foreach { r =>
+      assert(r.getLong(1) === r.getLong(0))
+      assert(r.getDouble(2) === 0.0)
+    }
+    val exact = KnnTopK.knnExact(queries, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"bq recall@5 $recall at ef=48")
+  }
+
+  test("bq beam respects tombstones (deleted rows route but never surface)") {
+    val deleted = corpus.select(col("vec_id")).filter(col("vec_id") % 5 === 0)
+    val n = corpus.count().toInt
+    val served = KnnHnsw.searchBq(
+      KnnHnsw.markDeleted(graph, deleted), queries, k = 5, efQuery = n).collect()
+    val deletedIds = deleted.collect().map(_.getLong(0)).toSet
+    assert(!served.exists(r => deletedIds.contains(r.getLong(1))))
+    val exact = KnnTopK.knnExact(queries,
+      corpus.filter(col("vec_id") % 5 =!= 0), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === exact)
+  }
+
   test("appendTo equals a from-scratch rebuild, touched shards only") {
     val base = corpus.filter(col("vec_id") % 3 =!= 0)
     val delta = corpus.filter(col("vec_id") % 3 === 0)

@@ -1347,6 +1347,18 @@ object SparkEntry {
     // scan arithmetic bit-for-bit
     "retrieval_bm25_index" -> ((s, dir) =>
       Retrieval.bm25FromIndex(s, bm25IndexPath(s, dir), BmQueryTerms, k = 20)),
+    // ranking-quality evaluation: MRR + nDCG@20 of the BM25 system
+    // against a term-presence gold set — per-rank gains quantized 6dp
+    // and decimal-summed, ideal DCG from the same quantization
+    "retrieval_eval_ndcg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ranking = Retrieval.bm25(docs, BmQueryTerms, k = 20)
+        .select(lit(0L).as("query_id"), col("doc_id"), col("rank"))
+      val gold = docs
+        .where(array_contains(Dedup.tokens(col("text")), "dup"))
+        .select(lit(0L).as("query_id"), col("doc_id"))
+      Retrieval.rankingMetrics(ranking, gold, k = 20)
+    }),
     // GATED: incremental index ingest — an index built on half the corpus
     // then APPENDED with the other half must serve exactly what the
     // full-corpus scan path scores (ids, scores, AND ranks at floor 1.0);
@@ -3241,6 +3253,33 @@ object SparkEntry {
     "retrieval_bm25_index" ->
       s"""WITH $bm25OracleCtes
           SELECT doc_id, score, "rank" AS rank FROM bmr WHERE "rank" <= 20""",
+    // MRR/nDCG replayed: same 6dp log2 gains, same decimal sums, same
+    // ideal-DCG sequence
+    "retrieval_eval_ndcg" ->
+      s"""WITH $bm25OracleCtes,
+          rk AS (SELECT CAST(0 AS BIGINT) AS query_id, doc_id, "rank" AS r
+                 FROM bmr WHERE "rank" <= 20),
+          gold AS (SELECT CAST(0 AS BIGINT) AS query_id, doc_id
+                   FROM bm_dl WHERE list_contains(ts, 'dup')),
+          hits AS (SELECT g.query_id, g.doc_id, rk.r
+                   FROM gold g LEFT JOIN rk
+                     ON g.query_id = rk.query_id AND g.doc_id = rk.doc_id),
+          pq AS (SELECT query_id,
+                        coalesce(round(CAST(1.0 AS DOUBLE) / min(r), 6), 0.0) AS rr,
+                        coalesce(sum(CASE WHEN r IS NOT NULL
+                          THEN CAST(round(CAST(1.0 AS DOUBLE) / log2(r + CAST(1.0 AS DOUBLE)), 6) AS DECIMAL(18,6)) END),
+                          CAST(0 AS DECIMAL(18,6))) AS dcgd,
+                        count(*) AS n_gold
+                 FROM hits GROUP BY 1),
+          ideal AS (SELECT query_id,
+                           sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(r + CAST(1.0 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS idcgd
+                    FROM (SELECT query_id, unnest(range(1, least(n_gold, 20) + 1)) AS r
+                          FROM pq) GROUP BY 1)
+          SELECT pq.query_id, rr,
+                 CAST(dcgd AS DOUBLE) AS dcg,
+                 CAST(idcgd AS DOUBLE) AS idcg,
+                 round(CAST(dcgd AS DOUBLE) / CAST(idcgd AS DOUBLE), 4) AS ndcg
+          FROM pq JOIN ideal ON pq.query_id = ideal.query_id""",
     // hybrid fusion: BM25 top-20 + cosine top-20 for probe vector 7,
     // reciprocal-rank-fused (1/(60+rank)); knn score form = knn_cosine's
     "retrieval_rrf" ->

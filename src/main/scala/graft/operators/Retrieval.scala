@@ -206,6 +206,51 @@ object Retrieval {
     rankTopK(agg, k, idCol, col("score"))
   }
 
+  /** Ranking-quality metrics — the evaluation half of the retrieval
+    * stack: given a system ranking and a gold relevant set (both
+    * (queryCol, idCol[, rank]) frames), emit per-query MRR and nDCG@k.
+    * The joins touch only the two top-k-bounded frames (never a corpus),
+    * and the arithmetic is engine-replayable: per-rank gains
+    * `1/log2(rank+1)` round to 6dp and sum in DECIMAL, the ideal DCG is
+    * the same sum over ranks 1..min(k,|gold|), and ndcg = dcg/idcg
+    * rounded 4dp half-up in integer-free double division guarded by the
+    * 6dp-quantized operands (identical in any engine).
+    *
+    * @param ranking (queryCol, idCol, rank) — rank 1-based
+    * @param gold    (queryCol, idCol) — the relevant set per query
+    * @return (queryCol, rr, dcg, idcg, ndcg) one row per query IN GOLD
+    *         (queries with no ranked rows score 0) */
+  def rankingMetrics(ranking: DataFrame, gold: DataFrame, k: Int,
+                     queryCol: String = "query_id",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k > 0)
+    val r = ranking.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank"))
+    val hits = gold.join(r, Seq(queryCol, idCol), "left")
+    // per-rank gain quantized at 6dp BEFORE the decimal sum — order-free
+    val gain = round(lit(1.0) / log2(col("rank") + lit(1.0)), 6)
+    val perQuery = hits.groupBy(col(queryCol)).agg(
+      coalesce(round(lit(1.0) / min(col("rank")), 6), lit(0.0)).as("rr"),
+      coalesce(sum(when(col("rank").isNotNull, gain.cast("decimal(18,6)"))),
+        lit(0).cast("decimal(18,6)")).as("__dcg"),
+      count(lit(1)).as("__n_gold"))
+    // ideal DCG: gains at ranks 1..min(k, |gold|), summed with the same
+    // quantization (a sequence explode over ≤ k rows per query)
+    val ideal = perQuery.select(col(queryCol), col("__n_gold"))
+      .select(col(queryCol),
+        explode(sequence(lit(1L), least(col("__n_gold"), lit(k.toLong))))
+          .as("__r"))
+      .groupBy(col(queryCol))
+      .agg(sum(round(lit(1.0) / log2(col("__r") + lit(1.0)), 6)
+        .cast("decimal(18,6)")).as("__idcg"))
+    perQuery.join(ideal, Seq(queryCol))
+      .select(col(queryCol), col("rr"),
+        col("__dcg").cast("double").as("dcg"),
+        col("__idcg").cast("double").as("idcg"),
+        round(col("__dcg").cast("double") / col("__idcg").cast("double"), 4)
+          .as("ndcg"))
+  }
+
   /** Top-k + 1-based rank without a whole-result single-partition window:
     * `orderBy(...).limit(k)` plans as TakeOrderedAndProject (per-partition
     * top-k, driver-side merge of ≤ k·partitions rows), and only the ≤ k

@@ -202,6 +202,25 @@ class RetrievalSpec extends SparkSuite {
     assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
   }
 
+  test("ranking metrics: perfect ranking scores 1.0; misses degrade dcg; all-miss scores 0") {
+    import spark.implicits._
+    val gold = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "doc_id")
+    // q1: both gold at ranks 1,2 (perfect); q2: gold at rank 3 behind
+    // two misses; q3: gold absent from the ranking entirely
+    val ranking = Seq((1L, 10L, 1L), (1L, 11L, 2L),
+      (2L, 99L, 1L), (2L, 98L, 2L), (2L, 20L, 3L),
+      (3L, 97L, 1L)).toDF("query_id", "doc_id", "rank")
+    val m = Retrieval.rankingMetrics(ranking, gold, k = 10).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Double]("rr"), r.getAs[Double]("ndcg"))).toMap
+    assert(m(1L) === ((1.0, 1.0)))
+    assert(m(2L)._1 === math.rint(1.0 / 3 * 1e6) / 1e6)
+    // q2 ndcg = g(3)/g(1) = round(1/log2(4),6)/round(1/log2(2),6) = 0.5/1
+    assert(m(2L)._2 === 0.5)
+    assert(m(3L) === ((0.0, 0.0)))
+  }
+
   test("index-served bm25 equals the scan path exactly; postings read is bucket-pruned") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
     val corpus = docs.select("doc_id", "text")

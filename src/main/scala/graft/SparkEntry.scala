@@ -534,6 +534,22 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(corpus,
           blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5))
     }),
+    // the EXPORT half of the pretraining pass composed end-to-end:
+    // quality-gate -> overlapping token chunks -> token-budget shard
+    // packing (chunk order = (doc, chunk) via a synthetic unique chunk
+    // key) — what actually ships to the trainer, oracled as ONE SQL
+    "pipeline_pretraining_export" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Scoring.qualityDecisions(docs, threshold = 0.35)
+        .filter(col("decision") === "keep").select("doc_id")
+      val chunks = TextOps.chunkByTokens(docs.join(kept, Seq("doc_id")))
+        .withColumn("cid", col("doc_id") * 1000L + col("chunk_id"))
+      val withSrc = chunks.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Sampling.packByTokenBudget(withSrc, col("chunk_tokens"), budget = 500L,
+          partitionCol = "source", idCol = "cid")
+        .select(col("doc_id"), col("chunk_id"), col("source"), col("n_tokens"),
+          col("shard"), md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+    }),
     // the whole cleaning pipeline composed end-to-end: near-dedup to one
     // survivor per duplicate cluster, then quality-gate the survivors —
     // the canonical pretraining-corpus pass, oracled as one composed SQL
@@ -3806,6 +3822,47 @@ object SparkEntry {
          WHERE o_totalprice > 1.5 * (
            SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(26,6))) AS DOUBLE) / count(*)
            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""",
+    // the composed export pass replayed: quality scores -> keep filter
+    // -> 32/24 chunk windows -> per-source prefix-sum packing on the
+    // synthetic (doc*1000+chunk) order key
+    "pipeline_pretraining_export" ->
+      """WITH t AS (SELECT doc_id, text, source,
+                           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+                    FROM documents),
+         f AS (SELECT doc_id,
+                      least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) AS len_score,
+                      round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1), 4) AS punct_ratio,
+                      round(CAST(len(list_filter(ts, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                            / greatest(len(ts), 1), 4) AS stopword_ratio,
+                      round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)
+                                / greatest(len(ts), 1), 4) AS repetition_ratio
+               FROM t),
+         sc AS (SELECT doc_id, round(0.5 * (1.0 + z / (1.0 + abs(z))), 4) AS score
+                FROM (SELECT doc_id, -1.0 + 2.5 * len_score - 3.0 * punct_ratio
+                                     - 0.5 * stopword_ratio - 2.0 * repetition_ratio AS z
+                      FROM f)),
+         kept AS (SELECT t.doc_id, t.source, t.ts
+                  FROM t JOIN sc ON t.doc_id = sc.doc_id WHERE sc.score >= 0.35),
+         n AS (SELECT doc_id, source, ts,
+                      CASE WHEN len(ts) <= 32 THEN 1
+                           ELSE CAST(floor(CAST(len(ts) - 32 + 23 AS DOUBLE) / 24) AS BIGINT) + 1
+                      END AS nc
+               FROM kept),
+         c AS (SELECT doc_id, source, i AS chunk_id,
+                      list_slice(ts, CAST(i * 24 + 1 AS INT), CAST(i * 24 + 32 AS INT)) AS chunk
+               FROM n CROSS JOIN range(64) AS r(i) WHERE i < nc),
+         pk AS (SELECT doc_id, chunk_id, source,
+                       CAST(len(chunk) AS BIGINT) AS n_tokens,
+                       doc_id * 1000 + chunk_id AS cid,
+                       md5(array_to_string(chunk, ' ')) AS chunk_md5
+                FROM c)
+         SELECT doc_id, chunk_id, source, n_tokens,
+                CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY cid
+                                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           / 500.0) AS BIGINT) AS shard,
+                chunk_md5
+         FROM pk""",
     "chunk_documents" ->
       """WITH toks AS (SELECT doc_id,
                               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts

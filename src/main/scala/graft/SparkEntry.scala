@@ -437,6 +437,14 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
         blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
+    // edit-distance near-dup over SHORT strings (titles): deletion-
+    // neighborhood blocking (sound pigeonhole, recall 1.0 by
+    // construction) + codegen'd levenshtein verify in-join; corpus
+    // plants one substitution twin per 10th title and one insertion
+    // twin per 15th, so both edit kinds are exercised
+    "dedup_fuzzy" -> ((s, dir) =>
+      Dedup.editDistancePairs(titlesWithFuzzyDupes(s, dir),
+        textCol = "title", maxDist = 1)),
     // maximal duplicated word spans (Lee et al. 2021 §4.1): the
     // distributed gram-match rendition of suffix-array substring dedup —
     // reports WHERE the duplication lives, not just which docs collide
@@ -1459,6 +1467,39 @@ object SparkEntry {
         ev.filter(col("user_id") % 10 < 5),
         ev.filter(col("user_id") % 10 >= 5),
         "event_type")
+    }),
+    // contract-check suite over the whole star + corpus drop: per-table
+    // row predicates and key uniqueness fuse into ONE aggregation pass
+    // per table; referential checks probe the distinct dim key set
+    // (broadcast for true dimensions, AQE-planned for the fact-to-fact
+    // lineitem->orders edge). Every count is exact — this is the gate a
+    // scheduler trusts before admitting a drop
+    "dq_expectations" -> ((s, dir) => {
+      val cust = Tables.table(s, dir, "customer")
+      val ord = Tables.table(s, dir, "orders")
+      val li = Tables.table(s, dir, "lineitem")
+      val docs = Tables.documents(s, dir)
+      Profile.checkRows(cust,
+          Seq("customer_acctbal_not_null" -> col("c_acctbal").isNull),
+          uniqueCols = Seq("c_custkey"))
+        .unionByName(Profile.checkRows(ord,
+          Seq("orders_totalprice_positive" -> !(col("o_totalprice") > 0),
+              "orders_date_not_null" -> col("o_orderdate").isNull),
+          uniqueCols = Seq("o_orderkey")))
+        .unionByName(Profile.checkRows(li,
+          Seq("lineitem_qty_in_range" ->
+                !col("l_quantity").between(1, 50),
+              "lineitem_discount_in_range" ->
+                !col("l_discount").between(0.0, 0.5))))
+        .unionByName(Profile.checkRows(docs,
+          Seq("documents_nchars_consistent" ->
+                (col("n_chars") =!= length(col("text"))),
+              "documents_text_not_null" -> col("text").isNull),
+          uniqueCols = Seq("doc_id")))
+        .unionByName(Profile.checkForeignKey(ord, "o_custkey",
+          cust, "c_custkey", "orders_fk_customer"))
+        .unionByName(Profile.checkForeignKey(li, "l_orderkey",
+          ord, "o_orderkey", "lineitem_fk_orders", broadcastDim = false))
     }),
 
     // --- deterministic sampling + packing (training-data pipeline ops;
@@ -2668,6 +2709,22 @@ object SparkEntry {
         col("text"), col("lang"), col("source"), col("n_chars")))
   }
 
+  /** Title corpus for the edit-distance dedup row: 24-char text prefixes
+    * as "titles", plus a substitution twin ('Z' over char 1, id+20M) for
+    * every 10th doc and an insertion twin (appended '!', id+30M) for
+    * every 15th — each twin is Levenshtein distance <= 1 from its base,
+    * covering both edit kinds the deletion pigeonhole must find. */
+  private def titlesWithFuzzyDupes(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(lit("Z"), substring(col("title"), 2, 23)).as("title")))
+      .unionByName(d.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(col("title"), lit("!")).as("title")))
+  }
+
   /** Train/eval split of the documents table with planted contamination:
     * eval = every 25th doc; train = the rest PLUS, for every 50th doc, a
     * doc (id+20M) embedding a verbatim 12-token span of that eval doc —
@@ -3576,6 +3633,30 @@ object SparkEntry {
                             / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) AS jaccard
                FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    // the oracle replays the SAME deletion-neighborhood blocking (the
+    // pigeonhole is engine-independent), then verifies with DuckDB's own
+    // levenshtein — candidate generation AND the verify are both checked
+    "dedup_fuzzy" ->
+      """WITH corpus AS (
+           SELECT doc_id, substr(text, 1, 24) AS title FROM documents
+           UNION ALL
+           SELECT doc_id + 20000000 AS doc_id,
+                  'Z' || substr(substr(text, 1, 24), 2) AS title
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 30000000 AS doc_id,
+                  substr(text, 1, 24) || '!' AS title
+           FROM documents WHERE doc_id % 15 = 0),
+         v AS (SELECT doc_id, title,
+                      unnest(list_distinct(list_transform(range(length(title) + 1),
+                        i -> substr(title, 1, CAST(i AS INT))
+                             || substr(title, CAST(i + 2 AS INT))))) AS var
+               FROM corpus),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                               a.title AS ta, b.title AS tb
+               FROM v a JOIN v b ON a.var = b.var AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+         FROM p WHERE levenshtein(ta, tb) <= 1""",
     "dedup_spans" -> spanOracleSql,
     // identical semantics through the Spark-SQL surface -> same oracle
     "sql_spans" -> spanOracleSql,
@@ -4264,6 +4345,49 @@ object SparkEntry {
          SELECT bucket, n_ref, n_cur, psi_term,
                 round(CAST(t AS DOUBLE), 6) AS psi_total
          FROM terms CROSS JOIN tt""",
+    // every check is an exact count replay: conditional counts for row
+    // predicates, count - count(distinct) for uniqueness, anti-join
+    // counts for the two FK edges
+    "dq_expectations" ->
+      """SELECT 'customer_acctbal_not_null' AS check, count(*) AS total,
+                count(*) FILTER (WHERE c_acctbal IS NULL) AS violations FROM customer
+         UNION ALL
+         SELECT 'c_custkey_unique', count(*),
+                count(*) - count(DISTINCT c_custkey) FROM customer
+         UNION ALL
+         SELECT 'orders_totalprice_positive', count(*),
+                count(*) FILTER (WHERE NOT (o_totalprice > 0)) FROM orders
+         UNION ALL
+         SELECT 'orders_date_not_null', count(*),
+                count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+         UNION ALL
+         SELECT 'o_orderkey_unique', count(*),
+                count(*) - count(DISTINCT o_orderkey) FROM orders
+         UNION ALL
+         SELECT 'lineitem_qty_in_range', count(*),
+                count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50)) FROM lineitem
+         UNION ALL
+         SELECT 'lineitem_discount_in_range', count(*),
+                count(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 0.5)) FROM lineitem
+         UNION ALL
+         SELECT 'documents_nchars_consistent', count(*),
+                count(*) FILTER (WHERE n_chars <> length(text)) FROM documents
+         UNION ALL
+         SELECT 'documents_text_not_null', count(*),
+                count(*) FILTER (WHERE text IS NULL) FROM documents
+         UNION ALL
+         SELECT 'doc_id_unique', count(*),
+                count(*) - count(DISTINCT doc_id) FROM documents
+         UNION ALL
+         SELECT 'orders_fk_customer', count(*),
+                count(*) FILTER (WHERE o_custkey IS NULL
+                                 OR o_custkey NOT IN (SELECT c_custkey FROM customer))
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem_fk_orders', count(*),
+                count(*) FILTER (WHERE l_orderkey IS NULL
+                                 OR l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         FROM lineitem""",
     // mixture balancing replayed: same achievable-max M, same per-group
     // fractions, same 4-hex-digit md5 gate (sample_temperature's cut)
     "sample_mixture" ->

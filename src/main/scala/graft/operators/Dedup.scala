@@ -1048,4 +1048,87 @@ object Dedup {
       .filter(col("coverage") < maxCoverage)
       .select(col(idCol), col("n_words"), col("dup_words"), col("coverage"))
   }
+
+  // --------------------------------------------------------------------
+  // Edit-distance near-dup (titles / URLs / short fields).
+  //
+  // The shingle pipelines above need dozens of tokens to discriminate; a
+  // 20-char title has three. For SHORT strings the right similarity is
+  // Levenshtein, and the sound blocking is the deletion-neighborhood
+  // pigeonhole: if lev(u, v) <= d then some common subsequence w is
+  // reachable from BOTH by <= d deletions (align u with v: u's unmatched
+  // chars number <= substitutions + deletions <= d, v's <= substitutions
+  // + insertions <= d). So exploding every <= d-deletion variant and
+  // joining on the variant STRING finds every qualifying pair — recall
+  // 1.0 by construction, the same guarantee shape as the SimHash
+  // bit-slice pigeonhole above. Precision comes from verifying with the
+  // codegen'd `levenshtein` inside the join, so accidental bucket
+  // collisions never survive to the output.
+  // --------------------------------------------------------------------
+
+  /** All <= `maxDist`-deletion variants of `textCol` (the string itself
+    * included), built purely from codegen'd array/string expressions —
+    * d=1 is length+1 variants per row, d=2 is O(length^2). */
+  private[graft] def deletionVariants(docs: DataFrame, idCol: String,
+                                      textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (depth-$maxDist neighborhoods explode " +
+        "combinatorially beyond that); got " + maxDist)
+    val base = docs.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__vars", array(col("__t")))
+    (1 to maxDist).foldLeft(base) { (df, _) =>
+      // one deletion round: every variant contributes itself (i = length)
+      // plus each single-character deletion — iterating d times yields
+      // exactly the <= d-deletion neighborhood
+      df.withColumn("__vars", expr(
+        """array_distinct(flatten(transform(__vars,
+             v -> transform(sequence(0, length(v)),
+                    i -> concat(substring(v, 1, i), substring(v, i + 2))))))"""))
+    }
+  }
+
+  /** Near-duplicate pairs of short strings within Levenshtein distance
+    * `maxDist`: deletion-neighborhood blocking (sound — see section
+    * comment) + in-join exact verify.
+    *
+    * Scale shape: narrow per-row variant explode, ONE shuffle on the
+    * variant string, within-bucket pair join, distinct, codegen'd
+    * `levenshtein` verify. Verbatim-duplicated titles make hot buckets
+    * exactly like verbatim bodies do in the band joins, so the same
+    * lowest-id rank cap applies (`maxBucketMembers`), with evictions
+    * observable via [[editBucketDrops]].
+    * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxDist */
+  def editDistancePairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "title", maxDist: Int = 1,
+                        maxBucketMembers: Int = Int.MaxValue): DataFrame = {
+    val vars = deletionVariants(docs, idCol, textCol, maxDist)
+      .select(col(idCol), col("__t"), explode(col("__vars")).as("__v"))
+    val ranked =
+      if (maxBucketMembers == Int.MaxValue) vars
+      else vars.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__v")).orderBy(col(idCol))))
+        .filter(col("__rn") <= maxBucketMembers)
+    val a = ranked.select(col(idCol).as("id_a"), col("__t").as("__ta"), col("__v"))
+    val b = ranked.select(col(idCol).as("id_b"), col("__t").as("__tb"), col("__v"))
+    a.join(b, "__v")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__ta", "__tb").distinct()
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Observable eviction count for a capped [[editDistancePairs]] join:
+    * members beyond `maxBucketMembers` across all variant buckets — one
+    * linear aggregate over the exploded frame, never forms pairs (the
+    * [[bandBucketDrops]] contract for the deletion-variant bucket key). */
+  def editBucketDrops(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "title", maxDist: Int = 1,
+                      maxBucketMembers: Int = Int.MaxValue): DataFrame =
+    deletionVariants(docs, idCol, textCol, maxDist)
+      .select(col(idCol), explode(col("__vars")).as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(greatest(col("__n") - lit(maxBucketMembers.toLong), lit(0L))),
+        lit(0L)).as("n_dropped"))
 }

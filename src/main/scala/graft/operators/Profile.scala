@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data-quality profiling — the "what's in this table"
@@ -106,5 +106,69 @@ object Profile {
     terms.crossJoin(broadcast(total))
       .select(col("bucket"), col("n_ref"), col("n_cur"), col("psi_term"),
         round(col("__t").cast("double"), 6).as("psi_total"))
+  }
+
+  // --------------------------------------------------------------------
+  // Expectation suite — the Deequ/Great-Expectations-style contract
+  // check a pipeline runs before admitting a new data drop: named
+  // predicates with exact violation counts, emitted as a small report
+  // frame a scheduler can gate on. (The reference validates only
+  // embedding dimensionality, executor.py:105-110; a corpus pipeline
+  // needs table-wide contracts.)
+  // --------------------------------------------------------------------
+
+  /** Row-predicate and uniqueness checks over ONE table, fused into a
+    * single aggregation pass (every check is two conditional aggregates
+    * in the same `agg` — map-side combinable, one scan no matter how
+    * many checks ride it). `violationPreds` maps check name -> boolean
+    * column that is true ON A VIOLATING ROW (null predicate counts as
+    * no violation — express nullability checks explicitly).
+    * `uniqueCols` adds a `<col>_unique` check per listed column with
+    * violations = n_rows − n_distinct (exact distinct: the honest
+    * Expand cost, same adjudication as [[profile]]).
+    * @return one row per check: (check, total, violations) */
+  def checkRows(df: DataFrame, violationPreds: Seq[(String, Column)],
+                uniqueCols: Seq[String] = Nil): DataFrame = {
+    require(violationPreds.nonEmpty || uniqueCols.nonEmpty, "no checks")
+    val names = violationPreds.map(_._1) ++ uniqueCols.map(_ + "_unique")
+    require(names.distinct.size == names.size,
+      s"duplicate check names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    val aggs = Seq(count(lit(1)).as("__total")) ++
+      violationPreds.map { case (name, pred) =>
+        count(when(pred, 1)).as(s"__v_$name") } ++
+      uniqueCols.map(c => countDistinct(col(c)).as(s"__nd_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = violationPreds.map { case (name, _) =>
+      struct(lit(name).as("check"), col("__total").as("total"),
+        col(s"__v_$name").as("violations"))
+    } ++ uniqueCols.map { c =>
+      struct(lit(s"${c}_unique").as("check"), col("__total").as("total"),
+        (col("__total") - col(s"__nd_$c")).as("violations"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Referential-integrity check: fact rows whose `factKey` has no match
+    * in `dim.dimKey` are violations (null fact keys violate too — a
+    * dangling FK and a missing FK both break the join contract;
+    * exempt them upstream if the schema allows nulls).
+    *
+    * Scale shape: the dim side reduces to its DISTINCT key set first;
+    * `broadcastDim = true` (real dimension tables) makes the probe a
+    * broadcast left join — zero fact shuffle; false (fact-to-fact FKs,
+    * e.g. lineitem -> orders at 100 TB) leaves the strategy to
+    * AQE/sort-merge on the key. Either way the verdict is ONE
+    * conditional aggregate over the joined frame.
+    * @return one row: (check, total, violations) */
+  def checkForeignKey(fact: DataFrame, factKey: String,
+                      dim: DataFrame, dimKey: String, name: String,
+                      broadcastDim: Boolean = true): DataFrame = {
+    val keys0 = dim.select(col(dimKey).as("__dk")).where(col("__dk").isNotNull).distinct()
+    val keys = if (broadcastDim) broadcast(keys0) else keys0
+    fact.select(col(factKey).as("__fk"))
+      .join(keys, col("__fk") === col("__dk"), "left")
+      .agg(count(lit(1)).as("total"),
+        count(when(col("__dk").isNull, 1)).as("violations"))
+      .select(lit(name).as("check"), col("total"), col("violations"))
   }
 }

@@ -507,4 +507,59 @@ class DedupSpec extends SparkSuite {
     assert(r2(1L) === ((0L, h("a b c"))))
     assert(r2(2L) === ((3L, h(""))))
   }
+
+  // --- edit-distance near-dup (deletion-neighborhood blocking) ---
+
+  test("editDistancePairs finds every lev<=1 pair of a brute-force sweep") {
+    // short-title corpus: exact dup, substitution, deletion, insertion,
+    // distance-2 pair, and unrelated strings
+    val titles = Seq(
+      (1L, "spark engine"), (2L, "spark engine"),     // dist 0
+      (3L, "spark enginz"),                           // dist 1 (sub of 1)
+      (4L, "spark engin"),                            // dist 1 (del of 1)
+      (5L, "sparkk engine"),                          // dist 1 (ins of 1)
+      (6L, "spark enzinz"),                           // dist 2 from 1, 1 from 3
+      (7L, "flink runtime"), (8L, "")
+    ).toDF("doc_id", "title")
+    val got = Dedup.editDistancePairs(titles, textCol = "title").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over the same corpus
+    val rows = titles.collect().map(r => r.getLong(0) -> r.getString(1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib && lev(ta, tb) <= 1
+    } yield (ia, ib) -> lev(ta, tb).toLong).toMap
+    assert(got === want, s"got=$got want=$want")
+    // the planted structure is actually exercised
+    assert(want((1L, 2L)) === 0L && want((1L, 3L)) === 1L &&
+      want((1L, 4L)) === 1L && want((1L, 5L)) === 1L && want((3L, 6L)) === 1L)
+    assert(!want.contains((1L, 6L)), "distance-2 pair must be absent at d=1")
+  }
+
+  test("editDistancePairs d=2 reaches the distance-2 pair; cap + drops observable") {
+    val titles = Seq(
+      (1L, "spark engine"), (6L, "spark enzinz"), (7L, "flink runtime")
+    ).toDF("doc_id", "title")
+    val d2 = Dedup.editDistancePairs(titles, textCol = "title", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d2 === Map((1L, 6L) -> 2L))
+    // verbatim-duplicated titles: capped bucket emits C(cap,2) pairs and
+    // the drop counter sees every eviction across the variant buckets
+    val dup = (1L to 10L).map(i => (i, "same title")).toDF("doc_id", "title")
+    val capped = Dedup.editDistancePairs(dup, textCol = "title",
+      maxBucketMembers = 4)
+    assert(capped.count() === 6L) // C(4,2)
+    val drops = Dedup.editBucketDrops(dup, textCol = "title",
+      maxBucketMembers = 4).head().getLong(0)
+    // "same title" has no adjacent equal chars, so all length+1 variants
+    // are distinct; every variant bucket holds all 10 docs, 6 evicted each
+    assert(drops === ("same title".length + 1).toLong * 6L)
+  }
 }

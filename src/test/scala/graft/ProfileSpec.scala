@@ -81,4 +81,42 @@ class ProfileSpec extends SparkSuite {
       .orderBy("bucket").collect()
     assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
   }
+
+  test("checkRows: planted violations counted exactly; uniqueness from distinct") {
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(-3.0)), (2L, None), (4L, Some(200.0))
+    ).toDF("k", "v")
+    val rep = Profile.checkRows(df,
+        Seq("v_not_null" -> col("v").isNull,
+            "v_in_range" -> !col("v").between(0.0, 100.0)),
+        uniqueCols = Seq("k"))
+      .collect().map(r => r.getAs[String]("check") ->
+        (r.getAs[Long]("total"), r.getAs[Long]("violations"))).toMap
+    assert(rep("v_not_null") === ((4L, 1L)))
+    // null v rows do NOT violate the range check (nullability is its own
+    // check): only -3.0 and 200.0 fall outside [0, 100]
+    assert(rep("v_in_range") === ((4L, 2L)))
+    assert(rep("k_unique") === ((4L, 1L)))
+  }
+
+  test("checkRows rejects duplicate check names") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Profile.checkRows(df, Seq("a_unique" -> col("a").isNull),
+        uniqueCols = Seq("a"))
+    }
+    assert(e.getMessage.contains("duplicate check names"))
+  }
+
+  test("checkForeignKey: dangling and null fact keys violate, both join modes") {
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val fact = Seq(Some(1L), Some(2L), Some(9L), None, Some(3L)).toDF("fk")
+    for (bc <- Seq(true, false)) {
+      val r = Profile.checkForeignKey(fact, "fk", dim, "dk", "fk_check",
+        broadcastDim = bc).collect().head
+      assert(r.getAs[String]("check") === "fk_check")
+      assert(r.getAs[Long]("total") === 5L, s"broadcastDim=$bc")
+      assert(r.getAs[Long]("violations") === 2L, s"broadcastDim=$bc")
+    }
+  }
 }

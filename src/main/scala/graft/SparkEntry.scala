@@ -1524,6 +1524,23 @@ object SparkEntry {
       Sampling.splitAssign(Tables.documents(s, dir), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))),
+    // LEAKAGE-SAFE split: hashing per-doc would scatter near-duplicate
+    // docs across train/test (the classic eval-contamination bug); here
+    // the split key is the doc's duplicate-COMPONENT label, so whole
+    // near-dup clusters land in one split by construction. Runs on the
+    // pair-preserving parity-half slice (the dedup_twin_agreement
+    // argument: the contract is corpus-independent; planted copies share
+    // their base's parity so every cluster survives whole)
+    "split_leakage_safe" -> ((s, dir) => {
+      val corpus = parityHalf(docsWithNearDupes(s, dir))
+      val comp = Dedup.duplicateComponents(corpus,
+        Dedup.ngramJaccardPairs(corpus,
+          blockExpr = md5(substring(col("text"), 1, 40).cast("binary")),
+          threshold = 0.5))
+      Sampling.splitAssign(comp, "component",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("component"), col("split"))
+    }),
     // T=2 temperature resampling over the skewed lang distribution
     // (70..218 docs/lang at sf0.01): kept sizes ~ sqrt(count)
     "sample_temperature" -> ((s, dir) =>
@@ -4297,6 +4314,39 @@ object SparkEntry {
                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
                      ELSE 'test' END AS split
          FROM documents""",
+    // the components CTE replayed on the parity-half slice, then the
+    // split_assign md5 rule applied to the COMPONENT label — both halves
+    // of the composition (clustering AND the leakage-safe key choice)
+    // are checked by one hash compare
+    "split_leakage_safe" ->
+      """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM (
+                      SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+                      FROM documents WHERE doc_id % 10 = 0)
+                    WHERE doc_id % 10000000 % 2 = 0),
+         g AS (SELECT doc_id, md5(substr(text, 1, 40)) AS blk,
+                      CASE WHEN length(text) >= 3
+                           THEN list_distinct(list_transform(range(length(text) - 2),
+                                  i -> substr(text, CAST(i + 1 AS INT), 3)))
+                           ELSE [text] END AS s
+               FROM corpus),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+               WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) >= 0.5),
+         e AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, label) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT e.id_a, r.label FROM e JOIN reach r ON e.id_b = r.id),
+         c AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY 1)
+         SELECT doc_id, component,
+                CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                     WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM c""",
     "dsir_select" ->
       """WITH tok AS (SELECT doc_id,
                              list_contains(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), 'dup') AS tgt,

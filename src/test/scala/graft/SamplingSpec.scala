@@ -234,4 +234,26 @@ class SamplingSpec extends SparkSuite {
     assert(!r1.exists(r => r.getAs[Long]("id") >= 100L),
       "non-positive weights must be excluded from the race")
   }
+
+  test("component-keyed split keeps whole dup clusters in one split") {
+    import spark.implicits._
+    // ids chosen so PER-DOC hashing scatters at least one cluster across
+    // splits (guard below asserts the scenario is non-vacuous), while
+    // component-keyed assignment cannot by construction
+    val labels = (1L to 200L).map(i => (i, (i / 4L) * 4L)).toDF("doc_id", "component")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val byDoc = Sampling.splitAssign(labels, "doc_id", splits)
+      .groupBy("component").agg(countDistinct(col("split")).as("n"))
+    assert(byDoc.filter(col("n") > 1).count() > 0,
+      "scenario guard: per-doc hashing must actually scatter a cluster")
+    val byComp = Sampling.splitAssign(labels, "component", splits)
+    assert(byComp.groupBy("component").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count() === 0L,
+      "a duplicate component must never span splits")
+    // same component => same split, and the rule is the split_assign md5
+    // rule applied to the component label
+    val one = byComp.filter(col("component") === 100L)
+      .select("split").distinct().collect()
+    assert(one.length === 1)
+  }
 }

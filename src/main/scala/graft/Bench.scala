@@ -37,8 +37,14 @@ object Bench {
     // build session state (IVF index / bucketed tables) on first call —
     // the build-once/query-many split the reference also times separately
     // (benchmark.py reports build and query phases apart).
+    // multimodal_meta is in the list for its library init, not its
+    // session state: the first ImageIO/AudioSystem touch pays a
+    // plugin-registry scan that otherwise lands on whichever multimodal
+    // query the first sweep times first (r10's driver run flagged
+    // multimodal_frames/_resize ~2x on exactly this)
     for (name <- Seq("knn_cosine", "ann_ivf", "ann_pq_cosine",
-                     "ann_ivfpq_residual_recall", "scale_bucketed_revenue");
+                     "ann_ivfpq_residual_recall", "scale_bucketed_revenue",
+                     "multimodal_meta");
          fn <- SparkEntry.queries.get(name))
       fn(spark, sfDir).count()
     // Machine-speed canary: a FIXED deterministic workload (pure

@@ -127,6 +127,25 @@ object SparkEntry {
       Dedup.minhashPairsPortable(docsWithNearDupes(s, dir), threshold = 0.5)),
     "dedup_simhash_md5" -> ((s, dir) =>
       Dedup.simhashPairsPortable(docsWithNearDupes(s, dir))),
+    // normalization-composed near-dup: Unicode-normalize BEFORE hashing,
+    // so byte-different diacritic spellings dedup together. Planted
+    // twins carry a combining acute after every 'e' (decomposed form —
+    // no shingle survives verbatim against the base), yet strip_accents
+    // folds them back to jaccard-1.0 pairs. Quarter slice: the contract
+    // is corpus-independent
+    "dedup_normalized" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        docs.filter(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + 40000000L).as("doc_id"),
+            regexp_replace(col("text"), "e", "e\u0301").as("text")))
+      Dedup.minhashPairsPortable(
+        corpus.select(col("doc_id"),
+          TextOps.stripAccents(col("text")).as("text")),
+        threshold = 0.5)
+    }),
     // GATED twin agreement: the xxhash64 flagship and the md5-oracled
     // twin must emit the IDENTICAL verified pair set (id_a, id_b,
     // jaccard) — both verify candidates with the same exact shingle-set
@@ -2749,6 +2768,47 @@ object SparkEntry {
   /** Shared CTE prefix for the two contamination oracles: the train/eval
     * split (mirroring [[contaminationSplit]]) and both sides' word-8-gram
     * sets. */
+  /** Portable one-permutation MinHash oracle, reproduced stage by stage
+    * over a caller-supplied corpus CTE (doc_id, text): 60-bit md5 hash
+    * -> 32 rotation-densified slots -> 16 string-keyed bands ->
+    * candidate pairs -> exact word-3-shingle Jaccard verify at 0.5.
+    * Shared by the planted-tail flagship twin (`dedup_minhash_md5`) and
+    * the normalization-composed row (`dedup_normalized`). */
+  private def minhashMd5OracleSql(corpusCte: String): String =
+    s"""WITH corpus AS ($corpusCte),
+         tk AS (SELECT doc_id, ts, len(ts) AS t
+                FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+                      FROM corpus)
+                WHERE len(ts) > 0),
+         sh AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(
+                         ts[i] || ' ' ||
+                         CASE WHEN i + 1 <= t THEN ts[i + 1] ELSE ts[i] END || ' ' ||
+                         CASE WHEN i + 2 <= t THEN ts[i + 2] ELSE ts[i] END), 1, 15) AS BIGINT) AS h
+                FROM (SELECT doc_id, ts, t, unnest(range(1, t + 1)) AS i FROM tk)),
+         mh AS (SELECT doc_id, h % 32 AS b, min(h) AS mv FROM sh GROUP BY 1, 2),
+         slots AS (SELECT doc_id, unnest(range(0, 32)) AS s FROM tk),
+         sig AS (SELECT slots.doc_id AS doc_id, s, arg_min(mv, (b - s + 32) % 32) AS v
+                 FROM slots JOIN mh ON slots.doc_id = mh.doc_id GROUP BY 1, 2),
+         bk AS (SELECT doc_id, CAST(s // 2 AS INT) AS band,
+                       string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
+                FROM sig GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id,
+                         CASE WHEN len(ts) >= 3
+                              THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))
+                              ELSE [array_to_string(ts, ' ')] END AS ss
+                  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+                        FROM corpus)),
+         p AS (SELECT id_a, id_b,
+                      round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                            / CAST(len(list_distinct(sa.ss || sb.ss)) AS DOUBLE), 4) AS jaccard
+               FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+                         JOIN sets sb ON cand.id_b = sb.doc_id)
+         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5"""
+
   /** Oracle twin of [[urlFixture]]: the same URL construction in SQL. */
   private val urlFixtureCte: String =
     """u AS (
@@ -3558,43 +3618,22 @@ object SparkEntry {
     // portable one-permutation MinHash, reproduced stage by stage: 60-bit
     // md5 hash -> 32 rotation-densified slots -> 16 string-keyed bands ->
     // candidate pairs -> exact word-3-shingle Jaccard verify
-    "dedup_minhash_md5" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents
-                         UNION ALL
-                         SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
-                         FROM documents WHERE doc_id % 10 = 0),
-         tk AS (SELECT doc_id, ts, len(ts) AS t
-                FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
-                      FROM corpus)
-                WHERE len(ts) > 0),
-         sh AS (SELECT doc_id,
-                       CAST('0x' || substr(md5(
-                         ts[i] || ' ' ||
-                         CASE WHEN i + 1 <= t THEN ts[i + 1] ELSE ts[i] END || ' ' ||
-                         CASE WHEN i + 2 <= t THEN ts[i + 2] ELSE ts[i] END), 1, 15) AS BIGINT) AS h
-                FROM (SELECT doc_id, ts, t, unnest(range(1, t + 1)) AS i FROM tk)),
-         mh AS (SELECT doc_id, h % 32 AS b, min(h) AS mv FROM sh GROUP BY 1, 2),
-         slots AS (SELECT doc_id, unnest(range(0, 32)) AS s FROM tk),
-         sig AS (SELECT slots.doc_id AS doc_id, s, arg_min(mv, (b - s + 32) % 32) AS v
-                 FROM slots JOIN mh ON slots.doc_id = mh.doc_id GROUP BY 1, 2),
-         bk AS (SELECT doc_id, CAST(s // 2 AS INT) AS band,
-                       string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
-                FROM sig GROUP BY 1, 2),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         sets AS (SELECT doc_id,
-                         CASE WHEN len(ts) >= 3
-                              THEN list_distinct(list_transform(range(1, len(ts) - 1),
-                                     i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))
-                              ELSE [array_to_string(ts, ' ')] END AS ss
-                  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
-                        FROM corpus)),
-         p AS (SELECT id_a, id_b,
-                      round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-                            / CAST(len(list_distinct(sa.ss || sb.ss)) AS DOUBLE), 4) AS jaccard
-               FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
-                         JOIN sets sb ON cand.id_b = sb.doc_id)
-         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    "dedup_minhash_md5" -> minhashMd5OracleSql(
+      """SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+         FROM documents WHERE doc_id % 10 = 0"""),
+    // normalization-composed near-dup: strip_accents over the SAME
+    // pipeline — the planted decomposed-accent twins (every 'e' carries
+    // a combining acute) are byte-different from their bases but
+    // normalize to identical text, so the pairs appear at jaccard 1.0
+    "dedup_normalized" -> minhashMd5OracleSql(
+      """SELECT doc_id, strip_accents(text) AS text FROM (
+           SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id + 40000000 AS doc_id,
+                  replace(text, 'e', 'e' || chr(769)) AS text
+           FROM documents WHERE doc_id % 8 = 0)"""),
     // portable SimHash: bigram features -> 60 sign bits -> 4 bands of 15
     // bits -> candidates -> exact Hamming <= 3 verify
     "dedup_simhash_md5" ->

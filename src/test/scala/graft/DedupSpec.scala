@@ -508,6 +508,25 @@ class DedupSpec extends SparkSuite {
     assert(r2(2L) === ((3L, h(""))))
   }
 
+  test("normalization-composed minhash: accent variants dedup only after strip") {
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val twin = base.select(lit(2L).as("doc_id"),
+      regexp_replace(col("text"), "e", "e\u0301").as("text"))
+    val corpus = base.unionByName(twin)
+    // decomposed combining marks change every 'e'-word, so raw shingle
+    // hashing sees two unrelated docs...
+    assert(Dedup.minhashPairsPortable(corpus, threshold = 0.5).isEmpty)
+    // ...while the normalized pipeline folds them to an exact pair
+    val normed = Dedup.minhashPairsPortable(
+      corpus.select(col("doc_id"),
+        TextOps.stripAccents(col("text")).as("text")),
+      threshold = 0.5).collect()
+    assert(normed.length === 1)
+    assert((normed(0).getLong(0), normed(0).getLong(1), normed(0).getDouble(2))
+      === ((1L, 2L, 1.0)))
+  }
+
   // --- edit-distance near-dup (deletion-neighborhood blocking) ---
 
   test("editDistancePairs finds every lev<=1 pair of a brute-force sweep") {

@@ -562,6 +562,36 @@ class DedupSpec extends SparkSuite {
     assert(!want.contains((1L, 6L)), "distance-2 pair must be absent at d=1")
   }
 
+  test("deletion-neighborhood pigeonhole: random corpus == brute force at d=1 and d=2") {
+    // randomized equivalence over a dense space: 300 strings, alphabet
+    // {a,b,c}, length <= 8 — thousands of within-distance pairs incl.
+    // duplicates, so every edit kind and the dist-0 megabuckets are hit.
+    // Fixed seed keeps the trial reproducible
+    val rnd = new scala.util.Random(42)
+    val strs = (1L to 300L).map { i =>
+      (i, Vector.fill(rnd.nextInt(9))("abc"(rnd.nextInt(3))).mkString)
+    }
+    val df = strs.toDF("doc_id", "title")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (maxD <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(df, textCol = "title", maxDist = maxD)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = (for {
+        (ia, ta) <- strs; (ib, tb) <- strs
+        if ia < ib && lev(ta, tb) <= maxD
+      } yield (ia, ib) -> lev(ta, tb).toLong).toMap
+      assert(got.size === want.size, s"d=$maxD: ${got.size} vs ${want.size}")
+      assert(got === want, s"d=$maxD mismatch")
+    }
+  }
+
   test("editDistancePairs d=2 reaches the distance-2 pair; cap + drops observable") {
     val titles = Seq(
       (1L, "spark engine"), (6L, "spark enzinz"), (7L, "flink runtime")

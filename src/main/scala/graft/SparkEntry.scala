@@ -453,6 +453,24 @@ object SparkEntry {
           .otherwise(raise_error(concat(
             lit("ttl gate: evictions must be observable, dropped="), col("n_dropped")))))
     }),
+    // GATED watermark lateness contract — the event-time semantic the
+    // whole streaming family's state bound rests on, driver-visible: a
+    // 3-batch hourlyCounts replay where batch 2 re-sends a row 8h behind
+    // the watermark. The late row must be DROPPED (were it accepted, the
+    // already-emitted hour would re-open and surface a duplicate
+    // (t0, click, 1) row — append mode emits a window exactly once);
+    // the finalized windows must carry exactly the in-time counts.
+    // Set equality at floor 1.0 over the fully determined emitted table
+    "events_stream_late_gate" -> ((s, dir) => {
+      import s.implicits._
+      val t0 = LateGateT0
+      Recall.setAgreement(
+        lateGateReplay(s).toSeq.toDF("window_start", "event_type", "n_events"),
+        Seq((t0, "click", 3L), (t0 + 36000L, "sentinel", 1L))
+          .toDF("window_start", "event_type", "n_events"),
+        on = Seq("window_start", "event_type", "n_events"),
+        floor = 1.0, minCount = 1L)
+    }),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
         blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
@@ -3076,6 +3094,52 @@ object SparkEntry {
     * drop-count gates) still builds and executes on every call. The
     * replay is fixture-independent (a planted 4-doc corpus), so the memo
     * keys on the context alone. */
+  /** Watermark late-data replay for `events_stream_late_gate`, memoized
+    * per JVM like [[ttlReplayMemo]] (the replay is three micro-batches of
+    * a MemoryStream; its cost is stream-harness overhead, and the
+    * contract can't drift within one process). Event-time only — no
+    * processing-time timeouts, so `processAllAvailable` observes
+    * quiescence and no sleeps are needed.
+    * @return the append-mode emitted rows (window_start, event_type, n) */
+  private val lateGateMemo =
+    scala.collection.concurrent.TrieMap.empty[Int, Set[(Long, String, Long)]]
+  private[graft] val LateGateT0 = 1704067200L // 2024-01-01 00:00:00 UTC
+  private def lateGateReplay(s: SparkSession): Set[(Long, String, Long)] =
+    lateGateMemo.getOrElseUpdate(System.identityHashCode(s.sparkContext), {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val sink = s"__events_late_gate_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = s2.sqlContext
+      import s2.implicits._
+      val t0 = LateGateT0
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val input = MemoryStream[(java.sql.Timestamp, String)]
+      val q = graft.streaming.EventStream.hourlyCounts(
+          input.toDF().toDF("ts", "event_type"), watermark = "2 hours")
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try {
+        // batch 1: three clicks in hour H0 plus a sentinel 10h ahead —
+        // after this batch the watermark is t0+8h, so H0 (ends t0+1h)
+        // finalizes and emits (click, 3)
+        input.addData((ts(t0 + 60), "click"), (ts(t0 + 120), "click"),
+          (ts(t0 + 1800), "click"), (ts(t0 + 36000), "sentinel"))
+        q.processAllAvailable()
+        // batch 2: a LATE click back in H0, 8h behind the watermark. If
+        // the watermark filter failed, this would re-open H0 state and
+        // surface as a duplicate (t0, click, 1) row at this batch's end
+        // (H0's window end is already behind the watermark)
+        input.addData((ts(t0 + 300), "click"))
+        q.processAllAvailable()
+        // batch 3: advance the watermark past the first sentinel's hour
+        // so its row emits too — the final table is fully determined
+        input.addData((ts(t0 + 72000), "sentinel2"))
+        q.processAllAvailable()
+        s2.table(sink).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      } finally { q.stop(); s2.catalog.dropTempView(sink) }
+    })
+
   private val ttlReplayMemo =
     scala.collection.concurrent.TrieMap.empty[Int, (Set[(Long, Long)], Long)]
   private def ttlGateReplay(s: SparkSession): (Set[(Long, Long)], Long) =

@@ -1118,6 +1118,43 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Incremental-ingest form of [[editDistancePairs]] — the recurring-
+    * crawl contract the MinHash/SimHash families already carry
+    * ([[minhashCandidatesIncremental]]): dedup a NEW batch against an
+    * EXISTING corpus emitting exactly the pairs that TOUCH the batch
+    * (new×old and new×new, never an old×old re-pairing), so each ingest
+    * pays work proportional to the delta's variant explode plus its
+    * bucket probes, not a full-corpus re-pair.
+    * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxDist,
+    *         at least one side from `newDocs` */
+  def editDistancePairsIncremental(oldDocs: DataFrame, newDocs: DataFrame,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "title",
+                                   maxDist: Int = 1): DataFrame = {
+    def vars(df: DataFrame) = deletionVariants(df, idCol, textCol, maxDist)
+      .select(col(idCol), col("__t"), explode(col("__vars")).as("__v"))
+    val newV = vars(newDocs)
+    val oldV = vars(oldDocs)
+    val a = newV.select(col(idCol).as("id_a"), col("__t").as("__ta"), col("__v"))
+    // probe side = old ∪ new: new×new pairs come from the self side,
+    // new×old from the union's old half; old×old can never form because
+    // one side is always the new batch
+    val b = oldV.unionByName(newV)
+      .select(col(idCol).as("id_b"), col("__t").as("__tb"), col("__v"))
+    // a new×new pair arrives in BOTH orientations (each member probes
+    // the other), so ids AND titles normalize together before distinct
+    a.join(b, "__v")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("__ia"),
+        greatest(col("id_a"), col("id_b")).as("__ib"),
+        when(col("id_a") < col("id_b"), col("__ta")).otherwise(col("__tb")).as("__na"),
+        when(col("id_a") < col("id_b"), col("__tb")).otherwise(col("__ta")).as("__nb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__na"), col("__nb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"), col("dist"))
+  }
+
   /** Observable eviction count for a capped [[editDistancePairs]] join:
     * members beyond `maxBucketMembers` across all variant buckets — one
     * linear aggregate over the exploded frame, never forms pairs (the

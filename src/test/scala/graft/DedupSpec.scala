@@ -592,6 +592,29 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental edit-distance pairs == full pairs minus old-old, random corpus") {
+    // same dense random space as the pigeonhole pin, split 2:1 into an
+    // existing corpus and a new batch — the incremental contract is
+    // SET EQUALITY: full-corpus pairs touching the batch, nothing else,
+    // no duplicates from the two orientations of a new-new pair
+    val rnd = new scala.util.Random(7)
+    val strs = (1L to 240L).map { i =>
+      (i, Vector.fill(rnd.nextInt(9))("abc"(rnd.nextInt(3))).mkString)
+    }
+    val df = strs.toDF("doc_id", "title")
+    val old = df.filter($"doc_id" % 3 =!= 0)
+    val neu = df.filter($"doc_id" % 3 === 0)
+    def pset(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val incRows = Dedup.editDistancePairsIncremental(old, neu, textCol = "title")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(incRows.length === incRows.distinct.length, "duplicate pair rows")
+    val full = pset(Dedup.editDistancePairs(df, textCol = "title"))
+    val oldOld = pset(Dedup.editDistancePairs(old, textCol = "title"))
+    assert(incRows.toSet === (full -- oldOld))
+    assert(incRows.nonEmpty, "scenario guard: the batch must actually pair")
+  }
+
   test("editDistancePairs d=2 reaches the distance-2 pair; cap + drops observable") {
     val titles = Seq(
       (1L, "spark engine"), (6L, "spark enzinz"), (7L, "flink runtime")

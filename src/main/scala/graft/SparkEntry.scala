@@ -482,6 +482,21 @@ object SparkEntry {
     "dedup_fuzzy" -> ((s, dir) =>
       Dedup.editDistancePairs(titlesWithFuzzyDupes(s, dir),
         textCol = "title", maxDist = 1)),
+    // the same pipeline through the Spark-SQL surface (pure built-ins:
+    // transform/sequence/levenshtein), held to the same oracle
+    "sql_fuzzy" -> ((s, dir) => {
+      titlesWithFuzzyDupes(s, dir).createOrReplaceTempView("fuzzy_titles_sql")
+      s.sql("""
+        WITH v AS (SELECT doc_id, title,
+                          explode(array_distinct(transform(sequence(0, length(title)),
+                            i -> concat(substring(title, 1, i), substring(title, i + 2))))) AS var
+                   FROM fuzzy_titles_sql),
+        p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.title AS ta, b.title AS tb
+              FROM v a JOIN v b ON a.var = b.var AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+        FROM p WHERE levenshtein(ta, tb) <= 1""")
+    }),
     // maximal duplicated word spans (Lee et al. 2021 §4.1): the
     // distributed gram-match rendition of suffix-array substring dedup —
     // reports WHERE the duplication lives, not just which docs collide
@@ -2786,6 +2801,31 @@ object SparkEntry {
   /** Shared CTE prefix for the two contamination oracles: the train/eval
     * split (mirroring [[contaminationSplit]]) and both sides' word-8-gram
     * sets. */
+  /** Shared oracle for the edit-distance dedup row and its SQL-surface
+    * twin: the deletion-neighborhood blocking replayed in DuckDB plus
+    * its own levenshtein verify. */
+  private val fuzzyOracleSql: String =
+    """WITH corpus AS (
+           SELECT doc_id, substr(text, 1, 24) AS title FROM documents
+           UNION ALL
+           SELECT doc_id + 20000000 AS doc_id,
+                  'Z' || substr(substr(text, 1, 24), 2) AS title
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 30000000 AS doc_id,
+                  substr(text, 1, 24) || '!' AS title
+           FROM documents WHERE doc_id % 15 = 0),
+         v AS (SELECT doc_id, title,
+                      unnest(list_distinct(list_transform(range(length(title) + 1),
+                        i -> substr(title, 1, CAST(i AS INT))
+                             || substr(title, CAST(i + 2 AS INT))))) AS var
+               FROM corpus),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                               a.title AS ta, b.title AS tb
+               FROM v a JOIN v b ON a.var = b.var AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+         FROM p WHERE levenshtein(ta, tb) <= 1"""
+
   /** Portable one-permutation MinHash oracle, reproduced stage by stage
     * over a caller-supplied corpus CTE (doc_id, text): 60-bit md5 hash
     * -> 32 rotation-densified slots -> 16 string-keyed bands ->
@@ -3756,27 +3796,9 @@ object SparkEntry {
     // the oracle replays the SAME deletion-neighborhood blocking (the
     // pigeonhole is engine-independent), then verifies with DuckDB's own
     // levenshtein — candidate generation AND the verify are both checked
-    "dedup_fuzzy" ->
-      """WITH corpus AS (
-           SELECT doc_id, substr(text, 1, 24) AS title FROM documents
-           UNION ALL
-           SELECT doc_id + 20000000 AS doc_id,
-                  'Z' || substr(substr(text, 1, 24), 2) AS title
-           FROM documents WHERE doc_id % 10 = 0
-           UNION ALL
-           SELECT doc_id + 30000000 AS doc_id,
-                  substr(text, 1, 24) || '!' AS title
-           FROM documents WHERE doc_id % 15 = 0),
-         v AS (SELECT doc_id, title,
-                      unnest(list_distinct(list_transform(range(length(title) + 1),
-                        i -> substr(title, 1, CAST(i AS INT))
-                             || substr(title, CAST(i + 2 AS INT))))) AS var
-               FROM corpus),
-         p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                               a.title AS ta, b.title AS tb
-               FROM v a JOIN v b ON a.var = b.var AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
-         FROM p WHERE levenshtein(ta, tb) <= 1""",
+    "dedup_fuzzy" -> fuzzyOracleSql,
+    // identical semantics through the Spark-SQL surface -> same oracle
+    "sql_fuzzy" -> fuzzyOracleSql,
     "dedup_spans" -> spanOracleSql,
     // identical semantics through the Spark-SQL surface -> same oracle
     "sql_spans" -> spanOracleSql,

@@ -4528,7 +4528,7 @@ object SparkEntry {
                 count(*) FILTER (WHERE c_acctbal IS NULL) AS violations FROM customer
          UNION ALL
          SELECT 'c_custkey_unique', count(*),
-                count(*) - count(DISTINCT c_custkey) FROM customer
+                count(c_custkey) - count(DISTINCT c_custkey) FROM customer
          UNION ALL
          SELECT 'orders_totalprice_positive', count(*),
                 count(*) FILTER (WHERE NOT (o_totalprice > 0)) FROM orders
@@ -4537,7 +4537,7 @@ object SparkEntry {
                 count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
          UNION ALL
          SELECT 'o_orderkey_unique', count(*),
-                count(*) - count(DISTINCT o_orderkey) FROM orders
+                count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
          UNION ALL
          SELECT 'lineitem_qty_in_range', count(*),
                 count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50)) FROM lineitem
@@ -4552,7 +4552,7 @@ object SparkEntry {
                 count(*) FILTER (WHERE text IS NULL) FROM documents
          UNION ALL
          SELECT 'doc_id_unique', count(*),
-                count(*) - count(DISTINCT doc_id) FROM documents
+                count(doc_id) - count(DISTINCT doc_id) FROM documents
          UNION ALL
          SELECT 'orders_fk_customer', count(*),
                 count(*) FILTER (WHERE o_custkey IS NULL

@@ -124,8 +124,11 @@ object Profile {
     * column that is true ON A VIOLATING ROW (null predicate counts as
     * no violation — express nullability checks explicitly).
     * `uniqueCols` adds a `<col>_unique` check per listed column with
-    * violations = n_rows − n_distinct (exact distinct: the honest
-    * Expand cost, same adjudication as [[profile]]).
+    * violations = n_non_null_rows − n_distinct (exact distinct: the
+    * honest Expand cost, same adjudication as [[profile]]). NULL keys
+    * are NOT uniqueness violations — missing and duplicated keys are
+    * different defects, so express nullability as its own predicate
+    * check (same contract as the predicate rule above).
     * @return one row per check: (check, total, violations) */
   def checkRows(df: DataFrame, violationPreds: Seq[(String, Column)],
                 uniqueCols: Seq[String] = Nil): DataFrame = {
@@ -136,14 +139,16 @@ object Profile {
     val aggs = Seq(count(lit(1)).as("__total")) ++
       violationPreds.map { case (name, pred) =>
         count(when(pred, 1)).as(s"__v_$name") } ++
-      uniqueCols.map(c => countDistinct(col(c)).as(s"__nd_$c"))
+      uniqueCols.flatMap(c => Seq(
+        count(col(c)).as(s"__nn_$c"), // count(col) skips nulls
+        countDistinct(col(c)).as(s"__nd_$c")))
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = violationPreds.map { case (name, _) =>
       struct(lit(name).as("check"), col("__total").as("total"),
         col(s"__v_$name").as("violations"))
     } ++ uniqueCols.map { c =>
       struct(lit(s"${c}_unique").as("check"), col("__total").as("total"),
-        (col("__total") - col(s"__nd_$c")).as("violations"))
+        (col(s"__nn_$c") - col(s"__nd_$c")).as("violations"))
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }

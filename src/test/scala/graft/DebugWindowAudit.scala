@@ -6,7 +6,11 @@ import org.apache.spark.sql.catalyst.plans.logical.Window
 /** One-shot audit: which registered queries plan a Window with an EMPTY
   * partition spec (all rows to one task)? Deliberate uses exist (rank
   * over an already-reduced frame: sweeps, query×doc score grids); this
-  * lists them all so each can be adjudicated. Plan-only — nothing runs. */
+  * lists them all so each can be adjudicated. Only the returned plan is
+  * inspected — no `collect`/`count` here — but CONSTRUCTING some queries
+  * executes work eagerly (gate rows replay their memoized streams,
+  * index rows build their on-disk artifacts), which is why this runs at
+  * sf0.001 and a stream stall can surface as [audit-error]. */
 object DebugWindowAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

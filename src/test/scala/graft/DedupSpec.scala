@@ -529,6 +529,25 @@ class DedupSpec extends SparkSuite {
 
   // --- edit-distance near-dup (deletion-neighborhood blocking) ---
 
+  /** Shared brute-force Levenshtein oracle for the edit-distance specs. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Seeded dense random corpus: alphabet {a,b,c}, length <= 8 — small
+    * space, so thousands of within-distance pairs incl. duplicates. */
+  private def randomTitles(seed: Long, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (1L to n.toLong).map { i =>
+      (i, Vector.fill(rnd.nextInt(9))("abc"(rnd.nextInt(3))).mkString)
+    }
+  }
+
   test("editDistancePairs finds every lev<=1 pair of a brute-force sweep") {
     // short-title corpus: exact dup, substitution, deletion, insertion,
     // distance-2 pair, and unrelated strings
@@ -544,14 +563,6 @@ class DedupSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // brute force over the same corpus
     val rows = titles.collect().map(r => r.getLong(0) -> r.getString(1))
-    def lev(a: String, b: String): Int = {
-      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
-        if (i == 0) j else if (j == 0) i else 0 }
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      d(a.length)(b.length)
-    }
     val want = (for {
       (ia, ta) <- rows; (ib, tb) <- rows if ia < ib && lev(ta, tb) <= 1
     } yield (ia, ib) -> lev(ta, tb).toLong).toMap
@@ -567,19 +578,8 @@ class DedupSpec extends SparkSuite {
     // {a,b,c}, length <= 8 — thousands of within-distance pairs incl.
     // duplicates, so every edit kind and the dist-0 megabuckets are hit.
     // Fixed seed keeps the trial reproducible
-    val rnd = new scala.util.Random(42)
-    val strs = (1L to 300L).map { i =>
-      (i, Vector.fill(rnd.nextInt(9))("abc"(rnd.nextInt(3))).mkString)
-    }
+    val strs = randomTitles(seed = 42, n = 300)
     val df = strs.toDF("doc_id", "title")
-    def lev(a: String, b: String): Int = {
-      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
-        if (i == 0) j else if (j == 0) i else 0 }
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      d(a.length)(b.length)
-    }
     for (maxD <- Seq(1, 2)) {
       val got = Dedup.editDistancePairs(df, textCol = "title", maxDist = maxD)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -597,10 +597,7 @@ class DedupSpec extends SparkSuite {
     // existing corpus and a new batch — the incremental contract is
     // SET EQUALITY: full-corpus pairs touching the batch, nothing else,
     // no duplicates from the two orientations of a new-new pair
-    val rnd = new scala.util.Random(7)
-    val strs = (1L to 240L).map { i =>
-      (i, Vector.fill(rnd.nextInt(9))("abc"(rnd.nextInt(3))).mkString)
-    }
+    val strs = randomTitles(seed = 7, n = 240)
     val df = strs.toDF("doc_id", "title")
     val old = df.filter($"doc_id" % 3 =!= 0)
     val neu = df.filter($"doc_id" % 3 === 0)

@@ -84,7 +84,8 @@ class ProfileSpec extends SparkSuite {
 
   test("checkRows: planted violations counted exactly; uniqueness from distinct") {
     val df = Seq(
-      (1L, Some(10.0)), (2L, Some(-3.0)), (2L, None), (4L, Some(200.0))
+      (Some(1L), Some(10.0)), (Some(2L), Some(-3.0)), (Some(2L), None),
+      (Some(4L), Some(200.0)), (None, Some(5.0))
     ).toDF("k", "v")
     val rep = Profile.checkRows(df,
         Seq("v_not_null" -> col("v").isNull,
@@ -92,11 +93,13 @@ class ProfileSpec extends SparkSuite {
         uniqueCols = Seq("k"))
       .collect().map(r => r.getAs[String]("check") ->
         (r.getAs[Long]("total"), r.getAs[Long]("violations"))).toMap
-    assert(rep("v_not_null") === ((4L, 1L)))
+    assert(rep("v_not_null") === ((5L, 1L)))
     // null v rows do NOT violate the range check (nullability is its own
     // check): only -3.0 and 200.0 fall outside [0, 100]
-    assert(rep("v_in_range") === ((4L, 2L)))
-    assert(rep("k_unique") === ((4L, 1L)))
+    assert(rep("v_in_range") === ((5L, 2L)))
+    // NULL keys are a nullability defect, not a duplicate: uniqueness
+    // counts only the duplicated 2L, never the null-key row
+    assert(rep("k_unique") === ((5L, 1L)))
   }
 
   test("checkRows rejects duplicate check names") {

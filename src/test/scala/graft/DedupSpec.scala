@@ -612,6 +612,17 @@ class DedupSpec extends SparkSuite {
     assert(incRows.nonEmpty, "scenario guard: the batch must actually pair")
   }
 
+  test("edit-distance pairs on an empty corpus short-circuit to empty") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "title")
+    assert(Dedup.editDistancePairs(empty, textCol = "title").isEmpty)
+    assert(Dedup.editBucketDrops(empty, textCol = "title",
+      maxBucketMembers = 4).head().getLong(0) === 0L)
+    // empty NEW batch against a non-empty corpus: nothing to pair
+    val corpus = Seq((1L, "spark engine")).toDF("doc_id", "title")
+    assert(Dedup.editDistancePairsIncremental(corpus, empty,
+      textCol = "title").isEmpty)
+  }
+
   test("editDistancePairs d=2 reaches the distance-2 pair; cap + drops observable") {
     val titles = Seq(
       (1L, "spark engine"), (6L, "spark enzinz"), (7L, "flink runtime")

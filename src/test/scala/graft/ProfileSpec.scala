@@ -111,6 +111,21 @@ class ProfileSpec extends SparkSuite {
     assert(e.getMessage.contains("duplicate check names"))
   }
 
+  test("checks on EMPTY tables report zero totals, never error") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType), StructField("v", DoubleType))))
+    val rep = Profile.checkRows(empty,
+        Seq("v_not_null" -> col("v").isNull), uniqueCols = Seq("k"))
+      .collect().map(r => r.getAs[String]("check") ->
+        (r.getAs[Long]("total"), r.getAs[Long]("violations"))).toMap
+    assert(rep("v_not_null") === ((0L, 0L)))
+    assert(rep("k_unique") === ((0L, 0L)))
+    val fk = Profile.checkForeignKey(empty.select(col("k").as("fk")), "fk",
+      Seq(1L).toDF("dk"), "dk", "fk_empty").collect().head
+    assert((fk.getAs[Long]("total"), fk.getAs[Long]("violations")) === ((0L, 0L)))
+  }
+
   test("checkForeignKey: dangling and null fact keys violate, both join modes") {
     val dim = Seq(1L, 2L, 3L).toDF("dk")
     val fact = Seq(Some(1L), Some(2L), Some(9L), None, Some(3L)).toDF("fk")

@@ -290,17 +290,36 @@ object KnnIvf {
     IvfIndex(index.model, index.corpusWithCell.unionByName(assigned))
   }
 
-  /** Append new rows to a SAVED index (see [[save]]): cell-assign with
-    * the stored model, then append parquet only under the affected cell
-    * directories. */
+  /** Add new rows to a SAVED index (see [[save]]) with the reference's
+    * `/index` LAST-WINS semantics (`executor.py:151-161`): cell-assign
+    * with the stored model, then rewrite ONLY the touched cell
+    * directories from (surviving rows ∪ batch) — an id already present
+    * is replaced, never duplicated. Last-wins is also what makes a
+    * foreachBatch REPLAY of the same batch idempotent
+    * ([[graft.streaming.IndexStream.indexEachBatch]]): the replayed ids
+    * anti-join their first copies away and identical rows land again.
+    *
+    * Cost: O(batch + touched-cell data) — bounded by the batch's cell
+    * fan-out (≤ numCells rewrites), not by the index; a blind
+    * mode("append") would be O(batch) but duplicates replayed ids. */
   def appendTo(spark: SparkSession, path: String, newRows: DataFrame,
                vecCol: String = "embedding"): Unit = {
     val model = KMeansModel.load(s"$path/model")
     val featured = newRows.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
-    model.transform(featured).drop("__features")
+    val incoming = model.transform(featured).drop("__features")
       .withColumnRenamed("__cell", "cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+    // bounded metadata collect: the batch's distinct cells (<= numCells)
+    val touched = incoming.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return // empty batch: nothing to assign or rewrite
+    val surviving = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+      .join(incoming.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // read completes before its source dirs rewrite
+    surviving.unionByName(incoming.select(surviving.columns.map(col): _*))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$path/corpus")
   }
 
   /** Offline index maintenance: refit centroids on the CURRENT live

@@ -72,13 +72,21 @@ object Versioned {
 
   private def norm(p: Path): String = p.toUri.getPath
 
+  /** Normalize an `input_file_name()` string (URI-encoded, scheme-
+    * qualified on any filesystem) to the same decoded absolute path
+    * [[norm]] yields for manifest entries — without this, stats and
+    * copy-on-write joins silently mismatch on HDFS or on any path with
+    * a URL-encodable character (space, '%', non-ASCII). */
+  private def normFileName(s: String): String =
+    norm(new Path(new java.net.URI(s)))
+
   /** All committed versions, ascending (empty if uninitialized). */
   def versions(spark: SparkSession, tableDir: String): Seq[Int] = {
     val dir = new Path(s"$tableDir/_manifests")
     val f = fs(spark, dir)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d{5}\\.manifest") =>
+      .collect { case n if n.matches("v\\d{5,}\\.manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toInt }
       .sorted.toSeq
   }
@@ -114,11 +122,21 @@ object Versioned {
     * O(1) manifest reads when a stream is the (sole) writer. None if no
     * commit was stream-made. The [[graft.streaming.TableStream]]
     * exactly-once guard. */
-  def lastBatchId(spark: SparkSession, tableDir: String): Option[Long] =
+  def lastBatchId(spark: SparkSession, tableDir: String,
+                  writerId: Option[String] = None): Option[Long] =
     versions(spark, tableDir).sorted.reverse.iterator
-      .flatMap(v => manifestLines(spark, tableDir, v)
-        .collectFirst { case l if l.startsWith("#batchId=") =>
-          l.stripPrefix("#batchId=").toLong })
+      .flatMap { v =>
+        val lines = manifestLines(spark, tableDir, v)
+        // a writerId-scoped probe matches only commits stamped by the
+        // SAME writer: a second stream (new checkpoint, different query)
+        // must not have its low batch ids swallowed by another writer's
+        // high-water mark
+        val sameWriter = writerId.forall(w =>
+          lines.contains(s"#writerId=$w"))
+        if (!sameWriter) None
+        else lines.collectFirst { case l if l.startsWith("#batchId=") =>
+          l.stripPrefix("#batchId=").toLong }
+      }
       .nextOption()
 
   /** Read a pinned version (latest by default). The file list AND the
@@ -210,13 +228,20 @@ object Versioned {
       case None => paths.map(FileEntry(_))
       case Some(c) =>
         val stats = df.sparkSession.read.parquet(dataDir)
-          .groupBy(regexp_replace(input_file_name(), "^file:/*", "/").as("__f"))
+          .groupBy(input_file_name().as("__f"))
           .agg(min(col(c).cast("long")).as("__lo"), max(col(c).cast("long")).as("__hi"))
-          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          .collect().map { r =>
+            // all-null (or uncastable) stats column in a file => the file
+            // commits WITHOUT stats and is simply never pruned — a
+            // missing statistic must degrade to "always read", not crash
+            // a commit whose data files are already on disk
+            val st = if (r.isNullAt(1) || r.isNullAt(2)) None
+                     else Some((c, r.getLong(1), r.getLong(2)))
+            normFileName(r.getString(0)) -> st
+          }.toMap
         // a written part absent from the stats scan has zero rows —
         // proven empty, so it never enters the manifest at all
-        paths.flatMap(p => stats.get(p).map { case (lo, hi) =>
-          FileEntry(p, Some((c, lo, hi))) })
+        paths.flatMap(p => stats.get(p).map(st => FileEntry(p, st)))
     }
   }
 
@@ -233,7 +258,11 @@ object Versioned {
     if (f.exists(target))
       throw new java.io.IOException(
         s"concurrent commit: version $v already exists at $tableDir")
-    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+    // writer-unique temp name: two writers racing the same version must
+    // never share (and truncate) one tmp — the loser must lose at the
+    // RENAME, with intact bytes on both sides
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     val metaLines = meta.toSeq.sorted.map { case (k, vl) => s"#$k=$vl" }
     try out.write(
@@ -297,14 +326,20 @@ object Versioned {
     * manifest read, not a footer fetch per file. */
   def readRange(spark: SparkSession, tableDir: String, version: Option[Int],
                 statsCol: String, lo: Long, hi: Long): DataFrame = {
+    val snap = snapshot(spark, tableDir, version)
     val keep = filesForRange(spark, tableDir, version, statsCol, lo, hi)
     val pred = col(statsCol) >= lo && col(statsCol) <= hi
-    if (keep.nonEmpty) spark.read.parquet(keep: _*).filter(pred)
-    else {
-      // every file proven empty for the range: keep the schema, drop rows
-      val all = snapshot(spark, tableDir, version).files
-      spark.read.parquet(all.head).filter(lit(false))
+    // the COMMITTED schema applies exactly as in read(): on a schema-
+    // evolved table a bare parquet read takes one arbitrary footer, so
+    // pruning could otherwise change the visible columns
+    def reader = snap.schema match {
+      case Some(st) => spark.read.schema(st)
+      case None     => spark.read
     }
+    if (keep.nonEmpty) reader.parquet(keep: _*).filter(pred)
+    else
+      // every file proven empty for the range: keep the schema, drop rows
+      reader.parquet(snap.files.head).filter(lit(false))
   }
 
   /** Last-wins upsert as a copy-on-write commit: only files CONTAINING a
@@ -409,9 +444,17 @@ object Versioned {
     * no data read; safe to run concurrently with readers of RETAINED
     * versions (their files are untouched; a reader pinned to a dropped
     * version races deletion, which is the documented contract of every
-    * vacuum in the lakehouse world). */
+    * vacuum in the lakehouse world).
+    *
+    * `minAgeMs` guards the one WRITER race: a commit that has written
+    * its data files but not yet renamed its manifest is invisible to
+    * the reference count, and an unguarded vacuum would delete its
+    * files out from under the about-to-succeed commit. Set it to at
+    * least the longest plausible commit duration in production (the
+    * Delta-style retention window); the 0 default keeps single-writer
+    * tests deterministic. */
   def vacuum(spark: SparkSession, tableDir: String,
-             keepVersions: Int = 1): VacuumStats = {
+             keepVersions: Int = 1, minAgeMs: Long = 0L): VacuumStats = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no versions at $tableDir")
@@ -420,12 +463,14 @@ object Versioned {
       snapshot(spark, tableDir, Some(v)).files).toSet
     val dataRoot = new Path(s"$tableDir/data")
     val f = fs(spark, dataRoot)
+    val ageCutoff = System.currentTimeMillis() - minAgeMs
     var deleted = 0L
     if (f.exists(dataRoot)) {
       for (verDir <- f.listStatus(dataRoot) if verDir.isDirectory) {
         for (df <- f.listStatus(verDir.getPath)
              if df.isFile && df.getPath.getName.endsWith(".parquet")
-             if !referenced.contains(norm(df.getPath))) {
+             if !referenced.contains(norm(df.getPath))
+             if df.getModificationTime <= ageCutoff) {
           f.delete(df.getPath, false)
           deleted += 1
         }
@@ -447,12 +492,15 @@ object Versioned {
       case Some(st) => s.read.schema(st).parquet(snap.files: _*)
       case None     => s.read.parquet(snap.files: _*)
     }
-    val cur = curBase
-      .withColumn("__file", regexp_replace(input_file_name(), "^file:/*", "/"))
+    // __file stays in input_file_name()'s RAW (URI-encoded) form for the
+    // executor-side survivor filter; only the manifest comparison below
+    // decodes, so both joins are exact on any filesystem/path bytes
+    val cur = curBase.withColumn("__file", input_file_name())
     val deltaIds = delta.select(col(idCol)).distinct()
-    val touched = cur.join(deltaIds, Seq(idCol), "left_semi")
+    val touchedRaw = cur.join(deltaIds, Seq(idCol), "left_semi")
       .select("__file").distinct().collect().map(_.getString(0)).toSet
-    val survivors = cur.filter(col("__file").isInCollection(touched))
+    val touched = touchedRaw.map(normFileName)
+    val survivors = cur.filter(col("__file").isInCollection(touchedRaw))
       .drop("__file")
       .join(deltaIds, Seq(idCol), "left_anti")
     // allowMissingColumns: an upsert delta may evolve the schema (new

@@ -11,10 +11,14 @@ import graft.operators.{KnnHnsw, KnnIvf}
   * graph) under continuous arrival, as Structured Streaming.
   *
   * Each micro-batch is cell-assigned with the index's stored KMeans
-  * model and appended under ONLY its touched cell directories
-  * ([[KnnIvf.appendTo]]). Per-batch work is O(batch), independent of
-  * index size: the broadcast model does the assignment (a narrow map —
-  * no shuffle), and the parquet append writes just the batch's cells.
+  * model and upserted LAST-WINS under ONLY its touched cell directories
+  * ([[KnnIvf.appendTo]]). Per-batch work is O(batch + touched-cell
+  * data), independent of index size: the broadcast model does the
+  * assignment (a narrow map — no shuffle), and only the batch's cells
+  * rewrite. Last-wins is ALSO the replay guard: foreachBatch is
+  * at-least-once, and a replayed batch's ids anti-join their first
+  * copies away before identical rows land again — the graph path below
+  * is idempotent the same way ([[KnnHnsw.appendTo]]'s upsert).
   * Because cell assignment is a pure per-row function of the FIXED
   * stored model, the index a stream builds is row-for-row the index a
   * single batch append builds from the same rows — the stream==batch

@@ -21,9 +21,12 @@ import graft.operators.Versioned
   * Scale shape: per-trigger work is one parquet write of the batch plus
   * one manifest rename (append-only — no copy-on-write read of the
   * table), and the replay guard reads manifests newest-first, stopping
-  * at the first batch-id line — O(1) manifest reads in steady state.
-  * Small per-trigger files are the deliberate trade; that is what
-  * [[graft.operators.Maintenance.compactSmallFiles]] amortizes. */
+  * at the first matching batch-id line — O(1) manifest reads in steady
+  * state. Small per-trigger files are the deliberate trade; amortize
+  * them with [[graft.operators.Versioned.compact]] (an OPTIMIZE-style
+  * COMMIT that preserves every manifest — NOT
+  * `Maintenance.compactSmallFiles`, whose in-place directory swap would
+  * dangle every manifest's file references). */
 object TableStream {
 
   /** Commit `batch` as the table's next version, exactly once per
@@ -33,26 +36,42 @@ object TableStream {
     * indistinguishable from a skip, which is fine because it changes
     * nothing either way).
     * @return the committed version, or None when skipped */
-  def commitBatch(batch: DataFrame, tableDir: String, batchId: Long): Option[Int] = {
+  def commitBatch(batch: DataFrame, tableDir: String, batchId: Long,
+                  writerId: String = DefaultWriterId): Option[Int] = {
     if (batch.isEmpty) None
-    else if (Versioned.lastBatchId(batch.sparkSession, tableDir).exists(_ >= batchId)) None
+    else if (Versioned.lastBatchId(batch.sparkSession, tableDir,
+               Some(writerId)).exists(_ >= batchId)) None
     else {
-      val meta = Map("batchId" -> batchId.toString)
+      val meta = Map("batchId" -> batchId.toString, "writerId" -> writerId)
       if (Versioned.versions(batch.sparkSession, tableDir).isEmpty)
         Some(Versioned.init(batch, tableDir, meta))
       else Some(Versioned.append(batch, tableDir, meta))
     }
   }
 
+  /** Single-writer default: every commitBatch call without an explicit
+    * writerId shares one identity, preserving the original contract. */
+  val DefaultWriterId = "stream"
+
   /** Run the stream into the versioned table at `tableDir`, one commit
-    * per micro-batch via [[commitBatch]]. */
+    * per micro-batch via [[commitBatch]].
+    *
+    * `checkpointDir` is REQUIRED for any stream that must survive a
+    * restart: without it Spark uses a temporary checkpoint, a restarted
+    * query re-reads the source with batch ids starting at 0, and the
+    * replay guard — seeing the previous run's high-water mark under the
+    * same writerId — would silently skip genuinely new data. Pair a
+    * fresh checkpoint with a fresh `writerId` for the same reason. */
   def commitEachBatch(stream: DataFrame, tableDir: String,
-                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    stream.writeStream
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      checkpointDir: Option[String] = None,
+                      writerId: String = DefaultWriterId): StreamingQuery = {
+    val base = stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        commitBatch(batch, tableDir, id): Unit
+        commitBatch(batch, tableDir, id, writerId): Unit
       }
       .trigger(trigger)
-      .start()
+    checkpointDir.fold(base)(d => base.option("checkpointLocation", d)).start()
+  }
 }

@@ -552,4 +552,25 @@ class KnnSpec extends SparkSuite {
       assert(kept.getLong(0) === rows.map(_.getLong(0)).min)
     }
   }
+
+  test("IVF appendTo is last-wins: replayed batches never duplicate ids") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_lw").toString
+    KnnIvf.save(KnnIvf.build(corpus, numCells = 4), path)
+    val delta = corpus.withColumn("vec_id", col("vec_id") + 10000000L)
+    KnnIvf.appendTo(spark, path, delta)
+    def dupIds() = spark.read.parquet(s"$path/corpus")
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    val total = spark.read.parquet(s"$path/corpus").count()
+    assert(dupIds() === 0L)
+    // foreachBatch is at-least-once: the SAME batch replaying must be a
+    // no-op on the corpus (the blind-append formulation duplicated here)
+    KnnIvf.appendTo(spark, path, delta)
+    assert(spark.read.parquet(s"$path/corpus").count() === total)
+    assert(dupIds() === 0L)
+    // and a re-sent id is an UPSERT (the reference's /index last-wins):
+    // count unchanged, still no duplicates
+    KnnIvf.appendTo(spark, path, delta.limit(5))
+    assert(spark.read.parquet(s"$path/corpus").count() === total)
+    assert(dupIds() === 0L)
+  }
 }

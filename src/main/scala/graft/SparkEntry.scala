@@ -2208,6 +2208,18 @@ object SparkEntry {
       urlFixture(s, dir).select(col("doc_id"),
         TextOps.canonicalizeUrl(col("url")).as("canon"),
         TextOps.urlDomain(col("url")).as("domain"))),
+    // HTML → text extraction — the crawl pipeline's first transform,
+    // over fixture text wrapped in five rotating page templates
+    // (style/script blocks with hostile </>&, quoted attributes
+    // containing '>', entities incl. double-escaped &amp;amp;, comments
+    // hiding tags, UPPERCASE tags, and tagless text with a stray '<'
+    // that must survive). The oracle replays the template construction
+    // AND the extraction chain verbatim (every pattern RE2∩Java)
+    "text_html_extract" -> ((s, dir) =>
+      htmlFixture(s, dir).select(col("doc_id"),
+        TextOps.extractHtmlText(col("html")).as("clean"))
+        .withColumn("n_words",
+          size(filter(split(col("clean"), " "), w => w =!= "")))),
     // versioned corpus: v0 = documents, v1 = copy-on-write upsert of a
     // delta. Reading v0 AFTER v1 landed must equal the original table
     // (time travel / snapshot isolation — the upsert touched nothing v0
@@ -2349,6 +2361,34 @@ object SparkEntry {
       (9100002L, "https://Host.com:8080/x?z=1&y=2&utm_x=1"),
       (9100003L, "https://EXAMPLE.com:443?q=1")
     ).toDF("doc_id", "url"))
+  }
+
+  /** documents.text wrapped in five rotating HTML page templates — each
+    * template plants a distinct extraction hazard (see
+    * [[graft.operators.TextOps.extractHtmlText]]); the oracle rebuilds
+    * the same pages in SQL ([[htmlFixtureCte]]). */
+  private def htmlFixture(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val id = col("doc_id").cast("string")
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(
+          lit("<!DOCTYPE html><html><head><title>Doc "), id,
+          lit("</title><style type=\"text/css\">p { color: red; }</style>" +
+            "</head><body><h1 class=\"t\">Heading</h1><p>"), t,
+          lit("</p></body></html>")))
+        .when(col("doc_id") % 5 === 1, concat(
+          lit("<div id=\"main\"><script>if (x<2 && y>1) { track(\"&amp;\"); }" +
+            "</script><p>"), t,
+          lit("</p><br/><img src=\"/i.png\" alt=\"pic\"/></div>")))
+        .when(col("doc_id") % 5 === 2, concat(
+          lit("<p title=\"a > b\" data-x='1 > 0'>"), t,
+          lit("</p><p>ents: &lt;tag&gt; &amp;amp; &quot;q&quot; " +
+            "&#39;s&#39;&nbsp;end</p>")))
+        .when(col("doc_id") % 5 === 3, concat(
+          lit("<ul><!-- <p>hidden</p> --><li>"), t,
+          lit("</li><LI>Second</LI></ul><SCRIPT SRC=\"x.js\">var z=1;</SCRIPT>")))
+        .otherwise(concat(t, lit(" with math 2 < 3 and 5 > 4 unchanged")))
+        .as("html"))
   }
 
   /** documents(doc_id, lang, text) plus three rows hostile to
@@ -2883,6 +2923,29 @@ object SparkEntry {
          UNION ALL SELECT 9100001, 'not a url'
          UNION ALL SELECT 9100002, 'https://Host.com:8080/x?z=1&y=2&utm_x=1'
          UNION ALL SELECT 9100003, 'https://EXAMPLE.com:443?q=1')"""
+
+  /** Oracle twin of [[htmlFixture]]: the same five page templates in
+    * SQL. Kept single-line-safe for the JSON dump (no control chars). */
+  private val htmlFixtureCte: String =
+    """h AS (
+         SELECT doc_id,
+                CASE
+                  WHEN doc_id % 5 = 0 THEN
+                    '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                    '</title><style type="text/css">p { color: red; }</style>' ||
+                    '</head><body><h1 class="t">Heading</h1><p>' || text || '</p></body></html>'
+                  WHEN doc_id % 5 = 1 THEN
+                    '<div id="main"><script>if (x<2 && y>1) { track("&amp;"); }' ||
+                    '</script><p>' || text || '</p><br/><img src="/i.png" alt="pic"/></div>'
+                  WHEN doc_id % 5 = 2 THEN
+                    '<p title="a > b" data-x=''1 > 0''>' || text ||
+                    '</p><p>ents: &lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;&nbsp;end</p>'
+                  WHEN doc_id % 5 = 3 THEN
+                    '<ul><!-- <p>hidden</p> --><li>' || text ||
+                    '</li><LI>Second</LI></ul><SCRIPT SRC="x.js">var z=1;</SCRIPT>'
+                  ELSE text || ' with math 2 < 3 and 5 > 4 unchanged'
+                END AS html
+         FROM documents)"""
 
   /** Oracle twin of [[docsWithHostileText]]: the same three planted rows
     * in SQL, control characters spelled `chr(10)`/`chr(9)` so the SQL
@@ -3696,6 +3759,24 @@ object SparkEntry {
                 nullif(lower(regexp_extract(url,
                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]+)', 1)), '') AS domain
          FROM p4""",
+    // the extraction chain replayed verbatim: same five patterns, same
+    // order, same fixed entity set with &amp; last, same collapse+trim
+    "text_html_extract" ->
+      s"""WITH $htmlFixtureCte,
+         e1 AS (SELECT doc_id, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS x FROM h),
+         e2 AS (SELECT doc_id, regexp_replace(x, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS x FROM e1),
+         e3 AS (SELECT doc_id, regexp_replace(x, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS x FROM e2),
+         e4 AS (SELECT doc_id, regexp_replace(x,
+                  '(?s)</?[A-Za-z](?:"[^"]*"|''[^'']*''|[^>"''])*>|<![^>]*>', ' ', 'g') AS x FROM e3),
+         e5 AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    x, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+                    '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS x
+                FROM e4),
+         e6 AS (SELECT doc_id, trim(regexp_replace(x, '\\s+', ' ', 'g')) AS clean FROM e5)
+         SELECT doc_id, clean,
+                CAST(length(list_filter(string_split(clean, ' '), w -> w <> '')) AS INT) AS n_words
+         FROM e6""",
     // CDC: the delta relabels every 10th doc ('xx', doubled n_chars) —
     // no fixture lang is 'xx' and n_chars >= 48, so every delta row is
     // an update and nothing else changes

@@ -406,4 +406,48 @@ object TextOps {
     val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]+)", 1))
     when(host === "", lit(null).cast("string")).otherwise(host)
   }
+
+  /** HTML → text extraction, the crawl pipeline's first transform (the
+    * trafilatura/jusText role at regex level — a deterministic,
+    * cross-engine-replayable extractor, NOT a DOM parser; malformed
+    * markup degrades to leaving the offending run in place rather than
+    * throwing). One narrow codegen'd `regexp_replace` chain, ORDER
+    * LOAD-BEARING:
+    *
+    *  1. comments `<!--.*?-->` drop FIRST (a comment may contain tags,
+    *     and the later `<![^>]*>` alternative would stop at the first
+    *     `>` inside one);
+    *  2. `<script>`/`<style>` blocks drop WHOLE (their bodies are code,
+    *     not text, and legitimately contain `<`/`>`);
+    *  3. remaining tags drop via a quote-aware element regex
+    *     (`"…"`/`'…'` attribute values may contain `>`), plus
+    *     `<!DOCTYPE…>`; a stray `<` NOT followed by a letter (`2 < 3`)
+    *     is text and survives;
+    *  4. the fixed entity set decodes AFTER tag removal (so literal
+    *     `&lt;tag&gt;` text can never become a strippable tag) with
+    *     `&amp;` LAST — single-pass decode: `&amp;lt;` → `&lt;`, the
+    *     HTML-correct answer;
+    *  5. whitespace collapses to single spaces and trims.
+    *
+    * Every pattern is RE2∩Java-regex portable (inline `(?is)` flags,
+    * non-greedy, no backreferences/lookaround), so a DuckDB oracle
+    * replays the chain verbatim. */
+  def extractHtmlText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComments, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle,
+      "(?s)</?[A-Za-z](?:\"[^\"]*\"|'[^']*'|[^>\"'])*>|<![^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, repl)) =>
+      // entities/replacements carry no regex or substitution
+      // metacharacters (`&`, `#`, `;` are literals in both engines)
+      regexp_replace(c, ent, repl)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

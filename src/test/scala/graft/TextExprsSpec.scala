@@ -261,3 +261,43 @@ object TextExprsSpecHelper {
       .getItem(0)
   }
 }
+
+class TextExtractHtmlSpec extends SparkSuite {
+
+  test("extractHtmlText: each hazard class, plain-text identity, idempotence") {
+    import spark.implicits._
+    val cases = Seq(
+      // script/style bodies drop whole, incl. hostile </>& inside code
+      ("<style>p { color: red; }</style><p>body</p>", "body"),
+      ("<script>if (x<2 && y>1) { track(\"&amp;\"); }</script>after", "after"),
+      // UPPERCASE tags and script — (?i) paths
+      ("<SCRIPT SRC=\"x.js\">var z=1;</SCRIPT><LI>item</LI>", "item"),
+      // comments drop FIRST, even when they hide tags
+      ("a<!-- <p>hidden</p> -->b", "a b"),
+      // quoted attribute values may contain '>'
+      ("<p title=\"a > b\" data-x='1 > 0'>kept</p>", "kept"),
+      // entity set, single-pass: &amp;amp; -> &amp; (literal), not '&'
+      ("x &lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;&nbsp;y",
+        "x <tag> &amp; \"q\" 's' y"),
+      // stray '<' not opening an element is text and survives
+      ("2 < 3 and 5 > 4 unchanged", "2 < 3 and 5 > 4 unchanged"),
+      // DOCTYPE + whitespace collapse + trim
+      ("<!DOCTYPE html> <html><body>  a\n\n b </body></html>", "a b"),
+      // tagless plain text is the identity
+      ("plain text stays", "plain text stays"),
+      ("", "")
+    ).toDF("html", "want")
+    val bad = cases.select(col("html"), col("want"),
+        TextOps.extractHtmlText(col("html")).as("got"))
+      .filter(!(col("got") <=> col("want"))).collect()
+    assert(bad.isEmpty, s"extraction mismatches: ${bad.mkString("; ")}")
+    // idempotence: extracted text re-extracts to itself UNLESS the
+    // decode step manufactured markup-looking text — '<tag>' from
+    // '&lt;tag&gt;' is the documented reason decode runs after strip,
+    // so feed the decode-free rows only
+    val twice = cases.filter(!col("html").contains("&"))
+      .select(col("want"), TextOps.extractHtmlText(col("want")).as("again"))
+      .filter(!(col("again") <=> col("want"))).collect()
+    assert(twice.isEmpty, s"not idempotent: ${twice.mkString("; ")}")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Contamination, Dedup, Dsir, EventOps, Graphs, Knn, KnnHnsw, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Maintenance, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats, Versioned}
+import graft.operators.{Bpe, Contamination, Dedup, Dsir, EventOps, Graphs, Knn, KnnHnsw, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Maintenance, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats, Versioned}
 import graft.sources.{Tables, TextSources}
 import graft.streaming.DedupStream
 
@@ -2220,6 +2220,14 @@ object SparkEntry {
         TextOps.extractHtmlText(col("html")).as("clean"))
         .withColumn("n_words",
           size(filter(split(col("clean"), " "), w => w =!= "")))),
+    // distributed BPE vocabulary learning — the tokenizer-training
+    // operator: 6 merge rounds over the distinct-word frame, each one
+    // explode+agg with a deterministic (cnt desc, a, b) argmax; the
+    // oracle replays every round — pair counting, argmax, and the
+    // 9-pass boundary-safe merge application — in generated SQL, so
+    // each learned merge is a hash-compared fact
+    "text_bpe_merges" -> ((s, dir) =>
+      Bpe.learnMerges(Tables.documents(s, dir), 6)),
     // versioned corpus: v0 = documents, v1 = copy-on-write upsert of a
     // delta. Reading v0 AFTER v1 landed must equal the original table
     // (time travel / snapshot isolation — the upsert touched nothing v0
@@ -2946,6 +2954,41 @@ object SparkEntry {
                   ELSE text || ' with math 2 < 3 and 5 > 4 unchanged'
                 END AS html
          FROM documents)"""
+
+  /** Oracle twin of [[graft.operators.Bpe.learnMerges]]: T merge rounds
+    * generated as a CTE chain — per round, pair extraction (lateral
+    * unnest over adjacent symbol indices), the (cnt desc, a, b) argmax,
+    * and the same [[graft.operators.Bpe.MergePasses]]-pass literal
+    * replace (as scalar subqueries against the round's argmax row). */
+  private def bpeOracleSql(t: Int): String = {
+    // every CTE is MATERIALIZED and the round's (pattern, replacement)
+    // pair rides a 1-row cross-joined frame — scalar subqueries inside
+    // the 9-pass replace chain would re-inline the whole prior-round
+    // lineage per reference (exponential plan expansion)
+    def rep(expr: String): String =
+      (1 to Bpe.MergePasses).foldLeft(expr)((e, _) => s"replace($e, pat, rp)")
+    val sb = new StringBuilder
+    sb ++= """WITH w AS MATERIALIZED (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word FROM documents),
+       v0 AS MATERIALIZED (SELECT word, count(*) AS freq,
+                     ' ' || regexp_replace(word, '(.)', '\1 ', 'g') || '</w> ' AS s
+              FROM w WHERE length(word) <= """ + Bpe.MaxWordLen + " GROUP BY word)"
+    for (i <- 1 to t) {
+      sb ++= s""",
+       p$i AS MATERIALIZED (SELECT l[i] AS a, l[i+1] AS b, freq
+               FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS l, freq FROM v${i - 1}),
+                    UNNEST(range(1, length(l))) AS u(i)),
+       m$i AS MATERIALIZED (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+               FROM p$i GROUP BY a, b
+               ORDER BY cnt DESC, a, b LIMIT 1)"""
+      if (i < t) sb ++= s""",
+       r$i AS MATERIALIZED (SELECT ' '||a||' '||b||' ' AS pat, ' '||a||b||' ' AS rp FROM m$i),
+       v$i AS MATERIALIZED (SELECT word, freq, ${rep("s")} AS s FROM v${i - 1}, r$i)"""
+    }
+    sb ++= (1 to t).map(i =>
+        s"SELECT $i AS t, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m$i")
+      .mkString("\n       ", "\n       UNION ALL ", "")
+    sb.toString
+  }
 
   /** Oracle twin of [[docsWithHostileText]]: the same three planted rows
     * in SQL, control characters spelled `chr(10)`/`chr(9)` so the SQL
@@ -3777,6 +3820,9 @@ object SparkEntry {
          SELECT doc_id, clean,
                 CAST(length(list_filter(string_split(clean, ' '), w -> w <> '')) AS INT) AS n_words
          FROM e6""",
+    // every BPE merge round replayed: same pair counts, same argmax
+    // tiebreak, same 9-pass merge application
+    "text_bpe_merges" -> bpeOracleSql(6),
     // CDC: the delta relabels every 10th doc ('xx', doubled n_chars) —
     // no fixture lang is 'xx' and n_chars >= 48, so every delta row is
     // an update and nothing else changes

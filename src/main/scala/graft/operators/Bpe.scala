@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary learning — the
+  * tokenizer-TRAINING operator of an LLM data pipeline (Sennrich et al.
+  * 2016's merge loop, re-expressed as T rounds of one declarative
+  * aggregation each; the learn side of the BPE-ish token COUNTING that
+  * [[TextOps.bpeTokenCount]] already serves).
+  *
+  * Shape per merge round (the 100 TB posture):
+  *  - the corpus is touched ONCE — everything iterates over the
+  *    distinct-WORD frame (word, freq, symbol string), which is
+  *    vocabulary-sized, not corpus-sized;
+  *  - pair counting is one explode + hash aggregation with map-side
+  *    partials (freq-weighted integer sums — exact, order-free);
+  *  - the argmax pair is a bounded 1-ROW collect (count desc, then
+  *    lexicographic (a, b) — fully deterministic, the same tiebreak both
+  *    engines can replay);
+  *  - the merge applies as a narrow map over the vocab frame, and the
+  *    frame is localCheckpoint-pinned per round (the repo's iterated-
+  *    frame pattern) so T rounds never stack T plans.
+  *
+  * Symbol representation: a word's symbols are kept as a SPACE-JOINED
+  * STRING with sentinel spaces (`" l o w </w> "`), the end-of-word
+  * marker `</w>` a symbol of its own. Applying merge (a, b) is then
+  * `replace(s, " a b ", " ab ")` — literal, boundary-safe (symbols
+  * never contain spaces), and left-to-right non-overlapping exactly
+  * like the classic scan. One pass can miss boundary-SHARING chains
+  * (`… a b a b …`: the second match's leading space was consumed), so
+  * the replace runs [[MergePasses]] times: each pass resolves at least
+  * half of a chain's remaining occurrences, so 9 passes are exact for
+  * any word up to 2^9 symbols — far beyond [[MaxWordLen]], making the
+  * iterate provably a fixpoint. Both engines run the SAME passes, so
+  * equality is by construction, not by analysis.
+  */
+object Bpe {
+
+  /** Words longer than this are excluded from vocabulary learning
+    * (pathological unbroken runs — the same guard real tokenizer
+    * trainers apply). Also the bound that makes [[MergePasses]] exact. */
+  val MaxWordLen = 256
+
+  /** Fixed replace passes per merge round; exact for chains ≤ 2^9. */
+  val MergePasses = 9
+
+  /** One learned merge: round number, the pair, its weighted count. */
+  final case class Merge(t: Int, a: String, b: String, cnt: Long)
+
+  /** The distinct-word frame: (word, freq, s) with s the sentinel-
+    * wrapped symbol string `" c h a r s </w> "`. ASCII/BMP contract:
+    * per-char splitting uses a regex capture over code units, matching
+    * the fixture corpus; byte-level BPE would split on bytes here. */
+  def wordVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .where(length(col("word")) <= MaxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "),
+          lit("</w> ")).as("s"))
+
+  /** Adjacent-pair counts over the current vocab, freq-weighted. */
+  def pairCounts(vocab: DataFrame): DataFrame = {
+    val l = filter(split(col("s"), " "), x => x =!= "")
+    vocab.select(col("freq"), l.as("l"))
+      .select(col("freq"),
+        slice(col("l"), lit(1), size(col("l")) - 1).as("la"),
+        slice(col("l"), lit(2), size(col("l")) - 1).as("lb"))
+      .select(col("freq"), explode(arrays_zip(col("la"), col("lb"))).as("p"))
+      .groupBy(col("p.la").as("a"), col("p.lb").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Apply merge (a, b) → ab to a sentinel-wrapped symbol string:
+    * [[MergePasses]] literal replaces (see object doc for why the
+    * fixed pass count is exact). */
+  def applyMerge(s: Column, a: String, b: String): Column =
+    (1 to MergePasses).foldLeft(s)((c, _) =>
+      replace(c, lit(s" $a $b "), lit(s" $a$b ")))
+
+  /** Learn `t` merges from the corpus. Returns the merge table
+    * (t, sym_a, sym_b, pair_count) as a DataFrame built from the
+    * driver-side merge list — the merges ARE driver state (like the
+    * power-iteration iterate): one bounded 1-row collect per round. */
+  def learnMerges(docs: DataFrame, t: Int,
+                  textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = wordVocab(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 1
+    var exhausted = false
+    while (round <= t && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true // tiny corpus ran dry (not the fixtures)
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(round, a, b, cnt)
+        vocab = vocab.withColumn("s", applyMerge(col("s"), a, b))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("t", "sym_a", "sym_b", "pair_count")
+  }
+
+  /** The vocab AFTER applying `t` learned merges — exposed for specs
+    * (segment inspection) and downstream encoding. */
+  def segmentedVocab(docs: DataFrame, t: Int,
+                     textCol: String = "text"): DataFrame = {
+    val m = learnMerges(docs, t, textCol).collect().map(r =>
+      (r.getString(1), r.getString(2)))
+    m.foldLeft(wordVocab(docs, textCol)) { case (v, (a, b)) =>
+      v.withColumn("s", applyMerge(col("s"), a, b))
+    }
+  }
+}

@@ -2228,6 +2228,20 @@ object SparkEntry {
     // each learned merge is a hash-compared fact
     "text_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(Tables.documents(s, dir), 6)),
+    // encode the corpus with the LEARNED tokenizer: segment every word
+    // with the 6 merges (learned once per (JVM, fixture) — the
+    // build-once/serve-many lifecycle the index family uses) and emit
+    // the freq-weighted token table; the oracle extends the merge
+    // chain one application further and re-counts
+    "text_bpe_tokens" -> ((s, dir) => {
+      val seg = bpeMerges(s, dir).foldLeft(
+          Bpe.wordVocab(Tables.documents(s, dir))) { case (v, (a, b)) =>
+        v.withColumn("s", Bpe.applyMerge(col("s"), a, b))
+      }
+      seg.select(col("freq"),
+          explode(filter(split(col("s"), " "), x => x =!= "")).as("token"))
+        .groupBy("token").agg(sum(col("freq")).as("n"))
+    }),
     // versioned corpus: v0 = documents, v1 = copy-on-write upsert of a
     // delta. Reading v0 AFTER v1 landed must equal the original table
     // (time travel / snapshot isolation — the upsert touched nothing v0
@@ -2420,6 +2434,17 @@ object SparkEntry {
     * and skips them ("All paths were ignored"). */
   private def artifactKey(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^[_.]+", "")
+
+  /** Learned BPE merges, memoized per (JVM, fixture dir) — the encode
+    * row serves from the trained tokenizer the way the ANN rows serve
+    * from a built index; `text_bpe_merges` itself always re-learns
+    * (it IS the training operator under test). */
+  private val bpeLearned =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeLearned.getOrElseUpdate(dir,
+      Bpe.learnMerges(Tables.documents(s, dir), 6).orderBy("t").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
 
   private val ivfBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ivfIndexPath(s: SparkSession, dir: String): String =
@@ -2960,11 +2985,17 @@ object SparkEntry {
     * unnest over adjacent symbol indices), the (cnt desc, a, b) argmax,
     * and the same [[graft.operators.Bpe.MergePasses]]-pass literal
     * replace (as scalar subqueries against the round's argmax row). */
-  private def bpeOracleSql(t: Int): String = {
-    // every CTE is MATERIALIZED and the round's (pattern, replacement)
-    // pair rides a 1-row cross-joined frame — scalar subqueries inside
-    // the 9-pass replace chain would re-inline the whole prior-round
-    // lineage per reference (exponential plan expansion)
+  /** Shared CTE chain for the BPE oracles: T merge rounds — per round,
+    * pair extraction (lateral unnest over adjacent symbol indices), the
+    * (cnt desc, a, b) argmax, and the same
+    * [[graft.operators.Bpe.MergePasses]]-pass literal replace. Every
+    * CTE is MATERIALIZED and the round's (pattern, replacement) pair
+    * rides a 1-row cross-joined frame — scalar subqueries inside the
+    * 9-pass replace chain would re-inline the whole prior-round lineage
+    * per reference (exponential plan expansion). With
+    * `withFinalVocab` the chain also applies round T's merge, yielding
+    * v<T> = the fully segmented vocabulary for the encode oracle. */
+  private def bpeChainSql(t: Int, withFinalVocab: Boolean): String = {
     def rep(expr: String): String =
       (1 to Bpe.MergePasses).foldLeft(expr)((e, _) => s"replace($e, pat, rp)")
     val sb = new StringBuilder
@@ -2980,15 +3011,24 @@ object SparkEntry {
        m$i AS MATERIALIZED (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
                FROM p$i GROUP BY a, b
                ORDER BY cnt DESC, a, b LIMIT 1)"""
-      if (i < t) sb ++= s""",
+      if (i < t || withFinalVocab) sb ++= s""",
        r$i AS MATERIALIZED (SELECT ' '||a||' '||b||' ' AS pat, ' '||a||b||' ' AS rp FROM m$i),
        v$i AS MATERIALIZED (SELECT word, freq, ${rep("s")} AS s FROM v${i - 1}, r$i)"""
     }
-    sb ++= (1 to t).map(i =>
-        s"SELECT $i AS t, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m$i")
-      .mkString("\n       ", "\n       UNION ALL ", "")
     sb.toString
   }
+
+  private def bpeOracleSql(t: Int): String =
+    bpeChainSql(t, withFinalVocab = false) +
+      (1 to t).map(i =>
+          s"SELECT $i AS t, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m$i")
+        .mkString("\n       ", "\n       UNION ALL ", "")
+
+  private def bpeTokensOracleSql(t: Int): String =
+    bpeChainSql(t, withFinalVocab = true) + s"""
+       SELECT token, CAST(sum(freq) AS BIGINT) AS n
+       FROM (SELECT unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS token, freq FROM v$t)
+       GROUP BY token"""
 
   /** Oracle twin of [[docsWithHostileText]]: the same three planted rows
     * in SQL, control characters spelled `chr(10)`/`chr(9)` so the SQL
@@ -3823,6 +3863,8 @@ object SparkEntry {
     // every BPE merge round replayed: same pair counts, same argmax
     // tiebreak, same 9-pass merge application
     "text_bpe_merges" -> bpeOracleSql(6),
+    // the segmented corpus re-counted under the learned merges
+    "text_bpe_tokens" -> bpeTokensOracleSql(6),
     // CDC: the delta relabels every 10th doc ('xx', doubled n_chars) —
     // no fixture lang is 'xx' and n_chars >= 48, so every delta row is
     // an update and nothing else changes

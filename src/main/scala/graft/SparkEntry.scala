@@ -647,13 +647,17 @@ object SparkEntry {
     // contributions (order-free), the sigmoid is rational, and the weight
     // updates are fixed-parenthesization doubles, so DuckDB replaying the
     // same 3 iterations reproduces every weight bit-for-bit
-    "quality_train_logistic" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val f = Scoring.qualityFeatures(docs).join(
-        docs.select(col("doc_id"),
-          (col("lang") === "en").cast("double").as("__y")), "doc_id")
-      Scoring.modelFrame(s, Scoring.trainLogistic(f, "__y",
-        Seq("len_score", "punct_ratio", "stopword_ratio", "repetition_ratio")))
+    "quality_train_logistic" -> ((s, dir) =>
+      Scoring.modelFrame(s, Scoring.trainLogistic(
+        qualityLabeledFeatures(s, dir), "__y", qualityFeatureCols))),
+    // grade the trained classifier: Mann–Whitney AUC with average-rank
+    // ties over the 4dp-scored corpus — integer rank-sum arithmetic,
+    // one double division. Trains once per fixture (serve-many, like
+    // the index rows; the train row above keeps honest full cost), and
+    // the oracle re-derives the weights through the shared chain
+    "quality_auc" -> ((s, dir) => {
+      val f = qualityLabeledFeatures(s, dir)
+      Scoring.rankingAuc(Scoring.score(f, trainedQualityModel(s, dir)))
     }),
     // corpus bigram LM, trained + scored in one pass (KenLM-shaped
     // fluency QA; rational probabilities — no libm, decimal-mean)
@@ -2435,6 +2439,29 @@ object SparkEntry {
   private def artifactKey(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^[_.]+", "")
 
+  private val qualityFeatureCols =
+    Seq("len_score", "punct_ratio", "stopword_ratio", "repetition_ratio")
+
+  /** Quality features + lang=='en' label — shared by the train row and
+    * the AUC eval row (same frame both oracles rebuild). */
+  private def qualityLabeledFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Scoring.qualityFeatures(docs).join(
+      docs.select(col("doc_id"),
+        (col("lang") === "en").cast("double").as("__y")), "doc_id")
+  }
+
+  /** Trained-then-6dp-rounded quality model, memoized per (JVM, fixture
+    * dir) — the eval row serves from a trained model the way the ANN
+    * rows serve from a built index; `quality_train_logistic` itself
+    * always re-trains (it IS the training operator under test). */
+  private val qualityModelTrained =
+    scala.collection.concurrent.TrieMap.empty[String, Scoring.LinearModel]
+  private def trainedQualityModel(s: SparkSession, dir: String): Scoring.LinearModel =
+    qualityModelTrained.getOrElseUpdate(dir,
+      Scoring.roundedModel(Scoring.trainLogistic(
+        qualityLabeledFeatures(s, dir), "__y", qualityFeatureCols)))
+
   /** Learned BPE merges, memoized per (JVM, fixture dir) — the encode
     * row serves from the trained tokenizer the way the ANN rows serve
     * from a built index; `text_bpe_merges` itself always re-learns
@@ -3156,9 +3183,14 @@ object SparkEntry {
     * label lang=='en' — every arithmetic step mirrored token for token:
     * left-associated z, rational sigmoid, 8dp-round → DECIMAL(28,8)
     * gradient sums, `w − 0.5·(g/n)` updates. */
-  private val logisticTrainOracle: String = {
+  /** The left-associated z expression shared by every logistic replay. */
+  private val logisticZExpr =
+    "b + w1 * len_score + w2 * punct_ratio + w3 * stopword_ratio + w4 * repetition_ratio"
+
+  /** The 3 gradient/weight iteration CTEs (g1,w1..g3,w3) shared by the
+    * train oracle and the AUC eval oracle. */
+  private val logisticIterCtes: String = {
     val feats = Seq("len_score", "punct_ratio", "stopword_ratio", "repetition_ratio")
-    val zExpr = "b + w1 * len_score + w2 * punct_ratio + w3 * stopword_ratio + w4 * repetition_ratio"
     def gCte(i: Int): String = {
       val gs = ("sum(CAST(round(p - y, 8) AS DECIMAL(28,8))) AS g0" +:
         feats.zipWithIndex.map { case (f, j) =>
@@ -3166,7 +3198,7 @@ object SparkEntry {
         }).mkString(", ")
       s"""g$i AS (SELECT $gs
                   FROM (SELECT zf.*, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p
-                        FROM (SELECT f.*, $zExpr AS z
+                        FROM (SELECT f.*, $logisticZExpr AS z
                               FROM f CROSS JOIN w${i - 1}) zf))"""
     }
     def wCte(i: Int): String = {
@@ -3175,8 +3207,21 @@ object SparkEntry {
           s"w${j + 1} - 0.5 * (CAST(g${j + 1} AS DOUBLE) / n) AS w${j + 1}")).mkString(", ")
       s"w$i AS (SELECT $ws FROM w${i - 1} CROSS JOIN g$i CROSS JOIN nn)"
     }
-    val iterCtes = (1 to 3).map(i => s"${gCte(i)},\n         ${wCte(i)}").mkString(",\n         ")
-    s"""WITH t AS (SELECT doc_id, text, lang,
+    (1 to 3).map(i => s"${gCte(i)},\n         ${wCte(i)}").mkString(",\n         ")
+  }
+
+  private val logisticTrainOracle: String =
+    s"""WITH ${logisticChainCtes(logisticIterCtes)}
+         SELECT 'bias' AS feature, round(b, 6) AS weight FROM w3
+         UNION ALL SELECT 'len_score', round(w1, 6) FROM w3
+         UNION ALL SELECT 'punct_ratio', round(w2, 6) FROM w3
+         UNION ALL SELECT 'stopword_ratio', round(w3.w3, 6) FROM w3
+         UNION ALL SELECT 'repetition_ratio', round(w4, 6) FROM w3"""
+
+  /** The feature/label/training CTEs shared by the train oracle and the
+    * AUC eval oracle (same corpus, same 3-iteration replay). */
+  private def logisticChainCtes(iterCtes: String): String =
+    s"""t AS (SELECT doc_id, text, lang,
                           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
                    FROM documents),
          f AS (SELECT doc_id,
@@ -3191,13 +3236,31 @@ object SparkEntry {
                FROM t),
          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
          w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
-         $iterCtes
-         SELECT 'bias' AS feature, round(b, 6) AS weight FROM w3
-         UNION ALL SELECT 'len_score', round(w1, 6) FROM w3
-         UNION ALL SELECT 'punct_ratio', round(w2, 6) FROM w3
-         UNION ALL SELECT 'stopword_ratio', round(w3.w3, 6) FROM w3
-         UNION ALL SELECT 'repetition_ratio', round(w4, 6) FROM w3"""
-  }
+         $iterCtes"""
+
+  /** DuckDB replay of [[graft.operators.Scoring.rankingAuc]] over the
+    * trained-then-rounded quality model: re-trains via the shared chain,
+    * scores with the 6dp weights (left-associated z, rational sigmoid,
+    * 4dp rounding — token-for-token the serve path), then the integer
+    * Mann–Whitney rank-sum and ONE double division. */
+  private val logisticAucOracle: String =
+    s"""WITH ${logisticChainCtes(logisticIterCtes)},
+         wr AS (SELECT round(b, 6) AS b, round(w1, 6) AS w1, round(w2, 6) AS w2,
+                       round(w3.w3, 6) AS w3, round(w4, 6) AS w4 FROM w3),
+         sc AS (SELECT round(0.5 * (1.0 + z / (1.0 + abs(z))), 4) AS s, CAST(y AS BIGINT) AS y
+                FROM (SELECT f.y, $logisticZExpr AS z FROM f CROSS JOIN wr)),
+         bys AS (SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+                 FROM sc GROUP BY s),
+         cumul AS (SELECT s, c, p,
+                          coalesce(sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                   FROM bys),
+         fin AS (SELECT CAST(sum(p) AS BIGINT) AS pcnt, CAST(sum(c - p) AS BIGINT) AS ncnt,
+                        CAST(sum(p * (2 * cb + c + 1)) AS BIGINT) AS s2 FROM cumul)
+         SELECT pcnt AS n_pos, ncnt AS n_neg,
+                CASE WHEN pcnt > 0 AND ncnt > 0
+                     THEN round(CAST(s2 - pcnt * (pcnt + 1) AS DOUBLE) / (2.0 * pcnt * ncnt), 6)
+                END AS auc
+         FROM fin"""
 
   private def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
@@ -4161,6 +4224,9 @@ object SparkEntry {
     // distributed logistic training replayed in SQL: same 3 GD
     // iterations, same rational sigmoid, same decimal gradient sums
     "quality_train_logistic" -> logisticTrainOracle,
+    // the AUC eval replayed end-to-end: re-train through the shared
+    // chain, score with 6dp weights, integer rank-sum, one division
+    "quality_auc" -> logisticAucOracle,
     // bigram LM self-fluency; bigram positions come from a per-doc
     // length-derived unnest(range(...)) — no hard-coded position cap
     "lm_bigram_fluency" ->

@@ -123,4 +123,25 @@ class ContaminationSpec extends SparkSuite {
     assert(m1.bias === bias)
     assert(m1.weights.map(_._2) === w.toSeq)
   }
+
+  test("rankingAuc: perfect, inverted, interleaved, all-tied, one-class") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Double)]): Option[Double] = {
+      val r = Scoring.rankingAuc(rows.toDF("score", "__y")).head()
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    // perfect separation -> 1.0; inverted -> 0.0
+    assert(auc(Seq((0.1, 0.0), (0.2, 0.0), (0.8, 1.0), (0.9, 1.0))) === Some(1.0))
+    assert(auc(Seq((0.9, 0.0), (0.8, 0.0), (0.1, 1.0), (0.2, 1.0))) === Some(0.0))
+    // interleaved [0,1,0,1] by score: positive ranks 2+4 -> 0.75
+    assert(auc(Seq((0.1, 0.0), (0.2, 1.0), (0.3, 0.0), (0.4, 1.0))) === Some(0.75))
+    // all scores tied: average ranks give exactly 0.5
+    assert(auc(Seq((0.5, 0.0), (0.5, 1.0), (0.5, 0.0), (0.5, 1.0))) === Some(0.5))
+    // one-class frames have no ranking to grade -> NULL
+    assert(auc(Seq((0.3, 1.0), (0.7, 1.0))) === None)
+    assert(auc(Seq((0.3, 0.0), (0.7, 0.0))) === None)
+    // tie straddling the classes: pos at 0.5 vs neg at 0.5 counts 1/2
+    // (scores [0.2-, 0.5-, 0.5+]: avg rank of the tie = 2.5 -> AUC 0.75)
+    assert(auc(Seq((0.2, 0.0), (0.5, 0.0), (0.5, 1.0))) === Some(0.75))
+  }
 }

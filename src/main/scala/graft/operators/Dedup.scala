@@ -1024,9 +1024,19 @@ object Dedup {
   }
 
   def spanCleanReport(docs: DataFrame, n: Int = 10, maxCoverage: Double = 0.8,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spanCleanFromSpans(docs, duplicateSpans(docs, n, minDocs = 2, idCol, textCol),
+      maxCoverage, idCol, textCol)
+
+  /** [[spanCleanReport]] over an ALREADY-COMPUTED spans frame (the
+    * [[duplicateSpans]] output) — lets a composition reuse a pinned
+    * spans frame instead of re-running the gram shuffle. */
+  def spanCleanFromSpans(docs: DataFrame, spans: DataFrame,
+                         maxCoverage: Double = 0.8,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
     val ws = Window.partitionBy(col(idCol)).orderBy(col("span_start"))
-    val cov = duplicateSpans(docs, n, minDocs = 2, idCol, textCol)
+    val cov = spans
       // span_end is monotone in span_start here (both derive from gram
       // positions), so the previous row's span_end IS the running max
       .withColumn("__new",

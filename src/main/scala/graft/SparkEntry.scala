@@ -666,6 +666,14 @@ object SparkEntry {
       val f = qualityLabeledFeatures(s, dir)
       Scoring.rankingAuc(Scoring.score(f, trainedQualityModel(s, dir)))
     }),
+    // calibration (reliability diagram) of the same trained model: AUC
+    // grades ranking, this grades the probabilities a keep/drop
+    // threshold actually cuts on — per-bin observed positive rate vs
+    // mean predicted score, exact integer/decimal arithmetic
+    "quality_calibration" -> ((s, dir) => {
+      val f = qualityLabeledFeatures(s, dir)
+      Scoring.calibrationReport(Scoring.score(f, trainedQualityModel(s, dir)))
+    }),
     // corpus bigram LM, trained + scored in one pass (KenLM-shaped
     // fluency QA; rational probabilities — no libm, decimal-mean)
     "lm_bigram_fluency" -> ((s, dir) =>
@@ -3250,12 +3258,17 @@ object SparkEntry {
     * scores with the 6dp weights (left-associated z, rational sigmoid,
     * 4dp rounding — token-for-token the serve path), then the integer
     * Mann–Whitney rank-sum and ONE double division. */
-  private val logisticAucOracle: String =
-    s"""WITH ${logisticChainCtes(logisticIterCtes)},
+  /** Chain + the 6dp-rounded weights + the 4dp-scored corpus — the
+    * (score, label) frame both eval oracles (AUC, calibration) grade. */
+  private val logisticScoredCtes: String =
+    s"""${logisticChainCtes(logisticIterCtes)},
          wr AS (SELECT round(b, 6) AS b, round(w1, 6) AS w1, round(w2, 6) AS w2,
                        round(w3.w3, 6) AS w3, round(w4, 6) AS w4 FROM w3),
          sc AS (SELECT round(0.5 * (1.0 + z / (1.0 + abs(z))), 4) AS s, CAST(y AS BIGINT) AS y
-                FROM (SELECT f.y, $logisticZExpr AS z FROM f CROSS JOIN wr)),
+                FROM (SELECT f.y, $logisticZExpr AS z FROM f CROSS JOIN wr))"""
+
+  private val logisticAucOracle: String =
+    s"""WITH $logisticScoredCtes,
          bys AS (SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
                  FROM sc GROUP BY s),
          cumul AS (SELECT s, c, p,
@@ -3268,6 +3281,18 @@ object SparkEntry {
                      THEN round(CAST(s2 - pcnt * (pcnt + 1) AS DOUBLE) / (2.0 * pcnt * ncnt), 6)
                 END AS auc
          FROM fin"""
+
+  /** DuckDB replay of [[graft.operators.Scoring.calibrationReport]]
+    * over the same trained-and-scored frame: integer counts, the bin
+    * score sum through DECIMAL(14,4), one double division per bin. */
+  private val logisticCalibrationOracle: String =
+    s"""WITH $logisticScoredCtes
+         SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(y) AS BIGINT) AS n_pos,
+                round(CAST(sum(CAST(s AS DECIMAL(14,4))) AS DOUBLE) / count(*), 6) AS mean_score,
+                round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+         FROM sc GROUP BY 1"""
 
   private def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
@@ -4258,6 +4283,8 @@ object SparkEntry {
     // the AUC eval replayed end-to-end: re-train through the shared
     // chain, score with 6dp weights, integer rank-sum, one division
     "quality_auc" -> logisticAucOracle,
+    // per-bin calibration over the same trained-and-scored frame
+    "quality_calibration" -> logisticCalibrationOracle,
     // bigram LM self-fluency; bigram positions come from a per-doc
     // length-derived unnest(range(...)) — no hard-coded position cap
     "lm_bigram_fluency" ->

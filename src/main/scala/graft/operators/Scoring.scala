@@ -168,6 +168,32 @@ object Scoring {
     * [0, 1] ⇒ ≤ 10 001 rows through the single partition, the same
     * adjudication as the audited sweep windows). AUC is NULL when
     * either class is absent (0/0 — no ranking to grade). */
+  /** Reliability-diagram calibration report: equal-width score bins
+    * with observed positive rate vs mean predicted score — the
+    * is-the-gate-honest check run before trusting a quality threshold
+    * (AUC grades RANKING; calibration grades the PROBABILITIES the
+    * threshold actually cuts on).
+    *
+    * One aggregation, map-side combinable. Exactness: counts are
+    * integers; the per-bin score sum goes through DECIMAL(14,4) (scores
+    * are 4dp by [[score]]'s contract) so the mean is exact-sum /
+    * count — one double division per bin, rounded 6dp. Binning
+    * arithmetic (`floor(score·bins)` clamped to bins−1) is the same
+    * IEEE double op in both engines, so boundary scores land
+    * identically. Empty bins emit no row (a GROUP BY can only see
+    * populated bins — the same contract as the histogram rows). */
+  def calibrationReport(scored: DataFrame, labelCol: String = "__y",
+                        scoreCol: String = "score", bins: Int = 10): DataFrame =
+    scored
+      .groupBy(least(floor(col(scoreCol) * bins), lit(bins - 1))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(col(scoreCol).cast("decimal(14,4)")).as("__ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__ssum").cast("double") / col("n"), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+
   def rankingAuc(scored: DataFrame, labelCol: String = "__y",
                  scoreCol: String = "score"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

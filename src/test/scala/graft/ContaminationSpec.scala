@@ -144,4 +144,23 @@ class ContaminationSpec extends SparkSuite {
     // (scores [0.2-, 0.5-, 0.5+]: avg rank of the tie = 2.5 -> AUC 0.75)
     assert(auc(Seq((0.2, 0.0), (0.5, 0.0), (0.5, 1.0))) === Some(0.75))
   }
+
+  test("calibrationReport: hand bins, boundary clamp, empty bins absent") {
+    import spark.implicits._
+    val rows = Seq(
+      (0.05, 0.0), (0.05, 0.0), (0.05, 1.0), // bin 0: pos_rate 1/3
+      (0.45, 1.0), (0.55, 0.0),              // bins 4 and 5
+      (1.0, 1.0)                             // exact 1.0 clamps to bin 9
+    ).toDF("score", "__y")
+    val got = Scoring.calibrationReport(rows)
+      .orderBy("bin")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (0, 3L, 1L, 0.05, 0.333333),
+      (4, 1L, 1L, 0.45, 1.0),
+      (5, 1L, 0L, 0.55, 0.0),
+      (9, 1L, 1L, 1.0, 1.0)))
+    // only populated bins emit rows
+    assert(got.map(_._1) === Seq(0, 4, 5, 9))
+  }
 }

@@ -674,6 +674,25 @@ object SparkEntry {
       val f = qualityLabeledFeatures(s, dir)
       Scoring.calibrationReport(Scoring.score(f, trainedQualityModel(s, dir)))
     }),
+    // the gate's operating point: confusion matrix + precision/recall/F1
+    // at the 0.5 cut — F1 from the integer cells directly, one division
+    "quality_confusion" -> ((s, dir) => {
+      val f = qualityLabeledFeatures(s, dir)
+      Scoring.thresholdReport(Scoring.score(f, trainedQualityModel(s, dir)))
+    }),
+    // hard-negative mining: BM25 top-20 minus the gold set — the
+    // boundary examples a re-ranker trains against, (score, rank)
+    // provenance kept for difficulty curricula. Gold is the STRICTER
+    // intent (docs with both 'dup' AND 'spark'): docs the keyword
+    // ranker scores high on partial matches are exactly the negatives
+    "retrieval_hard_negatives" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = Dedup.tokens(col("text"))
+      Retrieval.hardNegatives(
+        Retrieval.bm25(docs, BmQueryTerms, k = 20),
+        docs.where(array_contains(toks, "dup") && array_contains(toks, "spark"))
+          .select(col("doc_id")))
+    }),
     // corpus bigram LM, trained + scored in one pass (KenLM-shaped
     // fluency QA; rational probabilities — no libm, decimal-mean)
     "lm_bigram_fluency" -> ((s, dir) =>
@@ -4285,6 +4304,28 @@ object SparkEntry {
     "quality_auc" -> logisticAucOracle,
     // per-bin calibration over the same trained-and-scored frame
     "quality_calibration" -> logisticCalibrationOracle,
+    // confusion cells + P/R/F1 at the 0.5 cut, F1 from integer cells
+    "quality_confusion" ->
+      s"""WITH $logisticScoredCtes,
+         cm AS (SELECT
+                  CAST(sum(CASE WHEN s >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(sum(CASE WHEN s >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                  CAST(sum(CASE WHEN s < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                  CAST(sum(CASE WHEN s < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                FROM sc)
+         SELECT tp, fp, fn, tn,
+                CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+                CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+                CASE WHEN 2 * tp + fp + fn > 0
+                     THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) END AS f1
+         FROM cm""",
+    // BM25 top-20 anti-joined against the strict gold set: rank/score kept
+    "retrieval_hard_negatives" ->
+      s"""WITH $bm25OracleCtes
+          SELECT doc_id, score, "rank" AS rank
+          FROM bmr WHERE "rank" <= 20
+            AND doc_id NOT IN (SELECT doc_id FROM bm_dl
+                               WHERE list_contains(ts, 'dup') AND list_contains(ts, 'spark'))""",
     // bigram LM self-fluency; bigram positions come from a per-doc
     // length-derived unnest(range(...)) — no hard-coded position cap
     "lm_bigram_fluency" ->

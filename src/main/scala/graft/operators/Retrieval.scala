@@ -513,4 +513,18 @@ object Retrieval {
       .select(col("match_id")).distinct()
     maxSim(queryTokens, docTokens.join(candDocs, Seq("match_id"), "left_semi"), k)
   }
+
+  /** Hard-negative mining for retrieval training: the ranked documents
+    * the system scores HIGH that are NOT gold — exactly the examples a
+    * dual-encoder/re-ranker trains against (random negatives are too
+    * easy; these sit at the decision boundary). One anti-join of the
+    * top-k frame against the gold set: work is O(k·queries), never
+    * O(corpus), and each negative keeps its (score, rank) provenance
+    * so samplers can curriculum over difficulty.
+    *
+    * Join keys are ALL of `gold`'s columns — pass (query_id, doc_id)
+    * gold for multi-query mining so a doc gold for one query can still
+    * be a negative for another. */
+  def hardNegatives(ranking: DataFrame, gold: DataFrame): DataFrame =
+    ranking.join(gold, gold.columns.toSeq, "left_anti")
 }

@@ -168,6 +168,34 @@ object Scoring {
     * [0, 1] ⇒ ≤ 10 001 rows through the single partition, the same
     * adjudication as the audited sweep windows). AUC is NULL when
     * either class is absent (0/0 — no ranking to grade). */
+  /** Confusion matrix + threshold metrics at a fixed cut — the numbers
+    * a pipeline operator actually reads before shipping a keep/drop
+    * gate ([[rankingAuc]] is threshold-free; this grades the cut).
+    *
+    * One conditional-aggregation pass (the expectation-suite shape):
+    * four integer cells, then precision = tp/(tp+fp),
+    * recall = tp/(tp+fn), and F1 computed DIRECTLY from the cells as
+    * 2·tp/(2·tp+fp+fn) — one division each from exact integers (an F1
+    * from pre-rounded P/R would compound two roundings), 6dp, NULL on
+    * empty denominators. */
+  def thresholdReport(scored: DataFrame, threshold: Double = 0.5,
+                      labelCol: String = "__y",
+                      scoreCol: String = "score"): DataFrame = {
+    val pos = col(scoreCol) >= threshold
+    val y = col(labelCol) === 1.0
+    def cell(p: Column) = sum(when(p, 1L).otherwise(0L))
+    def ratio(num: Column, den: Column) =
+      when(den > 0, round(num.cast("double") / den, 6))
+    scored
+      .agg(cell(pos && y).as("tp"), cell(pos && !y).as("fp"),
+        cell(!pos && y).as("fn"), cell(!pos && !y).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
+  }
+
   /** Reliability-diagram calibration report: equal-width score bins
     * with observed positive rate vs mean predicted score — the
     * is-the-gate-honest check run before trusting a quality threshold

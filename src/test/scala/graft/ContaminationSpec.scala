@@ -163,4 +163,20 @@ class ContaminationSpec extends SparkSuite {
     // only populated bins emit rows
     assert(got.map(_._1) === Seq(0, 4, 5, 9))
   }
+
+  test("thresholdReport: hand confusion cells, F1 from integers, degenerate NULLs") {
+    import spark.implicits._
+    // threshold 0.5: tp=2 (0.6,0.9 pos), fp=1 (0.7 neg), fn=1 (0.2 pos), tn=2
+    val r = Scoring.thresholdReport(Seq(
+        (0.6, 1.0), (0.9, 1.0), (0.7, 0.0), (0.2, 1.0), (0.1, 0.0), (0.4, 0.0))
+      .toDF("score", "__y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 1L, 2L)))
+    assert(r.getDouble(4) === 0.666667) // precision 2/3
+    assert(r.getDouble(5) === 0.666667) // recall 2/3
+    assert(r.getDouble(6) === 0.666667) // f1 = 4/6 from integer cells
+    // all-negative predictions at threshold 1.1-equivalent: precision NULL
+    val none = Scoring.thresholdReport(
+      Seq((0.1, 1.0), (0.2, 0.0)).toDF("score", "__y"), threshold = 0.9).head()
+    assert(none.isNullAt(4) && none.getDouble(5) === 0.0)
+  }
 }

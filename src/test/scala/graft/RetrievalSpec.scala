@@ -271,4 +271,17 @@ class RetrievalSpec extends SparkSuite {
       .orderBy("rank").collect()
     assert(served.map(_.toSeq).toSeq === scan.map(_.toSeq).toSeq)
   }
+
+  test("hardNegatives: per-query gold — a doc gold for one query negatives another") {
+    import spark.implicits._
+    val ranking = Seq(
+      (0L, 10L, 1), (0L, 11L, 2), // query 0 ranks docs 10, 11
+      (1L, 10L, 1), (1L, 12L, 2)  // query 1 ranks docs 10, 12
+    ).toDF("query_id", "doc_id", "rank")
+    val gold = Seq((0L, 10L)).toDF("query_id", "doc_id") // 10 gold ONLY for q0
+    val neg = Retrieval.hardNegatives(ranking, gold)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    // q0: 11 negative (10 is gold); q1: BOTH 10 and 12 negative
+    assert(neg === Set((0L, 11L), (1L, 10L), (1L, 12L)))
+  }
 }

@@ -2226,6 +2226,17 @@ object SparkEntry {
     // deterministic epoch shuffle: the training-order permutation as a
     // query — shard by md5(seed:id), position by per-shard hash order;
     // a new seed is a fresh reproducible permutation
+    // rendezvous (highest-random-weight) shard assignment — the
+    // minimal-movement resharding rule: growing 8 → 9 shards may only
+    // reassign a row TO the new shard (old keys unchanged, so the old
+    // winner still beats every old rival; the oracle data exhibits it,
+    // the spec pins it structurally); id % S would remap ~8/9 of rows
+    "scale_rendezvous_shards" -> ((s, dir) => {
+      val s8 = Scale.rendezvousShard(col("doc_id"), 8)
+      val s9 = Scale.rendezvousShard(col("doc_id"), 9)
+      Tables.documents(s, dir).select(col("doc_id"), s8.as("shard"),
+        s9.as("shard_grown"), (s8 =!= s9).as("moved"))
+    }),
     "sample_epoch_shuffle" -> ((s, dir) =>
       Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", "epoch7", 8)
         .select(col("doc_id"), col("shard"), col("pos"))),
@@ -4010,6 +4021,16 @@ object SparkEntry {
       """SELECT doc_id, 'update' AS change, lang AS lang_old, 'xx' AS lang_new,
                 n_chars AS n_chars_old, n_chars * 2 AS n_chars_new
          FROM documents WHERE doc_id % 10 = 0""",
+    // rendezvous hashing replayed: same salted md5 keys, same
+    // lexicographic argmax over fixed-width "hash:s" strings
+    "scale_rendezvous_shards" ->
+      """WITH a AS (SELECT doc_id,
+             CAST(string_split(list_max(list_transform(range(0, 8), s ->
+               md5('rv:' || CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) || ':' || CAST(s AS VARCHAR))), ':')[2] AS INT) AS shard,
+             CAST(string_split(list_max(list_transform(range(0, 9), s ->
+               md5('rv:' || CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) || ':' || CAST(s AS VARCHAR))), ':')[2] AS INT) AS shard_grown
+           FROM documents)
+         SELECT doc_id, shard, shard_grown, shard <> shard_grown AS moved FROM a""",
     "scale_zorder_box" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value

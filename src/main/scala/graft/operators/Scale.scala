@@ -108,4 +108,32 @@ object Scale {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: shard(id) =
+    * argmax over s ∈ [0, shards) of md5("salt:s:id") — the consistent-
+    * placement rule whose defining property is MINIMAL MOVEMENT: growing
+    * the ring from S to S+1 shards can only reassign a row whose new
+    * argmax IS the new shard (every existing shard's key is unchanged,
+    * so the old winner still beats every old rival) — ~1/(S+1) of rows
+    * move, none shuffle between pre-existing shards. The modulo rule
+    * (`id % S`) remaps nearly everything on S→S+1; at 100 TB that is
+    * the difference between rewriting one new shard directory and
+    * rewriting the corpus.
+    *
+    * Pure codegen'd column function of (id, shards, salt): reproducible
+    * under any partitioning/engine. The argmax rides a lexicographic
+    * `array_max` over fixed-width "md5hex:s" strings (hashes are 32
+    * chars, so comparison resolves on the hash; a tie would need an md5
+    * collision between two salted keys of the SAME id). Plan size is
+    * O(shards) literals inside one transform — the shard count is a
+    * config constant, not data. */
+  def rendezvousShard(id: Column, shards: Int, salt: String = "rv"): Column = {
+    require(shards > 0)
+    val keys = transform(sequence(lit(0), lit(shards - 1)), s =>
+      concat(
+        md5(concat(lit(s"$salt:"), s.cast("string"), lit(":"),
+          id.cast("string")).cast("binary")),
+        lit(":"), s.cast("string")))
+    substring_index(array_max(keys), ":", -1).cast("int")
+  }
 }

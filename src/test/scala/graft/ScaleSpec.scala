@@ -195,4 +195,33 @@ class ScaleSpec extends SparkSuite {
       .filter(n => n.contains("_compact_staging") || n.contains("_compact_trash"))
     assert(leftovers.isEmpty, s"staging/trash dirs left behind: ${leftovers.mkString(",")}")
   }
+
+  test("rendezvousShard: range, minimal movement on growth, occupancy, salt independence") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val assigned = ids.select(col("id"),
+        Scale.rendezvousShard(col("id"), 8).as("s8"),
+        Scale.rendezvousShard(col("id"), 9).as("s9"),
+        Scale.rendezvousShard(col("id"), 8, salt = "other").as("alt"))
+      .collect()
+    // range
+    assert(assigned.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 8))
+    assert(assigned.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 9))
+    // THE rendezvous property, structural not statistical: growing the
+    // ring can only reassign a row TO the new shard — every old key is
+    // unchanged, so the old winner still beats every old rival
+    val movedWrong = assigned.filter(r => r.getInt(1) != r.getInt(2))
+      .filterNot(r => r.getInt(2) == 8)
+    assert(movedWrong.isEmpty,
+      s"rows moved between PRE-EXISTING shards: ${movedWrong.take(3).mkString(";")}")
+    // moved fraction ~ 1/9 of 2000 ≈ 222; generous band, catches both a
+    // broken argmax (≈ 8/9 move) and a dead one (0 move)
+    val moved = assigned.count(r => r.getInt(1) != r.getInt(2))
+    assert(moved > 100 && moved < 400, s"moved $moved of 2000")
+    // all 8 shards occupied at n=2000 (P(empty) ~ 8·(7/8)^2000 ≈ 0)
+    assert(assigned.map(_.getInt(1)).distinct.length === 8)
+    // a different salt is a different (near-independent) placement
+    val sameAsAlt = assigned.count(r => r.getInt(1) == r.getInt(3))
+    assert(sameAsAlt < 2000, "salt must change the assignment")
+  }
 }

@@ -471,6 +471,32 @@ object SparkEntry {
         on = Seq("window_start", "event_type", "n_events"),
         floor = 1.0, minCount = 1L)
     }),
+    // GATED: the stream-stream interval self-join (the only join form
+    // that survives an unbounded stream — watermarked both sides, range
+    // constraint bounds state) must emit EXACTLY the batch interval
+    // join's pairs with the same multiplicities on a two-batch replay
+    // of the real events slice
+    "events_stream_join_gate" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).where(col("user_id") % 50 === 0)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val prior = ev.select(col("user_id").as("p_user"),
+        col("ts").as("prior_ts"), col("event_type").as("prior_type"))
+      val batchTwin = ev.join(prior,
+          col("user_id") === col("p_user") &&
+            col("prior_ts") >= col("ts") - expr("INTERVAL 30 minutes") &&
+            col("prior_ts") < col("ts"))
+        .groupBy(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("prior_ts")).as("prior_ms"),
+          col("event_type"), col("prior_type"))
+        .agg(count(lit(1)).as("n"))
+      Recall.setAgreement(
+        streamJoinReplay(s, dir).toDF(
+          "user_id", "ts_ms", "prior_ms", "event_type", "prior_type", "n"),
+        batchTwin,
+        on = Seq("user_id", "ts_ms", "prior_ms", "event_type", "prior_type", "n"),
+        floor = 1.0, minCount = 1L)
+    }),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
         blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
@@ -3474,6 +3500,50 @@ object SparkEntry {
           .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       } finally { q.stop(); s2.catalog.dropTempView(sink) }
     })
+
+  /** Stream-stream interval-join replay for `events_stream_join_gate`,
+    * memoized per (JVM, fixture): a 1/50-of-users slice of the REAL
+    * events fixture (bounded collect, documented) replayed through
+    * [[graft.streaming.EventStream.joinRecentPriors]] in two
+    * time-ordered micro-batches. Splitting by event time is safe: the
+    * 2h watermark dwarfs the 30min join horizon, so any batch-1 prior
+    * evicted before batch 2 arrives could only have paired with
+    * currents > 2h30m away — outside the interval anyway. Event-time
+    * only, no sleeps. Result pre-aggregated to (pair, n) so the gate
+    * compares MULTIPLICITIES, not just the set. */
+  private val streamJoinMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Seq[(Long, Long, Long, String, String, Long)]]
+  private def streamJoinReplay(s: SparkSession, dir: String)
+      : Seq[(Long, Long, Long, String, String, Long)] =
+    streamJoinMemo.getOrElseUpdate(
+      (System.identityHashCode(s.sparkContext), dir), {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val sink = s"__events_join_gate_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        implicit val sqlCtx = s2.sqlContext
+        import s2.implicits._
+        val slice = Tables.events(s2, dir).where(col("user_id") % 50 === 0)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .orderBy("ts").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+        val (b1, b2) = slice.splitAt(slice.length / 2)
+        val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+        val q = graft.streaming.EventStream.joinRecentPriors(
+            input.toDF().toDF("user_id", "ts", "event_type"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(sink).start()
+        try {
+          input.addData(b1.toSeq); q.processAllAvailable()
+          input.addData(b2.toSeq); q.processAllAvailable()
+          s2.table(sink)
+            .groupBy("user_id", "ts", "prior_ts", "event_type", "prior_type")
+            .agg(count(lit(1)).as("n")).collect()
+            .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+              r.getTimestamp(2).getTime, r.getString(3), r.getString(4),
+              r.getLong(5))).toSeq
+        } finally { q.stop(); s2.catalog.dropTempView(sink) }
+      })
 
   private val ttlReplayMemo =
     scala.collection.concurrent.TrieMap.empty[Int, (Set[(Long, Long)], Long)]

@@ -2328,6 +2328,13 @@ object SparkEntry {
     "versioned_latest" -> ((s, dir) =>
       Versioned.read(s, versionedDocsPath(s, dir))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // conditional MERGE (last-write-wins by DATA, not arrival): delta
+    // applies only when strictly newer by n_chars, ties keep current,
+    // stale rows cannot clobber, new ids insert — the oracle replays
+    // every rule symbolically over the same planted delta
+    "versioned_merge_newer" -> ((s, dir) =>
+      Versioned.read(s, versionedMergePath(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
     // manifest-level data skipping: a narrow id probe through per-file
     // stats recorded AT COMMIT TIME — zero parquet footers opened for
     // the skip decision (the pruning bound itself is spec-pinned)
@@ -2814,6 +2821,36 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"),
           lit("xx").as("lang"), (col("n_chars") * 2).as("n_chars")),
         path, "doc_id")
+      path
+    })
+
+  /** Versioned documents exercised through [[Versioned.mergeIfNewer]]:
+    * v0 = documents(8 files), v1 = a MERGE delta planting every rule —
+    * strictly newer (applies), stale (must not clobber), exact tie
+    * (current wins), and pure inserts. Built once per (ctx, dir). */
+  private val versionedMergeBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def versionedMergePath(s: SparkSession, dir: String): String =
+    versionedMergeBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_merge/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        .repartition(8)
+      Versioned.init(docs, path)
+      val newer = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"),
+        lit("up").as("lang"), (col("n_chars") + 10).as("n_chars"))
+      val stale = docs.filter(col("doc_id") % 10 === 5).select(col("doc_id"),
+        lit("xx").as("lang"), (col("n_chars") - 10).as("n_chars"))
+      val tied = docs.filter(col("doc_id") % 10 === 3).select(col("doc_id"),
+        lit("tie").as("lang"), col("n_chars"))
+      val inserts = docs.filter(col("doc_id") % 50 === 0).select(
+        (col("doc_id") + 9200000L).as("doc_id"),
+        lit("new").as("lang"), lit(7L).as("n_chars"))
+      Versioned.mergeIfNewer(
+        newer.unionByName(stale).unionByName(tied).unionByName(inserts),
+        path, "doc_id", "n_chars")
       path
     })
 
@@ -4087,6 +4124,15 @@ object SparkEntry {
     // CDC: the delta relabels every 10th doc ('xx', doubled n_chars) —
     // no fixture lang is 'xx' and n_chars >= 48, so every delta row is
     // an update and nothing else changes
+    // MERGE rules replayed: %10==0 strictly newer (applies), %10==5
+    // stale (kept), %10==3 tie (current wins), inserts land
+    "versioned_merge_newer" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 10 = 0 THEN 'up' ELSE lang END AS lang,
+                CASE WHEN doc_id % 10 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 9200000, 'new', 7 FROM documents WHERE doc_id % 50 = 0""",
     "versioned_diff" ->
       """SELECT doc_id, 'update' AS change, lang AS lang_old, 'xx' AS lang_new,
                 n_chars AS n_chars_old, n_chars * 2 AS n_chars_new

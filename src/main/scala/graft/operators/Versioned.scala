@@ -356,6 +356,59 @@ object Versioned {
   def deleteIds(ids: DataFrame, tableDir: String, idCol: String): Int =
     copyOnWrite(ids.select(idCol), tableDir, idCol, keepDelta = false)
 
+  /** Conditional MERGE: apply a delta row only when it is STRICTLY newer
+    * than the committed row by `orderCol` (ties keep the current row —
+    * a replayed stale extract can never clobber fresher data, the
+    * idempotence an at-least-once upstream needs); unmatched delta ids
+    * insert. [[upsert]] is last-write-wins by ARRIVAL; this is
+    * last-write-wins by DATA, the MERGE shape warehouse tables use for
+    * out-of-order feeds.
+    *
+    * Same copy-on-write commit as [[upsert]]: only files containing a
+    * contested id rewrite; untouched files carry by reference; the
+    * winner resolution is one per-id window over (touched rows ∪ delta)
+    * — work scales with the delta's file overlap, never the table.
+    * Contract: delta ids unique (the same contract as upsert's
+    * within-delta semantics); rows beyond the first per (id, orderCol)
+    * tie would resolve arbitrarily. */
+  def mergeIfNewer(delta: DataFrame, tableDir: String, idCol: String,
+                   orderCol: String): Int = {
+    val s = delta.sparkSession
+    val snap = snapshot(s, tableDir)
+    val v = snap.version + 1
+    val curBase = snap.schema match {
+      case Some(st) => s.read.schema(st).parquet(snap.files: _*)
+      case None     => s.read.parquet(snap.files: _*)
+    }
+    val cur = curBase.withColumn("__file", input_file_name())
+    val deltaIds = delta.select(col(idCol)).distinct()
+    val touchedRaw = cur.join(deltaIds, Seq(idCol), "left_semi")
+      .select("__file").distinct().collect().map(_.getString(0)).toSet
+    val touched = touchedRaw.map(normFileName)
+    val touchedRows = cur.filter(col("__file").isInCollection(touchedRaw))
+      .drop("__file")
+    val uncontested = touchedRows.join(deltaIds, Seq(idCol), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col(orderCol).desc, col("__src").asc)
+    val winners = touchedRows.join(deltaIds, Seq(idCol), "left_semi")
+      .withColumn("__src", lit(0)) // current wins orderCol ties
+      .unionByName(delta.withColumn("__src", lit(1)),
+        allowMissingColumns = true)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk", "__src")
+    val statsCol = snap.entries.flatMap(_.stats.map(_._1)).distinct match {
+      case Seq(c) => Some(c)
+      case _      => None
+    }
+    val newEntries = writeData(
+      uncontested.unionByName(winners, allowMissingColumns = true),
+      tableDir, v, statsCol)
+    commitManifest(s, tableDir, v,
+      snap.entries.filterNot(e => touched(e.path)) ++ newEntries,
+      Map("schema" -> evolveSchema(snap.schema, delta).json))
+  }
+
   /** Change-data capture between two committed versions: one row per id
     * whose presence or content changed, classified
     * `insert | delete | update`; unchanged ids are dropped. For every

@@ -318,4 +318,35 @@ class VersionedSpec extends SparkSuite {
     val s2 = Versioned.vacuum(spark, dir, keepVersions = 1)
     assert(s2.deletedFiles === 0L && s2.droppedVersions.isEmpty, "vacuum is idempotent")
   }
+
+  test("mergeIfNewer: newer applies, stale/tie keep current, inserts land, replay is a no-op") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir) // n_chars = i*7
+    val delta = Seq(
+      (0L, "up", 100L),   // strictly newer -> applies
+      (1L, "xx", 0L),     // stale (7 > 0) -> current kept
+      (2L, "tie", 14L),   // exact tie -> current wins
+      (500L, "new", 7L)   // unmatched id -> insert
+    ).toDF("doc_id", "lang", "n_chars")
+    Versioned.mergeIfNewer(delta, dir, "doc_id", "n_chars")
+    val latest = Versioned.read(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)].collect()
+      .map { case (k, v2, v3) => k -> ((v2, v3)) }.toMap
+    assert(latest(0L) === (("up", 100L)))
+    assert(latest(1L) === (("lang1", 7L)), "stale delta must not clobber")
+    assert(latest(2L) === (("lang2", 14L)), "tie keeps current")
+    assert(latest(500L) === (("new", 7L)))
+    assert(latest.size === 91)
+    // v0 unchanged (time travel)
+    assert(Versioned.read(spark, dir, Some(0)).count() === 90)
+    // at-least-once replay: merging the SAME delta again changes nothing
+    // (applied rows now TIE with themselves, and ties keep current)
+    Versioned.mergeIfNewer(delta, dir, "doc_id", "n_chars")
+    val again = Versioned.read(spark, dir).select("doc_id", "lang", "n_chars")
+    val prev = Versioned.read(spark, dir, Some(1)).select("doc_id", "lang", "n_chars")
+    assert(again.exceptAll(prev).unionAll(prev.exceptAll(again)).count() === 0,
+      "replaying an applied delta must be a content no-op")
+  }
 }

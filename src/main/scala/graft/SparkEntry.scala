@@ -2342,6 +2342,13 @@ object SparkEntry {
       Versioned.readRange(s, versionedStatsPath(s, dir), None,
           "doc_id", 100L, 199L)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // string-equality skipping through the per-file BLOOM recorded at
+    // commit (min/max boxes can't prune unordered string equality):
+    // 'could this file contain v?' answered by manifest arithmetic,
+    // zero footer opens; no false negatives so skipping is sound
+    "versioned_bloom_read" -> ((s, dir) =>
+      Versioned.readEquals(s, versionedBloomPath(s, dir), None, "lang", "de")
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
     // GATED incremental aggregation maintenance: the per-lang counts of
     // the streamed table, maintained as merge(agg(v0), agg(appended
     // rows since v0)) — O(delta) refresh — must equal the full-table
@@ -2851,6 +2858,25 @@ object SparkEntry {
       Versioned.mergeIfNewer(
         newer.unionByName(stale).unionByName(tied).unionByName(inserts),
         path, "doc_id", "n_chars")
+      path
+    })
+
+  /** Bloom-enabled versioned documents: lang-clustered into 8 hash
+    * partitions, committed with a per-file Bloom on `lang` — the
+    * string-equality skipping layer `versioned_bloom_read` probes.
+    * Built once per (SparkContext, fixture dir). */
+  private val versionedBloomBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def versionedBloomPath(s: SparkSession, dir: String): String =
+    versionedBloomBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_bloom/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      Versioned.init(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+          .repartition(8, col("lang")),
+        path, bloomCol = Some("lang"))
       path
     })
 
@@ -4124,6 +4150,10 @@ object SparkEntry {
     // CDC: the delta relabels every 10th doc ('xx', doubled n_chars) —
     // no fixture lang is 'xx' and n_chars >= 48, so every delta row is
     // an update and nothing else changes
+    // bloom skipping is result-invisible (soundness): the probe equals
+    // the plain filter; the pruning bound itself is spec-pinned
+    "versioned_bloom_read" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de'",
     // MERGE rules replayed: %10==0 strictly newer (applies), %10==5
     // stale (kept), %10==3 tie (current wins), inserts land
     "versioned_merge_newer" ->

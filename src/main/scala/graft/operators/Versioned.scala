@@ -38,17 +38,59 @@ object Versioned {
     * MANIFEST — readers prune files without opening a single parquet
     * footer, the Iceberg-style skipping layer above the footer-level
     * zone maps [[Scale.dumpRangeSorted]] provides. */
-  case class FileEntry(path: String, stats: Option[(String, Long, Long)] = None) {
-    private[Versioned] def line: String = stats match {
-      case Some((c, lo, hi)) => s"$path\t$c\t$lo\t$hi"
-      case None              => path
+  case class FileEntry(path: String, stats: Option[(String, Long, Long)] = None,
+                       bloom: Option[(String, String)] = None) {
+    private[Versioned] def line: String = {
+      val statsPart = stats match {
+        case Some((c, lo, hi)) => s"\t$c\t$lo\t$hi"
+        case None              => ""
+      }
+      // tagged suffix keeps old manifests parseable and old readers
+      // merely bloom-blind; a stats column literally named "bloom" is
+      // rejected at build time (writeData) to keep the tag unambiguous
+      val bloomPart = bloom match {
+        case Some((c, hex)) => s"\tbloom\t$c\t$hex"
+        case None           => ""
+      }
+      s"$path$statsPart$bloomPart"
     }
   }
 
   private def parseEntry(l: String): FileEntry = l.split('\t') match {
-    case Array(p)            => FileEntry(p)
-    case Array(p, c, lo, hi) => FileEntry(p, Some((c, lo.toLong, hi.toLong)))
+    case Array(p)                           => FileEntry(p)
+    case Array(p, "bloom", bc, hex)         => FileEntry(p, None, Some((bc, hex)))
+    case Array(p, c, lo, hi)                => FileEntry(p, Some((c, lo.toLong, hi.toLong)))
+    case Array(p, c, lo, hi, "bloom", bc, hex) =>
+      FileEntry(p, Some((c, lo.toLong, hi.toLong)), Some((bc, hex)))
     case _ => throw new IllegalStateException(s"malformed manifest line: $l")
+  }
+
+  /** Per-file Bloom filter parameters: [[BloomBits]]-bit filter (hex in
+    * the manifest), [[BloomK]] salted-md5 hash functions. Sizing: at
+    * ~10k distinct keys/file the fpp is ~0.5; this layer targets
+    * clustered layouts where a file holds FEW distinct values of the
+    * bloom column (partition-ish columns: lang, source, domain) — there
+    * the fpp is <1% and an equality probe opens almost nothing. */
+  val BloomBits = 1024
+  val BloomK = 3
+
+  /** Bit positions of one value — Spark-side (build) and driver-side
+    * (prune) MUST agree, so both route through md5 hex of "j:value". */
+  private[graft] def bloomPositions(value: String): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until BloomK).map { j =>
+      val hex = md.digest(s"$j:$value".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      md.reset()
+      (java.lang.Long.parseLong(hex, 16) % BloomBits).toInt
+    }
+  }
+
+  private[graft] def bloomContains(hex: String, value: String): Boolean = {
+    val words = hex.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+    bloomPositions(value).forall { p =>
+      (words(p / 64) & (1L << (p % 64))) != 0L
+    }
   }
 
   case class Snapshot(version: Int, entries: Seq[FileEntry],
@@ -217,14 +259,17 @@ object Versioned {
     * files). One directory per version — names never collide across
     * commits. */
   private def writeData(df: DataFrame, tableDir: String, v: Int,
-                        statsCol: Option[String] = None): Seq[FileEntry] = {
+                        statsCol: Option[String] = None,
+                        bloomCol: Option[String] = None): Seq[FileEntry] = {
+    require(!statsCol.contains("bloom") && !bloomCol.contains("bloom"),
+      "a stats/bloom column literally named 'bloom' would collide with the manifest tag")
     val dataDir = s"$tableDir/data/v${"%05d".format(v)}"
     df.write.mode("overwrite").parquet(dataDir)
     val dir = new Path(dataDir)
     val paths = fs(df.sparkSession, dir).listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => norm(s.getPath)).sorted.toSeq
-    statsCol match {
+    val base = statsCol match {
       case None => paths.map(FileEntry(_))
       case Some(c) =>
         val stats = df.sparkSession.read.parquet(dataDir)
@@ -242,6 +287,36 @@ object Versioned {
         // a written part absent from the stats scan has zero rows —
         // proven empty, so it never enters the manifest at all
         paths.flatMap(p => stats.get(p).map(st => FileEntry(p, st)))
+    }
+    bloomCol match {
+      case None => base
+      case Some(bc) =>
+        // per-file Bloom over the column's NON-NULL string values:
+        // k salted-md5 positions per value (the same arithmetic
+        // bloomPositions/bloomContains run driver-side), OR-folded into
+        // BloomBits/64 words with map-side combine — one O(delta) scan,
+        // bounded (files × words) collect. A file whose values are all
+        // null gets the all-zero bloom: no probe value can live there.
+        val posCols = (0 until BloomK).map(j =>
+          (conv(substring(md5(concat(lit(s"$j:"), col("__v")).cast("binary")), 1, 8),
+            16, 10).cast("long") % BloomBits).cast("int"))
+        val words = df.sparkSession.read.parquet(dataDir)
+          .select(input_file_name().as("__f"), col(bc).cast("string").as("__v"))
+          .where(col("__v").isNotNull)
+          .select(col("__f"), explode(array(posCols: _*)).as("__p"))
+          .select(col("__f"), expr("CAST(__p / 64 AS INT)").as("__w"),
+            expr("shiftleft(CAST(1 AS BIGINT), __p % 64)").as("__bit"))
+          .groupBy("__f", "__w").agg(bit_or(col("__bit")).as("__bits"))
+          .collect()
+          .groupBy(r => normFileName(r.getString(0)))
+          .map { case (f, rs) =>
+            val arr = new Array[Long](BloomBits / 64)
+            rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+            f -> arr.map("%016x".format(_)).mkString
+          }
+        val zeroHex = "0" * (BloomBits / 4)
+        base.map(e => e.copy(bloom =
+          Some((bc, words.getOrElse(e.path, zeroHex)))))
     }
   }
 
@@ -281,11 +356,12 @@ object Versioned {
     * column (see [[readRange]]). */
   def init(df: DataFrame, tableDir: String,
            meta: Map[String, String] = Map.empty,
-           statsCol: Option[String] = None): Int = {
+           statsCol: Option[String] = None,
+           bloomCol: Option[String] = None): Int = {
     require(versions(df.sparkSession, tableDir).isEmpty,
       s"table already initialized at $tableDir")
     commitManifest(df.sparkSession, tableDir, 0,
-      writeData(df, tableDir, 0, statsCol),
+      writeData(df, tableDir, 0, statsCol, bloomCol),
       meta + ("schema" -> df.schema.json))
   }
 
@@ -295,12 +371,13 @@ object Versioned {
     * null-fill on read; changing an existing column's type refuses. */
   def append(df: DataFrame, tableDir: String,
              meta: Map[String, String] = Map.empty,
-             statsCol: Option[String] = None): Int = {
+             statsCol: Option[String] = None,
+             bloomCol: Option[String] = None): Int = {
     val s = df.sparkSession
     val snap = snapshot(s, tableDir)
     val v = snap.version + 1
     commitManifest(s, tableDir, v,
-      snap.entries ++ writeData(df, tableDir, v, statsCol),
+      snap.entries ++ writeData(df, tableDir, v, statsCol, bloomCol),
       meta + ("schema" -> evolveSchema(snap.schema, df).json))
   }
 
@@ -312,10 +389,43 @@ object Versioned {
   def filesForRange(spark: SparkSession, tableDir: String, version: Option[Int],
                     statsCol: String, lo: Long, hi: Long): Seq[String] =
     snapshot(spark, tableDir, version).entries.collect {
-      case FileEntry(p, Some((c, fLo, fHi))) if c == statsCol =>
+      case FileEntry(p, Some((c, fLo, fHi)), _) if c == statsCol =>
         if (fLo <= hi && fHi >= lo) Some(p) else None
-      case FileEntry(p, _) => Some(p)
+      case FileEntry(p, _, _) => Some(p)
     }.flatten
+
+  /** The file subset an EQUALITY probe on `bloomCol` can possibly
+    * touch: files whose manifest Bloom filter contains the value, plus
+    * files carrying no bloom for that column (must be read). Like
+    * [[filesForRange]]: pure manifest arithmetic, zero file opens, and
+    * skipping is sound because a Bloom filter has no false negatives. */
+  def filesForEquals(spark: SparkSession, tableDir: String, version: Option[Int],
+                     bloomCol: String, value: String): Seq[String] =
+    snapshot(spark, tableDir, version).entries.collect {
+      case FileEntry(p, _, Some((c, hex))) if c == bloomCol =>
+        if (bloomContains(hex, value)) Some(p) else None
+      case FileEntry(p, _, _) => Some(p)
+    }.flatten
+
+  /** Equality read through manifest-level Bloom skipping — the string-
+    * column twin of [[readRange]] (min/max boxes are useless for
+    * high-cardinality or unordered string equality; a per-file Bloom
+    * answers "could this file contain v?" in one manifest read). The
+    * exact predicate still applies on top: pruning is an I/O
+    * optimization, never a semantics change. */
+  def readEquals(spark: SparkSession, tableDir: String, version: Option[Int],
+                 bloomCol: String, value: String): DataFrame = {
+    val snap = snapshot(spark, tableDir, version)
+    val keep = filesForEquals(spark, tableDir, version, bloomCol, value)
+    def reader = snap.schema match {
+      case Some(st) => spark.read.schema(st)
+      case None     => spark.read
+    }
+    if (keep.nonEmpty) reader.parquet(keep: _*).filter(col(bloomCol) === value)
+    else if (snap.files.nonEmpty)
+      reader.parquet(snap.files.head).filter(lit(false))
+    else spark.emptyDataFrame
+  }
 
   /** Range read through manifest-level skipping: only the
     * [[filesForRange]] subset is handed to the scan, then the exact

@@ -349,4 +349,37 @@ class VersionedSpec extends SparkSuite {
     assert(again.exceptAll(prev).unionAll(prev.exceptAll(again)).count() === 0,
       "replaying an applied delta must be a content no-op")
   }
+
+  test("bloom skipping: sound, prunes a clustered layout, nulls never match, stats coexist") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 3 files, each holding exactly one lang; one row with a NULL lang
+    val d = (0 until 90).map(i =>
+        (i.toLong, if (i == 89) null else s"lang${i % 3}", (i * 7).toLong))
+      .toDF("doc_id", "lang", "n_chars").repartition(3, col("lang"))
+    Versioned.init(d, dir, statsCol = Some("doc_id"), bloomCol = Some("lang"))
+    // soundness: bloom-pruned read == full-scan filter, for every lang
+    for (l <- Seq("lang0", "lang1", "lang2")) {
+      val got = Versioned.readEquals(spark, dir, None, "lang", l)
+      val want = Versioned.read(spark, dir).filter(col("lang") === l)
+      assert(got.exceptAll(want).unionAll(want.exceptAll(got)).count() === 0, l)
+    }
+    // pruning bound: a one-lang probe must not open every file
+    val total = Versioned.snapshot(spark, dir).entries.size
+    val opened = Versioned.filesForEquals(spark, dir, None, "lang", "lang0").size
+    assert(opened < total, s"bloom pruned nothing: $opened of $total")
+    // a value in NO file: the bloom may let an fpp file through, but
+    // the RESULT must be empty (the exact predicate applies on top)
+    assert(Versioned.readEquals(spark, dir, None, "lang", "nowhere").count() === 0)
+    // a probe on a column with NO bloom reads everything (soundness)
+    assert(Versioned.filesForEquals(spark, dir, None, "other", "x").size === total)
+    // stats and bloom coexist on the same entries (both manifest-parsed)
+    val e = Versioned.snapshot(spark, dir).entries
+    assert(e.forall(_.stats.nonEmpty) && e.forall(_.bloom.nonEmpty))
+    // null values never enter the bloom; the null row is invisible to
+    // every equality probe (SQL equality semantics)
+    val allProbed = Seq("lang0", "lang1", "lang2")
+      .map(l => Versioned.readEquals(spark, dir, None, "lang", l).count()).sum
+    assert(allProbed === 89L)
+  }
 }

@@ -500,6 +500,22 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
         blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
+    // survivor POLICY: within each duplicate component keep the BEST-
+    // QUALITY doc, not the lowest id (the Dolma/SlimPajama keep-best
+    // rule — near-dup clusters usually contain one clean copy and
+    // degraded variants). Deterministic argmax: 4dp quality desc, id
+    // asc; feeds the shared pinned components frame (flagship
+    // `dedup_components` keeps the fixed point's honest cost)
+    "dedup_best_survivor" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      TextOps.qualityReport(docsWithNearDupes(s, dir))
+        .join(nearDupComponentsShared(s, dir), Seq("doc_id"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("component"), col("doc_id"), col("quality"))
+    }),
     // edit-distance near-dup over SHORT strings (titles): deletion-
     // neighborhood blocking (sound pigeonhole, recall 1.0 by
     // construction) + codegen'd levenshtein verify in-join; corpus
@@ -3413,6 +3429,48 @@ object SparkEntry {
                 round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
          FROM sc GROUP BY 1"""
 
+  /** The near-dup corpus → ngram-Jaccard pairs → min-label components
+    * CTE chain (through `comp`), shared by the pipeline_clean and
+    * dedup_best_survivor oracles. Requires WITH RECURSIVE. */
+  private val nearDupComponentsCtes: String =
+    """corpus AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
+                    FROM documents WHERE doc_id % 10 = 0),
+         g AS (SELECT doc_id, md5(substr(text, 1, 40)) AS blk,
+                      CASE WHEN length(text) >= 3
+                           THEN list_distinct(list_transform(range(length(text) - 2),
+                                  i -> substr(text, CAST(i + 1 AS INT), 3)))
+                           ELSE [text] END AS s
+               FROM corpus),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+               WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) >= 0.5),
+         e AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, label) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT e.id_a, r.label FROM e JOIN reach r ON e.id_b = r.id),
+         comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY 1)"""
+
+  /** The qualityReport arithmetic (t → r → q, ending in per-doc 4dp
+    * `quality`) over the given source CTE. */
+  private def docQualityCtes(src: String): String =
+    s"""t AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+               FROM $src),
+         r AS (SELECT doc_id, len(toks) AS n_tokens,
+                      round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1), 4) AS punct_ratio,
+                      round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                            / greatest(len(toks), 1), 4) AS stopword_ratio
+               FROM t),
+         q AS (SELECT doc_id,
+                      round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                            * (1.0 - punct_ratio) * (1.0 - 0.5 * stopword_ratio), 4) AS quality
+               FROM r)"""
+
   private def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val eval = d.filter(col("doc_id") % 25 === 0)
@@ -4389,43 +4447,24 @@ object SparkEntry {
          SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY 1""",
     // composed pipeline: recursive-CTE dedup survivors -> quality gate
     "pipeline_clean" ->
-      """WITH RECURSIVE
-         corpus AS (SELECT doc_id, text FROM documents
-                    UNION ALL
-                    SELECT doc_id + 10000000 AS doc_id, text || ' extra tail words' AS text
-                    FROM documents WHERE doc_id % 10 = 0),
-         g AS (SELECT doc_id, md5(substr(text, 1, 40)) AS blk,
-                      CASE WHEN length(text) >= 3
-                           THEN list_distinct(list_transform(range(length(text) - 2),
-                                  i -> substr(text, CAST(i + 1 AS INT), 3)))
-                           ELSE [text] END AS s
-               FROM corpus),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
-               WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                           / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 4) >= 0.5),
-         e AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
-         reach(id, label) AS (
-           SELECT doc_id, doc_id FROM corpus
-           UNION
-           SELECT e.id_a, r.label FROM e JOIN reach r ON e.id_b = r.id),
-         comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY 1),
+      s"""WITH RECURSIVE
+         $nearDupComponentsCtes,
          surv AS (SELECT c.doc_id, c.text FROM corpus c
                   JOIN comp ON c.doc_id = comp.doc_id AND comp.doc_id = comp.component),
-         t AS (SELECT doc_id, text,
-                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-               FROM surv),
-         r AS (SELECT doc_id, len(toks) AS n_tokens,
-                      round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-                            / greatest(length(text), 1), 4) AS punct_ratio,
-                      round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
-                            / greatest(len(toks), 1), 4) AS stopword_ratio
-               FROM t),
-         q AS (SELECT doc_id,
-                      round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-                            * (1.0 - punct_ratio) * (1.0 - 0.5 * stopword_ratio), 4) AS quality
-               FROM r)
+         ${docQualityCtes("surv")}
          SELECT doc_id, quality FROM q WHERE quality >= 0.3""",
+    // survivor POLICY row: within each duplicate component keep the
+    // best-quality doc (not the lowest id) — the Dolma/SlimPajama-style
+    // keep-best rule; deterministic (4dp quality desc, id asc)
+    "dedup_best_survivor" ->
+      s"""WITH RECURSIVE
+         $nearDupComponentsCtes,
+         ${docQualityCtes("corpus")},
+         j AS (SELECT comp.component, q.doc_id, q.quality,
+                      row_number() OVER (PARTITION BY comp.component
+                        ORDER BY q.quality DESC, q.doc_id) AS rn
+               FROM q JOIN comp ON q.doc_id = comp.doc_id)
+         SELECT component, doc_id, quality FROM j WHERE rn = 1""",
     "contamination_report" ->
       s"""$contaminationCtes
          SELECT tg.doc_id, count(*) AS n_overlap,

@@ -588,8 +588,17 @@ object Versioned {
         case Seq(c) => Some(c)
         case _      => None
       })
+    // OPTIMIZE is also the bloom-refresh point: copy-on-write rewrites
+    // commit bloom-less files (degrade-to-read, sound); compact
+    // re-derives the table's bloom column from the snapshot and
+    // rebuilds filters for every rewritten file
+    val bloomCol = snap.entries.flatMap(_.bloom.map(_._1)).distinct match {
+      case Seq(c) => Some(c)
+      case _      => None
+    }
     val v = snap.version + 1
-    commitManifest(spark, tableDir, v, writeData(arranged, tableDir, v, statsCol),
+    commitManifest(spark, tableDir, v,
+      writeData(arranged, tableDir, v, statsCol, bloomCol),
       Map("schema" -> snap.schema.getOrElse(cur.schema).json))
   }
 

@@ -381,5 +381,21 @@ class VersionedSpec extends SparkSuite {
     val allProbed = Seq("lang0", "lang1", "lang2")
       .map(l => Versioned.readEquals(spark, dir, None, "lang", l).count()).sum
     assert(allProbed === 89L)
+    // an upsert's rewritten files commit bloom-less (degrade-to-read,
+    // still sound)…
+    Versioned.upsert(
+      Seq((0L, "lang0", 999L)).toDF("doc_id", "lang", "n_chars"), dir, "doc_id")
+    val gotAfter = Versioned.readEquals(spark, dir, None, "lang", "lang0")
+    val wantAfter = Versioned.read(spark, dir).filter(col("lang") === "lang0")
+    assert(gotAfter.exceptAll(wantAfter).unionAll(wantAfter.exceptAll(gotAfter))
+      .count() === 0)
+    // …and compact is the bloom-refresh point: every entry carries a
+    // bloom again and the probe result is unchanged
+    Versioned.compact(spark, dir, targetBytes = 4L << 10)
+    assert(Versioned.snapshot(spark, dir).entries.forall(_.bloom.nonEmpty),
+      "compact must rebuild blooms")
+    val gotC = Versioned.readEquals(spark, dir, None, "lang", "lang0")
+    assert(gotC.exceptAll(wantAfter).unionAll(wantAfter.exceptAll(gotC))
+      .count() === 0)
   }
 }

@@ -471,6 +471,36 @@ object SparkEntry {
         on = Seq("window_start", "event_type", "n_events"),
         floor = 1.0, minCount = 1L)
     }),
+    // GATED: event-time-timeout sessionization (flatMapGroupsWithState,
+    // the reference-free custom-state path) must close EXACTLY the
+    // sessions the batch gap-rule computes — per-session (user, start,
+    // end, n) equality at floor 1.0 over the two-batch replay of the
+    // real events slice, sessions closed by a sentinel watermark
+    "events_stream_session_gate" -> ((s, dir) => {
+      import s.implicits._
+      // `div`, not `/`: Column `/` is double division, and a double sec
+      // key would never equal the replay side's long seconds
+      val sec = expr("unix_micros(ts) div 1000000").as("sec")
+      val ev = Tables.events(s, dir).where(col("user_id") % 50 === 0)
+        .select(col("user_id"), sec)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("sec"))
+      val batchTwin = ev
+        .withColumn("__prev", lag(col("sec"), 1).over(w))
+        .withColumn("__new", when(col("__prev").isNull ||
+          col("sec") - col("__prev") > 1800L, 1L).otherwise(0L))
+        .withColumn("__sid", sum(col("__new")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(min(col("sec")).as("start_s"), max(col("sec")).as("end_s"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("start_s"), col("end_s"), col("n"))
+      Recall.setAgreement(
+        sessionGateReplay(s, dir).toDF("user_id", "start_s", "end_s", "n"),
+        batchTwin,
+        on = Seq("user_id", "start_s", "end_s", "n"),
+        floor = 1.0, minCount = 1L)
+    }),
     // GATED: the stream-stream interval self-join (the only join form
     // that survives an unbounded stream — watermarked both sides, range
     // constraint bounds state) must emit EXACTLY the batch interval
@@ -2351,6 +2381,15 @@ object SparkEntry {
     "versioned_merge_newer" -> ((s, dir) =>
       Versioned.read(s, versionedMergePath(s, dir))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // drift ACROSS VERSIONS: PSI of the lang distribution between the
+    // merge table's v0 and latest — time travel makes "did yesterday's
+    // commit shift the corpus" a single composed query over two pinned
+    // snapshots; the merge planted real drift ('up'/'new' buckets)
+    "versioned_psi_drift" -> ((s, dir) => {
+      val path = versionedMergePath(s, dir)
+      Profile.psi(Versioned.read(s, path, Some(0)),
+        Versioned.read(s, path), "lang")
+    }),
     // manifest-level data skipping: a narrow id probe through per-file
     // stats recorded AT COMMIT TIME — zero parquet footers opened for
     // the skip decision (the pruning bound itself is spec-pinned)
@@ -3164,21 +3203,20 @@ object SparkEntry {
     * replace (as scalar subqueries against the round's argmax row). */
   /** Shared CTE chain for the BPE oracles: T merge rounds — per round,
     * pair extraction (lateral unnest over adjacent symbol indices), the
-    * (cnt desc, a, b) argmax, and the same
-    * [[graft.operators.Bpe.MergePasses]]-pass literal replace. Every
-    * CTE is MATERIALIZED and the round's (pattern, replacement) pair
-    * rides a 1-row cross-joined frame — scalar subqueries inside the
-    * 9-pass replace chain would re-inline the whole prior-round lineage
-    * per reference (exponential plan expansion). With
+    * (cnt desc, a, b) argmax, and the SAME single half-boundary literal
+    * replace the engine runs (double-space symbol strings; see
+    * [[graft.operators.Bpe]] for why one replace equals the classic
+    * scan). Every CTE is MATERIALIZED and the round's (pattern,
+    * replacement) pair rides a 1-row cross-joined frame — a scalar
+    * subquery inside the replace would re-inline the prior round's
+    * lineage per reference (exponential plan expansion). With
     * `withFinalVocab` the chain also applies round T's merge, yielding
     * v<T> = the fully segmented vocabulary for the encode oracle. */
   private def bpeChainSql(t: Int, withFinalVocab: Boolean): String = {
-    def rep(expr: String): String =
-      (1 to Bpe.MergePasses).foldLeft(expr)((e, _) => s"replace($e, pat, rp)")
     val sb = new StringBuilder
     sb ++= """WITH w AS MATERIALIZED (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word FROM documents),
        v0 AS MATERIALIZED (SELECT word, count(*) AS freq,
-                     ' ' || regexp_replace(word, '(.)', '\1 ', 'g') || '</w> ' AS s
+                     '  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w>  ' AS s
               FROM w WHERE length(word) <= """ + Bpe.MaxWordLen + " GROUP BY word)"
     for (i <- 1 to t) {
       sb ++= s""",
@@ -3189,8 +3227,8 @@ object SparkEntry {
                FROM p$i GROUP BY a, b
                ORDER BY cnt DESC, a, b LIMIT 1)"""
       if (i < t || withFinalVocab) sb ++= s""",
-       r$i AS MATERIALIZED (SELECT ' '||a||' '||b||' ' AS pat, ' '||a||b||' ' AS rp FROM m$i),
-       v$i AS MATERIALIZED (SELECT word, freq, ${rep("s")} AS s FROM v${i - 1}, r$i)"""
+       r$i AS MATERIALIZED (SELECT ' '||a||'  '||b||' ' AS pat, ' '||a||b||' ' AS rp FROM m$i),
+       v$i AS MATERIALIZED (SELECT word, freq, replace(s, pat, rp) AS s FROM v${i - 1}, r$i)"""
     }
     sb.toString
   }
@@ -3663,6 +3701,47 @@ object SparkEntry {
             .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
               r.getTimestamp(2).getTime, r.getString(3), r.getString(4),
               r.getLong(5))).toSeq
+        } finally { q.stop(); s2.catalog.dropTempView(sink) }
+      })
+
+  /** Event-time-timeout sessionization replay for
+    * `events_stream_session_gate` — same harness discipline as
+    * [[streamJoinReplay]] (bounded real-fixture slice, two time-ordered
+    * batches, memoized per (JVM, fixture), event-time only) plus a
+    * far-future sentinel batch whose watermark closes every real
+    * session; the sentinel user's own (correctly still-open) session is
+    * excluded from the comparison. */
+  private val sessionGateMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Seq[(Long, Long, Long, Long)]]
+  private def sessionGateReplay(s: SparkSession, dir: String)
+      : Seq[(Long, Long, Long, Long)] =
+    sessionGateMemo.getOrElseUpdate(
+      (System.identityHashCode(s.sparkContext), dir), {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val sink = s"__events_session_gate_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+        val sentinelUser = 999999999L
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        implicit val sqlCtx = s2.sqlContext
+        import s2.implicits._
+        val slice = Tables.events(s2, dir).where(col("user_id") % 50 === 0)
+          .select(col("user_id"), col("ts")).orderBy("ts").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1)))
+        val (b1, b2) = slice.splitAt(slice.length / 2)
+        val sentinel = (sentinelUser,
+          new java.sql.Timestamp(slice.last._2.getTime + 1000000000L))
+        val input = MemoryStream[(Long, java.sql.Timestamp)]
+        val q = graft.streaming.EventStream.sessionizeStream(
+            input.toDF().toDF("user_id", "ts"))
+          .toDF().writeStream.outputMode("append").format("memory")
+          .queryName(sink).start()
+        try {
+          input.addData(b1.toSeq); q.processAllAvailable()
+          input.addData(b2.toSeq); q.processAllAvailable()
+          input.addData(sentinel); q.processAllAvailable()
+          s2.table(sink).filter(col("user_id") =!= sentinelUser).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            .toSeq
         } finally { q.stop(); s2.catalog.dropTempView(sink) }
       })
 
@@ -4212,6 +4291,31 @@ object SparkEntry {
     // the plain filter; the pruning bound itself is spec-pinned
     "versioned_bloom_read" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de'",
+    // cross-version drift: the PSI chain over v0 (= documents) vs the
+    // merge result rebuilt symbolically; same add-half shares, 6dp ln
+    // terms, decimal total as dq_psi_drift
+    "versioned_psi_drift" ->
+      """WITH m AS (SELECT doc_id,
+                           CASE WHEN doc_id % 10 = 0 THEN 'up' ELSE lang END AS lang
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id + 9200000, 'new' FROM documents WHERE doc_id % 50 = 0),
+         r AS (SELECT lang AS bucket, count(*) AS n_ref FROM documents GROUP BY 1),
+         c AS (SELECT lang AS bucket, count(*) AS n_cur FROM m GROUP BY 1),
+         j AS (SELECT coalesce(r.bucket, c.bucket) AS bucket,
+                      coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+               FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+         t AS (SELECT CAST(count(*) AS DOUBLE) AS b,
+                      CAST(sum(n_ref) AS DOUBLE) AS nr,
+                      CAST(sum(n_cur) AS DOUBLE) AS nc FROM j),
+         terms AS (SELECT bucket, n_ref, n_cur,
+                          round(((n_ref + 0.5) / (nr + 0.5 * b) - (n_cur + 0.5) / (nc + 0.5 * b))
+                                * ln(((n_ref + 0.5) / (nr + 0.5 * b)) / ((n_cur + 0.5) / (nc + 0.5 * b))), 6) AS psi_term
+                   FROM j CROSS JOIN t),
+         tt AS (SELECT sum(CAST(psi_term AS DECIMAL(18,6))) AS t FROM terms)
+         SELECT bucket, n_ref, n_cur, psi_term,
+                round(CAST(t AS DOUBLE), 6) AS psi_total
+         FROM terms CROSS JOIN tt""",
     // MERGE rules replayed: %10==0 strictly newer (applies), %10==5
     // stale (kept), %10==3 tie (current wins), inserts land
     "versioned_merge_newer" ->

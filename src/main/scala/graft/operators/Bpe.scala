@@ -22,43 +22,47 @@ import org.apache.spark.sql.functions._
   *    frame is localCheckpoint-pinned per round (the repo's iterated-
   *    frame pattern) so T rounds never stack T plans.
   *
-  * Symbol representation: a word's symbols are kept as a SPACE-JOINED
-  * STRING with sentinel spaces (`" l o w </w> "`), the end-of-word
-  * marker `</w>` a symbol of its own. Applying merge (a, b) is then
-  * `replace(s, " a b ", " ab ")` — literal, boundary-safe (symbols
-  * never contain spaces), and left-to-right non-overlapping exactly
-  * like the classic scan. One pass can miss boundary-SHARING chains
-  * (`… a b a b …`: the second match's leading space was consumed), so
-  * the replace runs [[MergePasses]] times: each pass resolves at least
-  * half of a chain's remaining occurrences, so 9 passes are exact for
-  * any word up to 2^9 symbols — far beyond [[MaxWordLen]], making the
-  * iterate provably a fixpoint. Both engines run the SAME passes, so
-  * equality is by construction, not by analysis.
+  * Symbol representation: a word's symbols are kept as a DOUBLE-SPACE-
+  * joined string with double sentinel spaces (`"  l  o  w  </w>  "`),
+  * the end-of-word marker `</w>` a symbol of its own. Applying merge
+  * (a, b) is ONE literal `replace(s, " a  b ", " ab ")`: the pattern
+  * carries one leading and one trailing space (half of each boundary),
+  * so a match leaves the other half in place for the NEXT match to use
+  * — global left-to-right replace-and-resume is then EXACTLY the
+  * classic scan, including consecutive candidates that share a
+  * boundary (`a b a b` merges both pairs in one pass) and same-symbol
+  * runs (`a a a a a a` → `aa aa aa`, left-aligned, odd runs keep the
+  * trailing single). A single-space representation cannot do this: its
+  * match consumes the WHOLE shared boundary, stalls alternate
+  * candidates, and converges to a different (non-BPE) fixpoint on odd
+  * runs ≥ 6 — caught by the randomized scan-equivalence spec.
+  * Boundary safety: symbols never contain spaces, and any symbol
+  * abutting the pattern breaks the required space flanking (an
+  * existing `ab` symbol can never match `" a  b "`). Both engines run
+  * the SAME replace, so equality is by construction, not analysis.
   */
 object Bpe {
 
   /** Words longer than this are excluded from vocabulary learning
     * (pathological unbroken runs — the same guard real tokenizer
-    * trainers apply). Also the bound that makes [[MergePasses]] exact. */
+    * trainers apply). */
   val MaxWordLen = 256
-
-  /** Fixed replace passes per merge round; exact for chains ≤ 2^9. */
-  val MergePasses = 9
 
   /** One learned merge: round number, the pair, its weighted count. */
   final case class Merge(t: Int, a: String, b: String, cnt: Long)
 
-  /** The distinct-word frame: (word, freq, s) with s the sentinel-
-    * wrapped symbol string `" c h a r s </w> "`. ASCII/BMP contract:
-    * per-char splitting uses a regex capture over code units, matching
-    * the fixture corpus; byte-level BPE would split on bytes here. */
+  /** The distinct-word frame: (word, freq, s) with s the double-space
+    * symbol string `"  c  h  a  r  s  </w>  "` (see object doc for why
+    * the boundary is two spaces). ASCII/BMP contract: per-char
+    * splitting uses a regex capture over code units, matching the
+    * fixture corpus; byte-level BPE would split on bytes here. */
   def wordVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("word"))
       .where(length(col("word")) <= MaxWordLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
-        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "),
-          lit("</w> ")).as("s"))
+        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  "),
+          lit("</w>  ")).as("s"))
 
   /** Adjacent-pair counts over the current vocab, freq-weighted. */
   def pairCounts(vocab: DataFrame): DataFrame = {
@@ -72,12 +76,12 @@ object Bpe {
       .agg(sum(col("freq")).as("cnt"))
   }
 
-  /** Apply merge (a, b) → ab to a sentinel-wrapped symbol string:
-    * [[MergePasses]] literal replaces (see object doc for why the
-    * fixed pass count is exact). */
+  /** Apply merge (a, b) → ab to a double-space symbol string: ONE
+    * literal replace whose pattern takes half of each flanking
+    * boundary, making global replace-and-resume exactly the classic
+    * left-to-right scan (see object doc). */
   def applyMerge(s: Column, a: String, b: String): Column =
-    (1 to MergePasses).foldLeft(s)((c, _) =>
-      replace(c, lit(s" $a $b "), lit(s" $a$b ")))
+    replace(s, lit(s" $a  $b "), lit(s" $a$b "))
 
   /** Learn `t` merges from the corpus. Returns the merge table
     * (t, sym_a, sym_b, pair_count) as a DataFrame built from the

@@ -24,22 +24,67 @@ class BpeSpec extends SparkSuite {
   }
 
   test("applyMerge: left-to-right non-overlapping on same-symbol chains") {
+    def s(syms: String*): String = "  " + syms.mkString("  ") + "  "
     val cases = Seq(
-      (" a a a a </w> ", " aa aa </w> "),  // even chain: pairs (1,2) (3,4)
-      (" a a a </w> ", " aa a </w> "),     // odd chain: trailing single stays
-      (" x a a y </w> ", " x aa y </w> "), // interior pair
-      (" b c </w> ", " b c </w> ")         // no occurrence: identity
+      (s("a", "a", "a", "a", "</w>"), s("aa", "aa", "</w>")), // even chain
+      (s("a", "a", "a", "</w>"), s("aa", "a", "</w>")),       // odd: single stays
+      // the single-space representation's failure case: run of six must
+      // merge LEFT-ALIGNED to three pairs in ONE pass, not stall at
+      // [aa, a, aa, a]
+      (s("a", "a", "a", "a", "a", "a", "</w>"), s("aa", "aa", "aa", "</w>")),
+      (s("x", "a", "a", "y", "</w>"), s("x", "aa", "y", "</w>")), // interior
+      (s("b", "c", "</w>"), s("b", "c", "</w>"))                  // identity
     ).toDF("s", "want")
     val bad = cases.select(col("want"),
         Bpe.applyMerge(col("s"), "a", "a").as("got"))
       .filter(!(col("got") <=> col("want"))).collect()
     assert(bad.isEmpty, s"merge mismatches: ${bad.mkString("; ")}")
-    // boundary-sharing alternation resolves across passes: ababab -> 3x ab
-    val chain = Seq((" a b a b a b </w> ", " ab ab ab </w> ")).toDF("s", "want")
+    // boundary-sharing alternation merges ALL pairs in one pass
+    val chain = Seq(
+      (s("a", "b", "a", "b", "a", "b", "</w>"), s("ab", "ab", "ab", "</w>")))
+      .toDF("s", "want")
     val badChain = chain.select(col("want"),
         Bpe.applyMerge(col("s"), "a", "b").as("got"))
       .filter(!(col("got") <=> col("want"))).collect()
     assert(badChain.isEmpty, s"chain mismatches: ${badChain.mkString("; ")}")
+  }
+
+  test("applyMerge: randomized equivalence with the classic left-to-right scan") {
+    import org.apache.spark.sql.functions._
+    // naive reference: single left-to-right scan, skip after a merge —
+    // Sennrich's algorithm verbatim
+    def naive(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    // tiny alphabet INCLUDING the literal "ab" symbol: maximizes chains,
+    // overlaps, and boundary-confusion opportunities (an existing "ab"
+    // must never match the ' a b ' pattern)
+    val rnd = new scala.util.Random(42)
+    val alpha = Vector("a", "b", "ab")
+    val cases = (1 to 300).map { _ =>
+      val syms = List.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(3)))
+      val a = alpha(rnd.nextInt(2))
+      val b = alpha(rnd.nextInt(3))
+      (syms, a, b)
+    }
+    cases.groupBy { case (_, a, b) => (a, b) }.foreach { case ((a, b), grp) =>
+      val df = grp.map { case (syms, _, _) =>
+        ("  " + syms.mkString("  ") + "  ",
+          "  " + naive(syms, a, b).mkString("  ") + "  ")
+      }.toDF("s", "want")
+      val bad = df.select(col("s"), col("want"),
+          Bpe.applyMerge(col("s"), a, b).as("got"))
+        .filter(!(col("got") <=> col("want"))).collect()
+      assert(bad.isEmpty,
+        s"merge ($a,$b) diverges from the scan: ${bad.take(3).mkString("; ")}")
+    }
   }
 
   test("learnMerges: partition-invariant (integer counts, deterministic argmax)") {

@@ -765,6 +765,25 @@ object SparkEntry {
         docs.where(array_contains(toks, "dup") && array_contains(toks, "spark"))
           .select(col("doc_id")))
     }),
+    // contrastive-training triplet export: ranked gold positives ×
+    // top-10 hard negatives (both frames k-bounded, the small side
+    // broadcast — never a partitioned cartesian); ranks kept so a
+    // trainer can curriculum over difficulty
+    "retrieval_triplets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = Dedup.tokens(col("text"))
+      val ranked = Retrieval.bm25(docs, BmQueryTerms, k = 20)
+      val gold = docs
+        .where(array_contains(toks, "dup") && array_contains(toks, "spark"))
+        .select(col("doc_id"))
+      val pos = ranked.join(gold, Seq("doc_id"))
+        .select(col("doc_id").as("pos_id"), col("rank").as("pos_rank"))
+      val negs = Retrieval.hardNegatives(ranked, gold)
+        .filter(col("rank") <= 10)
+        .select(col("doc_id").as("neg_id"), col("rank").as("neg_rank"))
+      pos.crossJoin(broadcast(negs))
+        .select(col("pos_id"), col("pos_rank"), col("neg_id"), col("neg_rank"))
+    }),
     // corpus bigram LM, trained + scored in one pass (KenLM-shaped
     // fluency QA; rational probabilities — no libm, decimal-mean)
     "lm_bigram_fluency" -> ((s, dir) =>
@@ -4636,6 +4655,16 @@ object SparkEntry {
           FROM bmr WHERE "rank" <= 20
             AND doc_id NOT IN (SELECT doc_id FROM bm_dl
                                WHERE list_contains(ts, 'dup') AND list_contains(ts, 'spark'))""",
+    // positives x hard negatives with ranks
+    "retrieval_triplets" ->
+      s"""WITH $bm25OracleCtes,
+          gold AS (SELECT doc_id FROM bm_dl
+                   WHERE list_contains(ts, 'dup') AND list_contains(ts, 'spark')),
+          pos AS (SELECT doc_id AS pos_id, "rank" AS pos_rank FROM bmr
+                  WHERE "rank" <= 20 AND doc_id IN (SELECT doc_id FROM gold)),
+          neg AS (SELECT doc_id AS neg_id, "rank" AS neg_rank FROM bmr
+                  WHERE "rank" <= 10 AND doc_id NOT IN (SELECT doc_id FROM gold))
+          SELECT pos_id, pos_rank, neg_id, neg_rank FROM pos CROSS JOIN neg""",
     // bigram LM self-fluency; bigram positions come from a per-doc
     // length-derived unnest(range(...)) — no hard-coded position cap
     "lm_bigram_fluency" ->

@@ -63,6 +63,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // canary warm-up: its own JIT is not the signal
+    // Nominal canary on this box is ~0.048-0.087s (measured across
+    // rounds 6-11; the documented slow-host mode reads 0.09-0.3s).
+    // SlowBar gates work that cannot pay off under a slow host;
+    // RecoverBar decides when a wait-for-recovery succeeded.
+    val NominalCanary = 0.055
+    val SlowBar = NominalCanary * 2
+    val RecoverBar = NominalCanary * 1.5
     val cal0 = calibrate()
     // Steady-state timing: two full sweeps, per-query minimum — the
     // reference's discard-warmup methodology (benchmark.py:34-42), but
@@ -109,14 +116,46 @@ object Bench {
     // stalled after the third. Cost is bounded (<=24+12 re-timings of
     // mostly 1-3s queries); the payoff is a published number the noise
     // mode can't inflate without surviving FOUR separated windows.
+    // CANARY-GATED (r11): under the GLOBAL slow mode (canary > 2x
+    // nominal) the extra windows are themselves slow — they cannot
+    // produce nominal minima, so running them just burns minutes of a
+    // degraded host. Skip them and spend the budget on the
+    // wait-for-recovery sweep below instead.
+    val calMid = calibrate()
+    val hostSlowMid = calMid > SlowBar
     val slow = twoSweep.toSeq.sortBy(-_._2).take(8).map(_._1)
-    val third = (slow ++ stallSuspects(twoSweep)).distinct.take(24)
+    val third = if (hostSlowMid) Seq.empty
+                else (slow ++ stallSuspects(twoSweep)).distinct.take(24)
     val s3 = extraPass(third)
     val afterThird = twoSweep.map { case (name, t) =>
       name -> math.min(t, s3.getOrElse(name, t)) }
-    val s4 = extraPass(stallSuspects(afterThird).take(12))
-    val results = afterThird.map { case (name, t) =>
+    val s4 = if (hostSlowMid) Map.empty[String, Double]
+             else extraPass(stallSuspects(afterThird).take(12))
+    val afterFourth = afterThird.map { case (name, t) =>
       name -> math.min(t, s4.getOrElse(name, t)) }
+    // Recovery sweep: when the canary read slow at EITHER boundary of
+    // the measurement (start or post-sweeps), every minimum may carry
+    // the host's degraded mode. Wait briefly for the mode to pass (it
+    // runs minutes at a time); if a fresh canary reads nominal again,
+    // ONE more full sweep re-measures everything on the recovered host
+    // and the per-query minima fold it in. Bounded: <= 4 x 20s waits +
+    // one sweep; a host that never recovers publishes what it measured
+    // (the canary pair tells the reader which world the number is
+    // from). The published value is still never normalized.
+    val needRecovery = (cal0 > SlowBar || hostSlowMid || calibrate() > SlowBar)
+    var recovered = false
+    if (needRecovery) {
+      var tries = 0
+      while (!recovered && tries < 4) {
+        Thread.sleep(20000L)
+        recovered = calibrate() < RecoverBar
+        tries += 1
+      }
+    }
+    val s5 = if (!recovered) Map.empty[String, Double]
+             else sweep().collect { case (n, (t, None)) => n -> t }
+    val results = afterFourth.map { case (name, t) =>
+      name -> math.min(t, s5.getOrElse(name, t)) }
     val errors = (s1.toSeq ++ s2.toSeq)
       .collect { case (name, (_, Some(e))) => name -> e }.toMap
     def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"]", "_").replaceAll("[\\x00-\\x1f]", " ") + "\""
@@ -141,7 +180,8 @@ object Bench {
     // noise (one stalled run) vs real (all runs moved) without
     // re-litigating — this box stalls individual queries 2-10x
     val rawRuns = results.keys.toSeq.sorted.map { name =>
-      val runs = Seq(s1(name)._1, s2(name)._1) ++ s3.get(name).toSeq ++ s4.get(name).toSeq
+      val runs = Seq(s1(name)._1, s2(name)._1) ++ s3.get(name).toSeq ++
+        s4.get(name).toSeq ++ s5.get(name).toSeq
       jstr(name) + ":[" + runs.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Cross-round adjudication, machine-readable: any query whose new

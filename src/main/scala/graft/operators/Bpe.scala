@@ -83,14 +83,14 @@ object Bpe {
   def applyMerge(s: Column, a: String, b: String): Column =
     replace(s, lit(s" $a  $b "), lit(s" $a$b "))
 
-  /** Learn `t` merges from the corpus. Returns the merge table
-    * (t, sym_a, sym_b, pair_count) as a DataFrame built from the
-    * driver-side merge list — the merges ARE driver state (like the
-    * power-iteration iterate): one bounded 1-row collect per round. */
-  def learnMerges(docs: DataFrame, t: Int,
-                  textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Training core: the merge list AND the final vocab frame (already
+    * checkpointed once per round, so its lineage is flat regardless of
+    * `t`). Both public faces below are views of one training run —
+    * [[segmentedVocab]] previously re-ran the full training loop (t
+    * extra corpus passes) just to rebuild the frame the loop already
+    * had. */
+  private def learnCore(docs: DataFrame, t: Int,
+                        textCol: String): (Seq[Merge], DataFrame) = {
     var vocab = wordVocab(docs, textCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 1
@@ -108,17 +108,25 @@ object Bpe {
         round += 1
       }
     }
-    merges.toSeq.toDF("t", "sym_a", "sym_b", "pair_count")
+    (merges.toSeq, vocab)
+  }
+
+  /** Learn `t` merges from the corpus. Returns the merge table
+    * (t, sym_a, sym_b, pair_count) as a DataFrame built from the
+    * driver-side merge list — the merges ARE driver state (like the
+    * power-iteration iterate): one bounded 1-row collect per round. */
+  def learnMerges(docs: DataFrame, t: Int,
+                  textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnCore(docs, t, textCol)._1.toDF("t", "sym_a", "sym_b", "pair_count")
   }
 
   /** The vocab AFTER applying `t` learned merges — exposed for specs
-    * (segment inspection) and downstream encoding. */
+    * (segment inspection) and downstream encoding. The training loop's
+    * own final frame (one run, checkpoint-flat lineage), not a re-learn
+    * plus `t` stacked replaces. */
   def segmentedVocab(docs: DataFrame, t: Int,
-                     textCol: String = "text"): DataFrame = {
-    val m = learnMerges(docs, t, textCol).collect().map(r =>
-      (r.getString(1), r.getString(2)))
-    m.foldLeft(wordVocab(docs, textCol)) { case (v, (a, b)) =>
-      v.withColumn("s", applyMerge(col("s"), a, b))
-    }
-  }
+                     textCol: String = "text"): DataFrame =
+    learnCore(docs, t, textCol)._2
 }

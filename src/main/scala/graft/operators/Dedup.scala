@@ -851,9 +851,29 @@ object Dedup {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      seed: Long = 42L, fitFraction: Double = 0.25,
                      maxBlockMembers: Int = Int.MaxValue,
-                     overflowLink: Boolean = false): DataFrame = {
+                     overflowLink: Boolean = false): DataFrame =
+    semdedupSelectWith(
+      semdedupFit(emb, numClusters, idCol, vecCol, seed, fitFraction),
+      threshold, idCol, vecCol, maxBlockMembers, overflowLink)
+
+  /** The fit half of [[semdedupSelect]]: normalize + cluster-assign,
+    * exposed so a serving caller can fit ONCE and keep-select many times
+    * (the KMeans fit dominates the pipeline; the reference index family's
+    * build-once/serve-many split applies here identically). */
+  def semdedupFit(emb: DataFrame, numClusters: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  seed: Long = 42L, fitFraction: Double = 0.25): KnnIvf.IvfIndex = {
     val normed = emb.withColumn("__nvec", VectorOps.l2Normalize(col(vecCol)))
-    val idx = KnnIvf.build(normed, numClusters, idCol, "__nvec", seed, fitFraction)
+    KnnIvf.build(normed, numClusters, idCol, "__nvec", seed, fitFraction)
+  }
+
+  /** The serve half of [[semdedupSelect]] over a pre-fit cluster
+    * assignment (pair generation, component closure, keep-the-outlier
+    * rule). `idx.corpusWithCell` must carry `idCol`, `vecCol`, `cell`. */
+  def semdedupSelectWith(idx: KnnIvf.IvfIndex, threshold: Double = 0.99,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         maxBlockMembers: Int = Int.MaxValue,
+                         overflowLink: Boolean = false): DataFrame = {
     val withCell = idx.corpusWithCell
     // the pair frame (tiny: verified duplicates only) fans out into
     // members, the component propagation, and the final join — without
@@ -869,7 +889,7 @@ object Dedup {
     val members = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
     val comps = duplicateComponents(members, pairs, idCol)
-    val cents = emb.sparkSession
+    val cents = withCell.sparkSession
       .createDataFrame(KnnIvf.centroidSeq(idx.model)).toDF("cell", "__cvec")
     val w = Window.partitionBy(col("component"))
       .orderBy(col("centroid_sim").asc, col(idCol).asc)

@@ -33,6 +33,29 @@ import org.apache.spark.sql.functions._
   */
 object Versioned {
 
+  /** Thrown when a commit cannot be rebased over what landed
+    * concurrently: the interleaved commit rewrote/removed files this
+    * writer read, or appended rows whose ids this writer's delta also
+    * touches. The caller must re-run its operation against the new
+    * snapshot — blind retry would publish a result computed from stale
+    * data. Append-only and file/id-disjoint races never see this
+    * (they rebase automatically inside the commit loop). */
+  final class ConcurrentWriteConflictException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Thrown when a pinned read names a version that existed but was
+    * vacuumed away — the typed signal that distinguishes "history
+    * expired by retention policy" from a corrupt table or a typo'd
+    * version number (both still raise plain require failures). */
+  final class VersionRetentionException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Internal signal for a lost manifest-rename race, caught by the
+    * commit-retry loops; an IOException so pre-retry callers that
+    * handled the race keep working. */
+  private[graft] final class CommitRaceLost(msg: String)
+    extends java.io.IOException(msg)
+
   /** One data file reference, optionally carrying column statistics
     * (`statsCol`, min, max) gathered at commit time. Stats live in the
     * MANIFEST — readers prune files without opening a single parquet
@@ -139,6 +162,15 @@ object Versioned {
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no versions at $tableDir")
     val v = version.getOrElse(vs.max)
+    // versions are contiguous by construction (each commit is prior+1),
+    // so a requested version BELOW the earliest retained one existed and
+    // was vacuumed — that gets the typed retention error; anything else
+    // missing was never committed
+    if (v < vs.min)
+      throw new VersionRetentionException(
+        s"version $v of $tableDir was removed by vacuum (earliest retained: " +
+          s"${vs.min}); time travel past the retention window is gone — " +
+          "pin versions you need or raise keepVersions")
     require(vs.contains(v), s"version $v not in $vs at $tableDir")
     // '#'-prefixed lines are commit metadata (k=v, value may contain
     // '='), the rest are file entries
@@ -256,14 +288,18 @@ object Versioned {
   /** Write `df`'s rows as this version's new data files and return their
     * entries (normalized paths, plus per-file min/max of `statsCol` when
     * requested — one O(delta) pass over the freshly written, page-warm
-    * files). One directory per version — names never collide across
-    * commits. */
+    * files). One directory per COMMIT ATTEMPT — the version prefix keeps
+    * lineage readable, the random token means two writers racing the
+    * same next version write disjoint directories and the loser's rename
+    * failure leaves the winner's data untouched (paths travel absolutely
+    * in the manifest, so nothing reads the directory name back). */
   private def writeData(df: DataFrame, tableDir: String, v: Int,
                         statsCol: Option[String] = None,
                         bloomCol: Option[String] = None): Seq[FileEntry] = {
     require(!statsCol.contains("bloom") && !bloomCol.contains("bloom"),
       "a stats/bloom column literally named 'bloom' would collide with the manifest tag")
-    val dataDir = s"$tableDir/data/v${"%05d".format(v)}"
+    val dataDir = s"$tableDir/data/v${"%05d".format(v)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
     df.write.mode("overwrite").parquet(dataDir)
     val dir = new Path(dataDir)
     val paths = fs(df.sparkSession, dir).listStatus(dir)
@@ -315,15 +351,34 @@ object Versioned {
             f -> arr.map("%016x".format(_)).mkString
           }
         val zeroHex = "0" * (BloomBits / 4)
+        // saturation audit: at 1024 bits / k=3 a file holding ~>300
+        // distinct values sets >50% of the bits and the fpp (~sat^k)
+        // quietly climbs toward "prunes nothing while still paying the
+        // build scan" — make that VISIBLE at build time instead of
+        // letting filesForEquals degrade silently (the pruning itself
+        // stays sound either way: a saturated bloom only over-reads)
+        words.foreach { case (f, hex) =>
+          val sat = hex.grouped(16)
+            .map(w => java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(w, 16)))
+            .sum.toDouble / BloomBits
+          if (sat > 0.5)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              f"bloom on '$bc' in $f is ${sat * 100}%.0f%% saturated " +
+                f"(est. fpp ~${math.pow(sat, BloomK) * 100}%.0f%%): the column is " +
+                "too high-cardinality per file for a useful bloom — cluster " +
+                "the layout on it or drop bloomCol")
+        }
         base.map(e => e.copy(bloom =
           Some((bc, words.getOrElse(e.path, zeroHex)))))
     }
   }
 
-  /** Atomic commit: manifest written to a dot-temp, then RENAMED into
-    * place. rename-to-existing fails, so two writers committing the same
-    * next version cannot both succeed — the loser gets an exception and
-    * retries against the new snapshot. */
+  /** Atomic commit: manifest written to a dot-temp, then PUBLISHED by an
+    * atomic fail-on-exists primitive (hard link on local filesystems,
+    * rename on HDFS-like ones — see below). Two writers committing the
+    * same next version cannot both succeed — the loser gets
+    * [[CommitRaceLost]] and the commit loops rebase it against the new
+    * snapshot. */
   private[graft] def commitManifest(spark: SparkSession, tableDir: String, v: Int,
                                     entries: Seq[FileEntry],
                                     meta: Map[String, String] = Map.empty): Int = {
@@ -331,7 +386,7 @@ object Versioned {
     val f = fs(spark, target)
     f.mkdirs(target.getParent)
     if (f.exists(target))
-      throw new java.io.IOException(
+      throw new CommitRaceLost(
         s"concurrent commit: version $v already exists at $tableDir")
     // writer-unique temp name: two writers racing the same version must
     // never share (and truncate) one tmp — the loser must lose at the
@@ -343,11 +398,34 @@ object Versioned {
     try out.write(
       ((metaLines ++ entries.map(_.line)).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, target)) {
-      f.delete(tmp, false)
-      throw new java.io.IOException(
-        s"concurrent commit: lost the rename race for version $v at $tableDir")
-    }
+    // Atomic publish, per scheme. HDFS-like filesystems: rename, which
+    // atomically FAILS when the destination exists. Local filesystems:
+    // Hadoop's rename is POSIX rename(2), which silently OVERWRITES an
+    // existing destination — the exists() check above is only a fast
+    // path with a TOCTOU window, and two racing commits could both
+    // "win" with one manifest clobbered (a lost update; the round-12
+    // barrier spec caught exactly this). link(2) is the local
+    // compare-and-swap: hard-linking the tmp to the target atomically
+    // raises EEXIST if any other writer published first.
+    val scheme = target.toUri.getScheme
+    val published =
+      if (scheme == null || scheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(norm(target)),
+            java.nio.file.Paths.get(norm(tmp)))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally f.delete(tmp, false)
+      } else {
+        val ok = f.rename(tmp, target)
+        if (!ok) f.delete(tmp, false)
+        ok
+      }
+    if (!published)
+      throw new CommitRaceLost(
+        s"concurrent commit: lost the publish race for version $v at $tableDir")
     v
   }
 
@@ -365,20 +443,53 @@ object Versioned {
       meta + ("schema" -> df.schema.json))
   }
 
+  /** Bounded commit-retry: each attempt re-reads the LATEST snapshot,
+    * asks `rebase` for the manifest that commit should publish (None =
+    * true conflict, refuse), and races the rename. An append's data
+    * files are written ONCE before the loop (their directory is
+    * attempt-unique, so the retries move only manifest lines, never
+    * data). Delta/Iceberg call the same thing optimistic concurrency
+    * with conflict detection. */
+  private val CommitRetries = 5
+  private def commitWithRebase(s: SparkSession, tableDir: String,
+                               rebase: Snapshot => Option[(Seq[FileEntry], Map[String, String])])
+                              : Int = {
+    var last: CommitRaceLost = null
+    var attempt = 0
+    while (attempt < CommitRetries) {
+      val snap = snapshot(s, tableDir)
+      val (entries, meta) = rebase(snap).getOrElse(
+        throw new ConcurrentWriteConflictException(
+          s"commit to $tableDir conflicts with version ${snap.version} " +
+            "committed concurrently: the interleaved commit rewrote files " +
+            "or rows this writer read — re-run against the new snapshot"))
+      try return commitManifest(s, tableDir, snap.version + 1, entries, meta)
+      catch { case e: CommitRaceLost => last = e; attempt += 1 }
+    }
+    throw last
+  }
+
   /** Append-only commit: O(delta) data write; every existing file is
     * carried into the new manifest by reference (stats included). A
     * delta with NEW columns evolves the committed schema — older files
-    * null-fill on read; changing an existing column's type refuses. */
+    * null-fill on read; changing an existing column's type refuses.
+    *
+    * Concurrency: two racing appends BOTH land. The loser of the
+    * manifest rename rebases — its data files are already on disk in an
+    * attempt-unique directory, so the retry just re-reads the winner's
+    * snapshot and republishes `winner.entries ++ mine` (appends remove
+    * nothing, so an append rebases over ANY interleaved commit,
+    * including copy-on-write). Versions linearize in rename order. */
   def append(df: DataFrame, tableDir: String,
              meta: Map[String, String] = Map.empty,
              statsCol: Option[String] = None,
              bloomCol: Option[String] = None): Int = {
     val s = df.sparkSession
-    val snap = snapshot(s, tableDir)
-    val v = snap.version + 1
-    commitManifest(s, tableDir, v,
-      snap.entries ++ writeData(df, tableDir, v, statsCol, bloomCol),
-      meta + ("schema" -> evolveSchema(snap.schema, df).json))
+    val base = snapshot(s, tableDir)
+    val newEntries = writeData(df, tableDir, base.version + 1, statsCol, bloomCol)
+    commitWithRebase(s, tableDir, snap => Some((
+      snap.entries ++ newEntries,
+      meta + ("schema" -> evolveSchema(snap.schema, df).json))))
   }
 
   /** The file subset a range predicate on `statsCol` can possibly touch:
@@ -507,16 +618,24 @@ object Versioned {
         allowMissingColumns = true)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk", "__src")
+    // rewritten files re-derive BOTH manifest skipping columns from the
+    // snapshot (stats and bloom alike — deriving one and not the other
+    // silently cost merged files their equality pruning until the next
+    // compact)
     val statsCol = snap.entries.flatMap(_.stats.map(_._1)).distinct match {
+      case Seq(c) => Some(c)
+      case _      => None
+    }
+    val bloomCol = snap.entries.flatMap(_.bloom.map(_._1)).distinct match {
       case Seq(c) => Some(c)
       case _      => None
     }
     val newEntries = writeData(
       uncontested.unionByName(winners, allowMissingColumns = true),
-      tableDir, v, statsCol)
-    commitManifest(s, tableDir, v,
-      snap.entries.filterNot(e => touched(e.path)) ++ newEntries,
-      Map("schema" -> evolveSchema(snap.schema, delta).json))
+      tableDir, v, statsCol, bloomCol)
+    commitWithRebase(s, tableDir,
+      cowRebase(s, snap, touched, newEntries, deltaIds, idCol,
+        base => evolveSchema(base.schema, delta)))
   }
 
   /** Change-data capture between two committed versions: one row per id
@@ -588,18 +707,23 @@ object Versioned {
         case Seq(c) => Some(c)
         case _      => None
       })
-    // OPTIMIZE is also the bloom-refresh point: copy-on-write rewrites
-    // commit bloom-less files (degrade-to-read, sound); compact
-    // re-derives the table's bloom column from the snapshot and
-    // rebuilds filters for every rewritten file
+    // compact re-derives the table's bloom column from the snapshot and
+    // rebuilds filters for every rewritten file (copy-on-write commits
+    // now keep blooms alive per-rewrite; compact remains the point where
+    // a CLUSTERED layout makes them sharp again)
     val bloomCol = snap.entries.flatMap(_.bloom.map(_._1)).distinct match {
       case Seq(c) => Some(c)
       case _      => None
     }
     val v = snap.version + 1
-    commitManifest(spark, tableDir, v,
-      writeData(arranged, tableDir, v, statsCol, bloomCol),
-      Map("schema" -> snap.schema.getOrElse(cur.schema).json))
+    val newEntries = writeData(arranged, tableDir, v, statsCol, bloomCol)
+    // compaction rewrites EVERY file, so no interleaved commit is
+    // rebasable: losing the race is always a true conflict (typed), and
+    // the caller just re-runs compact against the new snapshot
+    commitWithRebase(spark, tableDir, latest =>
+      if (latest.version == snap.version)
+        Some((newEntries, Map("schema" -> snap.schema.getOrElse(cur.schema).json)))
+      else None)
   }
 
   case class VacuumStats(deletedFiles: Long, keptFiles: Long,
@@ -655,6 +779,43 @@ object Versioned {
     VacuumStats(deleted, referenced.size.toLong, dropped)
   }
 
+  /** Rebase rule for the copy-on-write commits (upsert / delete /
+    * mergeIfNewer), shared by their [[commitWithRebase]] loops: against
+    * the base snapshot the commit was computed from, publish as-is;
+    * against a LATER snapshot, rebase only when every interleaved commit
+    * was (a) file-disjoint — none of the files this writer read was
+    * rewritten or removed (a concurrent COW/compact invalidates the
+    * survivor rows this writer carried) — and (b) id-disjoint — the
+    * interleaved APPENDED files contain none of this writer's delta ids
+    * (an appended row this COW should have contested would silently
+    * survive as a duplicate). (b) is one bounded semi-join probe over
+    * only the interleaved files, O(interleaved delta), not the table.
+    * Anything else is a true conflict → None → typed refusal. */
+  private[graft] def cowRebase(s: SparkSession, base: Snapshot, touched: Set[String],
+                        newEntries: Seq[FileEntry], deltaIds: DataFrame,
+                        idCol: String,
+                        schemaOf: Snapshot => org.apache.spark.sql.types.StructType)
+                       (snap: Snapshot): Option[(Seq[FileEntry], Map[String, String])] = {
+    val basePaths = base.files.toSet
+    val ok =
+      if (snap.version == base.version) true
+      else if ((basePaths -- snap.files.toSet).nonEmpty) false
+      else {
+        val added = snap.entries.filterNot(e => basePaths(e.path)).map(_.path)
+        added.isEmpty || {
+          val reader = snap.schema match {
+            case Some(st) => s.read.schema(st).parquet(added: _*)
+            case None     => s.read.parquet(added: _*)
+          }
+          reader.select(col(idCol))
+            .join(deltaIds, Seq(idCol), "left_semi").limit(1).count() == 0L
+        }
+      }
+    if (!ok) None
+    else Some((snap.entries.filterNot(e => touched(e.path)) ++ newEntries,
+      Map("schema" -> schemaOf(snap).json)))
+  }
+
   private def copyOnWrite(delta: DataFrame, tableDir: String, idCol: String,
                           keepDelta: Boolean): Int = {
     val s = delta.sparkSession
@@ -680,20 +841,26 @@ object Versioned {
     val rewritten =
       if (keepDelta) survivors.unionByName(delta, allowMissingColumns = true)
       else survivors
-    // rewritten files inherit the stats column of the snapshot's entries
-    // (when uniform) so pruning survives copy-on-write
+    // rewritten files inherit the stats AND bloom columns of the
+    // snapshot's entries (when uniform) so both skipping layers survive
+    // copy-on-write — the bloom rebuild is one extra pass over only the
+    // rewritten files, and without it every COW quietly degraded
+    // equality pruning to a full read until the next compact
     val statsCol = snap.entries.flatMap(_.stats.map(_._1)).distinct match {
+      case Seq(c) => Some(c)
+      case _      => None
+    }
+    val bloomCol = snap.entries.flatMap(_.bloom.map(_._1)).distinct match {
       case Seq(c) => Some(c)
       case _      => None
     }
     val newEntries =
       if (touched.isEmpty && !keepDelta) Seq.empty
-      else writeData(rewritten, tableDir, v, statsCol)
-    val schema =
-      if (keepDelta) evolveSchema(snap.schema, delta)
-      else snap.schema.getOrElse(curBase.schema)
-    commitManifest(s, tableDir, v,
-      snap.entries.filterNot(e => touched(e.path)) ++ newEntries,
-      Map("schema" -> schema.json))
+      else writeData(rewritten, tableDir, v, statsCol, bloomCol)
+    def schema(base: Snapshot) =
+      if (keepDelta) evolveSchema(base.schema, delta)
+      else base.schema.getOrElse(curBase.schema)
+    commitWithRebase(s, tableDir,
+      cowRebase(s, snap, touched, newEntries, deltaIds, idCol, schema))
   }
 }

@@ -304,8 +304,14 @@ class VersionedSpec extends SparkSuite {
     // the retained version is untouched...
     assert(Versioned.versions(spark, dir) === Seq(2))
     assert(Versioned.read(spark, dir).collect().map(_.toSeq).toSet === latestBefore)
-    // ...history is explicitly gone...
-    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(0)))
+    // ...history is explicitly gone, with the TYPED retention error (a
+    // reader must be able to tell "expired by policy" from a corrupt
+    // table or a typo'd version — and must never see a raw
+    // missing-parquet read error)
+    val ret = intercept[Versioned.VersionRetentionException](
+      Versioned.read(spark, dir, Some(0)))
+    assert(ret.getMessage.contains("vacuum") &&
+           ret.getMessage.contains("earliest retained"))
     // ...and disk holds exactly the retained manifest's files
     val onDisk = {
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -381,21 +387,141 @@ class VersionedSpec extends SparkSuite {
     val allProbed = Seq("lang0", "lang1", "lang2")
       .map(l => Versioned.readEquals(spark, dir, None, "lang", l).count()).sum
     assert(allProbed === 89L)
-    // an upsert's rewritten files commit bloom-less (degrade-to-read,
-    // still sound)…
+    // an upsert's rewritten files re-derive the snapshot's bloom column
+    // (like stats) — equality skipping survives copy-on-write instead of
+    // degrading to a full read until the next compact…
     Versioned.upsert(
       Seq((0L, "lang0", 999L)).toDF("doc_id", "lang", "n_chars"), dir, "doc_id")
+    assert(Versioned.snapshot(spark, dir).entries.forall(_.bloom.nonEmpty),
+      "copy-on-write must keep per-file blooms alive")
     val gotAfter = Versioned.readEquals(spark, dir, None, "lang", "lang0")
     val wantAfter = Versioned.read(spark, dir).filter(col("lang") === "lang0")
     assert(gotAfter.exceptAll(wantAfter).unionAll(wantAfter.exceptAll(gotAfter))
       .count() === 0)
-    // …and compact is the bloom-refresh point: every entry carries a
-    // bloom again and the probe result is unchanged
+    // …and compact rebuilds them too (the point where a clustered
+    // layout makes them sharp again), probe result unchanged
     Versioned.compact(spark, dir, targetBytes = 4L << 10)
     assert(Versioned.snapshot(spark, dir).entries.forall(_.bloom.nonEmpty),
       "compact must rebuild blooms")
     val gotC = Versioned.readEquals(spark, dir, None, "lang", "lang0")
     assert(gotC.exceptAll(wantAfter).unionAll(wantAfter.exceptAll(gotC))
       .count() === 0)
+  }
+
+  test("mergeIfNewer's rewritten files keep stats AND bloom skipping alive") {
+    import spark.implicits._
+    val dir = freshDir()
+    val d = (0 until 60).map(i => (i.toLong, s"lang${i % 3}", i.toLong, 100L + i))
+      .toDF("doc_id", "lang", "n_chars", "ts")
+      .repartitionByRange(3, col("lang"))
+    Versioned.init(d, dir, statsCol = Some("doc_id"), bloomCol = Some("lang"))
+    // newer delta contests id 0 (wins) — its file rewrites
+    Versioned.mergeIfNewer(
+      Seq((0L, "lang0", 999L, 500L)).toDF("doc_id", "lang", "n_chars", "ts"),
+      dir, "doc_id", "ts")
+    val e = Versioned.snapshot(spark, dir).entries
+    assert(e.forall(_.stats.nonEmpty), "merge must re-derive stats")
+    assert(e.forall(_.bloom.nonEmpty), "merge must re-derive blooms")
+    // and the equality probe over the merged table is still exact
+    val got = Versioned.readEquals(spark, dir, None, "lang", "lang0")
+    val want = Versioned.read(spark, dir).filter(col("lang") === "lang0")
+    assert(got.exceptAll(want).unionAll(want.exceptAll(got)).count() === 0)
+  }
+
+  test("two racing appends BOTH land with linearized versions") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(12), dir)
+    val deltas = Seq(
+      Seq((1000L, "aa", 1L)).toDF("doc_id", "lang", "n_chars"),
+      Seq((2000L, "bb", 2L)).toDF("doc_id", "lang", "n_chars"))
+    // genuine race: both writers start from the same committed snapshot;
+    // the rename loser must rebase (append removes nothing, so the retry
+    // republishes winner.entries ++ its own new files)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = deltas.map(delta => pool.submit(
+        new java.util.concurrent.Callable[Int] {
+          def call(): Int = { gate.await(); Versioned.append(delta, dir) }
+        }))
+      val versionsGot = fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versionsGot.toSet === Set(1, 2), s"got $versionsGot")
+    } finally pool.shutdown()
+    val latest = Versioned.read(spark, dir)
+    assert(latest.count() === 14)
+    assert(latest.filter(col("doc_id") >= 1000L).count() === 2,
+      "both racing appends' rows must be present in the final version")
+    assert(Versioned.versions(spark, dir) === Seq(0, 1, 2))
+  }
+
+  test("racing copy-on-write: file-overlapping loser refuses with the typed conflict") {
+    import spark.implicits._
+    // single-file table => both upserts touch THE file => the rename
+    // loser's base file is gone from the winner's snapshot => it must
+    // refuse (typed), never publish survivors computed from stale data
+    val dir = freshDir()
+    Versioned.init(docs3(10).coalesce(1), dir)
+    val deltas = Seq(
+      Seq((1L, "xx", 111L)).toDF("doc_id", "lang", "n_chars"),
+      Seq((2L, "yy", 222L)).toDF("doc_id", "lang", "n_chars"))
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes = try {
+      val fs = deltas.map(delta => pool.submit(
+        new java.util.concurrent.Callable[Either[Throwable, Int]] {
+          def call(): Either[Throwable, Int] = {
+            gate.await()
+            try Right(Versioned.upsert(delta, dir, "doc_id"))
+            catch { case e: Throwable => Left(e) }
+          }
+        }))
+      fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val failures = outcomes.collect { case Left(e) => e }
+    // either the race interleaved (exactly one typed refusal) or the OS
+    // serialized the writers (both land) — both worlds must be CONSISTENT
+    failures.foreach(e => assert(
+      e.isInstanceOf[Versioned.ConcurrentWriteConflictException],
+      s"expected the typed conflict, got $e"))
+    assert(failures.size <= 1)
+    val latest = Versioned.read(spark, dir)
+    assert(latest.count() === 10, "no duplicate or lost rows after the race")
+    val applied = latest.filter(col("lang").isin("xx", "yy")).count()
+    assert(applied === (2 - failures.size),
+      "exactly the successful writers' updates must be visible")
+  }
+
+  test("cowRebase: append interleaves rebase iff id-disjoint; rewrites refuse") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(10).coalesce(1), dir)
+    val base = Versioned.snapshot(spark, dir)
+    // interleaved PURE APPEND of ids 100..101 lands after base
+    Versioned.append(
+      Seq((100L, "zz", 1L), (101L, "zz", 2L)).toDF("doc_id", "lang", "n_chars"), dir)
+    val latest = Versioned.snapshot(spark, dir)
+    val touched = Set(base.files.head)
+    val myEntries = Seq(Versioned.FileEntry("/my/rewritten/part.parquet"))
+    val schemaOf = (s: Versioned.Snapshot) =>
+      s.schema.getOrElse(docs3(1).schema)
+    def rebase(ids: Seq[Long]) = Versioned.cowRebase(
+      spark, base, touched, myEntries,
+      ids.toDF("doc_id"), "doc_id", schemaOf)(latest)
+    // id-disjoint from the appended rows -> rebases: carries the
+    // winner's appended file, drops my touched file, adds my rewrite
+    val ok = rebase(Seq(3L))
+    assert(ok.nonEmpty)
+    val paths = ok.get._1.map(_.path)
+    assert(!paths.contains(base.files.head) &&
+      paths.contains("/my/rewritten/part.parquet") &&
+      latest.files.filterNot(base.files.toSet).forall(paths.contains))
+    // delta id present IN the appended rows -> duplicate risk -> refuse
+    assert(rebase(Seq(100L)).isEmpty)
+    // interleaved commit REWROTE a file I read -> refuse
+    val rewrittenBase = Versioned.Snapshot(base.version, base.entries ++
+      Seq(Versioned.FileEntry("/vanished/part.parquet")), base.meta)
+    assert(Versioned.cowRebase(spark, rewrittenBase, touched, myEntries,
+      Seq(3L).toDF("doc_id"), "doc_id", schemaOf)(latest).isEmpty)
   }
 }

@@ -102,6 +102,36 @@ object SparkEntry {
       val del = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
       Lifecycle.status(Lifecycle.softDelete(emb, del))
     }),
+    // STRING-id parity for the whole serving lifecycle: the reference
+    // keys documents by string id (executor.py:57,150 — a bidict
+    // string→slot), while every other driver row runs on the fixtures'
+    // long ids. Re-key half the corpus with md5-string ids and run
+    // upsert (last-wins) → soft delete → status → exact knn END TO END
+    // over the string keys — window tiebreaks, join keys, and the
+    // status counters all exercise the string type, and the oracle
+    // replays every step (ties break lexicographically in both
+    // engines). Half slice: the contract is id-type-shaped, not
+    // corpus-sized.
+    "lifecycle_upsert_strid" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0)
+      val sid = md5(col("vec_id").cast("string").cast("binary"))
+      val base = emb.select(sid.as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"),
+        lit(1).as("batch"))
+      // +0.5 (not a scale factor): cosine is scale-invariant, so a
+      // scaled delta would be invisible to the knn stage downstream
+      val delta = emb.filter(col("vec_id") % 10 === 0).select(sid.as("id"),
+        transform(col("embedding"), x => x.cast("double") + 0.5).as("embedding"),
+        lit(2).as("batch"))
+      val upserted = Lifecycle.upsertById(base, delta, idCol = "id")
+      val dels = emb.filter(col("vec_id") % 20 === 0).select(sid.as("id"))
+      val marked = Lifecycle.softDelete(upserted, dels, idCol = "id")
+      val served = Knn.knnExact(Tables.defaultQueries(s, dir),
+        marked.filter(!col("deleted")), k = 5, corpusId = "id")
+      served.crossJoin(broadcast(Lifecycle.status(marked)))
+        .select(col("query_id"), col("match_id"), col("score"), col("rank"),
+          col("count_indexed"), col("count_active"), col("count_deleted"))
+    }),
     "validate_dims" -> ((s, dir) =>
       Lifecycle.dimCounts(Tables.embeddings(s, dir))
         .select(col("dim").cast("long").as("dim"), col("n_vectors"))),
@@ -2457,6 +2487,29 @@ object SparkEntry {
             lit("versioned stream lineage drift: versions "), lit(nVersions),
             lit(" (want 3), last batch id "), lit(lastBatch), lit(" (want 1)")))))
     }),
+    // GATED vacuum safety: after vacuum(keepVersions=1) on a 3-version
+    // table, (a) the retained latest reads byte-identical to its
+    // pre-vacuum dump (floor-1.0 set agreement with multiplicities),
+    // (b) reclamation actually happened (files deleted, versions 0-1
+    // dropped), and (c) time travel to a dropped version fails with the
+    // TYPED retention error — never a raw missing-parquet read error
+    "versioned_vacuum_gate" -> ((s, dir) => {
+      val (tableDir, baselineDir, stats) = versionedVacuumPaths(s, dir)
+      val cols = Seq("doc_id", "lang", "n_chars")
+      val typedErr = try { Versioned.read(s, tableDir, Some(0)); false }
+        catch { case _: Versioned.VersionRetentionException => true
+                case _: Throwable => false }
+      Recall.setAgreement(
+          Versioned.read(s, tableDir).select(cols.map(col): _*),
+          s.read.parquet(baselineDir).select(cols.map(col): _*),
+          on = cols, floor = 1.0, minCount = 1L)
+        .filter(when(lit(typedErr) && lit(stats.deletedFiles) > 0L &&
+            lit(stats.droppedVersions == Seq(0, 1)), lit(true))
+          .otherwise(raise_error(concat(
+            lit("vacuum gate: typed retention error "), lit(typedErr),
+            lit(", deleted files "), lit(stats.deletedFiles),
+            lit(", dropped "), lit(stats.droppedVersions.mkString(","))))))
+    }),
     // change-data capture v0 → v1: exactly the upsert's delta surfaces,
     // classified as updates with old/new values side by side
     "versioned_diff" -> ((s, dir) =>
@@ -2950,6 +3003,37 @@ object SparkEntry {
         newer.unionByName(stale).unionByName(tied).unionByName(inserts),
         path, "doc_id", "n_chars")
       path
+    })
+
+  /** Vacuumed versioned table + its pre-vacuum latest, built once per
+    * (ctx, dir): a fifth of documents over 4 files, three versions
+    * (init, append, COW upsert — so vacuum has both an orphaned
+    * rewrite and dropped manifests to reclaim), pre-vacuum latest
+    * dumped to parquet as the byte-identity baseline, then
+    * vacuum(keepVersions=1). Returns (tableDir, baselineDir, stats). */
+  private val versionedVacuumBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, String, Versioned.VacuumStats)]
+  private def versionedVacuumPaths(s: SparkSession, dir: String)
+      : (String, String, Versioned.VacuumStats) =
+    versionedVacuumBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_vac/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0).select("doc_id", "lang", "n_chars")
+        .repartition(4)
+      Versioned.init(docs, s"$path/t")
+      Versioned.append(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 7300000L).as("doc_id"), col("lang"),
+          col("n_chars")), s"$path/t")
+      Versioned.upsert(docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), lit("vv").as("lang"), (col("n_chars") + 1).as("n_chars")),
+        s"$path/t", "doc_id")
+      Versioned.read(s, s"$path/t")
+        .write.mode("overwrite").parquet(s"$path/baseline")
+      val stats = Versioned.vacuum(s, s"$path/t", keepVersions = 1)
+      (s"$path/t", s"$path/baseline", stats)
     })
 
   /** Bloom-enabled versioned documents: lang-clustered into 8 hash
@@ -4018,6 +4102,38 @@ object SparkEntry {
                 count(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS count_active,
                 count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS count_deleted
          FROM embeddings""",
+    // string-id lifecycle replayed end-to-end: md5 keys, last-wins by
+    // batch, tombstones excluded from serving but counted by status,
+    // cosine top-5 with round-before-rank and LEXICOGRAPHIC id tiebreak
+    "lifecycle_upsert_strid" ->
+      """WITH e AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS id,
+                           CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings WHERE vec_id % 2 = 0),
+              u AS (SELECT id, emb, 1 AS batch FROM e
+                    UNION ALL
+                    SELECT id, list_transform(emb, x -> x + 0.5) AS emb, 2 AS batch
+                    FROM e WHERE vec_id % 10 = 0),
+              r AS (SELECT id, emb,
+                           row_number() OVER (PARTITION BY id ORDER BY batch DESC) AS rn
+                    FROM u),
+              live AS (SELECT r.id, r.emb FROM r JOIN e ON r.id = e.id
+                       WHERE r.rn = 1 AND e.vec_id % 20 <> 0),
+              st AS (SELECT count(*) AS count_indexed,
+                            count(CASE WHEN vec_id % 20 <> 0 THEN 1 END) AS count_active,
+                            count(CASE WHEN vec_id % 20 = 0 THEN 1 END) AS count_deleted
+                     FROM e),
+              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              s AS (SELECT query_id, id AS match_id,
+                           round(1.0 - list_dot_product(qv, emb) /
+                             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(emb, emb))), 4) + 0.0 AS score
+                    FROM q CROSS JOIN live),
+              rk AS (SELECT query_id, match_id, score,
+                            row_number() OVER (PARTITION BY query_id ORDER BY score ASC, match_id ASC) AS "rank"
+                     FROM s)
+         SELECT rk.query_id, rk.match_id, rk.score, rk."rank" AS rank,
+                st.count_indexed, st.count_active, st.count_deleted
+         FROM rk CROSS JOIN st WHERE rk."rank" <= 5""",
     "validate_dims" ->
       "SELECT len(embedding) AS dim, count(*) AS n_vectors FROM embeddings GROUP BY 1",
     // strict mode passes every row through when widths agree (they do on

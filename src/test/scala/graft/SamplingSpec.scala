@@ -172,6 +172,25 @@ class SamplingSpec extends SparkSuite {
       "a different seed must produce a different permutation")
   }
 
+  test("epochShuffle: id-type-agnostic (string keys get the same permutation contract)") {
+    import org.apache.spark.sql.functions._
+    // the reference keys by STRING id (executor.py:57); the shuffle
+    // hashes id.cast(string), so a long-keyed epoch and the same table
+    // re-keyed by the ids' string form produce THE SAME (shard, pos)
+    // for every row, and hex-string keys keep the permutation contract
+    val docs = graft.sources.Tables.documents(spark, sfDir).select("doc_id")
+    val asLong = graft.operators.Sampling.epochShuffle(docs, "doc_id", "seedA", 8)
+      .select(col("doc_id").cast("string").as("k"), col("shard"), col("pos"))
+    val asStr = graft.operators.Sampling.epochShuffle(
+        docs.select(col("doc_id").cast("string").as("k")), "k", "seedA", 8)
+    assert(asLong.exceptAll(asStr).unionAll(asStr.exceptAll(asLong)).count() === 0,
+      "long ids and their string form must get identical (shard, pos)")
+    val hex = docs.select(md5(col("doc_id").cast("string").cast("binary")).as("k"))
+    val eHex = graft.operators.Sampling.epochShuffle(hex, "k", "seedA", 8)
+    assert(eHex.count() === docs.count())
+    assert(eHex.select("k").distinct().count() === docs.count())
+  }
+
   test("mixture sampling: output approaches targets, bottleneck kept ~whole, unlisted groups dropped") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -196,6 +196,25 @@ class ScaleSpec extends SparkSuite {
     assert(leftovers.isEmpty, s"staging/trash dirs left behind: ${leftovers.mkString(",")}")
   }
 
+  test("rendezvousShard: id-type-agnostic (long and its string form place identically)") {
+    import spark.implicits._
+    // the hash routes through id.cast(string), so a corpus keyed by
+    // STRING ids (the reference's id type, executor.py:57) shards
+    // exactly like the same keys as longs — and genuinely non-numeric
+    // string keys (md5 hex) get the same guarantees (range, occupancy)
+    val ids = (0L until 500L).toDF("id")
+    val both = ids.select(
+        Scale.rendezvousShard(col("id"), 8).as("asLong"),
+        Scale.rendezvousShard(col("id").cast("string"), 8).as("asString"),
+        Scale.rendezvousShard(md5(col("id").cast("string").cast("binary")), 8).as("asHex"))
+      .collect()
+    assert(both.forall(r => r.getInt(0) == r.getInt(1)),
+      "long ids and their decimal-string form must shard identically")
+    assert(both.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 8))
+    assert(both.map(_.getInt(2)).distinct.length === 8,
+      "hex-string keys must still occupy every shard")
+  }
+
   test("rendezvousShard: range, minimal movement on growth, occupancy, salt independence") {
     import spark.implicits._
     val ids = (0L until 2000L).toDF("id")

@@ -2221,6 +2221,20 @@ object SparkEntry {
           decoder = Multimodal.imageDecode)
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
           col("error"))),
+    // HOSTILE media column: partially-VALID payloads (truncated BMP and
+    // JPEG with intact headers, a bit-flipped PNG, a progressive JPEG)
+    // — the shapes a real scraped corpus serves, unlike decode_mixed's
+    // whole-cloth garbage slice. The decoder walks genuine headers
+    // before hitting the damage; every family's outcome is pinned by
+    // the oracle (progressive decodes to the SAME dims as baseline, the
+    // three damaged families surface the typed error) — no fabricated
+    // dims, no task failure on partial bytes.
+    "multimodal_decode_hostile" -> ((s, dir) =>
+      Multimodal.decodeBatched(
+          Multimodal.withHostileContent(Tables.documents(s, dir).repartition(32)),
+          decoder = Multimodal.imageDecode)
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("error"))),
     // REAL audio decode, same contract as the image row: valid
     // synthesized PCM WAVs through the JDK's javax.sound.sampled parser;
     // the oracle recomputes rate/channels/frames/duration from the
@@ -5688,6 +5702,17 @@ object SparkEntry {
                 CASE WHEN doc_id % 4 < 3 THEN CAST(1 + doc_id % 7 AS INT) END AS height,
                 CASE WHEN doc_id % 4 < 3 THEN CAST(1 AS INT) END AS n_frames,
                 CASE WHEN doc_id % 4 = 3 THEN 'undecodable' END AS error
+         FROM documents""",
+    // the hostile column's pinned outcomes: only the intact progressive
+    // JPEG (id%4=1) decodes — to the SAME id-arithmetic dims as a
+    // baseline encoding — and every damaged family (truncated BMP,
+    // bit-flipped PNG, truncated JPEG) is the typed-error row
+    "multimodal_decode_hostile" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 4 = 1 THEN CAST(1 + doc_id % 16 AS INT) END AS width,
+                CASE WHEN doc_id % 4 = 1 THEN CAST(1 + doc_id % 7 AS INT) END AS height,
+                CASE WHEN doc_id % 4 = 1 THEN CAST(1 AS INT) END AS n_frames,
+                CASE WHEN doc_id % 4 <> 1 THEN 'undecodable' END AS error
          FROM documents""",
     // the resize transcode's answer, replayed: source dims from the BMP
     // builder's arithmetic, the aspect-preserving never-upscale rule in

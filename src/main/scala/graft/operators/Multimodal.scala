@@ -183,9 +183,9 @@ object Multimodal {
     * JPEG is lossy, but the header dims survive exactly). */
   def jpegBytes(id: Long): Array[Byte] = encodeGradientImage(id, "jpg")
 
-  /** Render the gradient image at the shared id-arithmetic dims and hand
-    * it to the named JDK ImageIO writer. */
-  private def encodeGradientImage(id: Long, format: String): Array[Byte] = {
+  /** The in-memory gradient image at the shared id-arithmetic dims —
+    * the pixel source every encoder-produced payload family shares. */
+  private def gradientImage(id: Long): java.awt.image.BufferedImage = {
     val width = (1L + java.lang.Math.floorMod(id, 16L)).toInt
     val height = (1L + java.lang.Math.floorMod(id, 7L)).toInt
     val img = new java.awt.image.BufferedImage(
@@ -200,8 +200,14 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** Render the gradient image at the shared id-arithmetic dims and hand
+    * it to the named JDK ImageIO writer. */
+  private def encodeGradientImage(id: Long, format: String): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, baos)
+    javax.imageio.ImageIO.write(gradientImage(id), format, baos)
     baos.toByteArray
   }
 
@@ -262,6 +268,65 @@ object Multimodal {
         }
         (id, payload)
       })
+      .toDF(idCol, outCol)
+  }
+
+  /** Deterministic progressive-scan JPEG at the shared id-arithmetic
+    * dims: a real scraped corpus serves progressive encodings that a
+    * baseline-only pipeline mishandles — the JDK reader decodes them,
+    * and the dims must come out EXACTLY like the baseline encoding's. */
+  def progressiveJpegBytes(id: Long): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      w.setOutput(ios)
+      val p = w.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      w.write(null, new javax.imageio.IIOImage(gradientImage(id), null, null), p)
+    } finally { ios.close(); w.dispose() }
+    baos.toByteArray
+  }
+
+  /** HOSTILE media payloads — partially-VALID bytes, the shapes a real
+    * scraped corpus actually serves (truncated downloads, progressive
+    * encodings, storage bit rot), rotating by id. Unlike
+    * [[garbageBytes]] every family here starts as a genuine encoder
+    * output, so the decoder walks real headers before hitting the
+    * damage — stressing the typed-error boundary mid-decode, not at
+    * format sniffing. Probed exhaustively against the JDK readers (all
+    * 112 dim combinations): each family's outcome is uniform, which is
+    * what lets `multimodal_decode_hostile` hash-oracle it.
+    *   id%4=0  BMP, valid 54-byte header, pixel body cut in half
+    *           → EOFException → typed error
+    *   id%4=1  progressive JPEG, intact → decodes, id-arithmetic dims
+    *   id%4=2  PNG with ONE bit flipped in the IDAT region
+    *           → CRC/inflate failure → typed error
+    *   id%4=3  JPEG cut at half length (valid SOI + headers)
+    *           → premature-EOF IIOException → typed error */
+  def hostileBytes(id: Long): Array[Byte] =
+    java.lang.Math.floorMod(id, 4L) match {
+      case 0L =>
+        val b = gradientBmpBytes(id)
+        java.util.Arrays.copyOf(b, 54 + (b.length - 54) / 2)
+      case 1L => progressiveJpegBytes(id)
+      case 2L =>
+        val b = pngBytes(id)
+        b(b.length - 20) = (b(b.length - 20) ^ 0x10).toByte
+        b
+      case _ =>
+        val b = jpegBytes(id)
+        java.util.Arrays.copyOf(b, b.length / 2)
+    }
+
+  /** The hostile-media column: [[hostileBytes]] per row, batched like
+    * [[withMixedContent]]. */
+  def withHostileContent(df: DataFrame, idCol: String = "doc_id",
+                         outCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(rows => rows.map(id => (id, hostileBytes(id))))
       .toDF(idCol, outCol)
   }
 

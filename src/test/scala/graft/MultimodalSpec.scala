@@ -224,4 +224,33 @@ class MultimodalSpec extends SparkSuite {
         s"id $id: dhash channels diverged across codecs")
     }
   }
+
+  test("hostileBytes: every family's outcome is uniform across all dim combos") {
+    // 112 = lcm(16, 7) covers every (width, height) pair per family; the
+    // pinned contract is exactly what multimodal_decode_hostile oracles:
+    // progressive JPEG decodes at the baseline dims, the three damaged
+    // families (truncated BMP, bit-flipped PNG, truncated JPEG) surface
+    // the typed error — never fabricated dims, never a thrown task
+    for (id <- 0L until 448L) {
+      val meta = Multimodal.imageDecode(id, Multimodal.hostileBytes(id))
+      if (id % 4 == 1) {
+        assert(meta.error.isEmpty, s"id $id: progressive JPEG must decode")
+        assert(meta.width.contains((1 + id % 16).toInt) &&
+               meta.height.contains((1 + id % 7).toInt),
+          s"id $id: progressive dims must match the baseline arithmetic")
+      } else {
+        assert(meta.error.contains(Multimodal.UndecodableReason),
+          s"id $id (family ${id % 4}): damaged payload must be the typed-error row")
+        assert(meta.width.isEmpty && meta.height.isEmpty,
+          s"id $id: damaged payload must not carry dims")
+      }
+    }
+    // the damage is real: every hostile payload still LOOKS like its
+    // format at the signature level (headers intact), so the failure is
+    // mid-decode, not at format sniffing
+    assert(Multimodal.hostileBytes(0).take(2).sameElements("BM".getBytes)) // BMP
+    assert((Multimodal.hostileBytes(2)(0) & 0xff) == 0x89)                 // PNG
+    assert((Multimodal.hostileBytes(3)(0) & 0xff) == 0xff &&
+           (Multimodal.hostileBytes(3)(1) & 0xff) == 0xd8)                 // JPEG SOI
+  }
 }

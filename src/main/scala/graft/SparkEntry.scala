@@ -983,6 +983,42 @@ object SparkEntry {
             lit(" below pinned floor 0.85")))))
         .drop("__lo", "__hi")
     }),
+    // GATED BUILD-knob sweep: recall@5 across graph degree m ∈ {4, 8,
+    // 16} at fixed efConstruction=64 / efQuery=32 — the reference's
+    // OTHER index knob (executor.py:24, M=16 default) as a driver-
+    // visible curve, complementing the ef sweep. Same robust gate shape
+    // as ann_hnsw_recall_sweep: endpoints monotone-or-flat (a denser
+    // graph must never navigate WORSE at the endpoints) plus a floor at
+    // the reference's default m=16. Documents the m=8 shard default:
+    // bounded shards keep beams accurate at half the adjacency bytes.
+    "ann_hnsw_build_sweep" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      val graphs = hnswBuildSweepGraphs(s, dir)
+      val ms = Seq(4L, 8L, 16L)
+      val approx = ms.map(m =>
+          KnnHnsw.search(graphs(m.toInt), q, k = 5, efQuery = 32)
+            .withColumn("m", lit(m)))
+        .reduce(_ unionByName _)
+      val sweep = Recall.atKGrouped(approx, exactTop5Half(s, dir), k = 5, "m", ms)
+        .select(col("m"), col("k"), col("n_queries"), col("recall_at_k"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("m"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      sweep
+        .withColumn("__lo", first(col("recall_at_k")).over(w))
+        .withColumn("__hi", last(col("recall_at_k")).over(w))
+        .filter(when(col("__hi") >= col("__lo"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("HNSW m gate: recall collapsed with degree ("),
+            col("__lo"), lit(" at m=4 -> "), col("__hi"), lit(" at m=16)")))))
+        .filter(when(col("m") =!= lit(16L) || col("recall_at_k") >= lit(0.8),
+            lit(true))
+          .otherwise(raise_error(concat(
+            lit("HNSW m gate: m=16 recall "), col("recall_at_k"),
+            lit(" below pinned floor 0.8")))))
+        .drop("__lo", "__hi")
+    }),
     // GATED structural contract: at exhaustive beam width (ef >= shard
     // size) a connected shard graph IS a full scan, and the hash-shard
     // merge is exact by construction — so result rows (ids AND scores;
@@ -1825,6 +1861,21 @@ object SparkEntry {
         .filter(col("user_id").between(10, 25) &&
                 col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
                 col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))),
+    // 3-DIMENSIONAL z-order (user × time × value): the k-dim interleave
+    // generalization — real pruning workloads filter 3-4 dims, and a
+    // 2-d layout serves a value probe with a full scan. Layout is pure
+    // (never changes results), so the oracle is the plain filter+agg
+    // over the original parquet; the third-dimension pruning win is
+    // pinned in ScaleSpec against the 2-d layout's file boxes.
+    "scale_zorder_3d" -> ((s, dir) =>
+      s.read.parquet(zordered3dEventsPath(s, dir))
+        .filter(col("user_id").between(10, 25) &&
+                col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+                col("ts") < lit("2024-01-22 00:00:00").cast("timestamp") &&
+                col("value") >= 10.0 && col("value") < 60.0)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))),
@@ -2762,6 +2813,27 @@ object SparkEntry {
       path
     })
 
+  /** The three graphs of the BUILD-knob sweep (m ∈ {4, 8, 16} at fixed
+    * efConstruction/efQuery), half corpus, built once per JVM: the one
+    * reference build knob without a driver-visible curve was M
+    * (executor.py:24 defaults M=16; KnnHnsw.build defaults m=8 for
+    * bounded shards). Half slice: the knob's shape is structural, and
+    * three full builds per window would triple the flagship's build
+    * cost for no extra signal. */
+  private val hnswBuildSweepBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Map[Int, DataFrame]]
+  private def hnswBuildSweepGraphs(s: SparkSession, dir: String): Map[Int, DataFrame] =
+    hnswBuildSweepBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val half = Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0)
+      Seq(4, 8, 16).map { m =>
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_m$m/${artifactKey(dir)}"
+        KnnHnsw.save(KnnHnsw.build(half, numShards = 4, m = m), path)
+        // serve from the persisted-then-loaded frame, pinned: three
+        // fresh parquet loads per window would dominate the row's time
+        m -> KnnHnsw.load(s, path).localCheckpoint(true)
+      }.toMap
+    })
+
   /** Quarter-corpus graph for the tombstone gate (built once per JVM,
     * the [[hnswIndexPath]] policy): the gate's contracts — tombstones
     * route but never surface; exhaustive filtered beam == exact live
@@ -3142,6 +3214,19 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder/${artifactKey(dir)}"
       Scale.dumpZOrdered(Tables.events(s, dir), path,
         col("user_id"), unix_micros(col("ts")))
+      path
+    })
+
+  /** 3-d z-ordered events layout (user × epoch micros × value), built
+    * once per (SparkContext, fixture dir) — the k-dim write half of
+    * `scale_zorder_3d`. */
+  private val zorder3dBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def zordered3dEventsPath(s: SparkSession, dir: String): String =
+    zorder3dBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder3d/${artifactKey(dir)}"
+      Scale.dumpZOrderedK(Tables.events(s, dir), path,
+        Seq(col("user_id"), unix_micros(col("ts")), col("value")))
       path
     })
 
@@ -3680,6 +3765,13 @@ object SparkEntry {
   private def exactTop5(s: SparkSession, dir: String): DataFrame =
     sharedSigFrame(s, dir, "exact_top5") {
       KnnTopK.knnExact(Tables.defaultQueries(s, dir), Tables.embeddings(s, dir), k = 5) }
+
+  /** Exact twin over the even-id HALF corpus — the baseline for the
+    * build-knob sweep's graphs (which index the same slice). */
+  private def exactTop5Half(s: SparkSession, dir: String): DataFrame =
+    sharedSigFrame(s, dir, "exact_top5_half") {
+      KnnTopK.knnExact(Tables.defaultQueries(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0), k = 5) }
 
   /** The near-dup corpus's duplicate-components frame (ngram-Jaccard
     * pairs at 0.5 through the min-label fixed point), pinned once per
@@ -4507,6 +4599,15 @@ object SparkEntry {
          WHERE user_id BETWEEN 10 AND 25
            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+         GROUP BY 1""",
+    "scale_zorder_3d" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE user_id BETWEEN 10 AND 25
+           AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+           AND value >= 10.0 AND value < 60.0
          GROUP BY 1""",
     "scale_bucketed_revenue" ->
       """SELECT o_orderpriority, count(*) AS n_items,

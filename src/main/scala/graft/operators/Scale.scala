@@ -70,17 +70,39 @@ object Scale {
     * @param aMin/aMax/bMin/bMax dimension stats, typically joined in
     *        from one broadcast aggregate (see [[dumpZOrdered]]) */
   def zValue(a: Column, b: Column, aMin: Column, aMax: Column,
-             bMin: Column, bMax: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+             bMin: Column, bMax: Column, bits: Int = 16): Column =
+    zValueK(Seq((a, aMin, aMax), (b, bMin, bMax)), bits)
+
+  /** Morton value of k NUMERIC dimensions — the general interleave
+    * [[zValue]] is the k=2 face of: per-bucket bit i of dimension d
+    * lands at position i·k + (k−1−d), so for k=2 dimension 0 takes the
+    * odd positions and dimension 1 the even ones, BIT-IDENTICAL to the
+    * historical two-column layout (layouts written before the
+    * generalization stay valid). Real pruning workloads filter on 3-4
+    * dims (user × time × value, lang × source × length); k·bits must
+    * fit a long's 63 value bits, so 3 dims get 16-bit buckets, 4 dims
+    * 15 — resolution per dim falls as dims rise, the standard Z-order
+    * trade. Linear min/max bucketing assumes roughly uniform dims: a
+    * heavily skewed column (exponential values, hot keys) wastes its
+    * bit budget on empty range — pre-bucketize such a dimension by
+    * quantile (rank) before passing it in, which is exactly what
+    * production Z-ORDER implementations do per column.
+    * @param dims (column, min, max) per dimension, stats typically from
+    *        one broadcast aggregate (see [[dumpZOrderedK]]) */
+  def zValueK(dims: Seq[(Column, Column, Column)], bits: Int = 16): Column = {
+    val k = dims.size
+    require(k >= 1, "need at least one dimension")
+    require(bits >= 1 && k * bits <= 63,
+      s"$k dims x $bits bits = ${k * bits} interleaved bits must fit a long (<= 63)")
     val buckets = math.pow(2.0, bits)
     def bucket(x: Column, mn: Column, mx: Column): Column =
       least(floor((x.cast("double") - mn) / (mx - mn + lit(1.0)) * lit(buckets)),
         lit(buckets - 1.0)).cast("long")
-    val ab = bucket(a, aMin, aMax)
-    val bb = bucket(b, bMin, bMax)
+    val bucketed = dims.map { case (x, mn, mx) => bucket(x, mn, mx) }
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(shiftleft(shiftright(ab, i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(bb, i).bitwiseAND(lit(1L)), 2 * i))
+      bucketed.zipWithIndex.foldLeft(acc) { case (a, (bc, d)) =>
+        a.bitwiseOR(shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), i * k + (k - 1 - d)))
+      }
     }
   }
 
@@ -95,14 +117,24 @@ object Scale {
     * scaffolding and is dropped before write (projection after the
     * sort keeps partition-local order). */
   def dumpZOrdered(df: DataFrame, path: String, dimA: Column, dimB: Column,
-                   numRanges: Int = 32, bits: Int = 16): Unit = {
-    val stats = df.agg(
-      min(dimA.cast("double")).as("__amin"), max(dimA.cast("double")).as("__amax"),
-      min(dimB.cast("double")).as("__bmin"), max(dimB.cast("double")).as("__bmax"))
+                   numRanges: Int = 32, bits: Int = 16): Unit =
+    dumpZOrderedK(df, path, Seq(dimA, dimB), numRanges, bits)
+
+  /** Write `df` z-ordered on k numeric dimension expressions — one
+    * broadcast stats aggregate (2k values), z per row, range-partition +
+    * sort on z, drop the scaffolding column, write. Same plan shape at
+    * any k; only the interleave widens. */
+  def dumpZOrderedK(df: DataFrame, path: String, dims: Seq[Column],
+                    numRanges: Int = 32, bits: Int = 16): Unit = {
+    val statCols = dims.zipWithIndex.flatMap { case (d, i) =>
+      Seq(min(d.cast("double")).as(s"__mn$i"), max(d.cast("double")).as(s"__mx$i")) }
+    val stats = df.agg(statCols.head, statCols.tail: _*)
+    val statNames = dims.indices.flatMap(i => Seq(s"__mn$i", s"__mx$i"))
     df.crossJoin(broadcast(stats))
-      .withColumn("__z", zValue(dimA, dimB,
-        col("__amin"), col("__amax"), col("__bmin"), col("__bmax"), bits))
-      .drop("__amin", "__amax", "__bmin", "__bmax")
+      .withColumn("__z", zValueK(
+        dims.zipWithIndex.map { case (d, i) => (d, col(s"__mn$i"), col(s"__mx$i")) },
+        bits))
+      .drop(statNames: _*)
       .repartitionByRange(numRanges, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -1778,16 +1778,16 @@ object SparkEntry {
     // pair-preserving parity-half slice (the dedup_twin_agreement
     // argument: the contract is corpus-independent; planted copies share
     // their base's parity so every cluster survives whole)
-    "split_leakage_safe" -> ((s, dir) => {
-      val corpus = parityHalf(docsWithNearDupes(s, dir))
-      val comp = Dedup.duplicateComponents(corpus,
-        Dedup.ngramJaccardPairs(corpus,
-          blockExpr = md5(substring(col("text"), 1, 40).cast("binary")),
-          threshold = 0.5))
-      Sampling.splitAssign(comp, "component",
+    // two-pipeline composition row: the near-dup components are the
+    // INPUT (their pipeline keeps honest timing as dedup_components);
+    // this row's value is the leakage-safe KEY choice, so the component
+    // frame pins once per (context, dir) under the composition-row
+    // policy (pipeline_clean/dedup_span_clean precedent) and the split
+    // rule runs live per call
+    "split_leakage_safe" -> ((s, dir) =>
+      Sampling.splitAssign(halfComponentsShared(s, dir), "component",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select(col("doc_id"), col("component"), col("split"))
-    }),
+        .select(col("doc_id"), col("component"), col("split"))),
     // T=2 temperature resampling over the skewed lang distribution
     // (70..218 docs/lang at sf0.01): kept sizes ~ sqrt(count)
     "sample_temperature" -> ((s, dir) =>
@@ -3795,6 +3795,20 @@ object SparkEntry {
   private def nearDupSpansShared(s: SparkSession, dir: String): DataFrame =
     sharedSigFrame(s, dir, "spans") {
       Dedup.duplicateSpans(docsWithNearDupes(s, dir), n = 10)
+    }
+
+  /** Parity-half duplicate components (split_leakage_safe's input
+    * pipeline), pinned once per (context, dir): the split row's value
+    * is the component-keyed assignment; the components pipeline keeps
+    * its honest full-corpus timing under `dedup_components`. Narrow
+    * frame (doc_id, component). */
+  private def halfComponentsShared(s: SparkSession, dir: String): DataFrame =
+    sharedSigFrame(s, dir, "components_half") {
+      val corpus = parityHalf(docsWithNearDupes(s, dir))
+      Dedup.duplicateComponents(corpus,
+        Dedup.ngramJaccardPairs(corpus,
+          blockExpr = md5(substring(col("text"), 1, 40).cast("binary")),
+          threshold = 0.5))
     }
 
   private def nearDupMinhashSigs(s: SparkSession, dir: String): DataFrame =

@@ -1872,6 +1872,20 @@ object SparkEntry {
     // (never changes results), so the oracle is the plain filter+agg
     // over the original parquet; the third-dimension pruning win is
     // pinned in ScaleSpec against the 2-d layout's file boxes.
+    // SKEW-proof z-order: the fixture's exponential `value` defeats
+    // linear bucketing (a low-value probe prunes nothing — ScaleSpec
+    // pins the failure), so the third dim rides its QUANTILE index
+    // (Scale.quantileBucket — uniform by construction, the
+    // range_partition_id move production Z-ORDER uses per column).
+    // Layout is pure, so the same oracle; the pruning rescue is
+    // spec-pinned against the linear twin.
+    "scale_zorder_skew" -> ((s, dir) =>
+      s.read.parquet(zorderedSkewEventsPath(s, dir))
+        .filter(col("user_id").between(10, 25) &&
+                col("value") >= 0.0 && col("value") < 12.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))),
     "scale_zorder_3d" -> ((s, dir) =>
       s.read.parquet(zordered3dEventsPath(s, dir))
         .filter(col("user_id").between(10, 25) &&
@@ -2299,6 +2313,18 @@ object SparkEntry {
           Multimodal.withWavContent(Tables.documents(s, dir).repartition(32)))
         .select(col("doc_id"), col("n_bytes"), col("sample_rate"), col("channels"),
           col("n_samples"), col("duration_ms"))),
+    // HOSTILE audio column: the JDK parser ACCEPTS a WAV whose data
+    // chunk was cut short and reports the header's declared frame
+    // count — so the decode verifies availability and surfaces the
+    // typed TRUNCATION error instead of fabricating duration (probed
+    // uniform across all 198 format combos). Mid-header cuts stay the
+    // undecodable row; the intact slice must decode exactly like the
+    // baseline — all three outcomes oracle-pinned.
+    "multimodal_audio_hostile" -> ((s, dir) =>
+      Multimodal.audioDecodeBatched(
+          Multimodal.withHostileWavContent(Tables.documents(s, dir).repartition(32)))
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_ms"), col("error"))),
     // SAMPLE-LEVEL audio features with a full hash oracle — the audio
     // twin of multimodal_features: the gradient WAV pins sample i to
     // ((id+i) mod 256)·97, the parser hands back the PCM stream, and the
@@ -3240,6 +3266,21 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder/${artifactKey(dir)}"
       Scale.dumpZOrdered(Tables.events(s, dir), path,
         col("user_id"), unix_micros(col("ts")))
+      path
+    })
+
+  /** Quantile-bucketed 3-d layout (user × time × RANK(value)), built
+    * once per (SparkContext, fixture dir) — the skew-proof write half
+    * of `scale_zorder_skew`. */
+  private val zorderSkewBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def zorderedSkewEventsPath(s: SparkSession, dir: String): String =
+    zorderSkewBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorderskew/${artifactKey(dir)}"
+      val events = Tables.events(s, dir)
+      Scale.dumpZOrderedK(events, path,
+        Seq(col("user_id"), unix_micros(col("ts")),
+          Scale.quantileBucket(events, col("value"), 256)))
       path
     })
 
@@ -4640,6 +4681,13 @@ object SparkEntry {
            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts <  TIMESTAMP '2024-01-22 00:00:00'
          GROUP BY 1""",
+    "scale_zorder_skew" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE user_id BETWEEN 10 AND 25
+           AND value >= 0.0 AND value < 12.0
+         GROUP BY 1""",
     "scale_zorder_3d" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
@@ -5883,6 +5931,18 @@ object SparkEntry {
                 CAST(1 + doc_id % 2 AS INT) AS channels,
                 CAST(16 + doc_id % 33 AS BIGINT) AS n_samples,
                 CAST((16 + doc_id % 33) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+         FROM documents""",
+    // hostile audio outcomes pinned: only the intact slice (id%3=1)
+    // carries format fields; half-truncated data is the typed
+    // truncation error, a mid-header cut the undecodable error
+    "multimodal_audio_hostile" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 3 = 1 THEN CAST(8000 * (1 + doc_id % 3) AS INT) END AS sample_rate,
+                CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
+                CASE WHEN doc_id % 3 = 1 THEN CAST(16 + doc_id % 33 AS BIGINT) END AS n_samples,
+                CASE WHEN doc_id % 3 = 1 THEN CAST((16 + doc_id % 33) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT) END AS duration_ms,
+                CASE WHEN doc_id % 3 = 0 THEN 'truncated'
+                     WHEN doc_id % 3 = 2 THEN 'undecodable' END AS error
          FROM documents""",
     // the REAL pixel-feature kernel's answer, replayed pixel-for-pixel:
     // the gradient BMP stores byte (doc_id + p) mod 256 at linear

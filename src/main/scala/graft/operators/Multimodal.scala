@@ -366,6 +366,16 @@ object Multimodal {
   def undecodableAudio(id: Long, bytes: Array[Byte]): AudioMeta =
     AudioMeta(id, bytes.length.toLong, None, None, None, None, Some(UndecodableReason))
 
+  /** Typed-error reason for payloads whose header DECLARES more frames
+    * than the bytes actually carry (a cut-short download): the JDK
+    * parser accepts them and reports the declared length, so without an
+    * availability check the decode would fabricate duration for data
+    * that does not exist — the audio twin of the no-fabricated-dims
+    * rule. */
+  val TruncatedReason = "truncated"
+  def truncatedAudio(id: Long, bytes: Array[Byte]): AudioMeta =
+    AudioMeta(id, bytes.length.toLong, None, None, None, None, Some(TruncatedReason))
+
   implicit val audioMetaEnc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
 
   /** Deterministic tiny VALID 16-bit PCM WAV payload for a doc: format
@@ -446,6 +456,33 @@ object Multimodal {
     df.select(col(idCol).cast("long"))
       .as[Long]
       .mapPartitions(rows => rows.map(id => (id, gradientWavBytes(id))))
+      .toDF(idCol, outCol)
+  }
+
+  /** HOSTILE audio payloads, rotating by id — the WAV shapes a scraped
+    * corpus serves, each probed uniform against the JDK parser:
+    *   id%3=0  gradient WAV with the data chunk cut in half → parses,
+    *           but declared frames exceed the surviving bytes → the
+    *           typed TRUNCATION error (no fabricated duration)
+    *   id%3=1  intact gradient WAV → decodes at the id-arithmetic format
+    *   id%3=2  cut mid-header (20 of 44 bytes) → no parser accepts it →
+    *           the typed UNDECODABLE error */
+  def hostileWavBytes(id: Long): Array[Byte] =
+    java.lang.Math.floorMod(id, 3L) match {
+      case 0L =>
+        val b = gradientWavBytes(id)
+        java.util.Arrays.copyOf(b, 44 + (b.length - 44) / 2)
+      case 1L => gradientWavBytes(id)
+      case _  => java.util.Arrays.copyOf(gradientWavBytes(id), 20)
+    }
+
+  /** The hostile-audio column: [[hostileWavBytes]] per row. */
+  def withHostileWavContent(df: DataFrame, idCol: String = "doc_id",
+                            outCol: String = "content"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(rows => rows.map(id => (id, hostileWavBytes(id))))
       .toDF(idCol, outCol)
   }
 
@@ -530,7 +567,18 @@ object Multimodal {
         val fmt = in.getFormat
         val rate = math.round(fmt.getSampleRate.toDouble).toInt
         val frames = in.getFrameLength
-        AudioMeta.decoded(id, bytes.length.toLong, rate, fmt.getChannels, frames,
+        // getFrameLength is the HEADER'S claim; a payload cut short of
+        // it still parses (probed: the JDK reader reports declared
+        // frames and hands back only the surviving bytes). Reporting
+        // the claim for missing data would fabricate duration, so the
+        // decode verifies availability and surfaces the typed
+        // truncation error instead. One pass over the (small) payload —
+        // the same read the feature extractors already do.
+        val frameSize = fmt.getFrameSize
+        val actualFrames =
+          if (frameSize > 0) in.readAllBytes().length.toLong / frameSize else frames
+        if (actualFrames < frames) truncatedAudio(id, bytes)
+        else AudioMeta.decoded(id, bytes.length.toLong, rate, fmt.getChannels, frames,
           frames * 1000L / rate)
       } finally in.close()
     } catch {

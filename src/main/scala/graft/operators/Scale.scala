@@ -120,10 +120,31 @@ object Scale {
                    numRanges: Int = 32, bits: Int = 16): Unit =
     dumpZOrderedK(df, path, Seq(dimA, dimB), numRanges, bits)
 
+  /** Rank (quantile) bucketization of one dimension: map `dim` to its
+    * approximate quantile bucket in [0, buckets) — the pre-transform a
+    * SKEWED z-order dimension needs (an exponential value column wastes
+    * a linear min/max bucket budget on empty range; its quantile index
+    * is uniform BY CONSTRUCTION). Boundaries come from one driver-side
+    * `approxQuantile` pass (bounded: `buckets − 1` doubles) and the
+    * per-row bucket is `|{b : x >= b}|` via a codegen'd filter-size
+    * over the boundary array literal — O(buckets) comparisons per row,
+    * no shuffle, deterministic for fixed data. This is exactly what
+    * production Z-ORDER implementations do per column
+    * (range_partition_id). Null dims land in bucket 0. */
+  def quantileBucket(df: DataFrame, dim: Column, buckets: Int): Column = {
+    require(buckets >= 2 && buckets <= 4096, s"buckets $buckets out of [2, 4096]")
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.select(dim.cast("double").as("__qb"))
+      .na.drop("all", Seq("__qb"))
+      .stat.approxQuantile("__qb", probes, 0.001)
+    size(filter(lit(bounds), b => dim.cast("double") >= b)).cast("long")
+  }
+
   /** Write `df` z-ordered on k numeric dimension expressions — one
     * broadcast stats aggregate (2k values), z per row, range-partition +
     * sort on z, drop the scaffolding column, write. Same plan shape at
-    * any k; only the interleave widens. */
+    * any k; only the interleave widens. Heavily SKEWED dims should be
+    * wrapped in [[quantileBucket]] first (see zValueK's scaladoc). */
   def dumpZOrderedK(df: DataFrame, path: String, dims: Seq[Column],
                     numRanges: Int = 32, bits: Int = 16): Unit = {
     val statCols = dims.zipWithIndex.flatMap { case (d, i) =>

@@ -225,6 +225,32 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("hostileWavBytes: truncation is typed, never fabricated duration") {
+    // 198 = lcm(2, 3, 33, 3) covers every (rate, channels, samples)
+    // combo per family. The dangerous case is id%3=0: the JDK parser
+    // ACCEPTS the cut payload and reports the declared frame count —
+    // the decode must verify availability and emit the typed
+    // truncation error, not the header's claim.
+    for (id <- 0L until 396L) {
+      val meta = Multimodal.audioDecode(id, Multimodal.hostileWavBytes(id))
+      (id % 3) match {
+        case 1 =>
+          assert(meta.error.isEmpty, s"id $id: intact WAV must decode")
+          assert(meta.n_samples.contains(16L + id % 33) &&
+                 meta.sample_rate.contains((8000L * (1 + id % 3)).toInt),
+            s"id $id: intact format fields must match the arithmetic")
+        case 0 =>
+          assert(meta.error.contains(Multimodal.TruncatedReason),
+            s"id $id: half-cut data must be the typed truncation row, got $meta")
+          assert(meta.n_samples.isEmpty && meta.duration_ms.isEmpty,
+            s"id $id: truncated payload must not carry declared duration")
+        case _ =>
+          assert(meta.error.contains(Multimodal.UndecodableReason),
+            s"id $id: mid-header cut must be undecodable, got $meta")
+      }
+    }
+  }
+
   test("hostileBytes: every family's outcome is uniform across all dim combos") {
     // 112 = lcm(16, 7) covers every (width, height) pair per family; the
     // pinned contract is exactly what multimodal_decode_hostile oracles:

@@ -243,6 +243,41 @@ class ScaleSpec extends SparkSuite {
       s"3-d z-order should skip files on a narrow value slice; touched $t3 of $f3")
   }
 
+  test("quantileBucket rescues z-order pruning on the fixture's SKEWED value column") {
+    import org.apache.spark.sql.functions._
+    // the real events fixture is the motivating failure: `value` is
+    // exponential-ish (median ~35, max ~330+), so linear min/max
+    // bucketing puts ~95% of rows under the top-bit split and a narrow
+    // low-value probe prunes NOTHING — while the quantile index is
+    // uniform by construction and the same probe skips files
+    val events = Tables.events(spark, sfDir)
+      .select("ts", "user_id", "event_type", "value")
+    val base = Files.createTempDirectory("graft_zorder_q_spec").toString
+    Scale.dumpZOrderedK(events, s"$base/lin",
+      Seq(col("user_id"), unix_micros(col("ts")), col("value")), numRanges = 16)
+    val vq = Scale.quantileBucket(events, col("value"), 256)
+    Scale.dumpZOrderedK(events, s"$base/q",
+      Seq(col("user_id"), unix_micros(col("ts")), vq), numRanges = 16)
+    // layout stays pure under the rank transform
+    val back = spark.read.parquet(s"$base/q")
+    assert(back.exceptAll(events).unionAll(events.exceptAll(back)).count() === 0,
+      "quantile-bucketed z-order write must not change content")
+    val (vLo, vHi) = (0.0, 10.0)
+    def touched(path: String): (Long, Long) = {
+      val boxes = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("value").as("vmin"), max("value").as("vmax"))
+      (boxes.count(), boxes.filter(col("vmin") <= vHi && col("vmax") >= vLo).count())
+    }
+    val (fL, tL) = touched(s"$base/lin")
+    val (fQ, tQ) = touched(s"$base/q")
+    assert(fL >= 8 && fQ >= 8, "need multi-file layouts to compare")
+    assert(tL === fL,
+      "linear bucketing should NOT prune the skewed low-value probe (the motivating failure)")
+    assert(tQ.toDouble / fQ <= 0.8,
+      s"quantile bucketing should skip files on the same probe; touched $tQ of $fQ")
+  }
+
   test("compactSmallFiles: identical rows, collapsed file count, idempotent, no leftovers") {
     import graft.operators.Maintenance
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")

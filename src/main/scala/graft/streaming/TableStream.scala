@@ -44,7 +44,13 @@ object TableStream {
     else {
       val meta = Map("batchId" -> batchId.toString, "writerId" -> writerId)
       if (Versioned.versions(batch.sparkSession, tableDir).isEmpty)
-        Some(Versioned.init(batch, tableDir, meta))
+        // two DIFFERENT writers racing batch 0 on a fresh table: the
+        // init loser's data is intact (attempt-unique dir), so it lands
+        // as the append it would have been had it read the winner's v0
+        // (append's own retry loop absorbs any further interleaving)
+        Some(try Versioned.init(batch, tableDir, meta)
+             catch { case _: Versioned.CommitRaceLost =>
+               Versioned.append(batch, tableDir, meta) })
       else Some(Versioned.append(batch, tableDir, meta))
     }
   }

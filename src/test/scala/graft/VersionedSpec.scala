@@ -229,6 +229,50 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.snapshot(spark, dir).files.forall(!_.startsWith("#")))
   }
 
+  test("TableStream: TWO writers ingest one table — interleaved and racing") {
+    import spark.implicits._
+    import graft.streaming.TableStream
+    // interleaved (the steady-state shape): per-writer batch ids track
+    // independently, versions linearize, content is the union
+    val dir = freshDir()
+    def b(id: Long, tag: String) = Seq((id, tag, id)).toDF("doc_id", "lang", "n_chars")
+    assert(TableStream.commitBatch(b(1, "w1"), dir, 0L, "w1").nonEmpty)
+    assert(TableStream.commitBatch(b(100, "w2"), dir, 0L, "w2").nonEmpty)
+    assert(TableStream.commitBatch(b(2, "w1"), dir, 1L, "w1").nonEmpty)
+    assert(TableStream.commitBatch(b(101, "w2"), dir, 1L, "w2").nonEmpty)
+    // a replay of either writer's last batch is still a no-op, and one
+    // writer's high-water mark must not swallow the other's
+    assert(TableStream.commitBatch(b(2, "w1"), dir, 1L, "w1") === None)
+    assert(TableStream.commitBatch(b(101, "w2"), dir, 1L, "w2") === None)
+    assert(Versioned.lastBatchId(spark, dir, Some("w1")) === Some(1L))
+    assert(Versioned.lastBatchId(spark, dir, Some("w2")) === Some(1L))
+    assert(Versioned.read(spark, dir).count() === 4)
+    assert(Versioned.versions(spark, dir) === Seq(0, 1, 2, 3))
+
+    // RACING batch 0 on a FRESH table: the init loser must land as an
+    // append (day-one multi-writer ingest), with no lost update
+    val dir2 = freshDir()
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(("w1", 1L), ("w2", 100L)).map { case (w, id) =>
+        pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+          def call(): Option[Int] = {
+            gate.await()
+            TableStream.commitBatch(b(id, w), dir2, 0L, w)
+          }
+        })
+      }
+      val got = fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got.forall(_.nonEmpty), s"both racing writers must commit, got $got")
+      assert(got.flatten.toSet === Set(0, 1))
+    } finally pool.shutdown()
+    assert(Versioned.read(spark, dir2).count() === 2,
+      "both writers' batch-0 rows must land")
+    assert(Versioned.lastBatchId(spark, dir2, Some("w1")) === Some(0L))
+    assert(Versioned.lastBatchId(spark, dir2, Some("w2")) === Some(0L))
+  }
+
   test("readAppendedSince: exact delta on append-only history, refuses after rewrites") {
     import spark.implicits._
     val dir = freshDir()

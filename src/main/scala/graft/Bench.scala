@@ -63,14 +63,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // canary warm-up: its own JIT is not the signal
-    // Nominal canary on this box is ~0.048-0.087s (measured across
-    // rounds 6-11; the documented slow-host mode reads 0.09-0.3s).
-    // SlowBar gates work that cannot pay off under a slow host;
-    // RecoverBar decides when a wait-for-recovery succeeded.
-    val NominalCanary = 0.055
+    // Nominal canary: MEASURED, not hard-coded. The slow/recover bars
+    // exist to tell "this host is in its degraded mode" from "this host
+    // is just a different machine" — an absolute constant calibrated to
+    // one box makes every slower machine read as permanently degraded
+    // (third/fourth passes never run, 4x20s recovery sleeps always
+    // paid). The baseline is the minimum canary EVER observed on this
+    // host (persisted in bench_cal.json across runs — the degraded mode
+    // is transient, so the floor converges to true nominal within a
+    // run or two), seeded by the min of three fresh samples so a
+    // first run on a new host self-calibrates. A degraded-mode first
+    // run publishes bars that are too loose ONCE; the persisted floor
+    // tightens them on every later run. Floor 0.01 guards a corrupt
+    // file from collapsing the bars to zero.
+    val calFile = java.nio.file.Paths.get("bench_cal.json")
+    val persisted: Option[Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(calFile), "UTF-8")
+      """"nominal":([0-9]+\.?[0-9]*)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+    val cal0 = calibrate()
+    val seed = math.min(cal0, math.min(calibrate(), calibrate()))
+    val NominalCanary = math.max(0.01, math.min(persisted.getOrElse(seed), seed))
     val SlowBar = NominalCanary * 2
     val RecoverBar = NominalCanary * 1.5
-    val cal0 = calibrate()
     // Steady-state timing: two full sweeps, per-query minimum — the
     // reference's discard-warmup methodology (benchmark.py:34-42), but
     // with the repeats separated in time: a fresh single-JVM session pays
@@ -201,6 +216,11 @@ object Bench {
     val flaggedJson = flagged
       .map { case (k, r) => jstr(k) + ":" + r }.mkString("{", ",", "}")
     val cal1 = calibrate()
+    // persist the tightest canary this host has ever shown (see above)
+    try java.nio.file.Files.write(calFile,
+      s"""{"nominal":${f"${math.max(0.01, Seq(NominalCanary, cal0, cal1).min)}%.4f"}}"""
+        .getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     val calJson = s""","calibration":[${f"$cal0%.3f"},${f"$cal1%.3f"}]"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_runs":$rawRuns,"flagged":$flaggedJson$calJson$errJson,"sf":"$sfDir"}""".getBytes("UTF-8"))

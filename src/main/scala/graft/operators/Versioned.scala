@@ -417,6 +417,15 @@ object Versioned {
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          // local mounts without hard-link support (FUSE/NFS/SMB/FAT
+          // exposed via file://): fall back to exists+rename — the
+          // narrower TOCTOU window of the pre-link protocol, strictly
+          // better than every commit failing on such a mount. The
+          // FileAlreadyExistsException arm above must stay FIRST (it is
+          // a FileSystemException subclass and means the race was lost,
+          // not that links are unsupported).
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            !f.exists(target) && f.rename(tmp, target)
         } finally f.delete(tmp, false)
       } else {
         val ok = f.rename(tmp, target)
@@ -452,22 +461,37 @@ object Versioned {
     * with conflict detection. */
   private val CommitRetries = 5
   private def commitWithRebase(s: SparkSession, tableDir: String,
-                               rebase: Snapshot => Option[(Seq[FileEntry], Map[String, String])])
+                               rebase: Snapshot => Option[(Seq[FileEntry], Map[String, String])],
+                               attemptData: Seq[FileEntry] = Seq.empty)
                               : Int = {
     var last: CommitRaceLost = null
     var attempt = 0
     while (attempt < CommitRetries) {
       val snap = snapshot(s, tableDir)
-      val (entries, meta) = rebase(snap).getOrElse(
+      val (entries, meta) = rebase(snap).getOrElse {
+        discardAttemptData(s, attemptData)
         throw new ConcurrentWriteConflictException(
           s"commit to $tableDir conflicts with version ${snap.version} " +
             "committed concurrently: the interleaved commit rewrote files " +
-            "or rows this writer read — re-run against the new snapshot"))
+            "or rows this writer read — re-run against the new snapshot")
+      }
       try return commitManifest(s, tableDir, snap.version + 1, entries, meta)
       catch { case e: CommitRaceLost => last = e; attempt += 1 }
     }
+    discardAttemptData(s, attemptData)
     throw last
   }
+
+  /** Best-effort reclamation of an attempt's data directories when its
+    * commit refuses (true conflict) or exhausts retries: the files are
+    * provably unpublished at that point — no manifest references them —
+    * so leaving them would orphan a full rewrite-sized directory per
+    * failed COW/compact attempt until someone vacuums. Failures here
+    * are swallowed: cleanup must never mask the typed conflict. */
+  private def discardAttemptData(s: SparkSession, entries: Seq[FileEntry]): Unit =
+    try entries.map(e => new Path(e.path).getParent).distinct
+      .foreach(d => fs(s, d).delete(d, true))
+    catch { case _: Throwable => () }
 
   /** Append-only commit: O(delta) data write; every existing file is
     * carried into the new manifest by reference (stats included). A
@@ -489,7 +513,7 @@ object Versioned {
     val newEntries = writeData(df, tableDir, base.version + 1, statsCol, bloomCol)
     commitWithRebase(s, tableDir, snap => Some((
       snap.entries ++ newEntries,
-      meta + ("schema" -> evolveSchema(snap.schema, df).json))))
+      meta + ("schema" -> evolveSchema(snap.schema, df).json))), newEntries)
   }
 
   /** The file subset a range predicate on `statsCol` can possibly touch:
@@ -635,7 +659,7 @@ object Versioned {
       tableDir, v, statsCol, bloomCol)
     commitWithRebase(s, tableDir,
       cowRebase(s, snap, touched, newEntries, deltaIds, idCol,
-        base => evolveSchema(base.schema, delta)))
+        base => evolveSchema(base.schema, delta)), newEntries)
   }
 
   /** Change-data capture between two committed versions: one row per id
@@ -723,7 +747,7 @@ object Versioned {
     commitWithRebase(spark, tableDir, latest =>
       if (latest.version == snap.version)
         Some((newEntries, Map("schema" -> snap.schema.getOrElse(cur.schema).json)))
-      else None)
+      else None, newEntries)
   }
 
   case class VacuumStats(deletedFiles: Long, keptFiles: Long,
@@ -861,6 +885,6 @@ object Versioned {
       if (keepDelta) evolveSchema(base.schema, delta)
       else base.schema.getOrElse(curBase.schema)
     commitWithRebase(s, tableDir,
-      cowRebase(s, snap, touched, newEntries, deltaIds, idCol, schema))
+      cowRebase(s, snap, touched, newEntries, deltaIds, idCol, schema), newEntries)
   }
 }

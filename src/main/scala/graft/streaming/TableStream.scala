@@ -47,10 +47,21 @@ object TableStream {
         // two DIFFERENT writers racing batch 0 on a fresh table: the
         // init loser's data is intact (attempt-unique dir), so it lands
         // as the append it would have been had it read the winner's v0
-        // (append's own retry loop absorbs any further interleaving)
+        // (append's own retry loop absorbs any further interleaving).
+        // The race surfaces two ways: CommitRaceLost when both reach
+        // the manifest rename, OR init's table-already-initialized
+        // require when the winner fully commits v0 between our
+        // emptiness check above and init's internal re-check — the
+        // IllegalArgumentException arm only fires on that window
+        // (versions were empty moments ago), so it cannot mask a
+        // genuine misuse of init on a long-standing table
         Some(try Versioned.init(batch, tableDir, meta)
-             catch { case _: Versioned.CommitRaceLost =>
-               Versioned.append(batch, tableDir, meta) })
+             catch {
+               case _: Versioned.CommitRaceLost =>
+                 Versioned.append(batch, tableDir, meta)
+               case _: IllegalArgumentException =>
+                 Versioned.append(batch, tableDir, meta)
+             })
       else Some(Versioned.append(batch, tableDir, meta))
     }
   }

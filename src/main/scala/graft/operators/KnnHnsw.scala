@@ -302,6 +302,129 @@ object KnnHnsw {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Versioned graph: shard rewrites under the table layer's COMMIT
+  // DISCIPLINE — the [[KnnIvf.saveVersioned]] sibling for the NSW index.
+  // ---------------------------------------------------------------------
+
+  /** Cluster a graph frame ~one-file-per-shard so manifest `shard`
+    * stats stay sharp. Range-partitioned on the shard ALONE so file
+    * stats boxes partition the shard space without overlap — the
+    * precondition for shard-disjoint racers to rebase past each other
+    * (see [[KnnIvf]]'s arrangeByCell note). */
+  private def arrangeByShard(df: DataFrame, nFiles: Int): DataFrame =
+    df.repartitionByRange(math.max(1, nFiles), col("shard"))
+      .sortWithinPartitions("shard")
+
+  /** Persist the sharded graph as a [[Versioned]] table with per-file
+    * `shard` stats: every later mutation ([[appendToVersioned]],
+    * [[markDeletedVersioned]], [[compactVersioned]]) is an atomic
+    * manifest commit with retry/rebase — racing SHARD-DISJOINT ingests
+    * both land, overlapping ones refuse typed, and a half-written shard
+    * rewrite is invisible to readers (they only see committed
+    * manifests). The in-place [[save]]/[[appendTo]]/[[compact]] flavor
+    * keeps the reference's single-writer dump semantics
+    * (`executor.py:227-236`). */
+  def saveVersioned(graph: DataFrame, path: String, numShards: Int): Int =
+    Versioned.init(arrangeByShard(graph, numShards), path,
+      statsCol = Some("shard"))
+
+  /** Restore a versioned graph at a pinned version (latest by default),
+    * with the same schema restoration as [[load]]. */
+  def loadVersioned(spark: SparkSession, path: String,
+                    version: Option[Int] = None): DataFrame = {
+    val raw = Versioned.read(spark, path, version)
+    val base = Seq(col("shard").cast("int").as("shard"),
+      col("local_idx").cast("int").as("local_idx"),
+      col("vec_id"), col("embedding"),
+      col("neighbor_idx").cast("array<int>").as("neighbor_idx"))
+    if (raw.columns.contains("deleted"))
+      raw.select(base :+ coalesce(col("deleted"), lit(false)).as("deleted"): _*)
+    else raw.select(base: _*)
+  }
+
+  /** Append/upsert into a versioned graph as a partition-COW commit:
+    * new rows hash to their shards, ONLY those shards rebuild
+    * (survivors ∪ batch, last-wins on id — identical to a from-scratch
+    * rebuild by per-shard determinism), and the rewrite publishes via
+    * [[Versioned.replacePartitions]]: racing ingests on disjoint shard
+    * sets both land with linearized versions; anything that touched
+    * this writer's shards (same-shard ingest, compact) refuses typed. */
+  def appendToVersioned(spark: SparkSession, path: String, newRows: DataFrame,
+                        numShards: Int, m: Int = 8, efConstruction: Int = 64,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
+    val incoming = newRows.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<float>").as("embedding"))
+    val touched = incoming
+      .select(pmod(xxhash64(col("vec_id")), lit(numShards)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val base = Versioned.snapshot(spark, path)
+    if (touched.isEmpty) return base.version
+    val saved = loadVersioned(spark, path, Some(base.version))
+    val hasTombstones = saved.columns.contains("deleted")
+    val survivingCols =
+      if (hasTombstones) Seq(col("vec_id"), col("embedding"), col("deleted"))
+      else Seq(col("vec_id"), col("embedding"))
+    val surviving = saved
+      .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+      .select(survivingCols: _*)
+      .join(incoming.select("vec_id"), Seq("vec_id"), "left_anti")
+    val rebuilt = build(
+      surviving.select("vec_id", "embedding").unionByName(incoming),
+      numShards, m, efConstruction)
+    val withFlags =
+      if (!hasTombstones) rebuilt
+      else rebuilt.join(surviving.select(col("vec_id"), col("deleted")),
+          Seq("vec_id"), "left")
+        .withColumn("deleted", coalesce(col("deleted"), lit(false)))
+        .select(col("shard"), col("local_idx"), col("vec_id"),
+          col("embedding"), col("neighbor_idx"), col("deleted"))
+    Versioned.replacePartitions(arrangeByShard(withFlags, touched.length),
+      path, "shard", touched.map(_.toLong), base)
+  }
+
+  /** Tombstone ids in a versioned graph as a partition-COW commit:
+    * shards containing a marked id rewrite with the `deleted` flag set
+    * (rows keep ROUTING, never surface — [[markDeleted]] semantics,
+    * now atomic and time-travelable); untouched shards carry by
+    * reference and null-fill the flag on read ([[loadVersioned]]
+    * coalesces it to false). */
+  def markDeletedVersioned(spark: SparkSession, path: String, ids: DataFrame,
+                           idCol: String = "vec_id"): Int = {
+    val marks = ids.select(col(idCol).as("vec_id")).distinct()
+    val base = Versioned.snapshot(spark, path)
+    val g = loadVersioned(spark, path, Some(base.version))
+    val touched = g.join(broadcast(marks), Seq("vec_id"), "left_semi")
+      .select("shard").distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return base.version
+    val rewritten = markDeleted(
+      g.filter(col("shard").isin(touched.map(Integer.valueOf): _*)), marks)
+    Versioned.replacePartitions(arrangeByShard(rewritten, touched.length),
+      path, "shard", touched.map(_.toLong), base)
+  }
+
+  /** Purge tombstones from a versioned graph as a partition-COW commit:
+    * shards with any deleted row rebuild from live rows only (identical
+    * to a from-scratch build of the live corpus, per-shard determinism);
+    * racing commits follow the [[appendToVersioned]] rules. A shard
+    * left with no live rows simply leaves the manifest. */
+  def compactVersioned(spark: SparkSession, path: String, numShards: Int,
+                       m: Int = 8, efConstruction: Int = 64): Int = {
+    val base = Versioned.snapshot(spark, path)
+    val g = loadVersioned(spark, path, Some(base.version))
+    if (!g.columns.contains("deleted")) return base.version
+    val touched = g.filter(col("deleted")).select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return base.version
+    val live = g.filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+      .filter(!col("deleted"))
+      .select(col("vec_id"), col("embedding"))
+    val rebuilt = build(live, numShards, m, efConstruction)
+      .withColumn("deleted", lit(false))
+    Versioned.replacePartitions(arrangeByShard(rebuilt, touched.length),
+      path, "shard", touched.map(_.toLong), base)
+  }
+
   /** Tombstone rows of a graph frame: every `vec_id` in `ids` keeps
     * ROUTING beam expansion (its edges are load-bearing for graph
     * connectivity — hnswlib's `mark_deleted`, the reference's delete

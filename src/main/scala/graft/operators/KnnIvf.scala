@@ -344,6 +344,116 @@ object KnnIvf {
     tp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tp, true): Unit
   }
 
+  // ---------------------------------------------------------------------
+  // Versioned index: the corpus under the table layer's COMMIT DISCIPLINE
+  // ---------------------------------------------------------------------
+
+  /** Cell-assign `newRows` with a fitted model — the shared head of
+    * every ingest path. */
+  private def assignCells(model: KMeansModel, newRows: DataFrame,
+                          vecCol: String): DataFrame =
+    model.transform(newRows.withColumn("__features",
+        array_to_vector(col(vecCol).cast("array<double>"))))
+      .drop("__features").withColumnRenamed("__cell", "cell")
+
+  /** Cluster an index frame one-file-per-cell-ish so manifest `cell`
+    * stats stay sharp (a probe's file set ≈ its cell set). Range-
+    * partitioning on the CELL ALONE — no row-level tiebreak — keeps
+    * equal cells in one partition, so file stats boxes partition the
+    * cell space without overlap: cell-disjoint racing ingests are then
+    * file-disjoint whenever they split along a file boundary, the
+    * precondition for both to land ([[Versioned.replacePartitions]]). */
+  private def arrangeByCell(df: DataFrame, nFiles: Int): DataFrame =
+    df.repartitionByRange(math.max(1, nFiles), col("cell"))
+      .sortWithinPartitions("cell")
+
+  /** Persist the index under [[Versioned]]'s commit protocol: the
+    * corpus becomes a versioned table with per-file `cell` stats —
+    * manifest-level partition pruning plays the role [[save]]'s Hive
+    * directories play, and every later mutation is an ATOMIC manifest
+    * commit with retry/rebase instead of an in-place directory rewrite.
+    * The in-place flavor ([[save]]/[[appendTo]]/[[compact]]) matches
+    * the reference's single-writer `/dump` semantics
+    * (`executor.py:227-236`, which clobbers); this flavor is what a
+    * multi-writer deployment needs: two concurrent appends can no
+    * longer tear the saved index — racing CELL-DISJOINT ingests both
+    * land (linearized versions), anything overlapping refuses typed,
+    * and a torn write is impossible because readers only ever see
+    * committed manifests. */
+  def saveVersioned(index: IvfIndex, path: String): Int = {
+    index.model.write.overwrite().save(s"$path/model")
+    val nCells = index.model.clusterCenters.length
+    Versioned.init(arrangeByCell(index.corpusWithCell, nCells),
+      s"$path/corpus", statsCol = Some("cell"))
+  }
+
+  /** Restore a versioned index at a pinned version (latest by default)
+    * — time travel for the INDEX: serve yesterday's corpus exactly as
+    * committed, the capability the reference's clobbering dump can
+    * never offer. */
+  def loadVersioned(spark: SparkSession, path: String,
+                    version: Option[Int] = None): IvfIndex =
+    IvfIndex(KMeansModel.load(s"$path/model"),
+      Versioned.read(spark, s"$path/corpus", version))
+
+  /** Last-wins ingest as a partition-COW COMMIT (the versioned twin of
+    * [[appendTo]], same `executor.py:151-161` replace-not-duplicate
+    * semantics): cell-assign with the stored model, rewrite only the
+    * touched cells' rows (survivors ∪ batch), and publish through
+    * [[Versioned.replacePartitions]] — so two racing ingests on
+    * disjoint cell sets BOTH land with linearized index versions, and
+    * an ingest racing anything that touched its own cells (another
+    * ingest of the same cells, a compact, a z-order) refuses with the
+    * typed conflict instead of silently tearing the index. */
+  def appendToVersioned(spark: SparkSession, path: String, newRows: DataFrame,
+                        vecCol: String = "embedding"): Int = {
+    val model = KMeansModel.load(s"$path/model")
+    val incoming = assignCells(model, newRows, vecCol)
+    val touched = incoming.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val base = Versioned.snapshot(spark, s"$path/corpus")
+    if (touched.isEmpty) return base.version
+    val surviving = Versioned.read(spark, s"$path/corpus", Some(base.version))
+      .filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+      .join(incoming.select("vec_id"), Seq("vec_id"), "left_anti")
+    val rewritten = surviving
+      .unionByName(incoming.select(surviving.columns.map(col): _*))
+    Versioned.replacePartitions(arrangeByCell(rewritten, touched.length),
+      s"$path/corpus", "cell", touched.map(_.toLong), base)
+  }
+
+  /** Delete ids from a versioned index as a partition-COW commit: only
+    * cells containing a deleted row rewrite (from their live rows);
+    * the deletion is immediately folded — no tombstone side table —
+    * and lands atomically with the same race rules as
+    * [[appendToVersioned]]. O(touched-cell data) instead of the
+    * in-place flavor's O(marks): the price of making the delete a
+    * first-class, time-travelable commit. */
+  def deleteVersioned(spark: SparkSession, path: String, ids: DataFrame,
+                      idCol: String = "vec_id"): Int = {
+    val marks = ids.select(col(idCol).as("vec_id")).distinct()
+    val base = Versioned.snapshot(spark, s"$path/corpus")
+    val corpus = Versioned.read(spark, s"$path/corpus", Some(base.version))
+    val touched = corpus.join(broadcast(marks), Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return base.version
+    val rewritten = corpus
+      .filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+      .join(broadcast(marks), Seq("vec_id"), "left_anti")
+    Versioned.replacePartitions(arrangeByCell(rewritten, touched.length),
+      s"$path/corpus", "cell", touched.map(_.toLong), base)
+  }
+
+  /** Re-cluster the versioned corpus one-cell-per-file and refresh
+    * manifest stats, as a commit ([[Versioned.compact]] with
+    * `clusterBy=cell`): the maintenance move that re-sharpens pruning
+    * after ingest churn. Racing ANY interleaved commit refuses typed —
+    * a compact rewrites every file, so nothing is rebasable. */
+  def compactVersioned(spark: SparkSession, path: String,
+                       targetBytes: Long = 128L << 20): Int =
+    Versioned.compact(spark, s"$path/corpus", targetBytes,
+      clusterBy = Some("cell"))
+
   /** One-call convenience for fixture-scale use. */
   def approxKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                 numCells: Int = 16, nProbe: Int = 4,

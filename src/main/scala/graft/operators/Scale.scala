@@ -106,6 +106,38 @@ object Scale {
     }
   }
 
+  /** Driver-side twin of [[zValueK]]'s per-dimension bucketization —
+    * same arithmetic (`floor((x-mn)/(mx-mn+1)·2^bits)` clamped into
+    * [0, 2^bits)), plus a lower clamp at 0 for PROBE values that fall
+    * below the committed minimum (data rows never do; probe bounds
+    * may). Exact agreement with the Spark-side bucket is what makes
+    * manifest-level z-range pruning sound ([[Versioned.readBox]]). */
+  private[operators] def bucketOf(x: Double, mn: Double, mx: Double,
+                                  bits: Int): Long = {
+    val buckets = math.pow(2.0, bits)
+    math.max(0L, math.min((buckets - 1.0).toLong,
+      math.floor((x - mn) / (mx - mn + 1.0) * buckets).toLong))
+  }
+
+  /** Driver-side Morton interleave of k pre-bucketized values — the
+    * same bit placement as [[zValueK]] (bit i of dimension d lands at
+    * position i·k + (k−1−d)), so a driver-computed probe range compares
+    * exactly against Spark-written z values. */
+  private[operators] def zOf(buckets: Seq[Long], bits: Int): Long = {
+    val k = buckets.size
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      var d = 0
+      while (d < k) {
+        z |= ((buckets(d) >> i) & 1L) << (i * k + (k - 1 - d))
+        d += 1
+      }
+      i += 1
+    }
+    z
+  }
+
   /** Write `df` z-ordered on two numeric dimension expressions: one
     * broadcast stats aggregate, z-value per row (pure codegen'd bit
     * arithmetic), range-repartition + in-partition sort on z, write.

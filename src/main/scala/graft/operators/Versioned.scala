@@ -264,6 +264,22 @@ object Versioned {
     }
   }
 
+  /** Nullability-normalized view of a type: evolution must refuse TYPE
+    * changes (silent coercion is how corpora rot) but not
+    * `containsNull`/`nullable` drift — a cast-produced array<float>
+    * and a parquet-read one differ only there and hold the same data. */
+  private def widenNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(e, _)   => ArrayType(widenNullable(e), containsNull = true)
+      case MapType(k, v, _)  => MapType(widenNullable(k), widenNullable(v), true)
+      case StructType(fs)    => StructType(fs.map(f =>
+        f.copy(dataType = widenNullable(f.dataType), nullable = true)))
+      case other             => other
+    }
+  }
+
   /** The committed schema widened by `df`'s new columns (appended at the
     * end); common columns must agree on type — silent coercion is how
     * corpora rot. */
@@ -275,7 +291,7 @@ object Versioned {
       case Some(o) =>
         incoming.fields.foreach { f =>
           o.fields.find(_.name == f.name).foreach { prev =>
-            require(prev.dataType == f.dataType,
+            require(widenNullable(prev.dataType) == widenNullable(f.dataType),
               s"schema evolution cannot change column '${f.name}' from " +
                 s"${prev.dataType.simpleString} to ${f.dataType.simpleString}")
           }
@@ -305,7 +321,12 @@ object Versioned {
     val paths = fs(df.sparkSession, dir).listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => norm(s.getPath)).sorted.toSeq
-    val base = statsCol match {
+    val readBack = df.sparkSession.read.parquet(dataDir)
+    // a stats/bloom column the written rows don't carry (e.g. '__z'
+    // scaffolding inherited from a z-order commit that a later COW's
+    // rewrite doesn't materialize) degrades to "no stats — always read",
+    // never a failed commit whose data files are already on disk
+    val base = statsCol.filter(readBack.columns.contains) match {
       case None => paths.map(FileEntry(_))
       case Some(c) =>
         val stats = df.sparkSession.read.parquet(dataDir)
@@ -324,7 +345,7 @@ object Versioned {
         // proven empty, so it never enters the manifest at all
         paths.flatMap(p => stats.get(p).map(st => FileEntry(p, st)))
     }
-    bloomCol match {
+    bloomCol.filter(readBack.columns.contains) match {
       case None => base
       case Some(bc) =>
         // per-file Bloom over the column's NON-NULL string values:
@@ -748,6 +769,167 @@ object Versioned {
       if (latest.version == snap.version)
         Some((newEntries, Map("schema" -> snap.schema.getOrElse(cur.schema).json)))
       else None, newEntries)
+  }
+
+  /** Partition-granular copy-on-write commit — the primitive a
+    * partitioned INDEX layout (IVF cell directories, NSW shard
+    * directories) needs to get the same multi-writer discipline as the
+    * row-level [[upsert]]: replace every file whose `statsCol` box
+    * intersects `touchedKeys` with the freshly written `rewritten`
+    * rows; untouched files carry into the new manifest by reference.
+    *
+    * Caller contract: `rewritten` contains the COMPLETE new content of
+    * the touched partitions, computed from `base` (pin ONE snapshot,
+    * read through it, pass it here — re-reading "latest" between the
+    * two would let an interleaved commit slip past conflict
+    * detection), and
+    * every committed file carries `statsCol` stats — a stats-less file
+    * cannot be proven partition-disjoint, so the commit refuses rather
+    * than risk dropping rows it never read. Arrange `rewritten`
+    * clustered on `statsCol` (range-repartition + sort) so the new
+    * files' stats boxes stay sharp.
+    *
+    * Concurrency (the [[cowRebase]] sibling, at partition granularity):
+    * racing commits on DISJOINT key sets both land — the loser rebases
+    * by carrying the winner's files and replacing only its own
+    * partitions' — while any interleaved commit that rewrote, removed,
+    * or appended into THIS writer's partitions is a true conflict
+    * (typed refusal): this writer's survivors were computed against
+    * content that no longer exists. A full-table rewrite (compact /
+    * z-order) interleaving always conflicts, both ways. */
+  private[graft] def replacePartitions(rewritten: DataFrame, tableDir: String,
+                                       statsCol: String, touchedKeys: Seq[Long],
+                                       base: Snapshot,
+                                       meta: Map[String, String] = Map.empty): Int = {
+    val s = rewritten.sparkSession
+    def entryStats(e: FileEntry): (String, Long, Long) = e.stats.getOrElse(
+      throw new IllegalStateException(
+        s"partition commit to $tableDir: file ${e.path} carries no " +
+          s"'$statsCol' stats — partition disjointness is unprovable; " +
+          "compact the table with clusterBy first"))
+    def intersects(e: FileEntry): Boolean = {
+      val (c, lo, hi) = entryStats(e)
+      require(c == statsCol,
+        s"partition commit to $tableDir: file ${e.path} carries stats on " +
+          s"'$c', not '$statsCol'")
+      touchedKeys.exists(k => lo <= k && k <= hi)
+    }
+    val baseTouched = base.entries.filter(intersects).map(_.path).toSet
+    val basePaths = base.files.toSet
+    val bloomCol = base.entries.flatMap(_.bloom.map(_._1)).distinct match {
+      case Seq(c) => Some(c)
+      case _      => None
+    }
+    val newEntries =
+      writeData(rewritten, tableDir, base.version + 1, Some(statsCol), bloomCol)
+    commitWithRebase(s, tableDir, snap => {
+      val ok =
+        if (snap.version == base.version) true
+        else {
+          val snapPaths = snap.files.toSet
+          val added = snap.entries.filterNot(e => basePaths(e.path))
+          baseTouched.forall(snapPaths) &&
+            added.forall(e => e.stats.exists(_._1 == statsCol) && !intersects(e))
+        }
+      if (!ok) None
+      else Some((snap.entries.filterNot(e => baseTouched(e.path)) ++ newEntries,
+        meta + ("schema" -> evolveSchema(snap.schema, rewritten).json)))
+    }, newEntries)
+  }
+
+  /** OPTIMIZE ZORDER as a COMMIT: rewrite the latest version's rows
+    * clustered by the Morton interleave of `dims` (each linearly
+    * bucketized to `bits` bits between its committed min/max — wrap a
+    * skewed dimension's values yourself before committing, per
+    * [[Scale.zValueK]]'s scaladoc) and publish the result as the next
+    * version. The scaffolding `__z` column IS materialized in the data
+    * files — that is what gives every file a manifest-level z-range —
+    * but the committed schema stays the table's own, so readers never
+    * see it; the bucketization stats ride in commit metadata, making
+    * [[readBox]]'s driver-side probe arithmetic exact.
+    *
+    * This closes the gap between [[Scale.dumpZOrderedK]] (multi-dim
+    * clustering, but a bare directory outside the manifest world) and
+    * [[compact]] (a commit, but 1-D range stats only): a versioned
+    * corpus gets multi-dimensional file pruning WITHOUT leaving
+    * snapshot isolation, time travel, or vacuum. Like compact, a racing
+    * interleaved commit is always a true conflict (every file
+    * rewrites), surfaced typed. */
+  def compactZOrder(spark: SparkSession, tableDir: String, dims: Seq[String],
+                    numRanges: Int = 32, bits: Int = 16): Int = {
+    require(dims.size >= 2, s"z-order needs >= 2 dims, got $dims")
+    val snap = snapshot(spark, tableDir)
+    val cur = snap.schema match {
+      case Some(st) => spark.read.schema(st).parquet(snap.files: _*)
+      case None     => spark.read.parquet(snap.files: _*)
+    }
+    require(!cur.columns.contains("__z"),
+      "table already carries a '__z' column — z-order scaffolding would collide")
+    val statCols = dims.flatMap(d =>
+      Seq(min(col(d).cast("double")), max(col(d).cast("double"))))
+    val row = cur.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val stats = dims.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    val zc = Scale.zValueK(
+      dims.zip(stats).map { case (d, (mn, mx)) => (col(d), lit(mn), lit(mx)) }, bits)
+    val arranged = cur.withColumn("__z", zc)
+      .repartitionByRange(numRanges, col("__z"))
+      .sortWithinPartitions("__z")
+    val bloomCol = snap.entries.flatMap(_.bloom.map(_._1)).distinct match {
+      case Seq(c) => Some(c)
+      case _      => None
+    }
+    val newEntries = writeData(arranged, tableDir, snap.version + 1,
+      Some("__z"), bloomCol)
+    val meta = Map(
+      "schema" -> snap.schema.getOrElse(cur.schema).json,
+      "zorder.dims" -> dims.mkString(","),
+      "zorder.bits" -> bits.toString,
+      "zorder.stats" -> stats.flatMap { case (a, b) => Seq(a, b) }.mkString(","))
+    commitWithRebase(spark, tableDir, latest =>
+      if (latest.version == snap.version) Some((newEntries, meta)) else None,
+      newEntries)
+  }
+
+  /** Multi-dimensional box read through a [[compactZOrder]] commit: each
+    * `(col, lo, hi)` bound maps to its dimension's bucket range using
+    * the stats recorded AT COMMIT TIME, the box's corner buckets give a
+    * sound z interval (Morton is jointly monotone: a componentwise-
+    * smaller bucket vector has a smaller z), and [[filesForRange]] on
+    * the scaffolding z column prunes files by pure manifest arithmetic.
+    * The exact predicates apply on top — pruning is an I/O optimization,
+    * never a semantics change — and a version without z-order metadata
+    * (or a box on un-clustered columns) degrades to a full filtered
+    * read, not an error. */
+  def readBox(spark: SparkSession, tableDir: String, version: Option[Int],
+              box: Seq[(String, Double, Double)]): DataFrame = {
+    require(box.nonEmpty, "empty box")
+    val snap = snapshot(spark, tableDir, version)
+    val pred = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
+    val zDims = snap.meta.get("zorder.dims").map(_.split(',').toSeq)
+    zDims match {
+      case Some(ds) if box.forall(b => ds.contains(b._1)) =>
+        val bits = snap.meta("zorder.bits").toInt
+        val st = snap.meta("zorder.stats").split(',').map(_.toDouble)
+        val loHi = ds.zipWithIndex.map { case (d, i) =>
+          val (mn, mx) = (st(2 * i), st(2 * i + 1))
+          box.find(_._1 == d) match {
+            case Some((_, lo, hi)) =>
+              (Scale.bucketOf(lo, mn, mx, bits), Scale.bucketOf(hi, mn, mx, bits))
+            case None => (0L, (1L << bits) - 1L)
+          }
+        }
+        val zLo = Scale.zOf(loHi.map(_._1), bits)
+        val zHi = Scale.zOf(loHi.map(_._2), bits)
+        val keep = filesForRange(spark, tableDir, version, "__z", zLo, zHi)
+        def reader = snap.schema match {
+          case Some(stc) => spark.read.schema(stc)
+          case None      => spark.read
+        }
+        if (keep.nonEmpty) reader.parquet(keep: _*).filter(pred)
+        else reader.parquet(snap.files.head).filter(lit(false))
+      case _ => read(spark, tableDir, version).filter(pred)
+    }
   }
 
   case class VacuumStats(deletedFiles: Long, keptFiles: Long,

@@ -213,6 +213,36 @@ class KnnHnswSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("versioned graph: commits linearize, appendTo == scratch, lifecycle closed") {
+    import graft.operators.Versioned
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_ver").toString + "/g"
+    val base = corpus.filter(col("vec_id") % 3 =!= 0)
+    val delta = corpus.filter(col("vec_id") % 3 === 0)
+    assert(KnnHnsw.saveVersioned(KnnHnsw.build(base, numShards = 4), path, 4) === 0)
+    // versioned append == from-scratch rebuild (deterministic shards)
+    assert(KnnHnsw.appendToVersioned(spark, path, delta, numShards = 4) === 1)
+    assert(structureOf(KnnHnsw.loadVersioned(spark, path)) ===
+      structureOf(KnnHnsw.build(corpus, numShards = 4)))
+    // time travel: v0 is still the base-corpus graph
+    assert(structureOf(KnnHnsw.loadVersioned(spark, path, Some(0))) ===
+      structureOf(KnnHnsw.build(base, numShards = 4)))
+    // tombstone as a commit: marked ids route but never surface
+    val doomed = corpus.filter(col("vec_id") % 5 === 0).select("vec_id")
+    assert(KnnHnsw.markDeletedVersioned(spark, path, doomed) === 2)
+    val g2 = KnnHnsw.loadVersioned(spark, path)
+    val n = corpus.count().toInt
+    val served = KnnHnsw.search(g2, queries, k = 5, efQuery = n)
+    assert(served.join(doomed.select(col("vec_id").as("match_id")),
+      Seq("match_id"), "left_semi").count() === 0, "tombstoned ids leaked")
+    // compact as a commit: rebuilt from live rows == scratch build of live
+    assert(KnnHnsw.compactVersioned(spark, path, numShards = 4) === 3)
+    val live = corpus.filter(col("vec_id") % 5 =!= 0)
+    val compacted = KnnHnsw.loadVersioned(spark, path)
+    assert(structureOf(compacted.drop("deleted")) ===
+      structureOf(KnnHnsw.build(live, numShards = 4)))
+    assert(Versioned.versions(spark, path) === Seq(0, 1, 2, 3))
+  }
+
   private def sfKey: String =
     java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
 }

@@ -349,6 +349,103 @@ class KnnSpec extends SparkSuite {
     assert(got === mem)
   }
 
+  test("versioned IVF: ingest commits linearize, racing disjoint-cell appends both land") {
+    import graft.operators.Versioned
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_ver").toString
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+    val half2 = corpus.filter(col("vec_id") % 2 === 1)
+    val idx = KnnIvf.build(half1, numCells = 8)
+    assert(KnnIvf.saveVersioned(idx, path) === 0)
+    // loaded serve == in-memory serve (same contract as the in-place flavor)
+    val mem = KnnIvf.search(idx, queries, k = 10, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val disk = KnnIvf.search(KnnIvf.loadVersioned(spark, path),
+        queries, k = 10, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(disk === mem)
+    // split the second half into two CELL-DISJOINT batches by assigning
+    // with the stored model first, then race the two ingests
+    val withCell = idx.model.transform(half2.withColumn("__features",
+        org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>"))))
+      .drop("__features").withColumnRenamed("__cell", "cell")
+      .localCheckpoint(true)
+    // split at a FILE boundary (manifest stats boxes partition the cell
+    // space): cell-disjoint AND file-disjoint, so both racers must land
+    val boxes = Versioned.snapshot(spark, s"$path/corpus").entries
+      .flatMap(_.stats).map { case (_, lo, hi) => (lo, hi) }.sortBy(_._1)
+    assert(boxes.length >= 2, "need >= 2 files to build disjoint batches")
+    val splitAt = boxes(boxes.length / 2)._1
+    val batchA = withCell.filter(col("cell") < splitAt).drop("cell")
+    val batchB = withCell.filter(col("cell") >= splitAt).drop("cell")
+    assert(batchA.count() > 0 && batchB.count() > 0,
+      "both sides of the file-boundary split must carry rows")
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(batchA, batchB).map(b => pool.submit(
+        new java.util.concurrent.Callable[Int] {
+          def call(): Int = { gate.await(); KnnIvf.appendToVersioned(spark, path, b) }
+        }))
+      val got = fs.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got.toSet === Set(1, 2), s"both racing ingests must land, got $got")
+    } finally pool.shutdown()
+    val loaded = KnnIvf.loadVersioned(spark, path)
+    assert(loaded.corpusWithCell.count() === corpus.count())
+    // the committed index serves exactly like an in-memory add of the whole half
+    val gotServe = KnnIvf.search(loaded, queries, k = 10, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val wantServe = KnnIvf.search(KnnIvf.add(idx, half2), queries, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(gotServe === wantServe)
+    // time travel: v0 still serves the ORIGINAL half-corpus index
+    val v0 = KnnIvf.search(KnnIvf.loadVersioned(spark, path, Some(0)),
+        queries, k = 10, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(v0 === mem)
+  }
+
+  test("versioned IVF: delete folds as a commit; compact racing an append refuses typed") {
+    import graft.operators.Versioned
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_ver_del").toString
+    KnnIvf.saveVersioned(KnnIvf.build(corpus, numCells = 8), path)
+    val doomed = corpus.filter(col("vec_id") % 7 === 0).select("vec_id")
+    KnnIvf.deleteVersioned(spark, path, doomed)
+    val live = KnnIvf.loadVersioned(spark, path)
+    assert(live.corpusWithCell.join(doomed, Seq("vec_id"), "left_semi").count() === 0)
+    // deleted ids never serve
+    assert(KnnIvf.search(live, queries, k = 5, nProbe = 8)
+      .join(doomed.select(col("vec_id").as("match_id")), Seq("match_id"), "left_semi")
+      .count() === 0)
+    // compact racing an append: exactly one lands, the loser is typed
+    val newRows = corpus.select((col("vec_id") + 5000000L).as("vec_id"),
+      col("embedding"), col("label")).filter(col("vec_id") % 3 === 0)
+      .localCheckpoint(true)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes = try {
+      val tasks: Seq[() => Int] = Seq(
+        () => KnnIvf.appendToVersioned(spark, path, newRows),
+        () => KnnIvf.compactVersioned(spark, path, targetBytes = 1L << 20))
+      val fs = tasks.map(t => pool.submit(
+        new java.util.concurrent.Callable[Either[Throwable, Int]] {
+          def call(): Either[Throwable, Int] = {
+            gate.await()
+            try Right(t()) catch { case e: Throwable => Left(e) }
+          }
+        }))
+      fs.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    outcomes.collect { case Left(e) => e }.foreach(e => assert(
+      e.isInstanceOf[Versioned.ConcurrentWriteConflictException],
+      s"expected the typed conflict, got $e"))
+    // whatever interleaving happened, the table must read consistently
+    val after = KnnIvf.loadVersioned(spark, path).corpusWithCell
+    assert(after.count() > 0)
+    assert(after.join(doomed, Seq("vec_id"), "left_semi").count() === 0,
+      "deletes survive any racing maintenance")
+  }
+
   test("int8 scalar quantization: bounded reconstruction error, recall@10 >= 0.9") {
     import graft.operators.Quantize
     val dec = Quantize.decodeCorpus(Quantize.encodeCorpus(corpus))

@@ -568,4 +568,137 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.cowRebase(spark, rewrittenBase, touched, myEntries,
       Seq(3L).toDF("doc_id"), "doc_id", schemaOf)(latest).isEmpty)
   }
+
+  // grid-shaped table for the multi-dim layout tests: two independent
+  // uniform dims, so both axis probes have pruning to prove
+  private def grid(n: Int = 400) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, (i % 20).toLong, (i / 20).toLong))
+      .toDF("id", "a", "b").repartition(8)
+  }
+
+  test("compactZOrder: readBox == full filter, prunes files, history intact") {
+    val dir = freshDir()
+    val d = grid()
+    Versioned.init(d, dir)
+    assert(Versioned.compactZOrder(spark, dir, Seq("a", "b"),
+      numRanges = 16) === 1)
+    // committed schema hides the scaffolding column
+    assert(Versioned.read(spark, dir).columns.toSeq === Seq("id", "a", "b"))
+    // content identical to v0 (layout is pure)
+    val latest = Versioned.read(spark, dir)
+    assert(latest.exceptAll(d).unionAll(d.exceptAll(latest)).count() === 0)
+    // a 2-dim box through the manifest z-range equals the plain filter
+    val got = Versioned.readBox(spark, dir, None,
+      Seq(("a", 2.0, 5.0), ("b", 3.0, 7.0)))
+    val want = latest.filter(col("a").between(2, 5) && col("b").between(3, 7))
+    assert(got.exceptAll(want).unionAll(want.exceptAll(got)).count() === 0)
+    // ...and actually opens fewer files than the table holds
+    val total = Versioned.snapshot(spark, dir).files.size
+    val opened = Versioned.filesForRange(spark, dir, None, "__z",
+      0L, Long.MaxValue).size // sanity: all carry __z stats
+    assert(opened === total)
+    val zEntries = Versioned.snapshot(spark, dir).entries
+    assert(zEntries.forall(_.stats.exists(_._1 == "__z")))
+    val boxFiles = {
+      // count via the pruned plan's inputFiles
+      Versioned.readBox(spark, dir, None,
+        Seq(("a", 2.0, 5.0), ("b", 3.0, 7.0))).inputFiles.length
+    }
+    assert(boxFiles < total,
+      s"z-order box read must prune: opened $boxFiles of $total")
+    // a one-dim probe on EITHER clustered dim also prunes
+    val aOnly = Versioned.readBox(spark, dir, None, Seq(("a", 0.0, 1.0)))
+    val aWant = latest.filter(col("a").between(0, 1))
+    assert(aOnly.exceptAll(aWant).unionAll(aWant.exceptAll(aOnly)).count() === 0)
+    // time travel to the pre-zorder version still works
+    val v0 = Versioned.read(spark, dir, Some(0))
+    assert(v0.exceptAll(d).unionAll(d.exceptAll(v0)).count() === 0)
+    // a box on an un-clustered column degrades to a full filtered read
+    val idBox = Versioned.readBox(spark, dir, None, Seq(("id", 10.0, 20.0)))
+    assert(idBox.count() === 11)
+  }
+
+  test("COW after a z-order commit degrades stats gracefully, never fails") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(grid(100), dir)
+    Versioned.compactZOrder(spark, dir, Seq("a", "b"), numRanges = 4)
+    // upsert can't materialize __z — its rewritten file must commit
+    // WITHOUT stats (always read), not crash
+    Versioned.upsert(Seq((5L, 99L, 99L)).toDF("id", "a", "b"), dir, "id")
+    val latest = Versioned.read(spark, dir)
+    assert(latest.filter(col("id") === 5L).head().getAs[Long]("a") === 99L)
+    // the box read still returns exact results (pruning is weaker, the
+    // stats-less file is always read — soundness over sharpness)
+    val got = Versioned.readBox(spark, dir, None,
+      Seq(("a", 90.0, 100.0), ("b", 90.0, 100.0)))
+    assert(got.count() === 1)
+  }
+
+  test("replacePartitions: disjoint-key racers BOTH land; overlap refuses typed") {
+    import spark.implicits._
+    val dir = freshDir()
+    val d = (0 until 40).map(i => (i.toLong, (i % 4).toLong))
+      .toDF("id", "part")
+    Versioned.init(d.repartitionByRange(4, col("part"), col("id"))
+      .sortWithinPartitions("part"), dir, statsCol = Some("part"))
+    def rewritePart(k: Long, tag: Long): Int = {
+      val base = Versioned.snapshot(spark, dir)
+      val rows = Versioned.read(spark, dir, Some(base.version))
+        .filter(col("part") === k)
+        .withColumn("id", col("id") + tag)
+      Versioned.replacePartitions(rows.repartition(1), dir, "part", Seq(k), base)
+    }
+    // race two writers on DISJOINT partitions — both must land
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq((0L, 1000L), (3L, 2000L)).map { case (k, tag) =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = { gate.await(); rewritePart(k, tag) }
+        })
+      }
+      val got = fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got.toSet === Set(1, 2), s"got $got")
+    } finally pool.shutdown()
+    val latest = Versioned.read(spark, dir)
+    assert(latest.count() === 40)
+    assert(latest.filter(col("id") >= 1000L && col("id") < 2000L).count() === 10)
+    assert(latest.filter(col("id") >= 2000L).count() === 10)
+    // now race two writers on the SAME partition — exactly one may land;
+    // a loser must refuse typed (its survivors are stale)
+    val gate2 = new java.util.concurrent.CyclicBarrier(2)
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes = try {
+      val fs = Seq(10000L, 20000L).map { tag =>
+        pool2.submit(new java.util.concurrent.Callable[Either[Throwable, Int]] {
+          def call(): Either[Throwable, Int] = {
+            gate2.await()
+            try Right(rewritePart(1L, tag))
+            catch { case e: Throwable => Left(e) }
+          }
+        })
+      }
+      fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool2.shutdown()
+    outcomes.collect { case Left(e) => e }.foreach(e => assert(
+      e.isInstanceOf[Versioned.ConcurrentWriteConflictException],
+      s"expected the typed conflict, got $e"))
+    assert(Versioned.read(spark, dir).count() === 40,
+      "no duplicate or lost rows after the overlapping race")
+    // interleaved append INTO a writer's partition is also a conflict:
+    // rewrite computed against v_base must refuse once new part=2 rows land
+    val base = Versioned.snapshot(spark, dir)
+    val myRows = Versioned.read(spark, dir, Some(base.version))
+      .filter(col("part") === 2L).localCheckpoint(true)
+    Versioned.append(Seq((777L, 2L)).toDF("id", "part")
+      .repartition(1), dir, statsCol = Some("part"))
+    intercept[Versioned.ConcurrentWriteConflictException] {
+      // the append above landed between this writer's pinned read and
+      // its commit, INSIDE its touched partition — must refuse typed
+      Versioned.replacePartitions(myRows.repartition(1), dir, "part",
+        Seq(2L), base)
+    }
+  }
 }

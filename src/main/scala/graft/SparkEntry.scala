@@ -1021,6 +1021,43 @@ object SparkEntry {
             lit(" below pinned floor 0.8")))))
         .drop("__lo", "__hi")
     }),
+    // GATED BUILD-knob sweep #2: recall@5 across efConstruction ∈ {16,
+    // 64, 200} at fixed m=8 / efQuery=32 — the reference's LAST build
+    // parameter without a driver-visible curve (executor.py:22,
+    // ef_construction=200 default; the m sweep above covers its other
+    // knob). A wider insert beam finds better neighbors for the SAME
+    // adjacency budget, so the gate shape matches the sibling sweeps:
+    // endpoints monotone-or-flat (recall at the reference's default 200
+    // must never be WORSE than at a starved 16) plus a pinned floor at
+    // the top of the curve.
+    "ann_hnsw_efc_sweep" -> ((s, dir) => {
+      val q = Tables.defaultQueries(s, dir)
+      val graphs = hnswEfcSweepGraphs(s, dir)
+      val efcs = Seq(16L, 64L, 200L)
+      val approx = efcs.map(efc =>
+          KnnHnsw.search(graphs(efc.toInt), q, k = 5, efQuery = 32)
+            .withColumn("efc", lit(efc)))
+        .reduce(_ unionByName _)
+      val sweep = Recall.atKGrouped(approx, exactTop5Half(s, dir), k = 5, "efc", efcs)
+        .select(col("efc"), col("k"), col("n_queries"), col("recall_at_k"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("efc"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      sweep
+        .withColumn("__lo", first(col("recall_at_k")).over(w))
+        .withColumn("__hi", last(col("recall_at_k")).over(w))
+        .filter(when(col("__hi") >= col("__lo"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("HNSW efC gate: recall collapsed with insert beam ("),
+            col("__lo"), lit(" at efC=16 -> "), col("__hi"), lit(" at efC=200)")))))
+        .filter(when(col("efc") =!= lit(200L) || col("recall_at_k") >= lit(0.8),
+            lit(true))
+          .otherwise(raise_error(concat(
+            lit("HNSW efC gate: efC=200 recall "), col("recall_at_k"),
+            lit(" below pinned floor 0.8")))))
+        .drop("__lo", "__hi")
+    }),
     // GATED structural contract: at exhaustive beam width (ef >= shard
     // size) a connected shard graph IS a full scan, and the hash-shard
     // merge is exact by construction — so result rows (ids AND scores;
@@ -1185,6 +1222,44 @@ object SparkEntry {
           .otherwise(raise_error(concat(
             lit("graph stream-ingest row-count drift: "), col("n_streamed"),
             lit(" rows vs "), col("n_expected"), lit(" expected")))))
+    }),
+    // GATED multi-writer index commits — the saved ANN index under the
+    // versioned table's commit discipline (the one place the in-place
+    // flavor keeps the reference's single-writer /dump semantics,
+    // executor.py:227-236: two concurrent appends could tear the saved
+    // cell directories). The fixture stages the full race matrix once
+    // per JVM: two REAL racing threads append file-disjoint cell ranges
+    // (both MUST land via commit rebase, whatever the interleave), a
+    // stale-base overlap replay MUST refuse typed, compact lands as a
+    // commit, and an append pinned to the pre-compact snapshot MUST
+    // refuse typed. The row then pins four facts in one plan: the
+    // linearized version chain is exactly init+append+append+compact,
+    // both typed refusals fired, the latest corpus (vec_id, cell)
+    // set-EQUALS base ∪ both deltas (floor 1.0 — nothing torn, lost,
+    // or doubled), and time travel still serves v0 at its exact size.
+    "ann_ivf_concurrent_ingest" -> ((s, dir) => {
+      val o = ivfVersionedRace(s, dir)
+      val v0n = KnnIvf.loadVersioned(s, o.path, Some(0)).corpusWithCell
+        .agg(count(lit(1)).as("n_v0"))
+      Recall.setAgreement(
+          KnnIvf.loadVersioned(s, o.path).corpusWithCell.select("vec_id", "cell"),
+          o.expected.select("vec_id", "cell"),
+          on = Seq("vec_id", "cell"), floor = 1.0, minCount = 1L)
+        .filter(when(lit(o.versions == Seq(0, 1, 2, 3)), lit(true))
+          .otherwise(raise_error(concat(
+            lit("index commit chain drift: versions "),
+            lit(o.versions.mkString(",")), lit(" (want 0,1,2,3)")))))
+        .filter(when(lit(o.staleOverlapTyped && o.staleAfterCompactTyped), lit(true))
+          .otherwise(raise_error(concat(
+            lit("index race refusal drift: stale-overlap typed "),
+            lit(o.staleOverlapTyped), lit(", stale-after-compact typed "),
+            lit(o.staleAfterCompactTyped)))))
+        .crossJoin(broadcast(v0n))
+        .filter(when(col("n_v0") === lit(o.v0Rows), lit(true))
+          .otherwise(raise_error(concat(
+            lit("index time-travel drift: v0 rows "), col("n_v0"),
+            lit(" vs committed "), lit(o.v0Rows)))))
+        .drop("n_v0")
     }),
 
     // --- k-NN JOIN: every corpus row is a query (kNN-dedup / hard-negative
@@ -2603,6 +2678,42 @@ object SparkEntry {
             lit(", deleted files "), lit(stats.deletedFiles),
             lit(", dropped "), lit(stats.droppedVersions.mkString(","))))))
     }),
+    // CONCURRENT writers as a driver row (previously spec-only): two
+    // REAL threads, released by one barrier, append disjoint deltas to
+    // the same versioned table — the commit protocol must land BOTH
+    // (append-only races rebase, never conflict), linearized as v1/v2
+    // in whichever order the scheduler picked. Content is then fully
+    // deterministic (base ∪ both deltas, all distinct ids), so the row
+    // is hash-ORACLED end-to-end, with the lineage shape (exactly
+    // init + 2 commits) pinned in-plan.
+    "versioned_concurrent_commit" -> ((s, dir) => {
+      val (path, versions) = versionedRaceInfo(s, dir)
+      Versioned.read(s, path).select("doc_id", "lang", "n_chars")
+        .filter(when(lit(versions == Seq(0, 1, 2)), lit(true))
+          .otherwise(raise_error(concat(
+            lit("concurrent-commit lineage drift: versions "),
+            lit(versions.mkString(",")), lit(" (want 0,1,2)")))))
+    }),
+    // OPTIMIZE ZORDER as a COMMIT: the multi-dim clustered layout
+    // (scale_zorder_box's contract) WITHOUT leaving the manifest world
+    // — v0 = 8 arbitrary files, v1 = compactZOrder(user × event-time
+    // micros), and the 2-dim box probe reads THROUGH the committed
+    // manifest (readBox: driver-side z-interval arithmetic, zero
+    // footers opened to prune). Layout is pure, so the row is fully
+    // hash-oracled against the plain filter+aggregate; the pruning WIN
+    // itself — the box opened strictly fewer files than the snapshot
+    // holds — is pinned in-plan from the recorded manifest decision.
+    "versioned_zorder_read" -> ((s, dir) => {
+      val (path, kept, total) = versionedZOrderInfo(s, dir)
+      Versioned.readBox(s, path, None, zBoxProbe)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
+        .filter(when(lit(kept > 0 && kept < total), lit(true))
+          .otherwise(raise_error(concat(
+            lit("z-order commit pruned nothing: kept "), lit(kept),
+            lit(" of "), lit(total), lit(" files")))))
+    }),
     // change-data capture v0 → v1: exactly the upsert's delta surfaces,
     // classified as updates with old/new values side by side
     "versioned_diff" -> ((s, dir) =>
@@ -3295,6 +3406,151 @@ object SparkEntry {
       Scale.dumpZOrderedK(Tables.events(s, dir), path,
         Seq(col("user_id"), unix_micros(col("ts")), col("value")))
       path
+    })
+
+  /** The `versioned_zorder_read` box probe: users 10–25 × event-time in
+    * [2024-01-08, 2024-01-22) as inclusive epoch-micros bounds (micros
+    * are integral, so `end − 1` IS the half-open predicate). */
+  private val zBoxLoUs = java.time.Instant.parse("2024-01-08T00:00:00Z").toEpochMilli * 1000L
+  private val zBoxHiUs = java.time.Instant.parse("2024-01-22T00:00:00Z").toEpochMilli * 1000L - 1L
+  private val zBoxProbe = Seq(("user_id", 10.0, 25.0),
+    ("ts_us", zBoxLoUs.toDouble, zBoxHiUs.toDouble))
+
+  /** Versioned events table carried through an OPTIMIZE ZORDER commit,
+    * built once per (SparkContext, dir): v0 = the events projection in
+    * 8 arbitrary files, v1 = [[Versioned.compactZOrder]] on (user_id,
+    * ts_us). Also records the box probe's manifest pruning decision —
+    * (kept, total) file counts from [[Versioned.boxFilePruning]]'s pure
+    * driver arithmetic — so the row pins the layout win, not just
+    * result purity. */
+  private val versionedZOrderBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, Int, Int)]
+  private def versionedZOrderInfo(s: SparkSession, dir: String): (String, Int, Int) =
+    versionedZOrderBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_zorder/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      Versioned.init(ev.repartition(8), path)
+      Versioned.compactZOrder(s, path, Seq("user_id", "ts_us"), numRanges = 32)
+      val (kept, total) = Versioned.boxFilePruning(s, path, None, zBoxProbe)
+        .getOrElse(throw new IllegalStateException(
+          s"z-order commit at $path carries no prunable metadata for $zBoxProbe"))
+      (path, kept.size, total)
+    })
+
+  /** Two REAL racing writers on one versioned table, staged once per
+    * (SparkContext, dir): init = even docs in 4 files, then two threads
+    * released by a single barrier each append a disjoint odd-id delta.
+    * Append-only races rebase inside the commit loop — BOTH must land,
+    * in scheduler order — so the final content is deterministic and the
+    * `versioned_concurrent_commit` row can hash-oracle it; the helper
+    * returns the committed version chain for the lineage gate. */
+  private val versionedRaceBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, Seq[Int])]
+  private def versionedRaceInfo(s: SparkSession, dir: String): (String, Seq[Int]) =
+    versionedRaceBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_race/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.filter(col("doc_id") % 2 === 0).repartition(4), path)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val writers = Seq(1L, 3L).map(r => new Thread(() =>
+        try {
+          barrier.await()
+          Versioned.append(docs.filter(col("doc_id") % 10 === r), path)
+        } catch { case t: Throwable => errs.add(t) }))
+      writers.foreach(_.start()); writers.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+      (path, Versioned.versions(s, path))
+    })
+
+  /** Outcome of the versioned-IVF race matrix ([[ivfVersionedRace]]):
+    * the committed version chain, whether each staged stale replay
+    * refused with the typed conflict, the expected final (vec_id, cell)
+    * corpus, and v0's exact row count for the time-travel pin. */
+  private case class IvfRaceOutcome(path: String, versions: Seq[Int],
+                                    staleOverlapTyped: Boolean,
+                                    staleAfterCompactTyped: Boolean,
+                                    expected: DataFrame, v0Rows: Long)
+
+  /** The versioned ANN index's multi-writer race matrix, staged ONCE
+    * per (SparkContext, dir) — the `ann_ivf_concurrent_ingest` fixture.
+    * v0 = saveVersioned(base half of the quarter slice). The delta half
+    * is cell-assigned with the STORED model and split along a committed
+    * FILE boundary (manifest stats boxes partition the cell space, so
+    * "cells ≤ split" and "cells > split" touch disjoint file sets) —
+    * then two real threads race the two appends from one barrier: both
+    * must land via rebase whatever the interleave. Two deterministic
+    * stale-base replays close the matrix: re-appending the lower range
+    * against the PRE-RACE snapshot must refuse typed (its files were
+    * rewritten), and after compactVersioned lands, an append pinned to
+    * the PRE-COMPACT snapshot must refuse typed (compact rewrites
+    * everything). */
+  private val ivfVersionedRaceBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), IvfRaceOutcome]
+  private def ivfVersionedRace(s: SparkSession, dir: String): IvfRaceOutcome =
+    ivfVersionedRaceBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_versioned/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val slice = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val idx = KnnIvf.build(slice.filter(col("vec_id") % 8 === 0), numCells = 8)
+      KnnIvf.saveVersioned(idx, path)
+      val baseCorpus = idx.corpusWithCell.select("vec_id", "cell")
+        .localCheckpoint(true)
+      val v0Rows = baseCorpus.count()
+      val snap0 = Versioned.snapshot(s, s"$path/corpus")
+      // split the delta along a committed file boundary: stats boxes
+      // partition the cell space, so consecutive boxes never share keys
+      val boxes = snap0.entries.flatMap(_.stats).sortBy(_._2)
+      val splitAt = boxes(math.max(0, boxes.size / 2 - 1))._3
+      val withCell = KnnIvf.assignCells(idx.model,
+          slice.filter(col("vec_id") % 8 === 4), "embedding")
+        .select("vec_id", "cell", "embedding", "label").localCheckpoint(true)
+      val dLow = withCell.filter(col("cell") <= splitAt).drop("cell")
+      val dHigh = withCell.filter(col("cell") > splitAt).drop("cell")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val writers = Seq(dLow, dHigh).map(d => new Thread(() =>
+        try { barrier.await(); KnnIvf.appendToVersioned(s, path, d) }
+        catch { case t: Throwable => errs.add(t) }))
+      writers.foreach(_.start()); writers.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+      val staleOverlapTyped =
+        try { KnnIvf.appendToVersionedAt(s, path, dLow, "embedding", snap0); false }
+        catch { case _: Versioned.ConcurrentWriteConflictException => true }
+      val snapPreCompact = Versioned.snapshot(s, s"$path/corpus")
+      KnnIvf.compactVersioned(s, path)
+      val staleAfterCompactTyped =
+        try { KnnIvf.appendToVersionedAt(s, path, dHigh, "embedding", snapPreCompact); false }
+        catch { case _: Versioned.ConcurrentWriteConflictException => true }
+      val expected = baseCorpus
+        .unionByName(withCell.select("vec_id", "cell")).localCheckpoint(true)
+      IvfRaceOutcome(path, Versioned.versions(s, s"$path/corpus"),
+        staleOverlapTyped, staleAfterCompactTyped, expected, v0Rows)
+    })
+
+  /** The efConstruction-sweep graphs (efC ∈ {16, 64, 200} at fixed
+    * m=8), half corpus, built once per JVM — the insert-beam twin of
+    * [[hnswBuildSweepGraphs]]'s degree sweep, covering the reference's
+    * last un-swept build knob (executor.py:22). */
+  private val hnswEfcSweepBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Map[Int, DataFrame]]
+  private def hnswEfcSweepGraphs(s: SparkSession, dir: String): Map[Int, DataFrame] =
+    hnswEfcSweepBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val half = Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0)
+      Seq(16, 64, 200).map { efc =>
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_efc$efc/${artifactKey(dir)}"
+        KnnHnsw.save(KnnHnsw.build(half, numShards = 4, efConstruction = efc), path)
+        efc -> KnnHnsw.load(s, path).localCheckpoint(true)
+      }.toMap
     })
 
   /** PQ codebooks trained AND corpus encoded once per (SparkContext,
@@ -4663,6 +4919,22 @@ object SparkEntry {
       """SELECT doc_id, 'update' AS change, lang AS lang_old, 'xx' AS lang_new,
                 n_chars AS n_chars_old, n_chars * 2 AS n_chars_new
          FROM documents WHERE doc_id % 10 = 0""",
+    // the racing writers' outcome, replayed symbolically: the append-only
+    // commit protocol must land BOTH deltas over the even-id base —
+    // content is order-independent, so plain set arithmetic is the oracle
+    "versioned_concurrent_commit" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id % 2 = 0 OR doc_id % 10 IN (1, 3)""",
+    // the z-order COMMIT never changes results — the oracle is the plain
+    // filter+aggregate over the original events (pruning is pinned
+    // in-plan from the manifest decision, not here)
+    "versioned_zorder_read" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE user_id BETWEEN 10 AND 25
+           AND epoch_us(ts) BETWEEN 1704672000000000 AND 1705881599999999
+         GROUP BY 1""",
     // rendezvous hashing replayed: same salted md5 keys, same
     // lexicographic argmax over fixed-width "hash:s" strings
     "scale_rendezvous_shards" ->

@@ -350,8 +350,8 @@ object KnnIvf {
 
   /** Cell-assign `newRows` with a fitted model — the shared head of
     * every ingest path. */
-  private def assignCells(model: KMeansModel, newRows: DataFrame,
-                          vecCol: String): DataFrame =
+  private[graft] def assignCells(model: KMeansModel, newRows: DataFrame,
+                                 vecCol: String): DataFrame =
     model.transform(newRows.withColumn("__features",
         array_to_vector(col(vecCol).cast("array<double>"))))
       .drop("__features").withColumnRenamed("__cell", "cell")
@@ -406,12 +406,23 @@ object KnnIvf {
     * ingest of the same cells, a compact, a z-order) refuses with the
     * typed conflict instead of silently tearing the index. */
   def appendToVersioned(spark: SparkSession, path: String, newRows: DataFrame,
-                        vecCol: String = "embedding"): Int = {
+                        vecCol: String = "embedding"): Int =
+    appendToVersionedAt(spark, path, newRows, vecCol,
+      Versioned.snapshot(spark, s"$path/corpus"))
+
+  /** [[appendToVersioned]] against a CALLER-PINNED base snapshot — the
+    * deterministic-interleave face of the race protocol (gates and
+    * specs stage "writer B read the table before writer A committed"
+    * without depending on thread scheduling): a stale base whose
+    * touched cells were since rewritten refuses with the typed
+    * conflict; a stale base whose cells survived rebases and lands. */
+  private[graft] def appendToVersionedAt(spark: SparkSession, path: String,
+                                         newRows: DataFrame, vecCol: String,
+                                         base: Versioned.Snapshot): Int = {
     val model = KMeansModel.load(s"$path/model")
     val incoming = assignCells(model, newRows, vecCol)
     val touched = incoming.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val base = Versioned.snapshot(spark, s"$path/corpus")
     if (touched.isEmpty) return base.version
     val surviving = Versioned.read(spark, s"$path/corpus", Some(base.version))
       .filter(col("cell").isin(touched.map(Integer.valueOf): _*))

@@ -906,8 +906,29 @@ object Versioned {
     val snap = snapshot(spark, tableDir, version)
     val pred = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
       .reduce(_ && _)
-    val zDims = snap.meta.get("zorder.dims").map(_.split(',').toSeq)
-    zDims match {
+    boxFilePruning(spark, tableDir, version, box) match {
+      case Some((keep, _)) =>
+        def reader = snap.schema match {
+          case Some(stc) => spark.read.schema(stc)
+          case None      => spark.read
+        }
+        if (keep.nonEmpty) reader.parquet(keep: _*).filter(pred)
+        else reader.parquet(snap.files.head).filter(lit(false))
+      case _ => read(spark, tableDir, version).filter(pred)
+    }
+  }
+
+  /** The manifest-arithmetic half of [[readBox]], exposed so callers
+    * (and gates) can observe the pruning decision itself:
+    * `Some((kept file paths, total files))` when the pinned version
+    * carries z-order metadata covering every box column, `None` when
+    * the probe must degrade to a full filtered read. Pure driver-side
+    * interval arithmetic over the committed stats — zero parquet
+    * footers opened to decide. */
+  def boxFilePruning(spark: SparkSession, tableDir: String, version: Option[Int],
+                     box: Seq[(String, Double, Double)]): Option[(Seq[String], Int)] = {
+    val snap = snapshot(spark, tableDir, version)
+    snap.meta.get("zorder.dims").map(_.split(',').toSeq) match {
       case Some(ds) if box.forall(b => ds.contains(b._1)) =>
         val bits = snap.meta("zorder.bits").toInt
         val st = snap.meta("zorder.stats").split(',').map(_.toDouble)
@@ -921,14 +942,9 @@ object Versioned {
         }
         val zLo = Scale.zOf(loHi.map(_._1), bits)
         val zHi = Scale.zOf(loHi.map(_._2), bits)
-        val keep = filesForRange(spark, tableDir, version, "__z", zLo, zHi)
-        def reader = snap.schema match {
-          case Some(stc) => spark.read.schema(stc)
-          case None      => spark.read
-        }
-        if (keep.nonEmpty) reader.parquet(keep: _*).filter(pred)
-        else reader.parquet(snap.files.head).filter(lit(false))
-      case _ => read(spark, tableDir, version).filter(pred)
+        Some((filesForRange(spark, tableDir, version, "__z", zLo, zHi),
+          snap.files.size))
+      case _ => None
     }
   }
 

@@ -2363,14 +2363,15 @@ object SparkEntry {
           decoder = Multimodal.imageDecode)
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
           col("error"))),
-    // HOSTILE media column: partially-VALID payloads (truncated BMP and
-    // JPEG with intact headers, a bit-flipped PNG, a progressive JPEG)
-    // — the shapes a real scraped corpus serves, unlike decode_mixed's
-    // whole-cloth garbage slice. The decoder walks genuine headers
-    // before hitting the damage; every family's outcome is pinned by
-    // the oracle (progressive decodes to the SAME dims as baseline, the
-    // three damaged families surface the typed error) — no fabricated
-    // dims, no task failure on partial bytes.
+    // HOSTILE media column, nine families: four body-hostile payloads
+    // (truncated BMP and JPEG with intact headers, a bit-flipped PNG, a
+    // progressive JPEG) plus five METADATA-hostile shapes — EXIF
+    // orientation 6 (decode must normalize: transposed dims) and 3
+    // (present but non-transposing), 16-bit PNG, a genuine-sRGB
+    // ICC-tagged JPEG, and an EXIF-rotated JPEG with a damaged body
+    // (the error must win over the metadata). Every family's outcome is
+    // pinned by the oracle — no fabricated dims, no half-applied
+    // metadata, no task failure on partial bytes.
     "multimodal_decode_hostile" -> ((s, dir) =>
       Multimodal.decodeBatched(
           Multimodal.withHostileContent(Tables.documents(s, dir).repartition(32)),
@@ -6164,16 +6165,20 @@ object SparkEntry {
                 CASE WHEN doc_id % 4 < 3 THEN CAST(1 AS INT) END AS n_frames,
                 CASE WHEN doc_id % 4 = 3 THEN 'undecodable' END AS error
          FROM documents""",
-    // the hostile column's pinned outcomes: only the intact progressive
-    // JPEG (id%4=1) decodes — to the SAME id-arithmetic dims as a
-    // baseline encoding — and every damaged family (truncated BMP,
-    // bit-flipped PNG, truncated JPEG) is the typed-error row
+    // the hostile column's pinned outcomes across all NINE families:
+    // the intact metadata-bearing encodings (progressive, 16-bit PNG,
+    // ICC-tagged, 180°-EXIF) decode to the shared id-arithmetic dims,
+    // the 90°-EXIF family decodes to the TRANSPOSED pair (orientation
+    // normalization), and every body-damaged family — including the
+    // one whose metadata says transpose — is the typed-error row
     "multimodal_decode_hostile" ->
       """SELECT doc_id,
-                CASE WHEN doc_id % 4 = 1 THEN CAST(1 + doc_id % 16 AS INT) END AS width,
-                CASE WHEN doc_id % 4 = 1 THEN CAST(1 + doc_id % 7 AS INT) END AS height,
-                CASE WHEN doc_id % 4 = 1 THEN CAST(1 AS INT) END AS n_frames,
-                CASE WHEN doc_id % 4 <> 1 THEN 'undecodable' END AS error
+                CASE WHEN doc_id % 9 IN (1, 5, 6, 7) THEN CAST(1 + doc_id % 16 AS INT)
+                     WHEN doc_id % 9 = 4 THEN CAST(1 + doc_id % 7 AS INT) END AS width,
+                CASE WHEN doc_id % 9 IN (1, 5, 6, 7) THEN CAST(1 + doc_id % 7 AS INT)
+                     WHEN doc_id % 9 = 4 THEN CAST(1 + doc_id % 16 AS INT) END AS height,
+                CASE WHEN doc_id % 9 IN (1, 4, 5, 6, 7) THEN CAST(1 AS INT) END AS n_frames,
+                CASE WHEN doc_id % 9 IN (0, 2, 3, 8) THEN 'undecodable' END AS error
          FROM documents""",
     // the resize transcode's answer, replayed: source dims from the BMP
     // builder's arithmetic, the aspect-preserving never-upscale rule in

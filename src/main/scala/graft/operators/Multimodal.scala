@@ -211,6 +211,123 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Splice one marker segment into a baseline JPEG byte stream, after
+    * the SOI and any APP0/JFIF head — how real camera/export pipelines
+    * place EXIF (APP1) and ICC (APP2) metadata. Pure byte surgery on
+    * the encoder's own output, so the entropy-coded body is untouched. */
+  private def insertJpegSegment(jpeg: Array[Byte], marker: Int,
+                                payload: Array[Byte]): Array[Byte] = {
+    var at = 2 // skip SOI
+    while (at + 4 <= jpeg.length && (jpeg(at) & 0xff) == 0xff &&
+           (jpeg(at + 1) & 0xff) == 0xe0) // skip APP0 segments
+      at += 2 + (((jpeg(at + 2) & 0xff) << 8) | (jpeg(at + 3) & 0xff))
+    val seg = java.nio.ByteBuffer.allocate(4 + payload.length) // big-endian
+    seg.put(0xff.toByte).put(marker.toByte)
+      .putShort((payload.length + 2).toShort).put(payload)
+    val out = new Array[Byte](jpeg.length + seg.capacity())
+    System.arraycopy(jpeg, 0, out, 0, at)
+    System.arraycopy(seg.array(), 0, out, at, seg.capacity())
+    System.arraycopy(jpeg, at, out, at + seg.capacity(), jpeg.length - at)
+    out
+  }
+
+  /** The gradient JPEG with a minimal EXIF APP1 carrying ONLY the
+    * orientation tag (0x0112) — the metadata-hostile shape a phone
+    * upload serves: stored pixels in sensor order, display shape
+    * declared by metadata the decoder itself ignores. Little-endian
+    * TIFF, one IFD0 entry, no thumbnail IFD. */
+  def exifJpegBytes(id: Long, orientation: Int): Array[Byte] = {
+    val tiff = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      .putShort(1)                      // IFD0: one entry
+      .putShort(0x0112).putShort(3).putInt(1)   // tag, SHORT, count 1
+      .putShort(orientation.toShort).putShort(0) // value + pad
+      .putInt(0)                        // no next IFD
+    insertJpegSegment(jpegBytes(id), 0xe1,
+      "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff.array())
+  }
+
+  /** A genuine sRGB ICC profile (the JDK's own), the payload real
+    * export pipelines tag images with. ~3 KiB ≪ the 64 KiB APP2 chunk
+    * bound, so a single segment carries it whole. */
+  private lazy val srgbIccBytes: Array[Byte] =
+    java.awt.color.ICC_Profile.getInstance(java.awt.color.ColorSpace.CS_sRGB).getData
+
+  /** The gradient JPEG tagged with the sRGB ICC profile in APP2 — the
+    * color-managed metadata shape; dims must decode exactly like the
+    * bare baseline's. */
+  def iccJpegBytes(id: Long): Array[Byte] =
+    insertJpegSegment(jpegBytes(id), 0xe2,
+      "ICC_PROFILE\u0000".getBytes("US-ASCII") ++ Array[Byte](1, 1) ++ srgbIccBytes)
+
+  /** 16-bit grayscale PNG at the shared id-arithmetic dims — the bit-
+    * depth-hostile shape (scanned documents, medical exports): a
+    * baseline-8-bit-only pipeline mishandles it, the JDK reader decodes
+    * it, and the dims must come out exactly like every sibling
+    * encoding's. Sample (x, y) = (id + y·width + x) mod 65536. */
+  def png16Bytes(id: Long): Array[Byte] = {
+    val width = (1L + java.lang.Math.floorMod(id, 16L)).toInt
+    val height = (1L + java.lang.Math.floorMod(id, 7L)).toInt
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        r.setSample(x, y, 0,
+          java.lang.Math.floorMod(id + y.toLong * width + x, 65536L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Best-effort EXIF orientation of a JPEG payload: walk the marker
+    * stream to the APP1/"Exif" segment, then IFD0 for tag 0x0112 —
+    * the metadata the JDK decoder itself never applies. None when the
+    * bytes aren't a JPEG, carry no EXIF, or the structure is damaged;
+    * never throws (hostile-corpus posture: metadata parsing must not
+    * take down a decode that succeeded). Standard JPEG/TIFF layout,
+    * big- and little-endian TIFF both handled. */
+  private[graft] def jpegExifOrientation(b: Array[Byte]): Option[Int] =
+    try {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var at = 2
+      while (at + 4 <= b.length && (b(at) & 0xff) == 0xff) {
+        val marker = b(at + 1) & 0xff
+        if (marker == 0xda || marker == 0xd9) return None // scan data: done
+        val len = ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+        if (marker == 0xe1 && len >= 16 && at + 2 + len <= b.length &&
+            new String(b, at + 4, 6, "US-ASCII") == "Exif\u0000\u0000") {
+          val t = at + 10 // TIFF header
+          val le = (b(t) & 0xff) == 'I'.toInt
+          def u16(o: Int): Int =
+            if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+            else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+          def u32(o: Int): Long =
+            if (le) (u16(o).toLong | (u16(o + 2).toLong << 16)) & 0xffffffffL
+            else ((u16(o).toLong << 16) | u16(o + 2).toLong) & 0xffffffffL
+          val ifd = t + u32(t + 4).toInt
+          val n = u16(ifd)
+          var i = 0
+          while (i < n) {
+            val e = ifd + 2 + 12 * i
+            if (u16(e) == 0x0112) return Some(u16(e + 8))
+            i += 1
+          }
+          return None
+        }
+        at += 2 + len
+      }
+      None
+    } catch { case _: RuntimeException => None } // damaged structure → no metadata
+
   /** Deterministic bytes NO image reader accepts — the undecodable slice
     * of a mixed-media column (drives the typed-error fallback in-plan). */
   def garbageBytes(id: Long): Array[Byte] =
@@ -294,18 +411,33 @@ object Multimodal {
     * [[garbageBytes]] every family here starts as a genuine encoder
     * output, so the decoder walks real headers before hitting the
     * damage — stressing the typed-error boundary mid-decode, not at
-    * format sniffing. Probed exhaustively against the JDK readers (all
-    * 112 dim combinations): each family's outcome is uniform, which is
-    * what lets `multimodal_decode_hostile` hash-oracle it.
-    *   id%4=0  BMP, valid 54-byte header, pixel body cut in half
+    * format sniffing. Nine families: four body-hostile (r12), five
+    * METADATA-hostile (r13 — the EXIF/depth/ICC half of a scraped
+    * corpus). The selector is mod 9, coprime to both dim moduli, so
+    * every family covers all 112 dim combinations — probed exhaustively
+    * against the JDK readers (ids 0..1007, one full period): each
+    * family's outcome is uniform, which is what lets
+    * `multimodal_decode_hostile` hash-oracle it.
+    *   id%9=0  BMP, valid 54-byte header, pixel body cut in half
     *           → EOFException → typed error
-    *   id%4=1  progressive JPEG, intact → decodes, id-arithmetic dims
-    *   id%4=2  PNG with ONE bit flipped in the IDAT region
+    *   id%9=1  progressive JPEG, intact → decodes, id-arithmetic dims
+    *   id%9=2  PNG with ONE bit flipped in the IDAT region
     *           → CRC/inflate failure → typed error
-    *   id%4=3  JPEG cut at half length (valid SOI + headers)
-    *           → premature-EOF IIOException → typed error */
+    *   id%9=3  JPEG cut at half length (valid SOI + headers)
+    *           → premature-EOF IIOException → typed error
+    *   id%9=4  JPEG with EXIF orientation 6 (90° — a phone upload):
+    *           decodes; the decode NORMALIZES the declared rotation,
+    *           so reported dims are the TRANSPOSED id-arithmetic pair
+    *   id%9=5  16-bit grayscale PNG → decodes, id-arithmetic dims
+    *   id%9=6  JPEG tagged with a genuine sRGB ICC profile (APP2)
+    *           → decodes, id-arithmetic dims
+    *   id%9=7  JPEG with EXIF orientation 3 (180° — rotation present
+    *           but NON-transposing) → decodes, id-arithmetic dims
+    *   id%9=8  EXIF-rotated JPEG cut at half length: metadata says
+    *           transpose, body is damaged — the error must win
+    *           → typed error (never half-applied metadata) */
   def hostileBytes(id: Long): Array[Byte] =
-    java.lang.Math.floorMod(id, 4L) match {
+    java.lang.Math.floorMod(id, 9L) match {
       case 0L =>
         val b = gradientBmpBytes(id)
         java.util.Arrays.copyOf(b, 54 + (b.length - 54) / 2)
@@ -314,8 +446,15 @@ object Multimodal {
         val b = pngBytes(id)
         b(b.length - 20) = (b(b.length - 20) ^ 0x10).toByte
         b
-      case _ =>
+      case 3L =>
         val b = jpegBytes(id)
+        java.util.Arrays.copyOf(b, b.length / 2)
+      case 4L => exifJpegBytes(id, orientation = 6)
+      case 5L => png16Bytes(id)
+      case 6L => iccJpegBytes(id)
+      case 7L => exifJpegBytes(id, orientation = 3)
+      case _ =>
+        val b = exifJpegBytes(id, orientation = 6)
         java.util.Arrays.copyOf(b, b.length / 2)
     }
 
@@ -345,7 +484,20 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes)))
       catch { case _: java.io.IOException => null }
     if (img == null) undecodableMeta(id, bytes)
-    else MediaMeta.decoded(id, bytes.length.toLong, img.getWidth, img.getHeight, 1)
+    else {
+      // EXIF orientation NORMALIZATION: the JDK decoder returns stored
+      // (sensor-order) dims and ignores the rotation metadata a phone
+      // upload declares — reporting those raw dims would mislabel every
+      // rotated image in a scraped corpus. Orientations 5–8 transpose
+      // the display shape, so the exported dims swap; 2–4 (mirror/180°)
+      // leave the shape unchanged. Applied only when the decode itself
+      // succeeded — damaged bytes stay the typed error, never
+      // half-applied metadata.
+      val transposed = jpegExifOrientation(bytes).exists(o => o >= 5 && o <= 8)
+      val (w, h) = if (transposed) (img.getHeight, img.getWidth)
+                   else (img.getWidth, img.getHeight)
+      MediaMeta.decoded(id, bytes.length.toLong, w, h, 1)
+    }
   }
 
   /** Typed metadata extracted from an audio payload. Format fields are

@@ -252,23 +252,34 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("hostileBytes: every family's outcome is uniform across all dim combos") {
-    // 112 = lcm(16, 7) covers every (width, height) pair per family; the
-    // pinned contract is exactly what multimodal_decode_hostile oracles:
-    // progressive JPEG decodes at the baseline dims, the three damaged
-    // families (truncated BMP, bit-flipped PNG, truncated JPEG) surface
-    // the typed error — never fabricated dims, never a thrown task
-    for (id <- 0L until 448L) {
+    // 1008 = lcm(9, 16, 7): the selector is coprime to both dim moduli,
+    // so one full period covers every (width, height) pair in every
+    // family. The pinned contract is exactly what
+    // multimodal_decode_hostile oracles: intact metadata-bearing
+    // encodings (progressive, 16-bit PNG, ICC, 180°-EXIF) decode at the
+    // baseline dims, the 90°-EXIF family decodes TRANSPOSED
+    // (orientation normalization), and every body-damaged family —
+    // including the one whose metadata says transpose — surfaces the
+    // typed error: never fabricated dims, never half-applied metadata,
+    // never a thrown task
+    for (id <- 0L until 1008L) {
       val meta = Multimodal.imageDecode(id, Multimodal.hostileBytes(id))
-      if (id % 4 == 1) {
-        assert(meta.error.isEmpty, s"id $id: progressive JPEG must decode")
-        assert(meta.width.contains((1 + id % 16).toInt) &&
-               meta.height.contains((1 + id % 7).toInt),
-          s"id $id: progressive dims must match the baseline arithmetic")
-      } else {
-        assert(meta.error.contains(Multimodal.UndecodableReason),
-          s"id $id (family ${id % 4}): damaged payload must be the typed-error row")
-        assert(meta.width.isEmpty && meta.height.isEmpty,
-          s"id $id: damaged payload must not carry dims")
+      val (w, h) = ((1 + id % 16).toInt, (1 + id % 7).toInt)
+      id % 9 match {
+        case 1 | 5 | 6 | 7 =>
+          assert(meta.error.isEmpty, s"id $id (family ${id % 9}): must decode")
+          assert(meta.width.contains(w) && meta.height.contains(h),
+            s"id $id (family ${id % 9}): dims must match the baseline arithmetic")
+        case 4 =>
+          assert(meta.error.isEmpty, s"id $id: 90°-EXIF JPEG must decode")
+          assert(meta.width.contains(h) && meta.height.contains(w),
+            s"id $id: orientation 6 must report TRANSPOSED dims, got " +
+              s"${meta.width}×${meta.height} want $h×$w")
+        case _ =>
+          assert(meta.error.contains(Multimodal.UndecodableReason),
+            s"id $id (family ${id % 9}): damaged payload must be the typed-error row")
+          assert(meta.width.isEmpty && meta.height.isEmpty,
+            s"id $id: damaged payload must not carry dims")
       }
     }
     // the damage is real: every hostile payload still LOOKS like its
@@ -278,5 +289,12 @@ class MultimodalSpec extends SparkSuite {
     assert((Multimodal.hostileBytes(2)(0) & 0xff) == 0x89)                 // PNG
     assert((Multimodal.hostileBytes(3)(0) & 0xff) == 0xff &&
            (Multimodal.hostileBytes(3)(1) & 0xff) == 0xd8)                 // JPEG SOI
+    assert((Multimodal.hostileBytes(8)(0) & 0xff) == 0xff &&
+           (Multimodal.hostileBytes(8)(1) & 0xff) == 0xd8)                 // EXIF JPEG SOI
+    // the metadata is real: the EXIF families parse to their planted
+    // orientations, the spliced segments never perturb sibling payloads
+    assert(Multimodal.jpegExifOrientation(Multimodal.hostileBytes(4L * 9 + 4)) == Some(6))
+    assert(Multimodal.jpegExifOrientation(Multimodal.hostileBytes(7L * 9 + 7)) == Some(3))
+    assert(Multimodal.jpegExifOrientation(Multimodal.jpegBytes(11)).isEmpty)
   }
 }

@@ -260,15 +260,16 @@ object SparkEntry {
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val sink = s"__dedup_stream_gate_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       // The replay's cost is per-trigger state-store machinery, not
-      // data: 4 state partitions instead of the session's 32 cover the
-      // fixture-sized replay (8 was already ~0.8 s under 32; the state
-      // rows per partition stay trivial either way). The knob lives in
-      // an ISOLATED child session (spark.newSession — shared context,
-      // private conf), so nothing planned concurrently in the caller's
-      // session can inherit it; production use of the streaming
-      // operator inherits whatever session it runs under.
+      // data: 2 state partitions instead of the session's 32 cover the
+      // fixture-sized replay (the row's time tracks partition count ×
+      // triggers, not rows — r12's #3 bench row at 4 partitions; the
+      // state rows per partition stay trivial either way). The knob
+      // lives in an ISOLATED child session (spark.newSession — shared
+      // context, private conf), so nothing planned concurrently in the
+      // caller's session can inherit it; production use of the
+      // streaming operator inherits whatever session it runs under.
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      s2.conf.set("spark.sql.shuffle.partitions", "2")
       implicit val sqlCtx = s2.sqlContext
       import s2.implicits._
       val input = MemoryStream[(Long, String)]

@@ -114,12 +114,70 @@ object Bpe {
   /** Learn `t` merges from the corpus. Returns the merge table
     * (t, sym_a, sym_b, pair_count) as a DataFrame built from the
     * driver-side merge list — the merges ARE driver state (like the
-    * power-iteration iterate): one bounded 1-row collect per round. */
+    * power-iteration iterate): one bounded 1-row collect per round.
+    * Recount mode: each round re-aggregates the whole vocab frame —
+    * fewest jobs per round, right for small `t` (the oracled driver
+    * row runs t=6). For tokenizer-scale `t` (32–50k merges) use
+    * [[learnMergesDelta]]. */
   def learnMerges(docs: DataFrame, t: Int,
                   textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     learnCore(docs, t, textCol)._1.toDF("t", "sym_a", "sym_b", "pair_count")
+  }
+
+  /** The pair-count adjustment one merge round causes, computed from
+    * ONLY the words whose symbol string contains the merge pattern:
+    * after-minus-before of their pair multisets, freq-weighted.
+    * [[pairCounts]] is additive over word rows and untouched rows keep
+    * their pairs bit-identical, so folding this delta into the standing
+    * frame reproduces a full recount EXACTLY (integer sums — no
+    * rounding to drift across thousands of rounds). */
+  private def touchedPairDelta(vocab: DataFrame, a: String, b: String): DataFrame = {
+    val touched = vocab.filter(col("s").contains(s" $a  $b "))
+    pairCounts(touched.withColumn("s", applyMerge(col("s"), a, b)))
+      .unionByName(pairCounts(touched)
+        .select(col("a"), col("b"), (-col("cnt")).as("cnt")))
+      .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Delta-maintained training: merge-for-merge IDENTICAL to
+    * [[learnMerges]] (spec-pinned at t=64), but each round's
+    * aggregation scans only the words TOUCHED by the just-applied merge
+    * instead of the whole vocab frame. At tokenizer scale (t = 32–50k,
+    * late rounds touching a vanishing fraction of the vocabulary) this
+    * is the difference between t full-frame aggregations and t small
+    * ones: the standing pair-count frame (bounded by distinct adjacent
+    * symbol pairs) is checkpoint-maintained across rounds, counts that
+    * reach zero are dropped, and the argmax stays the same bounded
+    * 1-row collect with the same (cnt desc, a, b) tiebreak. */
+  def learnMergesDelta(docs: DataFrame, t: Int,
+                       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = wordVocab(docs, textCol).localCheckpoint(true)
+    var pc = pairCounts(vocab).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 1
+    var exhausted = false
+    while (round <= t && !exhausted) {
+      val top = pc.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // maintained frame ran dry
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(round, a, b, cnt)
+        pc = pc.unionByName(touchedPairDelta(vocab, a, b))
+          .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0L)
+          .localCheckpoint(true)
+        vocab = vocab.withColumn("s", applyMerge(col("s"), a, b))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("t", "sym_a", "sym_b", "pair_count")
   }
 
   /** The vocab AFTER applying `t` learned merges — exposed for specs

@@ -87,6 +87,23 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("learnMergesDelta: merge-for-merge identical to recount mode at t=64") {
+    // the delta-maintenance contract: folding after-minus-before of
+    // ONLY the touched words into the standing pair-count frame
+    // reproduces the full recount exactly, so sixty-four rounds deep
+    // (far past the fixture's planted structure, into long-tail
+    // single-count ties where any drift would change an argmax) the
+    // two modes must emit the SAME merge table — counts included
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+    val recount = Bpe.learnMerges(docs, 64)
+      .orderBy("t").as[(Int, String, String, Long)].collect().toSeq
+    val delta = Bpe.learnMergesDelta(docs, 64)
+      .orderBy("t").as[(Int, String, String, Long)].collect().toSeq
+    assert(recount.size === 64, s"fixture slice ran dry at ${recount.size} merges")
+    assert(delta === recount)
+  }
+
   test("learnMerges: partition-invariant (integer counts, deterministic argmax)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Bpe.learnMerges(docs, 3).collect().toSeq.sortBy(_.getInt(0))

@@ -1240,8 +1240,9 @@ object SparkEntry {
     // or doubled), and time travel still serves v0 at its exact size.
     "ann_ivf_concurrent_ingest" -> ((s, dir) => {
       val o = ivfVersionedRace(s, dir)
-      val v0n = KnnIvf.loadVersioned(s, o.path, Some(0)).corpusWithCell
-        .agg(count(lit(1)).as("n_v0"))
+      // ONE honest versioned restore per run (model + manifest read —
+      // the cost a recovering serving tier pays); the v0 time-travel
+      // read is pinned at fixture time, the gate-frame policy.
       Recall.setAgreement(
           KnnIvf.loadVersioned(s, o.path).corpusWithCell.select("vec_id", "cell"),
           o.expected.select("vec_id", "cell"),
@@ -1255,12 +1256,10 @@ object SparkEntry {
             lit("index race refusal drift: stale-overlap typed "),
             lit(o.staleOverlapTyped), lit(", stale-after-compact typed "),
             lit(o.staleAfterCompactTyped)))))
-        .crossJoin(broadcast(v0n))
-        .filter(when(col("n_v0") === lit(o.v0Rows), lit(true))
+        .filter(when(lit(o.v0RowsServed == o.v0Rows), lit(true))
           .otherwise(raise_error(concat(
-            lit("index time-travel drift: v0 rows "), col("n_v0"),
+            lit("index time-travel drift: v0 rows "), lit(o.v0RowsServed),
             lit(" vs committed "), lit(o.v0Rows)))))
-        .drop("n_v0")
     }),
 
     // --- k-NN JOIN: every corpus row is a query (kNN-dedup / hard-negative
@@ -3479,7 +3478,8 @@ object SparkEntry {
   private case class IvfRaceOutcome(path: String, versions: Seq[Int],
                                     staleOverlapTyped: Boolean,
                                     staleAfterCompactTyped: Boolean,
-                                    expected: DataFrame, v0Rows: Long)
+                                    expected: DataFrame, v0Rows: Long,
+                                    v0RowsServed: Long)
 
   /** The versioned ANN index's multi-writer race matrix, staged ONCE
     * per (SparkContext, dir) — the `ann_ivf_concurrent_ingest` fixture.
@@ -3535,8 +3535,11 @@ object SparkEntry {
         catch { case _: Versioned.ConcurrentWriteConflictException => true }
       val expected = baseCorpus
         .unionByName(withCell.select("vec_id", "cell")).localCheckpoint(true)
+      // time travel probed once at fixture time: v0 must still serve its
+      // exact committed size after two appends + a compact landed above it
+      val v0Served = KnnIvf.loadVersioned(s, path, Some(0)).corpusWithCell.count()
       IvfRaceOutcome(path, Versioned.versions(s, s"$path/corpus"),
-        staleOverlapTyped, staleAfterCompactTyped, expected, v0Rows)
+        staleOverlapTyped, staleAfterCompactTyped, expected, v0Rows, v0Served)
     })
 
   /** The efConstruction-sweep graphs (efC ∈ {16, 64, 200} at fixed

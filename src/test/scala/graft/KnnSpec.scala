@@ -446,6 +446,34 @@ class KnnSpec extends SparkSuite {
       "deletes survive any racing maintenance")
   }
 
+  test("versioned IVF: vacuum composes — history reclaimed typed, serving intact") {
+    import graft.operators.Versioned
+    // the index corpus IS a versioned table, so retention maintenance
+    // needs no index-specific code — this pins the composition: vacuum
+    // reclaims pre-compact history, time travel past retention is the
+    // TYPED error (never a raw missing-parquet read), and the retained
+    // index serves bit-identically to its pre-vacuum self
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_ver_vac").toString
+    KnnIvf.saveVersioned(KnnIvf.build(corpus, numCells = 8), path) // v0
+    val delta = corpus.select((col("vec_id") + 6000000L).as("vec_id"),
+      col("embedding"), col("label")).filter(col("vec_id") % 4 === 1)
+    KnnIvf.appendToVersioned(spark, path, delta)                   // v1
+    KnnIvf.compactVersioned(spark, path)                           // v2
+    val served = KnnIvf.search(KnnIvf.loadVersioned(spark, path),
+      queries, k = 5, nProbe = 8).select("query_id", "match_id", "score")
+      .localCheckpoint(true)
+    val stats = Versioned.vacuum(spark, s"$path/corpus", keepVersions = 1)
+    assert(stats.deletedFiles > 0, "pre-compact history must actually reclaim")
+    assert(stats.droppedVersions === Seq(0, 1))
+    intercept[Versioned.VersionRetentionException] {
+      KnnIvf.loadVersioned(spark, path, Some(0)).corpusWithCell.count()
+    }
+    val again = KnnIvf.search(KnnIvf.loadVersioned(spark, path),
+      queries, k = 5, nProbe = 8).select("query_id", "match_id", "score")
+    assert(again.exceptAll(served).unionAll(served.exceptAll(again)).count() === 0,
+      "vacuum must never change what the retained index serves")
+  }
+
   test("int8 scalar quantization: bounded reconstruction error, recall@10 >= 0.9") {
     import graft.operators.Quantize
     val dec = Quantize.decodeCorpus(Quantize.encodeCorpus(corpus))

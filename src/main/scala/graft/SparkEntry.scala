@@ -1261,6 +1261,38 @@ object SparkEntry {
             lit("index time-travel drift: v0 rows "), lit(o.v0RowsServed),
             lit(" vs committed "), lit(o.v0Rows)))))
     }),
+    // GATED multi-writer GRAPH commits — the NSW half of the versioned
+    // index story (the IVF half above): racing shard-disjoint appends
+    // both land via rebase, stale-base replays refuse typed across both
+    // an overlap and a compact, tombstones + purge land as commits —
+    // and per-shard build determinism upgrades the end-state contract
+    // to frame IDENTITY: the committed graph (one honest versioned
+    // restore per run) must equal a from-scratch build of the final
+    // live corpus row-for-row (shard, local_idx, vec_id, neighbor_idx),
+    // with zero tombstones surviving the purge.
+    "ann_hnsw_concurrent_ingest" -> ((s, dir) => {
+      val o = hnswVersionedRace(s, dir)
+      val g = KnnHnsw.loadVersioned(s, o.path).localCheckpoint(true)
+      val cols = Seq("shard", "local_idx", "vec_id", "neighbor_idx")
+      Recall.setAgreement(g.select(cols.map(col): _*),
+          o.expected.select(cols.map(col): _*),
+          on = cols, floor = 1.0, minCount = 1L)
+        .filter(when(lit(o.versions == Seq(0, 1, 2, 3, 4)), lit(true))
+          .otherwise(raise_error(concat(
+            lit("graph commit chain drift: versions "),
+            lit(o.versions.mkString(",")), lit(" (want 0,1,2,3,4)")))))
+        .filter(when(lit(o.staleOverlapTyped && o.staleAfterCompactTyped), lit(true))
+          .otherwise(raise_error(concat(
+            lit("graph race refusal drift: stale-overlap typed "),
+            lit(o.staleOverlapTyped), lit(", stale-after-compact typed "),
+            lit(o.staleAfterCompactTyped)))))
+        .crossJoin(broadcast(g.filter(col("deleted")).agg(count(lit(1)).as("n_tomb"))))
+        .filter(when(col("n_tomb") === 0L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("graph compact drift: "), col("n_tomb"),
+            lit(" tombstones survived the purge")))))
+        .drop("n_tomb")
+    }),
 
     // --- k-NN JOIN: every corpus row is a query (kNN-dedup / hard-negative
     //     mining shape). Exact form = oracle baseline; the IVF-co-partitioned
@@ -3540,6 +3572,73 @@ object SparkEntry {
       val v0Served = KnnIvf.loadVersioned(s, path, Some(0)).corpusWithCell.count()
       IvfRaceOutcome(path, Versioned.versions(s, s"$path/corpus"),
         staleOverlapTyped, staleAfterCompactTyped, expected, v0Rows, v0Served)
+    })
+
+  /** Outcome of the versioned-GRAPH race matrix ([[hnswVersionedRace]]):
+    * version chain, typed-refusal flags, the committed-latest graph's
+    * expected from-scratch twin (per-shard build determinism makes
+    * frame IDENTITY the contract, not just served agreement). */
+  private case class HnswRaceOutcome(path: String, versions: Seq[Int],
+                                     staleOverlapTyped: Boolean,
+                                     staleAfterCompactTyped: Boolean,
+                                     expected: DataFrame)
+
+  /** The versioned NSW graph's multi-writer race matrix, staged once
+    * per (SparkContext, dir) — the `ann_hnsw_concurrent_ingest`
+    * fixture, closing the graph half of the index-commit story (the
+    * IVF half is [[ivfVersionedRace]]). v0 = saveVersioned(base half of
+    * the quarter slice, 4 shards); the delta half splits along a
+    * committed FILE boundary of the shard stats space; two real
+    * threads race the two appends (both must land via rebase); a
+    * stale-base overlap replay refuses typed; then tombstones land as a
+    * commit, compact purges them as a commit, and an append pinned to
+    * the pre-compact snapshot refuses typed. Per-shard build
+    * determinism gives the end-state contract frame IDENTITY: the
+    * committed graph must equal a from-scratch build of the final live
+    * corpus row-for-row. */
+  private val hnswVersionedRaceBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), HnswRaceOutcome]
+  private def hnswVersionedRace(s: SparkSession, dir: String): HnswRaceOutcome =
+    hnswVersionedRaceBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_versioned/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val slice = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val base = slice.filter(col("vec_id") % 8 === 0)
+      val delta = slice.filter(col("vec_id") % 8 === 4).localCheckpoint(true)
+      KnnHnsw.saveVersioned(KnnHnsw.build(base, numShards = 4), path, numShards = 4)
+      val snap0 = Versioned.snapshot(s, path)
+      val boxes = snap0.entries.flatMap(_.stats).sortBy(_._2)
+      val splitAt = boxes(math.max(0, boxes.size / 2 - 1))._3
+      val withShard = delta.withColumn("shard",
+        pmod(xxhash64(col("vec_id")), lit(4)).cast("int"))
+      val dLow = withShard.filter(col("shard") <= splitAt).drop("shard")
+      val dHigh = withShard.filter(col("shard") > splitAt).drop("shard")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val writers = Seq(dLow, dHigh).map(d => new Thread(() =>
+        try { barrier.await(); KnnHnsw.appendToVersioned(s, path, d, numShards = 4) }
+        catch { case t: Throwable => errs.add(t) }))
+      writers.foreach(_.start()); writers.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+      val staleOverlapTyped =
+        try { KnnHnsw.appendToVersionedAt(s, path, dLow, 4, 8, 64,
+                "vec_id", "embedding", snap0); false }
+        catch { case _: Versioned.ConcurrentWriteConflictException => true }
+      val marked = delta.select("vec_id").filter(col("vec_id") % 3 === 0)
+      KnnHnsw.markDeletedVersioned(s, path, marked)
+      val snapPreCompact = Versioned.snapshot(s, path)
+      KnnHnsw.compactVersioned(s, path, numShards = 4)
+      val staleAfterCompactTyped =
+        try { KnnHnsw.appendToVersionedAt(s, path, dHigh, 4, 8, 64,
+                "vec_id", "embedding", snapPreCompact); false }
+        catch { case _: Versioned.ConcurrentWriteConflictException => true }
+      val live = base.unionByName(delta)
+        .join(broadcast(marked), Seq("vec_id"), "left_anti")
+      val expected = KnnHnsw.build(live, numShards = 4).localCheckpoint(true)
+      HnswRaceOutcome(path, Versioned.versions(s, path),
+        staleOverlapTyped, staleAfterCompactTyped, expected)
     })
 
   /** The efConstruction-sweep graphs (efC ∈ {16, 64, 200} at fixed

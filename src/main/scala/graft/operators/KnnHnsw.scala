@@ -352,13 +352,25 @@ object KnnHnsw {
     * this writer's shards (same-shard ingest, compact) refuses typed. */
   def appendToVersioned(spark: SparkSession, path: String, newRows: DataFrame,
                         numShards: Int, m: Int = 8, efConstruction: Int = 64,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
+                        idCol: String = "vec_id", vecCol: String = "embedding"): Int =
+    appendToVersionedAt(spark, path, newRows, numShards, m, efConstruction,
+      idCol, vecCol, Versioned.snapshot(spark, path))
+
+  /** [[appendToVersioned]] against a CALLER-PINNED base snapshot — the
+    * deterministic-interleave face of the race protocol (the graph twin
+    * of [[KnnIvf.appendToVersionedAt]]): a stale base whose touched
+    * shards were since rewritten refuses with the typed conflict; a
+    * stale base whose shards survived rebases and lands. */
+  private[graft] def appendToVersionedAt(spark: SparkSession, path: String,
+                                         newRows: DataFrame, numShards: Int,
+                                         m: Int, efConstruction: Int,
+                                         idCol: String, vecCol: String,
+                                         base: Versioned.Snapshot): Int = {
     val incoming = newRows.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<float>").as("embedding"))
     val touched = incoming
       .select(pmod(xxhash64(col("vec_id")), lit(numShards)).cast("int").as("shard"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val base = Versioned.snapshot(spark, path)
     if (touched.isEmpty) return base.version
     val saved = loadVersioned(spark, path, Some(base.version))
     val hasTombstones = saved.columns.contains("deleted")

@@ -2421,13 +2421,18 @@ object SparkEntry {
           Multimodal.withWavContent(Tables.documents(s, dir).repartition(32)))
         .select(col("doc_id"), col("n_bytes"), col("sample_rate"), col("channels"),
           col("n_samples"), col("duration_ms"))),
-    // HOSTILE audio column: the JDK parser ACCEPTS a WAV whose data
-    // chunk was cut short and reports the header's declared frame
-    // count — so the decode verifies availability and surfaces the
-    // typed TRUNCATION error instead of fabricating duration (probed
-    // uniform across all 198 format combos). Mid-header cuts stay the
-    // undecodable row; the intact slice must decode exactly like the
-    // baseline — all three outcomes oracle-pinned.
+    // HOSTILE audio column, five families: the JDK parser ACCEPTS a WAV
+    // whose data chunk was cut short and reports the header's declared
+    // frame count — the decode verifies availability and surfaces the
+    // typed TRUNCATION error instead of fabricating duration; a
+    // mid-header cut stays the undecodable row; and since r13 the
+    // METADATA half rides too — a LIST/INFO chunk between fmt and data
+    // (what tagging tools leave behind) must decode IDENTICALLY to the
+    // bare encoding (the chunk-walking parser skips it; a canonical-
+    // offset assumption would mis-read), and a LIST-tagged cut is
+    // still the truncation error (metadata never rescues missing
+    // samples). Probed uniform over the full 330-id family×format
+    // period; all five outcomes oracle-pinned.
     "multimodal_audio_hostile" -> ((s, dir) =>
       Multimodal.audioDecodeBatched(
           Multimodal.withHostileWavContent(Tables.documents(s, dir).repartition(32)))
@@ -6312,17 +6317,21 @@ object SparkEntry {
                 CAST(16 + doc_id % 33 AS BIGINT) AS n_samples,
                 CAST((16 + doc_id % 33) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
          FROM documents""",
-    // hostile audio outcomes pinned: only the intact slice (id%3=1)
-    // carries format fields; half-truncated data is the typed
-    // truncation error, a mid-header cut the undecodable error
+    // hostile audio outcomes pinned across all FIVE families: the
+    // intact slices — bare (id%5=1) AND LIST/INFO-tagged (id%5=3, the
+    // metadata chunk a tagging tool leaves between fmt and data) —
+    // carry the id-arithmetic format fields identically; both cut-data
+    // families (bare and LIST-tagged — metadata never rescues missing
+    // samples) are the typed truncation error; a mid-header cut stays
+    // the undecodable error
     "multimodal_audio_hostile" ->
       """SELECT doc_id,
-                CASE WHEN doc_id % 3 = 1 THEN CAST(8000 * (1 + doc_id % 3) AS INT) END AS sample_rate,
-                CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
-                CASE WHEN doc_id % 3 = 1 THEN CAST(16 + doc_id % 33 AS BIGINT) END AS n_samples,
-                CASE WHEN doc_id % 3 = 1 THEN CAST((16 + doc_id % 33) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT) END AS duration_ms,
-                CASE WHEN doc_id % 3 = 0 THEN 'truncated'
-                     WHEN doc_id % 3 = 2 THEN 'undecodable' END AS error
+                CASE WHEN doc_id % 5 IN (1, 3) THEN CAST(8000 * (1 + doc_id % 3) AS INT) END AS sample_rate,
+                CASE WHEN doc_id % 5 IN (1, 3) THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
+                CASE WHEN doc_id % 5 IN (1, 3) THEN CAST(16 + doc_id % 33 AS BIGINT) END AS n_samples,
+                CASE WHEN doc_id % 5 IN (1, 3) THEN CAST((16 + doc_id % 33) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT) END AS duration_ms,
+                CASE WHEN doc_id % 5 IN (0, 4) THEN 'truncated'
+                     WHEN doc_id % 5 = 2 THEN 'undecodable' END AS error
          FROM documents""",
     // the REAL pixel-feature kernel's answer, replayed pixel-for-pixel:
     // the gradient BMP stores byte (doc_id + p) mod 256 at linear

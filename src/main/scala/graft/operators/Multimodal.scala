@@ -612,21 +612,61 @@ object Multimodal {
   }
 
   /** HOSTILE audio payloads, rotating by id — the WAV shapes a scraped
-    * corpus serves, each probed uniform against the JDK parser:
-    *   id%3=0  gradient WAV with the data chunk cut in half → parses,
+    * corpus serves: three body-hostile families (r12) plus two
+    * METADATA-hostile ones (r13, the audio twin of the EXIF/ICC image
+    * families). Selector mod 5, coprime to every format modulus (3, 2,
+    * 33), so each family covers all format combos — probed uniform
+    * against the JDK parser over the full 330-id period:
+    *   id%5=0  gradient WAV with the data chunk cut in half → parses,
     *           but declared frames exceed the surviving bytes → the
     *           typed TRUNCATION error (no fabricated duration)
-    *   id%3=1  intact gradient WAV → decodes at the id-arithmetic format
-    *   id%3=2  cut mid-header (20 of 44 bytes) → no parser accepts it →
-    *           the typed UNDECODABLE error */
+    *   id%5=1  intact gradient WAV → decodes at the id-arithmetic format
+    *   id%5=2  cut mid-header (20 of 44 bytes) → no parser accepts it →
+    *           the typed UNDECODABLE error
+    *   id%5=3  intact WAV with a LIST/INFO chunk between fmt and data
+    *           (what tagging tools leave behind) → the chunk-walking
+    *           parser skips it: decodes IDENTICALLY to the bare
+    *           encoding — same format, same frames, no false truncation
+    *           (a canonical-44-byte-offset assumption would mis-read)
+    *   id%5=4  LIST-chunked WAV with the data cut in half → metadata
+    *           never rescues missing samples: the typed TRUNCATION
+    *           error, exactly like the bare cut */
   def hostileWavBytes(id: Long): Array[Byte] =
-    java.lang.Math.floorMod(id, 3L) match {
+    java.lang.Math.floorMod(id, 5L) match {
       case 0L =>
         val b = gradientWavBytes(id)
         java.util.Arrays.copyOf(b, 44 + (b.length - 44) / 2)
       case 1L => gradientWavBytes(id)
-      case _  => java.util.Arrays.copyOf(gradientWavBytes(id), 20)
+      case 2L => java.util.Arrays.copyOf(gradientWavBytes(id), 20)
+      case 3L => listChunkWavBytes(id)
+      case _ =>
+        val b = listChunkWavBytes(id)
+        // cut half the SAMPLE bytes (the data chunk starts 26 bytes
+        // later than canonical, after the spliced LIST)
+        java.util.Arrays.copyOf(b, 70 + (b.length - 70) / 2)
     }
+
+  /** The gradient WAV with a RIFF LIST/INFO metadata chunk spliced
+    * between fmt and data — the metadata-hostile shape tagging tools
+    * leave behind (title/artist chunks): a parser that assumes the
+    * canonical 44-byte layout mis-reads the data offset, while a
+    * chunk-walking parser skips it and decodes IDENTICALLY to the bare
+    * encoding. 18-byte INFO body (word-aligned), RIFF size field
+    * adjusted, sample bytes untouched. */
+  def listChunkWavBytes(id: Long): Array[Byte] = {
+    val w = gradientWavBytes(id)
+    val info = "INFOINAM".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ ("graft" + " ").getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(w.length + 8 + info.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val riffSize = java.nio.ByteBuffer.wrap(w, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    out.put(w, 0, 4).putInt(riffSize + 8 + info.length)
+    out.put(w, 8, 28) // "WAVE" + the whole fmt chunk (bytes 8..35)
+    out.put("LIST".getBytes("US-ASCII")).putInt(info.length).put(info)
+    out.put(w, 36, w.length - 36) // the data chunk, byte-identical
+    out.array()
+  }
 
   /** The hostile-audio column: [[hostileWavBytes]] per row. */
   def withHostileWavContent(df: DataFrame, idCol: String = "doc_id",

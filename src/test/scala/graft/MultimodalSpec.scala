@@ -225,21 +225,27 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  test("hostileWavBytes: truncation is typed, never fabricated duration") {
-    // 198 = lcm(2, 3, 33, 3) covers every (rate, channels, samples)
-    // combo per family. The dangerous case is id%3=0: the JDK parser
-    // ACCEPTS the cut payload and reports the declared frame count —
-    // the decode must verify availability and emit the typed
-    // truncation error, not the header's claim.
-    for (id <- 0L until 396L) {
+  test("hostileWavBytes: truncation typed, metadata chunks skipped, never fabricated") {
+    // 330 = lcm(5, 3, 2, 33): the selector is coprime to every format
+    // modulus, so one full period covers every (rate, channels,
+    // samples) combo in every family; two periods for margin. The
+    // dangerous cases: id%5=0/4 — the JDK parser ACCEPTS the cut
+    // payload and reports the declared frame count, so the decode must
+    // verify availability and emit the typed truncation error; and
+    // id%5=3 — a LIST/INFO metadata chunk between fmt and data must be
+    // SKIPPED (identical decode to the bare encoding), which a
+    // canonical-44-byte-offset assumption would mis-read.
+    for (id <- 0L until 660L) {
       val meta = Multimodal.audioDecode(id, Multimodal.hostileWavBytes(id))
-      (id % 3) match {
-        case 1 =>
-          assert(meta.error.isEmpty, s"id $id: intact WAV must decode")
+      (id % 5) match {
+        case 1 | 3 =>
+          val tag = if (id % 5 == 3) "LIST-tagged" else "intact"
+          assert(meta.error.isEmpty, s"id $id: $tag WAV must decode, got $meta")
           assert(meta.n_samples.contains(16L + id % 33) &&
-                 meta.sample_rate.contains((8000L * (1 + id % 3)).toInt),
-            s"id $id: intact format fields must match the arithmetic")
-        case 0 =>
+                 meta.sample_rate.contains((8000L * (1 + id % 3)).toInt) &&
+                 meta.channels.contains((1L + id % 2).toInt),
+            s"id $id: $tag format fields must match the arithmetic, got $meta")
+        case 0 | 4 =>
           assert(meta.error.contains(Multimodal.TruncatedReason),
             s"id $id: half-cut data must be the typed truncation row, got $meta")
           assert(meta.n_samples.isEmpty && meta.duration_ms.isEmpty,
@@ -249,6 +255,14 @@ class MultimodalSpec extends SparkSuite {
             s"id $id: mid-header cut must be undecodable, got $meta")
       }
     }
+    // the metadata family really decodes through the spliced chunk: the
+    // bytes differ from the bare encoding, the parsed PCM does not
+    val id3 = 3L * 5 + 3 // family 3
+    assert(!java.util.Arrays.equals(
+      Multimodal.listChunkWavBytes(id3), Multimodal.gradientWavBytes(id3)))
+    assert(Multimodal.audioDecode(id3, Multimodal.listChunkWavBytes(id3)) ===
+      Multimodal.audioDecode(id3, Multimodal.gradientWavBytes(id3))
+        .copy(n_bytes = Multimodal.listChunkWavBytes(id3).length.toLong))
   }
 
   test("hostileBytes: every family's outcome is uniform across all dim combos") {

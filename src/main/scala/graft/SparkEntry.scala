@@ -2752,6 +2752,36 @@ object SparkEntry {
             lit("z-order commit pruned nothing: kept "), lit(kept),
             lit(" of "), lit(total), lit(" files")))))
     }),
+    // INCREMENTAL z-order — the maintenance loop a 100 TB table actually
+    // runs: cluster ONLY the files an ingest burst appended (the zorder
+    // bucketization metadata carries through appends, so the tail lands
+    // in the SAME z space), already-clustered files carry by reference,
+    // and the box probe prunes across old and new files alike. Content
+    // is the full events projection (half init'd, half appended), so
+    // the row is hash-oracled against the plain filter+aggregate; the
+    // structural contract — lineage init+zorder+append+incremental,
+    // nothing re-clustered, every file z-ranged, probe still pruning —
+    // is pinned in-plan from the fixture's recorded manifest facts.
+    "versioned_zorder_incremental" -> ((s, dir) => {
+      val (path, versions, carried, allClustered, kept, total) =
+        versionedZIncInfo(s, dir)
+      Versioned.readBox(s, path, None, zBoxProbe)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
+        .filter(when(lit(versions == Seq(0, 1, 2, 3)), lit(true))
+          .otherwise(raise_error(concat(
+            lit("incremental z-order lineage drift: versions "),
+            lit(versions.mkString(",")), lit(" (want 0,1,2,3)")))))
+        .filter(when(lit(carried && allClustered), lit(true))
+          .otherwise(raise_error(concat(
+            lit("incremental z-order layout drift: carried "), lit(carried),
+            lit(", all files z-ranged "), lit(allClustered)))))
+        .filter(when(lit(kept > 0 && kept < total), lit(true))
+          .otherwise(raise_error(concat(
+            lit("incremental z-order pruned nothing: kept "), lit(kept),
+            lit(" of "), lit(total), lit(" files")))))
+    }),
     // change-data capture v0 → v1: exactly the upsert's delta surfaces,
     // classified as updates with old/new values side by side
     "versioned_diff" -> ((s, dir) =>
@@ -3477,6 +3507,40 @@ object SparkEntry {
         .getOrElse(throw new IllegalStateException(
           s"z-order commit at $path carries no prunable metadata for $zBoxProbe"))
       (path, kept.size, total)
+    })
+
+  /** Versioned events table exercised through the INCREMENTAL z-order
+    * loop, built once per (ctx, dir): v0 = half the events in 8 files,
+    * v1 = full compactZOrder(user × time), v2 = the other half
+    * APPENDED (the ingest burst — zorder metadata must carry through),
+    * v3 = compactZOrderIncremental — only the appended tail clusters,
+    * the v1 files carry by reference. Records the structural facts the
+    * row pins: the version chain, whether every v1 file survived
+    * untouched, whether every live file now carries __z stats, and the
+    * box probe's (kept, total) pruning decision spanning old AND new
+    * files. */
+  private val versionedZIncBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Seq[Int], Boolean, Boolean, Int, Int)]
+  private def versionedZIncInfo(s: SparkSession, dir: String)
+      : (String, Seq[Int], Boolean, Boolean, Int, Int) =
+    versionedZIncBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_zinc/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      Versioned.init(ev.filter(col("event_id") % 2 === 0).repartition(8), path)
+      Versioned.compactZOrder(s, path, Seq("user_id", "ts_us"), numRanges = 16)
+      val clustered = Versioned.snapshot(s, path).files.toSet
+      Versioned.append(ev.filter(col("event_id") % 2 === 1).repartition(4), path)
+      Versioned.compactZOrderIncremental(s, path, numRanges = 8)
+      val snap = Versioned.snapshot(s, path)
+      val carried = clustered.subsetOf(snap.files.toSet)
+      val allClustered = snap.entries.forall(_.stats.exists(_._1 == "__z"))
+      val (kept, total) = Versioned.boxFilePruning(s, path, None, zBoxProbe)
+        .getOrElse((Seq.empty, snap.files.size))
+      (path, Versioned.versions(s, path), carried, allClustered, kept.size, total)
     })
 
   /** Two REAL racing writers on one versioned table, staged once per
@@ -5034,6 +5098,15 @@ object SparkEntry {
     "versioned_concurrent_commit" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id % 2 = 0 OR doc_id % 10 IN (1, 3)""",
+    // incremental clustering never changes results either — same oracle
+    // shape (the fixture's init ∪ appended tail is ALL events)
+    "versioned_zorder_incremental" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE user_id BETWEEN 10 AND 25
+           AND epoch_us(ts) BETWEEN 1704672000000000 AND 1705881599999999
+         GROUP BY 1""",
     // the z-order COMMIT never changes results — the oracle is the plain
     // filter+aggregate over the original events (pruning is pinned
     // in-plan from the manifest decision, not here)

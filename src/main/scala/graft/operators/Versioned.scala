@@ -532,9 +532,11 @@ object Versioned {
     val s = df.sparkSession
     val base = snapshot(s, tableDir)
     val newEntries = writeData(df, tableDir, base.version + 1, statsCol, bloomCol)
+    // snap.meta carries standing table metadata (zorder.* bucketization)
+    // across appends; the caller's meta wins on key collision
     commitWithRebase(s, tableDir, snap => Some((
       snap.entries ++ newEntries,
-      meta + ("schema" -> evolveSchema(snap.schema, df).json))), newEntries)
+      snap.meta ++ meta + ("schema" -> evolveSchema(snap.schema, df).json))), newEntries)
   }
 
   /** The file subset a range predicate on `statsCol` can possibly touch:
@@ -833,7 +835,7 @@ object Versioned {
         }
       if (!ok) None
       else Some((snap.entries.filterNot(e => baseTouched(e.path)) ++ newEntries,
-        meta + ("schema" -> evolveSchema(snap.schema, rewritten).json)))
+        snap.meta ++ meta + ("schema" -> evolveSchema(snap.schema, rewritten).json)))
     }, newEntries)
   }
 
@@ -916,6 +918,59 @@ object Versioned {
         else reader.parquet(snap.files.head).filter(lit(false))
       case _ => read(spark, tableDir, version).filter(pred)
     }
+  }
+
+  /** Incrementally EXTEND a z-order layout: cluster only the files
+    * committed since the last [[compactZOrder]] — those carrying no
+    * `__z` stats — using the bucketization stats recorded AT that
+    * commit, so the z space stays consistent and [[readBox]]'s interval
+    * arithmetic keeps pruning across old and new files alike. Clustered
+    * files carry by reference. This is the maintenance loop a 100 TB
+    * table actually runs: O(unclustered tail) per invocation, never the
+    * full-table rewrite [[compactZOrder]] pays — run it after every
+    * ingest burst and the table stays probe-ready forever. Values
+    * outside the recorded min/max clamp to the edge buckets
+    * ([[Scale.bucketOf]] clamps), so late out-of-range rows still land
+    * in a SOUND z-interval (pruning stays an I/O optimization, never a
+    * correctness risk). Already-clustered tables no-op; racing commits
+    * rebase when they left this writer's rewritten files alone
+    * (append-only interleavings land) and refuse typed otherwise. */
+  def compactZOrderIncremental(spark: SparkSession, tableDir: String,
+                               numRanges: Int = 8): Int = {
+    val snap = snapshot(spark, tableDir)
+    val dims = snap.meta.getOrElse("zorder.dims",
+      throw new IllegalStateException(
+        s"$tableDir has no z-order commit to extend — run compactZOrder first"))
+      .split(',').toSeq
+    val bits = snap.meta("zorder.bits").toInt
+    val st = snap.meta("zorder.stats").split(',').map(_.toDouble)
+    val unclustered = snap.entries.filterNot(_.stats.exists(_._1 == "__z"))
+    if (unclustered.isEmpty) return snap.version
+    def reader = snap.schema match {
+      case Some(stc) => spark.read.schema(stc)
+      case None      => spark.read
+    }
+    val tail = reader.parquet(unclustered.map(_.path): _*)
+    val zc = Scale.zValueK(
+      dims.zipWithIndex.map { case (d, i) =>
+        (col(d), lit(st(2 * i)), lit(st(2 * i + 1))) }, bits)
+    val arranged = tail.withColumn("__z", zc)
+      .repartitionByRange(math.max(1, math.min(numRanges, unclustered.size)), col("__z"))
+      .sortWithinPartitions("__z")
+    val bloomCol = snap.entries.flatMap(_.bloom.map(_._1)).distinct match {
+      case Seq(c) => Some(c)
+      case _      => None
+    }
+    val newEntries = writeData(arranged, tableDir, snap.version + 1,
+      Some("__z"), bloomCol)
+    val rewritten = unclustered.map(_.path).toSet
+    commitWithRebase(spark, tableDir, latest => {
+      val latestPaths = latest.files.toSet
+      if (!rewritten.subsetOf(latestPaths)) None // my tail was rewritten under me
+      else Some((latest.entries.filterNot(e => rewritten(e.path)) ++ newEntries,
+        latest.meta + ("schema" ->
+          evolveSchema(latest.schema, tail).json))) // zorder.* carried via latest.meta
+    }, newEntries)
   }
 
   /** The manifest-arithmetic half of [[readBox]], exposed so callers
@@ -1034,8 +1089,13 @@ object Versioned {
         }
       }
     if (!ok) None
+    // carry the table's standing metadata (zorder.* bucketization etc.)
+    // through the rewrite: a COW-rewritten file simply commits without
+    // __z stats (always read — soundness over sharpness), but dropping
+    // the LAYOUT metadata would silently degrade every later box probe
+    // to a full read until the next full re-cluster
     else Some((snap.entries.filterNot(e => touched(e.path)) ++ newEntries,
-      Map("schema" -> schemaOf(snap).json)))
+      snap.meta + ("schema" -> schemaOf(snap).json)))
   }
 
   private def copyOnWrite(delta: DataFrame, tableDir: String, idCol: String,

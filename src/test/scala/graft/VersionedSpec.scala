@@ -634,6 +634,59 @@ class VersionedSpec extends SparkSuite {
     val got = Versioned.readBox(spark, dir, None,
       Seq(("a", 90.0, 100.0), ("b", 90.0, 100.0)))
     assert(got.count() === 1)
+    // the LAYOUT metadata survives the mutation: untouched clustered
+    // files keep pruning through their manifest z-ranges (only the
+    // rewritten stats-less file is unconditionally read)
+    val pruning = Versioned.boxFilePruning(spark, dir, None,
+      Seq(("a", 90.0, 100.0), ("b", 90.0, 100.0)))
+    assert(pruning.isDefined,
+      "zorder metadata must survive copy-on-write, not silently drop")
+  }
+
+  test("compactZOrderIncremental: clusters only the tail, pruning spans old and new") {
+    import spark.implicits._
+    val dir = freshDir()
+    val d = grid()
+    Versioned.init(d, dir)
+    Versioned.compactZOrder(spark, dir, Seq("a", "b"), numRanges = 8)
+    val clustered = Versioned.snapshot(spark, dir)
+    // ingest a tail (same grid shape, shifted ids) as two plain appends
+    val tail = (1000 until 1200).map(i =>
+        (i.toLong, (i % 20).toLong, ((i - 1000) / 20).toLong))
+      .toDF("id", "a", "b")
+    Versioned.append(tail.filter(col("id") < 1100L).repartition(2), dir)
+    Versioned.append(tail.filter(col("id") >= 1100L).repartition(2), dir)
+    // appends carried the zorder metadata (the append-side half of the
+    // carry-through contract)
+    assert(Versioned.snapshot(spark, dir).meta.contains("zorder.dims"))
+    val v = Versioned.compactZOrderIncremental(spark, dir, numRanges = 4)
+    assert(v === Versioned.versions(spark, dir).max)
+    val snap = Versioned.snapshot(spark, dir)
+    // every clustered file from the ORIGINAL commit carried by reference
+    val clusteredPaths = clustered.entries.map(_.path).toSet
+    assert(clusteredPaths.subsetOf(snap.files.toSet),
+      "incremental clustering must not rewrite already-clustered files")
+    // and now EVERY file carries __z stats (the tail got clustered)
+    assert(snap.entries.forall(_.stats.exists(_._1 == "__z")))
+    // content identical to init ∪ tail (layout is pure)
+    val want = d.unionByName(tail)
+    val latest = Versioned.read(spark, dir)
+    assert(latest.exceptAll(want).unionAll(want.exceptAll(latest)).count() === 0)
+    // a box read returns exactly the plain filter, over old AND new rows
+    val got = Versioned.readBox(spark, dir, None,
+      Seq(("a", 2.0, 5.0), ("b", 3.0, 7.0)))
+    val wantBox = want.filter(col("a").between(2, 5) && col("b").between(3, 7))
+    assert(got.exceptAll(wantBox).unionAll(wantBox.exceptAll(got)).count() === 0)
+    // ...and still prunes
+    assert(got.inputFiles.length < snap.files.size)
+    // already-clustered table: a second incremental run is a no-op
+    assert(Versioned.compactZOrderIncremental(spark, dir) === v)
+    // a table with no z-order commit refuses typed
+    val bare = freshDir()
+    Versioned.init(grid(40), bare)
+    intercept[IllegalStateException] {
+      Versioned.compactZOrderIncremental(spark, bare)
+    }
   }
 
   test("replacePartitions: disjoint-key racers BOTH land; overlap refuses typed") {

@@ -689,6 +689,43 @@ class VersionedSpec extends SparkSuite {
     }
   }
 
+  test("streamed ingest then incremental z-order: metadata carries, exactly-once holds") {
+    // the full production loop composed: OPTIMIZE ZORDER once, stream
+    // micro-batches in (exactly-once commits), incremental-cluster the
+    // tail after the burst — the layout metadata and the stream's batch
+    // high-water mark must BOTH survive every commit in the chain
+    import spark.implicits._
+    import graft.streaming.TableStream
+    val dir = freshDir()
+    val d = grid()
+    Versioned.init(d, dir)
+    Versioned.compactZOrder(spark, dir, Seq("a", "b"), numRanges = 8)
+    val clustered = Versioned.snapshot(spark, dir).files.toSet
+    val tail = (1000 until 1160).map(i =>
+        (i.toLong, (i % 20).toLong, ((i - 1000) / 20).toLong))
+      .toDF("id", "a", "b")
+    assert(TableStream.commitBatch(tail.filter(col("id") < 1080L), dir, 0L).nonEmpty)
+    assert(TableStream.commitBatch(tail.filter(col("id") >= 1080L), dir, 1L).nonEmpty)
+    // stream commits carried the layout metadata and stamped their ids
+    assert(Versioned.snapshot(spark, dir).meta.contains("zorder.dims"))
+    assert(Versioned.lastBatchId(spark, dir) === Some(1L))
+    Versioned.compactZOrderIncremental(spark, dir, numRanges = 4)
+    val snap = Versioned.snapshot(spark, dir)
+    assert(clustered.subsetOf(snap.files.toSet),
+      "maintenance must not rewrite the already-clustered head")
+    assert(snap.entries.forall(_.stats.exists(_._1 == "__z")))
+    // exactly-once survives the maintenance commit: replaying batch 1
+    // is still a content no-op
+    assert(TableStream.commitBatch(tail.filter(col("id") >= 1080L), dir, 1L) === None)
+    // box read exact + pruned over init ∪ streamed tail
+    val want = d.unionByName(tail)
+    val got = Versioned.readBox(spark, dir, None,
+      Seq(("a", 2.0, 5.0), ("b", 3.0, 7.0)))
+    val wantBox = want.filter(col("a").between(2, 5) && col("b").between(3, 7))
+    assert(got.exceptAll(wantBox).unionAll(wantBox.exceptAll(got)).count() === 0)
+    assert(got.inputFiles.length < snap.files.size)
+  }
+
   test("replacePartitions: disjoint-key racers BOTH land; overlap refuses typed") {
     import spark.implicits._
     val dir = freshDir()

@@ -724,6 +724,21 @@ class VersionedSpec extends SparkSuite {
     val wantBox = want.filter(col("a").between(2, 5) && col("b").between(3, 7))
     assert(got.exceptAll(wantBox).unionAll(wantBox.exceptAll(got)).count() === 0)
     assert(got.inputFiles.length < snap.files.size)
+    // incremental clustering also HEALS copy-on-write damage: a COW
+    // rewrite commits its file without __z stats (always-read), and the
+    // next incremental pass picks exactly that file up and re-clusters
+    // it — the table converges back to fully-z-ranged without ever
+    // paying a full rewrite
+    Versioned.upsert(Seq((7L, 99L, 99L)).toDF("id", "a", "b"), dir, "id")
+    assert(Versioned.snapshot(spark, dir).entries
+      .exists(!_.stats.exists(_._1 == "__z")), "COW must leave a stats-less file")
+    Versioned.compactZOrderIncremental(spark, dir, numRanges = 2)
+    val healed = Versioned.snapshot(spark, dir)
+    assert(healed.entries.forall(_.stats.exists(_._1 == "__z")),
+      "incremental pass must re-cluster the COW-rewritten file")
+    val afterHeal = Versioned.read(spark, dir)
+    assert(afterHeal.filter(col("id") === 7L).head().getAs[Long]("a") === 99L)
+    assert(afterHeal.count() === want.count())
   }
 
   test("replacePartitions: disjoint-key racers BOTH land; overlap refuses typed") {

@@ -3538,8 +3538,13 @@ object SparkEntry {
       val snap = Versioned.snapshot(s, path)
       val carried = clustered.subsetOf(snap.files.toSet)
       val allClustered = snap.entries.forall(_.stats.exists(_._1 == "__z"))
+      // metadata loss must surface AS metadata loss (the sibling
+      // versionedZOrderInfo throws the same way) — a silent (0, n)
+      // would read as "pruned nothing" downstream
       val (kept, total) = Versioned.boxFilePruning(s, path, None, zBoxProbe)
-        .getOrElse((Seq.empty, snap.files.size))
+        .getOrElse(throw new IllegalStateException(
+          s"incremental z-order commit at $path lost its zorder.* metadata " +
+            s"for $zBoxProbe — mutations must carry standing table metadata"))
       (path, Versioned.versions(s, path), carried, allClustered, kept.size, total)
     })
 
@@ -3619,6 +3624,13 @@ object SparkEntry {
         .select("vec_id", "cell", "embedding", "label").localCheckpoint(true)
       val dLow = withCell.filter(col("cell") <= splitAt).drop("cell")
       val dHigh = withCell.filter(col("cell") > splitAt).drop("cell")
+      // fail at the FIXTURE stage if a regeneration ever empties a half
+      // or lands the split on a straddling boundary — otherwise the
+      // race degenerates and the gate fails later with a confusing
+      // "versions drift" message instead of naming the fixture
+      require(dLow.limit(1).count() > 0 && dHigh.limit(1).count() > 0,
+        s"ivf race fixture at $dir: cell split at $splitAt left an empty " +
+          "half — regenerate or re-pick the file-boundary split")
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
       val barrier = new java.util.concurrent.CyclicBarrier(2)
       val writers = Seq(dLow, dHigh).map(d => new Thread(() =>
@@ -3684,6 +3696,12 @@ object SparkEntry {
         pmod(xxhash64(col("vec_id")), lit(4)).cast("int"))
       val dLow = withShard.filter(col("shard") <= splitAt).drop("shard")
       val dHigh = withShard.filter(col("shard") > splitAt).drop("shard")
+      // fixture-stage assertion (same rationale as ivfVersionedRace):
+      // an empty half turns the race into a no-op and the gate would
+      // fail far downstream with a misleading message
+      require(dLow.limit(1).count() > 0 && dHigh.limit(1).count() > 0,
+        s"hnsw race fixture at $dir: shard split at $splitAt left an empty " +
+          "half — regenerate or re-pick the file-boundary split")
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
       val barrier = new java.util.concurrent.CyclicBarrier(2)
       val writers = Seq(dLow, dHigh).map(d => new Thread(() =>

@@ -95,9 +95,19 @@ object Scale {
     require(bits >= 1 && k * bits <= 63,
       s"$k dims x $bits bits = ${k * bits} interleaved bits must fit a long (<= 63)")
     val buckets = math.pow(2.0, bits)
+    // Clamp BOTH sides, mirroring the driver-side [[bucketOf]]: values
+    // outside [mn, mx] arise whenever rows are bucketized with stats
+    // recorded earlier (incremental clustering appends a tail against the
+    // original OPTIMIZE stats). An unclamped negative bucket would
+    // sign-extend into a garbage-large Morton value whose file stats box
+    // no longer brackets the true position — and readBox would then
+    // wrongly prune the file. Edge-clamping keeps layout sharpness only
+    // degraded, never correctness.
     def bucket(x: Column, mn: Column, mx: Column): Column =
-      least(floor((x.cast("double") - mn) / (mx - mn + lit(1.0)) * lit(buckets)),
-        lit(buckets - 1.0)).cast("long")
+      greatest(
+        least(floor((x.cast("double") - mn) / (mx - mn + lit(1.0)) * lit(buckets)),
+          lit(buckets - 1.0)),
+        lit(0.0)).cast("long")
     val bucketed = dims.map { case (x, mn, mx) => bucket(x, mn, mx) }
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       bucketed.zipWithIndex.foldLeft(acc) { case (a, (bc, d)) =>

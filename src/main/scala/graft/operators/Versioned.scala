@@ -546,7 +546,15 @@ object Versioned {
     * zero file opens. */
   def filesForRange(spark: SparkSession, tableDir: String, version: Option[Int],
                     statsCol: String, lo: Long, hi: Long): Seq[String] =
-    snapshot(spark, tableDir, version).entries.collect {
+    filesForRangeIn(snapshot(spark, tableDir, version).entries, statsCol, lo, hi)
+
+  /** Entries-level twin of [[filesForRange]] — lets callers that already
+    * hold a pinned [[Snapshot]] prune WITHOUT re-resolving "latest" (a
+    * commit landing between two independent resolutions would mix
+    * versions: files from v+1 read under v's schema). */
+  private[graft] def filesForRangeIn(entries: Seq[FileEntry], statsCol: String,
+                                     lo: Long, hi: Long): Seq[String] =
+    entries.collect {
       case FileEntry(p, Some((c, fLo, fHi)), _) if c == statsCol =>
         if (fLo <= hi && fHi >= lo) Some(p) else None
       case FileEntry(p, _, _) => Some(p)
@@ -573,8 +581,14 @@ object Versioned {
     * optimization, never a semantics change. */
   def readEquals(spark: SparkSession, tableDir: String, version: Option[Int],
                  bloomCol: String, value: String): DataFrame = {
+    // one snapshot resolution: the pruning decision and the read share
+    // the SAME pinned entries (a racing commit cannot mix versions)
     val snap = snapshot(spark, tableDir, version)
-    val keep = filesForEquals(spark, tableDir, version, bloomCol, value)
+    val keep = snap.entries.collect {
+      case FileEntry(p, _, Some((c, hex))) if c == bloomCol =>
+        if (bloomContains(hex, value)) Some(p) else None
+      case FileEntry(p, _, _) => Some(p)
+    }.flatten
     def reader = snap.schema match {
       case Some(st) => spark.read.schema(st)
       case None     => spark.read
@@ -594,8 +608,9 @@ object Versioned {
     * manifest read, not a footer fetch per file. */
   def readRange(spark: SparkSession, tableDir: String, version: Option[Int],
                 statsCol: String, lo: Long, hi: Long): DataFrame = {
+    // one snapshot resolution, same rationale as readEquals/readBox
     val snap = snapshot(spark, tableDir, version)
-    val keep = filesForRange(spark, tableDir, version, statsCol, lo, hi)
+    val keep = filesForRangeIn(snap.entries, statsCol, lo, hi)
     val pred = col(statsCol) >= lo && col(statsCol) <= hi
     // the COMMITTED schema applies exactly as in read(): on a schema-
     // evolved table a bare parquet read takes one arbitrary footer, so
@@ -905,18 +920,23 @@ object Versioned {
   def readBox(spark: SparkSession, tableDir: String, version: Option[Int],
               box: Seq[(String, Double, Double)]): DataFrame = {
     require(box.nonEmpty, "empty box")
+    // ONE snapshot resolution for the whole read: pruning decision, file
+    // list, and schema all come from this pinned version — a commit
+    // landing mid-call can never mix versions (e.g. v+1 keep paths read
+    // under v's schema, or the empty-keep fallback reading a file a
+    // racing compact just rewrote)
     val snap = snapshot(spark, tableDir, version)
     val pred = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
       .reduce(_ && _)
-    boxFilePruning(spark, tableDir, version, box) match {
+    def reader = snap.schema match {
+      case Some(stc) => spark.read.schema(stc)
+      case None      => spark.read
+    }
+    boxFilePruningIn(snap, box) match {
       case Some((keep, _)) =>
-        def reader = snap.schema match {
-          case Some(stc) => spark.read.schema(stc)
-          case None      => spark.read
-        }
         if (keep.nonEmpty) reader.parquet(keep: _*).filter(pred)
         else reader.parquet(snap.files.head).filter(lit(false))
-      case _ => read(spark, tableDir, version).filter(pred)
+      case _ => reader.parquet(snap.files: _*).filter(pred)
     }
   }
 
@@ -981,8 +1001,16 @@ object Versioned {
     * interval arithmetic over the committed stats — zero parquet
     * footers opened to decide. */
   def boxFilePruning(spark: SparkSession, tableDir: String, version: Option[Int],
-                     box: Seq[(String, Double, Double)]): Option[(Seq[String], Int)] = {
-    val snap = snapshot(spark, tableDir, version)
+                     box: Seq[(String, Double, Double)]): Option[(Seq[String], Int)] =
+    boxFilePruningIn(snapshot(spark, tableDir, version), box)
+
+  /** Snapshot-level twin of [[boxFilePruning]]: the pruning decision
+    * made entirely against ONE pinned snapshot's metadata and entries —
+    * the form [[readBox]] uses so its decision, file list, and schema
+    * cannot straddle a concurrent commit. */
+  private[graft] def boxFilePruningIn(snap: Snapshot,
+                                      box: Seq[(String, Double, Double)])
+      : Option[(Seq[String], Int)] = {
     snap.meta.get("zorder.dims").map(_.split(',').toSeq) match {
       case Some(ds) if box.forall(b => ds.contains(b._1)) =>
         val bits = snap.meta("zorder.bits").toInt
@@ -997,8 +1025,7 @@ object Versioned {
         }
         val zLo = Scale.zOf(loHi.map(_._1), bits)
         val zHi = Scale.zOf(loHi.map(_._2), bits)
-        Some((filesForRange(spark, tableDir, version, "__z", zLo, zHi),
-          snap.files.size))
+        Some((filesForRangeIn(snap.entries, "__z", zLo, zHi), snap.files.size))
       case _ => None
     }
   }

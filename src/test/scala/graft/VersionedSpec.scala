@@ -689,6 +689,45 @@ class VersionedSpec extends SparkSuite {
     }
   }
 
+  test("incremental z-order: out-of-range tail rows clamp to edge buckets, never pruned away") {
+    // regression: zValueK's bucket used to clamp only the UPPER bound;
+    // a tail row BELOW a dimension's recorded min got a negative bucket
+    // whose sign-extended bits Morton-interleaved into a garbage-large
+    // __z — the file's stats box then sat disjoint from the probe's
+    // (both-sides-clamped) [zLo, zHi] and readBox silently DROPPED the
+    // rows. Both sides now clamp, so late out-of-range values land in
+    // the edge buckets and pruning stays sound.
+    import spark.implicits._
+    val dir = freshDir()
+    val d = grid() // a ∈ [0,19], b ∈ [0,19] — these become the recorded stats
+    Versioned.init(d, dir)
+    Versioned.compactZOrder(spark, dir, Seq("a", "b"), numRanges = 8)
+    // tail entirely BELOW the recorded min on a (and one row above max on b)
+    val tail = Seq((2000L, -5L, 3L), (2001L, -3L, 7L), (2002L, 4L, 99L))
+      .toDF("id", "a", "b")
+    Versioned.append(tail.repartition(1), dir)
+    Versioned.compactZOrderIncremental(spark, dir, numRanges = 1)
+    val snap = Versioned.snapshot(spark, dir)
+    assert(snap.entries.forall(_.stats.exists(_._1 == "__z")))
+    // a probe whose box covers the below-min values must return them:
+    // driver-side bucketOf clamps the probe to bucket 0, Spark-side
+    // bucketization clamps the data rows to bucket 0 — they MEET
+    val below = Versioned.readBox(spark, dir, None,
+      Seq(("a", -10.0, -1.0), ("b", 0.0, 10.0)))
+    assert(below.select("id").as[Long].collect().sorted.toSeq === Seq(2000L, 2001L))
+    // a box straddling the recorded min also sees both sides
+    val straddle = Versioned.readBox(spark, dir, None,
+      Seq(("a", -10.0, 5.0), ("b", 3.0, 3.0)))
+    val wantStraddle = d.unionByName(tail)
+      .filter(col("a").between(-10, 5) && col("b") === 3)
+    assert(straddle.exceptAll(wantStraddle)
+      .unionAll(wantStraddle.exceptAll(straddle)).count() === 0)
+    // above-max on b clamps to the top bucket and is likewise served
+    val above = Versioned.readBox(spark, dir, None,
+      Seq(("a", 0.0, 19.0), ("b", 50.0, 200.0)))
+    assert(above.select("id").as[Long].collect().toSeq === Seq(2002L))
+  }
+
   test("streamed ingest then incremental z-order: metadata carries, exactly-once holds") {
     // the full production loop composed: OPTIMIZE ZORDER once, stream
     // micro-batches in (exactly-once commits), incremental-cluster the

@@ -245,17 +245,19 @@ object SparkEntry {
     // stream harness (MemoryStream is driver-side by nature) and is
     // bounded by the fixture corpus; the operator under test is the
     // distributed flatMapGroupsWithState pipeline itself. Both sides
-    // run on a pair-preserving QUARTER slice ((id mod 1e7) % 4 == 0:
+    // run on a pair-preserving EIGHTH slice ((id mod 1e7) % 8 == 0:
     // a planted copy at base+1e7 shares its base's residue, and bases
-    // are multiples of 10, so every base%20==0 pair survives WHOLE —
+    // are multiples of 10, so every base%40==0 pair survives WHOLE —
     // still several planted pairs at every fixture SF, minCount-guarded)
     // to bound the replay cost; the contract is corpus-independent.
-    // (r10 ran the half slice at 2.95s — #2 in the bench; the replay
-    // cost scales with rows through the per-trigger state machinery.)
+    // (r10 ran the half slice at 2.95s — #2 in the bench; r13 ran the
+    // quarter at 2.26s, still #3: the replay cost scales with rows
+    // through the per-trigger state machinery, so the slice halves
+    // again — the state-machine path is identical at any slice.)
     "dedup_stream_agreement" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val corpus = docsWithNearDupes(s, dir).select("doc_id", "text")
-        .filter((col("doc_id") % 10000000L % 4L) === 0L)
+        .filter((col("doc_id") % 10000000L % 8L) === 0L)
       val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val sink = s"__dedup_stream_gate_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
@@ -291,7 +293,7 @@ object SparkEntry {
       // the agreement join itself runs at the session's partitioning.
       Recall.setAgreement(s.createDataFrame(streamed).toDF("id_a", "id_b"),
         Dedup.minhashCandidatesFromSigs(nearDupMinhashSigs(s, dir)
-          .filter((col("doc_id") % 10000000L % 4L) === 0L)),
+          .filter((col("doc_id") % 10000000L % 8L) === 0L)),
         on = Seq("id_a", "id_b"), floor = 1.0, minCount = 1L)
     }),
     // GATED planted-hot-bucket skew: an adversarial all-identical corpus
@@ -2618,6 +2620,21 @@ object SparkEntry {
           explode(filter(split(col("s"), " "), x => x =!= "")).as("token"))
         .groupBy("token").agg(sum(col("freq")).as("n"))
     }),
+    // GATED delta-vs-recount BPE training agreement: learnMergesDelta
+    // (per-round aggregation over ONLY the words touched by the last
+    // merge — the tokenizer-scale path, where late rounds touch a
+    // vanishing fraction of the vocabulary) must reproduce the full-
+    // recount trainer MERGE-FOR-MERGE, counts included, at t=32 on a
+    // corpus slice. Floor 1.0: the delta maintenance is integer-exact
+    // by construction, so ANY divergence is a bug, not noise. Both
+    // trainings are build artifacts (memoized per context+dir, like
+    // the ANN indexes); the agreement join re-executes per sweep.
+    "text_bpe_delta_agreement" -> ((s, dir) => {
+      val (recount, delta) = bpeDeltaTables(s, dir)
+      Recall.setAgreement(delta, recount,
+        on = Seq("t", "sym_a", "sym_b", "pair_count"),
+        floor = 1.0, minCount = 32L)
+    }),
     // versioned corpus: v0 = documents, v1 = copy-on-write upsert of a
     // delta. Reading v0 AFTER v1 landed must equal the original table
     // (time travel / snapshot isolation — the upsert touched nothing v0
@@ -2763,7 +2780,7 @@ object SparkEntry {
     // nothing re-clustered, every file z-ranged, probe still pruning —
     // is pinned in-plan from the fixture's recorded manifest facts.
     "versioned_zorder_incremental" -> ((s, dir) => {
-      val (path, versions, carried, allClustered, kept, total) =
+      val (path, versions, carried, allClustered, kept, total, tailRows, clamped) =
         versionedZIncInfo(s, dir)
       Versioned.readBox(s, path, None, zBoxProbe)
         .groupBy(col("event_type"))
@@ -2781,6 +2798,14 @@ object SparkEntry {
           .otherwise(raise_error(concat(
             lit("incremental z-order pruned nothing: kept "), lit(kept),
             lit(" of "), lit(total), lit(" files")))))
+        // bucket occupancy pinned: the ingest tail bucketized IN-RANGE
+        // (zero edge-bucket clamps) against the stats recorded at the
+        // original OPTIMIZE — the drift audit that warns-and-heals via
+        // rebucketize() on a production table must read clean here
+        .filter(when(lit(tailRows > 0L && clamped == 0L), lit(true))
+          .otherwise(raise_error(concat(
+            lit("incremental z-order bucket-occupancy drift: "), lit(clamped),
+            lit(" of "), lit(tailRows), lit(" tail rows clamped to edge buckets")))))
     }),
     // change-data capture v0 → v1: exactly the upsert's delta surfaces,
     // classified as updates with old/new values side by side
@@ -2956,6 +2981,24 @@ object SparkEntry {
     bpeLearned.getOrElseUpdate(dir,
       Bpe.learnMerges(Tables.documents(s, dir), 6).orderBy("t").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Both BPE trainings (recount twin + delta-maintained) at t=32 over
+    * a 5% corpus slice, memoized per (SparkContext, dir) — the
+    * `text_bpe_delta_agreement` fixture. The slice bounds the 64 total
+    * merge rounds to vocabulary-of-a-slice size; the CONTRACT
+    * (delta == recount merge-for-merge) is corpus-independent. At
+    * sf0.01 the slice still learns the full 32 merges (minCount-
+    * guarded in the gate row). localCheckpoint pins both tables so the
+    * per-sweep agreement join reads materialized frames. */
+  private val bpeDeltaBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (DataFrame, DataFrame)]
+  private def bpeDeltaTables(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeDeltaBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val slice = Tables.documents(s, dir)
+        .filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+      (Bpe.learnMerges(slice, 32).localCheckpoint(true),
+        Bpe.learnMergesDelta(slice, 32).localCheckpoint(true))
+    })
 
   /** SemDeDup's fitted cluster assignment, pinned once per (context,
     * fixture dir): the KMeans fit is BUILD state exactly like
@@ -3520,9 +3563,9 @@ object SparkEntry {
     * box probe's (kept, total) pruning decision spanning old AND new
     * files. */
   private val versionedZIncBuilt = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (String, Seq[Int], Boolean, Boolean, Int, Int)]
+    .empty[(Int, String), (String, Seq[Int], Boolean, Boolean, Int, Int, Long, Long)]
   private def versionedZIncInfo(s: SparkSession, dir: String)
-      : (String, Seq[Int], Boolean, Boolean, Int, Int) =
+      : (String, Seq[Int], Boolean, Boolean, Int, Int, Long, Long) =
     versionedZIncBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_zinc/${artifactKey(dir)}"
       val root = new org.apache.hadoop.fs.Path(path)
@@ -3534,6 +3577,13 @@ object SparkEntry {
       Versioned.compactZOrder(s, path, Seq("user_id", "ts_us"), numRanges = 16)
       val clustered = Versioned.snapshot(s, path).files.toSet
       Versioned.append(ev.filter(col("event_id") % 2 === 1).repartition(4), path)
+      // bucket-occupancy audit BEFORE the maintenance pass: the tail
+      // must bucketize IN-RANGE against the recorded stats (both event
+      // halves share the fixture's user/time domain) — a nonzero clamp
+      // count here means the bucketization or the stats drifted
+      val drift = Versioned.zOrderDrift(s, path).getOrElse(
+        throw new IllegalStateException(
+          s"z-order metadata lost at $path before the incremental pass"))
       Versioned.compactZOrderIncremental(s, path, numRanges = 8)
       val snap = Versioned.snapshot(s, path)
       val carried = clustered.subsetOf(snap.files.toSet)
@@ -3545,7 +3595,8 @@ object SparkEntry {
         .getOrElse(throw new IllegalStateException(
           s"incremental z-order commit at $path lost its zorder.* metadata " +
             s"for $zBoxProbe — mutations must carry standing table metadata"))
-      (path, Versioned.versions(s, path), carried, allClustered, kept.size, total)
+      (path, Versioned.versions(s, path), carried, allClustered, kept.size, total,
+        drift.tailRows, drift.clampedRows)
     })
 
   /** Two REAL racing writers on one versioned table, staged once per

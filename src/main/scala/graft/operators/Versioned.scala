@@ -145,8 +145,13 @@ object Versioned {
   private def normFileName(s: String): String =
     norm(new Path(new java.net.URI(s)))
 
-  /** All committed versions, ascending (empty if uninitialized). */
+  /** All committed versions, ascending (empty if uninitialized) — the
+    * FULL-LISTING enumeration. Hot-path resolution does not use this
+    * anymore (see [[resolveLatest]]); it remains the source of truth for
+    * vacuum, error reporting, and the fallback when the `_latest`
+    * pointer is absent or stale. */
   def versions(spark: SparkSession, tableDir: String): Seq[Int] = {
+    listingCalls.incrementAndGet()
     val dir = new Path(s"$tableDir/_manifests")
     val f = fs(spark, dir)
     if (!f.exists(dir)) Seq.empty
@@ -156,22 +161,115 @@ object Versioned {
       .sorted.toSeq
   }
 
-  /** Pin a version's file list (latest when `version` is None). */
+  /** Test-visible instrumentation: how many times the O(#versions)
+    * directory listing ran. The latest-pointer spec pins that the hot
+    * read path does NOT list (a year of hourly commits is ~9k manifest
+    * names per listing — the first thing a 100 TB table hits). */
+  private[graft] val listingCalls = new java.util.concurrent.atomic.AtomicLong
+
+  private def latestPointerPath(tableDir: String) =
+    new Path(s"$tableDir/_manifests/_latest")
+
+  /** Best-effort, MONOTONE advance of the `_latest` pointer after a
+    * successful commit. The pointer is advisory: readers treat it as a
+    * lower bound and forward-probe to the true latest, so a lost update
+    * here (two committers racing the write, a crash between manifest
+    * publish and pointer write) costs one extra exists() probe per
+    * version of staleness — never a wrong answer. Failures are
+    * swallowed for the same reason: the commit itself already succeeded
+    * at the manifest rename, which remains the only atomic truth. */
+  private def advanceLatest(spark: SparkSession, tableDir: String, v: Int): Unit =
+    try {
+      val p = latestPointerPath(tableDir)
+      val f = fs(spark, p)
+      if (readLatestPointer(spark, tableDir).forall(_ < v)) {
+        val tmp = new Path(p.getParent,
+          s"._latest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = f.create(tmp, true)
+        try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+        // overwrite semantics differ per scheme (local rename clobbers,
+        // HDFS rename refuses) — delete-then-rename is fine for an
+        // ADVISORY pointer: a reader hitting the gap just falls back
+        if (f.exists(p)) f.delete(p, false)
+        if (!f.rename(tmp, p)) f.delete(tmp, false)
+      }
+    } catch { case _: Throwable => () }
+
+  private def readLatestPointer(spark: SparkSession, tableDir: String): Option[Int] =
+    try {
+      val p = latestPointerPath(tableDir)
+      val f = fs(spark, p)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+        Some(txt.toInt).filter(_ >= 0)
+      }
+    } catch { case _: Throwable => None }
+
+  /** O(1)-metadata resolution of the latest version: read the `_latest`
+    * pointer, verify its manifest exists, forward-probe past any
+    * staleness (a racing committer that lost the pointer write, or a
+    * commit newer than the last pointer update). A healthy pointer
+    * costs ONE small-file read + one or two exists() probes — never the
+    * O(#versions) directory listing a year of hourly commits would pay
+    * on every read. None = pointer absent/corrupt/pointing at a
+    * vacuumed manifest → caller falls back to [[versions]]. */
+  private def resolveLatest(spark: SparkSession, tableDir: String): Option[Int] =
+    readLatestPointer(spark, tableDir).flatMap { p0 =>
+      val f = fs(spark, manifestPath(tableDir, p0))
+      if (!f.exists(manifestPath(tableDir, p0))) None
+      else {
+        var v = p0
+        while (f.exists(manifestPath(tableDir, v + 1))) v += 1
+        Some(v)
+      }
+    }
+
+  /** Committed versions newest-first, LAZILY: starts from the pointer-
+    * resolved latest and walks down while manifests exist (versions are
+    * contiguous down to the vacuum horizon), so a consumer that stops
+    * early — [[lastBatchId]] stops at the first stream-stamped commit —
+    * pays O(answer depth) metadata probes, not an O(#versions) listing
+    * per micro-batch. */
+  private def versionsNewestFirst(spark: SparkSession, tableDir: String): Iterator[Int] =
+    resolveLatest(spark, tableDir) match {
+      case Some(latest) =>
+        val f = fs(spark, manifestPath(tableDir, latest))
+        Iterator.iterate(latest)(_ - 1)
+          .takeWhile(v => v >= 0 && f.exists(manifestPath(tableDir, v)))
+      case None => versions(spark, tableDir).sorted.reverse.iterator
+    }
+
+  /** Pin a version's file list (latest when `version` is None).
+    *
+    * Resolution cost (the 100 TB hot path): a pinned version opens its
+    * manifest directly — one exists() + one read; "latest" resolves
+    * through the `_latest` pointer — one small-file read + the probe —
+    * with the directory listing reserved for the fallback and for ERROR
+    * reporting (naming the retained range when a version is missing is
+    * worth a listing; serving every healthy read is not). */
   def snapshot(spark: SparkSession, tableDir: String,
                version: Option[Int] = None): Snapshot = {
-    val vs = versions(spark, tableDir)
-    require(vs.nonEmpty, s"no versions at $tableDir")
-    val v = version.getOrElse(vs.max)
-    // versions are contiguous by construction (each commit is prior+1),
-    // so a requested version BELOW the earliest retained one existed and
-    // was vacuumed — that gets the typed retention error; anything else
-    // missing was never committed
-    if (v < vs.min)
-      throw new VersionRetentionException(
-        s"version $v of $tableDir was removed by vacuum (earliest retained: " +
-          s"${vs.min}); time travel past the retention window is gone — " +
-          "pin versions you need or raise keepVersions")
-    require(vs.contains(v), s"version $v not in $vs at $tableDir")
+    val v = version.orElse(resolveLatest(spark, tableDir)).getOrElse {
+      val vs = versions(spark, tableDir)
+      require(vs.nonEmpty, s"no versions at $tableDir")
+      vs.max
+    }
+    if (!fs(spark, manifestPath(tableDir, v)).exists(manifestPath(tableDir, v))) {
+      // slow path, errors only: the listing distinguishes "vacuumed"
+      // (below the retained contiguous range — typed) from "never
+      // committed" and names the surviving range in the message
+      val vs = versions(spark, tableDir)
+      require(vs.nonEmpty, s"no versions at $tableDir")
+      if (v < vs.min)
+        throw new VersionRetentionException(
+          s"version $v of $tableDir was removed by vacuum (earliest retained: " +
+            s"${vs.min}); time travel past the retention window is gone — " +
+            "pin versions you need or raise keepVersions")
+      require(vs.contains(v), s"version $v not in $vs at $tableDir")
+    }
     // '#'-prefixed lines are commit metadata (k=v, value may contain
     // '='), the rest are file entries
     val lines = manifestLines(spark, tableDir, v)
@@ -198,7 +296,7 @@ object Versioned {
     * exactly-once guard. */
   def lastBatchId(spark: SparkSession, tableDir: String,
                   writerId: Option[String] = None): Option[Long] =
-    versions(spark, tableDir).sorted.reverse.iterator
+    versionsNewestFirst(spark, tableDir)
       .flatMap { v =>
         val lines = manifestLines(spark, tableDir, v)
         // a writerId-scoped probe matches only commits stamped by the
@@ -456,6 +554,9 @@ object Versioned {
     if (!published)
       throw new CommitRaceLost(
         s"concurrent commit: lost the publish race for version $v at $tableDir")
+    // manifest is live — advance the advisory latest pointer so the next
+    // reader resolves "latest" in O(1) metadata instead of a listing
+    advanceLatest(spark, tableDir, v)
     v
   }
 
@@ -971,6 +1072,21 @@ object Versioned {
       case None      => spark.read
     }
     val tail = reader.parquet(unclustered.map(_.path): _*)
+    // edge-bucket drift audit (one O(tail) aggregate, same pass shape
+    // as zOrderDrift): out-of-range values clamp soundly, but a tail
+    // that has drifted past the recorded stats erodes pruning sharpness
+    // — surface it at maintenance time, like the bloom saturation warn
+    val anyOut = dims.zipWithIndex.map { case (d, i) =>
+      col(d).cast("double") < st(2 * i) || col(d).cast("double") > st(2 * i + 1)
+    }.reduce(_ || _)
+    val driftRow = tail.agg(count(lit(1)), count(when(anyOut, 1))).collect()(0)
+    val (tailRows, clamped) = (driftRow.getLong(0), driftRow.getLong(1))
+    if (tailRows > 0 && clamped.toDouble / tailRows > 0.25)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"z-order tail at $tableDir has drifted past the recorded stats: " +
+          f"$clamped of $tailRows rows (${clamped * 100.0 / tailRows}%.0f%%) clamp " +
+          "to edge buckets — pruning stays SOUND but edge probes fatten; " +
+          "run rebucketize() to re-derive the layout with fresh stats")
     val zc = Scale.zValueK(
       dims.zipWithIndex.map { case (d, i) =>
         (col(d), lit(st(2 * i)), lit(st(2 * i + 1))) }, bits)
@@ -991,6 +1107,71 @@ object Versioned {
         latest.meta + ("schema" ->
           evolveSchema(latest.schema, tail).json))) // zorder.* carried via latest.meta
     }, newEntries)
+  }
+
+  /** Clamp-drift audit of a z-ordered table's unclustered tail: how
+    * many tail rows fall OUTSIDE the bucketization stats recorded at
+    * the original [[compactZOrder]] commit, per dimension. Out-of-range
+    * values clamp to the edge buckets — sound (never a correctness
+    * risk) but sharpness-eroding: a quarter of the tail piling into
+    * bucket 0 makes every edge-touching probe read the whole pile. The
+    * bloom layer got exactly this observability in its saturation
+    * warning; this is the z layer's twin. One O(tail) aggregation over
+    * only the un-z-ranged files; None when the table carries no
+    * z-order commit. */
+  case class ZOrderDrift(tailRows: Long, clampedRows: Long,
+                         perDim: Seq[(String, Long, Long)]) {
+    def clampFraction: Double =
+      if (tailRows == 0L) 0.0 else clampedRows.toDouble / tailRows
+  }
+
+  def zOrderDrift(spark: SparkSession, tableDir: String,
+                  version: Option[Int] = None): Option[ZOrderDrift] = {
+    val snap = snapshot(spark, tableDir, version)
+    snap.meta.get("zorder.dims").map(_.split(',').toSeq).map { dims =>
+      val st = snap.meta("zorder.stats").split(',').map(_.toDouble)
+      val unclustered = snap.entries.filterNot(_.stats.exists(_._1 == "__z"))
+      if (unclustered.isEmpty) ZOrderDrift(0L, 0L, dims.map((_, 0L, 0L)))
+      else {
+        def reader = snap.schema match {
+          case Some(stc) => spark.read.schema(stc)
+          case None      => spark.read
+        }
+        val tail = reader.parquet(unclustered.map(_.path): _*)
+        val outCols = dims.zipWithIndex.flatMap { case (d, i) =>
+          Seq(count(when(col(d).cast("double") < st(2 * i), 1)),
+            count(when(col(d).cast("double") > st(2 * i + 1), 1)))
+        }
+        val anyOut = dims.zipWithIndex.map { case (d, i) =>
+          col(d).cast("double") < st(2 * i) || col(d).cast("double") > st(2 * i + 1)
+        }.reduce(_ || _)
+        // ONE aggregation: total, any-dim-clamped, then (below, above)
+        // per dimension positionally
+        val full = tail.agg(count(lit(1)), count(when(anyOut, 1)) +: outCols: _*)
+          .collect()(0)
+        ZOrderDrift(full.getLong(0), full.getLong(1),
+          dims.zipWithIndex.map { case (d, i) =>
+            (d, full.getLong(2 + 2 * i), full.getLong(3 + 2 * i)) })
+      }
+    }
+  }
+
+  /** Re-derive the z-order layout with FRESH stats: a full
+    * [[compactZOrder]] on the dims recorded in the table's standing
+    * metadata. This is the refresh [[zOrderDrift]] points at — after a
+    * year of ingest has drifted past the original min/max and the edge
+    * buckets are crowding, one rebucketize restores sharp pruning;
+    * until then every probe stays CORRECT (clamping is sound), just
+    * fatter on the edges. */
+  def rebucketize(spark: SparkSession, tableDir: String,
+                  numRanges: Int = 32): Int = {
+    val snap = snapshot(spark, tableDir)
+    val dims = snap.meta.getOrElse("zorder.dims",
+      throw new IllegalStateException(
+        s"$tableDir has no z-order commit to rebucketize — run compactZOrder first"))
+      .split(',').toSeq
+    compactZOrder(spark, tableDir, dims, numRanges,
+      snap.meta("zorder.bits").toInt)
   }
 
   /** The manifest-arithmetic half of [[readBox]], exposed so callers

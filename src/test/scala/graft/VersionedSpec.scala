@@ -577,6 +577,54 @@ class VersionedSpec extends SparkSuite {
       .toDF("id", "a", "b").repartition(8)
   }
 
+  test("latest pointer: O(1) resolution without listing; stale/corrupt/absent degrade safely") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init((0 until 20).map(i => (i.toLong, i.toLong)).toDF("doc_id", "x"), dir)
+    (1 to 5).foreach(i =>
+      Versioned.append(Seq((100L + i, i.toLong)).toDF("doc_id", "x"), dir))
+    val ptr = new org.apache.hadoop.fs.Path(s"$dir/_manifests/_latest")
+    val f = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(ptr), "commits must maintain the _latest pointer")
+    // healthy pointer: latest AND pinned resolution never run the
+    // O(#versions) directory listing — the 100 TB hot path
+    val before = Versioned.listingCalls.get()
+    assert(Versioned.snapshot(spark, dir).version === 5)
+    assert(Versioned.snapshot(spark, dir, Some(3)).version === 3)
+    assert(Versioned.read(spark, dir).count() === 25)
+    assert(Versioned.listingCalls.get() === before,
+      "healthy snapshot resolution must not list the manifest directory")
+    def writePointer(txt: String): Unit = {
+      val out = f.create(ptr, true)
+      try out.write(txt.getBytes("UTF-8")) finally out.close()
+    }
+    // REGRESSED pointer (a racing committer lost the advisory pointer
+    // write): the forward probe still finds the true latest, no listing
+    writePointer("2\n")
+    assert(Versioned.snapshot(spark, dir).version === 5)
+    assert(Versioned.listingCalls.get() === before,
+      "stale-pointer recovery is forward probing, not a listing")
+    // CORRUPT pointer: falls back to the listing, still correct
+    writePointer("not-a-version")
+    assert(Versioned.snapshot(spark, dir).version === 5)
+    // ABSENT pointer (pre-pointer table): same fallback
+    f.delete(ptr, false)
+    assert(Versioned.snapshot(spark, dir).version === 5)
+    // the next commit heals the pointer
+    Versioned.append(Seq((200L, 9L)).toDF("doc_id", "x"), dir)
+    assert(Versioned.snapshot(spark, dir).version === 6)
+    assert(f.exists(ptr))
+    val after = Versioned.listingCalls.get()
+    assert(Versioned.snapshot(spark, dir).version === 6)
+    assert(Versioned.listingCalls.get() === after, "healed pointer serves O(1) again")
+    // retention semantics unchanged: a vacuumed version still raises typed
+    Versioned.vacuum(spark, dir, keepVersions = 2)
+    intercept[Versioned.VersionRetentionException] {
+      Versioned.snapshot(spark, dir, Some(0))
+    }
+    assert(Versioned.snapshot(spark, dir).version === 6)
+  }
+
   test("compactZOrder: readBox == full filter, prunes files, history intact") {
     val dir = freshDir()
     val d = grid()
@@ -726,6 +774,56 @@ class VersionedSpec extends SparkSuite {
     val above = Versioned.readBox(spark, dir, None,
       Seq(("a", 0.0, 19.0), ("b", 50.0, 200.0)))
     assert(above.select("id").as[Long].collect().toSeq === Seq(2002L))
+  }
+
+  test("zOrderDrift observes edge clamping; rebucketize restores sharp pruning") {
+    import spark.implicits._
+    val dir = freshDir()
+    val d = grid() // a ∈ [0,19], b ∈ [0,19]
+    Versioned.init(d, dir)
+    Versioned.compactZOrder(spark, dir, Seq("a", "b"), numRanges = 8)
+    // fully clustered: drift is observable and zero
+    val clean = Versioned.zOrderDrift(spark, dir).get
+    assert(clean.tailRows === 0L && clean.clampedRows === 0L)
+    // a table with no z-order commit has nothing to audit
+    val bare = freshDir()
+    Versioned.init(grid(40), bare)
+    assert(Versioned.zOrderDrift(spark, bare).isEmpty)
+    intercept[IllegalStateException] { Versioned.rebucketize(spark, bare) }
+    // planted drift: a tail entirely below the recorded min on a
+    val tail = (0 until 20).map(i => (3000L + i, -100L + i, (i % 20).toLong))
+      .toDF("id", "a", "b")
+    Versioned.append(tail.repartition(1), dir)
+    val drift = Versioned.zOrderDrift(spark, dir).get
+    assert(drift.tailRows === 20L && drift.clampedRows === 20L)
+    assert(drift.perDim.find(_._1 == "a").get._2 === 20L, "all below min on a")
+    assert(drift.perDim.find(_._1 == "a").get._3 === 0L)
+    assert(drift.clampFraction > 0.25, "past the warn threshold")
+    // the incremental pass (which logs the warning) stays SOUND: the
+    // clamped tail still serves through readBox
+    Versioned.compactZOrderIncremental(spark, dir, numRanges = 1)
+    val served = Versioned.readBox(spark, dir, None,
+      Seq(("a", -100.0, -90.0), ("b", 0.0, 19.0)))
+    assert(served.count() === 11)
+    // rebucketize: full re-cluster with FRESH stats — the recorded min
+    // now covers the drifted range, drift resets, pruning sharpens
+    Versioned.rebucketize(spark, dir, numRanges = 8)
+    val snap = Versioned.snapshot(spark, dir)
+    val st = snap.meta("zorder.stats").split(',').map(_.toDouble)
+    assert(st(0) === -100.0, s"fresh stats must cover the drifted tail: ${st.toSeq}")
+    val healed = Versioned.zOrderDrift(spark, dir).get
+    assert(healed.tailRows === 0L && healed.clampedRows === 0L)
+    // content identical through the whole cycle
+    val want = d.unionByName(tail)
+    val latest = Versioned.read(spark, dir)
+    assert(latest.exceptAll(want).unionAll(want.exceptAll(latest)).count() === 0)
+    // and the re-derived layout prunes on the NEW domain: an edge probe
+    // in the drifted region no longer reads the whole table
+    val probe = Versioned.readBox(spark, dir, None,
+      Seq(("a", -100.0, -95.0), ("b", 0.0, 5.0)))
+    assert(probe.count() === 6)
+    assert(probe.inputFiles.length < snap.files.size,
+      "rebucketized layout must prune edge probes again")
   }
 
   test("streamed ingest then incremental z-order: metadata carries, exactly-once holds") {

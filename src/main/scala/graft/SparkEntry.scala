@@ -2798,14 +2798,18 @@ object SparkEntry {
           .otherwise(raise_error(concat(
             lit("incremental z-order pruned nothing: kept "), lit(kept),
             lit(" of "), lit(total), lit(" files")))))
-        // bucket occupancy pinned: the ingest tail bucketized IN-RANGE
-        // (zero edge-bucket clamps) against the stats recorded at the
-        // original OPTIMIZE — the drift audit that warns-and-heals via
-        // rebucketize() on a production table must read clean here
-        .filter(when(lit(tailRows > 0L && clamped == 0L), lit(true))
+        // bucket occupancy pinned on the ENGINE property, not the data:
+        // clamping tail rows that fall outside the stats recorded at the
+        // original OPTIMIZE is CORRECT behavior (they land in edge
+        // buckets, never pruned away — VersionedSpec pins that), so the
+        // gate only requires the clamp fraction stay under the 25% warn
+        // bar zOrderDrift() heals past (Versioned.zOrderDrift). The
+        // existing hash oracle already proves no clamped row is lost.
+        .filter(when(lit(tailRows > 0L && clamped * 4L <= tailRows), lit(true))
           .otherwise(raise_error(concat(
-            lit("incremental z-order bucket-occupancy drift: "), lit(clamped),
-            lit(" of "), lit(tailRows), lit(" tail rows clamped to edge buckets")))))
+            lit("incremental z-order bucket-occupancy drift past warn bar: "),
+            lit(clamped), lit(" of "), lit(tailRows),
+            lit(" tail rows clamped to edge buckets")))))
     }),
     // change-data capture v0 → v1: exactly the upsert's delta surfaces,
     // classified as updates with old/new values side by side

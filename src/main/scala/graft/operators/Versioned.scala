@@ -270,14 +270,62 @@ object Versioned {
             "pin versions you need or raise keepVersions")
       require(vs.contains(v), s"version $v not in $vs at $tableDir")
     }
+    // Resolve the manifest CHAIN: a delta manifest (meta key `base`)
+    // carries only this commit's added entries and `-\t<path>` removal
+    // lines against version v-1; walk down to the nearest full manifest
+    // (v0, every CheckpointEvery-th version, and any commit whose delta
+    // wouldn't be smaller), then replay the deltas upward — removals
+    // first, then adds appended, matching the `carried.filterNot ++
+    // newEntries` shape every commit builds, so old-format (all-full)
+    // and new-format chains reconstruct identical entry sequences.
+    // Chain length is bounded by CheckpointEvery, so a snapshot read
+    // pays O(CheckpointEvery) small manifest reads while a commit
+    // writes O(delta) bytes — a 1M-file table no longer serializes its
+    // whole live-file list on every append (Iceberg's manifest-list
+    // idea collapsed to the two-level form this single-FS layout needs;
+    // reference point for shape only).
+    var chain = List(rawManifest(spark, tableDir, v))
+    while (chain.head.base.isDefined)
+      chain = rawManifest(spark, tableDir, chain.head.base.get) :: chain
+    val top = chain.last // meta comes from the TOP manifest alone (written full per commit)
+    val full = chain.head
+    val deltas = chain.tail
+    if (deltas.isEmpty) Snapshot(v, full.adds, full.meta - "base")
+    else {
+      val acc = new java.util.LinkedHashMap[String, FileEntry]()
+      full.adds.foreach(e => acc.put(e.path, e))
+      deltas.foreach { d =>
+        d.removes.foreach(acc.remove)
+        d.adds.foreach { e => acc.remove(e.path); acc.put(e.path, e) }
+      }
+      Snapshot(v, scala.jdk.CollectionConverters.IterableHasAsScala(
+        acc.values()).asScala.toVector, top.meta - "base")
+    }
+  }
+
+  /** One manifest file, parsed but NOT chain-resolved: commit metadata,
+    * added entries, removal paths, and the delta-base version (None =
+    * full manifest, the pre-round-15 format — fully backward
+    * compatible). */
+  private case class RawManifest(meta: Map[String, String],
+                                 adds: Seq[FileEntry],
+                                 removes: Seq[String],
+                                 base: Option[Int])
+
+  private def rawManifest(spark: SparkSession, tableDir: String,
+                          v: Int): RawManifest = {
     // '#'-prefixed lines are commit metadata (k=v, value may contain
-    // '='), the rest are file entries
+    // '='), '-\t'-prefixed lines are delta removals, the rest are file
+    // entries
     val lines = manifestLines(spark, tableDir, v)
     val meta = lines.collect { case l if l.startsWith("#") =>
       val kv = l.drop(1).split("=", 2)
       kv(0) -> (if (kv.length > 1) kv(1) else "")
     }.toMap
-    Snapshot(v, lines.filterNot(_.startsWith("#")).map(parseEntry), meta)
+    val (removeLines, entryLines) =
+      lines.filterNot(_.startsWith("#")).partition(_.startsWith("-\t"))
+    RawManifest(meta, entryLines.map(parseEntry),
+      removeLines.map(_.drop(2)), meta.get("base").map(_.toInt))
   }
 
   private def manifestLines(spark: SparkSession, tableDir: String,
@@ -492,15 +540,32 @@ object Versioned {
     }
   }
 
+  /** Full manifests are forced at v0 and every CheckpointEvery-th
+    * version, so a snapshot read replays at most CheckpointEvery-1
+    * deltas and vacuum's checkpoint rewrite stays rare. 8 balances
+    * commit bytes (7/8 of commits write O(delta)) against read fan-in
+    * (≤8 small sequential manifest reads — at 100 TB these are KB-sized
+    * metadata files, dwarfed by any data I/O they gate). */
+  private[graft] val CheckpointEvery = 8
+
   /** Atomic commit: manifest written to a dot-temp, then PUBLISHED by an
     * atomic fail-on-exists primitive (hard link on local filesystems,
     * rename on HDFS-like ones — see below). Two writers committing the
     * same next version cannot both succeed — the loser gets
     * [[CommitRaceLost]] and the commit loops rebase it against the new
-    * snapshot. */
+    * snapshot.
+    *
+    * When `base` (the snapshot this commit was rebased against, always
+    * version v-1) is supplied and v is not a checkpoint version, the
+    * manifest is written as a DELTA — `#base=`+added entries+removal
+    * lines — whenever that is strictly smaller than the full list, so
+    * commit bytes are O(changed files), not O(live files). Metadata is
+    * always written in full (it is O(schema), not O(files)) so the hot
+    * read path still resolves schema/zorder/batchId from ONE manifest. */
   private[graft] def commitManifest(spark: SparkSession, tableDir: String, v: Int,
                                     entries: Seq[FileEntry],
-                                    meta: Map[String, String] = Map.empty): Int = {
+                                    meta: Map[String, String] = Map.empty,
+                                    base: Option[Snapshot] = None): Int = {
     val target = manifestPath(tableDir, v)
     val f = fs(spark, target)
     f.mkdirs(target.getParent)
@@ -513,9 +578,24 @@ object Versioned {
     val tmp = new Path(target.getParent,
       s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
-    val metaLines = meta.toSeq.sorted.map { case (k, vl) => s"#$k=$vl" }
+    // `base` is a physical chain key commitManifest owns — never let a
+    // stale copy ride in via `snap.meta ++ ...` carryover and mark a
+    // full manifest as a delta
+    val metaLines = (meta - "base").toSeq.sorted.map { case (k, vl) => s"#$k=$vl" }
+    val bodyLines: Seq[String] = base match {
+      case Some(b) if b.version == v - 1 && v % CheckpointEvery != 0 =>
+        val baseMap = b.entries.map(e => e.path -> e).toMap
+        val entryMap = entries.map(e => e.path -> e).toMap
+        // a changed entry (same path, new stats/bloom) travels as
+        // remove+add so replay's removals-then-adds order is exact
+        val removed = b.entries.filter(e => !entryMap.get(e.path).contains(e)).map(_.path)
+        val added = entries.filter(e => !baseMap.get(e.path).contains(e))
+        if (removed.size + added.size >= entries.size) entries.map(_.line)
+        else s"#base=${v - 1}" +: (added.map(_.line) ++ removed.map(p => s"-\t$p"))
+      case _ => entries.map(_.line)
+    }
     try out.write(
-      ((metaLines ++ entries.map(_.line)).mkString("\n") + "\n").getBytes("UTF-8"))
+      ((metaLines ++ bodyLines).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     // Atomic publish, per scheme. HDFS-like filesystems: rename, which
     // atomically FAILS when the destination exists. Local filesystems:
@@ -597,7 +677,8 @@ object Versioned {
             "committed concurrently: the interleaved commit rewrote files " +
             "or rows this writer read — re-run against the new snapshot")
       }
-      try return commitManifest(s, tableDir, snap.version + 1, entries, meta)
+      try return commitManifest(s, tableDir, snap.version + 1, entries, meta,
+        base = Some(snap))
       catch { case e: CommitRaceLost => last = e; attempt += 1 }
     }
     discardAttemptData(s, attemptData)
@@ -1033,6 +1114,12 @@ object Versioned {
       case Some(stc) => spark.read.schema(stc)
       case None      => spark.read
     }
+    // a delete-emptied version must surface as the same typed error
+    // read() raises, not an opaque schema-inference failure from a
+    // zero-path parquet call (the keep-empty branch below reads ONE
+    // file under filter(false) purely to carry the schema)
+    require(snap.files.nonEmpty,
+      s"version ${snap.version} of $tableDir has no files (fully deleted)")
     boxFilePruningIn(snap, box) match {
       case Some((keep, _)) =>
         if (keep.nonEmpty) reader.parquet(keep: _*).filter(pred)
@@ -1072,21 +1159,10 @@ object Versioned {
       case None      => spark.read
     }
     val tail = reader.parquet(unclustered.map(_.path): _*)
-    // edge-bucket drift audit (one O(tail) aggregate, same pass shape
-    // as zOrderDrift): out-of-range values clamp soundly, but a tail
-    // that has drifted past the recorded stats erodes pruning sharpness
-    // — surface it at maintenance time, like the bloom saturation warn
-    val anyOut = dims.zipWithIndex.map { case (d, i) =>
-      col(d).cast("double") < st(2 * i) || col(d).cast("double") > st(2 * i + 1)
-    }.reduce(_ || _)
-    val driftRow = tail.agg(count(lit(1)), count(when(anyOut, 1))).collect()(0)
-    val (tailRows, clamped) = (driftRow.getLong(0), driftRow.getLong(1))
-    if (tailRows > 0 && clamped.toDouble / tailRows > 0.25)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        f"z-order tail at $tableDir has drifted past the recorded stats: " +
-          f"$clamped of $tailRows rows (${clamped * 100.0 / tailRows}%.0f%%) clamp " +
-          "to edge buckets — pruning stays SOUND but edge probes fatten; " +
-          "run rebucketize() to re-derive the layout with fresh stats")
+    // drift auditing is [[zOrderDrift]]'s job (callers run it on their
+    // own cadence) — folding it here as a second aggregate would DOUBLE
+    // the read cost of the pass the scaladoc advertises as one
+    // O(unclustered tail) write; clamping below stays sound either way
     val zc = Scale.zValueK(
       dims.zipWithIndex.map { case (d, i) =>
         (col(d), lit(st(2 * i)), lit(st(2 * i + 1))) }, bits)
@@ -1260,8 +1336,47 @@ object Versioned {
           f.delete(verDir.getPath, true) // only _SUCCESS/metadata left
       }
     }
+    // the oldest retained version may be a DELTA whose chain reaches
+    // below the horizon — materialize it full before its base manifests
+    // go, so every retained version stays chain-resolvable (the higher
+    // retained deltas terminate at this version or above)
+    if (dropped.nonEmpty) checkpointManifest(spark, tableDir, retained.head)
     dropped.foreach(v => f.delete(manifestPath(tableDir, v), false))
     VacuumStats(deleted, referenced.size.toLong, dropped)
+  }
+
+  /** Rewrite version v's manifest IN PLACE as a full manifest (no-op
+    * when it already is one). Content-identical on both sides of the
+    * swap — a racing reader resolves the same Snapshot through either —
+    * so the replace only needs per-FS atomicity of the file itself:
+    * POSIX atomic move locally, delete+rename on HDFS-like schemes
+    * (same narrow maintenance-window contract vacuum already carries
+    * for data files). */
+  private def checkpointManifest(spark: SparkSession, tableDir: String,
+                                 v: Int): Unit = {
+    if (rawManifest(spark, tableDir, v).base.isEmpty) return
+    val snap = snapshot(spark, tableDir, Some(v))
+    val target = manifestPath(tableDir, v)
+    val f = fs(spark, target)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.ckpt.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    val metaLines = (snap.meta - "base").toSeq.sorted.map { case (k, vl) => s"#$k=$vl" }
+    try out.write(
+      ((metaLines ++ snap.entries.map(_.line)).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val scheme = target.toUri.getScheme
+    if (scheme == null || scheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(norm(tmp)), java.nio.file.Paths.get(norm(target)),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else {
+      f.delete(target, false)
+      if (!f.rename(tmp, target))
+        throw new java.io.IOException(
+          s"vacuum checkpoint of version $v at $tableDir failed to publish")
+    }
   }
 
   /** Rebase rule for the copy-on-write commits (upsert / delete /

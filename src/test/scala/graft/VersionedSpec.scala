@@ -943,4 +943,90 @@ class VersionedSpec extends SparkSuite {
         Seq(2L), base)
     }
   }
+
+  private def manifestLinesOf(dir: String, v: Int): Seq[String] = {
+    val f = new java.io.File(s"$dir/_manifests/v${"%05d".format(v)}.manifest")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+  }
+  private def isDelta(dir: String, v: Int): Boolean =
+    manifestLinesOf(dir, v).exists(_.startsWith("#base="))
+
+  test("delta manifests: commits write O(delta), snapshots reconstruct exactly, checkpoints force full") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir) // v0: always full
+    assert(!isDelta(dir, 0))
+    val fullSize0 = Versioned.snapshot(spark, dir).files.size
+    assert(fullSize0 >= 4)
+
+    // appends v1..v7 each add ONE data file; their manifests must be
+    // deltas carrying that one entry line, not the whole live list
+    (1 to 7).foreach { i =>
+      Versioned.append(
+        Seq((5000L + i, s"d$i", i.toLong)).toDF("doc_id", "lang", "n_chars")
+          .repartition(1), dir)
+      val lines = manifestLinesOf(dir, i)
+      assert(lines.exists(_ == s"#base=${i - 1}"), s"v$i should be a delta")
+      val entryLines = lines.filterNot(l => l.startsWith("#") || l.startsWith("-\t"))
+      assert(entryLines.size === 1,
+        s"append delta must carry ONE added entry, got ${entryLines.size} at v$i")
+      assert(!lines.exists(_.startsWith("-\t")), "append removes nothing")
+    }
+    // v8 = CheckpointEvery → forced FULL even though base was available
+    Versioned.append(Seq((6000L, "ck", 8L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    assert(!isDelta(dir, 8), "every CheckpointEvery-th commit must be full")
+    assert(manifestLinesOf(dir, 8).count(l => !l.startsWith("#")) === fullSize0 + 8)
+
+    // a COW upsert produces removals + adds in its delta
+    Versioned.upsert(Seq((5001L, "up", 99L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id")
+    val cowLines = manifestLinesOf(dir, 9)
+    assert(cowLines.exists(_ == "#base=8"))
+    assert(cowLines.count(_.startsWith("-\t")) >= 1, "rewritten file must be removed")
+
+    // reconstruction is exact at EVERY version: entries match what a
+    // full read of the chain yields, and content round-trips
+    val latest = Versioned.read(spark, dir)
+    assert(latest.count() === 90 + 8) // 7 delta appends + the v8 checkpoint append; v9 upsert replaces
+    assert(latest.filter(col("doc_id") === 5001L).head().getAs[String]("lang") === "up")
+    (0 to 9).foreach { v =>
+      assert(Versioned.read(spark, dir, Some(v)).count() === 90 + math.min(v, 8),
+        s"version $v row count")
+    }
+    // meta (schema and friends) resolves from the TOP manifest alone and
+    // never leaks the physical `base` key into Snapshot.meta
+    val snap = Versioned.snapshot(spark, dir)
+    assert(!snap.meta.contains("base"))
+    assert(snap.schema.isDefined)
+  }
+
+  test("vacuum checkpoints the oldest retained delta so retained chains survive the drop") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(30), dir)
+    (1 to 5).foreach { i =>
+      Versioned.append(
+        Seq((9000L + i, s"v$i", i.toLong)).toDF("doc_id", "lang", "n_chars")
+          .repartition(1), dir)
+    }
+    assert(isDelta(dir, 4) && isDelta(dir, 5))
+    val before4 = Versioned.read(spark, dir, Some(4)).collect().map(_.toSeq).toSet
+    val before5 = Versioned.read(spark, dir, Some(5)).collect().map(_.toSeq).toSet
+
+    val s = Versioned.vacuum(spark, dir, keepVersions = 2)
+    assert(s.droppedVersions === Seq(0, 1, 2, 3))
+    // the oldest retained version was a delta whose base chain is gone —
+    // it must have been materialized full, and BOTH retained versions
+    // must still resolve to exactly their pre-vacuum content
+    assert(!isDelta(dir, 4), "oldest retained must be checkpointed full")
+    assert(Versioned.read(spark, dir, Some(4)).collect().map(_.toSeq).toSet === before4)
+    assert(Versioned.read(spark, dir, Some(5)).collect().map(_.toSeq).toSet === before5)
+    assert(Versioned.versions(spark, dir) === Seq(4, 5))
+    // and commits keep flowing after the checkpoint rewrite
+    Versioned.append(Seq((9999L, "post", 1L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    assert(Versioned.read(spark, dir).count() === 36)
+  }
 }

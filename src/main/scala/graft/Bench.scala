@@ -148,27 +148,39 @@ object Bench {
              else extraPass(stallSuspects(afterThird).take(12))
     val afterFourth = afterThird.map { case (name, t) =>
       name -> math.min(t, s4.getOrElse(name, t)) }
-    // Recovery sweep: when the canary read slow at EITHER boundary of
-    // the measurement (start or post-sweeps), every minimum may carry
-    // the host's degraded mode. Wait briefly for the mode to pass (it
-    // runs minutes at a time); if a fresh canary reads nominal again,
-    // ONE more full sweep re-measures everything on the recovered host
-    // and the per-query minima fold it in. Bounded: <= 4 x 20s waits +
-    // one sweep; a host that never recovers publishes what it measured
-    // (the canary pair tells the reader which world the number is
-    // from). The published value is still never normalized.
-    val needRecovery = (cal0 > SlowBar || hostSlowMid || calibrate() > SlowBar)
-    var recovered = false
-    if (needRecovery) {
-      var tries = 0
-      while (!recovered && tries < 4) {
-        Thread.sleep(20000L)
-        recovered = calibrate() < RecoverBar
-        tries += 1
+    // Nominal-window re-record: the committed number should come from at
+    // least one full sweep CERTIFIED nominal — canary <= 1.5x the
+    // persisted floor at BOTH boundaries of the sweep, so the whole
+    // window (not just its entry) was healthy. If the two main sweeps
+    // already ran nominal-bounded, nothing to do. Otherwise poll the
+    // canary (20s apart, bounded); each time it reads nominal, run a
+    // full re-record sweep and fold its per-query times into the minima,
+    // counting the sweep certified only when the post-sweep canary is
+    // ALSO nominal. Bounded: <= 10 polls, <= 2 re-record sweeps — a few
+    // extra minutes against a degraded mode that runs minutes at a
+    // time; a host that never recovers publishes what it measured, with
+    // every canary reading in the artifact so the reader can see which
+    // world each number is from. The published value is still never
+    // normalized.
+    val calReadings = scala.collection.mutable.ArrayBuffer[Double](cal0, calMid)
+    var certifiedNominal = cal0 <= RecoverBar && calMid <= RecoverBar
+    var s5 = Map.empty[String, Double]
+    if (!certifiedNominal) {
+      var polls = 0
+      var resweeps = 0
+      while (!certifiedNominal && polls < 10 && resweeps < 2) {
+        val c = calibrate(); calReadings += c
+        if (c <= RecoverBar) {
+          resweeps += 1
+          val sw = sweep().collect { case (n, (t, None)) => n -> t }
+          sw.foreach { case (n, t) =>
+            s5 += n -> math.min(t, s5.getOrElse(n, Double.MaxValue)) }
+          val cAfter = calibrate(); calReadings += cAfter
+          certifiedNominal = cAfter <= RecoverBar
+        } else Thread.sleep(20000L)
+        polls += 1
       }
     }
-    val s5 = if (!recovered) Map.empty[String, Double]
-             else sweep().collect { case (n, (t, None)) => n -> t }
     val results = afterFourth.map { case (name, t) =>
       name -> math.min(t, s5.getOrElse(name, t)) }
     val errors = (s1.toSeq ++ s2.toSeq)
@@ -215,13 +227,16 @@ object Bench {
       .sortBy(-_._2)
     val flaggedJson = flagged
       .map { case (k, r) => jstr(k) + ":" + r }.mkString("{", ",", "}")
-    val cal1 = calibrate()
+    val cal1 = calibrate(); calReadings += cal1
     // persist the tightest canary this host has ever shown (see above)
     try java.nio.file.Files.write(calFile,
-      s"""{"nominal":${f"${math.max(0.01, Seq(NominalCanary, cal0, cal1).min)}%.4f"}}"""
+      s"""{"nominal":${f"${math.max(0.01, (NominalCanary +: calReadings.toSeq).min)}%.4f"}}"""
         .getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    val calJson = s""","calibration":[${f"$cal0%.3f"},${f"$cal1%.3f"}]"""
+    // every canary reading in measurement order, plus the persisted
+    // floor and whether a certified-nominal full sweep backs the minima
+    val calJson = s""","calibration":[${calReadings.map(c => f"$c%.3f").mkString(",")}]""" +
+      s""","cal_nominal":${f"$NominalCanary%.3f"},"nominal_window":$certifiedNominal"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"raw_runs":$rawRuns,"flagged":$flaggedJson$calJson$errJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     val budget = 1450

@@ -2646,6 +2646,25 @@ object SparkEntry {
     "versioned_latest" -> ((s, dir) =>
       Versioned.read(s, versionedDocsPath(s, dir))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // lossless type widening: int->long / float->double promote the
+    // committed columns with ZERO files rewritten (old int32/float
+    // files cast on read), a narrow post-promotion delta reads under
+    // the wide types, and time travel sees v0 under its original
+    // narrow schema — the hash oracle recomputes the full three-commit
+    // content, the widening facts are pinned in-plan
+    "versioned_schema_widen" -> ((s, dir) => {
+      val (path, widened, v0Narrow, carried) = versionedWidenInfo(s, dir)
+      Versioned.read(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("cnt")).as("sum_cnt"),
+          round(sum(col("score").cast("decimal(18,6)")), 4).cast("double").as("sum_score"))
+        .filter(when(lit(widened && v0Narrow && carried), lit(true))
+          .otherwise(raise_error(concat(
+            lit("schema widening drift: latest widened "), lit(widened),
+            lit(", v0 narrow "), lit(v0Narrow),
+            lit(", v0 files carried unrewritten "), lit(carried)))))
+    }),
     // conditional MERGE (last-write-wins by DATA, not arrival): delta
     // applies only when strictly newer by n_chars, ties keep current,
     // stale rows cannot clobber, new ids insert — the oracle replays
@@ -2810,6 +2829,39 @@ object SparkEntry {
             lit("incremental z-order bucket-occupancy drift past warn bar: "),
             lit(clamped), lit(" of "), lit(tailRows),
             lit(" tail rows clamped to edge buckets")))))
+    }),
+    // the HEAL LOOP driven end-to-end: z-order stats recorded over the
+    // early half of the month, the late half appended (drift planted —
+    // ~every tail row past the recorded ts max, far over the 25% warn
+    // bar), rebucketize() re-derives the layout with fresh stats, and a
+    // probe in the LATE region prunes sharply again. Content is
+    // hash-oracled (the probe box over the full events projection);
+    // the warn condition, the drift-free healed state, and the
+    // restored pruning decision are pinned in-plan from the fixture's
+    // recorded facts.
+    "versioned_zorder_heal" -> ((s, dir) => {
+      val (path, versions, clampBefore, clampAfter, kept, total) =
+        versionedZHealInfo(s, dir)
+      Versioned.readBox(s, path, None, zHealProbe)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
+        .filter(when(lit(versions == Seq(0, 1, 2, 3)), lit(true))
+          .otherwise(raise_error(concat(
+            lit("heal lineage drift: versions "), lit(versions.mkString(",")),
+            lit(" (want 0,1,2,3)")))))
+        .filter(when(lit(clampBefore > 0.25), lit(true))
+          .otherwise(raise_error(concat(
+            lit("heal fixture failed to plant drift: pre-heal clamp fraction "),
+            lit(clampBefore), lit(" (want > 0.25, the warn bar)")))))
+        .filter(when(lit(clampAfter == 0.0), lit(true))
+          .otherwise(raise_error(concat(
+            lit("rebucketize left drift behind: post-heal clamp fraction "),
+            lit(clampAfter)))))
+        .filter(when(lit(kept > 0 && kept < total), lit(true))
+          .otherwise(raise_error(concat(
+            lit("healed layout pruned nothing: kept "), lit(kept),
+            lit(" of "), lit(total), lit(" files")))))
     }),
     // change-data capture v0 → v1: exactly the upsert's delta surfaces,
     // classified as updates with old/new values side by side
@@ -3339,6 +3391,56 @@ object SparkEntry {
       path
     })
 
+  /** Versioned table exercising LOSSLESS TYPE WIDENING, built once per
+    * (ctx, dir): v0 = even docs with cnt:int / score:float over 4
+    * files, then an odd-docs delta arriving long/double promotes the
+    * committed columns (int->long, float->double), then a NARROW
+    * int/float delta lands after the promotion and reads under the wide
+    * types. Records the facts the row pins in-plan: latest schema
+    * widened, v0 schema still narrow under time travel, and every v0
+    * file carried by reference (the promotion rewrote ZERO data —
+    * Spark 4 parquet cast-on-read does the conversion at scan time,
+    * which is the whole 100 TB point: a year of int32 files keeps
+    * serving under the bigint column). */
+  private val versionedWidenBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean, Boolean, Boolean)]
+  private def versionedWidenInfo(s: SparkSession, dir: String)
+      : (String, Boolean, Boolean, Boolean) =
+    versionedWidenBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_widen/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir)
+      Versioned.init(
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"),
+          col("n_chars").cast("int").as("cnt"),
+          (col("doc_id") % 7).cast("float").as("score")).repartition(4),
+        path)
+      val v0Files = Versioned.snapshot(s, path).files.toSet
+      Versioned.append(
+        docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("lang"),
+          (col("n_chars").cast("long") + lit(3000000000L)).as("cnt"),
+          ((col("doc_id") % 7).cast("double") + lit(0.25)).as("score"))
+          .repartition(2),
+        path)
+      Versioned.append(
+        docs.filter(col("doc_id") % 100 === 0).select(
+          (col("doc_id") + lit(20000000L)).as("doc_id"), col("lang"),
+          lit(7).cast("int").as("cnt"), lit(0.5f).as("score")).repartition(1),
+        path)
+      val latest = Versioned.snapshot(s, path)
+      val latestSchema = latest.schema.get
+      val v0Schema = Versioned.snapshot(s, path, Some(0)).schema.get
+      import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+      (path,
+        latestSchema("cnt").dataType == LongType &&
+          latestSchema("score").dataType == DoubleType,
+        v0Schema("cnt").dataType == IntegerType &&
+          v0Schema("score").dataType == FloatType,
+        v0Files.subsetOf(latest.files.toSet))
+    })
+
   /** Versioned documents exercised through [[Versioned.mergeIfNewer]]:
     * v0 = documents(8 files), v1 = a MERGE delta planting every rule —
     * strictly newer (applies), stale (must not clobber), exact tie
@@ -3530,6 +3632,57 @@ object SparkEntry {
   private val zBoxHiUs = java.time.Instant.parse("2024-01-22T00:00:00Z").toEpochMilli * 1000L - 1L
   private val zBoxProbe = Seq(("user_id", 10.0, 25.0),
     ("ts_us", zBoxLoUs.toDouble, zBoxHiUs.toDouble))
+
+  /** The heal-loop fixture's drift cut and post-heal probe: the table
+    * is z-ordered over ONLY pre-Jan-16 events, then the back half of
+    * the month arrives — every appended row is past the recorded ts
+    * max, so the drift audit must read ~100% clamped (far past the 25%
+    * warn bar). The probe then sits ENTIRELY in the late region
+    * [Jan 20, Jan 24): before the heal those rows crowd the edge
+    * buckets; after [[Versioned.rebucketize]] re-derives the stats over
+    * the full domain the box prunes sharply again. */
+  private val zHealCutUs = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli * 1000L
+  private val zHealLoUs = java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli * 1000L
+  private val zHealHiUs = java.time.Instant.parse("2024-01-24T00:00:00Z").toEpochMilli * 1000L - 1L
+  private val zHealProbe = Seq(("user_id", 10.0, 25.0),
+    ("ts_us", zHealLoUs.toDouble, zHealHiUs.toDouble))
+
+  /** Drift → warn → rebucketize → re-pruned, staged once per (ctx,
+    * dir): v0 = pre-cut events in 8 files, v1 = OPTIMIZE ZORDER
+    * (user_id, ts_us) with stats recorded over the narrow early
+    * domain, v2 = the whole late half appended (drift planted), v3 =
+    * [[Versioned.rebucketize]] healing the layout with fresh stats.
+    * Records: the version chain, the pre-heal clamp fraction (the warn
+    * condition), the post-heal drift (must be zero — everything
+    * re-clustered), and the late-region probe's (kept, total) pruning
+    * decision on the healed layout. */
+  private val versionedZHealBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Seq[Int], Double, Double, Int, Int)]
+  private def versionedZHealInfo(s: SparkSession, dir: String)
+      : (String, Seq[Int], Double, Double, Int, Int) =
+    versionedZHealBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_zheal/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      Versioned.init(ev.filter(col("ts_us") < zHealCutUs).repartition(8), path)
+      Versioned.compactZOrder(s, path, Seq("user_id", "ts_us"), numRanges = 16)
+      Versioned.append(ev.filter(col("ts_us") >= zHealCutUs).repartition(4), path)
+      val drift = Versioned.zOrderDrift(s, path).getOrElse(
+        throw new IllegalStateException(
+          s"z-order metadata lost at $path before the heal"))
+      Versioned.rebucketize(s, path, numRanges = 16)
+      val after = Versioned.zOrderDrift(s, path).getOrElse(
+        throw new IllegalStateException(
+          s"z-order metadata lost at $path after rebucketize"))
+      val (kept, total) = Versioned.boxFilePruning(s, path, None, zHealProbe)
+        .getOrElse(throw new IllegalStateException(
+          s"healed layout at $path lost its zorder.* metadata for $zHealProbe"))
+      (path, Versioned.versions(s, path), drift.clampFraction,
+        after.clampFraction, kept.size, total)
+    })
 
   /** Versioned events table carried through an OPTIMIZE ZORDER commit,
     * built once per (SparkContext, dir): v0 = the events projection in
@@ -5037,6 +5190,25 @@ object SparkEntry {
     "versioned_pruned_read" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 199""",
+    // type widening: replay the three commits symbolically — even docs
+    // as int/float, odd docs as the promoting long/double delta, then
+    // the narrow post-promotion delta — and aggregate under the wide
+    // result types the promoted table serves
+    "versioned_schema_widen" ->
+      """WITH v AS (
+           SELECT lang, CAST(CAST(n_chars AS INTEGER) AS BIGINT) AS cnt,
+                  CAST(doc_id % 7 AS DOUBLE) AS score
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT lang, CAST(n_chars AS BIGINT) + 3000000000 AS cnt,
+                  CAST(doc_id % 7 AS DOUBLE) + 0.25 AS score
+           FROM documents WHERE doc_id % 2 = 1
+           UNION ALL
+           SELECT lang, CAST(7 AS BIGINT) AS cnt, 0.5 AS score
+           FROM documents WHERE doc_id % 100 = 0)
+         SELECT lang, count(*) AS n_docs, CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+                CAST(round(sum(CAST(score AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_score
+         FROM v GROUP BY 1""",
     // hex pair -> 0..255 via digit strpos (DuckDB's portable hex
     // decode), then mod shards; position by (hash, id) per shard
     "sample_epoch_shuffle" ->
@@ -5179,6 +5351,17 @@ object SparkEntry {
          FROM events
          WHERE user_id BETWEEN 10 AND 25
            AND epoch_us(ts) BETWEEN 1704672000000000 AND 1705881599999999
+         GROUP BY 1""",
+    // heal loop: drift → rebucketize never changes CONTENT either — the
+    // oracle is the plain filter+aggregate over the full events table
+    // under the late-region probe box (warn/heal/pruning facts are
+    // pinned in-plan, not here)
+    "versioned_zorder_heal" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE user_id BETWEEN 10 AND 25
+           AND epoch_us(ts) BETWEEN 1705708800000000 AND 1706054399999999
          GROUP BY 1""",
     // the z-order COMMIT never changes results — the oracle is the plain
     // filter+aggregate over the original events (pruning is pinned

@@ -426,24 +426,52 @@ object Versioned {
     }
   }
 
+  /** LOSSLESS numeric promotions the table accepts without a rewrite:
+    * int->long and float->double (plus byte/short up to them). These are
+    * exactly the widenings Spark 4's parquet readers cast on the fly
+    * when the committed read schema is wider than a file's physical
+    * type, so a year of int32 files keeps reading under a bigint column
+    * with ZERO data movement. Everything else (string->int, long->int,
+    * double->float, decimal scale changes, nested moves) still refuses
+    * typed — silent lossy coercion is how corpora rot. */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    (intRank.contains(from) && intRank.contains(to) &&
+      intRank(from) < intRank(to)) ||
+      (from == FloatType && to == DoubleType)
+  }
+
   /** The committed schema widened by `df`'s new columns (appended at the
-    * end); common columns must agree on type — silent coercion is how
-    * corpora rot. */
+    * end) and by lossless numeric promotions ([[widensTo]], either
+    * direction of arrival — a wide delta promotes the column, a narrow
+    * delta keeps reading under the committed wide type); any other type
+    * change on a common column refuses. */
   private def evolveSchema(old: Option[org.apache.spark.sql.types.StructType],
                            df: DataFrame): org.apache.spark.sql.types.StructType = {
     val incoming = df.schema
     old match {
       case None => incoming
       case Some(o) =>
-        incoming.fields.foreach { f =>
-          o.fields.find(_.name == f.name).foreach { prev =>
-            require(widenNullable(prev.dataType) == widenNullable(f.dataType),
-              s"schema evolution cannot change column '${f.name}' from " +
-                s"${prev.dataType.simpleString} to ${f.dataType.simpleString}")
+        val promoted = o.fields.map { prev =>
+          incoming.fields.find(_.name == prev.name) match {
+            case Some(f)
+              if widenNullable(prev.dataType) == widenNullable(f.dataType) => prev
+            case Some(f) if widensTo(prev.dataType, f.dataType) =>
+              prev.copy(dataType = f.dataType) // committed column widens
+            case Some(f) if widensTo(f.dataType, prev.dataType) =>
+              prev // narrow delta reads under the committed wide type
+            case Some(f) =>
+              throw new IllegalArgumentException(
+                s"schema evolution cannot change column '${f.name}' from " +
+                  s"${prev.dataType.simpleString} to ${f.dataType.simpleString}")
+            case None => prev
           }
         }
         org.apache.spark.sql.types.StructType(
-          o.fields ++ incoming.fields.filterNot(f => o.fieldNames.contains(f.name)))
+          promoted ++ incoming.fields.filterNot(f => o.fieldNames.contains(f.name)))
     }
   }
 

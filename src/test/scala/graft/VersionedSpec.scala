@@ -1002,6 +1002,51 @@ class VersionedSpec extends SparkSuite {
     assert(snap.schema.isDefined)
   }
 
+  test("schema widening: int->long / float->double promote losslessly, old files cast on read, lossy refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    val v0 = Seq((1L, 10, 1.5f), (2L, 20, 2.5f))
+      .toDF("doc_id", "cnt", "score").repartition(2)
+    Versioned.init(v0, dir)
+    assert(Versioned.read(spark, dir).schema("cnt").dataType === IntegerType)
+
+    // a WIDE delta promotes the committed column types; values past the
+    // int range land intact and the OLD int32/float files keep reading
+    // (parquet cast-on-read — zero data rewritten)
+    val wide = Seq((3L, 5000000000L, 9.25)).toDF("doc_id", "cnt", "score")
+    Versioned.append(wide, dir)
+    val r1 = Versioned.read(spark, dir)
+    assert(r1.schema("cnt").dataType === LongType)
+    assert(r1.schema("score").dataType === DoubleType)
+    assert(r1.agg(sum("cnt")).head().getLong(0) === 5000000030L)
+    assert(math.abs(r1.agg(sum("score")).head().getDouble(0) - 13.25) < 1e-6)
+
+    // a NARROW delta after the promotion still lands, reading under the
+    // committed wide type
+    Versioned.append(Seq((4L, 7, 0.5f)).toDF("doc_id", "cnt", "score"), dir)
+    val r2 = Versioned.read(spark, dir)
+    assert(r2.schema("cnt").dataType === LongType)
+    assert(r2.count() === 4 && r2.agg(sum("cnt")).head().getLong(0) === 5000000037L)
+
+    // time travel sees v0 under its ORIGINAL narrow schema
+    assert(Versioned.read(spark, dir, Some(0)).schema("cnt").dataType === IntegerType)
+
+    // lossy/shape changes still refuse typed
+    intercept[IllegalArgumentException] {
+      Versioned.append(Seq((5L, "not-a-number", 1.0))
+        .toDF("doc_id", "cnt", "score"), dir)
+    }
+
+    // and the widened table still upserts copy-on-write: the union path
+    // coerces, untouched int32 files carry by reference
+    Versioned.upsert(Seq((1L, 100, 1.0f)).toDF("doc_id", "cnt", "score"),
+      dir, "doc_id")
+    val r3 = Versioned.read(spark, dir)
+    assert(r3.schema("cnt").dataType === LongType)
+    assert(r3.filter(col("doc_id") === 1L).head().getLong(1) === 100L)
+  }
+
   test("vacuum checkpoints the oldest retained delta so retained chains survive the drop") {
     import spark.implicits._
     val dir = freshDir()

@@ -2665,6 +2665,21 @@ object SparkEntry {
             lit(", v0 narrow "), lit(v0Narrow),
             lit(", v0 files carried unrewritten "), lit(carried)))))
     }),
+    // column rename as a metadata-only commit: reads across the rename
+    // serve the new logical name over old-name physical files plus a
+    // post-rename delta — content hash-oracled, the zero-rewrite /
+    // schema / physical-baseline facts pinned in-plan
+    "versioned_rename_read" -> ((s, dir) => {
+      val (path, carried, renamed, v0Old, physBaseline) = versionedRenameInfo(s, dir)
+      Versioned.read(s, path)
+        .select(col("doc_id"), col("lang"), col("len"))
+        .filter(when(lit(carried && renamed && v0Old && physBaseline), lit(true))
+          .otherwise(raise_error(concat(
+            lit("rename drift: files carried "), lit(carried),
+            lit(", latest renamed "), lit(renamed),
+            lit(", v0 keeps old name "), lit(v0Old),
+            lit(", new file stores physical baseline "), lit(physBaseline)))))
+    }),
     // conditional MERGE (last-write-wins by DATA, not arrival): delta
     // applies only when strictly newer by n_chars, ties keep current,
     // stale rows cannot clobber, new ids insert — the oracle replays
@@ -3439,6 +3454,46 @@ object SparkEntry {
         v0Schema("cnt").dataType == IntegerType &&
           v0Schema("score").dataType == FloatType,
         v0Files.subsetOf(latest.files.toSet))
+    })
+
+  /** Versioned table read ACROSS A COLUMN RENAME, built once per (ctx,
+    * dir): v0 = documents (doc_id, lang, n_chars) over 6 files, v1 =
+    * `renameColumn(n_chars -> len)` — a metadata-only commit — then v2
+    * appends a delta under the NEW logical name. Records the facts the
+    * row pins: the rename carried every v0 file by reference (zero
+    * rewrite), the latest schema serves `len` (and `n_chars` is gone),
+    * v0 still time-travels under its original name, and the post-rename
+    * file PHYSICALLY stores the baseline name `n_chars` on disk (the
+    * column-mapping invariant that lets one read schema cover files on
+    * both sides of the rename). */
+  private val versionedRenameBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean, Boolean, Boolean, Boolean)]
+  private def versionedRenameInfo(s: SparkSession, dir: String)
+      : (String, Boolean, Boolean, Boolean, Boolean) =
+    versionedRenameBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_rename/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.repartition(6), path)
+      val v0Files = Versioned.snapshot(s, path).files
+      Versioned.renameColumn(s, path, "n_chars", "len")
+      val renameCarried = Versioned.snapshot(s, path).files == v0Files
+      Versioned.append(
+        docs.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + lit(9300000L)).as("doc_id"),
+          lit("rn").as("lang"), (col("n_chars") + lit(5L)).as("len"))
+          .repartition(1),
+        path)
+      val latest = Versioned.snapshot(s, path)
+      val latestNames = latest.schema.get.fieldNames.toSeq
+      val newFile = latest.files.filterNot(v0Files.toSet)
+      (path,
+        renameCarried,
+        latestNames == Seq("doc_id", "lang", "len"),
+        Versioned.snapshot(s, path, Some(0)).schema.get.fieldNames.contains("n_chars"),
+        newFile.nonEmpty && s.read.parquet(newFile: _*).columns.contains("n_chars"))
     })
 
   /** Versioned documents exercised through [[Versioned.mergeIfNewer]]:
@@ -5190,6 +5245,14 @@ object SparkEntry {
     "versioned_pruned_read" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 199""",
+    // rename: content is the original projection (renamed) plus the
+    // post-rename delta — the metadata-only-commit facts are pinned
+    // in-plan, the oracle replays the content symbolically
+    "versioned_rename_read" ->
+      """SELECT doc_id, lang, n_chars AS len FROM documents
+         UNION ALL
+         SELECT doc_id + 9300000 AS doc_id, 'rn' AS lang, n_chars + 5 AS len
+         FROM documents WHERE doc_id % 10 = 0""",
     // type widening: replay the three commits symbolically — even docs
     // as int/float, odd docs as the promoting long/double delta, then
     // the narrow post-promotion delta — and aggregate under the wide

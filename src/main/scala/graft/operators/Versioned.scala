@@ -145,6 +145,90 @@ object Versioned {
   private def normFileName(s: String): String =
     norm(new Path(new java.net.URI(s)))
 
+  /** Column-rename mapping (meta key `colmap`, `logical:physical`
+    * pairs): parquet files ALWAYS store PHYSICAL names — the name each
+    * column had at the last full-rewrite baseline (init / compact /
+    * compactZOrder) — and [[renameColumn]] moves only the LOGICAL
+    * label, as one metadata commit touching zero data files (the Delta
+    * column-mapping idea in its minimal name-keyed form). Layout
+    * metadata (manifest stats, blooms, zorder.dims) is keyed physical,
+    * so renames never invalidate pruning; full rewrites re-baseline
+    * physical = logical and drop the map. Only renamed columns appear
+    * in the map. */
+  private[graft] def colMap(snap: Snapshot): Map[String, String] =
+    snap.meta.get("colmap").filter(_.nonEmpty)
+      .map(_.split(',').map { kv =>
+        val Array(l, p) = kv.split(':')
+        l -> p
+      }.toMap).getOrElse(Map.empty)
+
+  /** The PHYSICAL name of logical column `c` under the pinned snapshot
+    * (identity when never renamed). */
+  private[graft] def physOf(snap: Snapshot, c: String): String =
+    colMap(snap).getOrElse(c, c)
+
+  /** Scan `files` under the snapshot's PHYSICAL schema — the exact
+    * on-disk column names — with no logical projection. Internal
+    * machinery that writes files back (z-order maintenance, drift
+    * audits) works in this space so its output stays physical. */
+  private[graft] def scanPhysical(spark: SparkSession, snap: Snapshot,
+                                  files: Seq[String]): DataFrame = {
+    val cm = colMap(snap)
+    snap.schema match {
+      case Some(logical) =>
+        val phys = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+          f.copy(name = cm.getOrElse(f.name, f.name))))
+        spark.read.schema(phys).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+  }
+
+  /** Scan `files` and serve the LOGICAL view: physical schema at the
+    * reader (so every file resolves its on-disk names), then a zero-
+    * cost projection back to the committed logical names. Every
+    * user-facing read routes through here. */
+  private[graft] def scanFiles(spark: SparkSession, snap: Snapshot,
+                               files: Seq[String]): DataFrame = {
+    val cm = colMap(snap)
+    val base = scanPhysical(spark, snap, files)
+    snap.schema match {
+      case Some(logical) if cm.nonEmpty =>
+        base.select(logical.fields.toSeq.map(f =>
+          col(cm.getOrElse(f.name, f.name)).as(f.name)): _*)
+      case _ => base
+    }
+  }
+
+  /** Rename a logical-named DataFrame to physical names for write —
+    * the inverse of [[scanFiles]]'s projection, applied before every
+    * incremental (non-rebaselining) writeData. */
+  private def toPhysical(snap: Snapshot, df: DataFrame): DataFrame =
+    colMap(snap).foldLeft(df) { case (d, (l, p)) =>
+      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+    }
+
+  /** Schema evolution against a pinned snapshot, guarding the one name
+    * a rename RETIRES: a new logical column may not take a name that is
+    * still the physical identity of an existing (renamed) column — two
+    * on-disk columns would collide. Compact re-baselines and frees the
+    * name. */
+  private def evolvedSchemaFor(snap: Snapshot, df: DataFrame)
+      : org.apache.spark.sql.types.StructType = {
+    val cm = colMap(snap)
+    if (cm.nonEmpty) {
+      val logicalOld = snap.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val physInUse = snap.schema
+        .map(_.fieldNames.map(n => cm.getOrElse(n, n)).toSet).getOrElse(Set.empty)
+      df.schema.fieldNames.filterNot(logicalOld.contains).foreach { n =>
+        require(!physInUse.contains(n),
+          s"column name '$n' was retired by a rename and is still the physical " +
+            "name of an existing column — compact the table to re-baseline " +
+            "before reusing it")
+      }
+    }
+    evolveSchema(snap.schema, df)
+  }
+
   /** All committed versions, ascending (empty if uninitialized) — the
     * FULL-LISTING enumeration. Hot-path resolution does not use this
     * anymore (see [[resolveLatest]]); it remains the source of truth for
@@ -369,10 +453,7 @@ object Versioned {
     val snap = snapshot(spark, tableDir, version)
     require(snap.files.nonEmpty,
       s"version ${snap.version} of $tableDir has no files (fully deleted)")
-    snap.schema match {
-      case Some(st) => spark.read.schema(st).parquet(snap.files: _*)
-      case None     => spark.read.parquet(snap.files: _*)
-    }
+    scanFiles(spark, snap, snap.files)
   }
 
   /** Incremental consumption: ONLY the rows committed after
@@ -399,15 +480,8 @@ object Versioned {
     if (delta.isEmpty) {
       val any = to.files.headOption.getOrElse(
         throw new IllegalArgumentException(s"no files at $tableDir"))
-      val base = to.schema match {
-        case Some(st) => spark.read.schema(st).parquet(any)
-        case None     => spark.read.parquet(any)
-      }
-      base.filter(lit(false))
-    } else to.schema match {
-      case Some(st) => spark.read.schema(st).parquet(delta: _*)
-      case None     => spark.read.parquet(delta: _*)
-    }
+      scanFiles(spark, to, Seq(any)).filter(lit(false))
+    } else scanFiles(spark, to, delta)
   }
 
   /** Nullability-normalized view of a type: evolution must refuse TYPE
@@ -741,12 +815,19 @@ object Versioned {
              bloomCol: Option[String] = None): Int = {
     val s = df.sparkSession
     val base = snapshot(s, tableDir)
-    val newEntries = writeData(df, tableDir, base.version + 1, statsCol, bloomCol)
-    // snap.meta carries standing table metadata (zorder.* bucketization)
-    // across appends; the caller's meta wins on key collision
+    // evolution guard BEFORE any data writes: a delta reusing a
+    // rename-retired name must refuse typed, not surface as a duplicate-
+    // column AnalysisException out of the physical rename below
+    evolvedSchemaFor(base, df): Unit
+    // delta files write PHYSICAL names (and stats/bloom key physical)
+    // so one read schema covers files on both sides of any rename
+    val newEntries = writeData(toPhysical(base, df), tableDir, base.version + 1,
+      statsCol.map(physOf(base, _)), bloomCol.map(physOf(base, _)))
+    // snap.meta carries standing table metadata (zorder.* bucketization,
+    // colmap) across appends; the caller's meta wins on key collision
     commitWithRebase(s, tableDir, snap => Some((
       snap.entries ++ newEntries,
-      snap.meta ++ meta + ("schema" -> evolveSchema(snap.schema, df).json))), newEntries)
+      snap.meta ++ meta + ("schema" -> evolvedSchemaFor(snap, df).json))), newEntries)
   }
 
   /** The file subset a range predicate on `statsCol` can possibly touch:
@@ -755,8 +836,10 @@ object Versioned {
     * sound when the stats PROVE emptiness). Pure manifest arithmetic,
     * zero file opens. */
   def filesForRange(spark: SparkSession, tableDir: String, version: Option[Int],
-                    statsCol: String, lo: Long, hi: Long): Seq[String] =
-    filesForRangeIn(snapshot(spark, tableDir, version).entries, statsCol, lo, hi)
+                    statsCol: String, lo: Long, hi: Long): Seq[String] = {
+    val snap = snapshot(spark, tableDir, version)
+    filesForRangeIn(snap.entries, physOf(snap, statsCol), lo, hi)
+  }
 
   /** Entries-level twin of [[filesForRange]] — lets callers that already
     * hold a pinned [[Snapshot]] prune WITHOUT re-resolving "latest" (a
@@ -776,12 +859,15 @@ object Versioned {
     * [[filesForRange]]: pure manifest arithmetic, zero file opens, and
     * skipping is sound because a Bloom filter has no false negatives. */
   def filesForEquals(spark: SparkSession, tableDir: String, version: Option[Int],
-                     bloomCol: String, value: String): Seq[String] =
-    snapshot(spark, tableDir, version).entries.collect {
-      case FileEntry(p, _, Some((c, hex))) if c == bloomCol =>
+                     bloomCol: String, value: String): Seq[String] = {
+    val snap = snapshot(spark, tableDir, version)
+    val physCol = physOf(snap, bloomCol)
+    snap.entries.collect {
+      case FileEntry(p, _, Some((c, hex))) if c == physCol =>
         if (bloomContains(hex, value)) Some(p) else None
       case FileEntry(p, _, _) => Some(p)
     }.flatten
+  }
 
   /** Equality read through manifest-level Bloom skipping — the string-
     * column twin of [[readRange]] (min/max boxes are useless for
@@ -792,20 +878,18 @@ object Versioned {
   def readEquals(spark: SparkSession, tableDir: String, version: Option[Int],
                  bloomCol: String, value: String): DataFrame = {
     // one snapshot resolution: the pruning decision and the read share
-    // the SAME pinned entries (a racing commit cannot mix versions)
+    // the SAME pinned entries (a racing commit cannot mix versions);
+    // blooms key physical names, the equality applies on the logical view
     val snap = snapshot(spark, tableDir, version)
+    val physCol = physOf(snap, bloomCol)
     val keep = snap.entries.collect {
-      case FileEntry(p, _, Some((c, hex))) if c == bloomCol =>
+      case FileEntry(p, _, Some((c, hex))) if c == physCol =>
         if (bloomContains(hex, value)) Some(p) else None
       case FileEntry(p, _, _) => Some(p)
     }.flatten
-    def reader = snap.schema match {
-      case Some(st) => spark.read.schema(st)
-      case None     => spark.read
-    }
-    if (keep.nonEmpty) reader.parquet(keep: _*).filter(col(bloomCol) === value)
+    if (keep.nonEmpty) scanFiles(spark, snap, keep).filter(col(bloomCol) === value)
     else if (snap.files.nonEmpty)
-      reader.parquet(snap.files.head).filter(lit(false))
+      scanFiles(spark, snap, Seq(snap.files.head)).filter(lit(false))
     else spark.emptyDataFrame
   }
 
@@ -820,19 +904,14 @@ object Versioned {
                 statsCol: String, lo: Long, hi: Long): DataFrame = {
     // one snapshot resolution, same rationale as readEquals/readBox
     val snap = snapshot(spark, tableDir, version)
-    val keep = filesForRangeIn(snap.entries, statsCol, lo, hi)
+    // stats are keyed by PHYSICAL name; the predicate applies on the
+    // logical view scanFiles serves
+    val keep = filesForRangeIn(snap.entries, physOf(snap, statsCol), lo, hi)
     val pred = col(statsCol) >= lo && col(statsCol) <= hi
-    // the COMMITTED schema applies exactly as in read(): on a schema-
-    // evolved table a bare parquet read takes one arbitrary footer, so
-    // pruning could otherwise change the visible columns
-    def reader = snap.schema match {
-      case Some(st) => spark.read.schema(st)
-      case None     => spark.read
-    }
-    if (keep.nonEmpty) reader.parquet(keep: _*).filter(pred)
+    if (keep.nonEmpty) scanFiles(spark, snap, keep).filter(pred)
     else
       // every file proven empty for the range: keep the schema, drop rows
-      reader.parquet(snap.files.head).filter(lit(false))
+      scanFiles(spark, snap, Seq(snap.files.head)).filter(lit(false))
   }
 
   /** Last-wins upsert as a copy-on-write commit: only files CONTAINING a
@@ -848,6 +927,42 @@ object Versioned {
     * manifest. */
   def deleteIds(ids: DataFrame, tableDir: String, idCol: String): Int =
     copyOnWrite(ids.select(idCol), tableDir, idCol, keepDelta = false)
+
+  /** Rename a column as a METADATA-ONLY commit: every data file carries
+    * by reference (ZERO bytes rewritten — at 100 TB a rename that
+    * rewrote the table would be an outage), the committed logical
+    * schema takes the new name, and the `colmap` entry records the
+    * unchanged PHYSICAL identity old files (and all future incremental
+    * writes) store. Reads at this and later versions serve the new
+    * name; time travel below sees the old one (schema is per-version).
+    * Manifest stats / blooms / zorder.dims key physical names, so every
+    * pruning layer survives untouched. Renaming back to the original
+    * name just drops the map entry. Names must stay free of the
+    * manifest separators. */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   oldName: String, newName: String): Int = {
+    require(newName.nonEmpty && !newName.exists(c => c == ':' || c == ',' ||
+      c == '\t' || c == '\n' || c == '#'),
+      s"invalid column name '$newName' (colmap separators)")
+    commitWithRebase(spark, tableDir, latest => {
+      val logical = latest.schema.getOrElse(throw new IllegalStateException(
+        s"$tableDir predates schema tracking — compact it before renaming"))
+      require(logical.fieldNames.contains(oldName),
+        s"no column '$oldName' at $tableDir (have ${logical.fieldNames.mkString(", ")})")
+      require(!logical.fieldNames.contains(newName),
+        s"column '$newName' already exists at $tableDir")
+      val cm = colMap(latest)
+      val newMap = ((cm - oldName) + (newName -> cm.getOrElse(oldName, oldName)))
+        .filter { case (l, p) => l != p }
+      val newSchema = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val metaBase = latest.meta + ("schema" -> newSchema.json)
+      Some((latest.entries,
+        if (newMap.isEmpty) metaBase - "colmap"
+        else metaBase + ("colmap" -> newMap.toSeq.sorted
+          .map { case (l, p) => s"$l:$p" }.mkString(","))))
+    })
+  }
 
   /** Conditional MERGE: apply a delta row only when it is STRICTLY newer
     * than the committed row by `orderCol` (ties keep the current row —
@@ -869,10 +984,7 @@ object Versioned {
     val s = delta.sparkSession
     val snap = snapshot(s, tableDir)
     val v = snap.version + 1
-    val curBase = snap.schema match {
-      case Some(st) => s.read.schema(st).parquet(snap.files: _*)
-      case None     => s.read.parquet(snap.files: _*)
-    }
+    val curBase = scanFiles(s, snap, snap.files)
     val cur = curBase.withColumn("__file", input_file_name())
     val deltaIds = delta.select(col(idCol)).distinct()
     val touchedRaw = cur.join(deltaIds, Seq(idCol), "left_semi")
@@ -902,12 +1014,13 @@ object Versioned {
       case Seq(c) => Some(c)
       case _      => None
     }
+    evolvedSchemaFor(snap, delta): Unit // early retired-name guard
     val newEntries = writeData(
-      uncontested.unionByName(winners, allowMissingColumns = true),
+      toPhysical(snap, uncontested.unionByName(winners, allowMissingColumns = true)),
       tableDir, v, statsCol, bloomCol)
     commitWithRebase(s, tableDir,
       cowRebase(s, snap, touched, newEntries, deltaIds, idCol,
-        base => evolveSchema(base.schema, delta)), newEntries)
+        base => evolvedSchemaFor(base, delta)), newEntries)
   }
 
   /** Change-data capture between two committed versions: one row per id
@@ -966,17 +1079,19 @@ object Versioned {
     val f = fs(spark, new Path(tableDir))
     val total = snap.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val cur = snap.schema match {
-      case Some(st) => spark.read.schema(st).parquet(snap.files: _*)
-      case None     => spark.read.parquet(snap.files: _*)
-    }
+    val cur = scanFiles(spark, snap, snap.files)
     val arranged = clusterBy match {
       case Some(c) => cur.repartitionByRange(n, col(c)).sortWithinPartitions(c)
       case None    => cur.repartition(n)
     }
+    // compact RE-BASELINES column mapping: the rewrite materializes the
+    // logical view, so physical == logical again and the colmap drops
+    // (its meta is rebuilt fresh below); inherited stats/bloom columns
+    // arrive keyed physical and re-key to their logical names here
+    val toLogical = colMap(snap).map(_.swap)
     val statsCol = clusterBy.orElse(
       snap.entries.flatMap(_.stats.map(_._1)).distinct match {
-        case Seq(c) => Some(c)
+        case Seq(c) => Some(toLogical.getOrElse(c, c))
         case _      => None
       })
     // compact re-derives the table's bloom column from the snapshot and
@@ -984,7 +1099,7 @@ object Versioned {
     // now keep blooms alive per-rewrite; compact remains the point where
     // a CLUSTERED layout makes them sharp again)
     val bloomCol = snap.entries.flatMap(_.bloom.map(_._1)).distinct match {
-      case Seq(c) => Some(c)
+      case Seq(c) => Some(toLogical.getOrElse(c, c))
       case _      => None
     }
     val v = snap.version + 1
@@ -1029,6 +1144,7 @@ object Versioned {
                                        base: Snapshot,
                                        meta: Map[String, String] = Map.empty): Int = {
     val s = rewritten.sparkSession
+    val physStats = physOf(base, statsCol) // entry stats key physical names
     def entryStats(e: FileEntry): (String, Long, Long) = e.stats.getOrElse(
       throw new IllegalStateException(
         s"partition commit to $tableDir: file ${e.path} carries no " +
@@ -1036,9 +1152,9 @@ object Versioned {
           "compact the table with clusterBy first"))
     def intersects(e: FileEntry): Boolean = {
       val (c, lo, hi) = entryStats(e)
-      require(c == statsCol,
+      require(c == physStats,
         s"partition commit to $tableDir: file ${e.path} carries stats on " +
-          s"'$c', not '$statsCol'")
+          s"'$c', not '$physStats'")
       touchedKeys.exists(k => lo <= k && k <= hi)
     }
     val baseTouched = base.entries.filter(intersects).map(_.path).toSet
@@ -1047,8 +1163,10 @@ object Versioned {
       case Seq(c) => Some(c)
       case _      => None
     }
+    evolvedSchemaFor(base, rewritten): Unit // early retired-name guard
     val newEntries =
-      writeData(rewritten, tableDir, base.version + 1, Some(statsCol), bloomCol)
+      writeData(toPhysical(base, rewritten), tableDir, base.version + 1,
+        Some(physStats), bloomCol)
     commitWithRebase(s, tableDir, snap => {
       val ok =
         if (snap.version == base.version) true
@@ -1056,11 +1174,11 @@ object Versioned {
           val snapPaths = snap.files.toSet
           val added = snap.entries.filterNot(e => basePaths(e.path))
           baseTouched.forall(snapPaths) &&
-            added.forall(e => e.stats.exists(_._1 == statsCol) && !intersects(e))
+            added.forall(e => e.stats.exists(_._1 == physStats) && !intersects(e))
         }
       if (!ok) None
       else Some((snap.entries.filterNot(e => baseTouched(e.path)) ++ newEntries,
-        snap.meta ++ meta + ("schema" -> evolveSchema(snap.schema, rewritten).json)))
+        snap.meta ++ meta + ("schema" -> evolvedSchemaFor(snap, rewritten).json)))
     }, newEntries)
   }
 
@@ -1086,10 +1204,10 @@ object Versioned {
                     numRanges: Int = 32, bits: Int = 16): Int = {
     require(dims.size >= 2, s"z-order needs >= 2 dims, got $dims")
     val snap = snapshot(spark, tableDir)
-    val cur = snap.schema match {
-      case Some(st) => spark.read.schema(st).parquet(snap.files: _*)
-      case None     => spark.read.parquet(snap.files: _*)
-    }
+    // full rewrite from the LOGICAL view: like compact, this commit
+    // re-baselines physical == logical (fresh meta below, no colmap) and
+    // records zorder.dims under the names the new files actually carry
+    val cur = scanFiles(spark, snap, snap.files)
     require(!cur.columns.contains("__z"),
       "table already carries a '__z' column — z-order scaffolding would collide")
     val statCols = dims.flatMap(d =>
@@ -1138,10 +1256,6 @@ object Versioned {
     val snap = snapshot(spark, tableDir, version)
     val pred = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
       .reduce(_ && _)
-    def reader = snap.schema match {
-      case Some(stc) => spark.read.schema(stc)
-      case None      => spark.read
-    }
     // a delete-emptied version must surface as the same typed error
     // read() raises, not an opaque schema-inference failure from a
     // zero-path parquet call (the keep-empty branch below reads ONE
@@ -1150,9 +1264,9 @@ object Versioned {
       s"version ${snap.version} of $tableDir has no files (fully deleted)")
     boxFilePruningIn(snap, box) match {
       case Some((keep, _)) =>
-        if (keep.nonEmpty) reader.parquet(keep: _*).filter(pred)
-        else reader.parquet(snap.files.head).filter(lit(false))
-      case _ => reader.parquet(snap.files: _*).filter(pred)
+        if (keep.nonEmpty) scanFiles(spark, snap, keep).filter(pred)
+        else scanFiles(spark, snap, Seq(snap.files.head)).filter(lit(false))
+      case _ => scanFiles(spark, snap, snap.files).filter(pred)
     }
   }
 
@@ -1182,11 +1296,10 @@ object Versioned {
     val st = snap.meta("zorder.stats").split(',').map(_.toDouble)
     val unclustered = snap.entries.filterNot(_.stats.exists(_._1 == "__z"))
     if (unclustered.isEmpty) return snap.version
-    def reader = snap.schema match {
-      case Some(stc) => spark.read.schema(stc)
-      case None      => spark.read
-    }
-    val tail = reader.parquet(unclustered.map(_.path): _*)
+    // PHYSICAL space end-to-end: zorder.dims were recorded at the last
+    // full re-cluster (= the physical baseline), the tail files carry
+    // physical names, and the rewrite below writes them back unchanged
+    val tail = scanPhysical(spark, snap, unclustered.map(_.path))
     // drift auditing is [[zOrderDrift]]'s job (callers run it on their
     // own cadence) — folding it here as a second aggregate would DOUBLE
     // the read cost of the pass the scaladoc advertises as one
@@ -1207,9 +1320,12 @@ object Versioned {
     commitWithRebase(spark, tableDir, latest => {
       val latestPaths = latest.files.toSet
       if (!rewritten.subsetOf(latestPaths)) None // my tail was rewritten under me
+      // content rewrite of existing rows: the committed schema (and
+      // zorder.*, colmap) carry via latest.meta untouched — evolving the
+      // schema from the PHYSICAL-named tail would mis-add renamed
+      // columns as new ones
       else Some((latest.entries.filterNot(e => rewritten(e.path)) ++ newEntries,
-        latest.meta + ("schema" ->
-          evolveSchema(latest.schema, tail).json))) // zorder.* carried via latest.meta
+        latest.meta))
     }, newEntries)
   }
 
@@ -1237,11 +1353,8 @@ object Versioned {
       val unclustered = snap.entries.filterNot(_.stats.exists(_._1 == "__z"))
       if (unclustered.isEmpty) ZOrderDrift(0L, 0L, dims.map((_, 0L, 0L)))
       else {
-        def reader = snap.schema match {
-          case Some(stc) => spark.read.schema(stc)
-          case None      => spark.read
-        }
-        val tail = reader.parquet(unclustered.map(_.path): _*)
+        // physical space: dims are baseline names, files carry them
+        val tail = scanPhysical(spark, snap, unclustered.map(_.path))
         val outCols = dims.zipWithIndex.flatMap { case (d, i) =>
           Seq(count(when(col(d).cast("double") < st(2 * i), 1)),
             count(when(col(d).cast("double") > st(2 * i + 1), 1)))
@@ -1274,8 +1387,11 @@ object Versioned {
       throw new IllegalStateException(
         s"$tableDir has no z-order commit to rebucketize — run compactZOrder first"))
       .split(',').toSeq
-    compactZOrder(spark, tableDir, dims, numRanges,
-      snap.meta("zorder.bits").toInt)
+    // zorder.dims are physical-baseline names; compactZOrder takes the
+    // CURRENT logical names (it reads the logical view)
+    val toLogical = colMap(snap).map(_.swap)
+    compactZOrder(spark, tableDir, dims.map(d => toLogical.getOrElse(d, d)),
+      numRanges, snap.meta("zorder.bits").toInt)
   }
 
   /** The manifest-arithmetic half of [[readBox]], exposed so callers
@@ -1296,13 +1412,16 @@ object Versioned {
   private[graft] def boxFilePruningIn(snap: Snapshot,
                                       box: Seq[(String, Double, Double)])
       : Option[(Seq[String], Int)] = {
+    // probes arrive under LOGICAL names; zorder.dims were recorded at
+    // the physical baseline — map before matching
+    val physBox = box.map { case (c, lo, hi) => (physOf(snap, c), lo, hi) }
     snap.meta.get("zorder.dims").map(_.split(',').toSeq) match {
-      case Some(ds) if box.forall(b => ds.contains(b._1)) =>
+      case Some(ds) if physBox.forall(b => ds.contains(b._1)) =>
         val bits = snap.meta("zorder.bits").toInt
         val st = snap.meta("zorder.stats").split(',').map(_.toDouble)
         val loHi = ds.zipWithIndex.map { case (d, i) =>
           val (mn, mx) = (st(2 * i), st(2 * i + 1))
-          box.find(_._1 == d) match {
+          physBox.find(_._1 == d) match {
             case Some((_, lo, hi)) =>
               (Scale.bucketOf(lo, mn, mx, bits), Scale.bucketOf(hi, mn, mx, bits))
             case None => (0L, (1L << bits) - 1L)
@@ -1431,11 +1550,7 @@ object Versioned {
       else {
         val added = snap.entries.filterNot(e => basePaths(e.path)).map(_.path)
         added.isEmpty || {
-          val reader = snap.schema match {
-            case Some(st) => s.read.schema(st).parquet(added: _*)
-            case None     => s.read.parquet(added: _*)
-          }
-          reader.select(col(idCol))
+          scanFiles(s, snap, added).select(col(idCol))
             .join(deltaIds, Seq(idCol), "left_semi").limit(1).count() == 0L
         }
       }
@@ -1454,10 +1569,7 @@ object Versioned {
     val s = delta.sparkSession
     val snap = snapshot(s, tableDir)
     val v = snap.version + 1
-    val curBase = snap.schema match {
-      case Some(st) => s.read.schema(st).parquet(snap.files: _*)
-      case None     => s.read.parquet(snap.files: _*)
-    }
+    val curBase = scanFiles(s, snap, snap.files)
     // __file stays in input_file_name()'s RAW (URI-encoded) form for the
     // executor-side survivor filter; only the manifest comparison below
     // decodes, so both joins are exact on any filesystem/path bytes
@@ -1487,11 +1599,13 @@ object Versioned {
       case Seq(c) => Some(c)
       case _      => None
     }
+    // same early guard as append: retired names refuse typed pre-write
+    if (keepDelta) evolvedSchemaFor(snap, delta): Unit
     val newEntries =
       if (touched.isEmpty && !keepDelta) Seq.empty
-      else writeData(rewritten, tableDir, v, statsCol, bloomCol)
+      else writeData(toPhysical(snap, rewritten), tableDir, v, statsCol, bloomCol)
     def schema(base: Snapshot) =
-      if (keepDelta) evolveSchema(base.schema, delta)
+      if (keepDelta) evolvedSchemaFor(base, delta)
       else base.schema.getOrElse(curBase.schema)
     commitWithRebase(s, tableDir,
       cowRebase(s, snap, touched, newEntries, deltaIds, idCol, schema), newEntries)

@@ -1047,6 +1047,100 @@ class VersionedSpec extends SparkSuite {
     assert(r3.filter(col("doc_id") === 1L).head().getLong(1) === 100L)
   }
 
+  test("renameColumn: metadata-only commit, incremental writes stay physical, pruning and time travel survive") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir, statsCol = Some("doc_id"), bloomCol = Some("lang"))
+    val s0 = Versioned.snapshot(spark, dir)
+
+    // the rename rewrites ZERO data: identical file list, new logical name
+    Versioned.renameColumn(spark, dir, "n_chars", "len")
+    val s1 = Versioned.snapshot(spark, dir)
+    assert(s1.files === s0.files, "rename must carry every file by reference")
+    val r1 = Versioned.read(spark, dir)
+    assert(r1.columns.toSeq === Seq("doc_id", "lang", "len"))
+    assert(r1.agg(sum("len")).head().getLong(0) ===
+      (0 until 90).map(_ * 7L).sum)
+    // time travel sees the version's OWN name
+    assert(Versioned.read(spark, dir, Some(0)).columns.contains("n_chars"))
+
+    // appends after the rename arrive LOGICAL, persist PHYSICAL: the new
+    // file stores 'n_chars' on disk so one read schema covers the table
+    Versioned.append(Seq((7000L, "ap", 42L)).toDF("doc_id", "lang", "len")
+      .repartition(1), dir)
+    val newFile = Versioned.snapshot(spark, dir).files
+      .filterNot(s1.files.toSet).head
+    assert(spark.read.parquet(newFile).columns.contains("n_chars"),
+      "incremental writes must keep the physical baseline name")
+    assert(Versioned.read(spark, dir).filter(col("doc_id") === 7000L)
+      .head().getAs[Long]("len") === 42L)
+
+    // stats/bloom pruning answer probes by the LOGICAL name
+    val keepRange = Versioned.filesForRange(spark, dir, None, "doc_id", 0L, 5L)
+    assert(keepRange.size < Versioned.snapshot(spark, dir).files.size)
+    assert(Versioned.readRange(spark, dir, None, "doc_id", 0L, 5L).count() === 6)
+    assert(Versioned.readEquals(spark, dir, None, "lang", "ap").count() === 1)
+
+    // copy-on-write through the rename: upsert on the logical view
+    Versioned.upsert(Seq((3L, "up", 999L)).toDF("doc_id", "lang", "len"),
+      dir, "doc_id")
+    assert(Versioned.read(spark, dir).filter(col("doc_id") === 3L)
+      .head().getAs[Long]("len") === 999L)
+
+    // the retired name is blocked for NEW columns until a re-baseline
+    intercept[IllegalArgumentException] {
+      Versioned.append(Seq((8000L, "x", 1L, 5L))
+        .toDF("doc_id", "lang", "len", "n_chars").repartition(1), dir)
+    }
+
+    // compact re-baselines: rewritten files store the logical name and
+    // the retired name frees up
+    Versioned.compact(spark, dir, targetBytes = 64L << 20)
+    val cFile = Versioned.snapshot(spark, dir).files.head
+    assert(spark.read.parquet(cFile).columns.contains("len"))
+    assert(!Versioned.snapshot(spark, dir).meta.contains("colmap"))
+    Versioned.append(Seq((8000L, "x", 1L, 5L))
+      .toDF("doc_id", "lang", "len", "n_chars").repartition(1), dir)
+    assert(Versioned.read(spark, dir).columns.toSeq ===
+      Seq("doc_id", "lang", "len", "n_chars"))
+
+    // rename guards: unknown source, existing target
+    intercept[IllegalArgumentException](
+      Versioned.renameColumn(spark, dir, "nope", "x"))
+    intercept[IllegalArgumentException](
+      Versioned.renameColumn(spark, dir, "len", "lang"))
+  }
+
+  test("renameColumn over a z-ordered layout: box probes by the new name keep pruning; heal works") {
+    import spark.implicits._
+    val dir = freshDir()
+    val ev = (0 until 4000).map(i =>
+      (i.toLong, (i % 50).toLong, (i * 13 % 1000).toLong))
+      .toDF("event_id", "user_id", "val").repartition(8)
+    Versioned.init(ev, dir)
+    Versioned.compactZOrder(spark, dir, Seq("user_id", "val"), numRanges = 8)
+    Versioned.renameColumn(spark, dir, "user_id", "uid")
+    // probe by the NEW logical name: prunes files AND returns exact rows
+    val pruned = Versioned.boxFilePruning(spark, dir, None,
+      Seq(("uid", 10.0, 14.0), ("val", 0.0, 200.0))).get
+    assert(pruned._1.size > 0 && pruned._1.size < pruned._2)
+    val got = Versioned.readBox(spark, dir, None,
+      Seq(("uid", 10.0, 14.0), ("val", 0.0, 200.0)))
+    val want = ev.filter(col("user_id").between(10, 14) && col("val").between(0, 200))
+    assert(got.count() === want.count() && got.count() > 0)
+    // incremental maintenance and the full heal both run through the map
+    Versioned.append(ev.filter(col("event_id") < 100).select(
+      (col("event_id") + 10000L).as("event_id"), col("user_id").as("uid"),
+      col("val")).repartition(2), dir)
+    Versioned.compactZOrderIncremental(spark, dir, numRanges = 4)
+    assert(Versioned.snapshot(spark, dir).entries.forall(_.stats.exists(_._1 == "__z")))
+    Versioned.rebucketize(spark, dir, numRanges = 8)
+    val healed = Versioned.boxFilePruning(spark, dir, None,
+      Seq(("uid", 10.0, 14.0), ("val", 0.0, 200.0))).get
+    assert(healed._1.size > 0 && healed._1.size < healed._2)
+    assert(Versioned.read(spark, dir).count() === 4100)
+  }
+
   test("vacuum checkpoints the oldest retained delta so retained chains survive the drop") {
     import spark.implicits._
     val dir = freshDir()

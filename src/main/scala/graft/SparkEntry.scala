@@ -2665,6 +2665,21 @@ object SparkEntry {
             lit(", v0 narrow "), lit(v0Narrow),
             lit(", v0 files carried unrewritten "), lit(carried)))))
     }),
+    // merge-on-read delete: the O(deleted ids) sidecar commit masked at
+    // read time, then compact applies-and-drops — content hash-oracled
+    // against the plain anti-filter; the zero-rewrite / vector-standing /
+    // vector-dropped / count-stable facts pinned in-plan
+    "versioned_delete_mor" -> ((s, dir) => {
+      val (path, carried, dvStood, dvDropped, countStable) = versionedMorInfo(s, dir)
+      Versioned.read(s, path)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(when(lit(carried && dvStood && dvDropped && countStable), lit(true))
+          .otherwise(raise_error(concat(
+            lit("merge-on-read drift: files carried "), lit(carried),
+            lit(", vector stood at v1 "), lit(dvStood),
+            lit(", compact dropped it "), lit(dvDropped),
+            lit(", masked==materialized count "), lit(countStable)))))
+    }),
     // column rename as a metadata-only commit: reads across the rename
     // serve the new logical name over old-name physical files plus a
     // post-rename delta — content hash-oracled, the zero-rewrite /
@@ -3494,6 +3509,40 @@ object SparkEntry {
         latestNames == Seq("doc_id", "lang", "len"),
         Versioned.snapshot(s, path, Some(0)).schema.get.fieldNames.contains("n_chars"),
         newFile.nonEmpty && s.read.parquet(newFile: _*).columns.contains("n_chars"))
+    })
+
+  /** Merge-on-read delete lifecycle, built once per (ctx, dir): v0 =
+    * documents over 8 files, v1 = `deleteIdsMergeOnRead` of every
+    * doc_id % 7 == 3 (an O(deleted ids) sidecar commit — at 100 TB the
+    * difference between kilobytes and a copy-on-write file rewrite),
+    * v2 = `compact` materializing the deletes and dropping the
+    * vectors. Records the facts the row pins: the delete carried every
+    * data file by reference, v1 carried a standing vector, the compact
+    * dropped it, and v1 (masked) and v2 (materialized) serve the same
+    * row count. */
+  private val versionedMorBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean, Boolean, Boolean, Boolean)]
+  private def versionedMorInfo(s: SparkSession, dir: String)
+      : (String, Boolean, Boolean, Boolean, Boolean) =
+    versionedMorBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_mor/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.repartition(8), path)
+      val v0Files = Versioned.snapshot(s, path).files
+      Versioned.deleteIdsMergeOnRead(
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), path, "doc_id")
+      val v1 = Versioned.snapshot(s, path)
+      val v1Count = Versioned.read(s, path).count()
+      Versioned.compact(s, path, targetBytes = 32L << 20)
+      val v2 = Versioned.snapshot(s, path)
+      (path,
+        v1.files == v0Files,
+        v1.dvFiles.nonEmpty && v1.dvCol.contains("doc_id"),
+        v2.dvFiles.isEmpty && v2.dvCol.isEmpty,
+        Versioned.read(s, path).count() == v1Count)
     })
 
   /** Versioned documents exercised through [[Versioned.mergeIfNewer]]:
@@ -5245,6 +5294,10 @@ object SparkEntry {
     "versioned_pruned_read" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 199""",
+    // merge-on-read delete: masked (and then materialized) content is
+    // the plain anti-filter over the original projection
+    "versioned_delete_mor" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 3""",
     // rename: content is the original projection (renamed) plus the
     // post-rename delta — the metadata-only-commit facts are pinned
     // in-plan, the oracle replays the content symbolically

@@ -119,6 +119,16 @@ object Versioned {
   case class Snapshot(version: Int, entries: Seq[FileEntry],
                       meta: Map[String, String] = Map.empty) {
     def files: Seq[String] = entries.map(_.path)
+    /** Deletion-vector sidecar files (merge-on-read deletes): parquet
+      * files of deleted id values, referenced from commit METADATA —
+      * never from [[entries]], so they are invisible to every data
+      * scan and pruning decision; [[scanFiles]] applies them as one
+      * anti-join mask. Empty on tables with no standing MoR deletes. */
+    def dvFiles: Seq[String] =
+      meta.get("dv.files").filter(_.nonEmpty).map(_.split(',').toSeq)
+        .getOrElse(Seq.empty)
+    /** The PHYSICAL id column the deletion vectors key on. */
+    def dvCol: Option[String] = meta.get("dv.col").filter(_.nonEmpty)
     /** The schema RECORDED AT COMMIT TIME (Iceberg-style): readers get
       * it from one manifest read — zero parquet footers — and time
       * travel sees each version under its OWN schema. Absent only on
@@ -184,18 +194,45 @@ object Versioned {
   }
 
   /** Scan `files` and serve the LOGICAL view: physical schema at the
-    * reader (so every file resolves its on-disk names), then a zero-
-    * cost projection back to the committed logical names. Every
-    * user-facing read routes through here. */
+    * reader (so every file resolves its on-disk names), the snapshot's
+    * deletion-vector mask (merge-on-read deletes) as ONE anti-join,
+    * then a zero-cost projection back to the committed logical names.
+    * Every user-facing read routes through here, so MoR deletes apply
+    * uniformly to read/readRange/readEquals/readBox/diff and to the
+    * copy-on-write survivor scans (a COW rewrite physically drops the
+    * masked rows of the files it touches). The DV side is the DELETED
+    * id set — small next to the table — so the join broadcasts under
+    * the planner's own threshold at sane delete fractions. */
   private[graft] def scanFiles(spark: SparkSession, snap: Snapshot,
-                               files: Seq[String]): DataFrame = {
+                               files: Seq[String]): DataFrame =
+    scanFilesWith(spark, snap, files, mask = true)
+
+  /** [[scanFiles]] with the DV mask optional and an optional `__file`
+    * provenance column: the copy-on-write paths need (a) the UNMASKED
+    * view for touched-file discovery, so a delta re-introducing a
+    * merge-on-read-deleted id finds (and rewrites away) the old
+    * physical rows the vector was hiding, and (b) `input_file_name()`
+    * attached ON the scan itself — above the DV anti-join the
+    * expression has two sources and refuses. */
+  private def scanFilesWith(spark: SparkSession, snap: Snapshot,
+                            files: Seq[String], mask: Boolean,
+                            withFile: Boolean = false): DataFrame = {
     val cm = colMap(snap)
-    val base = scanPhysical(spark, snap, files)
+    val base0 = scanPhysical(spark, snap, files)
+    val base = if (withFile) base0.withColumn("__file", input_file_name())
+               else base0
+    val masked = (snap.dvFiles, snap.dvCol) match {
+      case (dvs, Some(c)) if mask && dvs.nonEmpty =>
+        val dv = spark.read.parquet(dvs: _*).select(col(c)).distinct()
+        base.join(dv, base(c) === dv(c), "left_anti")
+      case _ => base
+    }
     snap.schema match {
       case Some(logical) if cm.nonEmpty =>
-        base.select(logical.fields.toSeq.map(f =>
-          col(cm.getOrElse(f.name, f.name)).as(f.name)): _*)
-      case _ => base
+        val fileCol = if (withFile) Seq(col("__file")) else Seq.empty
+        masked.select(logical.fields.toSeq.map(f =>
+          col(cm.getOrElse(f.name, f.name)).as(f.name)) ++ fileCol: _*)
+      case _ => masked
     }
   }
 
@@ -476,6 +513,14 @@ object Versioned {
         s"history since v$fromVersion is not append-only (${missing.size} file(s) " +
           s"rewritten by copy-on-write/compaction) — incremental read would " +
           "double-count; recompute from the full snapshot or consume diff()")
+    // merge-on-read deletes rewrite NO files but retract rows the
+    // consumer already saw — a file-set delta cannot express that, so
+    // refuse exactly like a rewrite (diff() carries retractions)
+    if (from.meta.getOrElse("dv.files", "") != to.meta.getOrElse("dv.files", ""))
+      throw new IllegalStateException(
+        s"history since v$fromVersion includes merge-on-read deletes — the " +
+          "append-only file delta cannot express retractions; recompute from " +
+          "the full snapshot or consume diff()")
     val delta = to.files.filterNot(from.files.toSet)
     if (delta.isEmpty) {
       val any = to.files.headOption.getOrElse(
@@ -815,20 +860,48 @@ object Versioned {
              bloomCol: Option[String] = None): Int = {
     val s = df.sparkSession
     val base = snapshot(s, tableDir)
-    // evolution guard BEFORE any data writes: a delta reusing a
-    // rename-retired name must refuse typed, not surface as a duplicate-
-    // column AnalysisException out of the physical rename below
+    // evolution + DV guards BEFORE any data writes: a delta reusing a
+    // rename-retired name (or re-introducing a merge-on-read-deleted
+    // id) must refuse typed with nothing on disk to reclaim
     evolvedSchemaFor(base, df): Unit
+    requireNoDvOverlap(s, base, df, tableDir)
     // delta files write PHYSICAL names (and stats/bloom key physical)
     // so one read schema covers files on both sides of any rename
     val newEntries = writeData(toPhysical(base, df), tableDir, base.version + 1,
       statsCol.map(physOf(base, _)), bloomCol.map(physOf(base, _)))
     // snap.meta carries standing table metadata (zorder.* bucketization,
-    // colmap) across appends; the caller's meta wins on key collision
-    commitWithRebase(s, tableDir, snap => Some((
-      snap.entries ++ newEntries,
-      snap.meta ++ meta + ("schema" -> evolvedSchemaFor(snap, df).json))), newEntries)
+    // colmap, deletion vectors) across appends; the caller's meta wins
+    // on key collision. An append whose rows carry a merge-on-read-
+    // deleted id REFUSES typed: append has no per-id rewrite machinery,
+    // so it can neither resurrect the id (old masked rows would come
+    // back with it) nor land the new rows visibly (the vector would
+    // mask them) — upsert is the resurrection path.
+    commitWithRebase(s, tableDir, snap => {
+      try requireNoDvOverlap(s, snap, df, tableDir)
+      catch { case e: IllegalStateException => // racing MoR delete landed
+        discardAttemptData(s, newEntries); throw e }
+      Some((snap.entries ++ newEntries,
+        snap.meta ++ meta + ("schema" -> evolvedSchemaFor(snap, df).json)))
+    }, newEntries)
   }
+
+  /** The append-path guard for merge-on-read deletes: refuse when the
+    * incoming rows carry ids a standing deletion vector masks. */
+  private def requireNoDvOverlap(s: SparkSession, snap: Snapshot,
+                                 df: DataFrame, tableDir: String): Unit =
+    (snap.dvFiles, snap.dvCol) match {
+      case (dvs, Some(c)) if dvs.nonEmpty =>
+        val phys = toPhysical(snap, df)
+        if (phys.columns.contains(c)) {
+          val dv = s.read.parquet(dvs: _*).select(col(c)).distinct()
+          if (!dv.join(phys.select(col(c)).distinct(), Seq(c), "left_semi").isEmpty)
+            throw new IllegalStateException(
+              s"append to $tableDir re-introduces ids deleted merge-on-read — " +
+                "append cannot safely resurrect them (the old masked rows would " +
+                "return too); upsert the rows instead, or compact first")
+        }
+      case _ => ()
+    }
 
   /** The file subset a range predicate on `statsCol` can possibly touch:
     * files whose manifest stats box intersects `[lo, hi]`, plus files
@@ -928,6 +1001,70 @@ object Versioned {
   def deleteIds(ids: DataFrame, tableDir: String, idCol: String): Int =
     copyOnWrite(ids.select(idCol), tableDir, idCol, keepDelta = false)
 
+  /** MERGE-ON-READ delete: write the deleted id set as a deletion-vector
+    * sidecar (one small parquet) and commit with every data file carried
+    * by reference — O(deleted ids) write cost, vs [[deleteIds]]' COW
+    * O(touched files) rewrite. At 100 TB deleting 0.001% of rows
+    * copy-on-write rewrites ~0.001% of a petabyte; merge-on-read writes
+    * kilobytes and every read masks via one anti-join ([[scanFiles]]),
+    * paid until the next [[compact]]/[[compactZOrder]] materializes the
+    * deletes and drops the vectors (their fresh meta omits `dv.*` and
+    * their input scan is already masked — apply-and-drop is free).
+    *
+    * Resurrection contract: a later append/upsert/merge whose delta
+    * RE-INTRODUCES a deleted id retracts it from the standing vector
+    * (those commits subtract their incoming ids — see
+    * [[retractDvFor]]), so "delete then re-add" behaves exactly like
+    * the COW path. Races linearize by commit order: the vector masks
+    * ids as of its commit position, appends rebase over it like any
+    * metadata-carrying commit.
+    *
+    * The vector keys on `idCol`'s PHYSICAL name, so renames never
+    * invalidate it; successive MoR deletes accumulate sidecars (each
+    * commit is O(its own delta)) and must agree on the id column. */
+  def deleteIdsMergeOnRead(ids: DataFrame, tableDir: String, idCol: String): Int = {
+    val s = ids.sparkSession
+    val base = snapshot(s, tableDir)
+    val physId = physOf(base, idCol)
+    base.dvCol.foreach(c => require(c == physId,
+      s"merge-on-read deletes at $tableDir key on '$c'; got '$idCol' ($physId)"))
+    val dvEntries = writeData(
+      toPhysical(base, ids.select(col(idCol))).distinct(), tableDir,
+      base.version + 1)
+    commitWithRebase(s, tableDir, snap => Some((snap.entries,
+      snap.meta +
+        ("dv.files" -> (snap.dvFiles ++ dvEntries.map(_.path)).mkString(",")) +
+        ("dv.col" -> physId))), dvEntries)
+  }
+
+  /** The deletion-vector retraction a re-introducing write owes: when a
+    * standing DV exists and the incoming delta carries the DV column,
+    * ids present in BOTH are subtracted (one consolidated sidecar
+    * rewrite — O(DV), not O(table)); with no overlap the vectors carry
+    * unchanged and this costs one small join. Returns the meta updates
+    * for the commit (empty = carry as-is). */
+  private def retractDvFor(s: SparkSession, snap: Snapshot, delta: DataFrame,
+                           tableDir: String, v: Int): Map[String, String] =
+    (snap.dvFiles, snap.dvCol) match {
+      case (dvs, Some(c)) if dvs.nonEmpty =>
+        val deltaPhys = toPhysical(snap, delta)
+        if (!deltaPhys.columns.contains(c)) Map.empty
+        else {
+          val dv = s.read.parquet(dvs: _*).select(col(c)).distinct()
+          val incoming = deltaPhys.select(col(c)).distinct()
+          if (dv.join(incoming, Seq(c), "left_semi").isEmpty) Map.empty
+          else {
+            val survived = dv.join(incoming, Seq(c), "left_anti")
+            if (survived.isEmpty) Map("dv.files" -> "", "dv.col" -> "")
+            else {
+              val rewritten = writeData(survived, tableDir, v)
+              Map("dv.files" -> rewritten.map(_.path).mkString(","))
+            }
+          }
+        }
+      case _ => Map.empty
+    }
+
   /** Rename a column as a METADATA-ONLY commit: every data file carries
     * by reference (ZERO bytes rewritten — at 100 TB a rename that
     * rewrote the table would be an outage), the committed logical
@@ -984,10 +1121,11 @@ object Versioned {
     val s = delta.sparkSession
     val snap = snapshot(s, tableDir)
     val v = snap.version + 1
-    val curBase = scanFiles(s, snap, snap.files)
-    val cur = curBase.withColumn("__file", input_file_name())
+    val cur = scanFilesWith(s, snap, snap.files, mask = true, withFile = true)
     val deltaIds = delta.select(col(idCol)).distinct()
-    val touchedRaw = cur.join(deltaIds, Seq(idCol), "left_semi")
+    // UNMASKED discovery, masked winners — same rationale as copyOnWrite
+    val touchedRaw = scanFilesWith(s, snap, snap.files, mask = false, withFile = true)
+      .join(deltaIds, Seq(idCol), "left_semi")
       .select("__file").distinct().collect().map(_.getString(0)).toSet
     val touched = touchedRaw.map(normFileName)
     val touchedRows = cur.filter(col("__file").isInCollection(touchedRaw))
@@ -1018,9 +1156,13 @@ object Versioned {
     val newEntries = writeData(
       toPhysical(snap, uncontested.unionByName(winners, allowMissingColumns = true)),
       tableDir, v, statsCol, bloomCol)
+    val dvCache = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    def dvMeta(b: Snapshot): Map[String, String] = // merge re-adds ids too
+      dvCache.getOrElseUpdate(b.dvFiles.mkString(","),
+        retractDvFor(s, b, delta, tableDir, b.version + 1))
     commitWithRebase(s, tableDir,
       cowRebase(s, snap, touched, newEntries, deltaIds, idCol,
-        base => evolvedSchemaFor(base, delta)), newEntries)
+        base => evolvedSchemaFor(base, delta), dvMeta), newEntries)
   }
 
   /** Change-data capture between two committed versions: one row per id
@@ -1463,8 +1605,13 @@ object Versioned {
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no versions at $tableDir")
     val (dropped, retained) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val referenced: Set[String] = retained.flatMap(v =>
-      snapshot(spark, tableDir, Some(v)).files).toSet
+    // deletion-vector sidecars live under data/ like data files and are
+    // referenced from retained METADATA — they must survive exactly as
+    // long as a retained version masks through them
+    val referenced: Set[String] = retained.flatMap { v =>
+      val snap = snapshot(spark, tableDir, Some(v))
+      snap.files ++ snap.dvFiles
+    }.toSet
     val dataRoot = new Path(s"$tableDir/data")
     val f = fs(spark, dataRoot)
     val ageCutoff = System.currentTimeMillis() - minAgeMs
@@ -1541,7 +1688,8 @@ object Versioned {
   private[graft] def cowRebase(s: SparkSession, base: Snapshot, touched: Set[String],
                         newEntries: Seq[FileEntry], deltaIds: DataFrame,
                         idCol: String,
-                        schemaOf: Snapshot => org.apache.spark.sql.types.StructType)
+                        schemaOf: Snapshot => org.apache.spark.sql.types.StructType,
+                        extraMeta: Snapshot => Map[String, String] = _ => Map.empty)
                        (snap: Snapshot): Option[(Seq[FileEntry], Map[String, String])] = {
     val basePaths = base.files.toSet
     val ok =
@@ -1561,7 +1709,7 @@ object Versioned {
     // the LAYOUT metadata would silently degrade every later box probe
     // to a full read until the next full re-cluster
     else Some((snap.entries.filterNot(e => touched(e.path)) ++ newEntries,
-      snap.meta + ("schema" -> schemaOf(snap).json)))
+      snap.meta + ("schema" -> schemaOf(snap).json) ++ extraMeta(snap)))
   }
 
   private def copyOnWrite(delta: DataFrame, tableDir: String, idCol: String,
@@ -1569,13 +1717,17 @@ object Versioned {
     val s = delta.sparkSession
     val snap = snapshot(s, tableDir)
     val v = snap.version + 1
-    val curBase = scanFiles(s, snap, snap.files)
     // __file stays in input_file_name()'s RAW (URI-encoded) form for the
     // executor-side survivor filter; only the manifest comparison below
     // decodes, so both joins are exact on any filesystem/path bytes
-    val cur = curBase.withColumn("__file", input_file_name())
+    val cur = scanFilesWith(s, snap, snap.files, mask = true, withFile = true)
     val deltaIds = delta.select(col(idCol)).distinct()
-    val touchedRaw = cur.join(deltaIds, Seq(idCol), "left_semi")
+    // discovery runs UNMASKED: a delta id hidden by a merge-on-read
+    // vector must still find its file, so the rewrite physically drops
+    // the old rows before the retraction below unmasks the id —
+    // survivors stay on the MASKED view (deleted rows never resurrect)
+    val touchedRaw = scanFilesWith(s, snap, snap.files, mask = false, withFile = true)
+      .join(deltaIds, Seq(idCol), "left_semi")
       .select("__file").distinct().collect().map(_.getString(0)).toSet
     val touched = touchedRaw.map(normFileName)
     val survivors = cur.filter(col("__file").isInCollection(touchedRaw))
@@ -1606,8 +1758,17 @@ object Versioned {
       else writeData(toPhysical(snap, rewritten), tableDir, v, statsCol, bloomCol)
     def schema(base: Snapshot) =
       if (keepDelta) evolvedSchemaFor(base, delta)
-      else base.schema.getOrElse(curBase.schema)
+      else base.schema.getOrElse(cur.drop("__file").schema)
+    // an upsert RE-INTRODUCING merge-on-read-deleted ids retracts them
+    // from the standing vector (else the fresh rows would stay masked);
+    // COW deletes introduce nothing, so they carry the vectors as-is
+    val dvCache = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    def dvMeta(b: Snapshot): Map[String, String] =
+      if (!keepDelta) Map.empty
+      else dvCache.getOrElseUpdate(b.dvFiles.mkString(","),
+        retractDvFor(s, b, delta, tableDir, b.version + 1))
     commitWithRebase(s, tableDir,
-      cowRebase(s, snap, touched, newEntries, deltaIds, idCol, schema), newEntries)
+      cowRebase(s, snap, touched, newEntries, deltaIds, idCol, schema, dvMeta),
+      newEntries)
   }
 }

@@ -1141,6 +1141,88 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.read(spark, dir).count() === 4100)
   }
 
+  test("merge-on-read delete: O(ids) commit, reads mask, re-adds retract, compact applies-and-drops") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir)
+    val s0 = Versioned.snapshot(spark, dir)
+
+    // the MoR delete carries EVERY data file by reference
+    Versioned.deleteIdsMergeOnRead(Seq(3L, 7L, 11L).toDF("doc_id"), dir, "doc_id")
+    val s1 = Versioned.snapshot(spark, dir)
+    assert(s1.files === s0.files, "MoR delete must rewrite zero data files")
+    assert(s1.dvFiles.nonEmpty && s1.dvCol.contains("doc_id"))
+    val r1 = Versioned.read(spark, dir)
+    assert(r1.count() === 87)
+    assert(r1.filter(col("doc_id").isin(3L, 7L, 11L)).count() === 0)
+    // masking applies through EVERY pruned read path too
+    assert(Versioned.readRange(spark, dir, None, "doc_id", 0L, 20L).count() === 18)
+    // time travel: v0 still serves the deleted rows
+    assert(Versioned.read(spark, dir, Some(0)).count() === 90)
+
+    // successive MoR deletes accumulate; mismatched id column refuses
+    Versioned.deleteIdsMergeOnRead(Seq(20L).toDF("doc_id"), dir, "doc_id")
+    assert(Versioned.read(spark, dir).count() === 86)
+    assert(Versioned.snapshot(spark, dir).dvFiles.size >
+      s1.dvFiles.size, "vectors accumulate O(delta) sidecars")
+    intercept[IllegalArgumentException](
+      Versioned.deleteIdsMergeOnRead(Seq("x").toDF("lang"), dir, "lang"))
+
+    // APPEND cannot resurrect a deleted id (no per-id rewrite machinery
+    // — the old masked rows would return with it): typed refusal, and
+    // non-overlapping appends land normally
+    intercept[IllegalStateException] {
+      Versioned.append(Seq((7L, "back", 777L)).toDF("doc_id", "lang", "n_chars")
+        .repartition(1), dir)
+    }
+    Versioned.append(Seq((500L, "ok", 5L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    assert(Versioned.read(spark, dir).count() === 87)
+
+    // UPSERT is the resurrection path: unmasked touched-file discovery
+    // rewrites away the old hidden rows, the retraction unmasks the id,
+    // and exactly the fresh row serves — other deleted ids stay deleted
+    Versioned.upsert(Seq((7L, "up", 777L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id")
+    val afterUp = Versioned.read(spark, dir)
+    assert(afterUp.count() === 88)
+    val row7 = afterUp.filter(col("doc_id") === 7L).collect()
+    assert(row7.length === 1 && row7.head.getAs[Long]("n_chars") === 777L,
+      "exactly the fresh row must serve — the old masked row may not resurrect")
+    assert(afterUp.filter(col("doc_id") === 3L).count() === 0, "3 stays deleted")
+
+    // incremental consumption refuses across a MoR delete (retractions
+    // cannot ride a file-set delta)
+    intercept[IllegalStateException](Versioned.readAppendedSince(spark, dir, 1))
+
+    // compact materializes the deletes and DROPS the vectors; content
+    // identical before/after
+    val preCompact = Versioned.read(spark, dir).collect().map(_.toSeq).toSet
+    Versioned.compact(spark, dir, targetBytes = 64L << 20)
+    val sC = Versioned.snapshot(spark, dir)
+    assert(sC.dvFiles.isEmpty && sC.dvCol.isEmpty)
+    assert(Versioned.read(spark, dir).collect().map(_.toSeq).toSet === preCompact)
+
+    // vacuum keeps DV sidecars exactly as long as a retained version
+    // masks through them, then reclaims everything unreferenced
+    val stats = Versioned.vacuum(spark, dir, keepVersions = 1)
+    assert(stats.deletedFiles > 0)
+    assert(Versioned.read(spark, dir).collect().map(_.toSeq).toSet === preCompact)
+  }
+
+  test("merge-on-read delete keeps DV sidecars readable for retained HISTORY versions") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(30), dir)
+    Versioned.deleteIdsMergeOnRead(Seq(2L).toDF("doc_id"), dir, "doc_id")
+    Versioned.append(Seq((900L, "ap", 1L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    // keep v1 (masked) and v2: vacuum must retain the sidecar v1 needs
+    Versioned.vacuum(spark, dir, keepVersions = 2)
+    assert(Versioned.read(spark, dir, Some(1)).count() === 29)
+    assert(Versioned.read(spark, dir, Some(2)).count() === 30)
+  }
+
   test("vacuum checkpoints the oldest retained delta so retained chains survive the drop") {
     import spark.implicits._
     val dir = freshDir()

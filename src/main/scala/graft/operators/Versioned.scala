@@ -480,6 +480,43 @@ object Versioned {
       }
       .nextOption()
 
+  /** Resolve "the table as of time t": the NEWEST version whose commit
+    * timestamp is <= `tsMillis` — "reproduce the exact corpus last
+    * Tuesday's run trained on" without having recorded a version
+    * number. Walks newest-first from the pointer-resolved latest
+    * (O(distance from latest) manifest reads, the common recent-history
+    * probe; a deep historical probe pays the walk, never a data scan).
+    * Commits predating timestamp stamping fall back to their manifest
+    * file's mtime. Typed errors distinguish "before the first commit"
+    * from "history vacuumed past t". */
+  def versionAsOf(spark: SparkSession, tableDir: String, tsMillis: Long): Int = {
+    var oldestSeen = -1
+    var oldestTs = Long.MaxValue
+    versionsNewestFirst(spark, tableDir).foreach { v =>
+      val ts = manifestLines(spark, tableDir, v)
+        .collectFirst { case l if l.startsWith("#committedAt=") =>
+          l.stripPrefix("#committedAt=").toLong }
+        .getOrElse {
+          val p = manifestPath(tableDir, v)
+          fs(spark, p).getFileStatus(p).getModificationTime
+        }
+      if (ts <= tsMillis) return v
+      oldestSeen = v; oldestTs = ts
+    }
+    require(oldestSeen >= 0, s"no versions at $tableDir")
+    if (oldestSeen > 0)
+      throw new VersionRetentionException(
+        s"history of $tableDir before version $oldestSeen was removed by " +
+          s"vacuum; the oldest retained commit is at $oldestTs > $tsMillis")
+    throw new IllegalArgumentException(
+      s"$tableDir has no commit at or before $tsMillis " +
+        s"(first commit at $oldestTs)")
+  }
+
+  /** [[read]] pinned by TIMESTAMP instead of version number. */
+  def readAsOf(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame =
+    read(spark, tableDir, Some(versionAsOf(spark, tableDir, tsMillis)))
+
   /** Read a pinned version (latest by default). The file list AND the
     * schema come from ONE manifest read, so the scan is consistent no
     * matter what commits land mid-query and no footer is opened for
@@ -727,8 +764,11 @@ object Versioned {
     val out = f.create(tmp, true)
     // `base` is a physical chain key commitManifest owns — never let a
     // stale copy ride in via `snap.meta ++ ...` carryover and mark a
-    // full manifest as a delta
-    val metaLines = (meta - "base").toSeq.sorted.map { case (k, vl) => s"#$k=$vl" }
+    // full manifest as a delta; `committedAt` is stamped fresh per
+    // commit for the same reason (timestamp travel resolves through it)
+    val metaLines = (meta - "base" +
+      ("committedAt" -> System.currentTimeMillis.toString))
+      .toSeq.sorted.map { case (k, vl) => s"#$k=$vl" }
     val bodyLines: Seq[String] = base match {
       case Some(b) if b.version == v - 1 && v % CheckpointEvery != 0 =>
         val baseMap = b.entries.map(e => e.path -> e).toMap

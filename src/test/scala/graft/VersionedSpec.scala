@@ -1223,6 +1223,35 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.read(spark, dir, Some(2)).count() === 30)
   }
 
+  test("versionAsOf: timestamp travel resolves the newest commit <= t; edges typed") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(30), dir)
+    Thread.sleep(5)
+    Versioned.append(Seq((901L, "a", 1L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    Thread.sleep(5)
+    Versioned.append(Seq((902L, "b", 2L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    def tsOf(v: Int): Long =
+      Versioned.snapshot(spark, dir, Some(v)).meta("committedAt").toLong
+    assert(tsOf(0) < tsOf(1) && tsOf(1) < tsOf(2))
+    // at each commit's own timestamp the resolver lands ON it; between
+    // commits it lands on the older one; after the last, on the latest
+    assert(Versioned.versionAsOf(spark, dir, tsOf(0)) === 0)
+    assert(Versioned.versionAsOf(spark, dir, tsOf(1)) === 1)
+    assert(Versioned.versionAsOf(spark, dir, (tsOf(1) + tsOf(2)) / 2) === 1)
+    assert(Versioned.versionAsOf(spark, dir, System.currentTimeMillis + 1000) === 2)
+    assert(Versioned.readAsOf(spark, dir, tsOf(1)).count() === 31)
+    // before the first commit: typed argument error
+    intercept[IllegalArgumentException](
+      Versioned.versionAsOf(spark, dir, tsOf(0) - 1))
+    // vacuumed history: the retention-typed error
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    intercept[Versioned.VersionRetentionException](
+      Versioned.versionAsOf(spark, dir, tsOf(1)))
+  }
+
   test("vacuum checkpoints the oldest retained delta so retained chains survive the drop") {
     import spark.implicits._
     val dir = freshDir()

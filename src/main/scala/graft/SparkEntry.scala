@@ -2680,6 +2680,16 @@ object SparkEntry {
             lit(", compact dropped it "), lit(dvDropped),
             lit(", masked==materialized count "), lit(countStable)))))
     }),
+    // DESCRIBE HISTORY over the merge-on-read lifecycle table: the
+    // audit frame's (version, operation, file-churn) rows are fully
+    // determined by the fixture — init(8 files) -> delete_mor (zero
+    // data-file churn) -> compact; timestamps excluded (wall-clock)
+    "versioned_history" -> ((s, dir) => {
+      val (path, _, _, _, _) = versionedMorInfo(s, dir)
+      Versioned.history(s, path)
+        .select(col("version"), col("operation"),
+          col("files_added"), col("files_removed"))
+    }),
     // column rename as a metadata-only commit: reads across the rename
     // serve the new logical name over old-name physical files plus a
     // post-rename delta — content hash-oracled, the zero-rewrite /
@@ -5298,6 +5308,15 @@ object SparkEntry {
     // the plain anti-filter over the original projection
     "versioned_delete_mor" ->
       """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 3""",
+    // the audit frame replayed as literals: the fixture's three commits
+    // are fully determined (8-file init, zero-churn MoR delete, compact
+    // folding 8 -> 1 at these corpus sizes)
+    "versioned_history" ->
+      """SELECT * FROM (VALUES
+           (0, 'init',       8, 0),
+           (1, 'delete_mor', 0, 0),
+           (2, 'compact',    1, 8))
+         AS t(version, operation, files_added, files_removed)""",
     // rename: content is the original projection (renamed) plus the
     // post-rename delta — the metadata-only-commit facts are pinned
     // in-plan, the oracle replays the content symbolically

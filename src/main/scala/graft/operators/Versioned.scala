@@ -480,6 +480,42 @@ object Versioned {
       }
       .nextOption()
 
+  /** DESCRIBE HISTORY for the table: one row per retained version —
+    * version, commit timestamp, the stamped operation, live-file count,
+    * and the files added/removed BY that commit. Pure metadata: delta
+    * manifests carry their add/remove lines directly, full manifests
+    * diff against the previous snapshot (unknowable only for a full
+    * manifest sitting exactly on the vacuum horizon → -1). Driver-side
+    * construction over manifest reads — the frame is O(#versions) rows
+    * of audit metadata, not data. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no versions at $tableDir")
+    val rows = vs.map { v =>
+      val raw = rawManifest(spark, tableDir, v)
+      val snapFiles = snapshot(spark, tableDir, Some(v)).files
+      val (added, removed) = raw.base match {
+        case Some(_) =>
+          // a changed entry travels as remove+add (stats refresh, not
+          // file churn) — count file-path adds/removes, matching the
+          // full-manifest diff below
+          val addPaths = raw.adds.map(_.path).toSet
+          ((addPaths -- raw.removes).size, (raw.removes.toSet -- addPaths).size)
+        case None if v == vs.min && v > 0 => (-1, -1) // horizon: prior state gone
+        case None if v == 0 => (raw.adds.size, 0)
+        case None =>
+          val prev = snapshot(spark, tableDir, Some(v - 1)).files.toSet
+          val curF = raw.adds.map(_.path).toSet
+          ((curF -- prev).size, (prev -- curF).size)
+      }
+      (v, raw.meta.get("committedAt").map(_.toLong),
+        raw.meta.getOrElse("op", "unknown"), snapFiles.size, added, removed)
+    }
+    spark.createDataFrame(rows)
+      .toDF("version", "committed_at", "operation", "num_files",
+        "files_added", "files_removed")
+  }
+
   /** Resolve "the table as of time t": the NEWEST version whose commit
     * timestamp is <= `tsMillis` — "reproduce the exact corpus last
     * Tuesday's run trained on" without having recorded a version
@@ -838,7 +874,7 @@ object Versioned {
       s"table already initialized at $tableDir")
     commitManifest(df.sparkSession, tableDir, 0,
       writeData(df, tableDir, 0, statsCol, bloomCol),
-      meta + ("schema" -> df.schema.json))
+      meta + ("schema" -> df.schema.json) + ("op" -> "init"))
   }
 
   /** Bounded commit-retry: each attempt re-reads the LATEST snapshot,
@@ -921,7 +957,8 @@ object Versioned {
       catch { case e: IllegalStateException => // racing MoR delete landed
         discardAttemptData(s, newEntries); throw e }
       Some((snap.entries ++ newEntries,
-        snap.meta ++ meta + ("schema" -> evolvedSchemaFor(snap, df).json)))
+        snap.meta ++ meta + ("schema" -> evolvedSchemaFor(snap, df).json)
+          + ("op" -> "append")))
     }, newEntries)
   }
 
@@ -1074,7 +1111,7 @@ object Versioned {
     commitWithRebase(s, tableDir, snap => Some((snap.entries,
       snap.meta +
         ("dv.files" -> (snap.dvFiles ++ dvEntries.map(_.path)).mkString(",")) +
-        ("dv.col" -> physId))), dvEntries)
+        ("dv.col" -> physId) + ("op" -> "delete_mor"))), dvEntries)
   }
 
   /** The deletion-vector retraction a re-introducing write owes: when a
@@ -1133,7 +1170,7 @@ object Versioned {
         .filter { case (l, p) => l != p }
       val newSchema = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
-      val metaBase = latest.meta + ("schema" -> newSchema.json)
+      val metaBase = latest.meta + ("schema" -> newSchema.json) + ("op" -> "rename")
       Some((latest.entries,
         if (newMap.isEmpty) metaBase - "colmap"
         else metaBase + ("colmap" -> newMap.toSeq.sorted
@@ -1199,7 +1236,8 @@ object Versioned {
     val dvCache = scala.collection.mutable.Map.empty[String, Map[String, String]]
     def dvMeta(b: Snapshot): Map[String, String] = // merge re-adds ids too
       dvCache.getOrElseUpdate(b.dvFiles.mkString(","),
-        retractDvFor(s, b, delta, tableDir, b.version + 1))
+        retractDvFor(s, b, delta, tableDir, b.version + 1)) +
+        ("op" -> "merge")
     commitWithRebase(s, tableDir,
       cowRebase(s, snap, touched, newEntries, deltaIds, idCol,
         base => evolvedSchemaFor(base, delta), dvMeta), newEntries)
@@ -1291,7 +1329,8 @@ object Versioned {
     // the caller just re-runs compact against the new snapshot
     commitWithRebase(spark, tableDir, latest =>
       if (latest.version == snap.version)
-        Some((newEntries, Map("schema" -> snap.schema.getOrElse(cur.schema).json)))
+        Some((newEntries, Map("schema" -> snap.schema.getOrElse(cur.schema).json,
+          "op" -> "compact")))
       else None, newEntries)
   }
 
@@ -1360,7 +1399,8 @@ object Versioned {
         }
       if (!ok) None
       else Some((snap.entries.filterNot(e => baseTouched(e.path)) ++ newEntries,
-        snap.meta ++ meta + ("schema" -> evolvedSchemaFor(snap, rewritten).json)))
+        snap.meta ++ meta + ("schema" -> evolvedSchemaFor(snap, rewritten).json)
+          + ("op" -> "replace_partitions")))
     }, newEntries)
   }
 
@@ -1409,6 +1449,7 @@ object Versioned {
       Some("__z"), bloomCol)
     val meta = Map(
       "schema" -> snap.schema.getOrElse(cur.schema).json,
+      "op" -> "zorder",
       "zorder.dims" -> dims.mkString(","),
       "zorder.bits" -> bits.toString,
       "zorder.stats" -> stats.flatMap { case (a, b) => Seq(a, b) }.mkString(","))
@@ -1507,7 +1548,7 @@ object Versioned {
       // schema from the PHYSICAL-named tail would mis-add renamed
       // columns as new ones
       else Some((latest.entries.filterNot(e => rewritten(e.path)) ++ newEntries,
-        latest.meta))
+        latest.meta + ("op" -> "zorder_incremental")))
     }, newEntries)
   }
 
@@ -1804,9 +1845,10 @@ object Versioned {
     // COW deletes introduce nothing, so they carry the vectors as-is
     val dvCache = scala.collection.mutable.Map.empty[String, Map[String, String]]
     def dvMeta(b: Snapshot): Map[String, String] =
-      if (!keepDelta) Map.empty
-      else dvCache.getOrElseUpdate(b.dvFiles.mkString(","),
-        retractDvFor(s, b, delta, tableDir, b.version + 1))
+      (if (!keepDelta) Map.empty[String, String]
+       else dvCache.getOrElseUpdate(b.dvFiles.mkString(","),
+         retractDvFor(s, b, delta, tableDir, b.version + 1))) +
+        ("op" -> (if (keepDelta) "upsert" else "delete"))
     commitWithRebase(s, tableDir,
       cowRebase(s, snap, touched, newEntries, deltaIds, idCol, schema, dvMeta),
       newEntries)

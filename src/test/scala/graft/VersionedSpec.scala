@@ -1223,6 +1223,42 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.read(spark, dir, Some(2)).count() === 30)
   }
 
+  test("history: one audit row per version with op stamps and exact file churn") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir)
+    Versioned.append(Seq((900L, "ap", 1L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    Versioned.upsert(Seq((3L, "up", 9L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id")
+    Versioned.deleteIdsMergeOnRead(Seq(5L).toDF("doc_id"), dir, "doc_id")
+    Versioned.renameColumn(spark, dir, "n_chars", "len")
+    Versioned.compact(spark, dir, targetBytes = 64L << 20)
+    val h = Versioned.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getAs[String]("operation")).toSeq ===
+      Seq("init", "append", "upsert", "delete_mor", "rename", "compact"))
+    assert(h.forall(r => !r.isNullAt(r.fieldIndex("committed_at"))))
+    val byV = h.map(r => r.getAs[Int]("version") -> r).toMap
+    assert(byV(1).getAs[Int]("files_added") === 1 &&
+           byV(1).getAs[Int]("files_removed") === 0)
+    assert(byV(2).getAs[Int]("files_added") >= 1 &&
+           byV(2).getAs[Int]("files_removed") >= 1, "COW rewrites churn files")
+    assert(byV(3).getAs[Int]("files_added") === 0 &&
+           byV(3).getAs[Int]("files_removed") === 0, "MoR delete moves no data files")
+    assert(byV(4).getAs[Int]("files_added") === 0 &&
+           byV(4).getAs[Int]("files_removed") === 0, "rename moves no data files")
+    assert(byV(5).getAs[Int]("num_files") ===
+      byV(5).getAs[Int]("files_added"), "compact replaces everything")
+    // num_files tracks the live list, not the churn
+    assert(byV(0).getAs[Int]("num_files") + 1 === byV(1).getAs[Int]("num_files"))
+    // the horizon row reports unknown churn (-1) after vacuum, never lies
+    Versioned.vacuum(spark, dir, keepVersions = 2)
+    val h2 = Versioned.history(spark, dir).orderBy("version").collect()
+    assert(h2.map(_.getAs[Int]("version")).toSeq === Seq(4, 5))
+    assert(h2.head.getAs[Int]("files_added") === -1,
+      "full-manifest horizon row cannot know its churn")
+  }
+
   test("versionAsOf: timestamp travel resolves the newest commit <= t; edges typed") {
     import spark.implicits._
     val dir = freshDir()

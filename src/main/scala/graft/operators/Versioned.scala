@@ -480,6 +480,22 @@ object Versioned {
       }
       .nextOption()
 
+  /** RESTORE: make an old version the table's new latest — as a NEW
+    * commit whose manifest references the old version's files and
+    * metadata verbatim (schema, colmap, deletion vectors, zorder layout
+    * all travel back together). Zero data movement: at 100 TB rolling
+    * back a bad ingest is one manifest write, and the bad version stays
+    * in history for forensics until vacuum ages it out. Refuses typed
+    * when the restore target has been vacuumed. Concurrency: restore is
+    * an absolute statement ("the table IS version v's content again"),
+    * so it publishes over whatever landed concurrently — commits
+    * linearize by rename order as always. */
+  def restore(spark: SparkSession, tableDir: String, version: Int): Int = {
+    val target = snapshot(spark, tableDir, Some(version)) // typed if vacuumed
+    commitWithRebase(spark, tableDir, _ => Some((target.entries,
+      target.meta + ("op" -> "restore"))))
+  }
+
   /** DESCRIBE HISTORY for the table: one row per retained version —
     * version, commit timestamp, the stamped operation, live-file count,
     * and the files added/removed BY that commit. Pure metadata: delta

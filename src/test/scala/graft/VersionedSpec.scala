@@ -1259,6 +1259,37 @@ class VersionedSpec extends SparkSuite {
       "full-manifest horizon row cannot know its churn")
   }
 
+  test("restore: an old version becomes latest as one metadata commit; layout metadata travels back") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(30), dir)
+    val v0Content = Versioned.read(spark, dir).collect().map(_.toSeq).toSet
+    // a "bad ingest": delete + append land on top
+    Versioned.deleteIdsMergeOnRead(Seq(2L, 4L).toDF("doc_id"), dir, "doc_id")
+    Versioned.append(Seq((800L, "bad", 1L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    assert(Versioned.read(spark, dir).count() === 29)
+    // restore v0: zero data movement, content bit-identical, the bad
+    // versions stay in history, the DV meta rolls back with it
+    val v3 = Versioned.restore(spark, dir, 0)
+    assert(v3 === 3)
+    assert(Versioned.read(spark, dir).collect().map(_.toSeq).toSet === v0Content)
+    assert(Versioned.snapshot(spark, dir).dvFiles.isEmpty)
+    assert(Versioned.read(spark, dir, Some(2)).count() === 29, "forensics intact")
+    assert(Versioned.history(spark, dir).orderBy("version")
+      .collect().map(_.getAs[String]("operation")).toSeq ===
+      Seq("init", "delete_mor", "append", "restore"))
+    // appends keep flowing after a restore; vacuum keeps the files the
+    // restored latest references even though they were written at v0
+    Versioned.append(Seq((900L, "ok", 2L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    Versioned.vacuum(spark, dir, keepVersions = 2)
+    assert(Versioned.read(spark, dir).count() === 31)
+    // restoring a vacuumed version refuses typed
+    intercept[Versioned.VersionRetentionException](
+      Versioned.restore(spark, dir, 1))
+  }
+
   test("versionAsOf: timestamp travel resolves the newest commit <= t; edges typed") {
     import spark.implicits._
     val dir = freshDir()

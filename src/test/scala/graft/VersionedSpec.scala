@@ -1259,6 +1259,59 @@ class VersionedSpec extends SparkSuite {
       "full-manifest horizon row cannot know its churn")
   }
 
+  test("lifecycle integration: widen + rename + MoR delete + resurrect + zorder re-baseline + restore compose") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val dir = freshDir()
+    // v0: narrow types, several files
+    Versioned.init(
+      (0 until 60).map(i => (i.toLong, s"l${i % 3}", i * 10, (i % 5).toFloat))
+        .toDF("doc_id", "lang", "cnt", "score").repartition(4), dir)
+    // v1: widening append (int->long, float->double) under old names
+    Versioned.append(
+      Seq((1000L, "w", 6000000000L, 9.5)).toDF("doc_id", "lang", "cnt", "score"), dir)
+    // v2: rename cnt -> tokens (metadata only)
+    Versioned.renameColumn(spark, dir, "cnt", "tokens")
+    // v3: MoR delete a slice (ids 0,7,14,...)
+    Versioned.deleteIdsMergeOnRead(
+      (0 until 60 by 7).map(_.toLong).toDF("doc_id"), dir, "doc_id")
+    // v4: resurrect id 7 with fresh values via upsert (logical names)
+    Versioned.upsert(Seq((7L, "res", 777L, 0.25)).toDF("doc_id", "lang", "tokens", "score"),
+      dir, "doc_id")
+    val expect = 60 + 1 - 9 + 1 // 60 init + append - 9 deleted + 1 resurrected
+    val v4 = Versioned.read(spark, dir)
+    assert(v4.count() === expect)
+    assert(v4.schema("tokens").dataType === LongType)
+    assert(v4.schema("score").dataType === DoubleType)
+    assert(v4.filter(col("doc_id") === 7L).head().getAs[Long]("tokens") === 777L)
+    assert(v4.filter(col("doc_id") === 14L).count() === 0)
+    val v4Content = v4.collect().map(_.toSeq).toSet
+
+    // v5: OPTIMIZE ZORDER on (doc_id, tokens) — the full rewrite
+    // materializes the MoR deletes, re-baselines the rename, and the
+    // widened types persist physically
+    Versioned.compactZOrder(spark, dir, Seq("doc_id", "tokens"), numRanges = 4)
+    val s5 = Versioned.snapshot(spark, dir)
+    assert(s5.dvFiles.isEmpty && !s5.meta.contains("colmap"))
+    assert(Versioned.read(spark, dir).collect().map(_.toSeq).toSet === v4Content)
+    assert(spark.read.parquet(s5.files.head).columns.contains("tokens"),
+      "re-baseline: rewritten files store the logical name")
+    // the box probe serves the same masked content it would pre-rewrite
+    val box = Versioned.readBox(spark, dir, None,
+      Seq(("doc_id", 0.0, 20.0), ("tokens", 0.0, 1000.0)))
+    assert(box.count() ===
+      v4.filter(col("doc_id").between(0, 20) && col("tokens").between(0, 1000)).count())
+
+    // v6: restore the PRE-zorder version — colmap and DV meta come back
+    Versioned.restore(spark, dir, 4)
+    val s6 = Versioned.snapshot(spark, dir)
+    assert(s6.dvFiles.nonEmpty && s6.meta.contains("colmap"))
+    assert(Versioned.read(spark, dir).collect().map(_.toSeq).toSet === v4Content)
+    assert(Versioned.history(spark, dir).orderBy("version")
+      .collect().map(_.getAs[String]("operation")).toSeq ===
+      Seq("init", "append", "rename", "delete_mor", "upsert", "zorder", "restore"))
+  }
+
   test("restore: an old version becomes latest as one metadata commit; layout metadata travels back") {
     import spark.implicits._
     val dir = freshDir()

@@ -2670,22 +2670,25 @@ object SparkEntry {
     // against the plain anti-filter; the zero-rewrite / vector-standing /
     // vector-dropped / count-stable facts pinned in-plan
     "versioned_delete_mor" -> ((s, dir) => {
-      val (path, carried, dvStood, dvDropped, countStable) = versionedMorInfo(s, dir)
+      val (path, carried, dvStood, dvDropped, countStable, restored) =
+        versionedMorInfo(s, dir)
       Versioned.read(s, path)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .filter(when(lit(carried && dvStood && dvDropped && countStable), lit(true))
+        .filter(when(lit(carried && dvStood && dvDropped && countStable && restored),
+            lit(true))
           .otherwise(raise_error(concat(
             lit("merge-on-read drift: files carried "), lit(carried),
             lit(", vector stood at v1 "), lit(dvStood),
             lit(", compact dropped it "), lit(dvDropped),
-            lit(", masked==materialized count "), lit(countStable)))))
+            lit(", masked==materialized==restored count "), lit(countStable),
+            lit(", restore brought files+vector back "), lit(restored)))))
     }),
     // DESCRIBE HISTORY over the merge-on-read lifecycle table: the
     // audit frame's (version, operation, file-churn) rows are fully
     // determined by the fixture — init(8 files) -> delete_mor (zero
     // data-file churn) -> compact; timestamps excluded (wall-clock)
     "versioned_history" -> ((s, dir) => {
-      val (path, _, _, _, _) = versionedMorInfo(s, dir)
+      val (path, _, _, _, _, _) = versionedMorInfo(s, dir)
       Versioned.history(s, path)
         .select(col("version"), col("operation"),
           col("files_added"), col("files_removed"))
@@ -3526,14 +3529,16 @@ object SparkEntry {
     * doc_id % 7 == 3 (an O(deleted ids) sidecar commit — at 100 TB the
     * difference between kilobytes and a copy-on-write file rewrite),
     * v2 = `compact` materializing the deletes and dropping the
-    * vectors. Records the facts the row pins: the delete carried every
-    * data file by reference, v1 carried a standing vector, the compact
-    * dropped it, and v1 (masked) and v2 (materialized) serve the same
-    * row count. */
+    * vectors, v3 = `restore(1)` — the masked pre-compact state back as
+    * latest in ONE metadata commit, deletion vectors and all. Records
+    * the facts the rows pin: the delete carried every data file by
+    * reference, v1 carried a standing vector, the compact dropped it,
+    * v1 (masked) / v2 (materialized) / v3 (restored-masked) all serve
+    * the same row count, and the restore brought the vector back. */
   private val versionedMorBuilt = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (String, Boolean, Boolean, Boolean, Boolean)]
+    .empty[(Int, String), (String, Boolean, Boolean, Boolean, Boolean, Boolean)]
   private def versionedMorInfo(s: SparkSession, dir: String)
-      : (String, Boolean, Boolean, Boolean, Boolean) =
+      : (String, Boolean, Boolean, Boolean, Boolean, Boolean) =
     versionedMorBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_mor/${artifactKey(dir)}"
       val root = new org.apache.hadoop.fs.Path(path)
@@ -3548,11 +3553,15 @@ object SparkEntry {
       val v1Count = Versioned.read(s, path).count()
       Versioned.compact(s, path, targetBytes = 32L << 20)
       val v2 = Versioned.snapshot(s, path)
+      val v2Count = Versioned.read(s, path).count()
+      Versioned.restore(s, path, 1)
+      val v3 = Versioned.snapshot(s, path)
       (path,
         v1.files == v0Files,
         v1.dvFiles.nonEmpty && v1.dvCol.contains("doc_id"),
         v2.dvFiles.isEmpty && v2.dvCol.isEmpty,
-        Versioned.read(s, path).count() == v1Count)
+        v2Count == v1Count && Versioned.read(s, path).count() == v1Count,
+        v3.files == v0Files && v3.dvFiles == v1.dvFiles)
     })
 
   /** Versioned documents exercised through [[Versioned.mergeIfNewer]]:
@@ -5315,7 +5324,8 @@ object SparkEntry {
       """SELECT * FROM (VALUES
            (0, 'init',       8, 0),
            (1, 'delete_mor', 0, 0),
-           (2, 'compact',    1, 8))
+           (2, 'compact',    1, 8),
+           (3, 'restore',    8, 1))
          AS t(version, operation, files_added, files_removed)""",
     // rename: content is the original projection (renamed) plus the
     // post-rename delta — the metadata-only-commit facts are pinned

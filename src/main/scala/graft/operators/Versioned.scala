@@ -978,6 +978,41 @@ object Versioned {
     }, newEntries)
   }
 
+  /** Manifest-stats pruning for copy-on-write DISCOVERY: the files that
+    * could possibly contain a delta id — files whose id-column stats
+    * box holds at least one delta id (one pass over the SMALL delta
+    * against the broadcast per-file stats table), plus every file
+    * carrying no stats on the id column (unprovable ⇒ candidate). On a
+    * clustered-id layout this turns the upsert's touched-file scan from
+    * O(table) into O(candidate files) — the difference between an
+    * upsert and a table scan at 100 TB. None = no file carries id
+    * stats (e.g. string ids, whose long-cast stats are null), caller
+    * scans everything as before. Sound by the same argument as
+    * [[filesForRange]]: a file whose stats box excludes every delta id
+    * cannot contain one. */
+  private[graft] def cowCandidateFiles(s: SparkSession, snap: Snapshot,
+                                deltaIds: DataFrame, idCol: String,
+                                physId: String): Option[Seq[String]] = {
+    val withStats = snap.entries.collect {
+      case FileEntry(p, Some((c, lo, hi)), _) if c == physId => (p, lo, hi)
+    }
+    if (withStats.isEmpty) None
+    else {
+      val statless = snap.entries.collect {
+        case e if !e.stats.exists(_._1 == physId) => e.path
+      }
+      val statsDf = s.createDataFrame(withStats).toDF("__p", "__lo", "__hi")
+      // try_cast: an id column the stats layer couldn't long-cast has no
+      // stats rows anyway (None above), but ANSI mode must never make a
+      // pruning OPTIMIZATION throw on an odd id value
+      val idL = expr(s"try_cast(`$idCol` AS BIGINT)")
+      val hit = deltaIds
+        .join(broadcast(statsDf), idL >= col("__lo") && idL <= col("__hi"))
+        .select("__p").distinct().collect().map(_.getString(0))
+      Some((hit ++ statless).toSeq)
+    }
+  }
+
   /** The append-path guard for merge-on-read deletes: refuse when the
     * incoming rows carry ids a standing deletion vector masks. */
   private def requireNoDvOverlap(s: SparkSession, snap: Snapshot,
@@ -1214,15 +1249,23 @@ object Versioned {
     val s = delta.sparkSession
     val snap = snapshot(s, tableDir)
     val v = snap.version + 1
-    val cur = scanFilesWith(s, snap, snap.files, mask = true, withFile = true)
     val deltaIds = delta.select(col(idCol)).distinct()
-    // UNMASKED discovery, masked winners — same rationale as copyOnWrite
-    val touchedRaw = scanFilesWith(s, snap, snap.files, mask = false, withFile = true)
-      .join(deltaIds, Seq(idCol), "left_semi")
-      .select("__file").distinct().collect().map(_.getString(0)).toSet
+    // stats-pruned then exact UNMASKED discovery, masked winners — the
+    // same two-phase shape as copyOnWrite: candidates from manifest id
+    // stats, confirmation semi-join over candidates only, and the
+    // touched rows read ONLY their files (never an input_file_name()
+    // row filter over a full-table scan)
+    val candidates = cowCandidateFiles(s, snap, deltaIds, idCol,
+      physOf(snap, idCol)).getOrElse(snap.files)
+    val touchedRaw =
+      if (candidates.isEmpty) Set.empty[String]
+      else scanFilesWith(s, snap, candidates, mask = false, withFile = true)
+        .join(deltaIds, Seq(idCol), "left_semi")
+        .select("__file").distinct().collect().map(_.getString(0)).toSet
     val touched = touchedRaw.map(normFileName)
-    val touchedRows = cur.filter(col("__file").isInCollection(touchedRaw))
-      .drop("__file")
+    val touchedRows =
+      if (touched.nonEmpty) scanFiles(s, snap, touched.toSeq.sorted)
+      else scanFiles(s, snap, snap.files.take(1)).filter(lit(false))
     val uncontested = touchedRows.join(deltaIds, Seq(idCol), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
@@ -1814,22 +1857,32 @@ object Versioned {
     val s = delta.sparkSession
     val snap = snapshot(s, tableDir)
     val v = snap.version + 1
-    // __file stays in input_file_name()'s RAW (URI-encoded) form for the
-    // executor-side survivor filter; only the manifest comparison below
-    // decodes, so both joins are exact on any filesystem/path bytes
-    val cur = scanFilesWith(s, snap, snap.files, mask = true, withFile = true)
     val deltaIds = delta.select(col(idCol)).distinct()
-    // discovery runs UNMASKED: a delta id hidden by a merge-on-read
-    // vector must still find its file, so the rewrite physically drops
-    // the old rows before the retraction below unmasks the id —
-    // survivors stay on the MASKED view (deleted rows never resurrect)
-    val touchedRaw = scanFilesWith(s, snap, snap.files, mask = false, withFile = true)
-      .join(deltaIds, Seq(idCol), "left_semi")
-      .select("__file").distinct().collect().map(_.getString(0)).toSet
+    // discovery: manifest id-stats prune the candidate files first (a
+    // clustered-id layout scans O(candidates), not the table), then the
+    // exact semi-join confirms. It runs UNMASKED: a delta id hidden by
+    // a merge-on-read vector must still find its file, so the rewrite
+    // physically drops the old rows before the retraction below unmasks
+    // the id. __file stays in input_file_name()'s RAW (URI-encoded)
+    // form; only the manifest comparison decodes, so the joins are
+    // exact on any filesystem/path bytes.
+    val physId = physOf(snap, idCol)
+    val candidates = cowCandidateFiles(s, snap, deltaIds, idCol, physId)
+      .getOrElse(snap.files)
+    val touchedRaw =
+      if (candidates.isEmpty) Set.empty[String]
+      else scanFilesWith(s, snap, candidates, mask = false, withFile = true)
+        .join(deltaIds, Seq(idCol), "left_semi")
+        .select("__file").distinct().collect().map(_.getString(0)).toSet
     val touched = touchedRaw.map(normFileName)
-    val survivors = cur.filter(col("__file").isInCollection(touchedRaw))
-      .drop("__file")
-      .join(deltaIds, Seq(idCol), "left_anti")
+    // survivors read ONLY the touched files (the file list goes to the
+    // reader — an input_file_name() filter over the full table would
+    // scan everything and drop rows after the fact), on the MASKED view
+    // so merge-on-read-deleted rows never resurrect through a rewrite
+    val survivorBase =
+      if (touched.nonEmpty) scanFiles(s, snap, touched.toSeq.sorted)
+      else scanFiles(s, snap, snap.files.take(1)).filter(lit(false))
+    val survivors = survivorBase.join(deltaIds, Seq(idCol), "left_anti")
     // allowMissingColumns: an upsert delta may evolve the schema (new
     // columns null-fill on the survivor side, and vice versa)
     val rewritten =
@@ -1855,7 +1908,7 @@ object Versioned {
       else writeData(toPhysical(snap, rewritten), tableDir, v, statsCol, bloomCol)
     def schema(base: Snapshot) =
       if (keepDelta) evolvedSchemaFor(base, delta)
-      else base.schema.getOrElse(cur.drop("__file").schema)
+      else base.schema.getOrElse(survivorBase.schema)
     // an upsert RE-INTRODUCING merge-on-read-deleted ids retracts them
     // from the standing vector (else the fresh rows would stay masked);
     // COW deletes introduce nothing, so they carry the vectors as-is

@@ -1312,6 +1312,51 @@ class VersionedSpec extends SparkSuite {
       Seq("init", "append", "rename", "delete_mor", "upsert", "zorder", "restore"))
   }
 
+  test("COW discovery prunes candidate files through manifest id stats; unprovable layouts scan all") {
+    import spark.implicits._
+    val dir = freshDir()
+    // id-clustered layout: range-partitioned init with doc_id stats
+    val d = (0 until 400).map(i => (i.toLong, s"l${i % 3}", i * 2L))
+      .toDF("doc_id", "lang", "n_chars")
+      .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+    Versioned.init(d, dir, statsCol = Some("doc_id"))
+    val snap = Versioned.snapshot(spark, dir)
+    assert(snap.files.size === 8)
+    // a narrow delta's candidate set is a strict subset of the table
+    val narrow = Seq(3L, 7L).toDF("doc_id")
+    val cands = Versioned.cowCandidateFiles(spark, snap, narrow, "doc_id", "doc_id")
+    assert(cands.isDefined && cands.get.size < snap.files.size && cands.get.nonEmpty,
+      s"clustered layout must prune discovery, got ${cands.map(_.size)}")
+    // pure inserts (ids beyond every stats box) prune to ZERO candidates
+    val inserts = Seq(99999L).toDF("doc_id")
+    assert(Versioned.cowCandidateFiles(spark, snap, inserts, "doc_id", "doc_id")
+      .get.isEmpty)
+    // and the pruned upsert is RESULT-identical to the semantics contract
+    Versioned.upsert(Seq((3L, "up", 999L), (99999L, "new", 1L))
+      .toDF("doc_id", "lang", "n_chars"), dir, "doc_id")
+    val after = Versioned.read(spark, dir)
+    assert(after.count() === 401)
+    assert(after.filter(col("doc_id") === 3L).head().getAs[Long]("n_chars") === 999L)
+    assert(after.filter(col("doc_id") === 99999L).count() === 1)
+    // only the files stats-intersecting the delta rewrote; the rest carried
+    val s1 = Versioned.snapshot(spark, dir)
+    assert(snap.files.toSet.intersect(s1.files.toSet).size >= snap.files.size - 1)
+
+    // a layout with NO stats on the id column (here: string ids, stats
+    // untracked) reports None: discovery falls back to the full scan,
+    // never a wrong prune
+    val dir2 = freshDir()
+    Versioned.init(
+      (0 until 40).map(i => (s"id$i", i.toLong)).toDF("doc_id", "n")
+        .repartition(4), dir2)
+    val snap2 = Versioned.snapshot(spark, dir2)
+    assert(Versioned.cowCandidateFiles(spark, snap2,
+      Seq("id3").toDF("doc_id"), "doc_id", "doc_id").isEmpty)
+    Versioned.upsert(Seq(("id3", 999L)).toDF("doc_id", "n"), dir2, "doc_id")
+    assert(Versioned.read(spark, dir2)
+      .filter(col("doc_id") === "id3").head().getAs[Long]("n") === 999L)
+  }
+
   test("restore: an old version becomes latest as one metadata commit; layout metadata travels back") {
     import spark.implicits._
     val dir = freshDir()

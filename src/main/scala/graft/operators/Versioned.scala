@@ -496,6 +496,28 @@ object Versioned {
       target.meta + ("op" -> "restore"))))
   }
 
+  /** SHALLOW CLONE: initialize `dstDir` as a new table whose v0
+    * manifest references the source version's files and metadata
+    * verbatim — zero data copied, so branching a 100 TB corpus for an
+    * experiment costs one manifest write. The clone then lives its own
+    * life: copy-on-write mutations write into ITS data directory and
+    * carry untouched source files by reference; its vacuum walks only
+    * its own data directory, so it can never reclaim source files.
+    * The one standing hazard (same contract as Delta/Iceberg shallow
+    * clones, documented rather than hidden): VACUUM ON THE SOURCE does
+    * not know about clone references and may reclaim files a clone
+    * still reads — keep the source's retention covering live clones, or
+    * deep-copy with compact() on the clone to cut the dependency. */
+  def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
+                   version: Option[Int] = None): Int = {
+    require(versions(spark, dstDir).isEmpty,
+      s"table already initialized at $dstDir")
+    val src = snapshot(spark, srcDir, version)
+    commitManifest(spark, dstDir, 0, src.entries,
+      src.meta + ("op" -> "clone") +
+        ("clonedFrom" -> s"$srcDir@${src.version}"))
+  }
+
   /** DESCRIBE HISTORY for the table: one row per retained version —
     * version, commit timestamp, the stamped operation, live-file count,
     * and the files added/removed BY that commit. Pure metadata: delta

@@ -1357,6 +1357,48 @@ class VersionedSpec extends SparkSuite {
       .filter(col("doc_id") === "id3").head().getAs[Long]("n") === 999L)
   }
 
+  test("cloneShallow: zero-copy branch; clone mutations never touch the source; clone vacuum is safe") {
+    import spark.implicits._
+    val src = freshDir(); val dst = freshDir()
+    Versioned.init(docs3(), src, statsCol = Some("doc_id"))
+    val srcContent = Versioned.read(spark, src).collect().map(_.toSeq).toSet
+
+    Versioned.cloneShallow(spark, src, dst)
+    val c0 = Versioned.snapshot(spark, dst)
+    assert(c0.files === Versioned.snapshot(spark, src).files,
+      "clone v0 references the source files verbatim")
+    assert(Versioned.read(spark, dst).collect().map(_.toSeq).toSet === srcContent)
+    assert(c0.meta("op") === "clone")
+
+    // the clone diverges copy-on-write; the SOURCE never changes
+    Versioned.upsert(Seq((5L, "cl", 999L)).toDF("doc_id", "lang", "n_chars"),
+      dst, "doc_id")
+    assert(Versioned.read(spark, dst)
+      .filter(col("doc_id") === 5L).head().getAs[String]("lang") === "cl")
+    assert(Versioned.read(spark, src).collect().map(_.toSeq).toSet === srcContent)
+    // stats-pruned reads work through the cloned manifest stats
+    assert(Versioned.readRange(spark, dst, None, "doc_id", 0L, 10L).count() === 11)
+
+    // clone vacuum walks ONLY its own data dir: source files survive
+    // even when the clone no longer references them
+    Versioned.vacuum(spark, dst, keepVersions = 1)
+    assert(Versioned.read(spark, src).collect().map(_.toSeq).toSet === srcContent,
+      "clone vacuum must never reclaim source files")
+    assert(Versioned.read(spark, dst).count() === 90)
+
+    // the documented hazard, pinned: vacuuming the SOURCE past versions
+    // a clone still references breaks the clone (keep retention over
+    // live clones, or compact the clone to cut the dependency)
+    Versioned.upsert(Seq((1L, "x", 1L)).toDF("doc_id", "lang", "n_chars"),
+      src, "doc_id")
+    Versioned.vacuum(spark, src, keepVersions = 1)
+    intercept[Exception](Versioned.read(spark, dst).count())
+
+    // double-init refusal
+    intercept[IllegalArgumentException](
+      Versioned.cloneShallow(spark, src, dst))
+  }
+
   test("restore: an old version becomes latest as one metadata commit; layout metadata travels back") {
     import spark.implicits._
     val dir = freshDir()

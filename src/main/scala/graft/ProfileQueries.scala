@@ -2,11 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Builder-side profiler: time a named subset of [[SparkEntry.queries]]
-  * (args = comma-separated names; args(0) optional sfDir) with the same
-  * machine-speed canary Bench publishes, so a mover flagged in a round's
-  * bench artifact can be adjudicated — host noise vs real regression —
-  * without paying a full 243-query sweep. Prints one line per repeat and
-  * a per-query minimum, canary readings bracketing the measurement. */
+  * — args(0) = comma-separated query names, args(1) = optional repeat
+  * count (default 3); the fixture dir comes from SPARK_GRAFT_SF_DIR —
+  * with the same machine-speed canary Bench publishes, so a mover
+  * flagged in a round's bench artifact can be adjudicated — host noise
+  * vs real regression — without paying a full-registry sweep. Prints one
+  * line per repeat and a per-query minimum, canary readings bracketing
+  * the measurement. */
 object ProfileQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2684,14 +2684,20 @@ object SparkEntry {
             lit(", restore brought files+vector back "), lit(restored)))))
     }),
     // DESCRIBE HISTORY over the merge-on-read lifecycle table: the
-    // audit frame's (version, operation, file-churn) rows are fully
-    // determined by the fixture — init(8 files) -> delete_mor (zero
-    // data-file churn) -> compact; timestamps excluded (wall-clock)
+    // audit frame's (version, operation, file-churn, standing-mask-debt)
+    // rows are fully determined by the fixture — init(8 files) ->
+    // delete_mor (zero data-file churn, one sidecar masking the %7==3
+    // ids) -> compact (materializes, debt back to zero) -> restore (the
+    // masked state returns, vector and all); timestamps excluded
+    // (wall-clock). dv_files/dv_rows are pure commit metadata — the
+    // observability an operator needs to see MoR mask debt accumulate
+    // without opening a single sidecar.
     "versioned_history" -> ((s, dir) => {
       val (path, _, _, _, _, _) = versionedMorInfo(s, dir)
       Versioned.history(s, path)
         .select(col("version"), col("operation"),
-          col("files_added"), col("files_removed"))
+          col("files_added"), col("files_removed"),
+          col("dv_files"), col("dv_rows"))
     }),
     // column rename as a metadata-only commit: reads across the rename
     // serve the new logical name over old-name physical files plus a
@@ -5317,16 +5323,23 @@ object SparkEntry {
     // the plain anti-filter over the original projection
     "versioned_delete_mor" ->
       """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 3""",
-    // the audit frame replayed as literals: the fixture's three commits
-    // are fully determined (8-file init, zero-churn MoR delete, compact
-    // folding 8 -> 1 at these corpus sizes)
+    // the audit frame replayed as literals (8-file init, zero-churn MoR
+    // delete, compact folding 8 -> 1 at these corpus sizes, restore
+    // bringing the masked state back); the standing mask debt dv_rows
+    // is the one data-derived fact — the oracle recounts the deleted
+    // id set the sidecar holds
     "versioned_history" ->
-      """SELECT * FROM (VALUES
-           (0, 'init',       8, 0),
-           (1, 'delete_mor', 0, 0),
-           (2, 'compact',    1, 8),
-           (3, 'restore',    8, 1))
-         AS t(version, operation, files_added, files_removed)""",
+      """WITH d AS (SELECT CAST(count(*) AS BIGINT) AS n
+                    FROM documents WHERE doc_id % 7 = 3)
+         SELECT t.version, t.operation, t.files_added, t.files_removed,
+                t.dv_files,
+                CASE WHEN t.dv_files = 0 THEN CAST(0 AS BIGINT) ELSE d.n END AS dv_rows
+         FROM (VALUES
+           (0, 'init',       8, 0, 0),
+           (1, 'delete_mor', 0, 0, 1),
+           (2, 'compact',    1, 8, 0),
+           (3, 'restore',    8, 1, 1))
+         AS t(version, operation, files_added, files_removed, dv_files), d""",
     // rename: content is the original projection (renamed) plus the
     // post-rename delta — the metadata-only-commit facts are pinned
     // in-plan, the oracle replays the content symbolically

@@ -168,8 +168,13 @@ object Versioned {
   private[graft] def colMap(snap: Snapshot): Map[String, String] =
     snap.meta.get("colmap").filter(_.nonEmpty)
       .map(_.split(',').map { kv =>
-        val Array(l, p) = kv.split(':')
-        l -> p
+        // split at the FIRST ':' only: logical names are separator-free
+        // by [[renameColumn]]'s validation, but a legacy baseline
+        // PHYSICAL name may contain ':' — a positional Array(l, p)
+        // match would MatchError and leave the table unreadable
+        val i = kv.indexOf(':')
+        require(i > 0 && i < kv.length - 1, s"malformed colmap entry: $kv")
+        kv.substring(0, i) -> kv.substring(i + 1)
       }.toMap).getOrElse(Map.empty)
 
   /** The PHYSICAL name of logical column `c` under the pinned snapshot
@@ -238,11 +243,16 @@ object Versioned {
 
   /** Rename a logical-named DataFrame to physical names for write —
     * the inverse of [[scanFiles]]'s projection, applied before every
-    * incremental (non-rebaselining) writeData. */
-  private def toPhysical(snap: Snapshot, df: DataFrame): DataFrame =
-    colMap(snap).foldLeft(df) { case (d, (l, p)) =>
-      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
-    }
+    * incremental (non-rebaselining) writeData. ONE select projection,
+    * not iterative withColumnRenamed: sequential renames depend on map
+    * iteration order and can transiently duplicate a name (renaming
+    * l1 -> p1 while a logical column named p1 still exists makes the
+    * next rename hit both); a single projection is order-free. */
+  private def toPhysical(snap: Snapshot, df: DataFrame): DataFrame = {
+    val cm = colMap(snap)
+    if (cm.isEmpty) df
+    else df.select(df.columns.toSeq.map(c => col(c).as(cm.getOrElse(c, c))): _*)
+  }
 
   /** Schema evolution against a pinned snapshot, guarding the one name
     * a rename RETIRES: a new logical column may not take a name that is
@@ -276,10 +286,23 @@ object Versioned {
     val dir = new Path(s"$tableDir/_manifests")
     val f = fs(spark, dir)
     if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d{5,}\\.manifest") =>
-        n.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .sorted.toSeq
+    else {
+      val names = f.listStatus(dir).map(_.getPath.getName)
+      val live = names.collect { case n if n.matches("v\\d{5,}\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }.toSet
+      // complete any crashed checkpoint swap (see [[checkpointManifest]]):
+      // a recovery file whose manifest is MISSING holds that version's
+      // full content — rename it back so the version stays enumerable
+      val recovered = names
+        .collect { case n if n.matches("v\\d{5,}\\.manifest\\.ckpt") =>
+          n.stripPrefix("v").stripSuffix(".manifest.ckpt").toInt }
+        .filterNot(live)
+        .filter { v =>
+          f.rename(ckptPath(tableDir, v), manifestPath(tableDir, v))
+          f.exists(manifestPath(tableDir, v))
+        }
+      (live ++ recovered).toSeq.sorted
+    }
   }
 
   /** Test-visible instrumentation: how many times the O(#versions)
@@ -452,7 +475,18 @@ object Versioned {
   private def manifestLines(spark: SparkSession, tableDir: String,
                             v: Int): List[String] = {
     val p = manifestPath(tableDir, v)
-    val in = fs(spark, p).open(p)
+    val f = fs(spark, p)
+    val in = try f.open(p) catch {
+      case e: java.io.FileNotFoundException =>
+        // a checkpoint swap that crashed between its delete and rename
+        // left the full content under the deterministic recovery name —
+        // complete the rename (racing recoverers: the loser's rename
+        // fails but the target then exists) and serve the read
+        val ckpt = ckptPath(tableDir, v)
+        if (!f.exists(ckpt)) throw e
+        f.rename(ckpt, p)
+        if (f.exists(p)) f.open(p) else f.open(ckpt)
+    }
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
@@ -546,12 +580,22 @@ object Versioned {
           val curF = raw.adds.map(_.path).toSet
           ((curF -- prev).size, (prev -- curF).size)
       }
+      // standing merge-on-read mask debt AS OF this version — the
+      // observability twin of the bloom-saturation and z-drift warnings:
+      // dv_files is how many sidecars every masked read opens, dv_rows
+      // how many ids the anti-join carries (-1 on commits predating the
+      // dv.rows stamp; 0 whenever no vector stands). Pure metadata.
+      val dvF = raw.meta.get("dv.files").filter(_.nonEmpty)
+        .map(_.split(',').length).getOrElse(0)
+      val dvR = if (dvF == 0) 0L
+                else raw.meta.get("dv.rows").map(_.toLong).getOrElse(-1L)
       (v, raw.meta.get("committedAt").map(_.toLong),
-        raw.meta.getOrElse("op", "unknown"), snapFiles.size, added, removed)
+        raw.meta.getOrElse("op", "unknown"), snapFiles.size, added, removed,
+        dvF, dvR)
     }
     spark.createDataFrame(rows)
       .toDF("version", "committed_at", "operation", "num_files",
-        "files_added", "files_removed")
+        "files_added", "files_removed", "dv_files", "dv_rows")
   }
 
   /** Resolve "the table as of time t": the NEWEST version whose commit
@@ -1172,6 +1216,14 @@ object Versioned {
     * The vector keys on `idCol`'s PHYSICAL name, so renames never
     * invalidate it; successive MoR deletes accumulate sidecars (each
     * commit is O(its own delta)) and must agree on the id column. */
+  /** Sidecar-count bound: when a MoR delete would leave MORE standing
+    * sidecars than this, the commit folds them all into ONE (an O(DV)
+    * rewrite — the vector is small next to the table by the MoR premise).
+    * Without the bound a table taking daily MoR deletes reads 365
+    * sidecars per masked scan after a year; with it every read opens at
+    * most [[DvConsolidateAt]] small parquet files. */
+  private[graft] val DvConsolidateAt = 8
+
   def deleteIdsMergeOnRead(ids: DataFrame, tableDir: String, idCol: String): Int = {
     val s = ids.sparkSession
     val base = snapshot(s, tableDir)
@@ -1181,10 +1233,43 @@ object Versioned {
     val dvEntries = writeData(
       toPhysical(base, ids.select(col(idCol))).distinct(), tableDir,
       base.version + 1)
-    commitWithRebase(s, tableDir, snap => Some((snap.entries,
-      snap.meta +
-        ("dv.files" -> (snap.dvFiles ++ dvEntries.map(_.path)).mkString(",")) +
-        ("dv.col" -> physId) + ("op" -> "delete_mor"))), dvEntries)
+    val cache = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    commitWithRebase(s, tableDir,
+      morDeleteRebase(s, tableDir, idCol, physId, dvEntries, cache), dvEntries)
+  }
+
+  /** The rebase rule of [[deleteIdsMergeOnRead]]'s commit loop, exposed
+    * for the spec. The sidecar parquet was written under the BASE
+    * snapshot's physical name for `idCol`; if a concurrent
+    * compact/compactZOrder re-baselined column names before the rebase
+    * retry (or an interleaved writer changed the DV key column),
+    * stamping `dv.col` with the stale physical name would make every
+    * subsequent read throw resolving it — refuse as a true conflict
+    * instead (the caller re-runs against the new snapshot, whose reads
+    * are already delete-materialized or re-keyed). Folds sidecars into
+    * one when the standing count crosses [[DvConsolidateAt]] and stamps
+    * `dv.rows` (the mask-debt observability [[history]] surfaces); both
+    * are cached per base-DV-set so bounded commit retries don't rewrite. */
+  private[graft] def morDeleteRebase(s: SparkSession, tableDir: String,
+      idCol: String, physId: String, dvEntries: Seq[FileEntry],
+      cache: scala.collection.mutable.Map[String, Map[String, String]])
+      (snap: Snapshot): Option[(Seq[FileEntry], Map[String, String])] = {
+    if (physOf(snap, idCol) != physId || !snap.dvCol.forall(_ == physId)) None
+    else {
+      val dvMeta = cache.getOrElseUpdate(snap.dvFiles.mkString(","), {
+        val standing = snap.dvFiles ++ dvEntries.map(_.path)
+        val ids = s.read.parquet(standing: _*).select(col(physId)).distinct()
+        if (standing.size > DvConsolidateAt) {
+          val rows = ids.count()
+          val one = writeData(ids, tableDir, snap.version + 1)
+          Map("dv.files" -> one.map(_.path).mkString(","),
+            "dv.rows" -> rows.toString)
+        } else Map("dv.files" -> standing.mkString(","),
+          "dv.rows" -> ids.count().toString)
+      })
+      Some((snap.entries,
+        snap.meta ++ dvMeta + ("dv.col" -> physId) + ("op" -> "delete_mor")))
+    }
   }
 
   /** The deletion-vector retraction a re-introducing write owes: when a
@@ -1205,10 +1290,12 @@ object Versioned {
           if (dv.join(incoming, Seq(c), "left_semi").isEmpty) Map.empty
           else {
             val survived = dv.join(incoming, Seq(c), "left_anti")
-            if (survived.isEmpty) Map("dv.files" -> "", "dv.col" -> "")
+            val n = survived.count()
+            if (n == 0L) Map("dv.files" -> "", "dv.col" -> "", "dv.rows" -> "0")
             else {
               val rewritten = writeData(survived, tableDir, v)
-              Map("dv.files" -> rewritten.map(_.path).mkString(","))
+              Map("dv.files" -> rewritten.map(_.path).mkString(","),
+                "dv.rows" -> n.toString)
             }
           }
         }
@@ -1239,7 +1326,26 @@ object Versioned {
       require(!logical.fieldNames.contains(newName),
         s"column '$newName' already exists at $tableDir")
       val cm = colMap(latest)
-      val newMap = ((cm - oldName) + (newName -> cm.getOrElse(oldName, oldName)))
+      // the mirror of [[evolvedSchemaFor]]'s retired-name guard: a rename
+      // may not TAKE a name that is still the PHYSICAL identity of some
+      // OTHER renamed column — two logical columns would map to colliding
+      // on-disk names and every later physical projection would be
+      // ambiguous (renaming a column back to its own physical name is the
+      // map-dropping case and stays legal)
+      val physInUse = (cm - oldName).values.toSet
+      require(!physInUse.contains(newName),
+        s"column name '$newName' is still the physical (on-disk) name of a " +
+          "renamed column — compact the table to re-baseline before reusing it")
+      val phys = cm.getOrElse(oldName, oldName)
+      // the physical half of the recorded entry must also stay free of
+      // the manifest separators: a baseline column named with one (legal
+      // at init) would corrupt the colmap encoding — refuse the rename
+      // and point at the rewrite that re-baselines the name
+      require(!phys.exists(c => c == ':' || c == ',' || c == '\t' ||
+        c == '\n' || c == '#'),
+        s"physical column name '$phys' contains a colmap separator — " +
+          "compact the table (re-baselining the physical names) before renaming")
+      val newMap = ((cm - oldName) + (newName -> phys))
         .filter { case (l, p) => l != p }
       val newSchema = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
@@ -1801,37 +1907,58 @@ object Versioned {
     VacuumStats(deleted, referenced.size.toLong, dropped)
   }
 
+  /** The deterministic recovery name a checkpoint swap stages through
+    * on schemes without an overwriting atomic rename: a crash between
+    * the delete and the rename leaves the FULL content here, and every
+    * reader ([[manifestLines]], [[versions]]) knows to complete the
+    * swap — without the fixed name, losing the oldest retained manifest
+    * would sever every retained delta chain above it (whole-table
+    * metadata loss, far worse than the per-file vacuum window). */
+  private def ckptPath(tableDir: String, v: Int) =
+    new Path(s"$tableDir/_manifests/v${"%05d".format(v)}.manifest.ckpt")
+
   /** Rewrite version v's manifest IN PLACE as a full manifest (no-op
     * when it already is one). Content-identical on both sides of the
     * swap — a racing reader resolves the same Snapshot through either —
     * so the replace only needs per-FS atomicity of the file itself:
-    * POSIX atomic move locally, delete+rename on HDFS-like schemes
-    * (same narrow maintenance-window contract vacuum already carries
-    * for data files). */
+    * POSIX atomic move locally; on HDFS-like schemes (whose rename
+    * refuses an existing destination) the content is staged under the
+    * RECOVERY name first, so the non-atomic delete+rename window is
+    * crash-recoverable instead of fatal. */
   private def checkpointManifest(spark: SparkSession, tableDir: String,
                                  v: Int): Unit = {
     if (rawManifest(spark, tableDir, v).base.isEmpty) return
     val snap = snapshot(spark, tableDir, Some(v))
     val target = manifestPath(tableDir, v)
     val f = fs(spark, target)
-    val tmp = new Path(target.getParent,
-      s".${target.getName}.ckpt.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = f.create(tmp, true)
     val metaLines = (snap.meta - "base").toSeq.sorted.map { case (k, vl) => s"#$k=$vl" }
-    try out.write(
-      ((metaLines ++ snap.entries.map(_.line)).mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    val body = ((metaLines ++ snap.entries.map(_.line)).mkString("\n") + "\n")
+      .getBytes("UTF-8")
     val scheme = target.toUri.getScheme
-    if (scheme == null || scheme == "file")
+    if (scheme == null || scheme == "file") {
+      val tmp = new Path(target.getParent,
+        s".${target.getName}.ckpt.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(body) finally out.close()
       java.nio.file.Files.move(
         java.nio.file.Paths.get(norm(tmp)), java.nio.file.Paths.get(norm(target)),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else {
+    } else {
+      // stage under the deterministic recovery name, fully written and
+      // closed BEFORE the target is deleted: a crash before the delete
+      // leaves the target intact (stale recovery file is ignored while
+      // its manifest exists, and overwritten by the next checkpoint); a
+      // crash after it leaves the full content where readers recover it
+      val ckpt = ckptPath(tableDir, v)
+      if (f.exists(ckpt)) f.delete(ckpt, false)
+      val out = f.create(ckpt, true)
+      try out.write(body) finally out.close()
       f.delete(target, false)
-      if (!f.rename(tmp, target))
+      if (!f.rename(ckpt, target) && !f.exists(target))
         throw new java.io.IOException(
-          s"vacuum checkpoint of version $v at $tableDir failed to publish")
+          s"vacuum checkpoint of version $v at $tableDir failed to publish " +
+            s"(content staged at $ckpt; readers recover it on next open)")
     }
   }
 

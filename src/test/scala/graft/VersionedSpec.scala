@@ -1486,4 +1486,111 @@ class VersionedSpec extends SparkSuite {
       .repartition(1), dir)
     assert(Versioned.read(spark, dir).count() === 36)
   }
+
+  test("renameColumn refuses a newName that is another column's retired physical name") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(30), dir)
+    Versioned.renameColumn(spark, dir, "n_chars", "len") // colmap len:n_chars
+    // 'n_chars' is now the retired PHYSICAL identity of 'len': a second
+    // rename taking it would leave two logical columns colliding on one
+    // on-disk name (colmap {len:n_chars, n_chars:lang}), corrupting every
+    // later physical projection — must refuse typed
+    val e = intercept[IllegalArgumentException](
+      Versioned.renameColumn(spark, dir, "lang", "n_chars"))
+    assert(e.getMessage.contains("physical"))
+    // renaming the column BACK to its own physical name is the map-
+    // dropping case and stays legal
+    Versioned.renameColumn(spark, dir, "len", "n_chars")
+    assert(Versioned.snapshot(spark, dir).meta.get("colmap").forall(_.isEmpty))
+    Versioned.append(Seq((5000L, "rn", 9L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    assert(Versioned.read(spark, dir).count() === 31)
+  }
+
+  test("a crashed checkpoint swap (manifest gone, .ckpt staged) recovers on read and on listing") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(30), dir)
+    Versioned.append(Seq((901L, "a", 1L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir) // v1: a DELTA chaining down to v0
+    assert(isDelta(dir, 1))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def stageCrash(v: Int): Unit = {
+      val target = new org.apache.hadoop.fs.Path(
+        f"$dir/_manifests/v$v%05d.manifest")
+      val ckpt = new org.apache.hadoop.fs.Path(
+        f"$dir/_manifests/v$v%05d.manifest.ckpt")
+      org.apache.hadoop.fs.FileUtil.copy(fs, target, fs, ckpt, false, conf)
+      fs.delete(target, false)
+    }
+    // crash the BASE of the chain: resolving v1 replays its delta over
+    // v0, whose manifest is gone — manifestLines must complete the
+    // staged rename and serve the content (losing the oldest manifest
+    // unrecovered would sever EVERY retained version above it)
+    stageCrash(0)
+    assert(Versioned.read(spark, dir, Some(1)).count() === 31)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_manifests/v00000.manifest")),
+      "chain resolution must complete the crashed rename")
+    // crash the LATEST: the version must stay enumerable — the listing
+    // completes the rename — and reads resolve through it again
+    stageCrash(1)
+    assert(Versioned.versions(spark, dir) === Seq(0, 1))
+    assert(Versioned.read(spark, dir).count() === 31)
+  }
+
+  test("morDeleteRebase refuses when a concurrent re-baseline retired the sidecar's physical id") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(30), dir)
+    Versioned.renameColumn(spark, dir, "doc_id", "id") // colmap id:doc_id
+    val base = Versioned.snapshot(spark, dir)
+    val physId = "doc_id"
+    assert(base.schema.get.fieldNames.contains("id"))
+    // a concurrent compact re-baselines physical == logical ('id'): a
+    // MoR delete computed against `base` would stamp dv.col with the
+    // retired name 'doc_id', absent from the re-baselined files — every
+    // later read would throw resolving it. The rebase must refuse.
+    Versioned.compact(spark, dir, targetBytes = 32L << 20)
+    val rebaselined = Versioned.snapshot(spark, dir)
+    val cache = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    assert(Versioned.morDeleteRebase(spark, dir, "id", physId, Seq.empty, cache)(
+      rebaselined).isEmpty,
+      "stale physical id must surface as a true conflict, not a poisoned dv.col")
+    // the healthy (no-race) path on the re-baselined table works end-to-end
+    Versioned.deleteIdsMergeOnRead(Seq(3L).toDF("id"), dir, "id")
+    assert(Versioned.read(spark, dir).filter(col("id") === 3L).count() === 0)
+  }
+
+  test("MoR sidecars consolidate at the bound; dv_rows/dv_files expose the mask debt") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(60), dir)
+    // 20 successive one-id MoR deletes: the standing sidecar count must
+    // never exceed the bound AFTER any commit (crossing it folds the
+    // vectors into ONE — an O(DV) rewrite, never O(table))
+    (0 until 20).foreach { i =>
+      Versioned.deleteIdsMergeOnRead(Seq(i.toLong).toDF("doc_id"), dir, "doc_id")
+      val snap = Versioned.snapshot(spark, dir)
+      assert(snap.dvFiles.size <= Versioned.DvConsolidateAt,
+        s"after delete $i: ${snap.dvFiles.size} sidecars standing")
+    }
+    val snap = Versioned.snapshot(spark, dir)
+    assert(snap.meta("dv.rows") === "20")
+    assert(Versioned.read(spark, dir).count() === 40)
+    assert(Versioned.read(spark, dir).filter(col("doc_id") < 20).count() === 0,
+      "consolidation must preserve the mask content exactly")
+    // history surfaces the debt as pure metadata
+    val last = Versioned.history(spark, dir)
+      .orderBy(col("version").desc).head()
+    assert(last.getAs[Int]("dv_files") === snap.dvFiles.size)
+    assert(last.getAs[Long]("dv_rows") === 20L)
+    // resurrection keeps the stamp honest: retraction re-counts
+    Versioned.upsert(Seq((0L, "back", 1L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id")
+    val after = Versioned.snapshot(spark, dir)
+    assert(after.meta("dv.rows") === "19")
+    assert(Versioned.read(spark, dir).filter(col("doc_id") === 0L).count() === 1)
+  }
 }

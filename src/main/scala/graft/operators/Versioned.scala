@@ -56,18 +56,22 @@ object Versioned {
   private[graft] final class CommitRaceLost(msg: String)
     extends java.io.IOException(msg)
 
-  /** One data file reference, optionally carrying column statistics
-    * (`statsCol`, min, max) gathered at commit time. Stats live in the
-    * MANIFEST — readers prune files without opening a single parquet
-    * footer, the Iceberg-style skipping layer above the footer-level
-    * zone maps [[Scale.dumpRangeSorted]] provides. */
-  case class FileEntry(path: String, stats: Option[(String, Long, Long)] = None,
+  /** One data file reference, optionally carrying column statistics —
+    * a SMALL LIST of (column, min, max) triples gathered at commit time.
+    * Stats live in the MANIFEST — readers prune files without opening a
+    * single parquet footer, the Iceberg-style skipping layer above the
+    * footer-level zone maps [[Scale.dumpRangeSorted]] provides. More
+    * than one column matters when layouts COMPOSE: a z-order commit
+    * records `__z` for box probes AND the id column for copy-on-write
+    * discovery — with a single slot, every upsert on a z-ordered table
+    * silently fell back to O(table) candidate scans. */
+  case class FileEntry(path: String, stats: Seq[(String, Long, Long)] = Seq.empty,
                        bloom: Option[(String, String)] = None) {
+    /** The triple recorded for column `c`, if any. */
+    def statsFor(c: String): Option[(Long, Long)] =
+      stats.collectFirst { case (`c`, lo, hi) => (lo, hi) }
     private[Versioned] def line: String = {
-      val statsPart = stats match {
-        case Some((c, lo, hi)) => s"\t$c\t$lo\t$hi"
-        case None              => ""
-      }
+      val statsPart = stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
       // tagged suffix keeps old manifests parseable and old readers
       // merely bloom-blind; a stats column literally named "bloom" is
       // rejected at build time (writeData) to keep the tag unambiguous
@@ -79,13 +83,26 @@ object Versioned {
     }
   }
 
-  private def parseEntry(l: String): FileEntry = l.split('\t') match {
-    case Array(p)                           => FileEntry(p)
-    case Array(p, "bloom", bc, hex)         => FileEntry(p, None, Some((bc, hex)))
-    case Array(p, c, lo, hi)                => FileEntry(p, Some((c, lo.toLong, hi.toLong)))
-    case Array(p, c, lo, hi, "bloom", bc, hex) =>
-      FileEntry(p, Some((c, lo.toLong, hi.toLong)), Some((bc, hex)))
-    case _ => throw new IllegalStateException(s"malformed manifest line: $l")
+  private def parseEntry(l: String): FileEntry = {
+    // path, then zero or more (col, lo, hi) triples, then an optional
+    // tagged bloom suffix — the round-15 single-triple format parses as
+    // the one-element case, the pre-stats format as the zero-element one
+    val tok = l.split('\t')
+    if (tok.isEmpty || tok(0).isEmpty)
+      throw new IllegalStateException(s"malformed manifest line: $l")
+    var i = 1
+    val stats = Seq.newBuilder[(String, Long, Long)]
+    while (i < tok.length && tok(i) != "bloom") {
+      if (i + 2 >= tok.length)
+        throw new IllegalStateException(s"malformed manifest line: $l")
+      stats += ((tok(i), tok(i + 1).toLong, tok(i + 2).toLong))
+      i += 3
+    }
+    val bloom =
+      if (i == tok.length) None
+      else if (i + 3 == tok.length) Some((tok(i + 1), tok(i + 2)))
+      else throw new IllegalStateException(s"malformed manifest line: $l")
+    FileEntry(tok(0), stats.result(), bloom)
   }
 
   /** Per-file Bloom filter parameters: [[BloomBits]]-bit filter (hex in
@@ -758,9 +775,9 @@ object Versioned {
     * failure leaves the winner's data untouched (paths travel absolutely
     * in the manifest, so nothing reads the directory name back). */
   private def writeData(df: DataFrame, tableDir: String, v: Int,
-                        statsCol: Option[String] = None,
+                        statsCols: Seq[String] = Seq.empty,
                         bloomCol: Option[String] = None): Seq[FileEntry] = {
-    require(!statsCol.contains("bloom") && !bloomCol.contains("bloom"),
+    require(!statsCols.contains("bloom") && !bloomCol.contains("bloom"),
       "a stats/bloom column literally named 'bloom' would collide with the manifest tag")
     val dataDir = s"$tableDir/data/v${"%05d".format(v)}_" +
       java.util.UUID.randomUUID().toString.take(8)
@@ -774,25 +791,33 @@ object Versioned {
     // scaffolding inherited from a z-order commit that a later COW's
     // rewrite doesn't materialize) degrades to "no stats — always read",
     // never a failed commit whose data files are already on disk
-    val base = statsCol.filter(readBack.columns.contains) match {
-      case None => paths.map(FileEntry(_))
-      case Some(c) =>
-        val stats = df.sparkSession.read.parquet(dataDir)
+    val present = statsCols.distinct.filter(readBack.columns.contains)
+    val base =
+      if (present.isEmpty) paths.map(FileEntry(_))
+      else {
+        // ALL requested columns' min/max in ONE pass over the freshly
+        // written, page-warm files — the multi-stats layer costs the
+        // same single scan the one-column form paid
+        val aggs = present.flatMap(c =>
+          Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+        val stats = readBack
           .groupBy(input_file_name().as("__f"))
-          .agg(min(col(c).cast("long")).as("__lo"), max(col(c).cast("long")).as("__hi"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
             // all-null (or uncastable) stats column in a file => the file
-            // commits WITHOUT stats and is simply never pruned — a
-            // missing statistic must degrade to "always read", not crash
-            // a commit whose data files are already on disk
-            val st = if (r.isNullAt(1) || r.isNullAt(2)) None
-                     else Some((c, r.getLong(1), r.getLong(2)))
-            normFileName(r.getString(0)) -> st
+            // commits WITHOUT that triple and is simply never pruned on
+            // it — a missing statistic must degrade to "always read",
+            // not crash a commit whose data files are already on disk
+            val trips = present.zipWithIndex.flatMap { case (c, j) =>
+              if (r.isNullAt(1 + 2 * j) || r.isNullAt(2 + 2 * j)) None
+              else Some((c, r.getLong(1 + 2 * j), r.getLong(2 + 2 * j)))
+            }
+            normFileName(r.getString(0)) -> trips
           }.toMap
         // a written part absent from the stats scan has zero rows —
         // proven empty, so it never enters the manifest at all
         paths.flatMap(p => stats.get(p).map(st => FileEntry(p, st)))
-    }
+      }
     bloomCol.filter(readBack.columns.contains) match {
       case None => base
       case Some(bc) =>
@@ -955,7 +980,7 @@ object Versioned {
     require(versions(df.sparkSession, tableDir).isEmpty,
       s"table already initialized at $tableDir")
     commitManifest(df.sparkSession, tableDir, 0,
-      writeData(df, tableDir, 0, statsCol, bloomCol),
+      writeData(df, tableDir, 0, statsCol.toSeq, bloomCol),
       meta + ("schema" -> df.schema.json) + ("op" -> "init"))
   }
 
@@ -1026,7 +1051,7 @@ object Versioned {
     // delta files write PHYSICAL names (and stats/bloom key physical)
     // so one read schema covers files on both sides of any rename
     val newEntries = writeData(toPhysical(base, df), tableDir, base.version + 1,
-      statsCol.map(physOf(base, _)), bloomCol.map(physOf(base, _)))
+      statsCol.map(physOf(base, _)).toSeq, bloomCol.map(physOf(base, _)))
     // snap.meta carries standing table metadata (zorder.* bucketization,
     // colmap, deletion vectors) across appends; the caller's meta wins
     // on key collision. An append whose rows carry a merge-on-read-
@@ -1059,9 +1084,8 @@ object Versioned {
   private[graft] def cowCandidateFiles(s: SparkSession, snap: Snapshot,
                                 deltaIds: DataFrame, idCol: String,
                                 physId: String): Option[Seq[String]] = {
-    val withStats = snap.entries.collect {
-      case FileEntry(p, Some((c, lo, hi)), _) if c == physId => (p, lo, hi)
-    }
+    val withStats = snap.entries.flatMap(e =>
+      e.statsFor(physId).map { case (lo, hi) => (e.path, lo, hi) })
     if (withStats.isEmpty) None
     else {
       val statless = snap.entries.collect {
@@ -1114,11 +1138,12 @@ object Versioned {
     * versions: files from v+1 read under v's schema). */
   private[graft] def filesForRangeIn(entries: Seq[FileEntry], statsCol: String,
                                      lo: Long, hi: Long): Seq[String] =
-    entries.collect {
-      case FileEntry(p, Some((c, fLo, fHi)), _) if c == statsCol =>
-        if (fLo <= hi && fHi >= lo) Some(p) else None
-      case FileEntry(p, _, _) => Some(p)
-    }.flatten
+    entries.flatMap { e =>
+      e.statsFor(statsCol) match {
+        case Some((fLo, fHi)) => if (fLo <= hi && fHi >= lo) Some(e.path) else None
+        case None             => Some(e.path)
+      }
+    }
 
   /** The file subset an EQUALITY probe on `bloomCol` can possibly
     * touch: files whose manifest Bloom filter contains the value, plus
@@ -1404,14 +1429,12 @@ object Versioned {
         allowMissingColumns = true)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk", "__src")
-    // rewritten files re-derive BOTH manifest skipping columns from the
-    // snapshot (stats and bloom alike — deriving one and not the other
-    // silently cost merged files their equality pruning until the next
-    // compact)
-    val statsCol = snap.entries.flatMap(_.stats.map(_._1)).distinct match {
-      case Seq(c) => Some(c)
-      case _      => None
-    }
+    // rewritten files re-derive EVERY manifest skipping column the
+    // snapshot carries (all stats triples and the bloom alike — deriving
+    // one and not the others silently cost merged files their pruning
+    // until the next compact; '__z' scaffolding the logical rewrite
+    // doesn't materialize degrades per-column to "no stats")
+    val statsCols = snap.entries.flatMap(_.stats.map(_._1)).distinct
     val bloomCol = snap.entries.flatMap(_.bloom.map(_._1)).distinct match {
       case Seq(c) => Some(c)
       case _      => None
@@ -1419,7 +1442,7 @@ object Versioned {
     evolvedSchemaFor(snap, delta): Unit // early retired-name guard
     val newEntries = writeData(
       toPhysical(snap, uncontested.unionByName(winners, allowMissingColumns = true)),
-      tableDir, v, statsCol, bloomCol)
+      tableDir, v, statsCols, bloomCol)
     val dvCache = scala.collection.mutable.Map.empty[String, Map[String, String]]
     def dvMeta(b: Snapshot): Map[String, String] = // merge re-adds ids too
       dvCache.getOrElseUpdate(b.dvFiles.mkString(","),
@@ -1496,11 +1519,12 @@ object Versioned {
     // (its meta is rebuilt fresh below); inherited stats/bloom columns
     // arrive keyed physical and re-key to their logical names here
     val toLogical = colMap(snap).map(_.swap)
-    val statsCol = clusterBy.orElse(
-      snap.entries.flatMap(_.stats.map(_._1)).distinct match {
-        case Seq(c) => Some(toLogical.getOrElse(c, c))
-        case _      => None
-      })
+    // the rewrite keeps EVERY inherited stats column (re-keyed logical;
+    // '__z' scaffolding dies with the layout it described — the rewrite
+    // doesn't materialize it) and adds the cluster key up front
+    val statsCols = (clusterBy.toSeq ++
+      snap.entries.flatMap(_.stats.map(_._1)).distinct
+        .filterNot(_ == "__z").map(c => toLogical.getOrElse(c, c))).distinct
     // compact re-derives the table's bloom column from the snapshot and
     // rebuilds filters for every rewritten file (copy-on-write commits
     // now keep blooms alive per-rewrite; compact remains the point where
@@ -1510,7 +1534,7 @@ object Versioned {
       case _      => None
     }
     val v = snap.version + 1
-    val newEntries = writeData(arranged, tableDir, v, statsCol, bloomCol)
+    val newEntries = writeData(arranged, tableDir, v, statsCols, bloomCol)
     // compaction rewrites EVERY file, so no interleaved commit is
     // rebasable: losing the race is always a true conflict (typed), and
     // the caller just re-runs compact against the new snapshot
@@ -1553,16 +1577,13 @@ object Versioned {
                                        meta: Map[String, String] = Map.empty): Int = {
     val s = rewritten.sparkSession
     val physStats = physOf(base, statsCol) // entry stats key physical names
-    def entryStats(e: FileEntry): (String, Long, Long) = e.stats.getOrElse(
+    def boxOf(e: FileEntry): (Long, Long) = e.statsFor(physStats).getOrElse(
       throw new IllegalStateException(
         s"partition commit to $tableDir: file ${e.path} carries no " +
           s"'$statsCol' stats — partition disjointness is unprovable; " +
           "compact the table with clusterBy first"))
     def intersects(e: FileEntry): Boolean = {
-      val (c, lo, hi) = entryStats(e)
-      require(c == physStats,
-        s"partition commit to $tableDir: file ${e.path} carries stats on " +
-          s"'$c', not '$physStats'")
+      val (lo, hi) = boxOf(e)
       touchedKeys.exists(k => lo <= k && k <= hi)
     }
     val baseTouched = base.entries.filter(intersects).map(_.path).toSet
@@ -1574,7 +1595,7 @@ object Versioned {
     evolvedSchemaFor(base, rewritten): Unit // early retired-name guard
     val newEntries =
       writeData(toPhysical(base, rewritten), tableDir, base.version + 1,
-        Some(physStats), bloomCol)
+        Seq(physStats), bloomCol)
     commitWithRebase(s, tableDir, snap => {
       val ok =
         if (snap.version == base.version) true
@@ -1628,12 +1649,21 @@ object Versioned {
     val arranged = cur.withColumn("__z", zc)
       .repartitionByRange(numRanges, col("__z"))
       .sortWithinPartitions("__z")
+    // re-baselining rewrite: inherited skipping columns re-key to their
+    // LOGICAL names (physical == logical again below). Crucially the
+    // inherited stats (the id column a COW layout clusters on) are
+    // recorded ALONGSIDE '__z' — with a single stats slot, a z-order
+    // commit silently cost every later upsert its manifest-stats
+    // discovery pruning and sent it back to O(table) candidate scans
+    val toLogical = colMap(snap).map(_.swap)
+    val statsCols = "__z" +: snap.entries.flatMap(_.stats.map(_._1)).distinct
+      .filterNot(_ == "__z").map(c => toLogical.getOrElse(c, c))
     val bloomCol = snap.entries.flatMap(_.bloom.map(_._1)).distinct match {
-      case Seq(c) => Some(c)
+      case Seq(c) => Some(toLogical.getOrElse(c, c))
       case _      => None
     }
     val newEntries = writeData(arranged, tableDir, snap.version + 1,
-      Some("__z"), bloomCol)
+      statsCols, bloomCol)
     val meta = Map(
       "schema" -> snap.schema.getOrElse(cur.schema).json,
       "op" -> "zorder",
@@ -1720,12 +1750,18 @@ object Versioned {
     val arranged = tail.withColumn("__z", zc)
       .repartitionByRange(math.max(1, math.min(numRanges, unclustered.size)), col("__z"))
       .sortWithinPartitions("__z")
+    // the clustered tail keeps every inherited stats column (physical
+    // names — this whole pass runs in physical space) next to its fresh
+    // '__z' triple, so COW discovery pruning survives the maintenance
+    // loop that runs after every ingest burst
+    val statsCols = "__z" +: snap.entries.flatMap(_.stats.map(_._1)).distinct
+      .filterNot(_ == "__z")
     val bloomCol = snap.entries.flatMap(_.bloom.map(_._1)).distinct match {
       case Seq(c) => Some(c)
       case _      => None
     }
     val newEntries = writeData(arranged, tableDir, snap.version + 1,
-      Some("__z"), bloomCol)
+      statsCols, bloomCol)
     val rewritten = unclustered.map(_.path).toSet
     commitWithRebase(spark, tableDir, latest => {
       val latestPaths = latest.files.toSet
@@ -2037,15 +2073,14 @@ object Versioned {
     val rewritten =
       if (keepDelta) survivors.unionByName(delta, allowMissingColumns = true)
       else survivors
-    // rewritten files inherit the stats AND bloom columns of the
-    // snapshot's entries (when uniform) so both skipping layers survive
-    // copy-on-write — the bloom rebuild is one extra pass over only the
-    // rewritten files, and without it every COW quietly degraded
-    // equality pruning to a full read until the next compact
-    val statsCol = snap.entries.flatMap(_.stats.map(_._1)).distinct match {
-      case Seq(c) => Some(c)
-      case _      => None
-    }
+    // rewritten files inherit EVERY stats column and the bloom column of
+    // the snapshot's entries so all skipping layers survive copy-on-write
+    // — the bloom rebuild is one extra pass over only the rewritten
+    // files, and without it every COW quietly degraded equality pruning
+    // to a full read until the next compact ('__z' scaffolding the
+    // logical rewrite doesn't materialize degrades to "no stats" for
+    // that column only; the id triple stays sharp)
+    val statsCols = snap.entries.flatMap(_.stats.map(_._1)).distinct
     val bloomCol = snap.entries.flatMap(_.bloom.map(_._1)).distinct match {
       case Seq(c) => Some(c)
       case _      => None
@@ -2054,7 +2089,7 @@ object Versioned {
     if (keepDelta) evolvedSchemaFor(snap, delta): Unit
     val newEntries =
       if (touched.isEmpty && !keepDelta) Seq.empty
-      else writeData(toPhysical(snap, rewritten), tableDir, v, statsCol, bloomCol)
+      else writeData(toPhysical(snap, rewritten), tableDir, v, statsCols, bloomCol)
     def schema(base: Snapshot) =
       if (keepDelta) evolvedSchemaFor(base, delta)
       else base.schema.getOrElse(survivorBase.schema)

@@ -1593,4 +1593,52 @@ class VersionedSpec extends SparkSuite {
     assert(after.meta("dv.rows") === "19")
     assert(Versioned.read(spark, dir).filter(col("doc_id") === 0L).count() === 1)
   }
+
+  test("z-ordered tables keep COW discovery pruning: id stats ride alongside __z") {
+    import spark.implicits._
+    val dir = freshDir()
+    val d = (0 until 400).map(i => (i.toLong, (i % 20).toLong, (i / 20).toLong))
+      .toDF("doc_id", "x", "y")
+      .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+    Versioned.init(d, dir, statsCol = Some("doc_id"))
+    Versioned.compactZOrder(spark, dir, Seq("x", "y"), numRanges = 8)
+    val snap = Versioned.snapshot(spark, dir)
+    // every z-clustered file carries BOTH triples: '__z' for box probes
+    // AND the id column for copy-on-write discovery — the composition
+    // that a single stats slot silently broke (upserts on a z-ordered
+    // table fell back to O(table) candidate scans)
+    assert(snap.entries.forall(_.statsFor("__z").nonEmpty))
+    assert(snap.entries.forall(_.statsFor("doc_id").nonEmpty))
+    // box probes prune through the z triples...
+    val boxPruned = Versioned.boxFilePruningIn(snap,
+      Seq(("x", 1.0, 2.0), ("y", 1.0, 2.0)))
+    assert(boxPruned.exists { case (keep, total) => keep.size < total })
+    // ...and COW discovery prunes through the id triples ON THE SAME
+    // SNAPSHOT: a one-id delta must get a candidate list (not the
+    // stats-less None fallback) that excludes provably-id-free files
+    val oneId = Seq(0L).toDF("doc_id")
+    val cands = Versioned.cowCandidateFiles(spark, snap, oneId,
+      "doc_id", "doc_id")
+    assert(cands.nonEmpty, "id stats must survive the z-order commit")
+    assert(cands.get.size < snap.files.size,
+      s"expected a strict candidate subset, got ${cands.get.size} of ${snap.files.size}")
+    // the pruned upsert stays exact
+    Versioned.upsert(Seq((0L, 999L, 999L)).toDF("doc_id", "x", "y"),
+      dir, "doc_id")
+    assert(Versioned.read(spark, dir).filter(col("doc_id") === 0L)
+      .head().getAs[Long]("x") === 999L)
+    assert(Versioned.read(spark, dir).count() === 400)
+    // the maintenance loop preserves the composition: appends + the
+    // incremental re-cluster leave EVERY file carrying both triples again
+    Versioned.append((1000 until 1100)
+      .map(i => (i.toLong, (i % 20).toLong, (i / 20).toLong))
+      .toDF("doc_id", "x", "y").repartition(2), dir, statsCol = Some("doc_id"))
+    Versioned.compactZOrderIncremental(spark, dir)
+    val healed = Versioned.snapshot(spark, dir)
+    assert(healed.entries.forall(e =>
+      e.statsFor("__z").nonEmpty && e.statsFor("doc_id").nonEmpty),
+      "incremental z-order must keep id stats on the re-clustered tail")
+    assert(Versioned.cowCandidateFiles(spark, healed, oneId,
+      "doc_id", "doc_id").nonEmpty)
+  }
 }

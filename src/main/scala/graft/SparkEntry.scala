@@ -2714,6 +2714,34 @@ object SparkEntry {
             lit(", v0 keeps old name "), lit(v0Old),
             lit(", new file stores physical baseline "), lit(physBaseline)))))
     }),
+    // SHALLOW CLONE: branch the corpus for one manifest write — the
+    // clone's v0 references the SOURCE's data files (zero bytes copied,
+    // pinned in-plan), an upsert diverges the clone copy-on-write, and
+    // the source stays byte-identical (also pinned). Content of the
+    // diverged clone is hash-oracled against the last-wins replay.
+    "versioned_clone" -> ((s, dir) => {
+      val (clonePath, refdZeroCopy, srcUntouched) = versionedCloneInfo(s, dir)
+      Versioned.read(s, clonePath)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(when(lit(refdZeroCopy && srcUntouched), lit(true))
+          .otherwise(raise_error(concat(
+            lit("shallow clone drift: clone v0 references source files "),
+            lit(refdZeroCopy),
+            lit(", source untouched by clone mutation "), lit(srcUntouched)))))
+    }),
+    // timestamp time travel: "the table as of last Tuesday" without a
+    // recorded version number — a probe between the v1 and v2 commit
+    // stamps must serve exactly v1's content (resolution facts pinned
+    // in-plan; wall-clock never enters the hashed output)
+    "versioned_read_asof" -> ((s, dir) => {
+      val (path, probe, resolvedOk) = versionedAsofInfo(s, dir)
+      Versioned.readAsOf(s, path, probe)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(when(lit(resolvedOk), lit(true))
+          .otherwise(raise_error(lit(
+            "timestamp travel drift: probe/edge resolution facts failed " +
+              "(expected mid-probe->v1, first-stamp->v0, future->latest)"))))
+    }),
     // conditional MERGE (last-write-wins by DATA, not arrival): delta
     // applies only when strictly newer by n_chars, ties keep current,
     // stale rows cannot clobber, new ids insert — the oracle replays
@@ -3598,6 +3626,78 @@ object SparkEntry {
         newer.unionByName(stale).unionByName(tied).unionByName(inserts),
         path, "doc_id", "n_chars")
       path
+    })
+
+  /** Shallow-clone lifecycle, built once per (ctx, dir): src = documents
+    * over 6 files, clone = [[Versioned.cloneShallow]] (one manifest
+    * write, ZERO data copied — the clone's v0 must reference the
+    * source's own data files), then an upsert into the CLONE diverges it
+    * copy-on-write while the source stays byte-identical. Records the
+    * facts the row pins: every clone-v0 path lives under the SOURCE's
+    * data directory, and the source's latest (version and file list) is
+    * identical before and after the clone mutation. At 100 TB this is
+    * branch-for-experiment: one manifest write buys a full writable
+    * corpus branch. */
+  private val versionedCloneBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean, Boolean)]
+  private def versionedCloneInfo(s: SparkSession, dir: String)
+      : (String, Boolean, Boolean) =
+    versionedCloneBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_clone/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.repartition(6), s"$path/src")
+      Versioned.cloneShallow(s, s"$path/src", s"$path/clone")
+      val srcBefore = Versioned.snapshot(s, s"$path/src")
+      val cloneV0 = Versioned.snapshot(s, s"$path/clone", Some(0))
+      Versioned.upsert(
+        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id"),
+          lit("cl").as("lang"), (col("n_chars") + 1L).as("n_chars")),
+        s"$path/clone", "doc_id")
+      val srcAfter = Versioned.snapshot(s, s"$path/src")
+      (s"$path/clone",
+        cloneV0.files.nonEmpty && cloneV0.files.toSet == srcBefore.files.toSet &&
+          cloneV0.files.forall(_.startsWith(s"$path/src/")),
+        srcAfter.version == srcBefore.version &&
+          srcAfter.files == srcBefore.files &&
+          Versioned.read(s, s"$path/src").count() == docs.count())
+    })
+
+  /** Timestamp-travel fixture, built once per (ctx, dir): three commits
+    * with recorded `committedAt` stamps — init, then two appends — and a
+    * probe BETWEEN the last two stamps. Records the resolution facts the
+    * row pins in-plan (probe resolves v1, the first stamp resolves v0,
+    * far-future resolves latest, stamps strictly increase); wall-clock
+    * itself never enters the hashed output. */
+  private val versionedAsofBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Long, Boolean)]
+  private def versionedAsofInfo(s: SparkSession, dir: String)
+      : (String, Long, Boolean) =
+    versionedAsofBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_asof/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.repartition(4), path)
+      Thread.sleep(10)
+      Versioned.append(docs.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + lit(8100000L)).as("doc_id"),
+        lit("t1").as("lang"), col("n_chars")).repartition(1), path)
+      Thread.sleep(10)
+      Versioned.append(docs.filter(col("doc_id") % 10 === 5).select(
+        (col("doc_id") + lit(8200000L)).as("doc_id"),
+        lit("t2").as("lang"), col("n_chars")).repartition(1), path)
+      def ts(v: Int): Long =
+        Versioned.snapshot(s, path, Some(v)).meta("committedAt").toLong
+      val probe = (ts(1) + ts(2)) / 2
+      (path, probe,
+        ts(0) < ts(1) && ts(1) < ts(2) &&
+          Versioned.versionAsOf(s, path, probe) == 1 &&
+          Versioned.versionAsOf(s, path, ts(0)) == 0 &&
+          Versioned.versionAsOf(s, path, ts(2) + 3600000L) == 2)
     })
 
   /** Vacuumed versioned table + its pre-vacuum latest, built once per
@@ -5340,6 +5440,25 @@ object SparkEntry {
            (2, 'compact',    1, 8, 0),
            (3, 'restore',    8, 1, 1))
          AS t(version, operation, files_added, files_removed, dv_files), d""",
+    // shallow clone: the diverged clone is the last-wins upsert replay
+    // over the source content; the zero-copy / source-untouched facts
+    // are pinned in-plan
+    "versioned_clone" ->
+      """WITH delta AS (SELECT doc_id, 'cl' AS lang, n_chars + 1 AS n_chars
+                        FROM documents WHERE doc_id % 9 = 0),
+              u AS (SELECT doc_id, lang, n_chars, 1 AS pri FROM documents
+                    UNION ALL SELECT doc_id, lang, n_chars, 2 AS pri FROM delta),
+              r AS (SELECT doc_id, lang, n_chars,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY pri DESC) AS rn
+                    FROM u)
+         SELECT doc_id, lang, n_chars FROM r WHERE rn = 1""",
+    // timestamp travel to between v1 and v2: exactly v0 + the first
+    // appended delta; the resolution facts are pinned in-plan
+    "versioned_read_asof" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + 8100000 AS doc_id, 't1' AS lang, n_chars
+         FROM documents WHERE doc_id % 10 = 0""",
     // rename: content is the original projection (renamed) plus the
     // post-rename delta — the metadata-only-commit facts are pinned
     // in-plan, the oracle replays the content symbolically

@@ -83,10 +83,36 @@ object Bench {
       """"nominal":([0-9]+\.?[0-9]*)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
     val cal0 = calibrate()
-    val seed = math.min(cal0, math.min(calibrate(), calibrate()))
+    val calA = calibrate()
+    val calB = calibrate()
+    val seed = Seq(cal0, calA, calB).min
     val NominalCanary = math.max(0.01, math.min(persisted.getOrElse(seed), seed))
     val SlowBar = NominalCanary * 2
     val RecoverBar = NominalCanary * 1.5
+    // every canary reading, in measurement order, goes into the artifact
+    val calReadings = scala.collection.mutable.ArrayBuffer[Double](cal0, calA, calB)
+    // WAIT-FOR-NOMINAL START (r16): the two main sweeps are the primary
+    // measurement — beginning them in the host's degraded mode wastes
+    // both windows and leaves the round leaning on the mid/post
+    // re-record rescue (r15 ran every window degraded and published
+    // nominal_window:false). If the freshest reading is above the
+    // recovery bar, poll the canary (20s apart, bounded <= 10 polls —
+    // the degraded mode runs minutes at a time, so a few minutes of
+    // polling usually lands inside a healthy window) and start sweep 1
+    // only on a nominal reading. A host that never recovers starts
+    // anyway — the published number is still never normalized, and the
+    // artifact carries every reading so the reader sees which world the
+    // run began in. No-op on a fresh host (no persisted floor): the
+    // seed IS the best three readings, so the freshest is nominal by
+    // construction.
+    locally {
+      var polls = 0
+      while (calReadings.last > RecoverBar && polls < 10) {
+        Thread.sleep(20000L)
+        calReadings += calibrate()
+        polls += 1
+      }
+    }
     // Steady-state timing: two full sweeps, per-query minimum — the
     // reference's discard-warmup methodology (benchmark.py:34-42), but
     // with the repeats separated in time: a fresh single-JVM session pays
@@ -103,6 +129,7 @@ object Bench {
                     Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
         name -> ((System.nanoTime() - t0) / 1e9, err)
       }
+    val calPre = calReadings.last // the reading that opened the sweep window
     val s1 = sweep(); val s2 = sweep()
     val twoSweep = s1.map { case (name, (t, _)) => name -> math.min(t, s2(name)._1) }
     // Same-SF prior minima, loaded BEFORE the extra passes (and reused
@@ -137,7 +164,7 @@ object Bench {
     // produce nominal minima, so running them just burns minutes of a
     // degraded host. Skip them and spend the budget on the
     // wait-for-recovery sweep below instead.
-    val calMid = calibrate()
+    val calMid = calibrate(); calReadings += calMid
     val hostSlowMid = calMid > SlowBar
     val slow = twoSweep.toSeq.sortBy(-_._2).take(8).map(_._1)
     val third = if (hostSlowMid) Seq.empty
@@ -163,8 +190,7 @@ object Bench {
     // every canary reading in the artifact so the reader can see which
     // world each number is from. The published value is still never
     // normalized.
-    val calReadings = scala.collection.mutable.ArrayBuffer[Double](cal0, calMid)
-    var certifiedNominal = cal0 <= RecoverBar && calMid <= RecoverBar
+    var certifiedNominal = calPre <= RecoverBar && calMid <= RecoverBar
     var s5 = Map.empty[String, Double]
     if (!certifiedNominal) {
       var polls = 0

@@ -183,7 +183,12 @@ object Versioned {
     * physical = logical and drop the map. Only renamed columns appear
     * in the map. */
   private[graft] def colMap(snap: Snapshot): Map[String, String] =
-    snap.meta.get("colmap").filter(_.nonEmpty)
+    colMapOf(snap.meta)
+
+  /** [[colMap]] from raw commit metadata — the segment predicates need
+    * the mapping BEFORE a snapshot object exists. */
+  private[graft] def colMapOf(meta: Map[String, String]): Map[String, String] =
+    meta.get("colmap").filter(_.nonEmpty)
       .map(_.split(',').map { kv =>
         // split at the FIRST ':' only: logical names are separator-free
         // by [[renameColumn]]'s validation, but a legacy baseline
@@ -412,7 +417,24 @@ object Versioned {
     * reporting (naming the retained range when a version is missing is
     * worth a listing; serving every healthy read is not). */
   def snapshot(spark: SparkSession, tableDir: String,
-               version: Option[Int] = None): Snapshot = {
+               version: Option[Int] = None): Snapshot =
+    snapshotWith(spark, tableDir, version, (_, _) => true)
+
+  /** [[snapshot]] with a SEGMENT predicate: when the resolved full
+    * manifest pages its entries out to segment files, only segments the
+    * predicate keeps are read — the manifest-list pruning that lets
+    * readRange/readEquals/readBox on a million-file table parse a
+    * handful of KB-sized segment files instead of the whole entry list.
+    * The predicate receives the TOP manifest's metadata (colmap /
+    * zorder.* live there) and must be CONSERVATIVE: keep any segment it
+    * cannot prove irrelevant. The returned Snapshot's entries are then a
+    * SUBSET of the version's — containing every entry that could match —
+    * so it must only feed reads that re-apply the same predicate
+    * file-level and row-level on top. */
+  private def snapshotWith(spark: SparkSession, tableDir: String,
+                           version: Option[Int],
+                           segPred: (Map[String, String], SegRef) => Boolean)
+      : Snapshot = {
     val v = version.orElse(resolveLatest(spark, tableDir)).getOrElse {
       val vs = versions(spark, tableDir)
       require(vs.nonEmpty, s"no versions at $tableDir")
@@ -451,42 +473,102 @@ object Versioned {
     val top = chain.last // meta comes from the TOP manifest alone (written full per commit)
     val full = chain.head
     val deltas = chain.tail
-    if (deltas.isEmpty) Snapshot(v, full.adds, full.meta - "base")
-    else {
-      val acc = new java.util.LinkedHashMap[String, FileEntry]()
-      full.adds.foreach(e => acc.put(e.path, e))
-      deltas.foreach { d =>
-        d.removes.foreach(acc.remove)
-        d.adds.foreach { e => acc.remove(e.path); acc.put(e.path, e) }
-      }
-      Snapshot(v, scala.jdk.CollectionConverters.IterableHasAsScala(
-        acc.values()).asScala.toVector, top.meta - "base")
+    val meta = top.meta - "base"
+    // segment resolution: inline entries always; paged segments only
+    // when the predicate keeps them (delta manifests are inline-only by
+    // construction — segments appear in FULL manifests — but the
+    // resolution is generic). Removal lines targeting a skipped
+    // segment's entries are no-ops on the accumulator, which is exactly
+    // right: those entries were never added.
+    var segSeen = 0
+    var segOpened = 0
+    def resolved(m: RawManifest): Seq[FileEntry] = {
+      segSeen += m.segs.size
+      val kept = m.segs.filter(segPred(meta, _))
+      segOpened += kept.size
+      m.adds ++ kept.flatMap(readSegEntries(spark, _))
     }
+    val snap =
+      if (deltas.isEmpty) Snapshot(v, resolved(full), meta)
+      else {
+        val acc = new java.util.LinkedHashMap[String, FileEntry]()
+        resolved(full).foreach(e => acc.put(e.path, e))
+        deltas.foreach { d =>
+          d.removes.foreach(acc.remove)
+          resolved(d).foreach { e => acc.remove(e.path); acc.put(e.path, e) }
+        }
+        Snapshot(v, scala.jdk.CollectionConverters.IterableHasAsScala(
+          acc.values()).asScala.toVector, meta)
+      }
+    lastSegCounts.set((segOpened, segSeen))
+    snap
   }
 
   /** One manifest file, parsed but NOT chain-resolved: commit metadata,
-    * added entries, removal paths, and the delta-base version (None =
-    * full manifest, the pre-round-15 format — fully backward
-    * compatible). */
+    * INLINE added entries, segment references (large full manifests
+    * page their entry list out to range-keyed segment files — see
+    * [[fullBodyLines]]), removal paths, and the delta-base version
+    * (None = full manifest; the pre-round-15 all-inline format and the
+    * round-15 delta format both parse unchanged). */
   private case class RawManifest(meta: Map[String, String],
                                  adds: Seq[FileEntry],
+                                 segs: Seq[SegRef],
                                  removes: Seq[String],
                                  base: Option[Int])
+
+  /** Reference to one manifest SEGMENT file: `count` entry lines whose
+    * per-column stats boxes are bounded by `stats` (a triple is present
+    * ONLY when every member entry carries one — skipping is sound only
+    * when the box bounds all members) and whose bloom is the OR of the
+    * members' (no false negatives survive an OR). Serialized as an
+    * `@seg`-prefixed line reusing the entry format. */
+  private[graft] case class SegRef(path: String, count: Int,
+                                   stats: Seq[(String, Long, Long)],
+                                   bloom: Option[(String, String)]) {
+    def statsFor(c: String): Option[(Long, Long)] =
+      stats.collectFirst { case (`c`, lo, hi) => (lo, hi) }
+    private[Versioned] def line: String =
+      s"@seg\t$count\t" + FileEntry(path, stats, bloom).line
+  }
+
+  private def parseSegRef(l: String): SegRef = {
+    val rest = l.stripPrefix("@seg\t")
+    val i = rest.indexOf('\t')
+    if (i <= 0) throw new IllegalStateException(s"malformed segment line: $l")
+    val e = parseEntry(rest.substring(i + 1))
+    SegRef(e.path, rest.substring(0, i).toInt, e.stats, e.bloom)
+  }
 
   private def rawManifest(spark: SparkSession, tableDir: String,
                           v: Int): RawManifest = {
     // '#'-prefixed lines are commit metadata (k=v, value may contain
-    // '='), '-\t'-prefixed lines are delta removals, the rest are file
-    // entries
+    // '='), '-\t'-prefixed lines are delta removals, '@seg\t'-prefixed
+    // lines reference segment files, the rest are inline file entries
     val lines = manifestLines(spark, tableDir, v)
     val meta = lines.collect { case l if l.startsWith("#") =>
       val kv = l.drop(1).split("=", 2)
       kv(0) -> (if (kv.length > 1) kv(1) else "")
     }.toMap
-    val (removeLines, entryLines) =
-      lines.filterNot(_.startsWith("#")).partition(_.startsWith("-\t"))
-    RawManifest(meta, entryLines.map(parseEntry),
+    val body = lines.filterNot(_.startsWith("#"))
+    val (segLines, rest) = body.partition(_.startsWith("@seg\t"))
+    val (removeLines, entryLines) = rest.partition(_.startsWith("-\t"))
+    RawManifest(meta, entryLines.map(parseEntry), segLines.map(parseSegRef),
       removeLines.map(_.drop(2)), meta.get("base").map(_.toInt))
+  }
+
+  private def readSegEntries(spark: SparkSession, seg: SegRef): Seq[FileEntry] = {
+    val p = new Path(seg.path)
+    val in = fs(spark, p).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(parseEntry).toList
+    finally in.close()
+  }
+
+  /** Test-visible instrumentation: (segment files OPENED, segment refs
+    * SEEN) by the most recent snapshot resolution on this thread — the
+    * spec pins that a pruned read parses a strict subset. */
+  private[graft] val lastSegCounts = new ThreadLocal[(Int, Int)] {
+    override def initialValue(): (Int, Int) = (0, 0)
   }
 
   private def manifestLines(spark: SparkSession, tableDir: String,
@@ -875,6 +957,72 @@ object Versioned {
     * metadata files, dwarfed by any data I/O they gate). */
   private[graft] val CheckpointEvery = 8
 
+  /** A FULL manifest with at least this many entries pages its entry
+    * list out to segment files ([[fullBodyLines]]); smaller tables keep
+    * the single-file format (one read, no indirection). Tunable so the
+    * spec can exercise segmentation at test scale — a production
+    * deployment would carry it as a table property. */
+  private[graft] var SegmentThreshold = 4096
+
+  /** Entries per segment file once a manifest segments. 1024 keeps a
+    * million-file table's segment LIST near a thousand lines (a few
+    * hundred KB parsed per pruned read, vs tens of MB for the full
+    * entry list) while each opened segment stays a single small read. */
+  private[graft] var SegmentEntries = 1024
+
+  /** Body lines of a FULL manifest: inline entry lines below
+    * [[SegmentThreshold]]; above it, the entries are sorted by the most
+    * common stats column, chunked into [[SegmentEntries]]-sized SEGMENT
+    * files under `_manifests/segs/`, and the manifest carries one
+    * `@seg` ref per chunk with per-column stats ranges (recorded only
+    * when every member has the triple) and the OR of member blooms.
+    * Range-keying on the dominant stats column makes segment boxes
+    * tight, so [[readRange]]/[[readEquals]]/[[readBox]] resolve through
+    * [[snapshotWith]] opening only intersecting segments — Iceberg's
+    * manifest-list idea in the minimal form this single-FS layout needs
+    * (reference point for shape only). Segment files orphaned by a lost
+    * publish race or a checkpoint rewrite are reclaimed by [[vacuum]]'s
+    * reference sweep. */
+  private def fullBodyLines(spark: SparkSession, tableDir: String, v: Int,
+                            entries: Seq[FileEntry]): Seq[String] =
+    if (entries.size < SegmentThreshold) entries.map(_.line)
+    else {
+      val keyCol = entries.flatMap(_.stats.map(_._1))
+        .groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (c, n) => (-n, c) }.headOption.map(_._1)
+      val sorted = keyCol match {
+        case Some(c) => entries.sortBy(e =>
+          e.statsFor(c).map(_._1).getOrElse(Long.MaxValue))
+        case None => entries
+      }
+      val dir = new Path(s"$tableDir/_manifests/segs")
+      val f = fs(spark, dir)
+      f.mkdirs(dir)
+      sorted.grouped(SegmentEntries).zipWithIndex.map { case (chunk, i) =>
+        val p = new Path(dir, s"v${"%05d".format(v)}." +
+          s"${java.util.UUID.randomUUID().toString.take(8)}.$i.seg")
+        val out = f.create(p, true)
+        try out.write((chunk.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        val cols = chunk.flatMap(_.stats.map(_._1)).distinct
+        val segStats = cols.flatMap { c =>
+          val boxes = chunk.map(_.statsFor(c))
+          if (boxes.exists(_.isEmpty)) None // a box must bound ALL members
+          else Some((c, boxes.map(_.get._1).min, boxes.map(_.get._2).max))
+        }
+        val segBloom = chunk.flatMap(_.bloom.map(_._1)).distinct match {
+          case Seq(c) if chunk.forall(_.bloom.exists(_._1 == c)) =>
+            val words = new Array[Long](BloomBits / 64)
+            chunk.foreach(_.bloom.foreach { case (_, hex) =>
+              hex.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16))
+                .zipWithIndex.foreach { case (w, j) => words(j) |= w } })
+            Some((c, words.map("%016x".format(_)).mkString))
+          case _ => None
+        }
+        SegRef(norm(p), chunk.size, segStats, segBloom).line
+      }.toList
+    }
+
   /** Atomic commit: manifest written to a dot-temp, then PUBLISHED by an
     * atomic fail-on-exists primitive (hard link on local filesystems,
     * rename on HDFS-like ones — see below). Two writers committing the
@@ -920,9 +1068,10 @@ object Versioned {
         // remove+add so replay's removals-then-adds order is exact
         val removed = b.entries.filter(e => !entryMap.get(e.path).contains(e)).map(_.path)
         val added = entries.filter(e => !baseMap.get(e.path).contains(e))
-        if (removed.size + added.size >= entries.size) entries.map(_.line)
+        if (removed.size + added.size >= entries.size)
+          fullBodyLines(spark, tableDir, v, entries)
         else s"#base=${v - 1}" +: (added.map(_.line) ++ removed.map(p => s"-\t$p"))
-      case _ => entries.map(_.line)
+      case _ => fullBodyLines(spark, tableDir, v, entries)
     }
     try out.write(
       ((metaLines ++ bodyLines).mkString("\n") + "\n").getBytes("UTF-8"))
@@ -1169,10 +1318,19 @@ object Versioned {
     * optimization, never a semantics change. */
   def readEquals(spark: SparkSession, tableDir: String, version: Option[Int],
                  bloomCol: String, value: String): DataFrame = {
-    // one snapshot resolution: the pruning decision and the read share
-    // the SAME pinned entries (a racing commit cannot mix versions);
-    // blooms key physical names, the equality applies on the logical view
-    val snap = snapshot(spark, tableDir, version)
+    // one PRUNED snapshot resolution: the pruning decision and the read
+    // share the SAME pinned version (a racing commit cannot mix
+    // versions); on a segmented manifest, a segment whose OR-folded
+    // bloom excludes the value is never parsed (no false negatives
+    // survive an OR — the skip is as sound as the per-file one). Blooms
+    // key physical names, the equality applies on the logical view.
+    val snap = snapshotWith(spark, tableDir, version, (meta, seg) => {
+      val phys = colMapOf(meta).getOrElse(bloomCol, bloomCol)
+      seg.bloom match {
+        case Some((c, hex)) if c == phys => bloomContains(hex, value)
+        case _                           => true
+      }
+    })
     val physCol = physOf(snap, bloomCol)
     val keep = snap.entries.collect {
       case FileEntry(p, _, Some((c, hex))) if c == physCol =>
@@ -1180,9 +1338,15 @@ object Versioned {
       case FileEntry(p, _, _) => Some(p)
     }.flatten
     if (keep.nonEmpty) scanFiles(spark, snap, keep).filter(col(bloomCol) === value)
-    else if (snap.files.nonEmpty)
-      scanFiles(spark, snap, Seq(snap.files.head)).filter(lit(false))
-    else spark.emptyDataFrame
+    else {
+      // the pruned entry list may be empty on a live table — fall back
+      // to the full resolution for the schema-carrying empty read
+      val carrier = if (snap.files.nonEmpty) snap
+                    else snapshot(spark, tableDir, version)
+      if (carrier.files.nonEmpty)
+        scanFiles(spark, carrier, Seq(carrier.files.head)).filter(lit(false))
+      else spark.emptyDataFrame
+    }
   }
 
   /** Range read through manifest-level skipping: only the
@@ -1194,16 +1358,29 @@ object Versioned {
     * manifest read, not a footer fetch per file. */
   def readRange(spark: SparkSession, tableDir: String, version: Option[Int],
                 statsCol: String, lo: Long, hi: Long): DataFrame = {
-    // one snapshot resolution, same rationale as readEquals/readBox
-    val snap = snapshot(spark, tableDir, version)
-    // stats are keyed by PHYSICAL name; the predicate applies on the
-    // logical view scanFiles serves
+    // one PRUNED snapshot resolution, same rationale as readEquals: on
+    // a segmented manifest only segments whose range box intersects
+    // [lo, hi] are parsed — a narrow probe on a million-file table
+    // reads the segment list plus a handful of segment files, not the
+    // whole entry list. Stats are keyed by PHYSICAL name; the predicate
+    // applies on the logical view scanFiles serves.
+    val snap = snapshotWith(spark, tableDir, version, (meta, seg) => {
+      val phys = colMapOf(meta).getOrElse(statsCol, statsCol)
+      seg.statsFor(phys).forall { case (sLo, sHi) => sLo <= hi && sHi >= lo }
+    })
     val keep = filesForRangeIn(snap.entries, physOf(snap, statsCol), lo, hi)
     val pred = col(statsCol) >= lo && col(statsCol) <= hi
     if (keep.nonEmpty) scanFiles(spark, snap, keep).filter(pred)
-    else
-      // every file proven empty for the range: keep the schema, drop rows
-      scanFiles(spark, snap, Seq(snap.files.head)).filter(lit(false))
+    else {
+      // every file proven empty for the range: keep the schema, drop
+      // rows — falling back to the FULL resolution for the carrier file
+      // when segment pruning emptied the entry list on a live table
+      val carrier = if (snap.files.nonEmpty) snap
+                    else snapshot(spark, tableDir, version)
+      require(carrier.files.nonEmpty,
+        s"version ${carrier.version} of $tableDir has no files (fully deleted)")
+      scanFiles(spark, carrier, Seq(carrier.files.head)).filter(lit(false))
+    }
   }
 
   /** Last-wins upsert as a copy-on-write commit: only files CONTAINING a
@@ -1692,21 +1869,38 @@ object Versioned {
     // list, and schema all come from this pinned version — a commit
     // landing mid-call can never mix versions (e.g. v+1 keep paths read
     // under v's schema, or the empty-keep fallback reading a file a
-    // racing compact just rewrote)
-    val snap = snapshot(spark, tableDir, version)
+    // racing compact just rewrote). The SEGMENT predicate mirrors the
+    // file-level decision exactly — same z interval via [[zIntervalFor]]
+    // — so a segmented manifest parses only z-intersecting segments and
+    // degrades to keep-everything precisely when the file level would.
+    val snap = snapshotWith(spark, tableDir, version, (meta, seg) =>
+      zIntervalFor(meta, box) match {
+        case Some((zLo, zHi)) =>
+          seg.statsFor("__z").forall { case (sLo, sHi) => sLo <= zHi && sHi >= zLo }
+        case None => true
+      })
     val pred = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
       .reduce(_ && _)
-    // a delete-emptied version must surface as the same typed error
-    // read() raises, not an opaque schema-inference failure from a
-    // zero-path parquet call (the keep-empty branch below reads ONE
-    // file under filter(false) purely to carry the schema)
-    require(snap.files.nonEmpty,
-      s"version ${snap.version} of $tableDir has no files (fully deleted)")
     boxFilePruningIn(snap, box) match {
       case Some((keep, _)) =>
         if (keep.nonEmpty) scanFiles(spark, snap, keep).filter(pred)
-        else scanFiles(spark, snap, Seq(snap.files.head)).filter(lit(false))
-      case _ => scanFiles(spark, snap, snap.files).filter(pred)
+        else {
+          // a delete-emptied version must surface as the same typed
+          // error read() raises; the carrier file for the schema-only
+          // empty read comes from the FULL resolution when segment
+          // pruning emptied the entry list on a live table
+          val carrier = if (snap.files.nonEmpty) snap
+                        else snapshot(spark, tableDir, version)
+          require(carrier.files.nonEmpty,
+            s"version ${carrier.version} of $tableDir has no files (fully deleted)")
+          scanFiles(spark, carrier, Seq(carrier.files.head)).filter(lit(false))
+        }
+      case _ =>
+        // no covering z metadata: the segment predicate kept everything,
+        // so this snapshot is the COMPLETE version — full filtered read
+        require(snap.files.nonEmpty,
+          s"version ${snap.version} of $tableDir has no files (fully deleted)")
+        scanFiles(spark, snap, snap.files).filter(pred)
     }
   }
 
@@ -1857,14 +2051,27 @@ object Versioned {
     * cannot straddle a concurrent commit. */
   private[graft] def boxFilePruningIn(snap: Snapshot,
                                       box: Seq[(String, Double, Double)])
-      : Option[(Seq[String], Int)] = {
-    // probes arrive under LOGICAL names; zorder.dims were recorded at
-    // the physical baseline — map before matching
-    val physBox = box.map { case (c, lo, hi) => (physOf(snap, c), lo, hi) }
-    snap.meta.get("zorder.dims").map(_.split(',').toSeq) match {
+      : Option[(Seq[String], Int)] =
+    zIntervalFor(snap.meta, box).map { case (zLo, zHi) =>
+      (filesForRangeIn(snap.entries, "__z", zLo, zHi), snap.files.size)
+    }
+
+  /** The sound z interval a box maps to under `meta`'s z-order commit —
+    * Some when the metadata covers every box column, None when the
+    * probe must degrade to a full filtered read. Shared by the
+    * file-level pruning ([[boxFilePruningIn]]) and [[readBox]]'s
+    * SEGMENT predicate so both layers make the SAME decision. Probes
+    * arrive under LOGICAL names; zorder.dims were recorded at the
+    * physical baseline — map before matching. */
+  private def zIntervalFor(meta: Map[String, String],
+                           box: Seq[(String, Double, Double)])
+      : Option[(Long, Long)] = {
+    val cm = colMapOf(meta)
+    val physBox = box.map { case (c, lo, hi) => (cm.getOrElse(c, c), lo, hi) }
+    meta.get("zorder.dims").map(_.split(',').toSeq) match {
       case Some(ds) if physBox.forall(b => ds.contains(b._1)) =>
-        val bits = snap.meta("zorder.bits").toInt
-        val st = snap.meta("zorder.stats").split(',').map(_.toDouble)
+        val bits = meta("zorder.bits").toInt
+        val st = meta("zorder.stats").split(',').map(_.toDouble)
         val loHi = ds.zipWithIndex.map { case (d, i) =>
           val (mn, mx) = (st(2 * i), st(2 * i + 1))
           physBox.find(_._1 == d) match {
@@ -1873,9 +2080,7 @@ object Versioned {
             case None => (0L, (1L << bits) - 1L)
           }
         }
-        val zLo = Scale.zOf(loHi.map(_._1), bits)
-        val zHi = Scale.zOf(loHi.map(_._2), bits)
-        Some((filesForRangeIn(snap.entries, "__z", zLo, zHi), snap.files.size))
+        Some((Scale.zOf(loHi.map(_._1), bits), Scale.zOf(loHi.map(_._2), bits)))
       case _ => None
     }
   }
@@ -1940,6 +2145,27 @@ object Versioned {
     // retained deltas terminate at this version or above)
     if (dropped.nonEmpty) checkpointManifest(spark, tableDir, retained.head)
     dropped.foreach(v => f.delete(manifestPath(tableDir, v), false))
+    // segment sweep: manifest SEGMENT files are referenced by `@seg`
+    // lines in retained manifests (raw, not chain-resolved — after the
+    // checkpoint above, every retained chain terminates at a retained
+    // full manifest, so the raw refs of retained versions are the
+    // complete live set). Everything else under _manifests/segs is an
+    // orphan — a dropped version's pages, a lost publish race's, or a
+    // checkpoint rewrite's — reclaimed here under the same minAgeMs
+    // writer guard as data files (an in-flight commit writes its
+    // segments before its manifest publishes).
+    val segDir = new Path(s"$tableDir/_manifests/segs")
+    if (f.exists(segDir)) {
+      val segReferenced: Set[String] =
+        retained.flatMap(v => rawManifest(spark, tableDir, v).segs.map(_.path)).toSet
+      for (sf <- f.listStatus(segDir)
+           if sf.isFile && sf.getPath.getName.endsWith(".seg")
+           if !segReferenced.contains(norm(sf.getPath))
+           if sf.getModificationTime <= ageCutoff) {
+        f.delete(sf.getPath, false)
+        deleted += 1
+      }
+    }
     VacuumStats(deleted, referenced.size.toLong, dropped)
   }
 
@@ -1968,8 +2194,8 @@ object Versioned {
     val target = manifestPath(tableDir, v)
     val f = fs(spark, target)
     val metaLines = (snap.meta - "base").toSeq.sorted.map { case (k, vl) => s"#$k=$vl" }
-    val body = ((metaLines ++ snap.entries.map(_.line)).mkString("\n") + "\n")
-      .getBytes("UTF-8")
+    val body = ((metaLines ++ fullBodyLines(spark, tableDir, v, snap.entries))
+      .mkString("\n") + "\n").getBytes("UTF-8")
     val scheme = target.toUri.getScheme
     if (scheme == null || scheme == "file") {
       val tmp = new Path(target.getParent,

@@ -1641,4 +1641,96 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.cowCandidateFiles(spark, healed, oneId,
       "doc_id", "doc_id").nonEmpty)
   }
+
+  test("segmented manifests: large fulls page out, pruned reads parse a strict subset of segments") {
+    import spark.implicits._
+    val (thr0, ent0) = (Versioned.SegmentThreshold, Versioned.SegmentEntries)
+    Versioned.SegmentThreshold = 8
+    Versioned.SegmentEntries = 4
+    try {
+      val dir = freshDir()
+      val d = (0 until 240).map(i => (i.toLong, s"t$i", (i * 3).toLong))
+        .toDF("doc_id", "tag", "n_chars")
+        .repartitionByRange(16, col("doc_id"))
+      Versioned.init(d, dir, statsCol = Some("doc_id"),
+        bloomCol = Some("tag"))
+      // the manifest paged its 16 entries out to 4 range-keyed segments
+      val segDir = new java.io.File(s"$dir/_manifests/segs")
+      assert(segDir.isDirectory &&
+        segDir.listFiles().count(_.getName.endsWith(".seg")) === 4)
+      // a FULL resolution opens every segment and reconstructs exactly
+      val snap = Versioned.snapshot(spark, dir)
+      val (openedAll, seenAll) = Versioned.lastSegCounts.get()
+      assert(seenAll === 4 && openedAll === 4)
+      assert(snap.files.size === 16)
+      val back = Versioned.read(spark, dir)
+      assert(back.exceptAll(d).unionAll(d.exceptAll(back)).count() === 0,
+        "segment paging must be invisible to a full read")
+      // a narrow range probe parses only range-intersecting segments:
+      // entries are range-keyed on the dominant stats column, so
+      // [10, 20] lives in one 4-file segment (60 ids per segment)
+      val r = Versioned.readRange(spark, dir, None, "doc_id", 10L, 20L)
+      val (openedR, seenR) = Versioned.lastSegCounts.get()
+      assert(r.count() === 11)
+      assert(seenR === 4 && openedR < seenR,
+        s"range probe must skip segments, opened $openedR of $seenR")
+      // an equality probe prunes through the OR-folded segment blooms
+      // (no false negatives survive an OR; unique tags keep the fold
+      // selective at this scale)
+      val e = Versioned.readEquals(spark, dir, None, "tag", "t17")
+      val (openedE, seenE) = Versioned.lastSegCounts.get()
+      assert(e.count() === 1 &&
+        e.head().getAs[Long]("doc_id") === 17L)
+      assert(seenE === 4 && openedE < seenE,
+        s"equality probe must skip segments, opened $openedE of $seenE")
+      // the single-file fast path is untouched: a small table written
+      // under the production threshold keeps the inline format
+      Versioned.SegmentThreshold = 4096
+      val dir2 = freshDir()
+      Versioned.init(docs3(), dir2, statsCol = Some("doc_id"))
+      assert(!new java.io.File(s"$dir2/_manifests/segs").exists())
+      val (o2, s2) = { Versioned.snapshot(spark, dir2); Versioned.lastSegCounts.get() }
+      assert(s2 === 0 && o2 === 0)
+    } finally {
+      Versioned.SegmentThreshold = thr0
+      Versioned.SegmentEntries = ent0
+    }
+  }
+
+  test("vacuum sweeps orphaned manifest segments, keeps referenced ones") {
+    import spark.implicits._
+    val (thr0, ent0) = (Versioned.SegmentThreshold, Versioned.SegmentEntries)
+    Versioned.SegmentThreshold = 8
+    Versioned.SegmentEntries = 4
+    try {
+      val dir = freshDir()
+      val d = (0 until 240).map(i => (i.toLong, s"t$i", (i * 3).toLong))
+        .toDF("doc_id", "tag", "n_chars")
+        .repartitionByRange(16, col("doc_id"))
+      Versioned.init(d, dir, statsCol = Some("doc_id"))
+      val segDir = new java.io.File(s"$dir/_manifests/segs")
+      def segCount = segDir.listFiles().count(_.getName.endsWith(".seg"))
+      val v0Segs = segCount
+      assert(v0Segs === 4)
+      // a full-rewrite commit (every file touched) pages out its own
+      // segments; v0's pages are now referenced only by v0
+      val d2 = (0 until 240).map(i => (i.toLong, s"u$i", (i * 5).toLong))
+        .toDF("doc_id", "tag", "n_chars")
+        .repartitionByRange(16, col("doc_id"))
+      Versioned.upsert(d2, dir, "doc_id")
+      val midSegs = segCount
+      assert(midSegs > v0Segs, "the rewrite commit must page out segments")
+      Versioned.vacuum(spark, dir, keepVersions = 1)
+      // v0's orphaned pages are reclaimed; the retained version's pages
+      // survive and still serve an exact read
+      assert(segCount === midSegs - v0Segs,
+        s"expected v0's $v0Segs segments swept, have $segCount of $midSegs")
+      val back = Versioned.read(spark, dir)
+      assert(back.exceptAll(d2).unionAll(d2.exceptAll(back)).count() === 0,
+        "retained segments must survive the sweep")
+    } finally {
+      Versioned.SegmentThreshold = thr0
+      Versioned.SegmentEntries = ent0
+    }
+  }
 }

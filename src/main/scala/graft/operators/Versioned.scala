@@ -417,8 +417,73 @@ object Versioned {
     * reporting (naming the retained range when a version is missing is
     * worth a listing; serving every healthy read is not). */
   def snapshot(spark: SparkSession, tableDir: String,
-               version: Option[Int] = None): Snapshot =
-    snapshotWith(spark, tableDir, version, (_, _) => true)
+               version: Option[Int] = None): Snapshot = {
+    // FULL resolutions memoize: a published manifest is immutable (the
+    // CAS publish refuses overwrites; the only in-place rewrite —
+    // [[checkpointManifest]] — is content-identical and changes the
+    // file's (mtime, len) key, forcing a harmless re-parse), so a
+    // (dir, version, mtime, len)-keyed cache can never serve stale
+    // content. Repeated reads of a pinned version — every query in a
+    // session touching the same table, every rebase retry walking
+    // history — skip the chain walk and the segment parses entirely:
+    // at ~1M files that is tens of driver MB re-parsed per query,
+    // gone. PRUNED resolutions ([[snapshotWith]] with a real predicate)
+    // bypass the cache: their entry set depends on the probe.
+    val vOpt = version.orElse(resolveLatest(spark, tableDir))
+    vOpt match {
+      case Some(v) =>
+        val key = try {
+          val p = manifestPath(tableDir, v)
+          val st = fs(spark, p).getFileStatus(p)
+          Some((tableDir, v, st.getModificationTime, st.getLen))
+        } catch { case _: java.io.FileNotFoundException => None }
+        key.flatMap(k => snapCache.synchronized(Option(snapCache.get(k)))) match {
+          case Some(hit) =>
+            snapCacheHits.incrementAndGet()
+            lastSegCounts.set((0, 0))
+            hit
+          case None =>
+            val snap = snapshotWith(spark, tableDir, Some(v), (_, _) => true)
+            key.foreach(k => snapCachePut(k, snap))
+            snap
+        }
+      case None => // no versions: snapshotWith raises the typed error
+        snapshotWith(spark, tableDir, None, (_, _) => true)
+    }
+  }
+
+  /** LRU cache of full snapshot resolutions, bounded by TOTAL cached
+    * entry count (a driver holding a few multi-hundred-thousand-file
+    * snapshots is fine; unbounded growth across many tables is not).
+    * Access-ordered so the eviction sweep drops the least recently
+    * served snapshot first. */
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, Int, Long, Long), Snapshot](64, 0.75f, true)
+  private val SnapCacheBudget = 2000000L
+  private var snapCacheEntryCount = 0L // guarded by snapCache's monitor
+  private[graft] val snapCacheHits = new java.util.concurrent.atomic.AtomicLong()
+
+  private def snapCachePut(k: (String, Int, Long, Long), snap: Snapshot): Unit =
+    snapCache.synchronized {
+      if (snapCache.put(k, snap) == null)
+        snapCacheEntryCount += math.max(1, snap.entries.size)
+      val it = snapCache.entrySet().iterator()
+      while (snapCacheEntryCount > SnapCacheBudget && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { // never evict the snapshot just served
+          snapCacheEntryCount -= math.max(1, e.getValue.entries.size)
+          it.remove()
+        }
+      }
+    }
+
+  /** Test hook (and escape hatch for the one genuinely unsafe pattern:
+    * deleting a table directory and re-creating it at the same path
+    * within one mtime tick — the same caveat Spark's own file-index
+    * cache carries). */
+  private[graft] def snapshotCacheClear(): Unit = snapCache.synchronized {
+    snapCache.clear(); snapCacheEntryCount = 0L
+  }
 
   /** [[snapshot]] with a SEGMENT predicate: when the resolved full
     * manifest pages its entries out to segment files, only segments the
@@ -486,7 +551,7 @@ object Versioned {
       segSeen += m.segs.size
       val kept = m.segs.filter(segPred(meta, _))
       segOpened += kept.size
-      m.adds ++ kept.flatMap(readSegEntries(spark, _))
+      m.adds ++ readSegsParallel(spark, kept)
     }
     val snap =
       if (deltas.isEmpty) Snapshot(v, resolved(full), meta)
@@ -555,6 +620,35 @@ object Versioned {
     RawManifest(meta, entryLines.map(parseEntry), segLines.map(parseSegRef),
       removeLines.map(_.drop(2)), meta.get("base").map(_.toInt))
   }
+
+  /** Read kept segments CONCURRENTLY on a small shared daemon pool —
+    * a cold full resolution of a heavily-paged manifest (~1000 segments
+    * at a million files) is pure I/O latency stacking, and reading the
+    * pages serially on the driver would hand back the very cost paging
+    * removed. Order is preserved (invokeAll returns futures in task
+    * order), so chain replay sees the exact sequence a single-file
+    * manifest would have carried. */
+  private def readSegsParallel(spark: SparkSession,
+                               segs: Seq[SegRef]): Seq[FileEntry] =
+    if (segs.size <= 1) segs.flatMap(readSegEntries(spark, _))
+    else {
+      import scala.jdk.CollectionConverters._
+      val tasks: java.util.List[java.util.concurrent.Callable[Seq[FileEntry]]] =
+        segs.map { s =>
+          new java.util.concurrent.Callable[Seq[FileEntry]] {
+            def call(): Seq[FileEntry] = readSegEntries(spark, s)
+          }
+        }.asJava
+      segPool.invokeAll(tasks).asScala.toSeq.flatMap(_.get())
+    }
+
+  private lazy val segPool = java.util.concurrent.Executors.newFixedThreadPool(
+    8,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-manifest-segment-reader")
+      t.setDaemon(true)
+      t
+    })
 
   private def readSegEntries(spark: SparkSession, seg: SegRef): Seq[FileEntry] = {
     val p = new Path(seg.path)

@@ -1658,7 +1658,10 @@ class VersionedSpec extends SparkSuite {
       val segDir = new java.io.File(s"$dir/_manifests/segs")
       assert(segDir.isDirectory &&
         segDir.listFiles().count(_.getName.endsWith(".seg")) === 4)
-      // a FULL resolution opens every segment and reconstructs exactly
+      // a COLD full resolution opens every segment and reconstructs
+      // exactly (cache cleared so init's internal resolutions don't
+      // serve this probe from memory)
+      Versioned.snapshotCacheClear()
       val snap = Versioned.snapshot(spark, dir)
       val (openedAll, seenAll) = Versioned.lastSegCounts.get()
       assert(seenAll === 4 && openedAll === 4)
@@ -1689,12 +1692,43 @@ class VersionedSpec extends SparkSuite {
       val dir2 = freshDir()
       Versioned.init(docs3(), dir2, statsCol = Some("doc_id"))
       assert(!new java.io.File(s"$dir2/_manifests/segs").exists())
+      Versioned.snapshotCacheClear()
       val (o2, s2) = { Versioned.snapshot(spark, dir2); Versioned.lastSegCounts.get() }
       assert(s2 === 0 && o2 === 0)
     } finally {
       Versioned.SegmentThreshold = thr0
       Versioned.SegmentEntries = ent0
     }
+  }
+
+  test("snapshot cache: pinned versions memoize, commits are never served stale, checkpoint rewrites re-key") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir)
+    Versioned.snapshotCacheClear()
+    // cold, then hot: the second resolution of the same pinned version
+    // is THE SAME memoized object — no chain walk, no manifest parse
+    val cold = Versioned.snapshot(spark, dir, Some(0))
+    val hits0 = Versioned.snapCacheHits.get()
+    val hot = Versioned.snapshot(spark, dir, Some(0))
+    assert(Versioned.snapCacheHits.get() > hits0, "second resolution must hit")
+    assert(hot eq cold, "a hit serves the memoized snapshot itself")
+    // a commit is NEVER served stale: latest re-resolves to the new
+    // version (the cache keys resolved versions, not 'latest')
+    Versioned.append(Seq((5000L, "zz", 1L)).toDF("doc_id", "lang", "n_chars"), dir)
+    val s1 = Versioned.snapshot(spark, dir)
+    assert(s1.version === 1 && s1.files.size > cold.files.size)
+    // time travel to v0 still serves the pinned content
+    assert(Versioned.snapshot(spark, dir, Some(0)).files === cold.files)
+    // an in-place checkpoint rewrite (delta -> full) changes the file's
+    // (mtime, len) key: the next read re-parses instead of serving the
+    // pre-rewrite object, and resolves identical content
+    val preCkpt = Versioned.snapshot(spark, dir, Some(1))
+    Versioned.vacuum(spark, dir, keepVersions = 1) // checkpoints v1 full
+    val postCkpt = Versioned.snapshot(spark, dir, Some(1))
+    assert(postCkpt.files.toSet === preCkpt.files.toSet &&
+      postCkpt.meta === preCkpt.meta,
+      "checkpoint rewrite must resolve content-identically through the cache")
   }
 
   test("vacuum sweeps orphaned manifest segments, keeps referenced ones") {

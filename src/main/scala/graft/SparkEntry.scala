@@ -2742,6 +2742,42 @@ object SparkEntry {
             "timestamp travel drift: probe/edge resolution facts failed " +
               "(expected mid-probe->v1, first-stamp->v0, future->latest)"))))
     }),
+    // CHANGE DATA FEED over a six-commit lifecycle: per-commit row-level
+    // changes read from ONLY what each commit touched — file churn for
+    // append/upsert, the DV sidecar delta (stats-pruned shared files)
+    // for the merge-on-read delete, NOTHING for the row-identical
+    // compact and the metadata-only rename (which the feed aligns to:
+    // output speaks the final logical name `len`). The oracle replays
+    // every insert/update/delete symbolically; the MoR step's
+    // zero-file-churn fact is pinned in-plan.
+    "versioned_change_feed" -> ((s, dir) => {
+      val (path, morZeroChurn) = versionedCdfInfo(s, dir)
+      Versioned.changeFeed(s, path, 0,
+          Versioned.versions(s, path).max, "doc_id")
+        .select(col("doc_id"), col("change"), col("version"), col("op"),
+          col("lang_old"), col("lang_new"), col("len_old"), col("len_new"))
+        .filter(when(lit(morZeroChurn), lit(true))
+          .otherwise(raise_error(lit(
+            "change feed drift: the merge-on-read delete commit churned " +
+              "data files or lost its deletion vector"))))
+    }),
+    // CHECK constraints as commit metadata: the data-quality gate a
+    // training corpus runs at INGEST — violating append/upsert refuse
+    // typed and publish nothing, the constraint rides compact's
+    // re-baseline, drop re-opens the gate, re-add refuses on standing
+    // violations (all pinned in-plan); the surviving content is the
+    // oracle's symbolic replay of exactly the commits that were allowed
+    // to land
+    "versioned_constraints" -> ((s, dir) => {
+      val (path, gates) = versionedConsInfo(s, dir)
+      Versioned.read(s, path)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(when(lit(gates), lit(true))
+          .otherwise(raise_error(lit(
+            "constraint drift: a violating ingest landed, a refusal " +
+              "published a version, compact dropped the constraint, or " +
+              "re-add accepted standing violations"))))
+    }),
     // conditional MERGE (last-write-wins by DATA, not arrival): delta
     // applies only when strictly newer by n_chars, ties keep current,
     // stale rows cannot clobber, new ids insert — the oracle replays
@@ -2786,6 +2822,40 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(sum(col("n")).as("n"), sum(col("chars")).as("chars"))
       Recall.setAgreement(merged, langAgg(Versioned.read(s, streamedDir)),
+        on = Seq("lang", "n", "chars"), floor = 1.0, minCount = 1L)
+    }),
+    // GATED incremental aggregation maintenance THROUGH REWRITES: where
+    // readAppendedSince refuses on copy-on-write/MoR history (and
+    // versioned_incremental_agg covers the append-only path), the
+    // CHANGE FEED carries retractions — so the per-lang rollup is
+    // maintained as base(v0) plus O(changes) signed contributions
+    // (-old for deletes/updates, +new for inserts/updates) across a
+    // lifecycle with an upsert, a MoR delete, a compact AND a rename,
+    // and must equal the full recompute exactly. At 100 TB this is a
+    // maintained aggregate refreshing at O(changed rows) per commit,
+    // not O(table), regardless of commit type.
+    "versioned_cdf_incremental_agg" -> ((s, dir) => {
+      val (path, _) = versionedCdfInfo(s, dir)
+      val latest = Versioned.versions(s, path).max
+      // v0 predates the rename: aggregate under its own schema, then
+      // speak the final name
+      val base = Versioned.read(s, path, Some(0))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("dn"), sum(col("n_chars")).as("dchars"))
+      val feed = Versioned.changeFeed(s, path, 0, latest, "doc_id")
+      val retracts = feed.filter(col("change").isin("delete", "update"))
+        .select(col("lang_old").as("lang"), lit(-1L).as("dn"),
+          (-col("len_old")).as("dchars"))
+      val additions = feed.filter(col("change").isin("insert", "update"))
+        .select(col("lang_new").as("lang"), lit(1L).as("dn"),
+          col("len_new").as("dchars"))
+      val merged = base.unionByName(retracts).unionByName(additions)
+        .groupBy(col("lang"))
+        .agg(sum(col("dn")).as("n"), sum(col("dchars")).as("chars"))
+        .filter(col("n") =!= 0L) // a fully-retracted bucket vanishes
+      val full = Versioned.read(s, path).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("chars"))
+      Recall.setAgreement(merged, full,
         on = Seq("lang", "n", "chars"), floor = 1.0, minCount = 1L)
     }),
     // GATED streaming table ingest: the delta streamed as two exactly-
@@ -3698,6 +3768,90 @@ object SparkEntry {
           Versioned.versionAsOf(s, path, probe) == 1 &&
           Versioned.versionAsOf(s, path, ts(0)) == 0 &&
           Versioned.versionAsOf(s, path, ts(2) + 3600000L) == 2)
+    })
+
+  /** Change-feed lifecycle, built once per (ctx, dir): v0 = documents
+    * over 8 files, v1 = append (pure inserts), v2 = copy-on-write upsert
+    * (updates), v3 = merge-on-read delete of every doc_id % 9 == 4
+    * (deletes driven by the DV sidecar delta — ZERO data files churn,
+    * pinned), v4 = compact (row-identical — the feed must skip it
+    * without reading a byte), v5 = rename n_chars -> len (metadata-only
+    * — emits nothing, and the feed aligns every earlier step to the
+    * final logical name). The feed over (0, 5] is then fully
+    * deterministic from documents.parquet: the oracle replays inserts /
+    * updates / deletes symbolically, and a row leaking from the compact
+    * or rename steps (or a carried row surviving the join) breaks the
+    * hash. */
+  private val versionedCdfBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean)]
+  private def versionedCdfInfo(s: SparkSession, dir: String)
+      : (String, Boolean) =
+    versionedCdfBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_cdf/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.repartition(8), path)
+      Versioned.append(docs.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 9400000L).as("doc_id"),
+        lit("cf").as("lang"), col("n_chars")).repartition(1), path)
+      Versioned.upsert(docs.filter(col("doc_id") % 8 === 1).select(
+        col("doc_id"), lit("up").as("lang"),
+        (col("n_chars") + 2L).as("n_chars")), path, "doc_id")
+      val v2 = Versioned.snapshot(s, path)
+      Versioned.deleteIdsMergeOnRead(
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"), path, "doc_id")
+      val v3 = Versioned.snapshot(s, path)
+      Versioned.compact(s, path, targetBytes = 32L << 20)
+      Versioned.renameColumn(s, path, "n_chars", "len")
+      (path, v3.files == v2.files && v3.dvFiles.nonEmpty)
+    })
+
+  /** CHECK-constraint lifecycle, built once per (ctx, dir): init ->
+    * `addConstraint(nonneg, n_chars >= 0)` (metadata commit validating
+    * the standing table once) -> a VALID append lands -> violating
+    * append AND upsert refuse typed publishing nothing -> compact (the
+    * constraint must ride the re-baseline) -> still refuses ->
+    * dropConstraint -> the previously-refused shape lands -> re-adding
+    * the constraint now refuses on the standing data. Records the facts
+    * the row pins; the final content is fully determined from
+    * documents.parquet. */
+  private val versionedConsBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean)]
+  private def versionedConsInfo(s: SparkSession, dir: String)
+      : (String, Boolean) =
+    versionedConsBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_cons/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.repartition(6), path)
+      Versioned.addConstraint(s, path, "nonneg", "n_chars >= 0")
+      Versioned.append(docs.filter(col("doc_id") % 10 === 7).select(
+        (col("doc_id") + 9500000L).as("doc_id"),
+        lit("ok").as("lang"), col("n_chars")).repartition(1), path)
+      val bad = docs.filter(col("doc_id") % 20 === 0).select(
+        (col("doc_id") + 9600000L).as("doc_id"),
+        lit("ng").as("lang"), lit(-1L).as("n_chars"))
+      def refuses(f: => Unit): Boolean =
+        try { f; false }
+        catch { case _: Versioned.ConstraintViolationException => true }
+      val vAfterValid = Versioned.versions(s, path).max
+      val refusedAppend = refuses(Versioned.append(bad.repartition(1), path))
+      val refusedUpsert = refuses(Versioned.upsert(bad, path, "doc_id"))
+      val nothingPublished = Versioned.versions(s, path).max == vAfterValid
+      Versioned.compact(s, path, targetBytes = 32L << 20)
+      val survivedCompact = Versioned.constraintsOf(
+        Versioned.snapshot(s, path)).contains("nonneg")
+      val refusedAfterCompact = refuses(Versioned.append(bad.repartition(1), path))
+      Versioned.dropConstraint(s, path, "nonneg")
+      Versioned.append(bad.repartition(1), path)
+      val readdRefused = refuses(
+        Versioned.addConstraint(s, path, "nonneg2", "n_chars >= 0"))
+      (path, refusedAppend && refusedUpsert && nothingPublished &&
+        survivedCompact && refusedAfterCompact && readdRefused)
     })
 
   /** Vacuumed versioned table + its pre-vacuum latest, built once per
@@ -5459,6 +5613,44 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id + 8100000 AS doc_id, 't1' AS lang, n_chars
          FROM documents WHERE doc_id % 10 = 0""",
+    // change feed: replay the three mutating commits symbolically —
+    // v1 appended inserts (old side null), v2 upsert updates (original
+    // -> 'up'/+2), v3 MoR deletes (new side null; the old values
+    // reflect v2's update where the sets overlap). The compact and
+    // rename commits contribute NOTHING, and every row speaks the
+    // final logical name `len` — a leak from either maintenance step,
+    // a missed alignment, or a carried row surviving the per-step join
+    // all break the hash.
+    "versioned_change_feed" ->
+      """SELECT doc_id + 9400000 AS doc_id, 'insert' AS change,
+                1 AS version, 'append' AS op,
+                CAST(NULL AS VARCHAR) AS lang_old, 'cf' AS lang_new,
+                CAST(NULL AS BIGINT) AS len_old, n_chars AS len_new
+         FROM documents WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id, 'update', 2, 'upsert',
+                lang, 'up', n_chars, n_chars + 2
+         FROM documents WHERE doc_id % 8 = 1
+         UNION ALL
+         SELECT doc_id, 'delete', 3, 'delete_mor',
+                CASE WHEN doc_id % 8 = 1 THEN 'up' ELSE lang END,
+                CAST(NULL AS VARCHAR),
+                CASE WHEN doc_id % 8 = 1 THEN n_chars + 2 ELSE n_chars END,
+                CAST(NULL AS BIGINT)
+         FROM documents WHERE doc_id % 9 = 4""",
+    // constraints: the content is exactly the commits the gate allowed
+    // to land — originals, the valid 'ok' delta, and the 'ng' delta
+    // that became legal only after the drop; every refusal published
+    // nothing (pinned in-plan)
+    "versioned_constraints" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + 9500000 AS doc_id, 'ok' AS lang, n_chars
+         FROM documents WHERE doc_id % 10 = 7
+         UNION ALL
+         SELECT doc_id + 9600000 AS doc_id, 'ng' AS lang,
+                CAST(-1 AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id % 20 = 0""",
     // rename: content is the original projection (renamed) plus the
     // post-rename delta — the metadata-only-commit facts are pinned
     // in-plan, the oracle replays the content symbolically

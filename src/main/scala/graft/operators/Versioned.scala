@@ -56,6 +56,14 @@ object Versioned {
   private[graft] final class CommitRaceLost(msg: String)
     extends java.io.IOException(msg)
 
+  /** Thrown when an ingest commit carries rows a standing CHECK
+    * constraint rejects (or [[addConstraint]] finds existing rows the
+    * new constraint rejects): the typed signal that distinguishes a
+    * data-quality refusal from schema/concurrency errors. The commit
+    * publishes NOTHING. */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** One data file reference, optionally carrying column statistics —
     * a SMALL LIST of (column, min, max) triples gathered at commit time.
     * Stats live in the MANIFEST — readers prune files without opening a
@@ -1291,6 +1299,7 @@ object Versioned {
     // id) must refuse typed with nothing on disk to reclaim
     evolvedSchemaFor(base, df): Unit
     requireNoDvOverlap(s, base, df, tableDir)
+    requireConstraints(s, base, df, tableDir)
     // delta files write PHYSICAL names (and stats/bloom key physical)
     // so one read schema covers files on both sides of any rename
     val newEntries = writeData(toPhysical(base, df), tableDir, base.version + 1,
@@ -1303,8 +1312,14 @@ object Versioned {
     // back with it) nor land the new rows visibly (the vector would
     // mask them) — upsert is the resurrection path.
     commitWithRebase(s, tableDir, snap => {
-      try requireNoDvOverlap(s, snap, df, tableDir)
-      catch { case e: IllegalStateException => // racing MoR delete landed
+      try {
+        requireNoDvOverlap(s, snap, df, tableDir)
+        // a constraint added CONCURRENTLY must gate this ingest too —
+        // re-validate only when the standing set actually changed
+        if (constraintsOf(snap) != constraintsOf(base))
+          requireConstraints(s, snap, df, tableDir)
+      } catch { case e @ (_: IllegalStateException |
+                          _: ConstraintViolationException) =>
         discardAttemptData(s, newEntries); throw e }
       Some((snap.entries ++ newEntries,
         snap.meta ++ meta + ("schema" -> evolvedSchemaFor(snap, df).json)
@@ -1326,12 +1341,24 @@ object Versioned {
     * cannot contain one. */
   private[graft] def cowCandidateFiles(s: SparkSession, snap: Snapshot,
                                 deltaIds: DataFrame, idCol: String,
-                                physId: String): Option[Seq[String]] = {
-    val withStats = snap.entries.flatMap(e =>
+                                physId: String): Option[Seq[String]] =
+    candidateFilesIn(s, snap.entries, deltaIds, idCol, physId)
+
+  /** Entries-level twin of [[cowCandidateFiles]] — the file subset of
+    * `entries` that could contain any id in `deltaIds`, by manifest
+    * stats arithmetic (None when no entry carries stats for the id
+    * column, i.e. pruning cannot help and the caller must take them
+    * all). Shared with [[changeFeed]], which prunes SHARED files for
+    * deletion-vector deltas the same way the COW paths prune touched
+    * files for upserts. */
+  private[graft] def candidateFilesIn(s: SparkSession, entries: Seq[FileEntry],
+                                      deltaIds: DataFrame, idCol: String,
+                                      physId: String): Option[Seq[String]] = {
+    val withStats = entries.flatMap(e =>
       e.statsFor(physId).map { case (lo, hi) => (e.path, lo, hi) })
     if (withStats.isEmpty) None
     else {
-      val statless = snap.entries.collect {
+      val statless = entries.collect {
         case e if !e.stats.exists(_._1 == physId) => e.path
       }
       val statsDf = s.createDataFrame(withStats).toDF("__p", "__lo", "__hi")
@@ -1641,6 +1668,16 @@ object Versioned {
         c == '\n' || c == '#'),
         s"physical column name '$phys' contains a colmap separator — " +
           "compact the table (re-baselining the physical names) before renaming")
+      // a CHECK constraint references columns by LOGICAL name — renaming
+      // one out from under it would leave the expression unresolvable on
+      // the next ingest. Refuse (never rewrite the expression textually);
+      // the caller drops and re-adds the constraint under the new name.
+      val refd = constraintsOf(latest).filter { case (_, e) =>
+        constraintRefs(spark, e).contains(oldName) }
+      require(refd.isEmpty,
+        s"column '$oldName' is referenced by CHECK constraint(s) " +
+          s"${refd.keys.toSeq.sorted.mkString(", ")} — drop and re-add them " +
+          "under the new name")
       val newMap = ((cm - oldName) + (newName -> phys))
         .filter { case (l, p) => l != p }
       val newSchema = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
@@ -1652,6 +1689,113 @@ object Versioned {
           .map { case (l, p) => s"$l:$p" }.mkString(","))))
     })
   }
+
+  /** The table's standing CHECK constraints: name -> boolean SQL
+    * expression over LOGICAL column names, stored as `constraint.<name>`
+    * commit metadata (so they ride every snapshot, travel with restore /
+    * clone / time travel, and cost zero reads to discover). */
+  def constraintsOf(snap: Snapshot): Map[String, String] =
+    snap.meta.collect { case (k, v) if k.startsWith("constraint.") =>
+      k.stripPrefix("constraint.") -> v }
+
+  /** Table-level metadata a full-rewrite re-baseline (compact /
+    * compactZOrder) must CARRY even though it rebuilds commit meta from
+    * scratch: constraints are properties of the table, not of a layout
+    * — dropping them on compact would silently disarm every later
+    * ingest gate. Layout keys (colmap, zorder.*, dv.*) intentionally
+    * die with the rewrite; constraint keys do not. */
+  private def carriedTableMeta(snap: Snapshot): Map[String, String] =
+    snap.meta.filter { case (k, _) => k.startsWith("constraint.") }
+
+  /** Column names a constraint expression references, via the SQL
+    * parser's unresolved-attribute walk (never a textual match — a
+    * column name appearing inside a string literal must not count). */
+  private def constraintRefs(s: SparkSession, check: String): Set[String] =
+    s.sessionState.sqlParser.parseExpression(check).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }.toSet
+
+  /** Refuse `df` (an ingest delta) if any standing constraint rejects a
+    * row. ANSI CHECK semantics: TRUE and NULL pass, only FALSE violates
+    * — so a delta that omits a constrained column (null-fill on read)
+    * passes, exactly like the committed nulls would. One bounded
+    * O(delta) probe per constraint, run BEFORE any data writes. */
+  private def requireConstraints(s: SparkSession, snap: Snapshot,
+                                 df: DataFrame, tableDir: String): Unit = {
+    val cs = constraintsOf(snap)
+    if (cs.nonEmpty) {
+      // evaluate under the snapshot's full logical schema: absent
+      // columns null-fill (as they would on read), extra delta columns
+      // pass through untouched
+      val padded = snap.schema.map(_.fields.toSeq
+        .filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))))
+        .getOrElse(df)
+      cs.toSeq.sortBy(_._1).foreach { case (name, check) =>
+        val bad = padded.filter(expr(check) <=> lit(false))
+        val sample = bad.limit(1).collect()
+        if (sample.nonEmpty)
+          throw new ConstraintViolationException(
+            s"commit to $tableDir violates CHECK constraint '$name' " +
+              s"($check); example row: ${sample.head}")
+      }
+    }
+  }
+
+  /** ADD a CHECK constraint as one metadata commit: `check` is a boolean
+    * SQL expression over logical column names that every INGESTED row
+    * must satisfy from this commit on ([[append]], [[upsert]],
+    * [[mergeIfNewer]] refuse typed on violation; deletes and the
+    * row-identical maintenance rewrites never re-validate rows that
+    * already passed). Existing data is validated ONCE here — one full
+    * scan at add time, the price of the guarantee "every visible row
+    * satisfies every standing constraint". NULL evaluates as pass (ANSI
+    * CHECK); referenced columns must exist; renaming a referenced
+    * column refuses (drop and re-add the constraint under the new
+    * name). */
+  def addConstraint(spark: SparkSession, tableDir: String,
+                    name: String, check: String): Int = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"invalid constraint name '$name' (want [A-Za-z0-9_]+)")
+    require(check.nonEmpty && !check.exists(c => c == '\n' || c == '\r'),
+      "constraint expression must be non-empty and single-line")
+    commitWithRebase(spark, tableDir, latest => {
+      require(!latest.meta.contains(s"constraint.$name"),
+        s"constraint '$name' already exists at $tableDir (drop it first)")
+      val logical = latest.schema.getOrElse(throw new IllegalStateException(
+        s"$tableDir predates schema tracking — compact it before adding constraints"))
+      val unknown = constraintRefs(spark, check) -- logical.fieldNames
+      require(unknown.isEmpty,
+        s"constraint '$name' references unknown column(s) ${unknown.mkString(", ")} " +
+          s"(have ${logical.fieldNames.mkString(", ")})")
+      // the one-time full validation runs against THIS snapshot inside
+      // the commit closure, so a racing ingest cannot slip unvalidated
+      // rows under the new constraint
+      if (latest.files.nonEmpty) {
+        val bad = scanFiles(spark, latest, latest.files)
+          .filter(expr(check) <=> lit(false))
+        val sample = bad.limit(1).collect()
+        if (sample.nonEmpty)
+          throw new ConstraintViolationException(
+            s"cannot add constraint '$name' ($check) at $tableDir: existing " +
+              s"rows violate it; example row: ${sample.head}")
+      }
+      Some((latest.entries, latest.meta +
+        (s"constraint.$name" -> check) + ("op" -> "add_constraint")))
+    })
+  }
+
+  /** DROP a CHECK constraint — one metadata commit. */
+  def dropConstraint(spark: SparkSession, tableDir: String,
+                     name: String): Int =
+    commitWithRebase(spark, tableDir, latest => {
+      require(latest.meta.contains(s"constraint.$name"),
+        s"no constraint '$name' at $tableDir " +
+          s"(have ${constraintsOf(latest).keys.toSeq.sorted.mkString(", ")})")
+      Some((latest.entries,
+        latest.meta - s"constraint.$name" + ("op" -> "drop_constraint")))
+    })
 
   /** Conditional MERGE: apply a delta row only when it is STRICTLY newer
     * than the committed row by `orderCol` (ties keep the current row —
@@ -1711,6 +1855,11 @@ object Versioned {
       case _      => None
     }
     evolvedSchemaFor(snap, delta): Unit // early retired-name guard
+    // CHECK constraints validate the rows that actually LAND (winners:
+    // contested survivors + inserts) — a stale delta row that loses the
+    // newer-than race never lands, so it must not be able to refuse the
+    // commit. Pre-write: a violation leaves nothing on disk.
+    requireConstraints(s, snap, winners, tableDir)
     val newEntries = writeData(
       toPhysical(snap, uncontested.unionByName(winners, allowMissingColumns = true)),
       tableDir, v, statsCols, bloomCol)
@@ -1721,7 +1870,12 @@ object Versioned {
         ("op" -> "merge")
     commitWithRebase(s, tableDir,
       cowRebase(s, snap, touched, newEntries, deltaIds, idCol,
-        base => evolvedSchemaFor(base, delta), dvMeta), newEntries)
+        base => evolvedSchemaFor(base, delta), dvMeta,
+        revalidate = b =>
+          if (constraintsOf(b) != constraintsOf(snap))
+            try requireConstraints(s, b, winners, tableDir)
+            catch { case e: ConstraintViolationException =>
+              discardAttemptData(s, newEntries); throw e }), newEntries)
   }
 
   /** Change-data capture between two committed versions: one row per id
@@ -1758,6 +1912,165 @@ object Versioned {
           .when(changed, lit("update")))
       .filter(col("change").isNotNull)
       .drop("__in_old", "__in_new")
+  }
+
+  /** Maintenance commits whose VISIBLE content is row-identical by
+    * construction ([[compact]], [[compactZOrder]],
+    * [[compactZOrderIncremental]] — each rewrites every referenced row
+    * verbatim, folding any standing deletion-vector mask physically):
+    * the change feed skips them without reading a byte. Rebucketize's
+    * `replace_partitions` is NOT listed — it takes a caller-supplied
+    * frame, so row-identity is a convention there, not a contract —
+    * and its steps simply fall out of the join as unchanged. */
+  private val RowIdenticalOps = Set("compact", "zorder", "zorder_incremental")
+
+  /** CHANGE DATA FEED: the per-commit row-level changes over
+    * `(fromVersion, toVersion]`, one row per (id, commit) whose
+    * visibility or content changed — classified
+    * `insert | delete | update`, with `c_old`/`c_new` value pairs per
+    * non-id column (null on the absent side), plus the commit `version`
+    * and its stamped `op`. The incremental twin of [[diff]]: where diff
+    * full-outer-joins two whole snapshots (right for "what changed
+    * between last month and today" across arbitrary rewrites), the feed
+    * walks the commits and reads ONLY what each one touched —
+    *
+    *   - file churn: the removed/added file-set difference of adjacent
+    *     manifests (pure metadata), scanned under each side's own
+    *     deletion-vector mask; rows carried verbatim through a rewrite
+    *     fall out of the per-step join as unchanged;
+    *   - merge-on-read deletes/retractions: zero files churn, so the
+    *     step is driven by the DV sidecar delta — the affected SHARED
+    *     files are pruned by manifest id-stats exactly like copy-on-write
+    *     discovery ([[candidateFilesIn]]), so a clustered layout reads a
+    *     handful of files, not the table;
+    *   - metadata-only commits (rename, widen, restore-to-self) and the
+    *     row-identical maintenance rewrites ([[RowIdenticalOps]]) cost
+    *     and emit NOTHING. [[restore]] to an older version is processed
+    *     through its real file-set difference, so the feed reports the
+    *     semantic rollback as the deletes/updates it is.
+    *
+    * At 100 TB this is O(touched slice) per commit instead of O(2 ×
+    * table) — the shape that makes downstream incremental consumers
+    * (index maintenance, CDC export, cache invalidation) affordable.
+    * The one honest caveat, shared with Delta's CDF-less tables: a
+    * commit that rewrote a large slice costs a read of that slice even
+    * if few rows changed; materializing change files at write time
+    * trades write amplification for it and is out of scope here.
+    *
+    * Schema changes inside the range are aligned to the TO-version's
+    * logical schema: renames map through physical identity, widened
+    * columns cast up losslessly, later-added columns null-fill on older
+    * steps. Requires schema-stamped manifests (every table this library
+    * initializes) and an id-unique table — the same keyed contract as
+    * [[upsert]]/[[diff]]. */
+  def changeFeed(spark: SparkSession, tableDir: String, fromVersion: Int,
+                 toVersion: Int, idCol: String): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changeFeed range is reversed: v$fromVersion > v$toVersion")
+    val fin = snapshot(spark, tableDir, Some(toVersion))
+    val finSchema = fin.schema.getOrElse(throw new IllegalStateException(
+      s"changeFeed requires schema-stamped manifests; v$toVersion of " +
+        s"$tableDir predates schema tracking — use diff()"))
+    require(finSchema.fieldNames.contains(idCol),
+      s"id column '$idCol' not in v$toVersion's schema: " +
+        finSchema.fieldNames.mkString(","))
+    val valueCols = finSchema.fields.toSeq.filterNot(_.name == idCol)
+
+    // project a step's logical view onto the final logical schema:
+    // rename-stable through PHYSICAL identity, lossless widening casts,
+    // null-fill for columns the step predates
+    def alignToFinal(step: Snapshot, df: DataFrame): DataFrame = {
+      val stepInv = colMap(step).map(_.swap) // physical -> step logical
+      val finCm = colMap(fin)
+      df.select(finSchema.fields.toSeq.map { f =>
+        val phys = finCm.getOrElse(f.name, f.name)
+        val stepName = stepInv.getOrElse(phys, phys)
+        if (df.columns.contains(stepName))
+          col(stepName).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    def emptySlice(): DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        finSchema)
+    def slice(snap: Snapshot, files: Seq[String]): DataFrame =
+      if (files.isEmpty) emptySlice()
+      else alignToFinal(snap, scanFiles(spark, snap, files))
+    def dvIds(snap: Snapshot): Option[DataFrame] =
+      (snap.dvFiles, snap.dvCol) match {
+        case (dvs, Some(c)) if dvs.nonEmpty =>
+          Some(spark.read.parquet(dvs: _*).select(col(c).as("__dvid")).distinct())
+        case _ => None
+      }
+
+    val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val prev = snapshot(spark, tableDir, Some(v - 1))
+      val cur = snapshot(spark, tableDir, Some(v))
+      val op = cur.meta.getOrElse("op", "unknown")
+      val dvSame =
+        prev.meta.getOrElse("dv.files", "") == cur.meta.getOrElse("dv.files", "")
+      // row-identical rewrites skip even when dv.files changed: a
+      // compact MATERIALIZES the standing mask (visible rows unchanged),
+      // it never adds or retracts one
+      if (RowIdenticalOps(op)) None
+      else {
+        val prevPaths = prev.files.toSet
+        val curPaths = cur.files.toSet
+        val removed = prev.files.filterNot(curPaths)
+        val added = cur.files.filterNot(prevPaths)
+        if (removed.isEmpty && added.isEmpty && dvSame) None // metadata-only
+        else {
+          // shared files a DV delta could affect, stats-pruned like COW
+          // discovery (a superset is sound: untouched rows fall out of
+          // the join as unchanged)
+          val dvCandidates: Seq[String] =
+            if (dvSame) Seq.empty
+            else {
+              val shared = cur.entries.filter(e => prevPaths(e.path))
+              val delta = (dvIds(prev), dvIds(cur)) match {
+                case (Some(a), Some(b)) => a.except(b).union(b.except(a))
+                case (Some(a), None)    => a
+                case (None, Some(b))    => b
+                case (None, None)       => null // unreachable: dvSame above
+              }
+              candidateFilesIn(spark, shared, delta, "__dvid",
+                physOf(cur, idCol)).getOrElse(shared.map(_.path))
+            }
+          val oldSlice = slice(prev, (removed ++ dvCandidates).distinct)
+          val newSlice = slice(cur, (added ++ dvCandidates).distinct)
+          val oldSide = oldSlice.select(col(idCol) +:
+              valueCols.map(f => col(f.name).as(s"${f.name}_old")): _*)
+            .withColumn("__in_old", lit(true))
+          val newSide = newSlice.select(col(idCol) +:
+              valueCols.map(f => col(f.name).as(s"${f.name}_new")): _*)
+            .withColumn("__in_new", lit(true))
+          val joined = oldSide.join(newSide, Seq(idCol), "full_outer")
+          val changed = valueCols.map(f =>
+            !(col(s"${f.name}_old") <=> col(s"${f.name}_new")))
+            .reduceOption(_ || _).getOrElse(lit(false))
+          Some(joined.withColumn("change",
+              when(col("__in_old").isNull, lit("insert"))
+                .when(col("__in_new").isNull, lit("delete"))
+                .when(changed, lit("update")))
+            .filter(col("change").isNotNull)
+            .drop("__in_old", "__in_new")
+            .withColumn("version", lit(v))
+            .withColumn("op", lit(op)))
+        }
+      }
+    }
+    steps.reduceOption(_ unionByName _).getOrElse {
+      import org.apache.spark.sql.types._
+      val out = StructType(
+        StructField(idCol, finSchema(idCol).dataType) +:
+        (valueCols.flatMap(f => Seq(
+          StructField(s"${f.name}_old", f.dataType),
+          StructField(s"${f.name}_new", f.dataType))) ++ Seq(
+          StructField("change", StringType),
+          StructField("version", IntegerType, nullable = false),
+          StructField("op", StringType, nullable = false))))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), out)
+    }
   }
 
   /** OPTIMIZE-style compaction AS A COMMIT: rewrite the latest version's
@@ -1811,8 +2124,9 @@ object Versioned {
     // the caller just re-runs compact against the new snapshot
     commitWithRebase(spark, tableDir, latest =>
       if (latest.version == snap.version)
-        Some((newEntries, Map("schema" -> snap.schema.getOrElse(cur.schema).json,
-          "op" -> "compact")))
+        Some((newEntries, carriedTableMeta(snap) ++
+          Map("schema" -> snap.schema.getOrElse(cur.schema).json,
+            "op" -> "compact")))
       else None, newEntries)
   }
 
@@ -1935,7 +2249,7 @@ object Versioned {
     }
     val newEntries = writeData(arranged, tableDir, snap.version + 1,
       statsCols, bloomCol)
-    val meta = Map(
+    val meta = carriedTableMeta(snap) ++ Map(
       "schema" -> snap.schema.getOrElse(cur.schema).json,
       "op" -> "zorder",
       "zorder.dims" -> dims.mkString(","),
@@ -2334,7 +2648,8 @@ object Versioned {
                         newEntries: Seq[FileEntry], deltaIds: DataFrame,
                         idCol: String,
                         schemaOf: Snapshot => org.apache.spark.sql.types.StructType,
-                        extraMeta: Snapshot => Map[String, String] = _ => Map.empty)
+                        extraMeta: Snapshot => Map[String, String] = _ => Map.empty,
+                        revalidate: Snapshot => Unit = _ => ())
                        (snap: Snapshot): Option[(Seq[FileEntry], Map[String, String])] = {
     val basePaths = base.files.toSet
     val ok =
@@ -2348,13 +2663,16 @@ object Versioned {
         }
       }
     if (!ok) None
-    // carry the table's standing metadata (zorder.* bucketization etc.)
-    // through the rewrite: a COW-rewritten file simply commits without
-    // __z stats (always read — soundness over sharpness), but dropping
-    // the LAYOUT metadata would silently degrade every later box probe
-    // to a full read until the next full re-cluster
-    else Some((snap.entries.filterNot(e => touched(e.path)) ++ newEntries,
-      snap.meta + ("schema" -> schemaOf(snap).json) ++ extraMeta(snap)))
+    else {
+      revalidate(snap) // e.g. a CHECK constraint added concurrently
+      // carry the table's standing metadata (zorder.* bucketization etc.)
+      // through the rewrite: a COW-rewritten file simply commits without
+      // __z stats (always read — soundness over sharpness), but dropping
+      // the LAYOUT metadata would silently degrade every later box probe
+      // to a full read until the next full re-cluster
+      Some((snap.entries.filterNot(e => touched(e.path)) ++ newEntries,
+        snap.meta + ("schema" -> schemaOf(snap).json) ++ extraMeta(snap)))
+    }
   }
 
   private def copyOnWrite(delta: DataFrame, tableDir: String, idCol: String,
@@ -2405,8 +2723,13 @@ object Versioned {
       case Seq(c) => Some(c)
       case _      => None
     }
-    // same early guard as append: retired names refuse typed pre-write
-    if (keepDelta) evolvedSchemaFor(snap, delta): Unit
+    // same early guards as append: retired names and CHECK-constraint
+    // violations refuse typed pre-write (deletes introduce no rows, so
+    // only the keepDelta flavor validates)
+    if (keepDelta) {
+      evolvedSchemaFor(snap, delta): Unit
+      requireConstraints(s, snap, delta, tableDir)
+    }
     val newEntries =
       if (touched.isEmpty && !keepDelta) Seq.empty
       else writeData(toPhysical(snap, rewritten), tableDir, v, statsCols, bloomCol)
@@ -2423,7 +2746,12 @@ object Versioned {
          retractDvFor(s, b, delta, tableDir, b.version + 1))) +
         ("op" -> (if (keepDelta) "upsert" else "delete"))
     commitWithRebase(s, tableDir,
-      cowRebase(s, snap, touched, newEntries, deltaIds, idCol, schema, dvMeta),
+      cowRebase(s, snap, touched, newEntries, deltaIds, idCol, schema, dvMeta,
+        revalidate = b =>
+          if (keepDelta && constraintsOf(b) != constraintsOf(snap))
+            try requireConstraints(s, b, delta, tableDir)
+            catch { case e: ConstraintViolationException =>
+              discardAttemptData(s, newEntries); throw e }),
       newEntries)
   }
 }

@@ -8,8 +8,34 @@ import org.apache.spark.sql.functions._
   * `/root/reference/executor.py:227-236` — our persistent form is Parquet).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-session memo of fixture-table ANALYZED PLANS. `spark.read
+    * .parquet(path)` pays a file listing + a footer schema inference on
+    * EVERY call; the fixture files are immutable for the life of a run,
+    * so the ~250-query registry re-paying that per query per sweep is
+    * pure fixed overhead (the bench runs 2-4 sweeps → thousands of
+    * redundant listings). A DataFrame is an immutable plan bound to its
+    * session, so caching one per (session, path) is sound as long as the
+    * underlying file never changes — true for the driver fixtures, NOT
+    * for writable tables, which is why only the fixture loaders below go
+    * through this memo and dynamic paths (versioned tables, temp dirs)
+    * never do. Weak session keys: a stopped/discarded session (the test
+    * suite creates many) must not pin its plans. */
+  private val planMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = planMemo.synchronized {
+      var m = planMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        planMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet",
+      path => spark.read.parquet(path))
+  }
 
   /** The r9→r10 fixture regeneration changed a physical column type and
     * silently broke 26 queries — so the loaders conform each column the

@@ -1767,4 +1767,137 @@ class VersionedSpec extends SparkSuite {
       Versioned.SegmentEntries = ent0
     }
   }
+
+  test("changeFeed: per-commit inserts/updates/deletes; maintenance and metadata commits emit nothing") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(90), dir) // v0: ids 0..89, lang{i%3}, i*7
+    Versioned.append((1000L until 1010L).map(i => (i, "cf", i))
+      .toDF("doc_id", "lang", "n_chars").repartition(1), dir) // v1
+    Versioned.upsert(Seq((8L, "up", 58L), (16L, "up", 114L))
+      .toDF("doc_id", "lang", "n_chars"), dir, "doc_id") // v2: +2 on i*7
+    Versioned.deleteIdsMergeOnRead(Seq(4L, 8L).toDF("doc_id"),
+      dir, "doc_id") // v3: id 8 carries v2's updated values
+    Versioned.compact(spark, dir) // v4: row-identical
+    Versioned.renameColumn(spark, dir, "n_chars", "len") // v5: metadata-only
+    val latest = Versioned.versions(spark, dir).max
+    assert(latest === 5)
+
+    val feed = Versioned.changeFeed(spark, dir, 0, latest, "doc_id")
+    assert(feed.columns.toSeq === Seq("doc_id", "lang_old", "len_old",
+      "lang_new", "len_new", "change", "version", "op"))
+    val rows = feed.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("change"), r.getAs[Int]("version"), r.getAs[String]("op"),
+      Option(r.getAs[String]("lang_old")), Option(r.getAs[String]("lang_new")),
+      Option(r.getAs[java.lang.Long]("len_old")).map(_.longValue),
+      Option(r.getAs[java.lang.Long]("len_new")).map(_.longValue))).toSet
+    val expected =
+      (1000L until 1010L).map(i =>
+        (i, "insert", 1, "append", None, Some("cf"), None, Some(i))).toSet ++
+      Set((8L, "update", 2, "upsert", Some("lang2"), Some("up"), Some(56L), Some(58L)),
+          (16L, "update", 2, "upsert", Some("lang1"), Some("up"), Some(112L), Some(114L)),
+          (4L, "delete", 3, "delete_mor", Some("lang1"), None, Some(28L), None),
+          (8L, "delete", 3, "delete_mor", Some("up"), None, Some(58L), None))
+    assert(rows === expected,
+      s"unexpected feed rows: ${(rows -- expected).take(5)} / missing: ${(expected -- rows).take(5)}")
+    // sub-range: only the append step's inserts
+    assert(Versioned.changeFeed(spark, dir, 0, 1, "doc_id").count() === 10)
+    // empty range: zero rows, columns under the TO-version's schema
+    val empty = Versioned.changeFeed(spark, dir, latest, latest, "doc_id")
+    assert(empty.count() === 0 && empty.columns.contains("len_old"))
+    // a pre-rename TO-version speaks ITS schema, not latest's
+    assert(Versioned.changeFeed(spark, dir, 2, 2, "doc_id")
+      .columns.contains("n_chars_old"))
+  }
+
+  test("CHECK constraints: ingest gates typed, NULL passes, survive compact, rename refuses, drop re-opens") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(60), dir)
+    Versioned.addConstraint(spark, dir, "nonneg", "n_chars >= 0")
+    assert(Versioned.constraintsOf(Versioned.snapshot(spark, dir)) ===
+      Map("nonneg" -> "n_chars >= 0"))
+    // valid ingest lands
+    Versioned.append(Seq((500L, "ok", 5L)).toDF("doc_id", "lang", "n_chars"), dir)
+    // violating append / upsert / merge refuse typed, publish nothing
+    val vBefore = Versioned.versions(spark, dir).max
+    val badRow = Seq((501L, "bad", -5L)).toDF("doc_id", "lang", "n_chars")
+    intercept[Versioned.ConstraintViolationException] {
+      Versioned.append(badRow, dir)
+    }
+    intercept[Versioned.ConstraintViolationException] {
+      Versioned.upsert(badRow, dir, "doc_id")
+    }
+    intercept[Versioned.ConstraintViolationException] {
+      Versioned.mergeIfNewer(Seq((500L, "bad", 99L), (502L, "bad", -1L))
+        .toDF("doc_id", "lang", "n_chars"), dir, "doc_id", "n_chars")
+    }
+    assert(Versioned.versions(spark, dir).max === vBefore,
+      "a refused ingest must publish nothing")
+    // a STALE violating merge row never lands, so it must not refuse
+    Versioned.mergeIfNewer(Seq((500L, "stale", -9L))
+      .toDF("doc_id", "lang", "n_chars"), dir, "doc_id", "n_chars")
+    assert(Versioned.read(spark, dir).filter(col("doc_id") === 500L)
+      .head().getAs[Long]("n_chars") === 5L)
+    // NULL passes (ANSI CHECK): a delta omitting the column null-fills
+    Versioned.append(Seq((503L, "nl")).toDF("doc_id", "lang"), dir)
+    // constraints survive the re-baselining rewrites
+    Versioned.compact(spark, dir)
+    assert(Versioned.constraintsOf(Versioned.snapshot(spark, dir))
+      .contains("nonneg"), "compact must carry constraints")
+    intercept[Versioned.ConstraintViolationException] {
+      Versioned.append(badRow, dir)
+    }
+    // renaming a referenced column refuses; unrelated renames pass
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "n_chars", "len")
+    }
+    Versioned.renameColumn(spark, dir, "lang", "language")
+    // adding a constraint existing rows violate refuses typed
+    intercept[Versioned.ConstraintViolationException] {
+      Versioned.addConstraint(spark, dir, "tiny", "n_chars < 10")
+    }
+    // unknown column / bad name / duplicate refuse
+    intercept[IllegalArgumentException] {
+      Versioned.addConstraint(spark, dir, "ghost", "no_such_col > 0")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.addConstraint(spark, dir, "bad name", "n_chars >= 0")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.addConstraint(spark, dir, "nonneg", "n_chars >= 0")
+    }
+    // drop re-opens the gate; history carries the metadata ops
+    Versioned.dropConstraint(spark, dir, "nonneg")
+    Versioned.append(badRow.withColumnRenamed("lang", "language"), dir)
+    assert(Versioned.read(spark, dir).filter(col("n_chars") < 0).count() === 1)
+    val ops = Versioned.history(spark, dir).select("operation")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("add_constraint", "drop_constraint").subsetOf(ops))
+  }
+
+  test("changeFeed: resurrection surfaces as insert; restore reports the semantic rollback") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(30), dir) // v0
+    Versioned.deleteIdsMergeOnRead(Seq(5L).toDF("doc_id"), dir, "doc_id") // v1
+    Versioned.upsert(Seq((5L, "back", 1L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id") // v2: retracts the DV entry, rewrites the old row away
+    val res = Versioned.changeFeed(spark, dir, 1, 2, "doc_id").collect()
+    assert(res.length === 1)
+    assert(res.head.getAs[String]("change") === "insert" &&
+      res.head.getAs[Long]("doc_id") === 5L &&
+      res.head.getAs[String]("lang_new") === "back",
+      "an id invisible at v1 that v2 makes visible must feed as insert")
+
+    Versioned.append(Seq((2000L, "tmp", 9L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir) // v3
+    Versioned.restore(spark, dir, 2) // v4: the append rolls back
+    val roll = Versioned.changeFeed(spark, dir, 3, 4, "doc_id").collect()
+    assert(roll.length === 1 &&
+      roll.head.getAs[String]("change") === "delete" &&
+      roll.head.getAs[Long]("doc_id") === 2000L &&
+      roll.head.getAs[String]("op") === "restore",
+      "a restore must feed the rows it semantically removes as deletes")
+  }
 }

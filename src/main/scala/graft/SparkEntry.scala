@@ -2858,6 +2858,35 @@ object SparkEntry {
       Recall.setAgreement(merged, full,
         on = Seq("lang", "n", "chars"), floor = 1.0, minCount = 1L)
     }),
+    // GATED checkpointed CDC consumption: interleaved consume calls
+    // with a planted consumer crash — the windows the checkpoint
+    // discipline produced ((0,1] then, after a non-advancing crash,
+    // (1,3]; nothing-new returns None without running the consumer)
+    // must PARTITION the full feed exactly (set agreement at 1.0 over
+    // id/change/version plus both value pairs); the discipline facts
+    // are pinned in-plan
+    "versioned_cdc_consume" -> ((s, dir) => {
+      val (path, discipline) = versionedCdcInfo(s, dir)
+      // the absent side of inserts/deletes is NULL — coalesce to
+      // sentinels so the set-agreement join (SQL null semantics) can
+      // match those rows
+      val cols = Seq("doc_id", "change", "version",
+        "lang_old", "lang_new", "n_chars_old", "n_chars_new")
+      def canon(df: DataFrame) = df.select(col("doc_id"), col("change"),
+        col("version"),
+        coalesce(col("lang_old"), lit("~none~")).as("lang_old"),
+        coalesce(col("lang_new"), lit("~none~")).as("lang_new"),
+        coalesce(col("n_chars_old"), lit(Long.MinValue)).as("n_chars_old"),
+        coalesce(col("n_chars_new"), lit(Long.MinValue)).as("n_chars_new"))
+      val windows = canon(Versioned.changeFeed(s, path, 0, 1, "doc_id")
+        .unionByName(Versioned.changeFeed(s, path, 1, 3, "doc_id")))
+      val full = canon(Versioned.changeFeed(s, path, 0, 3, "doc_id"))
+      Recall.setAgreement(windows, full, on = cols, floor = 1.0, minCount = 1L)
+        .filter(when(lit(discipline), lit(true))
+          .otherwise(raise_error(lit(
+            "CDC consumer drift: wrong window tuples, a crash advanced " +
+              "the checkpoint, or an empty poll ran the consumer"))))
+    }),
     // GATED streaming table ingest: the delta streamed as two exactly-
     // once micro-batch commits must read set-equal to the one-call
     // batch-append twin, and the lineage must have exactly the stream's
@@ -3806,6 +3835,51 @@ object SparkEntry {
       Versioned.compact(s, path, targetBytes = 32L << 20)
       Versioned.renameColumn(s, path, "n_chars", "len")
       (path, v3.files == v2.files && v3.dvFiles.nonEmpty)
+    })
+
+  /** CDC-consumer lifecycle, built once per (ctx, dir): a dedicated
+    * table whose commits are INTERLEAVED with checkpointed
+    * [[Versioned.consumeChanges]] calls — round 1 consumes the append
+    * window (0,1], a crashing consumer then provably does NOT advance
+    * the checkpoint, round 2 replays and consumes (1,3] (upsert + MoR
+    * delete), round 3 finds nothing. Records the window tuples and
+    * discipline facts the row pins; the row's gate then checks the
+    * consumed windows PARTITION the full feed exactly. */
+  private val versionedCdcBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean)]
+  private def versionedCdcInfo(s: SparkSession, dir: String)
+      : (String, Boolean) =
+    versionedCdcBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_cdc/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val state = s"$path/_consumer"
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 0).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.repartition(4), s"$path/t")
+      Versioned.append(docs.filter(col("doc_id") % 30 === 0).select(
+        (col("doc_id") + 9700000L).as("doc_id"),
+        lit("cd").as("lang"), col("n_chars")).repartition(1), s"$path/t")
+      val w1 = Versioned.consumeChanges(s, s"$path/t", state, "doc_id")(_ => ())
+      val none1 = Versioned.consumeChanges(s, s"$path/t", state, "doc_id")(_ =>
+        throw new IllegalStateException("must not run")).isEmpty
+      Versioned.upsert(docs.filter(col("doc_id") % 12 === 6).select(
+        col("doc_id"), lit("c2").as("lang"),
+        (col("n_chars") + 3L).as("n_chars")), s"$path/t", "doc_id")
+      Versioned.deleteIdsMergeOnRead(
+        docs.filter(col("doc_id") % 30 === 6).select("doc_id"),
+        s"$path/t", "doc_id")
+      val crashed =
+        try { Versioned.consumeChanges(s, s"$path/t", state, "doc_id")(_ =>
+          throw new RuntimeException("consumer died")); false }
+        catch { case _: RuntimeException => true }
+      val w2 = Versioned.consumeChanges(s, s"$path/t", state, "doc_id")(_ => ())
+      val none2 = Versioned.consumeChanges(s, s"$path/t", state, "doc_id")(_ =>
+        throw new IllegalStateException("must not run")).isEmpty
+      (s"$path/t",
+        w1.contains((0, 1)) && none1 && crashed &&
+          w2.contains((1, 3)) && none2)
     })
 
   /** CHECK-constraint lifecycle, built once per (ctx, dir): init ->

@@ -1914,6 +1914,54 @@ object Versioned {
       .drop("__in_old", "__in_new")
   }
 
+  /** Pull-based incremental CDC consumption with a durable version
+    * checkpoint — the consumer loop a CDC export / downstream-index
+    * maintenance job runs on a schedule: each call hands `f` the
+    * [[changeFeed]] over `(lastConsumed, latest]` and advances the
+    * checkpoint ONLY after `f` returns, so a consumer that crashes
+    * mid-batch replays its whole window on the next call
+    * (at-least-once; exactly-once consumers make `f` idempotent on the
+    * window, e.g. upsert-by-id or write-by-(from,to]-key). State is one
+    * tiny file under `stateDir` (temp + rename publish; a torn or
+    * missing offset replays — always safe under at-least-once).
+    * Returns the consumed `(from, to]` window, or None when nothing
+    * landed since. The first call consumes `(initial, latest]` —
+    * `initial` defaults to 0, so v0's content is bootstrapped with
+    * [[read]], not the feed (the feed reports CHANGES, v0 is a birth).
+    *
+    * If retention vacuumed versions inside the pending window the feed
+    * raises the same typed [[VersionRetentionException]] as any pinned
+    * read — the consumer recomputes from the full snapshot and
+    * re-checkpoints at that version (keep retention longer than the
+    * consumer's cadence). */
+  def consumeChanges(spark: SparkSession, tableDir: String, stateDir: String,
+                     idCol: String, initial: Int = 0)
+                    (f: DataFrame => Unit): Option[(Int, Int)] = {
+    val off = new Path(s"$stateDir/offset")
+    val fsys = fs(spark, off)
+    val last =
+      if (!fsys.exists(off)) initial
+      else {
+        val in = fsys.open(off)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toInt
+        finally in.close()
+      }
+    val latest = snapshot(spark, tableDir).version
+    if (latest <= last) None
+    else {
+      f(changeFeed(spark, tableDir, last, latest, idCol))
+      // advance only after the consumer succeeded (temp + rename)
+      val tmp = new Path(s"$stateDir/offset.tmp")
+      val out = fsys.create(tmp, true)
+      try out.write(latest.toString.getBytes("UTF-8")) finally out.close()
+      if (fsys.exists(off)) fsys.delete(off, false)
+      if (!fsys.rename(tmp, off))
+        throw new java.io.IOException(s"could not publish CDC offset $off")
+      Some((last, latest))
+    }
+  }
+
   /** Maintenance commits whose VISIBLE content is row-identical by
     * construction ([[compact]], [[compactZOrder]],
     * [[compactZOrderIncremental]] — each rewrites every referenced row

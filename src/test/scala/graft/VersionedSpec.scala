@@ -1876,6 +1876,67 @@ class VersionedSpec extends SparkSuite {
     assert(Set("add_constraint", "drop_constraint").subsetOf(ops))
   }
 
+  test("changeFeed: later-added columns null-fill on older steps; vacuumed windows refuse typed") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(30), dir) // v0: (doc_id, lang, n_chars)
+    Versioned.append(Seq((200L, "a", 1L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir) // v1: pre-evolution insert
+    Versioned.append(Seq((201L, "b", 2L, 0.5)).toDF("doc_id", "lang", "n_chars", "score")
+      .repartition(1), dir) // v2: schema-evolving insert (adds score)
+    val feed = Versioned.changeFeed(spark, dir, 0, 2, "doc_id")
+    assert(feed.columns.contains("score_old") && feed.columns.contains("score_new"))
+    val v1row = feed.filter(col("doc_id") === 200L).head()
+    assert(v1row.getAs[String]("change") === "insert" &&
+      v1row.isNullAt(v1row.fieldIndex("score_new")),
+      "a step predating the column must null-fill it")
+    val v2row = feed.filter(col("doc_id") === 201L).head()
+    assert(v2row.getAs[Double]("score_new") === 0.5)
+
+    // vacuum past the window: the feed refuses typed, like any pinned read
+    Versioned.upsert(Seq((5L, "x", 9L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id") // v3, makes 0..2 droppable
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    intercept[Versioned.VersionRetentionException] {
+      Versioned.changeFeed(spark, dir, 0, 3, "doc_id").count()
+    }
+  }
+
+  test("consumeChanges: checkpointed windows partition the feed; a crashed consumer replays") {
+    import spark.implicits._
+    val dir = freshDir()
+    val state = freshDir()
+    Versioned.init(docs3(30), dir) // v0
+    Versioned.append(Seq((100L, "a", 1L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir) // v1
+    Versioned.upsert(Seq((5L, "u", 2L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id") // v2
+    var seen = Seq.empty[org.apache.spark.sql.DataFrame]
+    // round 1: consumes (0, 2]
+    assert(Versioned.consumeChanges(spark, dir, state, "doc_id") { feed =>
+      seen :+= feed }.contains((0, 2)))
+    // nothing new -> None, f never called
+    assert(Versioned.consumeChanges(spark, dir, state, "doc_id") { _ =>
+      fail("no new versions, consumer must not run") }.isEmpty)
+    Versioned.deleteIdsMergeOnRead(Seq(7L).toDF("doc_id"), dir, "doc_id") // v3
+    // a consumer crash must NOT advance the checkpoint
+    intercept[RuntimeException] {
+      Versioned.consumeChanges(spark, dir, state, "doc_id") { _ =>
+        throw new RuntimeException("consumer died") }
+    }
+    // replay: the same window (2, 3] arrives again
+    assert(Versioned.consumeChanges(spark, dir, state, "doc_id") { feed =>
+      seen :+= feed }.contains((2, 3)))
+    // the consumed windows partition the full feed exactly
+    val consumed = seen.reduce(_ unionByName _)
+      .select("doc_id", "change", "version")
+    val full = Versioned.changeFeed(spark, dir, 0, 3, "doc_id")
+      .select("doc_id", "change", "version")
+    assert(consumed.exceptAll(full).unionAll(full.exceptAll(consumed))
+      .count() === 0)
+    assert(consumed.count() === 3) // insert 100, update 5, delete 7
+  }
+
   test("changeFeed: resurrection surfaces as insert; restore reports the semantic rollback") {
     import spark.implicits._
     val dir = freshDir()

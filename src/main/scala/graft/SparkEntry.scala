@@ -2858,6 +2858,30 @@ object SparkEntry {
       Recall.setAgreement(merged, full,
         on = Seq("lang", "n", "chars"), floor = 1.0, minCount = 1L)
     }),
+    // GATED materialized change files (Delta-CDF's trade, opt-in): the
+    // SAME commits against a cdf-enabled table and a plain twin — the
+    // enabled table's rewrite commits each wrote a `_changes/v*` file
+    // and the plain one wrote none (pinned in-plan), and the feeds
+    // must agree EXACTLY at 1.0: materialization changes what a feed
+    // step costs (O(changes) file read vs a touched-slice recompute),
+    // never what it says
+    "versioned_cdf_files" -> ((s, dir) => {
+      val (on, off, filesFact) = versionedCdfFilesInfo(s, dir)
+      val cols = Seq("doc_id", "change", "version",
+        "lang_old", "lang_new", "n_chars_old", "n_chars_new")
+      def canon(t: String) = Versioned.changeFeed(s, t, 0, 2, "doc_id")
+        .select(col("doc_id"), col("change"), col("version"),
+          coalesce(col("lang_old"), lit("~none~")).as("lang_old"),
+          coalesce(col("lang_new"), lit("~none~")).as("lang_new"),
+          coalesce(col("n_chars_old"), lit(Long.MinValue)).as("n_chars_old"),
+          coalesce(col("n_chars_new"), lit(Long.MinValue)).as("n_chars_new"))
+      Recall.setAgreement(canon(on), canon(off),
+          on = cols, floor = 1.0, minCount = 1L)
+        .filter(when(lit(filesFact), lit(true))
+          .otherwise(raise_error(lit(
+            "materialized-CDF drift: a rewrite commit on the enabled " +
+              "table wrote no change file, or the plain twin wrote one"))))
+    }),
     // GATED checkpointed CDC consumption: interleaved consume calls
     // with a planted consumer crash — the windows the checkpoint
     // discipline produced ((0,1] then, after a non-advancing crash,
@@ -3835,6 +3859,40 @@ object SparkEntry {
       Versioned.compact(s, path, targetBytes = 32L << 20)
       Versioned.renameColumn(s, path, "n_chars", "len")
       (path, v3.files == v2.files && v3.dvFiles.nonEmpty)
+    })
+
+  /** Materialized-change-file twins, built once per (ctx, dir): the
+    * SAME three commits (init, COW upsert, COW delete) run against two
+    * tables — one with `cdf` enabled at init, one without. The enabled
+    * table writes `_changes/v*` at each rewrite commit (pinned), the
+    * plain table writes none (pinned), and the FEEDS must agree
+    * exactly: the materialized fast path can never change what the
+    * feed says, only what it costs. */
+  private val versionedCdfFilesBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, String, Boolean)]
+  private def versionedCdfFilesInfo(s: SparkSession, dir: String)
+      : (String, String, Boolean) =
+    versionedCdfFilesBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_cdff/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 2 === 0).select("doc_id", "lang", "n_chars")
+      val (on, off) = (s"$path/on", s"$path/off")
+      Versioned.init(docs.repartition(4), on, meta = Map("cdf" -> "true"))
+      Versioned.init(docs.repartition(4), off)
+      for (t <- Seq(on, off)) {
+        Versioned.upsert(docs.filter(col("doc_id") % 14 === 0).select(
+          col("doc_id"), lit("cu").as("lang"),
+          (col("n_chars") + 4L).as("n_chars")), t, "doc_id")
+        Versioned.deleteIds(
+          docs.filter(col("doc_id") % 22 === 0).select("doc_id"), t, "doc_id")
+      }
+      def chFile(t: String, v: Int) =
+        fs.exists(new org.apache.hadoop.fs.Path(f"$t/_changes/v$v%05d"))
+      (on, off,
+        chFile(on, 1) && chFile(on, 2) && !chFile(off, 1) && !chFile(off, 2))
     })
 
   /** CDC-consumer lifecycle, built once per (ctx, dir): a dedicated

@@ -1703,9 +1703,11 @@ object Versioned {
     * scratch: constraints are properties of the table, not of a layout
     * — dropping them on compact would silently disarm every later
     * ingest gate. Layout keys (colmap, zorder.*, dv.*) intentionally
-    * die with the rewrite; constraint keys do not. */
+    * die with the rewrite; constraint keys and the materialized-
+    * change-file opt-in (`cdf`) do not. */
   private def carriedTableMeta(snap: Snapshot): Map[String, String] =
-    snap.meta.filter { case (k, _) => k.startsWith("constraint.") }
+    snap.meta.filter { case (k, _) =>
+      k.startsWith("constraint.") || k == "cdf" }
 
   /** Column names a constraint expression references, via the SQL
     * parser's unresolved-attribute walk (never a textual match — a
@@ -1868,7 +1870,7 @@ object Versioned {
       dvCache.getOrElseUpdate(b.dvFiles.mkString(","),
         retractDvFor(s, b, delta, tableDir, b.version + 1)) +
         ("op" -> "merge")
-    commitWithRebase(s, tableDir,
+    val committed = commitWithRebase(s, tableDir,
       cowRebase(s, snap, touched, newEntries, deltaIds, idCol,
         base => evolvedSchemaFor(base, delta), dvMeta,
         revalidate = b =>
@@ -1876,6 +1878,8 @@ object Versioned {
             try requireConstraints(s, b, winners, tableDir)
             catch { case e: ConstraintViolationException =>
               discardAttemptData(s, newEntries); throw e }), newEntries)
+    maybeWriteChangeFile(s, tableDir, committed, idCol)
+    committed
   }
 
   /** Change-data capture between two committed versions: one row per id
@@ -2011,19 +2015,18 @@ object Versioned {
     * steps. Requires schema-stamped manifests (every table this library
     * initializes) and an id-unique table — the same keyed contract as
     * [[upsert]]/[[diff]]. */
-  def changeFeed(spark: SparkSession, tableDir: String, fromVersion: Int,
-                 toVersion: Int, idCol: String): DataFrame = {
-    require(fromVersion <= toVersion,
-      s"changeFeed range is reversed: v$fromVersion > v$toVersion")
-    val fin = snapshot(spark, tableDir, Some(toVersion))
-    val finSchema = fin.schema.getOrElse(throw new IllegalStateException(
-      s"changeFeed requires schema-stamped manifests; v$toVersion of " +
-        s"$tableDir predates schema tracking — use diff()"))
-    require(finSchema.fieldNames.contains(idCol),
-      s"id column '$idCol' not in v$toVersion's schema: " +
-        finSchema.fieldNames.mkString(","))
+  /** One (prev -> cur) step of the change feed, classified and ALIGNED
+    * to `fin`'s logical schema (no version/op columns — the caller
+    * stamps those). None for metadata-only steps. Shared by
+    * [[changeFeed]] (fallback compute) and [[maybeWriteChangeFile]]
+    * (materialization runs the SAME computation with fin = cur, so the
+    * written file can never drift from what the fallback would have
+    * computed — including under rebased commits and DV interleavings). */
+  private def stepChanges(spark: SparkSession, prev: Snapshot, cur: Snapshot,
+                          idCol: String, fin: Snapshot,
+                          finSchema: org.apache.spark.sql.types.StructType)
+      : Option[DataFrame] = {
     val valueCols = finSchema.fields.toSeq.filterNot(_.name == idCol)
-
     // project a step's logical view onto the final logical schema:
     // rename-stable through PHYSICAL identity, lossless widening casts,
     // null-fill for columns the step predates
@@ -2038,11 +2041,10 @@ object Versioned {
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    def emptySlice(): DataFrame =
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        finSchema)
     def slice(snap: Snapshot, files: Seq[String]): DataFrame =
-      if (files.isEmpty) emptySlice()
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          finSchema)
       else alignToFinal(snap, scanFiles(spark, snap, files))
     def dvIds(snap: Snapshot): Option[DataFrame] =
       (snap.dvFiles, snap.dvCol) match {
@@ -2050,62 +2052,76 @@ object Versioned {
           Some(spark.read.parquet(dvs: _*).select(col(c).as("__dvid")).distinct())
         case _ => None
       }
+    val dvSame =
+      prev.meta.getOrElse("dv.files", "") == cur.meta.getOrElse("dv.files", "")
+    val prevPaths = prev.files.toSet
+    val curPaths = cur.files.toSet
+    val removed = prev.files.filterNot(curPaths)
+    val added = cur.files.filterNot(prevPaths)
+    if (removed.isEmpty && added.isEmpty && dvSame) None // metadata-only
+    else {
+      // shared files a DV delta could affect, stats-pruned like COW
+      // discovery (a superset is sound: untouched rows fall out of
+      // the join as unchanged)
+      val dvCandidates: Seq[String] =
+        if (dvSame) Seq.empty
+        else {
+          val shared = cur.entries.filter(e => prevPaths(e.path))
+          val delta = (dvIds(prev), dvIds(cur)) match {
+            case (Some(a), Some(b)) => a.except(b).union(b.except(a))
+            case (Some(a), None)    => a
+            case (None, Some(b))    => b
+            case (None, None)       => null // unreachable: dvSame above
+          }
+          candidateFilesIn(spark, shared, delta, "__dvid",
+            physOf(cur, idCol)).getOrElse(shared.map(_.path))
+        }
+      val oldSlice = slice(prev, (removed ++ dvCandidates).distinct)
+      val newSlice = slice(cur, (added ++ dvCandidates).distinct)
+      val oldSide = oldSlice.select(col(idCol) +:
+          valueCols.map(f => col(f.name).as(s"${f.name}_old")): _*)
+        .withColumn("__in_old", lit(true))
+      val newSide = newSlice.select(col(idCol) +:
+          valueCols.map(f => col(f.name).as(s"${f.name}_new")): _*)
+        .withColumn("__in_new", lit(true))
+      val joined = oldSide.join(newSide, Seq(idCol), "full_outer")
+      val changed = valueCols.map(f =>
+        !(col(s"${f.name}_old") <=> col(s"${f.name}_new")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      Some(joined.withColumn("change",
+          when(col("__in_old").isNull, lit("insert"))
+            .when(col("__in_new").isNull, lit("delete"))
+            .when(changed, lit("update")))
+        .filter(col("change").isNotNull)
+        .drop("__in_old", "__in_new"))
+    }
+  }
 
+  def changeFeed(spark: SparkSession, tableDir: String, fromVersion: Int,
+                 toVersion: Int, idCol: String): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changeFeed range is reversed: v$fromVersion > v$toVersion")
+    val fin = snapshot(spark, tableDir, Some(toVersion))
+    val finSchema = fin.schema.getOrElse(throw new IllegalStateException(
+      s"changeFeed requires schema-stamped manifests; v$toVersion of " +
+        s"$tableDir predates schema tracking — use diff()"))
+    require(finSchema.fieldNames.contains(idCol),
+      s"id column '$idCol' not in v$toVersion's schema: " +
+        finSchema.fieldNames.mkString(","))
+    val valueCols = finSchema.fields.toSeq.filterNot(_.name == idCol)
     val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val prev = snapshot(spark, tableDir, Some(v - 1))
       val cur = snapshot(spark, tableDir, Some(v))
       val op = cur.meta.getOrElse("op", "unknown")
-      val dvSame =
-        prev.meta.getOrElse("dv.files", "") == cur.meta.getOrElse("dv.files", "")
       // row-identical rewrites skip even when dv.files changed: a
       // compact MATERIALIZES the standing mask (visible rows unchanged),
       // it never adds or retracts one
       if (RowIdenticalOps(op)) None
-      else {
-        val prevPaths = prev.files.toSet
-        val curPaths = cur.files.toSet
-        val removed = prev.files.filterNot(curPaths)
-        val added = cur.files.filterNot(prevPaths)
-        if (removed.isEmpty && added.isEmpty && dvSame) None // metadata-only
-        else {
-          // shared files a DV delta could affect, stats-pruned like COW
-          // discovery (a superset is sound: untouched rows fall out of
-          // the join as unchanged)
-          val dvCandidates: Seq[String] =
-            if (dvSame) Seq.empty
-            else {
-              val shared = cur.entries.filter(e => prevPaths(e.path))
-              val delta = (dvIds(prev), dvIds(cur)) match {
-                case (Some(a), Some(b)) => a.except(b).union(b.except(a))
-                case (Some(a), None)    => a
-                case (None, Some(b))    => b
-                case (None, None)       => null // unreachable: dvSame above
-              }
-              candidateFilesIn(spark, shared, delta, "__dvid",
-                physOf(cur, idCol)).getOrElse(shared.map(_.path))
-            }
-          val oldSlice = slice(prev, (removed ++ dvCandidates).distinct)
-          val newSlice = slice(cur, (added ++ dvCandidates).distinct)
-          val oldSide = oldSlice.select(col(idCol) +:
-              valueCols.map(f => col(f.name).as(s"${f.name}_old")): _*)
-            .withColumn("__in_old", lit(true))
-          val newSide = newSlice.select(col(idCol) +:
-              valueCols.map(f => col(f.name).as(s"${f.name}_new")): _*)
-            .withColumn("__in_new", lit(true))
-          val joined = oldSide.join(newSide, Seq(idCol), "full_outer")
-          val changed = valueCols.map(f =>
-            !(col(s"${f.name}_old") <=> col(s"${f.name}_new")))
-            .reduceOption(_ || _).getOrElse(lit(false))
-          Some(joined.withColumn("change",
-              when(col("__in_old").isNull, lit("insert"))
-                .when(col("__in_new").isNull, lit("delete"))
-                .when(changed, lit("update")))
-            .filter(col("change").isNotNull)
-            .drop("__in_old", "__in_new")
-            .withColumn("version", lit(v))
-            .withColumn("op", lit(op)))
-        }
-      }
+      else materializedStep(spark, tableDir, v, cur, fin, finSchema, idCol)
+        // prev resolves ONLY on the computed path: a materialized step
+        // stays serveable even when v-1 fell past the vacuum horizon
+        .orElse(stepChanges(spark, snapshot(spark, tableDir, Some(v - 1)),
+          cur, idCol, fin, finSchema))
+        .map(_.withColumn("version", lit(v)).withColumn("op", lit(op)))
     }
     steps.reduceOption(_ unionByName _).getOrElse {
       import org.apache.spark.sql.types._
@@ -2118,6 +2134,89 @@ object Versioned {
           StructField("version", IntegerType, nullable = false),
           StructField("op", StringType, nullable = false))))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), out)
+    }
+  }
+
+  /** Opt in (or out of) MATERIALIZED CHANGE FILES — Delta-CDF's trade,
+    * as one metadata commit setting the standing `cdf` flag: while
+    * enabled, every copy-on-write commit (upsert / delete / merge)
+    * additionally writes its classified change rows to
+    * `_changes/v<NNNNN>` right after the commit publishes, and
+    * [[changeFeed]] serves those steps from the file instead of
+    * re-reading the touched slice. Write amplification (one extra pass
+    * over the touched slice at commit time) buys O(changes) feed reads
+    * forever — the right trade exactly when commits rewrite large
+    * slices or the feed is consumed more than once, which is why it is
+    * a per-table choice, not a default. Appends and MoR deletes never
+    * materialize (the feed already derives them from added files / DV
+    * deltas at O(delta) cost). Crash-safe by construction: the file is
+    * written AFTER the commit wins its version (version numbers are
+    * CAS-unique, so no stale file can exist), temp + rename published,
+    * and a missing/torn file just falls back to the computed step. */
+  def setChangeFiles(spark: SparkSession, tableDir: String,
+                     enabled: Boolean): Int =
+    commitWithRebase(spark, tableDir, latest => Some((latest.entries,
+      (if (enabled) latest.meta + ("cdf" -> "true")
+       else latest.meta - "cdf") +
+        ("op" -> (if (enabled) "set_cdf" else "unset_cdf")))))
+
+  /** Post-commit change-file materialization (see [[setChangeFiles]]):
+    * runs the exact [[stepChanges]] computation the feed's fallback
+    * would run for (v-1, v] — zero semantic-drift risk — and publishes
+    * it under `_changes/v<NNNNN>` via temp + rename. Best-effort: any
+    * failure leaves the commit intact and the feed on its computed
+    * path. */
+  private def maybeWriteChangeFile(s: SparkSession, tableDir: String,
+                                   v: Int, idCol: String): Unit =
+    try {
+      val cur = snapshot(s, tableDir, Some(v))
+      if (cur.meta.get("cdf").contains("true") && v > 0) {
+        cur.schema.foreach { schema =>
+          val prev = snapshot(s, tableDir, Some(v - 1))
+          stepChanges(s, prev, cur, idCol, cur, schema).foreach { df =>
+            val tmp = new Path(
+              s"$tableDir/_changes/.tmp-${java.util.UUID.randomUUID}")
+            df.write.mode("overwrite").parquet(tmp.toString)
+            val dst = new Path(f"$tableDir/_changes/v$v%05d")
+            val fsys = fs(s, dst)
+            if (!fsys.rename(tmp, dst)) fsys.delete(tmp, true)
+          }
+        }
+      }
+    } catch { case _: Throwable => () }
+
+  /** The materialized change file for step v, aligned to `fin`'s
+    * logical schema — None when absent (fall back to computing) or when
+    * it was written under a DIFFERENT id column than the caller's (the
+    * classification is id-relative, so serving it would be wrong). */
+  private[graft] def materializedStep(spark: SparkSession, tableDir: String,
+                               v: Int,
+                               stepSnap: Snapshot, fin: Snapshot,
+                               finSchema: org.apache.spark.sql.types.StructType,
+                               idCol: String): Option[DataFrame] = {
+    val p = new Path(f"$tableDir/_changes/v$v%05d")
+    if (!fs(spark, p).exists(p)) None
+    else {
+      val df = spark.read.parquet(p.toString)
+      val stepInv = colMap(stepSnap).map(_.swap)
+      val finCm = colMap(fin)
+      def stepName(finName: String): String = {
+        val phys = finCm.getOrElse(finName, finName)
+        stepInv.getOrElse(phys, phys)
+      }
+      val fileId = df.columns.filterNot(c => c == "change" ||
+        c.endsWith("_old") || c.endsWith("_new"))
+      if (!(fileId.length == 1 && fileId.head == stepName(idCol))) None
+      else Some(df.select(
+        (col(fileId.head).cast(finSchema(idCol).dataType).as(idCol) +:
+          finSchema.fields.toSeq.filterNot(_.name == idCol).flatMap { f =>
+            val sn = stepName(f.name)
+            Seq("_old", "_new").map { sfx =>
+              if (df.columns.contains(s"$sn$sfx"))
+                col(s"$sn$sfx").cast(f.dataType).as(s"${f.name}$sfx")
+              else lit(null).cast(f.dataType).as(s"${f.name}$sfx")
+            }
+          }) :+ col("change"): _*))
     }
   }
 
@@ -2622,6 +2721,24 @@ object Versioned {
         deleted += 1
       }
     }
+    // materialized change files are keyed by version: a change file for
+    // a dropped version serves a feed step no retained range can name —
+    // reclaim it (and any torn .tmp- staging dir) under the writer guard
+    val chDir = new Path(s"$tableDir/_changes")
+    if (f.exists(chDir)) {
+      val retainedSet = retained.toSet
+      for (cd <- f.listStatus(chDir)) {
+        val n = cd.getPath.getName
+        val orphan =
+          if (n.startsWith("v") && n.drop(1).forall(_.isDigit))
+            !retainedSet.contains(n.drop(1).toInt)
+          else n.startsWith(".tmp-")
+        if (orphan && cd.getModificationTime <= ageCutoff) {
+          f.delete(cd.getPath, true)
+          deleted += 1
+        }
+      }
+    }
     VacuumStats(deleted, referenced.size.toLong, dropped)
   }
 
@@ -2793,7 +2910,7 @@ object Versioned {
        else dvCache.getOrElseUpdate(b.dvFiles.mkString(","),
          retractDvFor(s, b, delta, tableDir, b.version + 1))) +
         ("op" -> (if (keepDelta) "upsert" else "delete"))
-    commitWithRebase(s, tableDir,
+    val committed = commitWithRebase(s, tableDir,
       cowRebase(s, snap, touched, newEntries, deltaIds, idCol, schema, dvMeta,
         revalidate = b =>
           if (keepDelta && constraintsOf(b) != constraintsOf(snap))
@@ -2801,5 +2918,7 @@ object Versioned {
             catch { case e: ConstraintViolationException =>
               discardAttemptData(s, newEntries); throw e }),
       newEntries)
+    maybeWriteChangeFile(s, tableDir, committed, idCol)
+    committed
   }
 }

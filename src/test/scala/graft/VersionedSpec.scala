@@ -1902,6 +1902,50 @@ class VersionedSpec extends SparkSuite {
     }
   }
 
+  test("materialized change files: written post-commit, served and fallback-identical, id-guarded, vacuum-swept") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(60), dir) // v0
+    Versioned.setChangeFiles(spark, dir, enabled = true) // v1 metadata-only
+    Versioned.upsert(Seq((5L, "u", 1L), (999L, "n", 2L))
+      .toDF("doc_id", "lang", "n_chars"), dir, "doc_id") // v2
+    Versioned.deleteIds(Seq(7L).toDF("doc_id"), dir, "doc_id") // v3
+    val ch = new java.io.File(s"$dir/_changes")
+    assert(new java.io.File(ch, "v00002").exists(), "upsert must materialize")
+    assert(new java.io.File(ch, "v00003").exists(), "COW delete must materialize")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "change", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val served = rows(Versioned.changeFeed(spark, dir, 1, 3, "doc_id"))
+    assert(served === Set((5L, "update", 2), (999L, "insert", 2),
+      (7L, "delete", 3)))
+
+    // the file is id-relative: a feed keyed by a DIFFERENT (also unique)
+    // column must refuse the materialized step and recompute
+    val cur = Versioned.snapshot(spark, dir, Some(2))
+    val fin = Versioned.snapshot(spark, dir)
+    assert(Versioned.materializedStep(spark, dir, 2, cur, fin,
+      fin.schema.get, "doc_id").isDefined)
+    assert(Versioned.materializedStep(spark, dir, 2, cur, fin,
+      fin.schema.get, "n_chars").isEmpty)
+
+    // absence falls back to the computed step, identically
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(new java.io.File(ch, "v00002"))
+    assert(rows(Versioned.changeFeed(spark, dir, 1, 3, "doc_id")) === served)
+
+    // appends never materialize; vacuum sweeps dropped versions' files
+    Versioned.append(Seq((2000L, "a", 3L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir) // v4
+    assert(!new java.io.File(ch, "v00004").exists())
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    assert(!new java.io.File(ch, "v00003").exists(),
+      "a dropped version's change file must be reclaimed")
+  }
+
   test("consumeChanges: checkpointed windows partition the feed; a crashed consumer replays") {
     import spark.implicits._
     val dir = freshDir()

@@ -1937,7 +1937,10 @@ object Versioned {
     * raises the same typed [[VersionRetentionException]] as any pinned
     * read — the consumer recomputes from the full snapshot and
     * re-checkpoints at that version (keep retention longer than the
-    * consumer's cadence). */
+    * consumer's cadence). One consumer per `stateDir`: two processes
+    * polling the same offset race read-modify-write and would BOTH
+    * process a window — still within at-least-once, but give each
+    * consumer its own stateDir. */
   def consumeChanges(spark: SparkSession, tableDir: String, stateDir: String,
                      idCol: String, initial: Int = 0)
                     (f: DataFrame => Unit): Option[(Int, Int)] = {
@@ -2108,6 +2111,15 @@ object Versioned {
     require(finSchema.fieldNames.contains(idCol),
       s"id column '$idCol' not in v$toVersion's schema: " +
         finSchema.fieldNames.mkString(","))
+    // the output owns these names; a table column colliding with them
+    // (or with another column's _old/_new form) would silently shadow
+    val names = finSchema.fieldNames.toSet
+    val reserved = names.intersect(Set("change", "version", "op")) ++
+      names.filter(n => (n.endsWith("_old") || n.endsWith("_new")) &&
+        names.contains(n.stripSuffix("_old").stripSuffix("_new")))
+    require(reserved.isEmpty,
+      s"changeFeed cannot serve a schema with column(s) ${reserved.mkString(", ")}" +
+        " — they collide with the feed's change/version/op/_old/_new output names")
     val valueCols = finSchema.fields.toSeq.filterNot(_.name == idCol)
     val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
       val cur = snapshot(spark, tableDir, Some(v))
@@ -2170,7 +2182,13 @@ object Versioned {
                                    v: Int, idCol: String): Unit =
     try {
       val cur = snapshot(s, tableDir, Some(v))
-      if (cur.meta.get("cdf").contains("true") && v > 0) {
+      // the file's id column is detected at read time as "the one
+      // non-suffixed, non-change column" — an id name that masquerades
+      // as a suffix would misdetect, so such tables just stay on the
+      // computed path
+      val idSafe = !(idCol == "change" || idCol.endsWith("_old") ||
+        idCol.endsWith("_new"))
+      if (idSafe && cur.meta.get("cdf").contains("true") && v > 0) {
         cur.schema.foreach { schema =>
           val prev = snapshot(s, tableDir, Some(v - 1))
           stepChanges(s, prev, cur, idCol, cur, schema).foreach { df =>

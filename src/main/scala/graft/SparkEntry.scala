@@ -2778,6 +2778,25 @@ object SparkEntry {
               "published a version, compact dropped the constraint, or " +
               "re-add accepted standing violations"))))
     }),
+    // METADATA-ONLY COUNT: count(*) of the versioned corpus answered
+    // from ONE manifest read — every commit records each file's exact
+    // row count, so the version's count is their sum, zero data files
+    // opened (at 100 TB: a sub-second metadata read instead of a
+    // full-corpus scan). The oracle recounts the same content the slow
+    // way; the zero-scan fact (metadataOnly, and v0 too) is pinned
+    // in-plan via raise_error
+    "versioned_count_metadata" -> ((s, dir) => {
+      val path = versionedDocsPath(s, dir)
+      val latest = Versioned.countAt(s, path)
+      val v0 = Versioned.countAt(s, path, Some(0))
+      s.range(1).select(
+          lit(latest.count).as("cnt"),
+          lit(v0.count).as("cnt_v0"))
+        .filter(when(lit(latest.metadataOnly && v0.metadataOnly), lit(true))
+          .otherwise(raise_error(lit(
+            "metadata count drift: countAt fell back to a scan on a " +
+              "DV-free table whose commits all record row counts"))))
+    }),
     // conditional MERGE (last-write-wins by DATA, not arrival): delta
     // applies only when strictly newer by n_chars, ties keep current,
     // stale rows cannot clobber, new ids insert — the oracle replays
@@ -5705,6 +5724,11 @@ object SparkEntry {
     "versioned_pruned_read" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 199""",
+    // the metadata-only count must equal the scan-count of the same
+    // content: v1's upsert replaced existing ids (doc_id % 10) in
+    // place, so both the latest and v0 counts are the corpus size
+    "versioned_count_metadata" ->
+      """SELECT count(*) AS cnt, count(*) AS cnt_v0 FROM documents""",
     // merge-on-read delete: masked (and then materialized) content is
     // the plain anti-filter over the original projection
     "versioned_delete_mor" ->

@@ -74,43 +74,56 @@ object Versioned {
     * discovery — with a single slot, every upsert on a z-ordered table
     * silently fell back to O(table) candidate scans. */
   case class FileEntry(path: String, stats: Seq[(String, Long, Long)] = Seq.empty,
-                       bloom: Option[(String, String)] = None) {
+                       bloom: Option[(String, String)] = None,
+                       rows: Option[Long] = None) {
     /** The triple recorded for column `c`, if any. */
     def statsFor(c: String): Option[(Long, Long)] =
       stats.collectFirst { case (`c`, lo, hi) => (lo, hi) }
     private[Versioned] def line: String = {
       val statsPart = stats.map { case (c, lo, hi) => s"\t$c\t$lo\t$hi" }.mkString
-      // tagged suffix keeps old manifests parseable and old readers
-      // merely bloom-blind; a stats column literally named "bloom" is
-      // rejected at build time (writeData) to keep the tag unambiguous
+      // tagged suffixes keep old manifests parseable and old readers
+      // merely rows/bloom-blind; a stats column literally named "rows"
+      // or "bloom" is rejected at build time (writeData) to keep the
+      // tags unambiguous
+      val rowsPart = rows.map(n => s"\trows\t$n").getOrElse("")
       val bloomPart = bloom match {
         case Some((c, hex)) => s"\tbloom\t$c\t$hex"
         case None           => ""
       }
-      s"$path$statsPart$bloomPart"
+      s"$path$statsPart$rowsPart$bloomPart"
     }
   }
 
   private def parseEntry(l: String): FileEntry = {
     // path, then zero or more (col, lo, hi) triples, then an optional
-    // tagged bloom suffix — the round-15 single-triple format parses as
-    // the one-element case, the pre-stats format as the zero-element one
+    // tagged rows suffix, then an optional tagged bloom suffix — the
+    // round-15 single-triple format parses as the one-element case, the
+    // pre-stats format as the zero-element one, and pre-rows manifests
+    // simply carry no count (readers fall back to scanning)
     val tok = l.split('\t')
     if (tok.isEmpty || tok(0).isEmpty)
       throw new IllegalStateException(s"malformed manifest line: $l")
     var i = 1
     val stats = Seq.newBuilder[(String, Long, Long)]
-    while (i < tok.length && tok(i) != "bloom") {
+    while (i < tok.length && tok(i) != "bloom" && tok(i) != "rows") {
       if (i + 2 >= tok.length)
         throw new IllegalStateException(s"malformed manifest line: $l")
       stats += ((tok(i), tok(i + 1).toLong, tok(i + 2).toLong))
       i += 3
     }
+    val rows =
+      if (i < tok.length && tok(i) == "rows") {
+        if (i + 1 >= tok.length)
+          throw new IllegalStateException(s"malformed manifest line: $l")
+        val n = tok(i + 1).toLong
+        i += 2
+        Some(n)
+      } else None
     val bloom =
       if (i == tok.length) None
-      else if (i + 3 == tok.length) Some((tok(i + 1), tok(i + 2)))
+      else if (i + 3 == tok.length && tok(i) == "bloom") Some((tok(i + 1), tok(i + 2)))
       else throw new IllegalStateException(s"malformed manifest line: $l")
-    FileEntry(tok(0), stats.result(), bloom)
+    FileEntry(tok(0), stats.result(), bloom, rows)
   }
 
   /** Per-file Bloom filter parameters: [[BloomBits]]-bit filter (hex in
@@ -849,6 +862,58 @@ object Versioned {
     scanFiles(spark, snap, snap.files)
   }
 
+  /** Result of [[countAt]]: the row count of one pinned version, and
+    * whether it was served from manifest metadata alone (zero data
+    * files opened) or required a masked scan. */
+  case class TableCount(count: Long, metadataOnly: Boolean, version: Int)
+
+  /** COUNT(*) of a pinned version, metadata-only when the manifest can
+    * prove it: every commit records each file's exact row count (tagged
+    * `rows` — computed from the written data, so per-file counts are
+    * exact, not estimates), and the version's count is their sum. That
+    * answer costs ONE manifest resolution regardless of table size —
+    * at 100 TB the difference between a sub-second metadata read and a
+    * full-corpus scan. Falls back to the masked scan, honestly flagged
+    * `metadataOnly = false`, in exactly two cases: entries predating
+    * row-count tracking (old manifests), and standing merge-on-read
+    * deletion vectors (the mask hides SOME rows of the files it
+    * touches; how many requires looking — Iceberg draws the same line,
+    * metadata counts only without positional deletes; shape reference
+    * only). A fully-deleted version counts 0 without touching [[read]]
+    * (which refuses on zero files). */
+  def countAt(spark: SparkSession, tableDir: String,
+              version: Option[Int] = None): TableCount = {
+    val snap = snapshot(spark, tableDir, version)
+    if (snap.entries.isEmpty) TableCount(0L, metadataOnly = true, snap.version)
+    else if (snap.dvFiles.isEmpty && snap.entries.forall(_.rows.isDefined))
+      TableCount(snap.entries.map(_.rows.get).sum, metadataOnly = true, snap.version)
+    else
+      TableCount(scanFiles(spark, snap, snap.files).count(),
+        metadataOnly = false, snap.version)
+  }
+
+  /** Exact MIN/MAX of a stats column from manifest metadata alone, or
+    * None when the manifest cannot PROVE the answer: per-file min/max
+    * are exact (computed from the written rows at commit time), so
+    * their fold over all entries is the table's true extremes — but
+    * only when every entry carries the triple (one stats-blind file
+    * could hide the real min) and no deletion vector stands (the mask
+    * might hide exactly the extreme row). Callers fall back to an
+    * aggregate scan on None; the common id-clustered case answers "max
+    * allocated id" in one manifest read. Column name is LOGICAL —
+    * resolved through the rename map like every other stats consumer. */
+  def minMaxAt(spark: SparkSession, tableDir: String, column: String,
+               version: Option[Int] = None): Option[(Long, Long)] = {
+    val snap = snapshot(spark, tableDir, version)
+    if (snap.entries.isEmpty || snap.dvFiles.nonEmpty) None
+    else {
+      val physCol = physOf(snap, column)
+      val trips = snap.entries.map(_.statsFor(physCol))
+      if (trips.exists(_.isEmpty)) None
+      else Some((trips.map(_.get._1).min, trips.map(_.get._2).max))
+    }
+  }
+
   /** Incremental consumption: ONLY the rows committed after
     * `fromVersion` — the file-set difference of two manifests, which is
     * exact when history since `fromVersion` is append-only. If any file
@@ -961,8 +1026,8 @@ object Versioned {
   private def writeData(df: DataFrame, tableDir: String, v: Int,
                         statsCols: Seq[String] = Seq.empty,
                         bloomCol: Option[String] = None): Seq[FileEntry] = {
-    require(!statsCols.contains("bloom") && !bloomCol.contains("bloom"),
-      "a stats/bloom column literally named 'bloom' would collide with the manifest tag")
+    require(!(statsCols ++ bloomCol).exists(c => c == "bloom" || c == "rows"),
+      "a stats/bloom column literally named 'bloom' or 'rows' would collide with a manifest tag")
     val dataDir = s"$tableDir/data/v${"%05d".format(v)}_" +
       java.util.UUID.randomUUID().toString.take(8)
     df.write.mode("overwrite").parquet(dataDir)
@@ -976,13 +1041,25 @@ object Versioned {
     // rewrite doesn't materialize) degrades to "no stats — always read",
     // never a failed commit whose data files are already on disk
     val present = statsCols.distinct.filter(readBack.columns.contains)
+    // per-file ROW COUNT always rides along (tagged `rows` in the
+    // manifest): it is free inside the stats pass, footer-cheap when
+    // computed alone (an empty read schema serves counts from parquet
+    // row-group metadata), and it is what lets countAt() answer
+    // count(*)-shaped questions from ONE manifest read at any scale
     val base =
-      if (present.isEmpty) paths.map(FileEntry(_))
-      else {
-        // ALL requested columns' min/max in ONE pass over the freshly
-        // written, page-warm files — the multi-stats layer costs the
-        // same single scan the one-column form paid
-        val aggs = present.flatMap(c =>
+      if (present.isEmpty) {
+        val counts = readBack
+          .groupBy(input_file_name().as("__f")).count()
+          .collect().map(r => normFileName(r.getString(0)) -> r.getLong(1))
+          .toMap
+        // a written part absent from the count scan has zero rows —
+        // proven empty, so it never enters the manifest at all
+        paths.flatMap(p => counts.get(p).map(n => FileEntry(p, rows = Some(n))))
+      } else {
+        // ALL requested columns' min/max AND the row count in ONE pass
+        // over the freshly written, page-warm files — the multi-stats
+        // layer costs the same single scan the one-column form paid
+        val aggs = count(lit(1)).as("__n") +: present.flatMap(c =>
           Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
         val stats = readBack
           .groupBy(input_file_name().as("__f"))
@@ -993,14 +1070,15 @@ object Versioned {
             // it — a missing statistic must degrade to "always read",
             // not crash a commit whose data files are already on disk
             val trips = present.zipWithIndex.flatMap { case (c, j) =>
-              if (r.isNullAt(1 + 2 * j) || r.isNullAt(2 + 2 * j)) None
-              else Some((c, r.getLong(1 + 2 * j), r.getLong(2 + 2 * j)))
+              if (r.isNullAt(2 + 2 * j) || r.isNullAt(3 + 2 * j)) None
+              else Some((c, r.getLong(2 + 2 * j), r.getLong(3 + 2 * j)))
             }
-            normFileName(r.getString(0)) -> trips
+            normFileName(r.getString(0)) -> ((trips, r.getLong(1)))
           }.toMap
         // a written part absent from the stats scan has zero rows —
         // proven empty, so it never enters the manifest at all
-        paths.flatMap(p => stats.get(p).map(st => FileEntry(p, st)))
+        paths.flatMap(p => stats.get(p).map { case (st, n) =>
+          FileEntry(p, st, rows = Some(n)) })
       }
     bloomCol.filter(readBack.columns.contains) match {
       case None => base
@@ -1425,9 +1503,9 @@ object Versioned {
     val snap = snapshot(spark, tableDir, version)
     val physCol = physOf(snap, bloomCol)
     snap.entries.collect {
-      case FileEntry(p, _, Some((c, hex))) if c == physCol =>
+      case FileEntry(p, _, Some((c, hex)), _) if c == physCol =>
         if (bloomContains(hex, value)) Some(p) else None
-      case FileEntry(p, _, _) => Some(p)
+      case FileEntry(p, _, _, _) => Some(p)
     }.flatten
   }
 
@@ -1454,9 +1532,9 @@ object Versioned {
     })
     val physCol = physOf(snap, bloomCol)
     val keep = snap.entries.collect {
-      case FileEntry(p, _, Some((c, hex))) if c == physCol =>
+      case FileEntry(p, _, Some((c, hex)), _) if c == physCol =>
         if (bloomContains(hex, value)) Some(p) else None
-      case FileEntry(p, _, _) => Some(p)
+      case FileEntry(p, _, _, _) => Some(p)
     }.flatten
     if (keep.nonEmpty) scanFiles(spark, snap, keep).filter(col(bloomCol) === value)
     else {

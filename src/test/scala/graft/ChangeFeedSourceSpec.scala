@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Versioned
+
+/** The versioned table's change feed as a Structured Streaming source
+  * (`format("graft-changes")`): offsets are version numbers, batches
+  * are feed ranges, recovery comes from the engine's checkpoint. */
+class ChangeFeedSourceSpec extends SparkSuite {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_cfs_spec").toString
+
+  private def docs(n: Int = 60) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"lang${i % 3}", (i * 3).toLong))
+      .toDF("doc_id", "lang", "n_chars").repartition(4)
+  }
+
+  private def assertSameContent(a: DataFrame, b: DataFrame, hint: String): Unit =
+    assert(a.exceptAll(b).unionAll(b.exceptAll(a)).count() === 0, hint)
+
+  test("streamed feed == batch feed, one commit per micro-batch") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t) // v0 (baseline — no change rows)
+    Versioned.upsert(Seq((5L, "xx", 999L), (1000L, "nw", 1L))
+      .toDF("doc_id", "lang", "n_chars"), t, "doc_id") // v1: 1 update + 1 insert
+    Versioned.deleteIds(Seq(Tuple1(7L)).toDF("doc_id"), t, "doc_id") // v2: 1 delete (COW)
+    Versioned.deleteIdsMergeOnRead(Seq(Tuple1(11L)).toDF("doc_id"),
+      t, "doc_id") // v3: 1 delete (DV)
+
+    val seen = mutable.ArrayBuffer.empty[(Long, Set[Int], Long)] // (batchId, versions, rows)
+    val stream = spark.readStream.format("graft-changes")
+      .option("tableDir", t).option("idColumn", "doc_id")
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val vs = batch.select("version").distinct()
+          .collect().map(_.getInt(0)).toSet
+        seen.synchronized {
+          seen += ((id, vs, batch.count())): Unit
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // a commit landing WHILE the stream runs arrives in a later batch
+      Versioned.append(Seq((2000L, "ap", 2L)).toDF("doc_id", "lang", "n_chars")
+        .repartition(1), t) // v4: 1 insert
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val nonEmpty = seen.synchronized(seen.filter(_._3 > 0).toVector)
+    // maxVersionsPerBatch=1 => each commit's changes rode alone
+    assert(nonEmpty.forall(_._2.size == 1),
+      s"admission control must cap each batch at one version: $nonEmpty")
+    assert(nonEmpty.flatMap(_._2).sorted === Vector(1, 2, 3, 4),
+      s"every committed version must stream exactly once: $nonEmpty")
+    assert(nonEmpty.map(_._3).sum ===
+      Versioned.changeFeed(spark, t, 0, 4, "doc_id").count(),
+      "streamed row total must equal the batch feed over the same range")
+  }
+
+  test("startingVersion=latest streams only post-start commits; memory sink content matches the feed") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t) // v0
+    Versioned.upsert(Seq((3L, "old", 1L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v1: history the stream must NOT see
+    val startV = Versioned.versions(spark, t).max
+
+    val stream = spark.readStream.format("graft-changes")
+      .option("tableDir", t).option("idColumn", "doc_id")
+      .load() // default startingVersion=latest
+    val q = stream.writeStream.format("memory").queryName("cfs_latest")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cfs_latest").count() === 0,
+        "latest must not replay pre-start history")
+      Versioned.upsert(Seq((9L, "nx", 77L), (5000L, "nw", 5L))
+        .toDF("doc_id", "lang", "n_chars"), t, "doc_id") // v2
+      Versioned.deleteIds(Seq(Tuple1(21L)).toDF("doc_id"), t, "doc_id") // v3
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assertSameContent(spark.table("cfs_latest"),
+      Versioned.changeFeed(spark, t, startV, startV + 2, "doc_id"),
+      "the streamed rows must be exactly the post-start feed")
+  }
+
+  test("checkpoint restart: no redelivery, downtime commits are picked up, explicit startingVersion honored fresh") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t) // v0
+    Versioned.upsert(Seq((2L, "a1", 10L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v1
+    Versioned.upsert(Seq((4L, "a2", 20L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v2
+
+    val seen = mutable.ArrayBuffer.empty[Int]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("tableDir", t).option("idColumn", "doc_id")
+        .option("startingVersion", "2") // changes OF v2 and later
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val vs = batch.select("version").distinct().collect().map(_.getInt(0))
+          seen.synchronized { seen ++= vs: Unit }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run() // fresh: must serve exactly v2 (not v1 — startingVersion=2)
+    assert(seen.synchronized(seen.sorted.toVector) === Vector(2),
+      s"fresh start must begin at startingVersion, got $seen")
+
+    // commits landing while the stream is DOWN
+    Versioned.upsert(Seq((6L, "a3", 30L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v3
+    Versioned.deleteIds(Seq(Tuple1(8L)).toDF("doc_id"), t, "doc_id") // v4
+
+    run() // restart: picks up v3+v4, never redelivers v2
+    assert(seen.synchronized(seen.sorted.toVector) === Vector(2, 3, 4),
+      s"restart must resume from the checkpoint exactly once, got $seen")
+  }
+
+  test("mid-stream schema evolution refuses typed; options are validated") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t)
+
+    // missing required options fail fast at plan time
+    val miss = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changes").load()
+    }
+    assert(miss.getMessage.contains("tableDir"))
+
+    val q = spark.readStream.format("graft-changes")
+      .option("tableDir", t).option("idColumn", "doc_id")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch((_: DataFrame, _: Long) => ())
+      .start()
+    try {
+      q.processAllAvailable()
+      // a rename commits mid-stream: the NEXT batch must refuse typed,
+      // not serve rows under a silently shifted shape
+      Versioned.renameColumn(spark, t, "n_chars", "len")
+      Versioned.append(Seq((7000L, "rn", 1L)).toDF("doc_id", "lang", "len")
+        .repartition(1), t)
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("schema drift") ||
+        Option(err.getCause).exists(_.getMessage.contains("schema drift")),
+        s"expected the typed drift refusal, got: ${err.getMessage}")
+    } finally q.stop()
+  }
+}

@@ -2005,4 +2005,99 @@ class VersionedSpec extends SparkSuite {
       roll.head.getAs[String]("op") === "restore",
       "a restore must feed the rows it semantically removes as deletes")
   }
+
+  test("countAt: metadata-only counts across the copy-on-write lifecycle") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir) // v0: 90 rows
+    val c0 = Versioned.countAt(spark, dir)
+    assert(c0 === Versioned.TableCount(90L, metadataOnly = true, 0),
+      s"init must commit per-file row counts; got $c0")
+
+    Versioned.upsert(Seq((5L, "xx", 999L), (1000L, "new", 1L))
+      .toDF("doc_id", "lang", "n_chars"), dir, "doc_id") // v1: 91 rows
+    assert(Versioned.countAt(spark, dir) ===
+      Versioned.TableCount(91L, metadataOnly = true, 1))
+    // the pinned past stays metadata-countable too
+    assert(Versioned.countAt(spark, dir, Some(0)) ===
+      Versioned.TableCount(90L, metadataOnly = true, 0))
+
+    Versioned.deleteIds(Seq(Tuple1(5L)).toDF("doc_id"), dir, "doc_id") // v2 (COW)
+    assert(Versioned.countAt(spark, dir) ===
+      Versioned.TableCount(90L, metadataOnly = true, 2),
+      "copy-on-write delete physically removes rows — counts stay metadata-only")
+
+    // every metadata count must agree with the scan it replaced
+    (0 to 2).foreach { v =>
+      assert(Versioned.countAt(spark, dir, Some(v)).count ===
+        Versioned.read(spark, dir, Some(v)).count())
+    }
+  }
+
+  test("countAt: standing deletion vectors fall back to an honest masked scan") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir)
+    Versioned.deleteIdsMergeOnRead(
+      Seq(3L, 7L, 11L).toDF("doc_id"), dir, "doc_id") // v1: DV masks 3 rows
+    val masked = Versioned.countAt(spark, dir)
+    assert(masked.count === 87L && !masked.metadataOnly,
+      s"a standing DV hides rows the manifest cannot count; got $masked")
+
+    Versioned.compact(spark, dir) // v2: materializes the mask, drops the DV
+    val afterCompact = Versioned.countAt(spark, dir)
+    assert(afterCompact === Versioned.TableCount(87L, metadataOnly = true, 2),
+      "compact materializes the mask — metadata counting resumes")
+  }
+
+  test("countAt: fully-deleted version counts zero; rows survive segmented checkpoints") {
+    import spark.implicits._
+    val dir = freshDir()
+    val (thr0, ent0) = (Versioned.SegmentThreshold, Versioned.SegmentEntries)
+    try {
+      Versioned.SegmentThreshold = 4
+      Versioned.SegmentEntries = 3
+      Versioned.init(docs3(), dir, statsCol = Some("doc_id"))
+      // force a checkpointed (and thus segmented) full manifest
+      (1 to Versioned.CheckpointEvery).foreach { i =>
+        Versioned.append(Seq((10000L + i, "ap", 1L))
+          .toDF("doc_id", "lang", "n_chars").repartition(1), dir)
+      }
+      val c = Versioned.countAt(spark, dir)
+      assert(c.metadataOnly && c.count === (90L + Versioned.CheckpointEvery),
+        s"row counts must round-trip through segment files; got $c")
+
+      Versioned.deleteIds(Versioned.read(spark, dir).select("doc_id"),
+        dir, "doc_id")
+      val gone = Versioned.countAt(spark, dir)
+      assert(gone.count === 0L && gone.metadataOnly,
+        "a fully-deleted version counts 0 from metadata (read() refuses)")
+    } finally {
+      Versioned.SegmentThreshold = thr0
+      Versioned.SegmentEntries = ent0
+    }
+  }
+
+  test("minMaxAt: exact extremes from manifest stats, None when unprovable") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir, statsCol = Some("doc_id"))
+    assert(Versioned.minMaxAt(spark, dir, "doc_id") === Some((0L, 89L)))
+
+    // a rename must not break stats resolution (stats key physical names)
+    Versioned.renameColumn(spark, dir, "doc_id", "docid")
+    assert(Versioned.minMaxAt(spark, dir, "docid") === Some((0L, 89L)),
+      "minMaxAt must resolve the logical name through the rename map")
+
+    // a stats-blind file makes the extremes unprovable -> None, never a guess
+    Versioned.renameColumn(spark, dir, "docid", "doc_id")
+    val noStatsDir = freshDir()
+    Versioned.init(docs3(), noStatsDir)
+    assert(Versioned.minMaxAt(spark, noStatsDir, "doc_id") === None)
+
+    // a standing DV could hide the extreme row -> None until materialized
+    Versioned.deleteIdsMergeOnRead(Seq(Tuple1(89L)).toDF("doc_id"), dir, "doc_id")
+    assert(Versioned.minMaxAt(spark, dir, "doc_id") === None,
+      "a masked extreme makes manifest extremes unsound")
+  }
 }

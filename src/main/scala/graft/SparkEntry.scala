@@ -2778,6 +2778,36 @@ object SparkEntry {
               "published a version, compact dropped the constraint, or " +
               "re-add accepted standing violations"))))
     }),
+    // CHANGE FEED AS A STRUCTURED STREAMING SOURCE: the same six-commit
+    // lifecycle consumed through format("graft-changes") — offsets are
+    // version numbers, each micro-batch is a feed range (capped at 2
+    // commits per trigger here, so the row-bearing commits provably
+    // span >1 batch, pinned in-plan), the engine owns checkpointing.
+    // The streamed rows must be EXACTLY the batch feed's: same oracle
+    // replay as versioned_change_feed.
+    "versioned_change_stream" -> ((s, dir) => {
+      val (path, _) = versionedCdfInfo(s, dir)
+      val name = "cfs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_cfs_ckpt/$name"
+      val q = s.readStream.format("graft-changes")
+        .option("tableDir", path).option("idColumn", "doc_id")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerBatch", "2")
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      val batches =
+        try { q.processAllAvailable(); q.recentProgress.count(_.numInputRows > 0) }
+        finally q.stop()
+      s.table(name)
+        .select(col("doc_id"), col("change"), col("version"), col("op"),
+          col("lang_old"), col("lang_new"), col("len_old"), col("len_new"))
+        .filter(when(lit(batches > 1), lit(true))
+          .otherwise(raise_error(lit(
+            s"change stream drift: expected the capped feed to span >1 " +
+              s"micro-batch, saw $batches"))))
+    }),
     // METADATA-ONLY COUNT: count(*) of the versioned corpus answered
     // from ONE manifest read — every commit records each file's exact
     // row count, so the version's count is their sum, zero data files
@@ -5778,6 +5808,27 @@ object SparkEntry {
     // a missed alignment, or a carried row surviving the per-step join
     // all break the hash.
     "versioned_change_feed" ->
+      """SELECT doc_id + 9400000 AS doc_id, 'insert' AS change,
+                1 AS version, 'append' AS op,
+                CAST(NULL AS VARCHAR) AS lang_old, 'cf' AS lang_new,
+                CAST(NULL AS BIGINT) AS len_old, n_chars AS len_new
+         FROM documents WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id, 'update', 2, 'upsert',
+                lang, 'up', n_chars, n_chars + 2
+         FROM documents WHERE doc_id % 8 = 1
+         UNION ALL
+         SELECT doc_id, 'delete', 3, 'delete_mor',
+                CASE WHEN doc_id % 8 = 1 THEN 'up' ELSE lang END,
+                CAST(NULL AS VARCHAR),
+                CASE WHEN doc_id % 8 = 1 THEN n_chars + 2 ELSE n_chars END,
+                CAST(NULL AS BIGINT)
+         FROM documents WHERE doc_id % 9 = 4""",
+    // the STREAMED feed must say exactly what the batch feed says —
+    // same symbolic replay (insert per appended id, update per
+    // upserted id, delete per MoR-deleted id, nothing for compact /
+    // rename / the init baseline)
+    "versioned_change_stream" ->
       """SELECT doc_id + 9400000 AS doc_id, 'insert' AS change,
                 1 AS version, 'append' AS op,
                 CAST(NULL AS VARCHAR) AS lang_old, 'cf' AS lang_new,

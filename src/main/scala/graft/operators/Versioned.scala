@@ -2179,10 +2179,20 @@ object Versioned {
   }
 
   def changeFeed(spark: SparkSession, tableDir: String, fromVersion: Int,
-                 toVersion: Int, idCol: String): DataFrame = {
+                 toVersion: Int, idCol: String,
+                 projectToVersion: Option[Int] = None): DataFrame = {
     require(fromVersion <= toVersion,
       s"changeFeed range is reversed: v$fromVersion > v$toVersion")
-    val fin = snapshot(spark, tableDir, Some(toVersion))
+    // projectToVersion: serve the range under a LATER version's schema
+    // (null-filling later-added columns, speaking post-rename names) —
+    // what a STREAMING consumer needs so every micro-batch of a split
+    // range carries one uniform shape, whichever side of a rename/widen
+    // its commits fall on. Default: the range end's own schema.
+    require(projectToVersion.forall(_ >= toVersion),
+      s"projectToVersion must be >= the range end v$toVersion, got " +
+        s"${projectToVersion.get} (projecting BACKWARD would drop columns)")
+    val fin = snapshot(spark, tableDir,
+      Some(projectToVersion.getOrElse(toVersion)))
     val finSchema = fin.schema.getOrElse(throw new IllegalStateException(
       s"changeFeed requires schema-stamped manifests; v$toVersion of " +
         s"$tableDir predates schema tracking — use diff()"))
@@ -2217,9 +2227,12 @@ object Versioned {
       import org.apache.spark.sql.types._
       val out = StructType(
         StructField(idCol, finSchema(idCol).dataType) +:
-        (valueCols.flatMap(f => Seq(
-          StructField(s"${f.name}_old", f.dataType),
-          StructField(s"${f.name}_new", f.dataType))) ++ Seq(
+        // column ORDER must match the computed-step branch (all _old
+        // then all _new — the shape stepChanges' join select yields):
+        // the streaming source anchors its schema on this empty range
+        // and the engine binds batch rows positionally
+        (valueCols.map(f => StructField(s"${f.name}_old", f.dataType)) ++
+         valueCols.map(f => StructField(s"${f.name}_new", f.dataType)) ++ Seq(
           StructField("change", StringType),
           StructField("version", IntegerType, nullable = false),
           StructField("op", StringType, nullable = false))))

@@ -52,18 +52,22 @@ class ChangeFeedSource(spark: SparkSession, tableDir: String, idCol: String,
                        startVersion: Long, maxVersionsPerBatch: Option[Long])
     extends Source with Logging {
 
-  // schema anchors at the table's LATEST version at stream start: every
-  // batch's feed projects its steps to the range-end version's schema,
-  // so a history whose schema evolved BEFORE the stream started still
-  // serves uniformly under the current shape — only a MID-stream
+  // schema anchors at the table's LATEST version at stream start, and
+  // every batch PROJECTS to that anchor (changeFeed's projectToVersion)
+  // — so a history whose schema evolved before the stream started still
+  // serves uniformly under the current shape, whichever side of the
+  // rename/widen a micro-batch's range falls on; only a MID-stream
   // evolution trips the drift refusal below. An empty single-version
   // feed range is the cheapest way to materialize the exact output
   // schema (zero steps computed).
-  override val schema: StructType = {
+  private val anchor: Int = {
     val vs = Versioned.versions(spark, tableDir)
     require(vs.nonEmpty, s"no versioned table at $tableDir")
-    Versioned.changeFeed(spark, tableDir, vs.max, vs.max, idCol).schema
+    vs.max
   }
+
+  override val schema: StructType =
+    Versioned.changeFeed(spark, tableDir, anchor, anchor, idCol).schema
 
   /** Furthest version this source has HANDED TO the engine — never
     * rewound: getOffset must not emit an offset below a checkpoint-
@@ -97,8 +101,12 @@ class ChangeFeedSource(spark: SparkSession, tableDir: String, idCol: String,
     val to = value(end)
     val from = math.max(start.map(value).getOrElse(startVersion), startVersion)
     planned = math.max(planned, to)
-    val feed = Versioned.changeFeed(spark, tableDir, from.toInt, to.toInt, idCol)
-    if (feed.schema != schema)
+    val feed = Versioned.changeFeed(spark, tableDir, from.toInt, to.toInt, idCol,
+      projectToVersion = Some(math.max(anchor.toLong, to).toInt))
+    // names + types must hold exactly; nullability may legitimately
+    // differ between the anchor's empty range and a computed step
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    if (shape(feed.schema) != shape(schema))
       throw new IllegalStateException(
         s"change stream schema drift at v$to of $tableDir: the stream was " +
           s"started under ${schema.simpleString} but the feed now serves " +

@@ -143,6 +143,39 @@ class ChangeFeedSourceSpec extends SparkSuite {
       s"restart must resume from the checkpoint exactly once, got $seen")
   }
 
+  test("history behind a rename streams under the anchor's post-rename schema") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t) // v0
+    Versioned.upsert(Seq((5L, "pre", 50L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v1: committed under the OLD column name
+    Versioned.renameColumn(spark, t, "n_chars", "len") // v2
+    Versioned.append(Seq((8000L, "post", 8L)).toDF("doc_id", "lang", "len")
+      .repartition(1), t) // v3
+
+    val stream = spark.readStream.format("graft-changes")
+      .option("tableDir", t).option("idColumn", "doc_id")
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerBatch", "1") // v1's batch ENDS below the rename
+      .load()
+    assert(stream.schema.fieldNames.contains("len_new") &&
+      !stream.schema.fieldNames.contains("n_chars_new"),
+      "the stream speaks the anchor (latest) schema")
+    val q = stream.writeStream.format("memory").queryName("cfs_rename")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("cfs_rename")
+    val v1 = out.filter(col("version") === 1).collect()
+    assert(v1.length === 1 && v1.head.getAs[Long]("len_new") === 50L,
+      "the pre-rename commit's change must surface under the NEW name")
+    assert(out.filter(col("version") === 3).count() === 1,
+      "the post-rename commit streams too")
+  }
+
   test("mid-stream schema evolution refuses typed; options are validated") {
     import spark.implicits._
     val root = freshRoot()

@@ -2808,6 +2808,17 @@ object SparkEntry {
             s"change stream drift: expected the capped feed to span >1 " +
               s"micro-batch, saw $batches"))))
     }),
+    // BATCH DATASOURCE surface: the same corpus through
+    // spark.read.format("graft-versioned") — the compatibility path for
+    // plain-SQL/BI users — with a range filter Catalyst pushes into the
+    // relation, which turns it into manifest stats pruning (widen-only;
+    // the engine re-applies the exact predicate). Content is the
+    // last-wins replay restricted to the range.
+    "versioned_relation_read" -> ((s, dir) =>
+      s.read.format("graft-versioned")
+        .option("tableDir", versionedDocsPath(s, dir)).load()
+        .filter(col("doc_id").between(100L, 299L))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
     // METADATA-ONLY COUNT: count(*) of the versioned corpus answered
     // from ONE manifest read — every commit records each file's exact
     // row count, so the version's count is their sum, zero data files
@@ -5759,6 +5770,18 @@ object SparkEntry {
     // place, so both the latest and v0 counts are the corpus size
     "versioned_count_metadata" ->
       """SELECT count(*) AS cnt, count(*) AS cnt_v0 FROM documents""",
+    // the DataSource surface serves the same last-wins replay as
+    // versioned_latest, restricted to the pushed range
+    "versioned_relation_read" ->
+      """WITH delta AS (SELECT doc_id, 'xx' AS lang, n_chars * 2 AS n_chars
+                        FROM documents WHERE doc_id % 10 = 0),
+              u AS (SELECT doc_id, lang, n_chars, 1 AS pri FROM documents
+                    UNION ALL SELECT doc_id, lang, n_chars, 2 AS pri FROM delta),
+              r AS (SELECT doc_id, lang, n_chars,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY pri DESC) AS rn
+                    FROM u)
+         SELECT doc_id, lang, n_chars FROM r
+         WHERE rn = 1 AND doc_id BETWEEN 100 AND 299""",
     // merge-on-read delete: masked (and then materialized) content is
     // the plain anti-filter over the original projection
     "versioned_delete_mor" ->

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+import graft.operators.Versioned
+import graft.operators.Versioned.{FileEntry, Snapshot}
+import graft.sources.VersionedRelation
+
+/** `spark.read.format("graft-versioned")`: the versioned table as a
+  * batch DataSource — pinned snapshots, time-travel options, and
+  * pushed filters turned into manifest stats/bloom pruning. */
+class VersionedRelationSpec extends SparkSuite {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_vrel_spec").toString + "/t"
+
+  private def docs(n: Int = 90) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"lang${i % 3}", (i * 7).toLong))
+      .toDF("doc_id", "lang", "n_chars").repartition(6)
+  }
+
+  private def assertSameContent(a: DataFrame, b: DataFrame, hint: String): Unit =
+    assert(a.exceptAll(b).unionAll(b.exceptAll(a)).count() === 0, hint)
+
+  test("format graft-versioned reads latest, versionAsOf, timestampAsOf") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs(), dir) // v0
+    val betweenProbe = {
+      // a strictly-later probe millis than v0's stamp, before v1 lands
+      Thread.sleep(5); System.currentTimeMillis()
+    }
+    Thread.sleep(5)
+    Versioned.upsert(Seq((5L, "xx", 999L), (2000L, "nw", 1L))
+      .toDF("doc_id", "lang", "n_chars"), dir, "doc_id") // v1
+
+    def rel(opts: (String, String)*) = {
+      val r = spark.read.format("graft-versioned").option("tableDir", dir)
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    }
+
+    assertSameContent(rel(), Versioned.read(spark, dir),
+      "no options = latest")
+    assertSameContent(rel("versionAsOf" -> "0"), Versioned.read(spark, dir, Some(0)),
+      "versionAsOf pins the past")
+    assertSameContent(rel("timestampAsOf" -> betweenProbe.toString),
+      Versioned.read(spark, dir, Some(0)),
+      "a probe between the stamps resolves to v0")
+    assert(rel().schema.fieldNames.toSeq === Seq("doc_id", "lang", "n_chars"))
+
+    // SQL-view reach: the whole point of the compatibility surface
+    rel().createOrReplaceTempView("graft_vrel_sql")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_vrel_sql WHERE lang = 'xx'")
+      .head().getLong(0) === 1L)
+
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned").load() // tableDir required
+    }
+    intercept[IllegalArgumentException] {
+      rel("versionAsOf" -> "0", "timestampAsOf" -> "1") // mutually exclusive
+    }
+  }
+
+  test("relation pins its snapshot at load(): racing commits never mix") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs(), dir)
+    val pinned = spark.read.format("graft-versioned")
+      .option("tableDir", dir).load()
+    val before = pinned.count()
+    Versioned.append(Seq((5000L, "ap", 1L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    assert(pinned.count() === before,
+      "a commit after load() must not leak into the pinned DataFrame")
+    assert(spark.read.format("graft-versioned").option("tableDir", dir)
+      .load().count() === before + 1, "a fresh load() sees the commit")
+  }
+
+  test("pushed filters prune through manifest stats and blooms (widen-only)") {
+    def e(p: String, lo: Long, hi: Long) =
+      FileEntry(p, Seq(("id", lo, hi)), rows = Some(hi - lo + 1))
+    val entries = Seq(e("f0", 0, 9), e("f1", 10, 19), e("f2", 20, 29),
+      FileEntry("f3")) // f3: stats-blind — must ALWAYS be kept
+    val snap = Snapshot(0, entries)
+    def prune(fs: Filter*) = VersionedRelation.pruneFiles(snap, fs)
+
+    assert(prune(EqualTo("id", 15L)) === Seq("f1", "f3"))
+    assert(prune(EqualTo("id", 15)) === Seq("f1", "f3"), "Int probe too")
+    assert(prune(GreaterThan("id", 19L)) === Seq("f1", "f2", "f3"),
+      "inclusive widening on the boundary: over-keep, never over-prune")
+    assert(prune(LessThanOrEqual("id", 9L)) === Seq("f0", "f3"))
+    assert(prune(GreaterThanOrEqual("id", 10L), LessThan("id", 15L))
+      === Seq("f1", "f3"), "conjunction intersects keep-sets")
+    assert(prune(LessThan("id", 20L)) === Seq("f0", "f1", "f2", "f3"),
+      "strict bounds widen to inclusive boxes: the boundary file over-keeps")
+    assert(prune(In("id", Array(3L, 25L))) === Seq("f0", "f1", "f2", "f3"),
+      "In prunes by coarse [min,max] box")
+    assert(prune(Or(EqualTo("id", 5L), EqualTo("id", 25L)))
+      === Seq("f0", "f2", "f3"), "Or unions when both sides prune")
+    assert(prune(Or(EqualTo("id", 5L), EqualTo("lang", 1.5)))
+      === Seq("f0", "f1", "f2", "f3"),
+      "an un-prunable Or side keeps everything")
+    assert(prune(IsNull("id")) === Seq("f0", "f1", "f2", "f3"),
+      "shapes the stats cannot prove keep every file")
+
+    // rename map: logical name resolves to the physical stats key
+    val renamed = Snapshot(1, entries, Map("colmap" -> "docid:id"))
+    assert(VersionedRelation.pruneFiles(renamed, Seq(EqualTo("docid", 15L)))
+      === Seq("f1", "f3"))
+
+    // bloom equality on strings: probes route through bloomContains
+    val withBloom = {
+      val hex = {
+        // a bloom holding exactly "aa": set its bit positions
+        val arr = new Array[Long](1024 / 64)
+        Versioned.bloomPositions("aa").foreach(p =>
+          arr(p / 64) |= (1L << (p % 64)))
+        arr.map("%016x".format(_)).mkString
+      }
+      Snapshot(0, Seq(
+        FileEntry("b0", bloom = Some(("lang", hex))),
+        FileEntry("b1", bloom = Some(("lang", "0" * 256))), // empty bloom
+        FileEntry("b2"))) // bloom-blind — always kept
+    }
+    assert(VersionedRelation.pruneFiles(withBloom, Seq(EqualTo("lang", "aa")))
+      === Seq("b0", "b2"))
+    assert(VersionedRelation.pruneFiles(withBloom,
+      Seq(In("lang", Array[Any]("aa", "zz")))) === Seq("b0", "b2"),
+      "string In = union of exact bloom probes")
+  }
+
+  test("end to end: pruned reads stay exact; DV masks apply; empty keep-set yields zero rows") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs().repartitionByRange(6, col("doc_id")), dir,
+      statsCol = Some("doc_id"))
+    def rel() = spark.read.format("graft-versioned")
+      .option("tableDir", dir).load()
+
+    // range probe: content equal to the plain filtered read
+    assertSameContent(
+      rel().filter(col("doc_id") >= 20L && col("doc_id") < 40L),
+      Versioned.read(spark, dir).filter(col("doc_id") >= 20L && col("doc_id") < 40L),
+      "pruned relation read must equal the library read")
+
+    // a probe outside every stats box: zero rows, zero files
+    assert(rel().filter(col("doc_id") === 10000L).count() === 0)
+
+    // merge-on-read delete: the mask applies through the relation
+    Versioned.deleteIdsMergeOnRead(Seq(Tuple1(25L)).toDF("doc_id"),
+      dir, "doc_id")
+    assert(rel().filter(col("doc_id") === 25L).count() === 0,
+      "DV-masked rows must not surface through the relation")
+    assert(rel().count() === 89)
+  }
+}

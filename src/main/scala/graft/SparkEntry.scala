@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 import graft.operators.{Bpe, Contamination, Dedup, Dsir, EventOps, Graphs, Knn, KnnHnsw, KnnIvf, KnnJoin, KnnTopK, LangModel, Lifecycle, Maintenance, Multimodal, Pq, Profile, Quantize, Recall, Relational, Retrieval, Sampling, Scale, Scoring, TextOps, Traversal, VectorStats, Versioned}
 import graft.sources.{Tables, TextSources}
-import graft.streaming.DedupStream
+import graft.streaming.{DedupStream, TableStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2808,6 +2808,28 @@ object SparkEntry {
             s"change stream drift: expected the capped feed to span >1 " +
               s"micro-batch, saw $batches"))))
     }),
+    // GATED end-to-end CDC pipeline: base commits -> streaming change
+    // feed (format graft-changes, one commit per micro-batch) -> signed
+    // contributions -> exactly-once commits into a downstream versioned
+    // table (batch-id replay guard). The maintained aggregate must
+    // equal the full recompute of the base EXACTLY; the one-commit-per-
+    // batch and replay-skipped facts are pinned in-plan. At 100 TB this
+    // is the medallion loop: a derived table refreshing at O(changes)
+    // per trigger with the engine owning recovery.
+    "versioned_pipeline_e2e" -> ((s, dir) => {
+      val (base, down, disciplined) = versionedPipeInfo(s, dir)
+      val maintained = Versioned.read(s, down).groupBy(col("lang"))
+        .agg(sum(col("dn")).as("n"), sum(col("dchars")).as("chars"))
+        .filter(col("n") =!= 0L)
+      val full = Versioned.read(s, base).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      Recall.setAgreement(maintained, full,
+          on = Seq("lang", "n", "chars"), floor = 1.0, minCount = 1L)
+        .filter(when(lit(disciplined), lit(true))
+          .otherwise(raise_error(lit(
+            "pipeline drift: downstream commits != one per row-bearing " +
+              "batch, or a replayed batch id published"))))
+    }),
     // BATCH DATASOURCE surface: the same corpus through
     // spark.read.format("graft-versioned") — the compatibility path for
     // plain-SQL/BI users — with a range filter Catalyst pushes into the
@@ -3998,6 +4020,71 @@ object SparkEntry {
       (s"$path/t",
         w1.contains((0, 1)) && none1 && crashed &&
           w2.contains((1, 3)) && none2)
+    })
+
+  /** End-to-end CDC pipeline, built once per (ctx, dir): a BASE
+    * versioned table takes an upsert, a merge-on-read delete, and an
+    * append; a Structured Streaming query reads its change feed
+    * (`format("graft-changes")`, one commit per micro-batch), turns
+    * each batch into SIGNED aggregate contributions (-old on
+    * delete/update, +new on insert/update), and commits them
+    * exactly-once into a DOWNSTREAM versioned table seeded with the v0
+    * baseline (TableStream.commitEachBatch — batch-id replay guard
+    * inside the atomically-renamed manifest). The medallion loop with
+    * both ends owned by this library and the engine in the middle.
+    * Records the facts the row pins: the downstream table took one
+    * commit per row-bearing batch (v0 seed + 3), and a REPLAYED batch
+    * id is skipped without publishing. */
+  private val versionedPipeBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, String, Boolean)]
+  private def versionedPipeInfo(s: SparkSession, dir: String)
+      : (String, String, Boolean) =
+    versionedPipeBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_pipe/${artifactKey(dir)}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val (base, down) = (s"$root/base", s"$root/down")
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.repartition(4), base) // v0
+      Versioned.upsert(docs.filter(col("doc_id") % 15 === 0).select(
+        col("doc_id"), lit("p1").as("lang"),
+        (col("n_chars") + 1L).as("n_chars")), base, "doc_id") // v1: updates
+      Versioned.deleteIdsMergeOnRead(
+        docs.filter(col("doc_id") % 25 === 0).select("doc_id"),
+        base, "doc_id") // v2: MoR deletes
+      Versioned.append(docs.filter(col("doc_id") % 20 === 0).select(
+        (col("doc_id") + 9800000L).as("doc_id"),
+        lit("p2").as("lang"), col("n_chars")).repartition(1), base) // v3: inserts
+
+      // downstream seed: the v0 baseline's aggregate contributions
+      Versioned.init(Versioned.read(s, base, Some(0)).groupBy(col("lang"))
+        .agg(count(lit(1)).as("dn"), sum(col("n_chars")).as("dchars")), down)
+
+      val feed = s.readStream.format("graft-changes")
+        .option("tableDir", base).option("idColumn", "doc_id")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerBatch", "1")
+        .load()
+      val retracts = feed.filter(col("change").isin("delete", "update"))
+        .select(col("lang_old").as("lang"), lit(-1L).as("dn"),
+          (-col("n_chars_old")).as("dchars"))
+      val adds = feed.filter(col("change").isin("insert", "update"))
+        .select(col("lang_new").as("lang"), lit(1L).as("dn"),
+          col("n_chars_new").as("dchars"))
+      val q = TableStream.commitEachBatch(retracts.unionByName(adds), down,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        checkpointDir = Some(s"$root/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+
+      // one downstream commit per row-bearing batch (v1, v2, v3)
+      val commits = Versioned.versions(s, down) == Seq(0, 1, 2, 3)
+      // the replay guard: re-committing the high-water batch id is a no-op
+      val last = Versioned.lastBatchId(s, down, Some(TableStream.DefaultWriterId))
+      val replaySkipped = last.isDefined && TableStream.commitBatch(
+        Versioned.read(s, down).limit(1), down, last.get).isEmpty
+      (base, down, commits && replaySkipped)
     })
 
   /** CHECK-constraint lifecycle, built once per (ctx, dir): init ->

@@ -610,11 +610,12 @@ object Versioned {
     * `@seg`-prefixed line reusing the entry format. */
   private[graft] case class SegRef(path: String, count: Int,
                                    stats: Seq[(String, Long, Long)],
-                                   bloom: Option[(String, String)]) {
+                                   bloom: Option[(String, String)],
+                                   rows: Option[Long] = None) {
     def statsFor(c: String): Option[(Long, Long)] =
       stats.collectFirst { case (`c`, lo, hi) => (lo, hi) }
     private[Versioned] def line: String =
-      s"@seg\t$count\t" + FileEntry(path, stats, bloom).line
+      s"@seg\t$count\t" + FileEntry(path, stats, bloom, rows).line
   }
 
   private def parseSegRef(l: String): SegRef = {
@@ -622,7 +623,7 @@ object Versioned {
     val i = rest.indexOf('\t')
     if (i <= 0) throw new IllegalStateException(s"malformed segment line: $l")
     val e = parseEntry(rest.substring(i + 1))
-    SegRef(e.path, rest.substring(0, i).toInt, e.stats, e.bloom)
+    SegRef(e.path, rest.substring(0, i).toInt, e.stats, e.bloom, e.rows)
   }
 
   private def rawManifest(spark: SparkSession, tableDir: String,
@@ -883,13 +884,32 @@ object Versioned {
     * (which refuses on zero files). */
   def countAt(spark: SparkSession, tableDir: String,
               version: Option[Int] = None): TableCount = {
-    val snap = snapshot(spark, tableDir, version)
-    if (snap.entries.isEmpty) TableCount(0L, metadataOnly = true, snap.version)
-    else if (snap.dvFiles.isEmpty && snap.entries.forall(_.rows.isDefined))
-      TableCount(snap.entries.map(_.rows.get).sum, metadataOnly = true, snap.version)
-    else
-      TableCount(scanFiles(spark, snap, snap.files).count(),
-        metadataOnly = false, snap.version)
+    // manifest-LIST fast path: when the version lands on a FULL manifest
+    // whose inline entries and segment refs all carry row counts (and no
+    // DV stands), the answer is one small-file read — segment pages are
+    // never opened, so a cold count on a million-file table parses the
+    // KB-scale ref list, not tens of MB of entry text
+    val fast = version.orElse(resolveLatest(spark, tableDir)).flatMap { v =>
+      try {
+        val raw = rawManifest(spark, tableDir, v)
+        val dvEmpty = raw.meta.get("dv.files").forall(_.isEmpty)
+        if (raw.base.isEmpty && dvEmpty && raw.removes.isEmpty &&
+            raw.adds.forall(_.rows.isDefined) && raw.segs.forall(_.rows.isDefined))
+          Some(TableCount(
+            raw.adds.flatMap(_.rows).sum + raw.segs.flatMap(_.rows).sum,
+            metadataOnly = true, v))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None } // slow path errors properly
+    }
+    fast.getOrElse {
+      val snap = snapshot(spark, tableDir, version)
+      if (snap.entries.isEmpty) TableCount(0L, metadataOnly = true, snap.version)
+      else if (snap.dvFiles.isEmpty && snap.entries.forall(_.rows.isDefined))
+        TableCount(snap.entries.map(_.rows.get).sum, metadataOnly = true, snap.version)
+      else
+        TableCount(scanFiles(spark, snap, snap.files).count(),
+          metadataOnly = false, snap.version)
+    }
   }
 
   /** Exact MIN/MAX of a stats column from manifest metadata alone, or
@@ -1199,7 +1219,14 @@ object Versioned {
             Some((c, words.map("%016x".format(_)).mkString))
           case _ => None
         }
-        SegRef(norm(p), chunk.size, segStats, segBloom).line
+        // record the member-row SUM on the ref (only when every member
+        // carries a count): countAt's manifest-list fast path sums refs
+        // without opening a single segment file — Iceberg's
+        // record_count-on-the-manifest-list idea (shape reference only)
+        val segRows =
+          if (chunk.forall(_.rows.isDefined)) Some(chunk.flatMap(_.rows).sum)
+          else None
+        SegRef(norm(p), chunk.size, segStats, segBloom, segRows).line
       }.toList
     }
 

@@ -2078,6 +2078,56 @@ class VersionedSpec extends SparkSuite {
     }
   }
 
+  test("countAt manifest-list fast path: a checkpoint counts from the ref list alone") {
+    import spark.implicits._
+    val dir = freshDir()
+    val (thr0, ent0) = (Versioned.SegmentThreshold, Versioned.SegmentEntries)
+    try {
+      Versioned.SegmentThreshold = 4
+      Versioned.SegmentEntries = 3
+      Versioned.init(docs3(), dir, statsCol = Some("doc_id"))
+      (1 to Versioned.CheckpointEvery).foreach { i =>
+        Versioned.append(Seq((20000L + i, "fp", 1L))
+          .toDF("doc_id", "lang", "n_chars").repartition(1), dir)
+      }
+      val ckptV = Versioned.CheckpointEvery
+      val expected = 90L + Versioned.CheckpointEvery
+
+      // the checkpoint's @seg refs must carry member-row sums
+      val conf = spark.sparkContext.hadoopConfiguration
+      val mPath = new org.apache.hadoop.fs.Path(
+        f"$dir/_manifests/v$ckptV%05d.manifest")
+      val f = mPath.getFileSystem(conf)
+      val text = {
+        val in = f.open(mPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      assert(text.linesIterator.filter(_.startsWith("@seg\t"))
+        .forall(_.contains("\trows\t")),
+        "every segment ref of a rows-carrying table records its member sum")
+
+      // clone the table (fresh snapshot-cache identity), then delete the
+      // segment pages EVERYWHERE (refs are absolute, so both the clone's
+      // and the original's page dirs must go): only the manifest-list
+      // fast path can possibly answer now — and it must, exactly
+      val dir2 = freshDir()
+      org.apache.hadoop.fs.FileUtil.copy(f, new org.apache.hadoop.fs.Path(dir),
+        f, new org.apache.hadoop.fs.Path(dir2), false, conf)
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir2/_manifests/segs"), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifests/segs"), true)
+      assert(Versioned.countAt(spark, dir2, Some(ckptV)) ===
+        Versioned.TableCount(expected, metadataOnly = true, ckptV),
+        "the count must come from the ref list, zero segment opens")
+      // while a full resolution genuinely NEEDS the pages
+      intercept[Exception] {
+        Versioned.read(spark, dir2, Some(ckptV)).count()
+      }
+    } finally {
+      Versioned.SegmentThreshold = thr0
+      Versioned.SegmentEntries = ent0
+    }
+  }
+
   test("minMaxAt: exact extremes from manifest stats, None when unprovable") {
     import spark.implicits._
     val dir = freshDir()

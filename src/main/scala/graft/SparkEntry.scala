@@ -2697,7 +2697,7 @@ object SparkEntry {
       Versioned.history(s, path)
         .select(col("version"), col("operation"),
           col("files_added"), col("files_removed"),
-          col("dv_files"), col("dv_rows"))
+          col("dv_files"), col("dv_rows"), col("total_rows"))
     }),
     // column rename as a metadata-only commit: reads across the rename
     // serve the new logical name over old-name physical files plus a
@@ -5880,16 +5880,21 @@ object SparkEntry {
     // id set the sidecar holds
     "versioned_history" ->
       """WITH d AS (SELECT CAST(count(*) AS BIGINT) AS n
-                    FROM documents WHERE doc_id % 7 = 3)
+                    FROM documents WHERE doc_id % 7 = 3),
+              c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
          SELECT t.version, t.operation, t.files_added, t.files_removed,
                 t.dv_files,
-                CASE WHEN t.dv_files = 0 THEN CAST(0 AS BIGINT) ELSE d.n END AS dv_rows
+                CASE WHEN t.dv_files = 0 THEN CAST(0 AS BIGINT) ELSE d.n END AS dv_rows,
+                -- PHYSICAL rows: the MoR delete (v1) and its restore (v3)
+                -- keep every data file, only the compact (v2) drops the
+                -- masked rows from disk
+                CASE WHEN t.version = 2 THEN c.n - d.n ELSE c.n END AS total_rows
          FROM (VALUES
            (0, 'init',       8, 0, 0),
            (1, 'delete_mor', 0, 0, 1),
            (2, 'compact',    1, 8, 0),
            (3, 'restore',    8, 1, 1))
-         AS t(version, operation, files_added, files_removed, dv_files), d""",
+         AS t(version, operation, files_added, files_removed, dv_files), d, c""",
     // shallow clone: the diverged clone is the last-wins upsert replay
     // over the source content; the zero-copy / source-untouched facts
     // are pinned in-plan

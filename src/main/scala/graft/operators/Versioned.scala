@@ -780,7 +780,8 @@ object Versioned {
     require(vs.nonEmpty, s"no versions at $tableDir")
     val rows = vs.map { v =>
       val raw = rawManifest(spark, tableDir, v)
-      val snapFiles = snapshot(spark, tableDir, Some(v)).files
+      val snapAtV = snapshot(spark, tableDir, Some(v))
+      val snapFiles = snapAtV.files
       val (added, removed) = raw.base match {
         case Some(_) =>
           // a changed entry travels as remove+add (stats refresh, not
@@ -804,13 +805,19 @@ object Versioned {
         .map(_.split(',').length).getOrElse(0)
       val dvR = if (dvF == 0) 0L
                 else raw.meta.get("dv.rows").map(_.toLong).getOrElse(-1L)
+      // PHYSICAL rows in the snapshot (sum of per-file counts; visible
+      // rows = total_rows - dv_rows while a vector stands). -1 on
+      // versions whose entries predate row-count stamping.
+      val totR = if (snapAtV.entries.forall(_.rows.isDefined))
+                   snapAtV.entries.flatMap(_.rows).sum
+                 else -1L
       (v, raw.meta.get("committedAt").map(_.toLong),
         raw.meta.getOrElse("op", "unknown"), snapFiles.size, added, removed,
-        dvF, dvR)
+        dvF, dvR, totR)
     }
     spark.createDataFrame(rows)
       .toDF("version", "committed_at", "operation", "num_files",
-        "files_added", "files_removed", "dv_files", "dv_rows")
+        "files_added", "files_removed", "dv_files", "dv_rows", "total_rows")
   }
 
   /** Resolve "the table as of time t": the NEWEST version whose commit

@@ -176,6 +176,36 @@ class ChangeFeedSourceSpec extends SparkSuite {
       "the post-rename commit streams too")
   }
 
+  test("a stream starting before the vacuum horizon refuses typed, like any pinned read") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t) // v0
+    (1 to 3).foreach { i =>
+      Versioned.upsert(Seq((i.toLong, s"u$i", i.toLong))
+        .toDF("doc_id", "lang", "n_chars"), t, "doc_id") // v1..v3
+    }
+    Versioned.vacuum(spark, t, keepVersions = 1) // only v3 retained
+
+    val q = spark.readStream.format("graft-changes")
+      .option("tableDir", t).option("idColumn", "doc_id")
+      .option("startingVersion", "earliest")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch((_: DataFrame, _: Long) => ())
+      .start()
+    try {
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def all(e: Throwable): Seq[Throwable] =
+        Option(e).toSeq.flatMap(x => x +: all(x.getCause))
+      assert(all(err).exists(_.isInstanceOf[Versioned.VersionRetentionException]),
+        s"expected the typed retention error, got: ${err.getMessage}")
+    } finally q.stop()
+  }
+
   test("mid-stream schema evolution refuses typed; options are validated") {
     import spark.implicits._
     val root = freshRoot()

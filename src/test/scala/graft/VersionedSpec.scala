@@ -1251,6 +1251,13 @@ class VersionedSpec extends SparkSuite {
       byV(5).getAs[Int]("files_added"), "compact replaces everything")
     // num_files tracks the live list, not the churn
     assert(byV(0).getAs[Int]("num_files") + 1 === byV(1).getAs[Int]("num_files"))
+    // total_rows tracks PHYSICAL rows: the MoR delete keeps them, the
+    // compact drops the masked one from disk
+    assert(byV(0).getAs[Long]("total_rows") === 90L)
+    assert(byV(3).getAs[Long]("total_rows") === 91L,
+      "a deletion vector hides rows without moving them")
+    assert(byV(5).getAs[Long]("total_rows") === 90L,
+      "compact materializes the mask")
     // the horizon row reports unknown churn (-1) after vacuum, never lies
     Versioned.vacuum(spark, dir, keepVersions = 2)
     val h2 = Versioned.history(spark, dir).orderBy("version").collect()

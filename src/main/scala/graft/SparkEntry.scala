@@ -2786,20 +2786,7 @@ object SparkEntry {
     // The streamed rows must be EXACTLY the batch feed's: same oracle
     // replay as versioned_change_feed.
     "versioned_change_stream" -> ((s, dir) => {
-      val (path, _) = versionedCdfInfo(s, dir)
-      val name = "cfs_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_cfs_ckpt/$name"
-      val q = s.readStream.format("graft-changes")
-        .option("tableDir", path).option("idColumn", "doc_id")
-        .option("startingVersion", "earliest")
-        .option("maxVersionsPerBatch", "2")
-        .load()
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-      val batches =
-        try { q.processAllAvailable(); q.recentProgress.count(_.numInputRows > 0) }
-        finally q.stop()
+      val (name, batches) = versionedCfsInfo(s, dir)
       s.table(name)
         .select(col("doc_id"), col("change"), col("version"), col("op"),
           col("lang_old"), col("lang_new"), col("len_old"), col("len_new"))
@@ -4020,6 +4007,33 @@ object SparkEntry {
       (s"$path/t",
         w1.contains((0, 1)) && none1 && crashed &&
           w2.contains((1, 3)) && none2)
+    })
+
+  /** Streamed change-feed consumption, run ONCE per (ctx, dir) — the
+    * established fixture-memo pattern: the streaming query over the CDF
+    * lifecycle table (`format("graft-changes")`, 2 commits per
+    * micro-batch so the row-bearing commits provably span >1 batch)
+    * fills a memory sink; the row serves the sink table and pins the
+    * batch-count fact. */
+  private val versionedCfsBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Int)]
+  private def versionedCfsInfo(s: SparkSession, dir: String): (String, Int) =
+    versionedCfsBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val (path, _) = versionedCdfInfo(s, dir)
+      val name = "cfs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_cfs_ckpt/$name"
+      val q = s.readStream.format("graft-changes")
+        .option("tableDir", path).option("idColumn", "doc_id")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerBatch", "2")
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      val batches =
+        try { q.processAllAvailable(); q.recentProgress.count(_.numInputRows > 0) }
+        finally q.stop()
+      (name, batches)
     })
 
   /** End-to-end CDC pipeline, built once per (ctx, dir): a BASE

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graft.StreamBridge
@@ -41,6 +42,9 @@ import graft.operators.Versioned
   *   - `maxVersionsPerBatch` (optional): admission control — at most
   *     this many commits per micro-batch, for bounded trigger latency
   *     on a backlogged stream.
+  *   - `endingVersion` (optional): changes of versions <= this only —
+  *     a BOUNDED backfill; paired with `Trigger.AvailableNow` the query
+  *     drains the (start, end] window and terminates.
   *
   * Scale posture: `getOffset` is one manifest-directory listing;
   * `getBatch` plans (lazily) the feed's pruned reads. Nothing here
@@ -49,8 +53,13 @@ import graft.operators.Versioned
   * the stream to adopt the new schema) rather than silently serving
   * rows under a shifted shape. */
 class ChangeFeedSource(spark: SparkSession, tableDir: String, idCol: String,
-                       startVersion: Long, maxVersionsPerBatch: Option[Long])
-    extends Source with Logging {
+                       startVersion: Long, maxVersionsPerBatch: Option[Long],
+                       endVersion: Option[Long] = None)
+    extends Source with SupportsTriggerAvailableNow with Logging {
+
+  require(endVersion.forall(_ > startVersion),
+    s"endingVersion ${endVersion.get} is not after the starting base " +
+      s"v$startVersion — the bounded window is empty")
 
   // schema anchors at the table's LATEST version at stream start, and
   // every batch PROJECTS to that anchor (changeFeed's projectToVersion)
@@ -87,14 +96,61 @@ class ChangeFeedSource(spark: SparkSession, tableDir: String, idCol: String,
     case other               => other.json.toLong
   }
 
-  override def getOffset: Option[Offset] = {
+  /** Offset ceiling frozen by [[prepareForTriggerAvailableNow]]: an
+    * AvailableNow run drains up to here in cap-paced batches and
+    * terminates, ignoring commits that land mid-drain (they're the next
+    * run's work — the trigger's contract). Fresh per query start
+    * (createSource constructs a new source). */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
     val latest = Versioned.versions(spark, tableDir).max.toLong
-    val floor = if (planned >= 0L) planned else startVersion
-    val target = maxVersionsPerBatch match {
+    availableNowTarget = Some(endVersion.fold(latest)(math.min(latest, _)))
+  }
+
+  private def floorNow: Long = if (planned >= 0L) planned else startVersion
+
+  private def targetOffset(): Long = {
+    val latest0 = Versioned.versions(spark, tableDir).max.toLong
+    // endingVersion bounds a BACKFILL: the stream drains the window
+    // (start, end] and then reports no further offsets — under
+    // Trigger.AvailableNow that is a job that terminates, the replay-a-
+    // historical-window shape (Delta CDF's startingVersion/endingVersion
+    // pair; shape reference only)
+    val bounded = endVersion.fold(latest0)(math.min(latest0, _))
+    val latest = availableNowTarget.fold(bounded)(math.min(bounded, _))
+    val floor = floorNow
+    math.max(floor, maxVersionsPerBatch match {
       case Some(m) => math.min(latest, floor + m)
       case None    => latest
-    }
-    if (target > floor) Some(LongOffset(target)) else None
+    })
+  }
+
+  override def getOffset: Option[Offset] = {
+    val target = targetOffset()
+    if (target > floorNow) Some(LongOffset(target)) else None
+  }
+
+  // SupportsAdmissionControl half (the engine consults it INSTEAD of
+  // getOffset when present — and must, for SupportsTriggerAvailableNow
+  // to pace a capped drain across multiple batches instead of freezing
+  // the first getOffset answer as the run's only window). The pacing
+  // knob is maxVersionsPerBatch, so the engine-side limit stays
+  // allAvailable.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    // the engine hands back its current position — recovery-safe floor
+    Option(start).foreach(o => planned = math.max(planned, connectorValue(o)))
+    LongOffset(targetOffset())
+  }
+
+  override def reportLatestOffset(): ConnectorOffset =
+    LongOffset(targetOffset())
+
+  private def connectorValue(o: ConnectorOffset): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -139,7 +195,7 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
   override def shortName(): String = "graft-changes"
 
   private def parse(parameters: Map[String, String])
-      : (String, String, Long => Long, Option[Long]) = {
+      : (String, String, Long => Long, Option[Long], Option[Long]) = {
     val p = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     val tableDir = p.getOrElse("tabledir",
       throw new IllegalArgumentException(
@@ -156,7 +212,9 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       }
     val maxPer = p.get("maxversionsperbatch").map(_.toLong)
     maxPer.foreach(m => require(m > 0, s"maxVersionsPerBatch must be > 0, got $m"))
-    (tableDir, idCol, start, maxPer)
+    // endingVersion=N: changes of versions <= N only (bounded backfill)
+    val end = p.get("endingversion").map(_.toLong)
+    (tableDir, idCol, start, maxPer, end)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -165,7 +223,7 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     require(schema.isEmpty,
       "graft-changes derives its schema from the table's committed schema — " +
         "a user-specified schema cannot apply")
-    val (tableDir, idCol, _, _) = parse(parameters)
+    val (tableDir, idCol, _, _, _) = parse(parameters)
     val spark = sqlContext.sparkSession
     val vs = Versioned.versions(spark, tableDir)
     require(vs.nonEmpty, s"no versioned table at $tableDir")
@@ -176,10 +234,11 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
-    val (tableDir, idCol, start, maxPer) = parse(parameters)
+    val (tableDir, idCol, start, maxPer, end) = parse(parameters)
     val spark = sqlContext.sparkSession
     val vs = Versioned.versions(spark, tableDir)
     require(vs.nonEmpty, s"no versioned table at $tableDir")
-    new ChangeFeedSource(spark, tableDir, idCol, start(vs.max.toLong), maxPer)
+    new ChangeFeedSource(spark, tableDir, idCol, start(vs.max.toLong),
+      maxPer, end)
   }
 }

@@ -176,6 +176,53 @@ class ChangeFeedSourceSpec extends SparkSuite {
       "the post-rename commit streams too")
   }
 
+  test("endingVersion bounds a backfill; Trigger.AvailableNow drains the window and terminates") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t) // v0
+    (1 to 4).foreach { i =>
+      Versioned.upsert(Seq((i.toLong, s"b$i", i.toLong))
+        .toDF("doc_id", "lang", "n_chars"), t, "doc_id") // v1..v4
+    }
+
+    val q = spark.readStream.format("graft-changes")
+      .option("tableDir", t).option("idColumn", "doc_id")
+      .option("startingVersion", "earliest")
+      .option("endingVersion", "2")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream.format("memory").queryName("cfs_backfill")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000),
+      "an AvailableNow backfill must drain its bounded window and stop")
+
+    val got = spark.table("cfs_backfill")
+      .select("version").distinct().collect().map(_.getInt(0)).toSet
+    assert(got === Set(1, 2),
+      s"the backfill serves exactly the (start, ending] window, got $got")
+
+    // the window is validated: an empty one refuses at plan time
+    val empty = intercept[Exception] {
+      spark.readStream.format("graft-changes")
+        .option("tableDir", t).option("idColumn", "doc_id")
+        .option("startingVersion", "3").option("endingVersion", "2")
+        .load()
+        .writeStream.format("memory").queryName("cfs_backfill_bad")
+        .option("checkpointLocation", s"$root/ckpt2")
+        .start()
+        .processAllAvailable()
+    }
+    def all(e: Throwable): Seq[Throwable] =
+      Option(e).toSeq.flatMap(x => x +: all(x.getCause))
+    assert(all(empty).exists(x =>
+      Option(x.getMessage).exists(_.contains("bounded window is empty"))),
+      s"expected the empty-window refusal, got: ${empty.getMessage}")
+  }
+
   test("a stream starting before the vacuum horizon refuses typed, like any pinned read") {
     import spark.implicits._
     val root = freshRoot()

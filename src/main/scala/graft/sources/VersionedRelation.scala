@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
@@ -162,14 +163,62 @@ object VersionedRelation {
     }
 }
 
-/** `format("graft-versioned")` registration. Read-only by design:
-  * writes go through the library's commit discipline ([[Versioned]]
-  * init/append/upsert/…), where conflict detection, constraints, and
-  * manifest stats live — a writer bypassing them could not keep the
-  * table's invariants. */
-class VersionedSourceProvider extends RelationProvider with DataSourceRegister {
+/** `format("graft-versioned")` registration.
+  *
+  * Reads: pinned-snapshot relation with manifest pruning (above).
+  * Writes: `df.write.format("graft-versioned")` ROUTES THROUGH the
+  * library's commit discipline — `Append` is [[Versioned.append]]
+  * (conflict rebase, CHECK constraints, stats/rows recording, schema
+  * evolution rules all apply, because it IS that call),
+  * `ErrorIfExists` is [[Versioned.init]], `Ignore` no-ops on an
+  * existing table. `Overwrite` refuses typed: silently replacing a
+  * versioned corpus is how training data dies — [[Versioned.restore]]
+  * / `deleteIds` + append express every legitimate rewrite as an
+  * auditable commit. Write-side options may carry `statsColumn` /
+  * `bloomColumn` so DataSource ingests keep the pruning layout. */
+class VersionedSourceProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
+
+  override def createRelation(sqlContext: SQLContext,
+                              mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val p = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val tableDir = p.getOrElse("tabledir",
+      throw new IllegalArgumentException(
+        "graft-versioned requires option 'tableDir' (versioned table root)"))
+    require(!p.contains("versionasof") && !p.contains("timestampasof"),
+      "time-travel options do not apply to writes — a commit always lands " +
+        "on the table's latest version")
+    val statsCol = p.get("statscolumn")
+    val bloomCol = p.get("bloomcolumn")
+    val spark = sqlContext.sparkSession
+    val exists = Versioned.versions(spark, tableDir).nonEmpty
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Append if exists =>
+        Versioned.append(data, tableDir): Unit
+      case Append =>
+        throw new IllegalArgumentException(
+          s"no versioned table at $tableDir to append to — create it with " +
+            "mode('errorifexists') (Versioned.init)")
+      case ErrorIfExists =>
+        // init's own existence require produces the typed refusal
+        Versioned.init(data, tableDir, statsCol = statsCol,
+          bloomCol = bloomCol): Unit
+      case Ignore =>
+        if (!exists) Versioned.init(data, tableDir, statsCol = statsCol,
+          bloomCol = bloomCol): Unit
+      case Overwrite =>
+        throw new UnsupportedOperationException(
+          "graft-versioned refuses mode('overwrite'): replacing a versioned " +
+            "corpus silently would bypass its audit history — express the " +
+            "rewrite as commits (deleteIds + append, or restore)")
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

@@ -135,6 +135,55 @@ class VersionedRelationSpec extends SparkSuite {
       "string In = union of exact bloom probes")
   }
 
+  test("df.write.format(graft-versioned): modes route through the commit discipline") {
+    import spark.implicits._
+    val dir = freshDir()
+    def w(df: DataFrame) = df.write.format("graft-versioned").option("tableDir", dir)
+
+    // ErrorIfExists = init (with the pruning layout options)
+    w(docs()).option("statsColumn", "doc_id").mode("errorifexists").save()
+    assert(Versioned.versions(spark, dir) === Seq(0))
+    assert(Versioned.minMaxAt(spark, dir, "doc_id") === Some((0L, 89L)),
+      "statsColumn option must reach init")
+    intercept[Exception] { w(docs()).mode("errorifexists").save() }
+
+    // Append = Versioned.append: a real commit (countable, constrained)
+    w(Seq((5000L, "wr", 1L)).toDF("doc_id", "lang", "n_chars"))
+      .mode("append").save()
+    assert(Versioned.versions(spark, dir) === Seq(0, 1))
+    assert(Versioned.countAt(spark, dir) ===
+      Versioned.TableCount(91L, metadataOnly = true, 1))
+    // ...and the commit gate applies: a CHECK constraint refuses the write
+    Versioned.addConstraint(spark, dir, "nonneg", "n_chars >= 0")
+    intercept[Exception] {
+      w(Seq((6000L, "bad", -5L)).toDF("doc_id", "lang", "n_chars"))
+        .mode("append").save()
+    }
+    assert(Versioned.versions(spark, dir).max === 2, // the addConstraint commit
+      "a refused write publishes nothing")
+
+    // Ignore: no-op on an existing table
+    w(Seq((7000L, "ig", 1L)).toDF("doc_id", "lang", "n_chars"))
+      .mode("ignore").save()
+    assert(Versioned.countAt(spark, dir).count === 91L)
+
+    // Overwrite: refused typed — versioned corpora are rewritten as commits
+    val ow = intercept[Exception] { w(docs()).mode("overwrite").save() }
+    def all(e: Throwable): Seq[Throwable] =
+      Option(e).toSeq.flatMap(x => x +: all(x.getCause))
+    assert(all(ow).exists(x => Option(x.getMessage)
+      .exists(_.contains("refuses mode('overwrite')"))))
+
+    // append to a missing table points at init, not a silent create
+    val miss = intercept[Exception] {
+      Seq((1L, "x", 1L)).toDF("doc_id", "lang", "n_chars")
+        .write.format("graft-versioned")
+        .option("tableDir", freshDir()).mode("append").save()
+    }
+    assert(all(miss).exists(x => Option(x.getMessage)
+      .exists(_.contains("no versioned table"))))
+  }
+
   test("end to end: pruned reads stay exact; DV masks apply; empty keep-set yields zero rows") {
     import spark.implicits._
     val dir = freshDir()

@@ -105,16 +105,22 @@ object Versioned {
       throw new IllegalStateException(s"malformed manifest line: $l")
     var i = 1
     val stats = Seq.newBuilder[(String, Long, Long)]
-    while (i < tok.length && tok(i) != "bloom" && tok(i) != "rows") {
+    // "rows" is the count TAG only in tag position — followed by exactly
+    // one token before end-or-"bloom". A LEGACY manifest whose stats
+    // column was literally named "rows" (legal before the tag existed)
+    // has two values there and still parses as the triple it is; the
+    // numeric second value can never equal "bloom", so the shapes are
+    // disjoint and old tables stay readable.
+    def rowsTagAt(j: Int): Boolean = tok(j) == "rows" &&
+      (j + 2 == tok.length || (j + 2 < tok.length && tok(j + 2) == "bloom"))
+    while (i < tok.length && tok(i) != "bloom" && !rowsTagAt(i)) {
       if (i + 2 >= tok.length)
         throw new IllegalStateException(s"malformed manifest line: $l")
       stats += ((tok(i), tok(i + 1).toLong, tok(i + 2).toLong))
       i += 3
     }
     val rows =
-      if (i < tok.length && tok(i) == "rows") {
-        if (i + 1 >= tok.length)
-          throw new IllegalStateException(s"malformed manifest line: $l")
+      if (i < tok.length && rowsTagAt(i)) {
         val n = tok(i + 1).toLong
         i += 2
         Some(n)
@@ -1535,13 +1541,22 @@ object Versioned {
   def filesForEquals(spark: SparkSession, tableDir: String, version: Option[Int],
                      bloomCol: String, value: String): Seq[String] = {
     val snap = snapshot(spark, tableDir, version)
-    val physCol = physOf(snap, bloomCol)
-    snap.entries.collect {
+    bloomFilesIn(snap.entries, physOf(snap, bloomCol), value)
+  }
+
+  /** Entries-level twin of [[filesForEquals]] (the bloom analogue of
+    * [[filesForRangeIn]]): ONE implementation of "files whose bloom for
+    * the physical column contains the value, plus files carrying no
+    * bloom for it" — shared by the library read paths and the
+    * DataSource relation so the keep-set arithmetic can never drift
+    * between them. */
+  private[graft] def bloomFilesIn(entries: Seq[FileEntry], physCol: String,
+                                  value: String): Seq[String] =
+    entries.collect {
       case FileEntry(p, _, Some((c, hex)), _) if c == physCol =>
         if (bloomContains(hex, value)) Some(p) else None
       case FileEntry(p, _, _, _) => Some(p)
     }.flatten
-  }
 
   /** Equality read through manifest-level Bloom skipping — the string-
     * column twin of [[readRange]] (min/max boxes are useless for
@@ -1564,12 +1579,7 @@ object Versioned {
         case _                           => true
       }
     })
-    val physCol = physOf(snap, bloomCol)
-    val keep = snap.entries.collect {
-      case FileEntry(p, _, Some((c, hex)), _) if c == physCol =>
-        if (bloomContains(hex, value)) Some(p) else None
-      case FileEntry(p, _, _, _) => Some(p)
-    }.flatten
+    val keep = bloomFilesIn(snap.entries, physOf(snap, bloomCol), value)
     if (keep.nonEmpty) scanFiles(spark, snap, keep).filter(col(bloomCol) === value)
     else {
       // the pruned entry list may be empty on a live table — fall back
@@ -2350,16 +2360,23 @@ object Versioned {
       val fileId = df.columns.filterNot(c => c == "change" ||
         c.endsWith("_old") || c.endsWith("_new"))
       if (!(fileId.length == 1 && fileId.head == stepName(idCol))) None
-      else Some(df.select(
-        (col(fileId.head).cast(finSchema(idCol).dataType).as(idCol) +:
-          finSchema.fields.toSeq.filterNot(_.name == idCol).flatMap { f =>
-            val sn = stepName(f.name)
-            Seq("_old", "_new").map { sfx =>
-              if (df.columns.contains(s"$sn$sfx"))
-                col(s"$sn$sfx").cast(f.dataType).as(s"${f.name}$sfx")
-              else lit(null).cast(f.dataType).as(s"${f.name}$sfx")
-            }
-          }) :+ col("change"): _*))
+      else {
+        // column ORDER matters: all _old then all _new, the exact shape
+        // stepChanges and the feed's empty-range schema carry — the
+        // streaming source binds batch rows POSITIONALLY against its
+        // anchored schema, so a materialized step serving interleaved
+        // pairs would either trip the shape check or transpose values
+        val vals = finSchema.fields.toSeq.filterNot(_.name == idCol)
+        def side(sfx: String) = vals.map { f =>
+          val sn = stepName(f.name)
+          if (df.columns.contains(s"$sn$sfx"))
+            col(s"$sn$sfx").cast(f.dataType).as(s"${f.name}$sfx")
+          else lit(null).cast(f.dataType).as(s"${f.name}$sfx")
+        }
+        Some(df.select(
+          (col(fileId.head).cast(finSchema(idCol).dataType).as(idCol) +:
+            (side("_old") ++ side("_new"))) :+ col("change"): _*))
+      }
     }
   }
 

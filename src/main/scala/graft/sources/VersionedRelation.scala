@@ -115,14 +115,8 @@ object VersionedRelation {
   }
 
   private def bloomKeep(snap: Versioned.Snapshot, c: String,
-                        value: String): Set[String] = {
-    val phys = Versioned.physOf(snap, c)
-    snap.entries.collect {
-      case e if e.bloom.exists(_._1 == phys) =>
-        if (Versioned.bloomContains(e.bloom.get._2, value)) Some(e.path) else None
-      case e => Some(e.path)
-    }.flatten.toSet
-  }
+                        value: String): Set[String] =
+    Versioned.bloomFilesIn(snap.entries, Versioned.physOf(snap, c), value).toSet
 
   /** Keep-set for one filter; None = "cannot prune on this" (keep all). */
   private def keepFor(snap: Versioned.Snapshot, f: Filter): Option[Set[String]] =
@@ -199,7 +193,8 @@ class VersionedSourceProvider extends RelationProvider
     import org.apache.spark.sql.SaveMode._
     mode match {
       case Append if exists =>
-        Versioned.append(data, tableDir): Unit
+        Versioned.append(data, tableDir, statsCol = statsCol,
+          bloomCol = bloomCol): Unit
       case Append =>
         throw new IllegalArgumentException(
           s"no versioned table at $tableDir to append to — create it with " +

@@ -145,8 +145,14 @@ class ChangeFeedSource(spark: SparkSession, tableDir: String, idCol: String,
     LongOffset(targetOffset())
   }
 
-  override def reportLatestOffset(): ConnectorOffset =
-    LongOffset(targetOffset())
+  // progress metrics must see the TRUE backlog: the uncapped (but
+  // endVersion-bounded) latest, not the admission-controlled target —
+  // lag alerting built on latestOffset minus endOffset would otherwise
+  // read ~zero on a badly backlogged capped stream
+  override def reportLatestOffset(): ConnectorOffset = {
+    val latest = Versioned.versions(spark, tableDir).max.toLong
+    LongOffset(endVersion.fold(latest)(math.min(latest, _)))
+  }
 
   private def connectorValue(o: ConnectorOffset): Long = o match {
     case l: LongOffset => l.offset
@@ -155,7 +161,14 @@ class ChangeFeedSource(spark: SparkSession, tableDir: String, idCol: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = value(end)
-    val from = math.max(start.map(value).getOrElse(startVersion), startVersion)
+    // the engine's checkpointed start is AUTHORITATIVE: never clamp it
+    // toward startVersion — on a restarted startingVersion=latest
+    // stream, startVersion re-anchored to a NEWER latest, and clamping
+    // would silently skip the commits that landed while the stream was
+    // down (or reverse the range outright when recovery replays the
+    // last uncommitted batch). startVersion only seeds the very first
+    // batch of a fresh checkpoint.
+    val from = start.map(value).getOrElse(startVersion)
     planned = math.max(planned, to)
     val feed = Versioned.changeFeed(spark, tableDir, from.toInt, to.toInt, idCol,
       projectToVersion = Some(math.max(anchor.toLong, to).toInt))

@@ -176,6 +176,84 @@ class ChangeFeedSourceSpec extends SparkSuite {
       "the post-rename commit streams too")
   }
 
+  test("restart with DEFAULT startingVersion=latest continues from the checkpoint, never a re-anchored latest") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t) // v0
+    Versioned.upsert(Seq((1L, "pre", 1L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v1: pre-start history (must never stream)
+
+    val seen = mutable.ArrayBuffer.empty[Int]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("tableDir", t).option("idColumn", "doc_id")
+        .load() // DEFAULT startingVersion=latest
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val vs = batch.select("version").distinct().collect().map(_.getInt(0))
+          seen.synchronized { seen ++= vs: Unit }
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        // one live commit so the first run checkpoints a real position
+        if (seen.synchronized(seen.isEmpty)) {
+          Versioned.upsert(Seq((2L, "live", 2L)).toDF("doc_id", "lang", "n_chars"),
+            t, "doc_id") // v2
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+
+    run()
+    assert(seen.synchronized(seen.sorted.toVector) === Vector(2),
+      s"first run sees only the post-start commit, got $seen")
+
+    // commits landing while the stream is DOWN: a restarted 'latest'
+    // stream must serve them from its checkpoint, not re-anchor past
+    // them (the re-anchored startVersion is 4 here; the checkpoint
+    // says 2 — the checkpoint wins)
+    Versioned.upsert(Seq((3L, "down1", 3L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v3
+    Versioned.deleteIds(Seq(Tuple1(4L)).toDF("doc_id"), t, "doc_id") // v4
+
+    run()
+    assert(seen.synchronized(seen.sorted.toVector) === Vector(2, 3, 4),
+      s"downtime commits stream exactly once after restart, got $seen")
+  }
+
+  test("a cdf-materialized table streams: materialized steps serve the grouped column order") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t) // v0 — two value columns, so order matters
+    Versioned.setChangeFiles(spark, t, enabled = true) // v1 (metadata)
+    Versioned.upsert(Seq((5L, "mu", 555L), (9000L, "mi", 9L))
+      .toDF("doc_id", "lang", "n_chars"), t, "doc_id") // v2: MATERIALIZES
+    assert(new java.io.File(s"$t/_changes/v00002").exists(),
+      "fixture must exercise the materialized fast path")
+
+    val q = spark.readStream.format("graft-changes")
+      .option("tableDir", t).option("idColumn", "doc_id")
+      .option("startingVersion", "earliest")
+      .load()
+      .writeStream.format("memory").queryName("cfs_mat").outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("cfs_mat")
+    assertSameContent(out, Versioned.changeFeed(spark, t, 0,
+      Versioned.versions(spark, t).max, "doc_id"),
+      "materialized steps must stream value-correct (grouped _old/_new order)")
+    val up = out.filter(col("doc_id") === 5L).head()
+    assert(up.getAs[String]("lang_new") === "mu" &&
+      up.getAs[Long]("n_chars_new") === 555L,
+      "values must land in their own columns, never transposed")
+  }
+
   test("endingVersion bounds a backfill; Trigger.AvailableNow drains the window and terminates") {
     import spark.implicits._
     val root = freshRoot()

@@ -2085,6 +2085,50 @@ class VersionedSpec extends SparkSuite {
     }
   }
 
+  test("legacy manifests with a stats column literally named 'rows' still parse") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(10).repartition(1), dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v00000.manifest")
+    val f = mPath.getFileSystem(conf)
+    val lines = {
+      val in = f.open(mPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    // rewrite the entry line into the PRE-TAG format a legacy table
+    // could legally have written: a stats triple named "rows" (and a
+    // second variant that ALSO carries the modern tag after it)
+    val rewritten = lines.map { l =>
+      if (l.startsWith("#") || l.isEmpty) l
+      else l.split('\t').head + "\trows\t3\t7"
+    }
+    val out = f.create(mPath, true)
+    try out.write((rewritten.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+
+    val snap = Versioned.snapshot(spark, dir, Some(0))
+    assert(snap.entries.head.statsFor("rows") === Some((3L, 7L)),
+      "the legacy triple parses as the stats box it is")
+    assert(snap.entries.head.rows === None,
+      "no count was recorded — countAt must fall back, not misread the box")
+    assert(!Versioned.countAt(spark, dir, Some(0)).metadataOnly)
+    assert(Versioned.countAt(spark, dir, Some(0)).count === 10L)
+
+    // the mixed form: legacy triple THEN the modern tag — both survive
+    val mixed = rewritten.map { l =>
+      if (l.startsWith("#") || l.isEmpty) l else l + "\trows\t10"
+    }
+    val out2 = f.create(mPath, true)
+    try out2.write((mixed.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out2.close()
+    val snap2 = Versioned.snapshot(spark, dir, Some(0))
+    assert(snap2.entries.head.statsFor("rows") === Some((3L, 7L)) &&
+      snap2.entries.head.rows === Some(10L),
+      "triple and tag coexist: shapes are disjoint by the numeric hi token")
+  }
+
   test("countAt manifest-list fast path: a checkpoint counts from the ref list alone") {
     import spark.implicits._
     val dir = freshDir()

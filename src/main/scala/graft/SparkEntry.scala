@@ -2795,6 +2795,15 @@ object SparkEntry {
             s"change stream drift: expected the capped feed to span >1 " +
               s"micro-batch, saw $batches"))))
     }),
+    // DESCRIBE DETAIL: one metadata row for the current state — version,
+    // op stamp, live files, physical rows, standing DV debt, constraint
+    // count, cdf flag, clustering, rename-map size — all from ONE
+    // manifest read (zero data files opened). Fully determined by the
+    // MoR fixture's four commits.
+    "versioned_detail" -> ((s, dir) => {
+      val (path, _, _, _, _, _) = versionedMorInfo(s, dir)
+      Versioned.detail(s, path)
+    }),
     // GATED end-to-end CDC pipeline: base commits -> streaming change
     // feed (format graft-changes, one commit per micro-batch) -> signed
     // contributions -> exactly-once commits into a downstream versioned
@@ -5866,6 +5875,18 @@ object SparkEntry {
     "versioned_pruned_read" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 199""",
+    // DESCRIBE DETAIL replayed symbolically: latest is the v3 restore
+    // of the masked pre-compact state (8 files back by reference, the
+    // deletion vector standing again); only the mask sizes are
+    // data-derived and the oracle recounts them
+    "versioned_detail" ->
+      """SELECT 3 AS version, 'restore' AS operation, 8 AS num_files,
+                (SELECT CAST(count(*) AS BIGINT) FROM documents) AS total_rows,
+                1 AS dv_files,
+                (SELECT CAST(count(*) AS BIGINT) FROM documents
+                 WHERE doc_id % 7 = 3) AS dv_rows,
+                0 AS num_constraints, false AS cdf_enabled,
+                '' AS zorder_dims, 0 AS renamed_columns""",
     // the metadata-only count must equal the scan-count of the same
     // content: v1's upsert replaced existing ids (doc_id % 10) in
     // place, so both the latest and v0 counts are the corpus size

@@ -826,6 +826,37 @@ object Versioned {
         "files_added", "files_removed", "dv_files", "dv_rows", "total_rows")
   }
 
+  /** DESCRIBE DETAIL for the table: ONE row of current-state metadata —
+    * the at-a-glance companion to [[history]]'s per-version audit. Pure
+    * manifest arithmetic (zero data files opened): pinned latest
+    * version, its operation stamp, live file count, physical row count
+    * (-1 when any entry predates row-count stamping), standing
+    * deletion-vector debt, CHECK-constraint count, whether materialized
+    * change files are on, the z-order clustering dims (empty when none),
+    * and how many columns currently live under a rename mapping. The
+    * shape Delta's DESCRIBE DETAIL popularized (reference point only). */
+  def detail(spark: SparkSession, tableDir: String): DataFrame = {
+    val snap = snapshot(spark, tableDir)
+    val totR = if (snap.entries.forall(_.rows.isDefined))
+                 snap.entries.flatMap(_.rows).sum
+               else -1L
+    val dvF = snap.dvFiles.size
+    val dvR = if (dvF == 0) 0L
+              else snap.meta.get("dv.rows").map(_.toLong).getOrElse(-1L)
+    spark.createDataFrame(Seq((
+        snap.version,
+        snap.meta.getOrElse("op", "unknown"),
+        snap.files.size,
+        totR, dvF, dvR,
+        constraintsOf(snap).size,
+        snap.meta.get("cdf").contains("true"),
+        snap.meta.getOrElse("zorder.dims", ""),
+        colMap(snap).size)))
+      .toDF("version", "operation", "num_files", "total_rows",
+        "dv_files", "dv_rows", "num_constraints", "cdf_enabled",
+        "zorder_dims", "renamed_columns")
+  }
+
   /** Resolve "the table as of time t": the NEWEST version whose commit
     * timestamp is <= `tsMillis` — "reproduce the exact corpus last
     * Tuesday's run trained on" without having recorded a version

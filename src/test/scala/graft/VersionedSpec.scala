@@ -2085,6 +2085,46 @@ class VersionedSpec extends SparkSuite {
     }
   }
 
+  test("detail: one metadata row tracking mask debt, constraints, cdf, clustering, renames") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir)
+    def d() = Versioned.detail(spark, dir).head()
+    val d0 = d()
+    assert(d0.getAs[Int]("version") === 0 &&
+      d0.getAs[String]("operation") === "init" &&
+      d0.getAs[Long]("total_rows") === 90L &&
+      d0.getAs[Int]("dv_files") === 0 &&
+      d0.getAs[Int]("num_constraints") === 0 &&
+      !d0.getAs[Boolean]("cdf_enabled") &&
+      d0.getAs[String]("zorder_dims") === "" &&
+      d0.getAs[Int]("renamed_columns") === 0)
+
+    Versioned.deleteIdsMergeOnRead(Seq(Tuple1(5L)).toDF("doc_id"), dir, "doc_id")
+    Versioned.renameColumn(spark, dir, "n_chars", "len")
+    Versioned.addConstraint(spark, dir, "nonneg", "len >= 0")
+    Versioned.setChangeFiles(spark, dir, enabled = true)
+    val d1 = d()
+    assert(d1.getAs[Int]("dv_files") === 1 && d1.getAs[Long]("dv_rows") === 1L,
+      "standing mask debt is visible")
+    assert(d1.getAs[Long]("total_rows") === 90L,
+      "MoR keeps physical rows")
+    assert(d1.getAs[Int]("num_constraints") === 1 &&
+      d1.getAs[Boolean]("cdf_enabled") &&
+      d1.getAs[Int]("renamed_columns") === 1)
+
+    Versioned.compactZOrder(spark, dir, Seq("doc_id", "len"))
+    val d2 = d()
+    assert(d2.getAs[String]("zorder_dims") === "doc_id,len",
+      "clustering layout is visible")
+    assert(d2.getAs[Int]("dv_files") === 0 && d2.getAs[Long]("total_rows") === 89L,
+      "the z-order rewrite materialized the mask")
+    assert(d2.getAs[Int]("renamed_columns") === 0,
+      "full rewrites re-baseline the rename map")
+    assert(d2.getAs[Int]("num_constraints") === 1,
+      "constraints ride re-baselines")
+  }
+
   test("legacy manifests with a stats column literally named 'rows' still parse") {
     import spark.implicits._
     val dir = freshDir()

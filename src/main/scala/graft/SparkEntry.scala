@@ -2797,17 +2797,19 @@ object SparkEntry {
     }),
     // DESCRIBE DETAIL: one metadata row for the current state — version,
     // op stamp, live files, physical rows, standing DV debt, constraint
-    // count, cdf flag, clustering, rename-map size — all from ONE
-    // manifest read (zero data files opened). Fully determined by the
-    // MoR fixture's four commits.
+    // count, cdf flag, clustering, rename-map size, and the
+    // needs_compaction nudge (the MoR mask here covers ~14% of rows,
+    // over the 10% debt bar) — all from ONE manifest read (zero data
+    // files opened). Fully determined by the MoR fixture's four commits.
     "versioned_detail" -> ((s, dir) => {
       val (path, _, _, _, _, _) = versionedMorInfo(s, dir)
       Versioned.detail(s, path)
     }),
     // GATED end-to-end CDC pipeline: base commits -> streaming change
     // feed (format graft-changes, one commit per micro-batch) -> signed
-    // contributions -> exactly-once commits into a downstream versioned
-    // table (batch-id replay guard). The maintained aggregate must
+    // contributions -> STREAMING SINK (format graft-versioned) making
+    // exactly-once commits into a downstream versioned table (batch-id
+    // replay guard). The maintained aggregate must
     // equal the full recompute of the base EXACTLY; the one-commit-per-
     // batch and replay-skipped facts are pinned in-plan. At 100 TB this
     // is the medallion loop: a derived table refreshing at O(changes)
@@ -2826,6 +2828,28 @@ object SparkEntry {
             "pipeline drift: downstream commits != one per row-bearing " +
               "batch, or a replayed batch id published"))))
     }),
+    // GATED mid-stream schema evolution recovery: a rename committing
+    // while a change-feed stream runs must trip the TYPED drift refusal
+    // on the next trigger (pinned in-plan), and a restart from the SAME
+    // checkpoint must re-anchor on the evolved schema and drain the
+    // remaining commits exactly once — the streamed rows (projected to
+    // the evolution-stable doc_id/change/version) equal the batch feed
+    // EXACTLY, floor 1.0. The operational contract every long-running
+    // CDC consumer needs when the table under it evolves.
+    "versioned_stream_evolve" -> ((s, dir) => {
+      val (base, down, refusedTyped) = versionedEvolveInfo(s, dir)
+      val streamed = Versioned.read(s, down)
+        .select(col("doc_id"), col("change"), col("version"))
+      val full = Versioned.changeFeed(s, base, 0,
+          Versioned.versions(s, base).max, "doc_id")
+        .select(col("doc_id"), col("change"), col("version"))
+      Recall.setAgreement(streamed, full,
+          on = Seq("doc_id", "change", "version"), floor = 1.0, minCount = 1L)
+        .filter(when(lit(refusedTyped), lit(true))
+          .otherwise(raise_error(lit(
+            "evolution drift: the mid-stream rename did not trip the " +
+              "typed schema-drift refusal"))))
+    }),
     // BATCH DATASOURCE surface: the same corpus through
     // spark.read.format("graft-versioned") — the compatibility path for
     // plain-SQL/BI users — with a range filter Catalyst pushes into the
@@ -2837,6 +2861,21 @@ object SparkEntry {
         .option("tableDir", versionedDocsPath(s, dir)).load()
         .filter(col("doc_id").between(100L, 299L))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // CATALOG DDL reach: the plain-SQL user's ENTIRE entry path —
+    // `CREATE TABLE ... USING graft-versioned` registers the table in
+    // the session catalog, `spark.table` resolves it through the same
+    // pinned-snapshot relation (manifest pruning, DV masks, rename map
+    // all apply), and the filter pushes down exactly as through
+    // spark.read. One DDL statement, zero library imports.
+    "versioned_catalog" -> ((s, dir) => {
+      val path = versionedDocsPath(s, dir)
+      val tbl = s"graft_catalog_${artifactKey(dir).replace('.', '_')}"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING `graft-versioned` " +
+        s"OPTIONS (tableDir '$path')")
+      s.table(tbl)
+        .filter(col("doc_id").between(300L, 499L))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     // METADATA-ONLY COUNT: count(*) of the versioned corpus answered
     // from ONE manifest read — every commit records each file's exact
     // row count, so the version's count is their sum, zero data files
@@ -3427,19 +3466,35 @@ object SparkEntry {
     * (executor.py:24 defaults M=16; KnnHnsw.build defaults m=8 for
     * bounded shards). Half slice: the knob's shape is structural, and
     * three full builds per window would triple the flagship's build
-    * cost for no extra signal. */
+    * cost for no extra signal. The m=8 point is the shared
+    * [[hnswHalfDefaultGraph]], not a fresh build. */
   private val hnswBuildSweepBuilt = scala.collection.concurrent.TrieMap
     .empty[(Int, String), Map[Int, DataFrame]]
   private def hnswBuildSweepGraphs(s: SparkSession, dir: String): Map[Int, DataFrame] =
     hnswBuildSweepBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
       val half = Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0)
-      Seq(4, 8, 16).map { m =>
+      Seq(4, 16).map { m =>
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_m$m/${artifactKey(dir)}"
         KnnHnsw.save(KnnHnsw.build(half, numShards = 4, m = m), path)
-        // serve from the persisted-then-loaded frame, pinned: three
-        // fresh parquet loads per window would dominate the row's time
+        // serve from the persisted-then-loaded frame, pinned: fresh
+        // parquet loads per window would dominate the row's time
         m -> KnnHnsw.load(s, path).localCheckpoint(true)
-      }.toMap
+      }.toMap + (8 -> hnswHalfDefaultGraph(s, dir))
+    })
+
+  /** The SHARED (m=8, efConstruction=64) half-corpus graph — the point
+    * both build-knob sweeps pass through (the m sweep's middle degree,
+    * the efC sweep's middle beam). Built + persisted ONCE per (JVM,
+    * fixture dir) and served pinned to both, so the bench pays five
+    * half-corpus builds, not six. */
+  private val hnswHalfDefaultBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+  private def hnswHalfDefaultGraph(s: SparkSession, dir: String): DataFrame =
+    hnswHalfDefaultBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val half = Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_m8/${artifactKey(dir)}"
+      KnnHnsw.save(KnnHnsw.build(half, numShards = 4), path)
+      KnnHnsw.load(s, path).localCheckpoint(true)
     })
 
   /** Quarter-corpus graph for the tombstone gate (built once per JVM,
@@ -4052,12 +4107,13 @@ object SparkEntry {
     * each batch into SIGNED aggregate contributions (-old on
     * delete/update, +new on insert/update), and commits them
     * exactly-once into a DOWNSTREAM versioned table seeded with the v0
-    * baseline (TableStream.commitEachBatch — batch-id replay guard
-    * inside the atomically-renamed manifest). The medallion loop with
-    * both ends owned by this library and the engine in the middle.
-    * Records the facts the row pins: the downstream table took one
-    * commit per row-bearing batch (v0 seed + 3), and a REPLAYED batch
-    * id is skipped without publishing. */
+    * baseline, through the `format("graft-versioned")` STREAMING SINK
+    * (batch-id replay guard inside the atomically-renamed manifest).
+    * The medallion loop with both ends owned by this library and the
+    * engine in the middle — no foreachBatch anywhere. Records the
+    * facts the row pins: the downstream table took one commit per
+    * row-bearing batch (v0 seed + 3), and a REPLAYED batch id is
+    * skipped without publishing. */
   private val versionedPipeBuilt = scala.collection.concurrent.TrieMap
     .empty[(Int, String), (String, String, Boolean)]
   private def versionedPipeInfo(s: SparkSession, dir: String)
@@ -4096,9 +4152,15 @@ object SparkEntry {
       val adds = feed.filter(col("change").isin("insert", "update"))
         .select(col("lang_new").as("lang"), lit(1L).as("dn"),
           col("n_chars_new").as("dchars"))
-      val q = TableStream.commitEachBatch(retracts.unionByName(adds), down,
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
-        checkpointDir = Some(s"$root/ckpt"))
+      // the write side is the library's STREAMING SINK — the pipeline is
+      // source → transform → sink entirely in engine API, no foreachBatch
+      val q = retracts.unionByName(adds).writeStream
+        .format("graft-versioned")
+        .option("tableDir", down)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
       try q.processAllAvailable() finally q.stop()
 
       // one downstream commit per row-bearing batch (v1, v2, v3)
@@ -4108,6 +4170,62 @@ object SparkEntry {
       val replaySkipped = last.isDefined && TableStream.commitBatch(
         Versioned.read(s, down).limit(1), down, last.get).isEmpty
       (base, down, commits && replaySkipped)
+    })
+
+  /** Mid-stream SCHEMA EVOLUTION lifecycle, built once per (ctx, dir):
+    * a change-feed stream (projected to the evolution-stable
+    * doc_id/change/version columns) consumes v1 and checkpoints; a
+    * rename + an append land MID-STREAM; the next trigger must refuse
+    * with the TYPED drift error (never serve rows under a silently
+    * shifted shape); a restart from the SAME checkpoint re-anchors on
+    * the evolved schema and drains the remaining commits exactly once
+    * through the `graft-versioned` sink. Records the refused-typed
+    * fact; the downstream content is gated 1.0 against the batch feed. */
+  private val versionedEvolveBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, String, Boolean)]
+  private def versionedEvolveInfo(s: SparkSession, dir: String)
+      : (String, String, Boolean) =
+    versionedEvolveBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_evolve/${artifactKey(dir)}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val (base, down) = (s"$root/base", s"$root/down")
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 7 === 0).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.repartition(2), base) // v0
+      Versioned.upsert(docs.filter(col("doc_id") % 21 === 0).select(
+        col("doc_id"), lit("e1").as("lang"),
+        (col("n_chars") + 1L).as("n_chars")), base, "doc_id") // v1: updates
+      def start() = s.readStream.format("graft-changes")
+        .option("tableDir", base).option("idColumn", "doc_id")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .select(col("doc_id"), col("change"), col("version"))
+        .writeStream.format("graft-versioned")
+        .option("tableDir", down)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      val q1 = start()
+      val refusedTyped =
+        try {
+          q1.processAllAvailable() // consumes v1, checkpoints position 1
+          Versioned.renameColumn(s, base, "n_chars", "len") // v2: MID-STREAM
+          Versioned.append(docs.filter(col("doc_id") % 35 === 0).select(
+            (col("doc_id") + 9700000L).as("doc_id"),
+            lit("e2").as("lang"), col("n_chars").as("len"))
+            .repartition(1), base) // v3: inserts under the evolved name
+          try { q1.processAllAvailable(); false }
+          catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            (String.valueOf(e.getMessage) +
+              Option(e.getCause).map(c => String.valueOf(c.getMessage)).getOrElse(""))
+              .contains("schema drift") }
+        } finally q1.stop()
+      val q2 = start() // same checkpoint, fresh anchor on the evolved schema
+      try q2.processAllAvailable() finally q2.stop()
+      (base, down, refusedTyped)
     })
 
   /** CHECK-constraint lifecycle, built once per (ctx, dir): init ->
@@ -4624,17 +4742,18 @@ object SparkEntry {
   /** The efConstruction-sweep graphs (efC ∈ {16, 64, 200} at fixed
     * m=8), half corpus, built once per JVM — the insert-beam twin of
     * [[hnswBuildSweepGraphs]]'s degree sweep, covering the reference's
-    * last un-swept build knob (executor.py:22). */
+    * last un-swept build knob (executor.py:22). The efC=64 point is the
+    * shared [[hnswHalfDefaultGraph]], not a fresh build. */
   private val hnswEfcSweepBuilt = scala.collection.concurrent.TrieMap
     .empty[(Int, String), Map[Int, DataFrame]]
   private def hnswEfcSweepGraphs(s: SparkSession, dir: String): Map[Int, DataFrame] =
     hnswEfcSweepBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
       val half = Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0)
-      Seq(16, 64, 200).map { efc =>
+      Seq(16, 200).map { efc =>
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_efc$efc/${artifactKey(dir)}"
         KnnHnsw.save(KnnHnsw.build(half, numShards = 4, efConstruction = efc), path)
         efc -> KnnHnsw.load(s, path).localCheckpoint(true)
-      }.toMap
+      }.toMap + (64 -> hnswHalfDefaultGraph(s, dir))
     })
 
   /** PQ codebooks trained AND corpus encoded once per (SparkContext,
@@ -5886,7 +6005,11 @@ object SparkEntry {
                 (SELECT CAST(count(*) AS BIGINT) FROM documents
                  WHERE doc_id % 7 = 3) AS dv_rows,
                 0 AS num_constraints, false AS cdf_enabled,
-                '' AS zorder_dims, 0 AS renamed_columns""",
+                '' AS zorder_dims, 0 AS renamed_columns,
+                -- the every-7th mask is ~14% of rows: over the 10% debt
+                -- bar, so the detail row must recommend compaction
+                (SELECT count(*) FROM documents WHERE doc_id % 7 = 3) * 10
+                  >= (SELECT count(*) FROM documents) AS needs_compaction""",
     // the metadata-only count must equal the scan-count of the same
     // content: v1's upsert replaced existing ids (doc_id % 10) in
     // place, so both the latest and v0 counts are the corpus size
@@ -5904,6 +6027,19 @@ object SparkEntry {
                     FROM u)
          SELECT doc_id, lang, n_chars FROM r
          WHERE rn = 1 AND doc_id BETWEEN 100 AND 299""",
+    // the catalog path serves the same last-wins content through
+    // CREATE TABLE + spark.table (a different id window than the
+    // relation row, so the two rows can't mask each other)
+    "versioned_catalog" ->
+      """WITH delta AS (SELECT doc_id, 'xx' AS lang, n_chars * 2 AS n_chars
+                        FROM documents WHERE doc_id % 10 = 0),
+              u AS (SELECT doc_id, lang, n_chars, 1 AS pri FROM documents
+                    UNION ALL SELECT doc_id, lang, n_chars, 2 AS pri FROM delta),
+              r AS (SELECT doc_id, lang, n_chars,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY pri DESC) AS rn
+                    FROM u)
+         SELECT doc_id, lang, n_chars FROM r
+         WHERE rn = 1 AND doc_id BETWEEN 300 AND 499""",
     // merge-on-read delete: masked (and then materialized) content is
     // the plain anti-filter over the original projection
     "versioned_delete_mor" ->

@@ -843,6 +843,17 @@ object Versioned {
     val dvF = snap.dvFiles.size
     val dvR = if (dvF == 0) 0L
               else snap.meta.get("dv.rows").map(_.toLong).getOrElse(-1L)
+    // MAINTENANCE NUDGE: merge-on-read debt is a deliberate trade
+    // (deletes commit in O(ids)), but every read pays the anti-join
+    // mask until a compact materializes it — surface WHEN that bill is
+    // worth paying, so the consolidation policy is discoverable from
+    // the same row an operator already reads. Thresholds: many sidecar
+    // files (each is an extra read per scan) or a mask covering >= 10%
+    // of physical rows (the scan streams 10% dead weight). Unknown
+    // row counts (legacy manifests, dvR = -1) recommend on file count
+    // alone — never a false "healthy".
+    val needsCompaction = dvF > DvFileDebtThreshold ||
+      (dvR > 0 && totR > 0 && dvR.toDouble / totR >= DvRowDebtRatio)
     spark.createDataFrame(Seq((
         snap.version,
         snap.meta.getOrElse("op", "unknown"),
@@ -851,11 +862,19 @@ object Versioned {
         constraintsOf(snap).size,
         snap.meta.get("cdf").contains("true"),
         snap.meta.getOrElse("zorder.dims", ""),
-        colMap(snap).size)))
+        colMap(snap).size,
+        needsCompaction)))
       .toDF("version", "operation", "num_files", "total_rows",
         "dv_files", "dv_rows", "num_constraints", "cdf_enabled",
-        "zorder_dims", "renamed_columns")
+        "zorder_dims", "renamed_columns", "needs_compaction")
   }
+
+  /** [[detail]]'s compaction-nudge bars: recommend once the standing
+    * deletion-vector debt costs every scan more than a compact would
+    * amortize — more sidecar files than this, or a mask covering at
+    * least this fraction of physical rows. */
+  private[graft] val DvFileDebtThreshold = 8
+  private[graft] val DvRowDebtRatio = 0.10
 
   /** Resolve "the table as of time t": the NEWEST version whose commit
     * timestamp is <= `tsMillis` — "reproduce the exact corpus last
@@ -2298,7 +2317,7 @@ object Versioned {
           cur, idCol, fin, finSchema))
         .map(_.withColumn("version", lit(v)).withColumn("op", lit(op)))
     }
-    steps.reduceOption(_ unionByName _).getOrElse {
+    if (steps.isEmpty) {
       import org.apache.spark.sql.types._
       val out = StructType(
         StructField(idCol, finSchema(idCol).dataType) +:
@@ -2312,8 +2331,29 @@ object Versioned {
           StructField("version", IntegerType, nullable = false),
           StructField("op", StringType, nullable = false))))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), out)
-    }
+    } else if (steps.size <= MaxFeedPlanBranches)
+      steps.reduce(_ unionByName _)
+    else
+      // PLAN-GROWTH BOUND for long synchronous backfills: one union
+      // branch per step is right for the streaming source's paced
+      // ranges, but changeFeed(0, 10_000) direct would hand Catalyst a
+      // ten-thousand-branch plan whose driver-side analysis dominates
+      // the read. Above the cap, steps fold in chunks of
+      // [[MaxFeedPlanBranches]], each chunk materialized to a local
+      // checkpoint (eager — the backfill pays its compute here, which
+      // is what a backfill does anyway); the final plan unions plain
+      // pre-computed legs, so no Catalyst plan in the chain ever
+      // carries more than the cap's branches. Callers needing paced,
+      // lazy consumption of a long range use the streaming source with
+      // maxVersionsPerBatch instead.
+      steps.grouped(MaxFeedPlanBranches)
+        .map(chunk => chunk.reduce(_ unionByName _).localCheckpoint(true))
+        .reduce(_ unionByName _)
   }
+
+  /** Union-branch cap for a synchronous [[changeFeed]] plan (chunks
+    * above it are pre-materialized). */
+  private[graft] val MaxFeedPlanBranches = 64
 
   /** Opt in (or out of) MATERIALIZED CHANGE FILES — Delta-CDF's trade,
     * as one metadata commit setting the standing `cdf` flag: while

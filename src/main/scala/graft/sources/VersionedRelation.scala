@@ -4,7 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Versioned
@@ -52,8 +54,30 @@ class VersionedRelation(override val sqlContext: SQLContext,
   override val schema: StructType = {
     val snap = Versioned.snapshot(spark, tableDir, Some(pinned))
     // the committed logical schema (one manifest read, zero footers);
-    // pre-schema-tracking manifests fall back to planning the scan
-    snap.schema.getOrElse(Versioned.read(spark, tableDir, Some(pinned)).schema)
+    // pre-schema-tracking manifests fall back to planning the scan —
+    // except a ZERO-FILE pre-tracking snapshot, which has nothing to
+    // plan (read refuses on it): derive from the nearest version that
+    // does know its schema (stamped, or non-empty and plannable), so
+    // load() of a fully-deleted old-format version serves an EMPTY
+    // relation instead of a misleading 'no files' failure
+    snap.schema.getOrElse {
+      if (snap.entries.nonEmpty) Versioned.read(spark, tableDir, Some(pinned)).schema
+      else {
+        val vs = Versioned.versions(spark, tableDir).sorted
+        val neighbors = vs.filter(_ < pinned).reverse ++ vs.filter(_ > pinned)
+        neighbors.iterator.map { v =>
+          val s2 = Versioned.snapshot(spark, tableDir, Some(v))
+          s2.schema.orElse(
+            if (s2.entries.nonEmpty)
+              Some(Versioned.read(spark, tableDir, Some(v)).schema)
+            else None)
+        }.collectFirst { case Some(s) => s }.getOrElse(
+          throw new IllegalStateException(
+            s"schema unknown for empty pre-schema-tracking v$pinned of " +
+              s"$tableDir: no retained version is schema-stamped or " +
+              "non-empty — recommit (append) to stamp a schema"))
+      }
+    }
   }
 
   override def buildScan(requiredColumns: Array[String],
@@ -169,11 +193,36 @@ object VersionedRelation {
   * versioned corpus is how training data dies — [[Versioned.restore]]
   * / `deleteIds` + append express every legitimate rewrite as an
   * auditable commit. Write-side options may carry `statsColumn` /
-  * `bloomColumn` so DataSource ingests keep the pruning layout. */
+  * `bloomColumn` so DataSource ingests keep the pruning layout.
+  * Streaming writes: `df.writeStream.format("graft-versioned")` is
+  * [[graft.streaming.VersionedSink]] — one atomic commit per
+  * micro-batch under the batch-id exactly-once guard. */
 class VersionedSourceProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val p = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val tableDir = p.getOrElse("tabledir",
+      throw new IllegalArgumentException(
+        "graft-versioned requires option 'tableDir' (versioned table root)"))
+    require(partitionColumns.isEmpty,
+      "graft-versioned owns its physical layout (manifest stats/blooms, " +
+        "z-order clustering) — partitionBy does not apply; set " +
+        "statsColumn/bloomColumn options instead")
+    require(outputMode == OutputMode.Append(),
+      s"graft-versioned sink accepts OutputMode.Append only, got $outputMode: " +
+        "a versioned commit appends rows — maintain aggregates through the " +
+        "change feed's signed contributions, not in-place rewrites")
+    new graft.streaming.VersionedSink(sqlContext.sparkSession, tableDir,
+      p.getOrElse("writerid", graft.streaming.TableStream.DefaultWriterId),
+      p.get("statscolumn"), p.get("bloomcolumn"))
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               mode: SaveMode,

@@ -251,7 +251,56 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     val spark = sqlContext.sparkSession
     val vs = Versioned.versions(spark, tableDir)
     require(vs.nonEmpty, s"no versioned table at $tableDir")
-    new ChangeFeedSource(spark, tableDir, idCol, start(vs.max.toLong),
-      maxPer, end)
+    val base = initialBase(spark, metadataPath, start(vs.max.toLong))
+    val source = new ChangeFeedSource(spark, tableDir, idCol, base, maxPer, end)
+    // the engine hands back the schema it captured at readStream.load();
+    // the source just anchored its own at query start — a rename/widen
+    // commit landing BETWEEN the two must refuse with the same typed
+    // drift error getBatch raises, not surface later as the engine's
+    // opaque positional-binding assertion
+    schema.foreach { captured =>
+      def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+      if (shape(captured) != shape(source.schema))
+        throw new IllegalStateException(
+          s"change stream schema drift at $tableDir: readStream.load() " +
+            s"captured ${captured.simpleString} but the table now serves " +
+            s"${source.schema.simpleString} (a rename/widen committed between " +
+            "load() and query start) — re-plan the stream to adopt the " +
+            "evolved schema")
+    }
+    source
+  }
+
+  /** The stream's FIRST base version, durable under the source's
+    * engine-assigned `metadataPath` (the v1 contract Kafka and
+    * FileStreamSource persist their initial offsets through): resolved
+    * ONCE at first start and recovered from disk ever after. Without
+    * this, a query that crashes after the offset-log write but before
+    * the first commit replays batch 0 as `getBatch(None, end)` — and a
+    * re-resolved `startingVersion=latest` would re-anchor to the NEW
+    * latest, silently skipping every commit that landed while the
+    * stream was down (or reversing the range outright). */
+  private def initialBase(spark: SparkSession, metadataPath: String,
+                          resolveNow: => Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-initial-base")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def read(): Long = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    if (fs.exists(p)) read()
+    else {
+      val v = resolveNow
+      fs.mkdirs(p.getParent): Unit
+      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+        ".graft-initial-base.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      // rename is the atomic publish; a lost race means another starter
+      // already persisted the authoritative base — read theirs
+      if (fs.rename(tmp, p)) v
+      else { fs.delete(tmp, false): Unit; read() }
+    }
   }
 }

@@ -37,7 +37,9 @@ object TableStream {
     * nothing either way).
     * @return the committed version, or None when skipped */
   def commitBatch(batch: DataFrame, tableDir: String, batchId: Long,
-                  writerId: String = DefaultWriterId): Option[Int] = {
+                  writerId: String = DefaultWriterId,
+                  statsCol: Option[String] = None,
+                  bloomCol: Option[String] = None): Option[Int] = {
     if (batch.isEmpty) None
     else if (Versioned.lastBatchId(batch.sparkSession, tableDir,
                Some(writerId)).exists(_ >= batchId)) None
@@ -55,14 +57,14 @@ object TableStream {
         // IllegalArgumentException arm only fires on that window
         // (versions were empty moments ago), so it cannot mask a
         // genuine misuse of init on a long-standing table
-        Some(try Versioned.init(batch, tableDir, meta)
+        Some(try Versioned.init(batch, tableDir, meta, statsCol, bloomCol)
              catch {
                case _: Versioned.CommitRaceLost =>
-                 Versioned.append(batch, tableDir, meta)
+                 Versioned.append(batch, tableDir, meta, statsCol, bloomCol)
                case _: IllegalArgumentException =>
-                 Versioned.append(batch, tableDir, meta)
+                 Versioned.append(batch, tableDir, meta, statsCol, bloomCol)
              })
-      else Some(Versioned.append(batch, tableDir, meta))
+      else Some(Versioned.append(batch, tableDir, meta, statsCol, bloomCol))
     }
   }
 

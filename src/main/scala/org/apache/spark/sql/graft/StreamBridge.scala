@@ -25,4 +25,14 @@ object StreamBridge {
                      rows: RDD[InternalRow]): DataFrame =
     spark.asInstanceOf[ClassicSparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming = true)
+
+  /** The inverse direction, for a v1 streaming SINK: the DataFrame a
+    * `Sink.addBatch` receives is bound to the engine's incremental
+    * execution and must not be re-planned by batch writers — the
+    * established pattern (FileStreamSink does the same) is to lift its
+    * `queryExecution.toRdd` back into a plain BATCH DataFrame. */
+  def batchFrame(spark: SparkSession, schema: StructType,
+                 rows: RDD[InternalRow]): DataFrame =
+    spark.asInstanceOf[ClassicSparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming = false)
 }

@@ -365,4 +365,78 @@ class ChangeFeedSourceSpec extends SparkSuite {
         s"expected the typed drift refusal, got: ${err.getMessage}")
     } finally q.stop()
   }
+
+  test("crash recovery of the FIRST batch replays from the persisted initial base, not a re-resolved latest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t) // v0
+    Versioned.upsert(Seq((1L, "pre", 1L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v1: pre-start history (must never stream)
+
+    val provider = new graft.streaming.ChangeFeedSourceProvider
+    val metaPath = s"$root/ckpt/sources/0"
+    val params = Map("tableDir" -> t, "idColumn" -> "doc_id") // default: latest
+    // first start resolves latest=1 and must PERSIST it under the
+    // engine-assigned metadataPath (the v1 initial-offset contract)
+    provider.createSource(spark.sqlContext, metaPath, None,
+      "graft-changes", params): Unit
+    assert(new java.io.File(s"$metaPath/graft-initial-base").exists(),
+      "first start must persist the resolved initial base")
+
+    // the query dies after the offset-log write but before the first
+    // commit; two commits land while it is down
+    Versioned.upsert(Seq((3L, "down1", 3L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v2
+    Versioned.upsert(Seq((4L, "down2", 4L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v3
+
+    // restart: the engine replays batch 0 as getBatch(None, end) — the
+    // recovered source must serve (1, 3], not re-anchor to latest=3
+    // (which would silently skip v2+v3 or reverse the range)
+    val recovered = provider.createSource(spark.sqlContext, metaPath, None,
+      "graft-changes", params).asInstanceOf[graft.streaming.ChangeFeedSource]
+    val batch = recovered.getBatch(None, LongOffset(3L))
+    // getBatch hands back a STREAMING frame (the engine executes it
+    // incrementally); outside the engine, lift its LogicalRDD rows back
+    // into a batch frame to inspect them
+    val lr = batch.queryExecution.logical
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val replayed = org.apache.spark.sql.graft.StreamBridge.batchFrame(
+      spark, batch.schema, lr.rdd)
+    assert(replayed.select("version").distinct().collect()
+      .map(_.getInt(0)).toSet === Set(2, 3),
+      "the replayed first batch must carry exactly the downtime commits")
+    assert(replayed.filter(col("doc_id").isin(3L, 4L)).count() === 2,
+      "downtime rows must survive the crash-replay")
+  }
+
+  test("a commit landing between readStream.load() and query start refuses typed, not as an engine assertion") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t) // v0
+    val provider = new graft.streaming.ChangeFeedSourceProvider
+    val params = Map("tableDir" -> t, "idColumn" -> "doc_id")
+    // load() captures the schema...
+    val captured = provider.sourceSchema(spark.sqlContext, None,
+      "graft-changes", params)._2
+    // ...then a rename commits before the query starts
+    Versioned.renameColumn(spark, t, "n_chars", "len")
+    val ex = intercept[IllegalStateException] {
+      provider.createSource(spark.sqlContext, s"$root/ckpt2/sources/0",
+        Some(captured), "graft-changes", params)
+    }
+    assert(ex.getMessage.contains("schema drift"),
+      s"expected the typed drift refusal, got: ${ex.getMessage}")
+    // an unchanged table starts clean under the same captured schema
+    val t2 = s"$root/t2"
+    Versioned.init(docs(), t2)
+    val cap2 = provider.sourceSchema(spark.sqlContext, None, "graft-changes",
+      Map("tableDir" -> t2, "idColumn" -> "doc_id"))._2
+    provider.createSource(spark.sqlContext, s"$root/ckpt3/sources/0",
+      Some(cap2), "graft-changes",
+      Map("tableDir" -> t2, "idColumn" -> "doc_id")): Unit
+  }
 }

@@ -208,4 +208,36 @@ class VersionedRelationSpec extends SparkSuite {
       "DV-masked rows must not surface through the relation")
     assert(rel().count() === 89)
   }
+
+  test("an EMPTY pre-schema-tracking version serves an empty relation via the nearest schema-bearing neighbor") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs(12), dir) // v0
+    Versioned.deleteIds(docs(12).select("doc_id"), dir, "doc_id") // v1: all gone
+    assert(Versioned.snapshot(spark, dir, Some(1)).entries.isEmpty,
+      "fixture must produce a zero-file snapshot")
+
+    // simulate OLD-FORMAT manifests: strip the stamped schema line
+    def stripSchema(v: Int): Unit = {
+      val f = new java.io.File(f"$dir/_manifests/v$v%05d.manifest")
+      val kept = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filterNot(_.startsWith("#schema=")).toList
+      java.nio.file.Files.write(f.toPath,
+        (kept.mkString("\n") + "\n").getBytes("UTF-8")): Unit
+    }
+    def rel() = spark.read.format("graft-versioned")
+      .option("tableDir", dir).option("versionAsOf", "1").load()
+
+    // neighbor still stamped: the empty v1 borrows v0's committed schema
+    stripSchema(1); Versioned.snapshotCacheClear()
+    assert(rel().schema.fieldNames.toSeq === Seq("doc_id", "lang", "n_chars"),
+      "empty unstamped version must borrow the stamped neighbor's schema")
+    assert(rel().count() === 0, "and serve an EMPTY relation, not refuse")
+
+    // nothing stamped anywhere: derive by planning the non-empty neighbor
+    stripSchema(0); Versioned.snapshotCacheClear()
+    assert(rel().schema.fieldNames.toSeq === Seq("doc_id", "lang", "n_chars"),
+      "with zero stamps the non-empty neighbor's planned schema applies")
+    assert(rel().count() === 0)
+  }
 }

@@ -2112,6 +2112,8 @@ class VersionedSpec extends SparkSuite {
     assert(d1.getAs[Int]("num_constraints") === 1 &&
       d1.getAs[Boolean]("cdf_enabled") &&
       d1.getAs[Int]("renamed_columns") === 1)
+    assert(!d1.getAs[Boolean]("needs_compaction"),
+      "1 masked row of 90 is under every debt bar — no nudge yet")
 
     Versioned.compactZOrder(spark, dir, Seq("doc_id", "len"))
     val d2 = d()
@@ -2123,6 +2125,49 @@ class VersionedSpec extends SparkSuite {
       "full rewrites re-baseline the rename map")
     assert(d2.getAs[Int]("num_constraints") === 1,
       "constraints ride re-baselines")
+    assert(!d2.getAs[Boolean]("needs_compaction"))
+
+    // mask debt crossing the 10% row bar flips the maintenance nudge
+    Versioned.deleteIdsMergeOnRead(
+      (10L until 20L).map(Tuple1(_)).toDF("doc_id"), dir, "doc_id")
+    val d3 = d()
+    assert(d3.getAs[Long]("dv_rows") === 10L && d3.getAs[Long]("total_rows") === 89L)
+    assert(d3.getAs[Boolean]("needs_compaction"),
+      "a mask covering >=10% of physical rows must recommend compaction")
+    Versioned.compact(spark, dir)
+    assert(!d().getAs[Boolean]("needs_compaction"),
+      "compact materializes the mask and clears the nudge")
+  }
+
+  test("a 500-version synchronous backfill stays plan-bounded and value-correct") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(Seq((-1L, "base", 0L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir) // v0 baseline (no change rows)
+    (1 to 500).foreach { v =>
+      Versioned.append(Seq((v.toLong, s"l${v % 5}", v.toLong))
+        .toDF("doc_id", "lang", "n_chars").repartition(1), dir): Unit
+    }
+    val feed = Versioned.changeFeed(spark, dir, 0, 500, "doc_id")
+    // the chunk-and-materialize fold: no Catalyst plan in the chain may
+    // carry more union branches than the cap — a 500-step range planned
+    // as one 500-branch union is exactly the driver-side blowup a
+    // 10k-version backfill would die on
+    val maxUnion = feed.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size
+    }.foldLeft(0)(math.max)
+    assert(maxUnion <= Versioned.MaxFeedPlanBranches,
+      s"backfill plan carries a $maxUnion-branch union (cap " +
+        s"${Versioned.MaxFeedPlanBranches})")
+    val rows = feed.select("doc_id", "change", "version").collect()
+    assert(rows.length === 500, "one insert change per appended version")
+    assert(rows.forall(_.getString(1) == "insert"))
+    assert(rows.map(_.getInt(2)).toSet === (1 to 500).toSet,
+      "every version's step must survive the chunked fold")
+    assert(rows.map(_.getLong(0)).toSet === (1L to 500L).toSet)
+    // a range under the cap still plans the plain lazy union
+    val small = Versioned.changeFeed(spark, dir, 0, 10, "doc_id")
+    assert(small.select("version").distinct().count() === 10)
   }
 
   test("legacy manifests with a stats column literally named 'rows' still parse") {

@@ -42,9 +42,28 @@ import graft.operators.Versioned
   * where compatibility outranks the last cycle. */
 class VersionedRelation(override val sqlContext: SQLContext,
                         tableDir: String, version: Option[Int])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark = sqlContext.sparkSession
+
+  /** `INSERT INTO` on a catalog-registered table (and
+    * `df.write.insertInto`): routes through [[Versioned.append]], so
+    * constraints, conflict rebase, and schema-evolution rules gate SQL
+    * ingests exactly like library ones. `INSERT OVERWRITE` refuses
+    * typed for the same reason `SaveMode.Overwrite` does; a
+    * time-traveled relation refuses — commits land on latest only. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(version.isEmpty,
+      "INSERT into a time-traveled relation is not allowed — a commit " +
+        "always lands on the table's latest version; re-resolve the table " +
+        "without versionAsOf/timestampAsOf")
+    if (overwrite)
+      throw new UnsupportedOperationException(
+        "graft-versioned refuses INSERT OVERWRITE: replacing a versioned " +
+          "corpus silently would bypass its audit history — express the " +
+          "rewrite as commits (deleteIds + append, or restore)")
+    Versioned.append(data, tableDir): Unit
+  }
 
   /** Resolved ONCE: "latest" pins to a concrete version here, so the
     * DataFrame's whole lifetime (including re-executions) serves one
@@ -194,6 +213,11 @@ object VersionedRelation {
   * / `deleteIds` + append express every legitimate rewrite as an
   * auditable commit. Write-side options may carry `statsColumn` /
   * `bloomColumn` so DataSource ingests keep the pruning layout.
+  * SQL writes: `INSERT INTO` a catalog-registered table commits
+  * through the same append discipline ([[VersionedRelation.insert]]);
+  * `INSERT OVERWRITE` refuses typed. Catalog-cached resolutions keep
+  * serving their pinned snapshot (the snapshot-isolation line, and the
+  * standard v1 catalog contract) — `REFRESH TABLE` re-pins to latest.
   * Streaming writes: `df.writeStream.format("graft-versioned")` is
   * [[graft.streaming.VersionedSink]] — one atomic commit per
   * micro-batch under the batch-id exactly-once guard. */

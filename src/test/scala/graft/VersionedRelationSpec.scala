@@ -209,6 +209,51 @@ class VersionedRelationSpec extends SparkSuite {
     assert(rel().count() === 89)
   }
 
+  test("catalog DDL: CREATE TABLE resolves the relation; INSERT INTO commits through append; OVERWRITE refuses") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs(30), dir) // v0
+    spark.sql("DROP TABLE IF EXISTS graft_vrel_ddl")
+    spark.sql(s"CREATE TABLE graft_vrel_ddl USING `graft-versioned` " +
+      s"OPTIONS (tableDir '$dir')")
+    assertSameContent(spark.table("graft_vrel_ddl"), Versioned.read(spark, dir),
+      "catalog resolution must serve the pinned-snapshot relation")
+
+    // INSERT INTO routes through the commit discipline (one new version)
+    spark.sql("INSERT INTO graft_vrel_ddl VALUES (9000, 'sql', 42)")
+    assert(Versioned.versions(spark, dir) === Seq(0, 1),
+      "a SQL insert is one append commit")
+    assert(Versioned.read(spark, dir).filter(col("doc_id") === 9000L).count() === 1)
+    // the catalog caches the resolved (snapshot-pinned) relation — the
+    // standard v1 contract: REFRESH TABLE re-resolves onto the new latest
+    assert(spark.table("graft_vrel_ddl").count() === 30,
+      "the cached resolution keeps serving its pinned snapshot")
+    spark.sql("REFRESH TABLE graft_vrel_ddl")
+    assert(spark.table("graft_vrel_ddl").count() === 31,
+      "REFRESH TABLE re-pins onto the committed insert")
+
+    // INSERT OVERWRITE refuses typed: history is never silently replaced
+    val ex = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE TABLE graft_vrel_ddl VALUES (1, 'x', 1)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("INSERT OVERWRITE")),
+      s"expected the typed overwrite refusal, got: ${ex.getMessage}")
+    assert(Versioned.versions(spark, dir) === Seq(0, 1),
+      "the refused overwrite must publish nothing")
+
+    // inserts on a time-traveled relation refuse — commits land on latest
+    val tt = intercept[IllegalArgumentException] {
+      new VersionedRelation(spark.sqlContext, dir, Some(0))
+        .insert(Seq((1L, "x", 1L)).toDF("doc_id", "lang", "n_chars"),
+          overwrite = false)
+    }
+    assert(tt.getMessage.contains("time-traveled"))
+    spark.sql("DROP TABLE graft_vrel_ddl")
+  }
+
   test("an EMPTY pre-schema-tracking version serves an empty relation via the nearest schema-bearing neighbor") {
     import spark.implicits._
     val dir = freshDir()

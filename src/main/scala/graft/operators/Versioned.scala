@@ -876,6 +876,19 @@ object Versioned {
   private[graft] val DvFileDebtThreshold = 8
   private[graft] val DvRowDebtRatio = 0.10
 
+  /** Act on [[detail]]'s `needs_compaction` nudge: compact ONLY when
+    * the debt bars recommend it, returning the committed version (None
+    * = healthy, zero commits, one manifest read). The idempotent
+    * maintenance tick a scheduler calls after every ingest window —
+    * at 100 TB the decision must be metadata-only and the rewrite must
+    * run only when a scan is actually paying for the standing mask. */
+  def compactIfNeeded(spark: SparkSession, tableDir: String,
+                      targetBytes: Long = 128L << 20): Option[Int] = {
+    val nudged = detail(spark, tableDir)
+      .select(col("needs_compaction")).head().getBoolean(0)
+    if (nudged) Some(compact(spark, tableDir, targetBytes)) else None
+  }
+
   /** Resolve "the table as of time t": the NEWEST version whose commit
     * timestamp is <= `tsMillis` — "reproduce the exact corpus last
     * Tuesday's run trained on" without having recorded a version

@@ -2134,9 +2134,20 @@ class VersionedSpec extends SparkSuite {
     assert(d3.getAs[Long]("dv_rows") === 10L && d3.getAs[Long]("total_rows") === 89L)
     assert(d3.getAs[Boolean]("needs_compaction"),
       "a mask covering >=10% of physical rows must recommend compaction")
-    Versioned.compact(spark, dir)
+    // the maintenance tick acts on the nudge exactly once
+    val before = Versioned.read(spark, dir)
+      .select("doc_id", "lang", "len").collect().toSet
+    val ticked = Versioned.compactIfNeeded(spark, dir)
+    assert(ticked.isDefined, "a nudged table must compact on the tick")
     assert(!d().getAs[Boolean]("needs_compaction"),
       "compact materializes the mask and clears the nudge")
+    assert(Versioned.read(spark, dir)
+      .select("doc_id", "lang", "len").collect().toSet === before,
+      "the maintenance rewrite must be content-identical")
+    val vAfter = Versioned.versions(spark, dir).max
+    assert(Versioned.compactIfNeeded(spark, dir).isEmpty &&
+      Versioned.versions(spark, dir).max === vAfter,
+      "a healthy table ticks to None with zero commits")
   }
 
   test("a 500-version synchronous backfill stays plan-bounded and value-correct") {

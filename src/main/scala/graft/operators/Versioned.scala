@@ -926,6 +926,29 @@ object Versioned {
   def readAsOf(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame =
     read(spark, tableDir, Some(versionAsOf(spark, tableDir, tsMillis)))
 
+  /** The FIRST retained version whose commit stamp is >= `tsMillis` —
+    * the "changes since time t" streaming anchor ([[versionAsOf]]'s
+    * forward-looking twin): None when every retained commit predates t
+    * (the stream should serve only future commits). Walks newest-first
+    * from the pointer like [[versionAsOf]]; pre-stamping manifests fall
+    * back to file mtime the same way. */
+  def versionAtOrAfter(spark: SparkSession, tableDir: String,
+                       tsMillis: Long): Option[Int] = {
+    var candidate: Option[Int] = None
+    versionsNewestFirst(spark, tableDir).foreach { v =>
+      val ts = manifestLines(spark, tableDir, v)
+        .collectFirst { case l if l.startsWith("#committedAt=") =>
+          l.stripPrefix("#committedAt=").toLong }
+        .getOrElse {
+          val p = manifestPath(tableDir, v)
+          fs(spark, p).getFileStatus(p).getModificationTime
+        }
+      if (ts >= tsMillis) candidate = Some(v)
+      else return candidate
+    }
+    candidate
+  }
+
   /** Read a pinned version (latest by default). The file list AND the
     * schema come from ONE manifest read, so the scan is consistent no
     * matter what commits land mid-query and no footer is opened for

@@ -39,6 +39,10 @@ import graft.operators.Versioned
   *     retained history, i.e. every commit after the v0 baseline), or
   *     `latest` (only commits after stream start; v0's init rows are a
   *     BASELINE, not a change — Delta's CDF draws the same line).
+  *   - `startingTimestamp` (millis or ISO instant; exclusive with
+  *     startingVersion): changes of every commit stamped at-or-after
+  *     t — "stream what happened since last Tuesday" without a
+  *     recorded version number, the timestamp-travel twin.
   *   - `maxVersionsPerBatch` (optional): admission control — at most
   *     this many commits per micro-batch, for bounded trigger latency
   *     on a backlogged stream.
@@ -208,7 +212,7 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
   override def shortName(): String = "graft-changes"
 
   private def parse(parameters: Map[String, String])
-      : (String, String, Long => Long, Option[Long], Option[Long]) = {
+      : (String, String, Map[String, String], Option[Long], Option[Long]) = {
     val p = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     val tableDir = p.getOrElse("tabledir",
       throw new IllegalArgumentException(
@@ -216,19 +220,42 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     val idCol = p.getOrElse("idcolumn",
       throw new IllegalArgumentException(
         "graft-changes requires option 'idColumn' (the id changes key on)"))
-    val start: Long => Long = latest =>
-      p.get("startingversion").map(_.toLowerCase(java.util.Locale.ROOT)) match {
-        case None | Some("latest") => latest
-        case Some("earliest")      => 0L
-        // startingVersion=N serves changes OF v N and later => base N-1
-        case Some(n)               => math.max(0L, n.toLong - 1L)
-      }
+    require(!(p.contains("startingversion") && p.contains("startingtimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
     val maxPer = p.get("maxversionsperbatch").map(_.toLong)
     maxPer.foreach(m => require(m > 0, s"maxVersionsPerBatch must be > 0, got $m"))
     // endingVersion=N: changes of versions <= N only (bounded backfill)
     val end = p.get("endingversion").map(_.toLong)
-    (tableDir, idCol, start, maxPer, end)
+    (tableDir, idCol, p, maxPer, end)
   }
+
+  /** The stream's BASE version from the starting options: changes of
+    * every commit AFTER the base enter the stream.
+    *   - `startingVersion`: `latest` (default) / `earliest` / N
+    *     (changes of v N and later => base N-1).
+    *   - `startingTimestamp` (millis or ISO instant): changes of every
+    *     commit stamped at-or-after t — resolved through
+    *     [[graft.operators.Versioned.versionAtOrAfter]] (Delta-CDF's
+    *     startingTimestamp semantics; shape reference only). A t past
+    *     the latest stamp anchors at latest (only future commits); a t
+    *     before retained history streams everything retained. */
+  private def resolveBase(spark: SparkSession, tableDir: String,
+                          p: Map[String, String], latest: Long): Long =
+    p.get("startingtimestamp") match {
+      case Some(ts) =>
+        val millis = scala.util.Try(ts.toLong).getOrElse(
+          java.time.Instant.parse(ts).toEpochMilli)
+        Versioned.versionAtOrAfter(spark, tableDir, millis) match {
+          case Some(v) => math.max(0L, v - 1L)
+          case None    => latest
+        }
+      case None =>
+        p.get("startingversion").map(_.toLowerCase(java.util.Locale.ROOT)) match {
+          case None | Some("latest") => latest
+          case Some("earliest")      => 0L
+          case Some(n)               => math.max(0L, n.toLong - 1L)
+        }
+    }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
@@ -247,11 +274,12 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
-    val (tableDir, idCol, start, maxPer, end) = parse(parameters)
+    val (tableDir, idCol, opts, maxPer, end) = parse(parameters)
     val spark = sqlContext.sparkSession
     val vs = Versioned.versions(spark, tableDir)
     require(vs.nonEmpty, s"no versioned table at $tableDir")
-    val base = initialBase(spark, metadataPath, start(vs.max.toLong))
+    val base = initialBase(spark, metadataPath,
+      resolveBase(spark, tableDir, opts, vs.max.toLong))
     val source = new ChangeFeedSource(spark, tableDir, idCol, base, maxPer, end)
     // the engine hands back the schema it captured at readStream.load();
     // the source just anchored its own at query start — a rename/widen

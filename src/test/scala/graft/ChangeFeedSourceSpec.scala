@@ -366,6 +366,58 @@ class ChangeFeedSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("startingTimestamp anchors the stream at the first commit stamped at-or-after t") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t) // v0
+    Versioned.upsert(Seq((1L, "a", 1L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v1
+    Thread.sleep(5)
+    val probe = System.currentTimeMillis() // strictly between v1 and v2 stamps
+    Thread.sleep(5)
+    Versioned.upsert(Seq((2L, "b", 2L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v2
+    Versioned.upsert(Seq((3L, "c", 3L)).toDF("doc_id", "lang", "n_chars"),
+      t, "doc_id") // v3
+
+    def streamedVersions(opts: (String, String)*): Set[Int] = {
+      val seen = mutable.ArrayBuffer.empty[Int]
+      val base = spark.readStream.format("graft-changes")
+        .option("tableDir", t).option("idColumn", "doc_id")
+      val q = opts.foldLeft(base) { case (acc, (k, v)) => acc.option(k, v) }
+        .load()
+        .writeStream
+        .option("checkpointLocation",
+          s"$root/ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val vs = batch.select("version").distinct().collect().map(_.getInt(0))
+          seen.synchronized { seen ++= vs: Unit }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      seen.synchronized(seen.toSet)
+    }
+
+    assert(streamedVersions("startingTimestamp" -> probe.toString) === Set(2, 3),
+      "a mid-history probe streams exactly the commits stamped after it")
+    assert(streamedVersions("startingTimestamp" -> "0") === Set(1, 2, 3),
+      "a probe before retained history streams everything retained")
+    assert(streamedVersions(
+        "startingTimestamp" -> (System.currentTimeMillis() + 60000L).toString)
+      === Set.empty,
+      "a future probe anchors at latest: only commits landing later stream")
+
+    val ex = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changes")
+        .option("tableDir", t).option("idColumn", "doc_id")
+        .option("startingVersion", "earliest")
+        .option("startingTimestamp", probe.toString)
+        .load()
+    }
+    assert(ex.getMessage.contains("mutually exclusive"))
+  }
+
   test("crash recovery of the FIRST batch replays from the persisted initial base, not a re-resolved latest") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset

@@ -49,6 +49,10 @@ import graft.operators.Versioned
   *   - `endingVersion` (optional): changes of versions <= this only —
   *     a BOUNDED backfill; paired with `Trigger.AvailableNow` the query
   *     drains the (start, end] window and terminates.
+  *   - `endingTimestamp` (optional, exclusive with endingVersion):
+  *     the same ceiling resolved by commit stamp — changes of commits
+  *     stamped at-or-before t ("replay last week's window"), via the
+  *     batch time-travel resolution.
   *
   * Scale posture: `getOffset` is one manifest-directory listing;
   * `getBatch` plans (lazily) the feed's pruned reads. Nothing here
@@ -224,10 +228,23 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       "startingVersion and startingTimestamp are mutually exclusive")
     val maxPer = p.get("maxversionsperbatch").map(_.toLong)
     maxPer.foreach(m => require(m > 0, s"maxVersionsPerBatch must be > 0, got $m"))
-    // endingVersion=N: changes of versions <= N only (bounded backfill)
-    val end = p.get("endingversion").map(_.toLong)
-    (tableDir, idCol, p, maxPer, end)
+    require(!(p.contains("endingversion") && p.contains("endingtimestamp")),
+      "endingVersion and endingTimestamp are mutually exclusive")
+    (tableDir, idCol, p, maxPer, p.get("endingversion").map(_.toLong))
   }
+
+  /** `endingVersion` / `endingTimestamp` as the bounded-backfill
+    * ceiling: changes of commits <= N, or of commits stamped at-or-
+    * before t ([[graft.operators.Versioned.versionAsOf]] — the same
+    * resolution batch time travel uses). None = unbounded. */
+  private def resolveEnd(spark: SparkSession, tableDir: String,
+                         p: Map[String, String],
+                         endVersion: Option[Long]): Option[Long] =
+    endVersion.orElse(p.get("endingtimestamp").map { ts =>
+      val millis = scala.util.Try(ts.toLong).getOrElse(
+        java.time.Instant.parse(ts).toEpochMilli)
+      Versioned.versionAsOf(spark, tableDir, millis).toLong
+    })
 
   /** The stream's BASE version from the starting options: changes of
     * every commit AFTER the base enter the stream.
@@ -280,7 +297,8 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     require(vs.nonEmpty, s"no versioned table at $tableDir")
     val base = initialBase(spark, metadataPath,
       resolveBase(spark, tableDir, opts, vs.max.toLong))
-    val source = new ChangeFeedSource(spark, tableDir, idCol, base, maxPer, end)
+    val source = new ChangeFeedSource(spark, tableDir, idCol, base, maxPer,
+      resolveEnd(spark, tableDir, opts, end))
     // the engine hands back the schema it captured at readStream.load();
     // the source just anchored its own at query start — a rename/widen
     // commit landing BETWEEN the two must refuse with the same typed

@@ -408,6 +408,12 @@ class ChangeFeedSourceSpec extends SparkSuite {
       === Set.empty,
       "a future probe anchors at latest: only commits landing later stream")
 
+    // endingTimestamp bounds the window by stamp: everything retained
+    // up to the mid-history probe is exactly v1
+    assert(streamedVersions("startingTimestamp" -> "0",
+        "endingTimestamp" -> probe.toString) === Set(1),
+      "an endingTimestamp ceiling drains only commits stamped <= t")
+
     val ex = intercept[IllegalArgumentException] {
       spark.readStream.format("graft-changes")
         .option("tableDir", t).option("idColumn", "doc_id")
@@ -416,6 +422,14 @@ class ChangeFeedSourceSpec extends SparkSuite {
         .load()
     }
     assert(ex.getMessage.contains("mutually exclusive"))
+    val ex2 = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changes")
+        .option("tableDir", t).option("idColumn", "doc_id")
+        .option("endingVersion", "2")
+        .option("endingTimestamp", probe.toString)
+        .load()
+    }
+    assert(ex2.getMessage.contains("mutually exclusive"))
   }
 
   test("crash recovery of the FIRST batch replays from the persisted initial base, not a re-resolved latest") {

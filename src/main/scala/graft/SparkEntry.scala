@@ -584,21 +584,22 @@ object SparkEntry {
     // construction) + codegen'd levenshtein verify in-join; corpus
     // plants one substitution twin per 10th title and one insertion
     // twin per 15th, so both edit kinds are exercised
+    // both fuzzy rows feed from the PINNED shared variants frame (the
+    // explode is their common prefix; each still pays its own bucket
+    // join + levenshtein verify — the part that IS the operator)
     "dedup_fuzzy" -> ((s, dir) =>
-      Dedup.editDistancePairs(titlesWithFuzzyDupes(s, dir),
-        textCol = "title", maxDist = 1)),
-    // the same pipeline through the Spark-SQL surface (pure built-ins:
-    // transform/sequence/levenshtein), held to the same oracle
+      Dedup.editDistancePairsFromVariants(fuzzyVariantsShared(s, dir),
+        "doc_id", "title", "var", maxDist = 1)),
+    // the same pipeline through the Spark-SQL surface (the join + the
+    // codegen'd levenshtein verify in SQL over the same variants view),
+    // held to the same oracle
     "sql_fuzzy" -> ((s, dir) => {
-      titlesWithFuzzyDupes(s, dir).createOrReplaceTempView("fuzzy_titles_sql")
+      fuzzyVariantsShared(s, dir).createOrReplaceTempView("fuzzy_vars_sql")
       s.sql("""
-        WITH v AS (SELECT doc_id, title,
-                          explode(array_distinct(transform(sequence(0, length(title)),
-                            i -> concat(substring(title, 1, i), substring(title, i + 2))))) AS var
-                   FROM fuzzy_titles_sql),
-        p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                     a.title AS ta, b.title AS tb
-              FROM v a JOIN v b ON a.var = b.var AND a.doc_id < b.doc_id)
+        WITH p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.title AS ta, b.title AS tb
+                   FROM fuzzy_vars_sql a JOIN fuzzy_vars_sql b
+                     ON a.var = b.var AND a.doc_id < b.doc_id)
         SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
         FROM p WHERE levenshtein(ta, tb) <= 1""")
     }),
@@ -1933,12 +1934,13 @@ object SparkEntry {
     // nearly the same docs as the exact-word path; identical Gumbel
     // noise on both sides isolates pure feature-collision drift
     "dsir_hashed_agreement" -> ((s, dir) => {
-      // the half slice bounds the tokenize+ratio work this gate re-pays
-      // per bench sweep; the contract is corpus-independent (identical
-      // Gumbel noise on both sides isolates pure feature-collision
-      // drift at ANY corpus), and the seed-token docs are uniform in id
-      // so the slice keeps the target set populated at every SF
-      val docs = parityHalf(Tables.documents(s, dir))
+      // the quarter slice bounds the tokenize+ratio work this gate
+      // re-pays per bench sweep; the contract is corpus-independent
+      // (identical Gumbel noise on both sides isolates pure feature-
+      // collision drift at ANY corpus), and the seed-token docs are
+      // uniform in id so the slice keeps the target set populated at
+      // every SF (df ~5% -> hundreds of seed docs even at sf0.01)
+      val docs = quarterSlice(Tables.documents(s, dir))
       val pred = array_contains(Dedup.tokens(col("text")), "dup")
       // one shared tokenization for both compared paths (gate policy:
       // the value is the comparison, not re-timing the explode)
@@ -2850,6 +2852,62 @@ object SparkEntry {
             "evolution drift: the mid-stream rename did not trip the " +
               "typed schema-drift refusal"))))
     }),
+    // GATED streaming small-file maintenance loop: 19 per-trigger sink
+    // commits pile one tiny file each onto the downstream table — the
+    // debt the r17 sink created and its nudge was blind to. The detail
+    // row must RECOMMEND on the small-file bars alone (no deletion
+    // vector anywhere), compactIfNeeded must collapse the files, the
+    // nudge must clear (all pinned in-plan), and the consolidated
+    // content must equal the upstream appends EXACTLY (floor 1.0). At
+    // 100 TB this is the scheduler tick that keeps a long-running
+    // ingest's table scannable.
+    "versioned_stream_compact" -> ((s, dir) => {
+      val (base, down, filesBefore, filesAfter, nudgedBefore, nudgedAfter) =
+        versionedStreamCompactInfo(s, dir)
+      val streamed = Versioned.read(s, down)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val expected = Versioned.read(s, base)
+        .filter(col("doc_id") >= 42000000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Recall.setAgreement(streamed, expected,
+          on = Seq("doc_id", "lang", "n_chars"), floor = 1.0, minCount = 1L)
+        .filter(when(lit(nudgedBefore && !nudgedAfter &&
+            filesBefore > filesAfter && filesAfter == 1), lit(true))
+          .otherwise(raise_error(concat(
+            lit("stream-compact drift: nudge before "), lit(nudgedBefore),
+            lit(", after "), lit(nudgedAfter),
+            lit(", files "), lit(filesBefore), lit(" -> "), lit(filesAfter)))))
+    }),
+    // GATED concurrent streaming sinks: two writers (distinct writerIds,
+    // checkpoints, sources) interleave 1-commit triggers into ONE table;
+    // every commit rebases through append's conflict loop, both writers'
+    // rows land, and each writer's replay guard holds independently
+    // (pinned in-plan). Final content equals the union of both upstream
+    // feeds EXACTLY (floor 1.0) — the first thing a multi-team medallion
+    // deployment does to a shared table.
+    "versioned_sink_concurrent" -> ((s, dir) => {
+      val (down, bothLanded, guards) = versionedSinkConcInfo(s, dir)
+      val streamed = Versioned.read(s, down)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      // ONE corpus scan: the per-commit re-key is pure modulo arithmetic
+      // (slice k of writer A re-keys +51M+k*1M, of writer B +61M+k*1M),
+      // so the replay folds into a single projection instead of a
+      // 12-way union of scans
+      val expected = Tables.documents(s, dir)
+        .select(
+          when(col("doc_id") % 12 < 6,
+            col("doc_id") + lit(51000000L) + (col("doc_id") % 12) * 1000000L)
+            .otherwise(
+              col("doc_id") + lit(61000000L) + (col("doc_id") % 12 - 6) * 1000000L)
+            .as("doc_id"),
+          col("lang"), col("n_chars"))
+      Recall.setAgreement(streamed, expected,
+          on = Seq("doc_id", "lang", "n_chars"), floor = 1.0, minCount = 1L)
+        .filter(when(lit(bothLanded && guards), lit(true))
+          .otherwise(raise_error(concat(
+            lit("concurrent sink drift: both writers landed "),
+            lit(bothLanded), lit(", replay guards intact "), lit(guards)))))
+    }),
     // BATCH DATASOURCE surface: the same corpus through
     // spark.read.format("graft-versioned") — the compatibility path for
     // plain-SQL/BI users — with a range filter Catalyst pushes into the
@@ -2875,6 +2933,33 @@ object SparkEntry {
       s.table(tbl)
         .filter(col("doc_id").between(300L, 499L))
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+    // SQL TIME TRAVEL through the DSv2 catalog: `VERSION AS OF 1` must
+    // serve exactly the first INSERT's slice — resolved by the engine's
+    // own time-travel syntax (TableCatalog.loadTable(ident, version)),
+    // not by re-registering the table with pinned reader options. The
+    // TIMESTAMP AS OF twin and the empty-v0 resolution are pinned
+    // in-plan (wall-clock stamps never enter the hashed output).
+    "versioned_sql_timetravel" -> ((s, dir) => {
+      val (tbl, facts) = versionedSqlInfo(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $tbl VERSION AS OF 1")
+        .filter(when(lit(facts), lit(true))
+          .otherwise(raise_error(lit(
+            "SQL time-travel drift: the MoR delete churned files, the " +
+              "timestamp probe missed v1, or VERSION AS OF 0 was non-empty"))))
+    }),
+    // ROW-LEVEL SQL DELETE through the DSv2 catalog: `DELETE FROM ...
+    // WHERE` commits ONE merge-on-read deletion vector (O(matched ids),
+    // zero data files churned — pinned in-plan) through the library's
+    // own delete path; the surviving latest content is the oracle's
+    // symbolic replay of the two inserts minus the predicate's matches.
+    "versioned_sql_delete" -> ((s, dir) => {
+      val (tbl, facts) = versionedSqlInfo(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $tbl")
+        .filter(when(lit(facts), lit(true))
+          .otherwise(raise_error(lit(
+            "SQL delete drift: the DELETE was not merge-on-read (files " +
+              "churned or no vector standing on doc_id)"))))
     }),
     // METADATA-ONLY COUNT: count(*) of the versioned corpus answered
     // from ONE manifest read — every commit records each file's exact
@@ -3211,6 +3296,24 @@ object SparkEntry {
           .otherwise(raise_error(concat(
             lit("compact gate: drift rows "), col("n_drift"),
             lit(", files "), col("files_before"), lit(" -> "), col("files_after")))))
+    }),
+    // the WHOLE maintenance tick as one driver-visible lifecycle (the
+    // scheduler loop a 100 TB deployment runs after every ingest
+    // window): ingest -> MoR delete piles mask debt over the 10% bar ->
+    // detail NUDGES (metadata-only) -> compactIfNeeded materializes ->
+    // nudge clears -> vacuum drops aged versions -> the reclaimed
+    // history refuses TYPED (VersionRetentionException, never a raw
+    // missing-file error) while count stays metadata-only. Content is
+    // fully DuckDB-oracled (the anti-filter); every tick fact is pinned
+    // in-plan.
+    "maintenance_tick" -> ((s, dir) => {
+      val (path, facts) = maintenanceTickInfo(s, dir)
+      Versioned.read(s, path)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(when(lit(facts), lit(true))
+          .otherwise(raise_error(lit(
+            "maintenance tick drift: nudge/compact/vacuum/typed-retention " +
+              "sequence broke (see maintenanceTickInfo facts)"))))
     }),
     // --- interchange-format sources (O1 family): what the engine
     //     writes it re-reads identically. The fixture text is benign,
@@ -3956,6 +4059,73 @@ object SparkEntry {
           Versioned.versionAsOf(s, path, ts(2) + 3600000L) == 2)
     })
 
+  /** DSv2 catalog lifecycle driven ENTIRELY through SQL, built once per
+    * (ctx, dir): a [[graft.sources.VersionedCatalog]] registered on the
+    * session conf (warehouse under tmpdir), then
+    * CREATE TABLE (idColumn/statsColumn properties; v0 = empty
+    * schema-stamped commit) -> INSERT INTO..SELECT the even-id docs
+    * (v1) -> INSERT INTO..SELECT every-5th docs re-keyed +31M (v2) ->
+    * DELETE FROM WHERE doc_id % 7 = 3 (v3, merge-on-read: the commit
+    * writes one id sidecar, churns zero data files). Returns the
+    * fully-qualified table name and the pinned facts: the delete was
+    * MoR (files identical v2 -> v3, vector standing, keyed on doc_id),
+    * a TIMESTAMP AS OF probe between the v1/v2 stamps counts exactly
+    * v1, and VERSION AS OF 0 is empty. The plain-SQL user's second,
+    * third and fourth statements — the wall the v1 provider left. */
+  private val versionedSqlBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean)]
+  private def versionedSqlInfo(s: SparkSession, dir: String)
+      : (String, Boolean) =
+    versionedSqlBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val key = artifactKey(dir).replace('.', '_').replace('-', '_')
+      val cat = s"graft_sql_$key"
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_sql/$key"
+      val whRoot = new org.apache.hadoop.fs.Path(wh)
+      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(whRoot)) fs.delete(whRoot, true)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.VersionedCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val view = s"graft_sql_docs_$key"
+      Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) TBLPROPERTIES ('idColumn' = 'doc_id', " +
+        "'statsColumn' = 'doc_id')")
+      s.sql(s"INSERT INTO $cat.docs SELECT doc_id, lang, n_chars " +
+        s"FROM $view WHERE doc_id % 2 = 0") // v1
+      Thread.sleep(10)
+      s.sql(s"INSERT INTO $cat.docs SELECT doc_id + 31000000, lang, n_chars " +
+        s"FROM $view WHERE doc_id % 5 = 0") // v2
+      val tdir = s"$wh/docs"
+      val filesBefore = Versioned.snapshot(s, tdir).files
+      // the predicate hits BOTH insert slices (re-keyed rows keep their
+      // lang); equality translates through the engine's v2->v1 filter
+      // shim — the SupportsDelete boundary: source-filter shapes commit,
+      // arbitrary expressions get the engine's typed cannot-delete
+      // error until the SupportsRowLevelOperations step
+      s.sql(s"DELETE FROM $cat.docs WHERE lang = 'de'") // v3 (MoR)
+      val after = Versioned.snapshot(s, tdir)
+      def stamp(v: Int) =
+        Versioned.snapshot(s, tdir, Some(v)).meta("committedAt").toLong
+      val (t1, t2) = (stamp(1), stamp(2))
+      val v1Count = s.sql(s"SELECT count(*) FROM $cat.docs VERSION AS OF 1")
+        .head().getLong(0)
+      val tsCount =
+        if (t2 > t1) {
+          val probe = new java.sql.Timestamp((t1 + t2) / 2)
+          s.sql(s"SELECT count(*) FROM $cat.docs TIMESTAMP AS OF '$probe'")
+            .head().getLong(0)
+        } else v1Count // same-millisecond stamps: probe is ill-posed
+      (s"$cat.docs",
+        after.files == filesBefore && after.dvFiles.nonEmpty &&
+          after.dvCol.contains("doc_id") &&
+          Versioned.versions(s, tdir) == Seq(0, 1, 2, 3) &&
+          tsCount == v1Count &&
+          s.sql(s"SELECT count(*) FROM $cat.docs VERSION AS OF 0")
+            .head().getLong(0) == 0L)
+    })
+
   /** Change-feed lifecycle, built once per (ctx, dir): v0 = documents
     * over 8 files, v1 = append (pure inserts), v2 = copy-on-write upsert
     * (updates), v3 = merge-on-read delete of every doc_id % 9 == 4
@@ -4170,6 +4340,161 @@ object SparkEntry {
       val replaySkipped = last.isDefined && TableStream.commitBatch(
         Versioned.read(s, down).limit(1), down, last.get).isEmpty
       (base, down, commits && replaySkipped)
+    })
+
+  /** Maintenance-tick lifecycle, built once per (ctx, dir): init(4
+    * files) -> merge-on-read delete of every doc_id % 6 == 1 (~17%
+    * mask, over the 10% debt bar) -> `detail` must nudge ->
+    * `compactIfNeeded` must materialize (one commit) and clear the
+    * nudge -> `vacuum(keepVersions=2)` reclaims the pre-compact
+    * versions -> reading reclaimed history throws the TYPED
+    * VersionRetentionException and the latest count stays
+    * metadata-only. Records (path, all facts held). */
+  private val maintenanceTickBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean)]
+  private def maintenanceTickInfo(s: SparkSession, dir: String)
+      : (String, Boolean) =
+    maintenanceTickBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_maintenance_tick/${artifactKey(dir)}"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.repartition(4), path) // v0
+      Versioned.deleteIdsMergeOnRead(
+        docs.filter(col("doc_id") % 6 === 1).select("doc_id"),
+        path, "doc_id") // v1: ~17% mask
+      def nudged() = Versioned.detail(s, path).head()
+        .getAs[Boolean]("needs_compaction")
+      val nudgedAfterDelete = nudged()
+      val ticked = Versioned.compactIfNeeded(s, path) // v2: materialize
+      val clearedAfterTick = !nudged() &&
+        Versioned.compactIfNeeded(s, path).isEmpty // idempotent
+      val swept = Versioned.vacuum(s, path, keepVersions = 2)
+      val typedRetention =
+        try { Versioned.read(s, path, Some(0)); false }
+        catch { case _: Versioned.VersionRetentionException => true }
+      val cnt = Versioned.countAt(s, path)
+      val metadataCount = cnt.metadataOnly &&
+        cnt.count == Versioned.read(s, path).count()
+      (path,
+        nudgedAfterDelete && ticked.contains(2) && clearedAfterTick &&
+          swept.droppedVersions.nonEmpty && typedRetention && metadataCount)
+    })
+
+  /** Streaming small-file debt lifecycle, built once per (ctx, dir):
+    * a base table takes 19 per-trigger appends; the change feed streams
+    * them (capped 1/batch) through the `graft-versioned` SINK into a
+    * downstream table — one tiny file per trigger, the debt profile the
+    * sink's own docs warn about. The maintenance loop then has to close
+    * itself: `detail` must NUDGE (small-file bars — no deletion vector
+    * anywhere), `compactIfNeeded` must collapse the files, and the
+    * nudge must clear. Records (basePath, downPath, filesBefore,
+    * filesAfter, nudgedBefore, nudgedAfter). */
+  private val versionedStreamCompactBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, String, Int, Int, Boolean, Boolean)]
+  private def versionedStreamCompactInfo(s: SparkSession, dir: String)
+      : (String, String, Int, Int, Boolean, Boolean) =
+    versionedStreamCompactBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_scompact/${artifactKey(dir)}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val (base, down) = (s"$root/base", s"$root/down")
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      Versioned.init(docs.filter(col("doc_id") % 3 === 0).repartition(2), base)
+      // 19 per-trigger ingests: each a small disjoint re-keyed slice
+      (0 until 19).foreach { k =>
+        Versioned.append(docs.filter(col("doc_id") % 19 === k)
+          .select((col("doc_id") + lit(42000000L) + lit(k.toLong * 1000000L))
+            .as("doc_id"), col("lang"), col("n_chars"))
+          .repartition(1), base)
+      }
+      val q = s.readStream.format("graft-changes")
+        .option("tableDir", base).option("idColumn", "doc_id")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .filter(col("change") === "insert")
+        .select(col("doc_id"), col("lang_new").as("lang"),
+          col("n_chars_new").as("n_chars"))
+        .writeStream.format("graft-versioned")
+        .option("tableDir", down)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      def state() = {
+        val d = Versioned.detail(s, down).head()
+        (d.getAs[Int]("num_files"), d.getAs[Boolean]("needs_compaction"))
+      }
+      val (filesBefore, nudgedBefore) = state()
+      Versioned.compactIfNeeded(s, down): Unit
+      val (filesAfter, nudgedAfter) = state()
+      (base, down, filesBefore, filesAfter, nudgedBefore, nudgedAfter)
+    })
+
+  /** CONCURRENT streaming sinks, built once per (ctx, dir): two writers
+    * — distinct `writerId`s, distinct checkpoints, distinct change-feed
+    * sources — ingest into ONE downstream table with their triggers
+    * genuinely interleaved (both queries live simultaneously, 1-commit
+    * batches). Every commit lands through append's conflict REBASE;
+    * each writer's replay guard stays intact (its own high-water batch
+    * id skips). Records (downPath, bothLanded, replayGuardsIntact). */
+  private val versionedSinkConcBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean, Boolean)]
+  private def versionedSinkConcInfo(s: SparkSession, dir: String)
+      : (String, Boolean, Boolean) =
+    versionedSinkConcBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_sinkconc/${artifactKey(dir)}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val (baseA, baseB, down) = (s"$root/a", s"$root/b", s"$root/down")
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      // two disjoint upstream tables, 6 commits each past the baseline
+      Versioned.init(docs.filter(col("doc_id") % 11 === 1).repartition(1), baseA)
+      Versioned.init(docs.filter(col("doc_id") % 11 === 2).repartition(1), baseB)
+      (0 until 6).foreach { k =>
+        Versioned.append(docs.filter(col("doc_id") % 12 === k)
+          .select((col("doc_id") + lit(51000000L) + lit(k.toLong * 1000000L))
+            .as("doc_id"), col("lang"), col("n_chars")).repartition(1), baseA)
+        Versioned.append(docs.filter(col("doc_id") % 12 === (k + 6))
+          .select((col("doc_id") + lit(61000000L) + lit(k.toLong * 1000000L))
+            .as("doc_id"), col("lang"), col("n_chars")).repartition(1), baseB)
+      }
+      def sink(base: String, writer: String) =
+        s.readStream.format("graft-changes")
+          .option("tableDir", base).option("idColumn", "doc_id")
+          .option("startingVersion", "earliest")
+          .option("maxVersionsPerBatch", "1")
+          .load()
+          .filter(col("change") === "insert")
+          .select(col("doc_id"), col("lang_new").as("lang"),
+            col("n_chars_new").as("n_chars"))
+          .writeStream.format("graft-versioned")
+          .option("tableDir", down)
+          .option("writerId", writer)
+          .option("checkpointLocation", s"$root/ckpt_$writer")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      // both queries LIVE at once: their 1-commit triggers interleave on
+      // the shared table, so commits exercise the rebase path for real
+      val (qa, qb) = (sink(baseA, "wa"), sink(baseB, "wb"))
+      try { qa.awaitTermination(); qb.awaitTermination() }
+      finally { qa.stop(); qb.stop() }
+      val bothLanded =
+        Versioned.read(s, down).filter(col("doc_id") >= 51000000L &&
+          col("doc_id") < 61000000L).count() > 0 &&
+        Versioned.read(s, down).filter(col("doc_id") >= 61000000L).count() > 0
+      // each writer's replay guard: re-committing its own high-water
+      // batch id under its own writerId is a no-op
+      val guards = Seq("wa", "wb").forall { w =>
+        val last = Versioned.lastBatchId(s, down, Some(w))
+        last.isDefined && TableStream.commitBatch(
+          Versioned.read(s, down).limit(1), down, last.get, w).isEmpty
+      }
+      (down, bothLanded, guards)
     })
 
   /** Mid-stream SCHEMA EVOLUTION lifecycle, built once per (ctx, dir):
@@ -5323,6 +5648,22 @@ object SparkEntry {
       Dedup.duplicateSpans(docsWithNearDupes(s, dir), n = 10)
     }
 
+  /** The fuzzy-title corpus's deletion-neighborhood variants (doc_id,
+    * title, var — one row per <=1-deletion variant), pinned once per
+    * (context, dir): `dedup_fuzzy` and its SQL-surface twin `sql_fuzzy`
+    * explode the SAME variants of the SAME titles — the explode is the
+    * pipelines' shared prefix (the dedup_spans/dedup_span_clean
+    * precedent), and each row's own value is the bucket join + verify
+    * it still pays in full. Narrow frame: id + two short strings per
+    * variant, ~25 variants per 24-char title. */
+  private def fuzzyVariantsShared(s: SparkSession, dir: String): DataFrame =
+    sharedSigFrame(s, dir, "fuzzy_vars") {
+      Dedup.deletionVariants(titlesWithFuzzyDupes(s, dir),
+          "doc_id", "title", maxDist = 1)
+        .select(col("doc_id"), col("__t").as("title"),
+          explode(col("__vars")).as("var"))
+    }
+
   /** Parity-half duplicate components (split_leakage_safe's input
     * pipeline), pinned once per (context, dir): the split row's value
     * is the component-keyed assignment; the components pipeline keeps
@@ -5590,6 +5931,12 @@ object SparkEntry {
     * on whatever corpus they see); flagship rows never do. */
   private def parityHalf(df: DataFrame, idCol: String = "doc_id"): DataFrame =
     df.filter((col(idCol) % 10000000L % 2L) === 0L)
+
+  /** Quarter twin of [[parityHalf]] — the slice for gates whose contract
+    * is corpus-independent and whose cost is dominated by per-doc
+    * tokenize/explode work repaid every bench sweep. */
+  private def quarterSlice(df: DataFrame, idCol: String = "doc_id"): DataFrame =
+    df.filter((col(idCol) % 10000000L % 4L) === 0L)
 
   /** documents plus near-copies (three words appended) of every 10th doc. */
   private def docsWithNearDupes(s: SparkSession, dir: String): DataFrame = {
@@ -6040,10 +6387,29 @@ object SparkEntry {
                     FROM u)
          SELECT doc_id, lang, n_chars FROM r
          WHERE rn = 1 AND doc_id BETWEEN 300 AND 499""",
+    // VERSION AS OF 1 through the DSv2 catalog = exactly the first SQL
+    // insert's slice (the second insert and the delete came later)
+    "versioned_sql_timetravel" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0""",
+    // latest through the DSv2 catalog = both insert slices minus the
+    // DELETE predicate's matches (the re-keyed slice keeps its lang,
+    // so the delete hits both)
+    "versioned_sql_delete" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
+                    WHERE doc_id % 2 = 0
+                    UNION ALL
+                    SELECT doc_id + 31000000 AS doc_id, lang, n_chars
+                    FROM documents WHERE doc_id % 5 = 0)
+         SELECT doc_id, lang, n_chars FROM t WHERE lang <> 'de'""",
     // merge-on-read delete: masked (and then materialized) content is
     // the plain anti-filter over the original projection
     "versioned_delete_mor" ->
       """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 3""",
+    // the maintenance tick's surviving content: the MoR delete's
+    // anti-filter, unchanged by compact (row-identical) and vacuum
+    // (reclaims history, never the latest)
+    "maintenance_tick" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 6 <> 1""",
     // the audit frame replayed as literals (8-file init, zero-churn MoR
     // delete, compact folding 8 -> 1 at these corpus sizes, restore
     // bringing the masked state back); the standing mask debt dv_rows

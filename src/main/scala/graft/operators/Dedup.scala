@@ -1138,9 +1138,25 @@ object Dedup {
       else vars.withColumn("__rn", row_number().over(
           Window.partitionBy(col("__v")).orderBy(col(idCol))))
         .filter(col("__rn") <= maxBucketMembers)
-    val a = ranked.select(col(idCol).as("id_a"), col("__t").as("__ta"), col("__v"))
-    val b = ranked.select(col(idCol).as("id_b"), col("__t").as("__tb"), col("__v"))
-    a.join(b, "__v")
+    editDistancePairsFromVariants(ranked, idCol, "__t", "__v", maxDist)
+  }
+
+  /** The bucket-join + verify half of [[editDistancePairs]] over an
+    * ALREADY-EXPLODED variants frame (`idCol`, `textCol`, `varCol` —
+    * one row per deletion variant): callers that run several pipelines
+    * over the same corpus (the DataFrame and SQL surfaces, an
+    * incremental ingest's standing side) can pin the variant explode
+    * once and pay only the join per consumer. Semantics are exactly
+    * [[editDistancePairs]]' — the variants frame is the pipeline's only
+    * state. */
+  def editDistancePairsFromVariants(vars: DataFrame, idCol: String,
+                                    textCol: String, varCol: String,
+                                    maxDist: Int): DataFrame = {
+    val a = vars.select(col(idCol).as("id_a"), col(textCol).as("__ta"),
+      col(varCol).as("__jv"))
+    val b = vars.select(col(idCol).as("id_b"), col(textCol).as("__tb"),
+      col(varCol).as("__jv"))
+    a.join(b, "__jv")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "__ta", "__tb").distinct()
       .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))

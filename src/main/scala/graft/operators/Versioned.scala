@@ -852,8 +852,24 @@ object Versioned {
     // of physical rows (the scan streams 10% dead weight). Unknown
     // row counts (legacy manifests, dvR = -1) recommend on file count
     // alone — never a false "healthy".
+    // SMALL-FILE DEBT is the second bar: a streaming sink commits one
+    // file per row-bearing trigger, so a long-running ingest piles up
+    // files every scan must open and manifest arithmetic grows with —
+    // the exact debt the sink's own docs tell the operator to amortize.
+    // Recommend when the file count exceeds its bar AND the MEAN rows
+    // per file sit under the small-file floor (rows, not bytes: the
+    // manifest records exact per-file counts, so the test stays pure
+    // metadata — zero namenode calls on a million-file table; a healthy
+    // large corpus has many files but target-sized ones, so the mean
+    // clears the floor). Unknown row counts stay SILENT on this bar
+    // (asymmetric to the DV bars deliberately: the nudge drives
+    // compactIfNeeded's automated full rewrite, and a legacy manifest
+    // cannot distinguish a healthy million-file corpus from debt — a
+    // false recommendation here is a 100 TB rewrite, not a masked read).
     val needsCompaction = dvF > DvFileDebtThreshold ||
-      (dvR > 0 && totR > 0 && dvR.toDouble / totR >= DvRowDebtRatio)
+      (dvR > 0 && totR > 0 && dvR.toDouble / totR >= DvRowDebtRatio) ||
+      (snap.files.size > SmallFileCountThreshold && totR >= 0 &&
+        totR.toDouble / snap.files.size < SmallFileMeanRows)
     spark.createDataFrame(Seq((
         snap.version,
         snap.meta.getOrElse("op", "unknown"),
@@ -876,17 +892,55 @@ object Versioned {
   private[graft] val DvFileDebtThreshold = 8
   private[graft] val DvRowDebtRatio = 0.10
 
+  /** [[detail]]'s small-file bars: recommend compaction once MORE than
+    * this many live files average FEWER than this many rows each — the
+    * debt profile of per-trigger streaming commits (thousands of tiny
+    * files), never of a healthy large corpus (many files, target-sized).
+    * Rows proxy bytes so the test stays manifest-only. */
+  private[graft] val SmallFileCountThreshold = 16
+  private[graft] val SmallFileMeanRows = 65536L
+
   /** Act on [[detail]]'s `needs_compaction` nudge: compact ONLY when
-    * the debt bars recommend it, returning the committed version (None
-    * = healthy, zero commits, one manifest read). The idempotent
-    * maintenance tick a scheduler calls after every ingest window —
-    * at 100 TB the decision must be metadata-only and the rewrite must
-    * run only when a scan is actually paying for the standing mask. */
+    * the debt bars recommend it — standing merge-on-read mask debt OR
+    * small-file debt (the per-trigger files a long-running
+    * [[graft.streaming.VersionedSink]] ingest accumulates) — returning
+    * the committed version (None = healthy, zero commits, one manifest
+    * read). The idempotent maintenance tick a scheduler calls after
+    * every ingest window — at 100 TB the decision must be metadata-only
+    * and the rewrite must run only when a scan is actually paying for
+    * the standing mask or the file fan-in. Layout-preserving: a
+    * z-ordered table re-clusters on its own dims (byte-sized range
+    * count), everything else folds through [[compact]]. */
   def compactIfNeeded(spark: SparkSession, tableDir: String,
                       targetBytes: Long = 128L << 20): Option[Int] = {
     val nudged = detail(spark, tableDir)
       .select(col("needs_compaction")).head().getBoolean(0)
-    if (nudged) Some(compact(spark, tableDir, targetBytes)) else None
+    if (!nudged) None
+    else {
+      // LAYOUT-PRESERVING tick: a z-ordered table re-clusters on its own
+      // dims (plain compact would fold the files but silently demote the
+      // multi-dimensional pruning the operator paid for), with the range
+      // count sized by bytes exactly like compact sizes its files — so
+      // the tick CONVERGES (a tiny debt-ridden table folds to one file
+      // and goes healthy, never re-nudging itself). zorder.dims records
+      // the names the files carry (physical); a rename since the last
+      // rewrite moved only the logical label, so translate before
+      // scanning the logical view.
+      val snap = snapshot(spark, tableDir)
+      val dims = snap.meta.get("zorder.dims").filter(_.nonEmpty)
+        .map { ds =>
+          val toLogical = colMap(snap).map(_.swap)
+          ds.split(',').toSeq.map(c => toLogical.getOrElse(c, c))
+        }
+      Some(dims match {
+        case Some(ds) =>
+          val f = fs(spark, new Path(tableDir))
+          val total = snap.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+          val ranges = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+          compactZOrder(spark, tableDir, ds, numRanges = ranges)
+        case None => compact(spark, tableDir, targetBytes)
+      })
+    }
   }
 
   /** Resolve "the table as of time t": the NEWEST version whose commit
@@ -931,10 +985,21 @@ object Versioned {
     * forward-looking twin): None when every retained commit predates t
     * (the stream should serve only future commits). Walks newest-first
     * from the pointer like [[versionAsOf]]; pre-stamping manifests fall
-    * back to file mtime the same way. */
+    * back to file mtime the same way.
+    *
+    * Retention discipline matches [[versionAsOf]]: when the walk
+    * exhausts at a vacuum horizon (oldest retained version > 0) whose
+    * stamp is still AFTER t, commits stamped between t and the horizon
+    * were removed — answering with the oldest retained version would
+    * make a "changes since t" CDC replay silently omit them, so it
+    * throws [[VersionRetentionException]] instead. On a full-history
+    * table (v0 retained) the same probe legitimately anchors at v0:
+    * nothing before the first commit can be missing. */
   def versionAtOrAfter(spark: SparkSession, tableDir: String,
                        tsMillis: Long): Option[Int] = {
     var candidate: Option[Int] = None
+    var oldestSeen = -1
+    var oldestTs = Long.MaxValue
     versionsNewestFirst(spark, tableDir).foreach { v =>
       val ts = manifestLines(spark, tableDir, v)
         .collectFirst { case l if l.startsWith("#committedAt=") =>
@@ -943,9 +1008,15 @@ object Versioned {
           val p = manifestPath(tableDir, v)
           fs(spark, p).getFileStatus(p).getModificationTime
         }
-      if (ts >= tsMillis) candidate = Some(v)
+      if (ts >= tsMillis) { candidate = Some(v); oldestSeen = v; oldestTs = ts }
       else return candidate
     }
+    if (oldestSeen > 0 && oldestTs > tsMillis)
+      throw new VersionRetentionException(
+        s"history of $tableDir before version $oldestSeen was removed by " +
+          s"vacuum; a 'changes since $tsMillis' replay would silently omit " +
+          s"the vacuumed commits stamped before $oldestTs — the oldest " +
+          "retained commit")
     candidate
   }
 
@@ -2367,24 +2438,32 @@ object Versioned {
           StructField("version", IntegerType, nullable = false),
           StructField("op", StringType, nullable = false))))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), out)
-    } else if (steps.size <= MaxFeedPlanBranches)
-      steps.reduce(_ unionByName _)
-    else
+    } else {
       // PLAN-GROWTH BOUND for long synchronous backfills: one union
       // branch per step is right for the streaming source's paced
       // ranges, but changeFeed(0, 10_000) direct would hand Catalyst a
       // ten-thousand-branch plan whose driver-side analysis dominates
-      // the read. Above the cap, steps fold in chunks of
+      // the read. Above the cap, steps fold RECURSIVELY in chunks of
       // [[MaxFeedPlanBranches]], each chunk materialized to a local
       // checkpoint (eager — the backfill pays its compute here, which
-      // is what a backfill does anyway); the final plan unions plain
-      // pre-computed legs, so no Catalyst plan in the chain ever
-      // carries more than the cap's branches. Callers needing paced,
-      // lazy consumption of a long range use the streaming source with
-      // maxVersionsPerBatch instead.
-      steps.grouped(MaxFeedPlanBranches)
-        .map(chunk => chunk.reduce(_ unionByName _).localCheckpoint(true))
-        .reduce(_ unionByName _)
+      // is what a backfill does anyway), and the checkpointed legs fold
+      // again under the same cap — so no Catalyst plan at ANY level of
+      // the chain carries more than the cap's branches (a flat single-
+      // level fold would hand the top union > cap legs past cap^2
+      // steps). Trade documented: localCheckpoint blocks are
+      // UNREPLICATED executor state pinned for the session — a lost
+      // executor fails the backfill (re-run it; the source data is
+      // durable), and the blocks free only with the session/context,
+      // the price of not re-planning ten thousand steps. Callers
+      // needing paced, lazy consumption of a long range use the
+      // streaming source with maxVersionsPerBatch instead.
+      def fold(legs: Seq[DataFrame]): DataFrame =
+        if (legs.size <= MaxFeedPlanBranches) legs.reduce(_ unionByName _)
+        else fold(legs.grouped(MaxFeedPlanBranches)
+          .map(chunk => chunk.reduce(_ unionByName _).localCheckpoint(true))
+          .toSeq)
+      fold(steps)
+    }
   }
 
   /** Union-branch cap for a synchronous [[changeFeed]] plan (chunks

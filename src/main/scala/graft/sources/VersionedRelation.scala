@@ -41,7 +41,9 @@ import graft.operators.Versioned
   * ecosystem reach (BI tools, plain-SQL users, `createOrReplaceTempView`)
   * where compatibility outranks the last cycle. */
 class VersionedRelation(override val sqlContext: SQLContext,
-                        tableDir: String, version: Option[Int])
+                        tableDir: String, version: Option[Int],
+                        statsCol: Option[String] = None,
+                        bloomCol: Option[String] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark = sqlContext.sparkSession
@@ -49,9 +51,13 @@ class VersionedRelation(override val sqlContext: SQLContext,
   /** `INSERT INTO` on a catalog-registered table (and
     * `df.write.insertInto`): routes through [[Versioned.append]], so
     * constraints, conflict rebase, and schema-evolution rules gate SQL
-    * ingests exactly like library ones. `INSERT OVERWRITE` refuses
-    * typed for the same reason `SaveMode.Overwrite` does; a
-    * time-traveled relation refuses — commits land on latest only. */
+    * ingests exactly like library ones — and the relation's creation-
+    * time `statsColumn`/`bloomColumn` options ride along, so a table
+    * registered with a pruning layout KEEPS it on every SQL ingest
+    * (exactly as createRelation-with-data and the streaming sink do).
+    * `INSERT OVERWRITE` refuses typed for the same reason
+    * `SaveMode.Overwrite` does; a time-traveled relation refuses —
+    * commits land on latest only. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(version.isEmpty,
       "INSERT into a time-traveled relation is not allowed — a commit " +
@@ -62,7 +68,8 @@ class VersionedRelation(override val sqlContext: SQLContext,
         "graft-versioned refuses INSERT OVERWRITE: replacing a versioned " +
           "corpus silently would bypass its audit history — express the " +
           "rewrite as commits (deleteIds + append, or restore)")
-    Versioned.append(data, tableDir): Unit
+    Versioned.append(data, tableDir, statsCol = statsCol,
+      bloomCol = bloomCol): Unit
   }
 
   /** Resolved ONCE: "latest" pins to a concrete version here, so the
@@ -305,6 +312,7 @@ class VersionedSourceProvider extends RelationProvider
         Some(Versioned.versionAsOf(spark, tableDir, millis))
       case (None, None)       => None
     }
-    new VersionedRelation(sqlContext, tableDir, version)
+    new VersionedRelation(sqlContext, tableDir, version,
+      p.get("statscolumn"), p.get("bloomcolumn"))
   }
 }

@@ -52,7 +52,11 @@ import graft.operators.Versioned
   *   - `endingTimestamp` (optional, exclusive with endingVersion):
   *     the same ceiling resolved by commit stamp — changes of commits
   *     stamped at-or-before t ("replay last week's window"), via the
-  *     batch time-travel resolution.
+  *     batch time-travel resolution. Must name an ALREADY-COMMITTED
+  *     past instant: the ceiling resolves once at query start, so a
+  *     future t pins at the start-time latest (late-landing commits
+  *     stamped <= t are the next run's window), and a t before the
+  *     first retained commit refuses typed.
   *
   * Scale posture: `getOffset` is one manifest-directory listing;
   * `getBatch` plans (lazily) the feed's pruned reads. Nothing here
@@ -236,14 +240,29 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
   /** `endingVersion` / `endingTimestamp` as the bounded-backfill
     * ceiling: changes of commits <= N, or of commits stamped at-or-
     * before t ([[graft.operators.Versioned.versionAsOf]] — the same
-    * resolution batch time travel uses). None = unbounded. */
+    * resolution batch time travel uses). None = unbounded.
+    *
+    * `endingTimestamp` must refer to an ALREADY-COMMITTED PAST instant:
+    * the ceiling resolves ONCE at query start, so a future t pins it at
+    * the start-time latest version — commits stamped <= t that land
+    * after the query starts are the NEXT run's window, exactly like
+    * commits landing mid-drain under Trigger.AvailableNow. A t before
+    * the first retained commit refuses with a stream-specific message
+    * (there is no commit for the window to end at). */
   private def resolveEnd(spark: SparkSession, tableDir: String,
                          p: Map[String, String],
                          endVersion: Option[Long]): Option[Long] =
     endVersion.orElse(p.get("endingtimestamp").map { ts =>
       val millis = scala.util.Try(ts.toLong).getOrElse(
         java.time.Instant.parse(ts).toEpochMilli)
-      Versioned.versionAsOf(spark, tableDir, millis).toLong
+      try Versioned.versionAsOf(spark, tableDir, millis).toLong
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"endingTimestamp $millis predates the first retained commit of " +
+            s"$tableDir — the bounded window has no commit to end at; pass " +
+            "a stamp of an already-committed past instant " +
+            s"(${e.getMessage})", e)
+      }
     })
 
   /** The stream's BASE version from the starting options: changes of
@@ -274,6 +293,17 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
         }
     }
 
+  /** Schema this provider instance derived at `readStream.load()` time,
+    * keyed by (tableDir, idColumn). The engine resolves sourceSchema
+    * (load) and createSource (query start) through ONE DataSource —
+    * hence one provider instance — but hands createSource only the
+    * USER-specified schema, which this source forbids, so the provider
+    * must remember its own answer to detect a commit landing between
+    * the two calls. Instance state, not a file: each load() builds a
+    * fresh DataSource, so the capture never outlives its query. */
+  private val loadTimeSchemas =
+    scala.collection.concurrent.TrieMap.empty[(String, String), StructType]
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
@@ -284,8 +314,9 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     val spark = sqlContext.sparkSession
     val vs = Versioned.versions(spark, tableDir)
     require(vs.nonEmpty, s"no versioned table at $tableDir")
-    (shortName(),
-      Versioned.changeFeed(spark, tableDir, vs.max, vs.max, idCol).schema)
+    val derived = Versioned.changeFeed(spark, tableDir, vs.max, vs.max, idCol).schema
+    loadTimeSchemas((tableDir, idCol)) = derived
+    (shortName(), derived)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -299,12 +330,17 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       resolveBase(spark, tableDir, opts, vs.max.toLong))
     val source = new ChangeFeedSource(spark, tableDir, idCol, base, maxPer,
       resolveEnd(spark, tableDir, opts, end))
-    // the engine hands back the schema it captured at readStream.load();
-    // the source just anchored its own at query start — a rename/widen
-    // commit landing BETWEEN the two must refuse with the same typed
-    // drift error getBatch raises, not surface later as the engine's
-    // opaque positional-binding assertion
-    schema.foreach { captured =>
+    // the engine planned the query under the schema sourceSchema derived
+    // at readStream.load() (createSource's schema param carries only a
+    // USER schema, which this source forbids — the engine passes None
+    // here); the source just anchored its own at query start — a
+    // rename/widen commit landing BETWEEN the two must refuse with the
+    // same typed drift error getBatch raises, not surface later as the
+    // engine's opaque positional-binding assertion. The load-time shape
+    // comes from this provider instance's own sourceSchema capture (the
+    // engine calls both through one DataSource); an explicit schema
+    // param, if a direct caller passes one, is held to the same bar.
+    schema.orElse(loadTimeSchemas.get((tableDir, idCol))).foreach { captured =>
       def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
       if (shape(captured) != shape(source.schema))
         throw new IllegalStateException(

@@ -485,24 +485,59 @@ class ChangeFeedSourceSpec extends SparkSuite {
     Versioned.init(docs(), t) // v0
     val provider = new graft.streaming.ChangeFeedSourceProvider
     val params = Map("tableDir" -> t, "idColumn" -> "doc_id")
-    // load() captures the schema...
-    val captured = provider.sourceSchema(spark.sqlContext, None,
-      "graft-changes", params)._2
+    // the ENGINE-shaped call pair: DataSource resolves sourceSchema at
+    // readStream.load() and createSource at query start through ONE
+    // provider instance, passing createSource schema=None (this source
+    // forbids a user schema, so the engine never captures one) — the
+    // provider must remember its own load-time answer
+    provider.sourceSchema(spark.sqlContext, None, "graft-changes", params): Unit
     // ...then a rename commits before the query starts
     Versioned.renameColumn(spark, t, "n_chars", "len")
     val ex = intercept[IllegalStateException] {
       provider.createSource(spark.sqlContext, s"$root/ckpt2/sources/0",
-        Some(captured), "graft-changes", params)
+        None, "graft-changes", params)
     }
     assert(ex.getMessage.contains("schema drift"),
       s"expected the typed drift refusal, got: ${ex.getMessage}")
-    // an unchanged table starts clean under the same captured schema
+    // an unchanged table starts clean through the same instance pair
     val t2 = s"$root/t2"
     Versioned.init(docs(), t2)
-    val cap2 = provider.sourceSchema(spark.sqlContext, None, "graft-changes",
-      Map("tableDir" -> t2, "idColumn" -> "doc_id"))._2
+    val p2 = Map("tableDir" -> t2, "idColumn" -> "doc_id")
+    provider.sourceSchema(spark.sqlContext, None, "graft-changes", p2): Unit
     provider.createSource(spark.sqlContext, s"$root/ckpt3/sources/0",
-      Some(cap2), "graft-changes",
-      Map("tableDir" -> t2, "idColumn" -> "doc_id")): Unit
+      None, "graft-changes", p2): Unit
+    // a direct caller passing an explicit captured schema is held to
+    // the same bar (the pre-fix surface, kept honest)
+    val t3 = s"$root/t3"
+    Versioned.init(docs(), t3)
+    val p3 = Map("tableDir" -> t3, "idColumn" -> "doc_id")
+    val cap3 = (new graft.streaming.ChangeFeedSourceProvider)
+      .sourceSchema(spark.sqlContext, None, "graft-changes", p3)._2
+    Versioned.renameColumn(spark, t3, "n_chars", "len")
+    val ex3 = intercept[IllegalStateException] {
+      (new graft.streaming.ChangeFeedSourceProvider).createSource(
+        spark.sqlContext, s"$root/ckpt4/sources/0",
+        Some(cap3), "graft-changes", p3)
+    }
+    assert(ex3.getMessage.contains("schema drift"))
+  }
+
+  test("endingTimestamp refuses stream-specifically when t predates the first retained commit") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+    Versioned.init(docs(), t)
+    val firstStamp = Versioned.snapshot(spark, t, Some(0))
+      .meta("committedAt").toLong
+    // the ceiling resolves at query start (createSource), not load()
+    val ex = intercept[IllegalArgumentException] {
+      (new graft.streaming.ChangeFeedSourceProvider).createSource(
+        spark.sqlContext, s"$root/ckpt/sources/0", None, "graft-changes",
+        Map("tableDir" -> t, "idColumn" -> "doc_id",
+          "startingVersion" -> "earliest",
+          "endingTimestamp" -> (firstStamp - 60000L).toString))
+    }
+    assert(ex.getMessage.contains("predates the first retained commit"),
+      s"expected the stream-specific pre-history refusal, got: ${ex.getMessage}")
   }
 }

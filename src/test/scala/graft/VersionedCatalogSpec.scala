@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Versioned
+
+/** The DataSource V2 catalog: plain-SQL lifecycle over versioned
+  * tables — CREATE / INSERT / SELECT with `VERSION AS OF` /
+  * `TIMESTAMP AS OF` / row-level DELETE — with zero library imports on
+  * the user side. */
+class VersionedCatalogSpec extends SparkSuite {
+
+  private def freshCatalog(): (String, String) = {
+    val wh = Files.createTempDirectory("graft_cat_spec").toString
+    val name = s"gc${System.nanoTime().toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.VersionedCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    (name, wh)
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT round-trip through plain SQL") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, n BIGINT) " +
+      "TBLPROPERTIES ('idColumn' = 'doc_id', 'statsColumn' = 'doc_id')")
+    // v0 is an empty schema-stamped commit readable as an empty table
+    assert(spark.sql(s"SELECT * FROM $cat.docs").count() === 0)
+    assert(Versioned.versions(spark, s"$wh/docs") === Seq(0))
+
+    spark.sql(s"INSERT INTO $cat.docs VALUES (1, 'en', 10), (2, 'de', 20)")
+    spark.sql(s"INSERT INTO $cat.docs VALUES (3, 'en', 30)")
+    assert(Versioned.versions(spark, s"$wh/docs") === Seq(0, 1, 2),
+      "each SQL insert is one append commit")
+    assert(spark.sql(s"SELECT sum(n) FROM $cat.docs").head().getLong(0) === 60L)
+
+    // the recorded layout gates the SQL ingests: new entries carry stats
+    val entries = Versioned.snapshot(spark, s"$wh/docs").entries
+    assert(entries.nonEmpty && entries.forall(_.statsFor("doc_id").isDefined),
+      "SQL-ingested files must record the idColumn stats layout")
+
+    // filters push into the v2 scan and prune columns reach the relation
+    assert(spark.sql(s"SELECT lang FROM $cat.docs WHERE doc_id = 2")
+      .collect().map(_.getString(0)).toSeq === Seq("de"))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF resolve through the catalog") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.tt (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('idColumn' = 'id')")
+    spark.sql(s"INSERT INTO $cat.tt VALUES (1, 'first')")  // v1
+    Thread.sleep(10)
+    spark.sql(s"INSERT INTO $cat.tt VALUES (2, 'second')") // v2
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tt VERSION AS OF 1")
+      .head().getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tt VERSION AS OF 2")
+      .head().getLong(0) === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tt VERSION AS OF 0")
+      .head().getLong(0) === 0L, "v0 is the empty CREATE commit")
+
+    // TIMESTAMP AS OF between the two insert stamps serves v1 exactly
+    val t1 = Versioned.snapshot(spark, s"$wh/tt", Some(1))
+      .meta("committedAt").toLong
+    val t2 = Versioned.snapshot(spark, s"$wh/tt", Some(2))
+      .meta("committedAt").toLong
+    if (t2 > t1) {
+      val probe = new java.sql.Timestamp((t1 + t2) / 2)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.tt TIMESTAMP AS OF '$probe'")
+        .head().getLong(0) === 1L)
+    }
+    // a time-traveled resolution is read-only by capability
+    val ins = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.tt VERSION AS OF 1 VALUES (9, 'x')")
+    }
+    assert(ins != null)
+    // a non-integer version refuses typed
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.tt VERSION AS OF 'abc'").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(bad).exists(_.contains("integer commit version")),
+      s"expected the typed version error, got: ${bad.getMessage}")
+  }
+
+  test("DELETE FROM commits one merge-on-read vector through the library delete") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.d (id BIGINT, lang STRING, n BIGINT) " +
+      "TBLPROPERTIES ('idColumn' = 'id')")
+    spark.sql(s"INSERT INTO $cat.d SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, id * 7 " +
+      "FROM range(100)")
+    val filesBefore = Versioned.snapshot(spark, s"$wh/d").files
+
+    // a predicate that is NOT id-shaped: membership resolves through a
+    // real read, the commit is O(matched ids)
+    spark.sql(s"DELETE FROM $cat.d WHERE lang = 'de' AND n > 350")
+    val snap = Versioned.snapshot(spark, s"$wh/d")
+    assert(snap.files === filesBefore,
+      "the SQL delete must be merge-on-read: zero data files churn")
+    assert(snap.dvFiles.nonEmpty && snap.dvCol.contains("id"))
+    // deleted: odd ids with id*7 > 350 -> id in {51, 53, ..., 99} = 25
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d").head().getLong(0) === 75L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d WHERE lang = 'de'")
+      .head().getLong(0) === 25L)
+    // time travel still serves the pre-delete state
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d VERSION AS OF 1")
+      .head().getLong(0) === 100L)
+
+    // string-shaped predicates translate too
+    spark.sql(s"DELETE FROM $cat.d WHERE lang LIKE 'e%'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d").head().getLong(0) === 25L)
+
+    // DELETE on an id-less table refuses with the property hint
+    spark.sql(s"CREATE TABLE $cat.noid (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.noid VALUES (1)")
+    val ex = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.noid WHERE id = 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("idColumn")),
+      s"expected the idColumn property hint, got: ${ex.getMessage}")
+    // DELETE matching nothing commits nothing
+    val vBefore = Versioned.versions(spark, s"$wh/d").max
+    spark.sql(s"DELETE FROM $cat.d WHERE id = -1")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d").head().getLong(0) === 25L)
+    assert(Versioned.versions(spark, s"$wh/d").max >= vBefore)
+  }
+
+  test("catalog hygiene: list/drop/rename; external location, ALTER, unknown properties and OVERWRITE refuse") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.a (id BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.b (id BIGINT)")
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet === Set("a", "b"))
+
+    // the TO name is catalog-relative (a catalog prefix would read as a
+    // namespace segment)
+    spark.sql(s"ALTER TABLE $cat.a RENAME TO c")
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet === Set("b", "c"))
+    assert(Versioned.versions(spark, s"$wh/c").nonEmpty)
+
+    spark.sql(s"DROP TABLE $cat.c")
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet === Set("b"))
+    assert(!new java.io.File(s"$wh/c").exists(), "managed drop reclaims the dir")
+
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+
+    val loc = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ext (id BIGINT) LOCATION '/tmp/elsewhere'")
+    }
+    assert(msgs(loc).exists(_.contains("path-derived")),
+      s"expected the external-location refusal, got: ${loc.getMessage}")
+
+    val unk = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.t2 (id BIGINT) " +
+        "TBLPROPERTIES ('idColum' = 'id')") // typo'd key
+    }
+    assert(msgs(unk).exists(_.contains("unknown table properties")),
+      s"expected the unknown-property refusal, got: ${unk.getMessage}")
+
+    val alter = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.b SET TBLPROPERTIES ('idColumn' = 'id')")
+    }
+    assert(msgs(alter).exists(_.contains("ALTER TABLE is not supported")))
+
+    spark.sql(s"INSERT INTO $cat.b VALUES (1)")
+    val ow = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $cat.b VALUES (2)")
+    }
+    assert(ow != null, "INSERT OVERWRITE must refuse (no overwrite capability)")
+    assert(spark.sql(s"SELECT * FROM $cat.b").count() === 1,
+      "the refused overwrite publishes nothing")
+
+    // PARTITIONED BY refuses: the table owns its layout
+    val part = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.p (id BIGINT, d STRING) PARTITIONED BY (d)")
+    }
+    assert(msgs(part).exists(_.contains("physical layout")))
+  }
+}

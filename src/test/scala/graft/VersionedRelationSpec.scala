@@ -254,6 +254,31 @@ class VersionedRelationSpec extends SparkSuite {
     spark.sql("DROP TABLE graft_vrel_ddl")
   }
 
+  test("INSERT INTO keeps the table's statsColumn/bloomColumn pruning layout") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs(30), dir, statsCol = Some("doc_id"),
+      bloomCol = Some("lang"))
+    spark.sql("DROP TABLE IF EXISTS graft_vrel_layout")
+    spark.sql(s"CREATE TABLE graft_vrel_layout USING `graft-versioned` " +
+      s"OPTIONS (tableDir '$dir', statsColumn 'doc_id', bloomColumn 'lang')")
+    spark.sql("INSERT INTO graft_vrel_layout VALUES (9100, 'sq', 7)")
+    // the SQL-ingested file must carry the same manifest skipping
+    // metadata a library append with the layout options would — without
+    // it every readRange/readEquals after a SQL ingest silently
+    // degrades to keep-all on the new files
+    val v0Files = Versioned.snapshot(spark, dir, Some(0)).files.toSet
+    val newEntries = Versioned.snapshot(spark, dir).entries
+      .filterNot(e => v0Files(e.path))
+    assert(newEntries.nonEmpty, "the insert must add a file")
+    assert(newEntries.forall(e => e.statsFor("doc_id").isDefined),
+      "SQL-inserted files must record doc_id stats (the relation's " +
+        "creation-time statsColumn)")
+    assert(newEntries.forall(_.bloom.exists(_._1 == "lang")),
+      "SQL-inserted files must record the lang bloom filter")
+    spark.sql("DROP TABLE graft_vrel_layout")
+  }
+
   test("an EMPTY pre-schema-tracking version serves an empty relation via the nearest schema-bearing neighbor") {
     import spark.implicits._
     val dir = freshDir()

@@ -151,4 +151,79 @@ class VersionedSinkSpec extends SparkSuite {
       "the sinked table must hold exactly the feed's rows")
     assert(changes.filter(col("change") === "delete").count() === 1)
   }
+
+  test("write-side schema evolution: widening queries commit under evolution rules; a mid-run table drift refuses typed and a corrected restart adopts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = freshRoot()
+    val t = s"$root/t"
+
+    // a first stream establishes the table's two-column schema
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = in1.toDF().toDF("doc_id", "lang")
+      .writeStream.format("graft-versioned")
+      .option("tableDir", t)
+      .option("checkpointLocation", s"$root/ckpt1")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try { in1.addData((1L, "a")); q1.processAllAvailable() } finally q1.stop()
+
+    // a WIDER stream (new column) commits under append's evolution
+    // rules: the committed schema grows, old rows null-fill on read —
+    // exactly what a library append with the same delta does
+    val in2 = MemoryStream[(Long, String, Long)]
+    val q2 = in2.toDF().toDF("doc_id", "lang", "n_chars")
+      .writeStream.format("graft-versioned")
+      .option("tableDir", t)
+      .option("checkpointLocation", s"$root/ckpt2")
+      .option("writerId", "wide")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try { in2.addData((2L, "b", 20L)); q2.processAllAvailable() } finally q2.stop()
+    val widened = Versioned.read(spark, t)
+    assert(widened.columns.toSet === Set("doc_id", "lang", "n_chars"))
+    assert(widened.filter(col("doc_id") === 1L)
+      .select("n_chars").head().isNullAt(0),
+      "pre-evolution rows null-fill the new column")
+
+    // a TABLE-side drift landing mid-run (a rename committed by another
+    // writer) makes the sink's next commit refuse TYPED — the stream
+    // fails instead of silently committing retired names — and the
+    // failed batch publishes nothing
+    val in3 = MemoryStream[(Long, String, Long)]
+    val q3 = in3.toDF().toDF("doc_id", "lang", "n_chars")
+      .writeStream.format("graft-versioned")
+      .option("tableDir", t)
+      .option("checkpointLocation", s"$root/ckpt3")
+      .option("writerId", "drift")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val vBeforeDrift =
+      try {
+        in3.addData((3L, "c", 30L)); q3.processAllAvailable()
+        Versioned.renameColumn(spark, t, "n_chars", "len") // MID-RUN drift
+        val v = Versioned.versions(spark, t).max
+        in3.addData((4L, "d", 40L)) // still carries the retired name
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q3.processAllAvailable()
+        }
+        def msgs(e: Throwable): String = if (e == null) ""
+          else String.valueOf(e.getMessage) + msgs(e.getCause)
+        assert(msgs(ex).contains("rename"),
+          s"expected the typed retired-name refusal, got: ${ex.getMessage}")
+        v
+      } finally q3.stop()
+    assert(Versioned.versions(spark, t).max === vBeforeDrift,
+      "the refused batch must publish nothing")
+
+    // a corrected restart (input projected to the evolved name, fresh
+    // checkpoint+writer for the re-planned query) adopts and drains
+    val in4 = MemoryStream[(Long, String, Long)]
+    val q4 = in4.toDF().toDF("doc_id", "lang", "len")
+      .writeStream.format("graft-versioned")
+      .option("tableDir", t)
+      .option("checkpointLocation", s"$root/ckpt4")
+      .option("writerId", "adopt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try { in4.addData((4L, "d", 40L)); q4.processAllAvailable() } finally q4.stop()
+    assert(Versioned.read(spark, t).filter(col("doc_id") === 4L).count() === 1,
+      "the corrected restart must land the drifted batch's data")
+  }
 }

@@ -369,6 +369,105 @@ class VersionedSpec extends SparkSuite {
     assert(s2.deletedFiles === 0L && s2.droppedVersions.isEmpty, "vacuum is idempotent")
   }
 
+  test("versionAtOrAfter matches versionAsOf's retention discipline on vacuumed history") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir) // v0
+    Thread.sleep(5)
+    Versioned.append(Seq((3000L, "a1", 1L)).toDF("doc_id", "lang", "n_chars"), dir) // v1
+    Thread.sleep(5)
+    Versioned.append(Seq((3001L, "a2", 2L)).toDF("doc_id", "lang", "n_chars"), dir) // v2
+    def ts(v: Int) = Versioned.snapshot(spark, dir, Some(v)).meta("committedAt").toLong
+    val (t0, t1, t2) = (ts(0), ts(1), ts(2))
+    // full history: a pre-history probe legitimately anchors at v0
+    // (nothing before the first commit can be missing)
+    assert(Versioned.versionAtOrAfter(spark, dir, t0 - 60000L) === Some(0))
+    assert(Versioned.versionAtOrAfter(spark, dir, t2 + 60000L) === None,
+      "a future probe anchors nowhere — only future commits stream")
+
+    Versioned.vacuum(spark, dir, keepVersions = 2) // drops v0; horizon at v1
+    // a probe INSIDE retained history still resolves
+    assert(Versioned.versionAtOrAfter(spark, dir, t2).contains(2))
+    if (t1 > t0) {
+      // a probe BEFORE the horizon would silently omit the vacuumed
+      // commits a 'changes since t' replay owes — refuse typed, exactly
+      // as the batch twin versionAsOf does for t inside vacuumed history
+      val ex = intercept[Versioned.VersionRetentionException](
+        Versioned.versionAtOrAfter(spark, dir, t0))
+      assert(ex.getMessage.contains("vacuum"),
+        s"expected the retention refusal, got: ${ex.getMessage}")
+    }
+  }
+
+  test("detail's needs_compaction fires on small-file debt and compactIfNeeded clears it content-identically") {
+    import spark.implicits._
+    val dir = freshDir()
+    // the streaming-sink debt profile: one tiny file per trigger —
+    // 20 row-bearing commits of a handful of rows each
+    Versioned.init(Seq((0L, "s", 0L)).toDF("doc_id", "lang", "n_chars")
+      .repartition(1), dir)
+    (1 to 19).foreach { i =>
+      Versioned.append(Seq((i.toLong, "s", i.toLong))
+        .toDF("doc_id", "lang", "n_chars").repartition(1), dir)
+    }
+    def d() = Versioned.detail(spark, dir).head()
+    val before = d()
+    assert(before.getAs[Int]("num_files") === 20 &&
+      before.getAs[Int]("dv_files") === 0)
+    assert(before.getAs[Boolean]("needs_compaction"),
+      "20 files averaging one row each are exactly the small-file debt " +
+        "the nudge exists for — no deletion vector required")
+    val content = Versioned.read(spark, dir)
+      .select("doc_id", "lang", "n_chars").collect().toSet
+    val ticked = Versioned.compactIfNeeded(spark, dir)
+    assert(ticked.isDefined, "the maintenance tick must act on the nudge")
+    val after = d()
+    assert(after.getAs[Int]("num_files") === 1,
+      "the tick must collapse the per-trigger files")
+    assert(!after.getAs[Boolean]("needs_compaction"))
+    assert(Versioned.read(spark, dir)
+      .select("doc_id", "lang", "n_chars").collect().toSet === content,
+      "the consolidation rewrite must be content-identical")
+    // a healthy many-file table never trips the bar: more files than
+    // the count threshold but target-sized ones (mean rows over the
+    // floor) — the 100 TB corpus shape — stays un-nudged
+    val healthy = freshDir()
+    Versioned.init(
+      spark.range(17L * (Versioned.SmallFileMeanRows + 1L))
+        .select(col("id").as("doc_id")).repartition(17), healthy)
+    val h = Versioned.detail(spark, healthy).head()
+    assert(h.getAs[Int]("num_files") === 17 &&
+      !h.getAs[Boolean]("needs_compaction"),
+      "many target-sized files are a healthy corpus, not small-file debt")
+  }
+
+  test("compactIfNeeded preserves a z-ordered layout instead of silently demoting it") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir)
+    Versioned.compactZOrder(spark, dir, Seq("doc_id", "n_chars"), numRanges = 4)
+    // per-trigger small appends pile small-file debt onto the clustered
+    // table (the streaming-sink-into-a-z-ordered-table shape)
+    (0 until 20).foreach { i =>
+      Versioned.append(Seq((1000L + i, "s", i.toLong))
+        .toDF("doc_id", "lang", "n_chars").repartition(1), dir)
+    }
+    val content = Versioned.read(spark, dir)
+      .select("doc_id", "lang", "n_chars").collect().toSet
+    assert(Versioned.detail(spark, dir).head().getAs[Boolean]("needs_compaction"))
+    assert(Versioned.compactIfNeeded(spark, dir).isDefined)
+    val after = Versioned.detail(spark, dir).head()
+    assert(after.getAs[String]("zorder_dims") === "doc_id,n_chars",
+      "the maintenance tick must re-cluster, not demote the z-order " +
+        "layout a plain compact would drop")
+    assert(after.getAs[Int]("num_files") < 10 &&
+      !after.getAs[Boolean]("needs_compaction"),
+      "the byte-sized range count folds the debt and converges")
+    assert(Versioned.read(spark, dir)
+      .select("doc_id", "lang", "n_chars").collect().toSet === content,
+      "the re-clustering rewrite must be content-identical")
+  }
+
   test("mergeIfNewer: newer applies, stale/tie keep current, inserts land, replay is a no-op") {
     import spark.implicits._
     val dir = freshDir()
@@ -2115,7 +2214,10 @@ class VersionedSpec extends SparkSuite {
     assert(!d1.getAs[Boolean]("needs_compaction"),
       "1 masked row of 90 is under every debt bar — no nudge yet")
 
-    Versioned.compactZOrder(spark, dir, Seq("doc_id", "len"))
+    // 8 ranges: enough to exercise the clustered rewrite while staying
+    // under the small-file count bar (32 one-row range files on a
+    // 90-row toy table WOULD be small-file debt — correctly)
+    Versioned.compactZOrder(spark, dir, Seq("doc_id", "len"), numRanges = 8)
     val d2 = d()
     assert(d2.getAs[String]("zorder_dims") === "doc_id,len",
       "clustering layout is visible")

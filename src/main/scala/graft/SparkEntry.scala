@@ -2948,11 +2948,13 @@ object SparkEntry {
             "SQL time-travel drift: the MoR delete churned files, the " +
               "timestamp probe missed v1, or VERSION AS OF 0 was non-empty"))))
     }),
-    // ROW-LEVEL SQL DELETE through the DSv2 catalog: `DELETE FROM ...
-    // WHERE` commits ONE merge-on-read deletion vector (O(matched ids),
-    // zero data files churned — pinned in-plan) through the library's
-    // own delete path; the surviving latest content is the oracle's
-    // symbolic replay of the two inserts minus the predicate's matches.
+    // ROW-LEVEL SQL DELETE through the DSv2 catalog: each `DELETE FROM
+    // ... WHERE` commits one merge-on-read deletion vector (O(matched
+    // ids), zero data files churned — pinned in-plan) through the
+    // library's own delete path — including GENERAL-expression
+    // predicates (modulo arithmetic) no v1 source filter can carry;
+    // the surviving latest content is the oracle's symbolic replay of
+    // the two inserts minus both predicates' matches.
     "versioned_sql_delete" -> ((s, dir) => {
       val (tbl, facts) = versionedSqlInfo(s, dir)
       s.sql(s"SELECT doc_id, lang, n_chars FROM $tbl")
@@ -4099,12 +4101,14 @@ object SparkEntry {
         s"FROM $view WHERE doc_id % 5 = 0") // v2
       val tdir = s"$wh/docs"
       val filesBefore = Versioned.snapshot(s, tdir).files
-      // the predicate hits BOTH insert slices (re-keyed rows keep their
-      // lang); equality translates through the engine's v2->v1 filter
-      // shim — the SupportsDelete boundary: source-filter shapes commit,
-      // arbitrary expressions get the engine's typed cannot-delete
-      // error until the SupportsRowLevelOperations step
+      // two DELETE shapes: a plain source filter (lang equality — hits
+      // BOTH insert slices, the re-keyed rows keep their lang), then a
+      // GENERAL-EXPRESSION predicate (modulo arithmetic) that no v1
+      // filter can carry — the v2ToColumn translator replays it over
+      // the table's own scan, so SQL deletes are not limited to
+      // id-shaped or source-filter-shaped conditions
       s.sql(s"DELETE FROM $cat.docs WHERE lang = 'de'") // v3 (MoR)
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 7 = 3") // v4 (MoR, modulo)
       val after = Versioned.snapshot(s, tdir)
       def stamp(v: Int) =
         Versioned.snapshot(s, tdir, Some(v)).meta("committedAt").toLong
@@ -4120,7 +4124,7 @@ object SparkEntry {
       (s"$cat.docs",
         after.files == filesBefore && after.dvFiles.nonEmpty &&
           after.dvCol.contains("doc_id") &&
-          Versioned.versions(s, tdir) == Seq(0, 1, 2, 3) &&
+          Versioned.versions(s, tdir) == Seq(0, 1, 2, 3, 4) &&
           tsCount == v1Count &&
           s.sql(s"SELECT count(*) FROM $cat.docs VERSION AS OF 0")
             .head().getLong(0) == 0L)
@@ -6391,16 +6395,18 @@ object SparkEntry {
     // insert's slice (the second insert and the delete came later)
     "versioned_sql_timetravel" ->
       """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0""",
-    // latest through the DSv2 catalog = both insert slices minus the
-    // DELETE predicate's matches (the re-keyed slice keeps its lang,
-    // so the delete hits both)
+    // latest through the DSv2 catalog = both insert slices minus both
+    // DELETE predicates' matches: the lang equality (the re-keyed slice
+    // keeps its lang, so it hits both) and the general modulo
+    // expression over the TABLE's ids
     "versioned_sql_delete" ->
       """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
                     WHERE doc_id % 2 = 0
                     UNION ALL
                     SELECT doc_id + 31000000 AS doc_id, lang, n_chars
                     FROM documents WHERE doc_id % 5 = 0)
-         SELECT doc_id, lang, n_chars FROM t WHERE lang <> 'de'""",
+         SELECT doc_id, lang, n_chars FROM t
+         WHERE lang <> 'de' AND doc_id % 7 <> 3""",
     // merge-on-read delete: masked (and then materialized) content is
     // the plain anti-filter over the original projection
     "versioned_delete_mor" ->

@@ -10,6 +10,7 @@ import org.apache.spark.sql.{Column => _, _}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -226,7 +227,7 @@ class VersionedCatalog extends TableCatalog {
   * [[Versioned.deleteIdsMergeOnRead]]. */
 private[sources] class VersionedV2Table(tableDir: String, ident: String,
                                         version: Option[Int])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -327,21 +328,26 @@ private[sources] class VersionedV2Table(tableDir: String, ident: String,
   // snapshot, commit them as one merge-on-read deletion vector —
   // O(matched ids) write cost, the same linearized commit the library
   // delete makes. The predicate itself decides id membership through a
-  // real (pruned) read, so any filter the engine can hand down works —
-  // not just id-shaped ones.
+  // real (pruned) read, so it is NOT limited to id-shaped or even
+  // source-filter-shaped conditions: the V2 Predicate tree (which
+  // carries general scalar expressions — arithmetic, modulo, string
+  // predicates) translates straight to Columns and replays over the
+  // table's own scan. A shape the translator doesn't know refuses
+  // through canDeleteWhere (the engine's typed cannot-delete), never
+  // silently under- or over-deletes.
   // ------------------------------------------------------------------
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(VersionedV2Table.filterToColumn(_).isDefined)
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => VersionedV2Table.v2ToColumn(p).isDefined)
 
-  override def deleteWhere(filters: Array[Filter]): Unit = {
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
     val idCol = catalogProp("idColumn").getOrElse(
       throw new IllegalStateException(
         s"DELETE FROM $ident needs the table's id column: create the table " +
           "with TBLPROPERTIES ('idColumn' = '<primary id>') — deletes " +
           "commit as merge-on-read vectors keyed on it"))
-    val cond = filters.map(f => VersionedV2Table.filterToColumn(f).getOrElse(
+    val cond = predicates.map(p => VersionedV2Table.v2ToColumn(p).getOrElse(
       throw new IllegalStateException(
-        s"unreachable: canDeleteWhere accepted untranslatable filter $f")))
+        s"unreachable: canDeleteWhere accepted untranslatable predicate $p")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     // a table with zero live files (fresh CREATE, or fully deleted)
@@ -354,34 +360,65 @@ private[sources] class VersionedV2Table(tableDir: String, ident: String,
 }
 
 private[sources] object VersionedV2Table {
-  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.functions.{abs, coalesce, col, lit, lower, upper}
   import org.apache.spark.sql.{Column => SColumn}
-  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, GeneralScalarExpression, Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue}
 
-  /** v1 Filter -> Column, for replaying a DELETE predicate over the
-    * table's own read path. Total over the filter shapes the engine's
-    * v2->v1 translation emits; None (-> canDeleteWhere false, the
-    * engine's typed cannot-delete error) for anything else. */
-  private[sources] def filterToColumn(f: Filter): Option[SColumn] = f match {
-    case EqualTo(c, v)            => Some(col(c) === lit(v))
-    case EqualNullSafe(c, v)      => Some(col(c) <=> lit(v))
-    case GreaterThan(c, v)        => Some(col(c) > lit(v))
-    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
-    case LessThan(c, v)           => Some(col(c) < lit(v))
-    case LessThanOrEqual(c, v)    => Some(col(c) <= lit(v))
-    case In(c, vs)                => Some(col(c).isin(vs.toIndexedSeq: _*))
-    case IsNull(c)                => Some(col(c).isNull)
-    case IsNotNull(c)             => Some(col(c).isNotNull)
-    case StringStartsWith(c, v)   => Some(col(c).startsWith(v))
-    case StringEndsWith(c, v)     => Some(col(c).endsWith(v))
-    case StringContains(c, v)     => Some(col(c).contains(v))
-    case Not(child)               => filterToColumn(child).map(!_)
-    case And(l, r) =>
-      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
-    case Or(l, r) =>
-      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
-    case _: AlwaysTrue            => Some(lit(true))
-    case _: AlwaysFalse           => Some(lit(false))
-    case _                        => None
+  /** V2 connector expression -> Column, for replaying a DELETE
+    * predicate over the table's own read path. Covers the predicate
+    * shapes AND the general scalar expressions (arithmetic, modulo,
+    * string functions) the engine's V2ExpressionBuilder emits — so
+    * `DELETE FROM t WHERE doc_id % 7 = 3` commits instead of refusing.
+    * Literals arrive catalyst-internal (UTF8String, Decimal, day/micro
+    * counts) and convert through [[org.apache.spark.sql.graft.ExprBridge]]
+    * — never through `lit`, which expects external values. None for an
+    * unknown shape (-> canDeleteWhere false, the engine's typed
+    * cannot-delete error): unknown means refused, never approximated. */
+  private[sources] def v2ToColumn(e: V2Expression): Option[SColumn] = e match {
+    case ref: NamedReference => Some(col(ref.fieldNames.mkString(".")))
+    case _: AlwaysTrue  => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case l: V2Literal[_] =>
+      Some(org.apache.spark.sql.graft.ExprBridge.internalLiteral(l.value, l.dataType))
+    case g: GeneralScalarExpression =>
+      val kids = g.children.toSeq.map(v2ToColumn)
+      if (kids.exists(_.isEmpty)) None
+      else {
+        val c = kids.flatten.toIndexedSeq
+        (g.name, c.size) match {
+          case ("=", 2)           => Some(c(0) === c(1))
+          case ("<>", 2)          => Some(c(0) =!= c(1))
+          case ("<=>", 2)         => Some(c(0) <=> c(1))
+          case (">", 2)           => Some(c(0) > c(1))
+          case (">=", 2)          => Some(c(0) >= c(1))
+          case ("<", 2)           => Some(c(0) < c(1))
+          case ("<=", 2)          => Some(c(0) <= c(1))
+          case ("+", 2)           => Some(c(0) + c(1))
+          case ("-", 2)           => Some(c(0) - c(1))
+          case ("-", 1)           => Some(-c(0))
+          case ("*", 2)           => Some(c(0) * c(1))
+          case ("/", 2)           => Some(c(0) / c(1))
+          case ("%", 2)           => Some(c(0) % c(1))
+          case ("AND", 2)         => Some(c(0) && c(1))
+          case ("OR", 2)          => Some(c(0) || c(1))
+          case ("NOT", 1)         => Some(!c(0))
+          case ("IS_NULL", 1)     => Some(c(0).isNull)
+          case ("IS_NOT_NULL", 1) => Some(c(0).isNotNull)
+          // x IN (a, b, ...) == (x = a OR x = b OR ...), null
+          // semantics included — the OR chain IS SQL IN's definition
+          case ("IN", n) if n >= 2 =>
+            Some(c.tail.map(_ === c(0)).reduce(_ || _))
+          case ("STARTS_WITH", 2) => Some(c(0).startsWith(c(1)))
+          case ("ENDS_WITH", 2)   => Some(c(0).endsWith(c(1)))
+          case ("CONTAINS", 2)    => Some(c(0).contains(c(1)))
+          case ("ABS", 1)         => Some(abs(c(0)))
+          case ("LOWER", 1)       => Some(lower(c(0)))
+          case ("UPPER", 1)       => Some(upper(c(0)))
+          case ("COALESCE", n) if n >= 1 => Some(coalesce(c: _*))
+          case _                  => None
+        }
+      }
+    case _ => None
   }
 }

@@ -114,6 +114,16 @@ class VersionedCatalogSpec extends SparkSuite {
     spark.sql(s"DELETE FROM $cat.d WHERE lang LIKE 'e%'")
     assert(spark.sql(s"SELECT count(*) FROM $cat.d").head().getLong(0) === 25L)
 
+    // GENERAL-expression predicates (no v1 source-filter form exists):
+    // modulo arithmetic replays through the v2 translator. Remaining
+    // rows are odd ids <= 49 (25 of them); id % 3 = 0 removes
+    // {3,9,...,45} = 8 more
+    spark.sql(s"DELETE FROM $cat.d WHERE id % 3 = 0")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d").head().getLong(0) === 17L)
+    // IN + arithmetic compose
+    spark.sql(s"DELETE FROM $cat.d WHERE id + 1 IN (2, 6)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d").head().getLong(0) === 15L)
+
     // DELETE on an id-less table refuses with the property hint
     spark.sql(s"CREATE TABLE $cat.noid (id BIGINT)")
     spark.sql(s"INSERT INTO $cat.noid VALUES (1)")
@@ -128,7 +138,7 @@ class VersionedCatalogSpec extends SparkSuite {
     // DELETE matching nothing commits nothing
     val vBefore = Versioned.versions(spark, s"$wh/d").max
     spark.sql(s"DELETE FROM $cat.d WHERE id = -1")
-    assert(spark.sql(s"SELECT count(*) FROM $cat.d").head().getLong(0) === 25L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d").head().getLong(0) === 15L)
     assert(Versioned.versions(spark, s"$wh/d").max >= vBefore)
   }
 

@@ -1797,6 +1797,30 @@ object Versioned {
   def deleteIds(ids: DataFrame, tableDir: String, idCol: String): Int =
     copyOnWrite(ids.select(idCol), tableDir, idCol, keepDelta = false)
 
+  /** ONE atomic commit applying a MIXED row-level delta: every row whose
+    * id appears in `upserts` or `removeIds` leaves the table (files
+    * containing one are rewritten without those rows, untouched files
+    * carry by reference), and the `upserts` rows land — the combined
+    * copy-on-write the SQL `UPDATE` / `MERGE INTO` surface needs, where
+    * one statement deletes, updates and inserts in a single snapshot
+    * step (reference semantics: executor.py:170-225's update/delete
+    * endpoints composed, but transactional). A reader never observes the
+    * deletes without the inserts: both publish under one manifest
+    * rename.
+    *
+    * `baseVersion` pins the snapshot the delta was COMPUTED from (the
+    * engine's scan of the statement's target): the commit's conflict
+    * window then covers the full scan→commit span — any interleaved
+    * commit that rewrote a pinned file, or appended rows contesting a
+    * delta id, refuses typed through [[cowRebase]] instead of silently
+    * clobbering with stale-derived rows. Ids are the table's key
+    * (last-wins contract): a multi-row id is replaced as a unit. */
+  def applyDelta(upserts: DataFrame, removeIds: DataFrame, tableDir: String,
+                 idCol: String, baseVersion: Option[Int] = None): Int =
+    copyOnWrite(upserts, tableDir, idCol, keepDelta = true,
+      extraRemoveIds = Some(removeIds), baseVersion = baseVersion,
+      opName = Some("write_delta"))
+
   /** MERGE-ON-READ delete: write the deleted id set as a deletion-vector
     * sidecar (one small parquet) and commit with every data file carried
     * by reference — O(deleted ids) write cost, vs [[deleteIds]]' COW
@@ -3187,11 +3211,15 @@ object Versioned {
   }
 
   private def copyOnWrite(delta: DataFrame, tableDir: String, idCol: String,
-                          keepDelta: Boolean): Int = {
+                          keepDelta: Boolean,
+                          extraRemoveIds: Option[DataFrame] = None,
+                          baseVersion: Option[Int] = None,
+                          opName: Option[String] = None): Int = {
     val s = delta.sparkSession
-    val snap = snapshot(s, tableDir)
+    val snap = snapshot(s, tableDir, baseVersion)
     val v = snap.version + 1
-    val deltaIds = delta.select(col(idCol)).distinct()
+    val deltaIds = extraRemoveIds.map(_.select(col(idCol)))
+      .foldLeft(delta.select(col(idCol)))(_ unionByName _).distinct()
     // discovery: manifest id-stats prune the candidate files first (a
     // clustered-id layout scans O(candidates), not the table), then the
     // exact semi-join confirms. It runs UNMASKED: a delta id hidden by
@@ -3255,7 +3283,7 @@ object Versioned {
       (if (!keepDelta) Map.empty[String, String]
        else dvCache.getOrElseUpdate(b.dvFiles.mkString(","),
          retractDvFor(s, b, delta, tableDir, b.version + 1))) +
-        ("op" -> (if (keepDelta) "upsert" else "delete"))
+        ("op" -> opName.getOrElse(if (keepDelta) "upsert" else "delete"))
     val committed = commitWithRebase(s, tableDir,
       cowRebase(s, snap, touched, newEntries, deltaIds, idCol, schema, dvMeta,
         revalidate = b =>

@@ -2399,4 +2399,57 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.minMaxAt(spark, dir, "doc_id") === None,
       "a masked extreme makes manifest extremes unsound")
   }
+
+  test("applyDelta: mixed delete+update+insert lands as ONE atomic commit") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir) // ids 0..89
+    val upserts = Seq((5L, "up", 555L), (2000L, "new", 1L))
+      .toDF("doc_id", "lang", "n_chars")
+    val removes = Seq(Tuple1(7L), Tuple1(8L)).toDF("doc_id")
+    val v = Versioned.applyDelta(upserts, removes, dir, "doc_id")
+    assert(v === 1, "delete + update + insert must be one snapshot step")
+    val cur = Versioned.read(spark, dir)
+    assert(cur.count() === 89) // 90 - 2 deleted + 1 inserted
+    assert(cur.filter(col("doc_id").isin(7L, 8L)).count() === 0)
+    assert(cur.filter(col("doc_id") === 5L).head().getAs[String]("lang") === "up")
+    assert(cur.filter(col("doc_id") === 2000L).count() === 1)
+    assert(Versioned.snapshot(spark, dir).meta("op") === "write_delta")
+    // time travel still serves the pre-delta corpus
+    assert(Versioned.read(spark, dir, Some(0)).count() === 90)
+  }
+
+  test("applyDelta pinned to a stale base refuses when an interleaved commit contests") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir) // v0
+    // the delta was computed against v0; an interleaved upsert then
+    // rewrites id 5's file before the delta commits
+    Versioned.upsert(Seq((5L, "race", 9L)).toDF("doc_id", "lang", "n_chars"),
+      dir, "doc_id") // v1
+    val upserts = Seq((5L, "stale", 1L)).toDF("doc_id", "lang", "n_chars")
+    val removes = spark.emptyDataset[Long].toDF("doc_id")
+    intercept[Versioned.ConcurrentWriteConflictException] {
+      Versioned.applyDelta(upserts, removes, dir, "doc_id", baseVersion = Some(0))
+    }
+    // unpinned (fresh base) the same delta lands fine
+    assert(Versioned.applyDelta(upserts, removes, dir, "doc_id") === 2)
+  }
+
+  test("applyDelta: pure deletes and disjoint-base pinning both commit") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.init(docs3(), dir) // v0
+    // interleaved append of DISJOINT ids must NOT block a pinned delta
+    Versioned.append(Seq((5000L, "ap", 2L)).toDF("doc_id", "lang", "n_chars"), dir) // v1
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_chars")
+    val v = Versioned.applyDelta(empty, Seq(Tuple1(3L)).toDF("doc_id"),
+      dir, "doc_id", baseVersion = Some(0))
+    assert(v === 2)
+    val cur = Versioned.read(spark, dir)
+    assert(cur.count() === 90) // 90 - 1 deleted + 1 appended
+    assert(cur.filter(col("doc_id") === 3L).count() === 0)
+    assert(cur.filter(col("doc_id") === 5000L).count() === 1,
+      "the interleaved append's row must survive the rebase")
+  }
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,17 +34,23 @@ import _root_.graft.operators.Versioned
   *   SELECT * FROM graft.docs VERSION AS OF 0        -- time travel
   *   SELECT * FROM graft.docs TIMESTAMP AS OF '...'  -- by commit stamp
   *   DELETE FROM graft.docs WHERE doc_id = 1         -- merge-on-read
+  *   UPDATE graft.docs SET text = 'hi' WHERE ...     -- delta commit
+  *   MERGE INTO graft.docs t USING updates s ON t.doc_id = s.doc_id
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   * }}}
   *
-  * This closes the two walls the v1 `graft-versioned` provider leaves
+  * This closes the walls the v1 `graft-versioned` provider leaves
   * (reference semantics: executor.py:170-225's update/delete endpoints,
   * reachable until now only through the library API): SQL time-travel
   * syntax (`VERSION AS OF` / `TIMESTAMP AS OF` resolve through
   * [[TableCatalog.loadTable]]'s versioned forms instead of re-creating
-  * the table with pinned reader options) and row-level SQL DELETE
+  * the table with pinned reader options), row-level SQL DELETE
   * (`DELETE FROM ... WHERE` routes through
   * [[Versioned.deleteIdsMergeOnRead]] — an O(deleted ids) sidecar
-  * commit, never a rewrite of what the predicate didn't touch).
+  * commit, never a rewrite of what the predicate didn't touch), and
+  * SQL `UPDATE` / `MERGE INTO` (the delta-based row-level operation
+  * surface — see [[VersionedDeltaOperation]] — landing each statement
+  * as ONE atomic [[Versioned.applyDelta]] commit).
   *
   * Design lines, same as everywhere in this library:
   *   - ONE scan path: the v2 Scan is a [[V1Scan]] handing execution to
@@ -175,13 +181,29 @@ class VersionedCatalog extends TableCatalog {
         "records idColumn, statsColumn, bloomColumn")
     def prop(k: String): Option[String] = props.collectFirst {
       case (key, v) if key.equalsIgnoreCase(k) => v }
+    val idProp = prop("idColumn")
+    idProp.foreach(id => require(schema.fieldNames.contains(id),
+      s"idColumn '$id' is not a column of the table " +
+        s"(have ${schema.fieldNames.mkString(", ")})"))
     val meta = Seq("idColumn", "statsColumn", "bloomColumn")
-      .flatMap(k => prop(k).map(v => s"catalog.$k" -> v)).toMap
+      .flatMap(k => prop(k).map(v => s"catalog.$k" -> v)).toMap ++
+      // the id column of a KEYED table is non-null by contract (upserts,
+      // MoR vectors and SQL row-level deltas all key on it); the CHECK
+      // constraint makes every ingest enforce it, and the committed
+      // schema records it non-nullable — which is also what lets the
+      // engine accept it as the row-level operations' row ID
+      // (NULLABLE_ROW_ID_ATTRIBUTES refuses a nullable key)
+      idProp.map(id => s"constraint.${id}_not_null" -> s"$id IS NOT NULL")
+    val stamped = idProp match {
+      case Some(id) => StructType(schema.map(f =>
+        if (f.name == id) f.copy(nullable = false) else f))
+      case None => schema
+    }
     // v0 is an EMPTY schema-stamped commit (zero manifest entries —
     // proven-empty parts never enter a manifest; readers serve the
     // stamped schema with no files); the first INSERT is then an
     // ordinary append
-    val empty = spark.createDataFrame(new util.ArrayList[Row](), schema)
+    val empty = spark.createDataFrame(new util.ArrayList[Row](), stamped)
     Versioned.init(empty, dirFor(ident), meta,
       prop("statsColumn"), prop("bloomColumn")): Unit
     loadTable(ident)
@@ -227,7 +249,8 @@ class VersionedCatalog extends TableCatalog {
   * [[Versioned.deleteIdsMergeOnRead]]. */
 private[sources] class VersionedV2Table(tableDir: String, ident: String,
                                         version: Option[Int])
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -244,8 +267,17 @@ private[sources] class VersionedV2Table(tableDir: String, ident: String,
 
   override def name(): String = ident
 
-  private lazy val committedSchema: StructType =
-    new VersionedRelation(spark.sqlContext, tableDir, Some(pinned)).schema
+  private lazy val committedSchema: StructType = {
+    val base = new VersionedRelation(spark.sqlContext, tableDir, Some(pinned)).schema
+    // the table's key is non-null by contract (the catalog's CREATE
+    // stamps the enforcing CHECK constraint) — reporting it nullable
+    // would make the engine refuse it as the row-level row ID
+    catalogProp("idColumn") match {
+      case Some(id) => StructType(base.map(f =>
+        if (f.name == id) f.copy(nullable = false) else f))
+      case None => base
+    }
+  }
 
   override def schema(): StructType = committedSchema
 
@@ -324,6 +356,33 @@ private[sources] class VersionedV2Table(tableDir: String, ident: String,
     }
 
   // ------------------------------------------------------------------
+  // UPDATE / MERGE INTO / general-predicate DELETE: the DSv2 row-level
+  // operation surface, DELTA-based — the engine feeds the operation
+  // only the changed rows, each task stages them as parquet, and the
+  // driver lands ONE atomic Versioned.applyDelta commit pinned to the
+  // scanned version (see VersionedRowLevel.scala). Simple-predicate
+  // DELETEs never reach here: OptimizeMetadataOnlyDeleteFromTable
+  // rewrites them onto the SupportsDeleteV2 path above, which commits
+  // a merge-on-read vector without touching data files.
+  // ------------------------------------------------------------------
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (version.nonEmpty) throw new UnsupportedOperationException(
+      s"$ident resolved time-traveled (VERSION/TIMESTAMP AS OF): " +
+        "row-level SQL writes land on the table's LATEST state only")
+    val idCol = catalogProp("idColumn").getOrElse(
+      throw new IllegalStateException(
+        s"${info.command} on $ident needs the table's id column: create " +
+          "the table with TBLPROPERTIES ('idColumn' = '<primary id>') — " +
+          "row-level deltas key on it"))
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new VersionedDeltaOperation(tableDir, ident, idCol, pinned,
+          info.command, newScanBuilder)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // DELETE FROM ... WHERE: resolve the matching ids under the LATEST
   // snapshot, commit them as one merge-on-read deletion vector —
   // O(matched ids) write cost, the same linearized commit the library
@@ -332,9 +391,10 @@ private[sources] class VersionedV2Table(tableDir: String, ident: String,
   // source-filter-shaped conditions: the V2 Predicate tree (which
   // carries general scalar expressions — arithmetic, modulo, string
   // predicates) translates straight to Columns and replays over the
-  // table's own scan. A shape the translator doesn't know refuses
-  // through canDeleteWhere (the engine's typed cannot-delete), never
-  // silently under- or over-deletes.
+  // table's own scan. A shape the translator doesn't know returns
+  // false through canDeleteWhere, and the engine falls back to the
+  // row-level delta path above (scan + staged delete-ids) — slower,
+  // never silently under- or over-deleting.
   // ------------------------------------------------------------------
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     predicates.forall(p => VersionedV2Table.v2ToColumn(p).isDefined)

@@ -197,4 +197,72 @@ class VersionedCatalogSpec extends SparkSuite {
     }
     assert(msgs(part).exists(_.contains("physical layout")))
   }
+
+  test("SQL UPDATE commits one atomic delta version") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.u (doc_id BIGINT, lang STRING, n BIGINT) " +
+      "TBLPROPERTIES ('idColumn' = 'doc_id', 'statsColumn' = 'doc_id')")
+    spark.sql(s"INSERT INTO $cat.u VALUES (1,'en',10), (2,'de',20), (3,'en',30), (4,'fr',40)")
+    spark.sql(s"UPDATE $cat.u SET n = n * 100, lang = 'up' WHERE doc_id % 2 = 0")
+    assert(Versioned.versions(spark, s"$wh/u") === Seq(0, 1, 2),
+      "one UPDATE = one commit")
+    assert(Versioned.snapshot(spark, s"$wh/u").meta("op") === "write_delta")
+    val rows = spark.sql(s"SELECT doc_id, lang, n FROM $cat.u ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "en", 10L), (2L, "up", 2000L),
+      (3L, "en", 30L), (4L, "up", 4000L)))
+    // a 0-rows UPDATE is a SQL no-op, not an empty commit
+    spark.sql(s"UPDATE $cat.u SET n = 0 WHERE doc_id > 1000")
+    assert(Versioned.versions(spark, s"$wh/u") === Seq(0, 1, 2))
+    // nothing staged is left behind
+    val staged = new org.apache.hadoop.fs.Path(s"$wh/u/_staged")
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(staged) || fs.listStatus(staged).isEmpty,
+      "the stage directory must be reclaimed after commit")
+  }
+
+  test("SQL MERGE INTO: delete + update + insert land as ONE version") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.m (doc_id BIGINT, lang STRING, n BIGINT) " +
+      "TBLPROPERTIES ('idColumn' = 'doc_id')")
+    spark.sql(s"INSERT INTO $cat.m VALUES (1,'en',10), (2,'de',20), (3,'en',30)")
+    import spark.implicits._
+    Seq((2L, "xx", 222L), (3L, "kill", 0L), (9L, "nw", 90L))
+      .toDF("doc_id", "lang", "n").createOrReplaceTempView("m_src")
+    spark.sql(
+      s"""MERGE INTO $cat.m t USING m_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.lang = 'kill' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET t.lang = s.lang, t.n = s.n
+         |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n) VALUES (s.doc_id, s.lang, s.n)
+         |""".stripMargin)
+    assert(Versioned.versions(spark, s"$wh/m") === Seq(0, 1, 2),
+      "one MERGE = one atomic commit")
+    val rows = spark.sql(s"SELECT doc_id, lang, n FROM $cat.m ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "en", 10L), (2L, "xx", 222L), (9L, "nw", 90L)))
+    // time travel still serves the pre-merge state
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m VERSION AS OF 1")
+      .head().getLong(0) === 3L)
+  }
+
+  test("row-level guards: NULL id refuses at ingest; UPDATE can move a row across ids") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.g (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('idColumn' = 'id')")
+    // the auto NOT NULL constraint gates every ingest path
+    val nullIns = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.g VALUES (CAST(NULL AS BIGINT), 'x')")
+    }
+    assert(msgs(nullIns).exists(m => m.contains("id_not_null") ||
+      m.contains("NOT NULL") || m.contains("null")), s"got: ${msgs(nullIns)}")
+    spark.sql(s"INSERT INTO $cat.g VALUES (1, 'a')")
+    // UPDATE that moves a row ACROSS ids: old id deleted, new id lands
+    spark.sql(s"UPDATE $cat.g SET id = 7 WHERE id = 1")
+    val moved = spark.sql(s"SELECT id, v FROM $cat.g").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(moved === Seq((7L, "a")))
+  }
 }

@@ -2963,6 +2963,32 @@ object SparkEntry {
             "SQL delete drift: the DELETE was not merge-on-read (files " +
               "churned or no vector standing on doc_id)"))))
     }),
+    // ROW-LEVEL SQL UPDATE through the DSv2 catalog: one `UPDATE ...
+    // WHERE doc_id % 2 = 1` lands as ONE atomic write_delta commit (the
+    // engine feeds only the matched rows through the staged-delta
+    // writers; nothing row-shaped crosses the driver). Served via
+    // VERSION AS OF so the later MERGE can't mask it; the oracle
+    // replays the SET symbolically over the insert slice.
+    "versioned_sql_update" -> ((s, dir) => {
+      val (tbl, facts) = versionedSqlRlInfo(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $tbl VERSION AS OF 2")
+        .filter(when(lit(facts), lit(true))
+          .otherwise(raise_error(lit(
+            "SQL update drift: statement count, write_delta op labels, " +
+              "or stage-directory reclaim broke"))))
+    }),
+    // ROW-LEVEL SQL MERGE INTO through the DSv2 catalog: all three
+    // branches live (matched-delete, matched-update, not-matched-insert)
+    // in ONE atomic commit. The oracle replays every branch symbolically
+    // over the update row's state and the source slice.
+    "versioned_sql_merge" -> ((s, dir) => {
+      val (tbl, facts) = versionedSqlRlInfo(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $tbl")
+        .filter(when(lit(facts), lit(true))
+          .otherwise(raise_error(lit(
+            "SQL merge drift: statement count, write_delta op labels, " +
+              "or stage-directory reclaim broke"))))
+    }),
     // METADATA-ONLY COUNT: count(*) of the versioned corpus answered
     // from ONE manifest read — every commit records each file's exact
     // row count, so the version's count is their sum, zero data files
@@ -4128,6 +4154,62 @@ object SparkEntry {
           tsCount == v1Count &&
           s.sql(s"SELECT count(*) FROM $cat.docs VERSION AS OF 0")
             .head().getLong(0) == 0L)
+    })
+
+  /** Row-level SQL lifecycle (UPDATE / MERGE INTO), built once per
+    * (ctx, dir) on its own catalog table so the DELETE fixture's
+    * oracles stay untouched: CREATE (v0) -> INSERT the doc_id % 3 = 0
+    * slice (v1) -> `UPDATE ... WHERE doc_id % 2 = 1` rewriting the odd
+    * ids in place (v2, one atomic write_delta commit) -> `MERGE INTO`
+    * with all three branches live against the doc_id % 4 = 0 slice
+    * (v3: matched+s.n_chars%5=0 deletes, matched updates to
+    * ('m_'||lang, n_chars+1), not-matched inserts re-keyed +77M).
+    * Returns the table name and pinned facts: exactly the versions
+    * 0..3 exist, both statements committed as ONE write_delta each,
+    * and the stage directory was reclaimed. */
+  private val versionedSqlRlBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean)]
+  private def versionedSqlRlInfo(s: SparkSession, dir: String)
+      : (String, Boolean) =
+    versionedSqlRlBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val key = artifactKey(dir).replace('.', '_').replace('-', '_')
+      val cat = s"graft_sqlrl_$key"
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_sqlrl/$key"
+      val whRoot = new org.apache.hadoop.fs.Path(wh)
+      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(whRoot)) fs.delete(whRoot, true)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.VersionedCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val view = s"graft_sqlrl_docs_$key"
+      Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) TBLPROPERTIES ('idColumn' = 'doc_id', " +
+        "'statsColumn' = 'doc_id')")
+      s.sql(s"INSERT INTO $cat.docs SELECT doc_id, lang, n_chars " +
+        s"FROM $view WHERE doc_id % 3 = 0") // v1
+      s.sql(s"UPDATE $cat.docs SET n_chars = n_chars * 10, lang = 'up' " +
+        "WHERE doc_id % 2 = 1") // v2: one atomic delta commit
+      s.sql(
+        s"""MERGE INTO $cat.docs t
+           |USING (SELECT doc_id, lang, n_chars FROM $view
+           |       WHERE doc_id % 4 = 0) s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.n_chars % 5 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET
+           |  t.lang = concat('m_', s.lang), t.n_chars = s.n_chars + 1
+           |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+           |  VALUES (s.doc_id + 77000000, s.lang, s.n_chars)
+           |""".stripMargin) // v3: delete+update+insert, ONE commit
+      val tdir = s"$wh/docs"
+      def op(v: Int) =
+        Versioned.snapshot(s, tdir, Some(v)).meta.getOrElse("op", "?")
+      val staged = new org.apache.hadoop.fs.Path(s"$tdir/_staged")
+      (s"$cat.docs",
+        Versioned.versions(s, tdir) == Seq(0, 1, 2, 3) &&
+          op(2) == "write_delta" && op(3) == "write_delta" &&
+          (!fs.exists(staged) || fs.listStatus(staged).isEmpty))
     })
 
   /** Change-feed lifecycle, built once per (ctx, dir): v0 = documents
@@ -6407,6 +6489,35 @@ object SparkEntry {
                     FROM documents WHERE doc_id % 5 = 0)
          SELECT doc_id, lang, n_chars FROM t
          WHERE lang <> 'de' AND doc_id % 7 <> 3""",
+    // SQL UPDATE replayed symbolically: the insert slice with the SET
+    // applied to the WHERE's matches
+    "versioned_sql_update" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 1 THEN 'up' ELSE lang END AS lang,
+                CASE WHEN doc_id % 2 = 1 THEN n_chars * 10 ELSE n_chars END AS n_chars
+         FROM documents WHERE doc_id % 3 = 0""",
+    // SQL MERGE replayed branch by branch over the update row's state
+    // (base) and the doc_id % 4 = 0 source slice: matched rows whose
+    // source n_chars % 5 = 0 delete, other matched rows take
+    // ('m_'||lang, n_chars+1), unmatched source rows insert re-keyed
+    // +77M, unmatched base rows carry
+    "versioned_sql_merge" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 1 THEN 'up' ELSE lang END AS lang,
+                  CASE WHEN doc_id % 2 = 1 THEN n_chars * 10 ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 3 = 0),
+         src AS (SELECT doc_id, lang, n_chars FROM documents
+                 WHERE doc_id % 4 = 0)
+         SELECT b.doc_id, b.lang, b.n_chars FROM base b
+         WHERE b.doc_id NOT IN (SELECT doc_id FROM src)
+         UNION ALL
+         SELECT b.doc_id, 'm_' || s.lang AS lang, s.n_chars + 1 AS n_chars
+         FROM base b JOIN src s ON b.doc_id = s.doc_id
+         WHERE s.n_chars % 5 <> 0
+         UNION ALL
+         SELECT s.doc_id + 77000000 AS doc_id, s.lang, s.n_chars FROM src s
+         WHERE s.doc_id NOT IN (SELECT doc_id FROM base)""",
     // merge-on-read delete: masked (and then materialized) content is
     // the plain anti-filter over the original projection
     "versioned_delete_mor" ->

@@ -1993,6 +1993,37 @@ object Versioned {
     })
   }
 
+  /** ADD a column as a METADATA-ONLY commit: zero bytes rewritten — the
+    * committed logical schema widens by one NULLABLE field appended at
+    * the end, and every existing file null-fills it on read, exactly
+    * like evolution-by-append already serves files written before a
+    * widening delta. The mirror of [[renameColumn]]'s guards applies:
+    * the name must be free of manifest separators, unused, and not the
+    * retired physical identity of a renamed column. Non-nullable adds
+    * refuse — no existing row could satisfy them. */
+  def addColumn(spark: SparkSession, tableDir: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Int = {
+    require(name.nonEmpty && !name.exists(c => c == ':' || c == ',' ||
+      c == '\t' || c == '\n' || c == '#'),
+      s"invalid column name '$name' (colmap separators)")
+    commitWithRebase(spark, tableDir, latest => {
+      val logical = latest.schema.getOrElse(throw new IllegalStateException(
+        s"$tableDir predates schema tracking — compact it before adding columns"))
+      require(!logical.fieldNames.contains(name),
+        s"column '$name' already exists at $tableDir")
+      val cm = colMap(latest)
+      val physInUse = logical.fieldNames.map(n => cm.getOrElse(n, n)).toSet
+      require(!physInUse.contains(name),
+        s"column name '$name' was retired by a rename and is still the " +
+          "physical name of an existing column — compact the table to " +
+          "re-baseline before reusing it")
+      val widened = org.apache.spark.sql.types.StructType(logical.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+      Some((latest.entries,
+        latest.meta + ("schema" -> widened.json) + ("op" -> "add_column")))
+    })
+  }
+
   /** The table's standing CHECK constraints: name -> boolean SQL
     * expression over LOGICAL column names, stored as `constraint.<name>`
     * commit metadata (so they ride every snapshot, travel with restore /

@@ -209,11 +209,42 @@ class VersionedCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported through this catalog yet — schema " +
-        "evolution happens through the commits that need it (a widening " +
-        "append, Versioned.renameColumn, add/dropConstraint)")
+  /** ALTER TABLE, scoped to the two schema evolutions the versioned
+    * table supports as METADATA-ONLY commits (zero bytes rewritten at
+    * any scale): `ADD COLUMN` (nullable, appended — existing files
+    * null-fill on read) and `RENAME COLUMN` (the colmap commit — old
+    * files keep their physical name, every pruning layer survives).
+    * Each change is one commit, so `ALTER TABLE t ADD COLUMNS (a, b)`
+    * versions twice — honest lineage over statement atomicity here,
+    * since half-applied multi-changes are visible (and re-runnable) in
+    * the history. Everything else (type changes, drops, positions,
+    * NOT NULL adds) refuses typed: a versioned corpus widens, it never
+    * silently narrows or rewrites. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirFor(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "nested fields are not addressable — graft schema evolution is top-level")
+        require(a.isNullable,
+          s"ADD COLUMN ${a.fieldNames.head} NOT NULL refuses: existing rows " +
+            "cannot satisfy it (add nullable, backfill, then constrain)")
+        require(a.position == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported — new columns append " +
+            "at the end (manifest schema order is commit order)")
+        Versioned.addColumn(spark, dir, a.fieldNames.head, a.dataType): Unit
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "nested fields are not addressable — graft schema evolution is top-level")
+        Versioned.renameColumn(spark, dir, r.fieldNames.head, r.newName): Unit
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported: schema evolution on " +
+          "a versioned corpus is widen-only (ADD COLUMN, RENAME COLUMN); " +
+          "type changes and drops need an explicit rewrite")
+    }
+    loadTable(ident)
+  }
 
   /** DROP TABLE deletes the managed directory — manifests, data,
     * sidecars. Every table under this catalog is managed (external

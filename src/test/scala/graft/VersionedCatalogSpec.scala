@@ -181,7 +181,8 @@ class VersionedCatalogSpec extends SparkSuite {
     val alter = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.b SET TBLPROPERTIES ('idColumn' = 'id')")
     }
-    assert(msgs(alter).exists(_.contains("ALTER TABLE is not supported")))
+    assert(msgs(alter).exists(_.contains("not supported")),
+      s"expected the unsupported-change refusal, got: ${msgs(alter)}")
 
     spark.sql(s"INSERT INTO $cat.b VALUES (1)")
     val ow = intercept[Exception] {
@@ -243,6 +244,46 @@ class VersionedCatalogSpec extends SparkSuite {
     // time travel still serves the pre-merge state
     assert(spark.sql(s"SELECT count(*) FROM $cat.m VERSION AS OF 1")
       .head().getLong(0) === 3L)
+  }
+
+  test("ALTER TABLE ADD COLUMN / RENAME COLUMN are metadata-only commits") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.e (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('idColumn' = 'id')")
+    spark.sql(s"INSERT INTO $cat.e VALUES (1, 'a'), (2, 'b')") // v1
+    val filesBefore = Versioned.snapshot(spark, s"$wh/e").files
+
+    spark.sql(s"ALTER TABLE $cat.e ADD COLUMN score DOUBLE") // v2
+    spark.sql(s"ALTER TABLE $cat.e RENAME COLUMN v TO label") // v3
+    val after = Versioned.snapshot(spark, s"$wh/e")
+    assert(after.files === filesBefore,
+      "schema evolution must rewrite ZERO data files")
+    assert(Versioned.versions(spark, s"$wh/e") === Seq(0, 1, 2, 3))
+    // old rows null-fill the new column and serve the renamed label
+    val rows = spark.sql(s"SELECT id, label, score FROM $cat.e ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq
+    assert(rows === Seq((1L, "a", true), (2L, "b", true)))
+    // the widened column ingests and updates like any other
+    spark.sql(s"INSERT INTO $cat.e VALUES (3, 'c', 0.5)")
+    spark.sql(s"UPDATE $cat.e SET score = 9.0 WHERE id = 1")
+    val scored = spark.sql(s"SELECT id, score FROM $cat.e WHERE score IS NOT NULL " +
+      "ORDER BY id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(scored === Seq((1L, 9.0), (3L, 0.5)))
+    // time travel below the evolution sees the OLD schema
+    assert(spark.sql(s"SELECT * FROM $cat.e VERSION AS OF 1").columns.toSeq ===
+      Seq("id", "v"))
+    // widen-only: NOT NULL adds and type changes refuse typed
+    val nn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.e ADD COLUMN req BIGINT NOT NULL")
+    }
+    assert(msgs(nn).exists(_.contains("cannot satisfy")), s"got: ${msgs(nn)}")
+    val dc = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.e DROP COLUMN score")
+    }
+    assert(msgs(dc).exists(_.contains("widen-only")), s"got: ${msgs(dc)}")
   }
 
   test("row-level guards: NULL id refuses at ingest; UPDATE can move a row across ids") {

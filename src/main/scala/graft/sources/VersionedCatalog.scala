@@ -9,6 +9,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column => _, _}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.{procedures => procedures0}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
@@ -78,7 +79,7 @@ import _root_.graft.operators.Versioned
   * the newest-first stamp walk; DELETE's cost is one pruned read of the
   * candidate files plus an O(ids) sidecar write. The Delta/Iceberg
   * catalog surfaces are shape references only. */
-class VersionedCatalog extends TableCatalog {
+class VersionedCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -271,6 +272,36 @@ class VersionedCatalog extends TableCatalog {
 
   override def invalidateTable(ident: Identifier): Unit =
     Versioned.snapshotCacheClear()
+
+  // ------------------------------------------------------------------
+  // Stored procedures: the maintenance surface as plain SQL —
+  // `CALL graft.compact(table => 'docs')`, vacuum, restore, clone,
+  // history/detail, constraints, CDF toggle, schema evolution (see
+  // VersionedProcedures). Table arguments are identifiers under THIS
+  // catalog ('docs' or 'ns.docs'), resolved through the same
+  // warehouse-path derivation as table statements.
+  // ------------------------------------------------------------------
+  private lazy val procedures: Map[String, procedures0.UnboundProcedure] =
+    VersionedProcedures.registry(name => {
+      val parts = name.split('.').toSeq
+      dirFor(Identifier.of(parts.init.toArray, parts.last))
+    })
+
+  override def loadProcedure(ident: Identifier): procedures0.UnboundProcedure = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("system")),
+      s"procedures live at the catalog root (CALL $catalogName.${ident.name}(...)) " +
+        s"or under 'system'; got namespace ${ident.namespace.mkString(".")}")
+    procedures.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
+      throw new UnsupportedOperationException(
+        s"unknown procedure '${ident.name}' — this catalog has " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty || namespace.sameElements(Array("system")),
+      s"procedures live at the catalog root or under 'system'")
+    procedures.keys.toSeq.sorted.map(Identifier.of(namespace, _)).toArray
+  }
 }
 
 /** One catalog-resolved versioned table (optionally PINNED to a

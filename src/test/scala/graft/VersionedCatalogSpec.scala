@@ -286,6 +286,62 @@ class VersionedCatalogSpec extends SparkSuite {
     assert(msgs(dc).exists(_.contains("widen-only")), s"got: ${msgs(dc)}")
   }
 
+  test("CALL procedures: the maintenance surface through plain SQL") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pt (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('idColumn' = 'id')")
+    spark.sql(s"INSERT INTO $cat.pt VALUES (1,'a'), (2,'b')") // v1
+    spark.sql(s"INSERT INTO $cat.pt VALUES (3,'c')")          // v2
+
+    // history: one row per retained version, served metadata-only
+    val hist = spark.sql(s"CALL $cat.history(table => 'pt')")
+    assert(hist.select("version").collect().map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    // detail: the one-row summary; no compaction nudge on a tiny table
+    val det = spark.sql(s"CALL $cat.detail('pt')").head()
+    assert(det.getAs[Long]("total_rows") === 3L)
+
+    // compact folds the small files; the result row carries the version
+    val cv = spark.sql(s"CALL $cat.compact(table => 'pt')").head().getInt(0)
+    assert(cv === 3)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pt").head().getLong(0) === 3L)
+
+    // restore publishes an old state as a NEW version (never rewrites)
+    val rv = spark.sql(s"CALL $cat.restore('pt', 1)").head().getInt(0)
+    assert(rv === 4)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pt").head().getLong(0) === 2L)
+
+    // constraints: add refuses bad ingests, drop lifts the gate
+    spark.sql(s"CALL $cat.add_constraint('pt', 'v_nonempty', 'length(v) > 0')")
+    val bad = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.pt VALUES (9, '')")
+    }
+    assert(msgs(bad).exists(_.contains("v_nonempty")), s"got: ${msgs(bad)}")
+    spark.sql(s"CALL $cat.drop_constraint('pt', 'v_nonempty')")
+    spark.sql(s"INSERT INTO $cat.pt VALUES (9, '')")
+
+    // schema evolution twins
+    spark.sql(s"CALL $cat.add_column('pt', 'score', 'double')")
+    spark.sql(s"CALL $cat.rename_column('pt', 'v', 'label')")
+    assert(spark.table(s"$cat.pt").columns.toSeq === Seq("id", "label", "score"))
+
+    // vacuum reports reclaimed files and dropped versions
+    val vac = spark.sql(s"CALL $cat.vacuum(table => 'pt', keep_versions => 1)").head()
+    assert(vac.getSeq[Int](vac.fieldIndex("dropped_versions")).nonEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pt").head().getLong(0) === 3L,
+      "vacuum reclaims history, never the latest state")
+
+    // clone: a zero-copy v0 in a fresh directory
+    spark.sql(s"CALL $cat.clone('pt', 'pt2')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pt2").head().getLong(0) === 3L)
+
+    // unknown procedure lists what exists
+    val unk = intercept[Exception] { spark.sql(s"CALL $cat.nope('pt')") }
+    assert(msgs(unk).exists(_.contains("unknown procedure")), s"got: ${msgs(unk)}")
+  }
+
   test("row-level guards: NULL id refuses at ingest; UPDATE can move a row across ids") {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty

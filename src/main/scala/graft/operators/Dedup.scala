@@ -922,19 +922,37 @@ object Dedup {
     * indices, span_end inclusive.
     */
   def duplicateSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    duplicateSpansFromGrams(positionalGramHashes(docs, n, idCol, textCol),
+      n, minDocs, idCol)
+
+  /** Positional gram-hash frame (idCol, pos, __gh) — the tokenize +
+    * gram-hash + posexplode prefix of the spans family, exposed so one
+    * computation can feed both [[duplicateSpansFromGrams]] and an
+    * equivalent SQL pipeline over the same rows. Positions are 1-based
+    * word indices; hashes are the 60-bit longs of the compiled md5
+    * kernel (one static call per row, inside whole-stage codegen;
+    * trailing=false emits exactly the t-n+1 complete grams — empty for
+    * short docs). A builtin transform() lambda here ran interpreted AND
+    * re-split the text per element: 8.0 s -> 1.3 s at sf0.1 for the
+    * whole query. Hash keys are longs, not 32-char hex — cheaper to
+    * shuffle too. */
+  def positionalGramHashes(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
-    // positional gram hashes via the compiled md5 kernel (one static call
-    // per row, inside whole-stage codegen; trailing=false emits exactly
-    // the t-n+1 complete grams — empty for short docs). A builtin
-    // transform() lambda here ran interpreted AND re-split the text per
-    // element: 8.0 s -> 1.3 s at sf0.1 for the whole query. Hash keys are
-    // 60-bit longs, not 32-char hex — cheaper to shuffle too.
-    val grams = docs
+    docs
       .select(col(idCol), tokens(col(textCol)).as("__ws"))
       .select(col(idCol), posexplode(asCol(TextExprs.Md5ShingleHashes(
         asExpr(col("__ws")), n, trailing = false))).as(Seq("__i", "__gh")))
       .select(col(idCol), (col("__i") + 1).cast("long").as("pos"), col("__gh"))
+  }
+
+  /** The spans computation downstream of [[positionalGramHashes]]: the
+    * dup-gram shuffle, the co-partitioned position join, and the island
+    * merge — the parts that ARE the operator. */
+  def duplicateSpansFromGrams(grams: DataFrame, n: Int, minDocs: Int = 2,
+                              idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
     // minDocs == 2 ("any other doc has it") avoids count_distinct's
     // two-shuffle Expand: a gram spans >= 2 docs iff min(id) != max(id)
     val dupGrams = (if (minDocs == 2)

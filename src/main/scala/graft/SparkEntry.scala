@@ -2967,6 +2967,22 @@ object SparkEntry {
             "SQL delete drift: the DELETE was not merge-on-read (files " +
               "churned or no vector standing on doc_id)"))))
     }),
+    // ATOMIC CTAS through the DSv2 catalog: `CREATE TABLE ... AS
+    // SELECT` builds the whole table under a hidden staging path and
+    // ONE rename publishes it (readers see a complete table or none);
+    // the idColumn/layout properties ride the staged CREATE, a later
+    // INSERT proves full citizenship, and a REPLACE TABLE probe
+    // refuses TYPED with content intact — without the staging surface
+    // the engine's fallback DROPS the table before refusing. The
+    // oracle replays both slices symbolically.
+    "versioned_sql_ctas" -> ((s, dir) => {
+      val (tbl, facts) = versionedCtasInfo(s, dir)
+      s.sql(s"SELECT doc_id, lang, n2 FROM $tbl")
+        .filter(when(lit(facts), lit(true))
+          .otherwise(raise_error(lit(
+            "staged CTAS drift: lineage, carried properties, staging " +
+              "reclaim, or the non-destructive REPLACE refusal broke"))))
+    }),
     // ROW-LEVEL SQL UPDATE through the DSv2 catalog: one `UPDATE ...
     // WHERE doc_id % 2 = 1` lands as ONE atomic write_delta commit (the
     // engine feeds only the matched rows through the staged-delta
@@ -4214,6 +4230,57 @@ object SparkEntry {
         Versioned.versions(s, tdir) == Seq(0, 1, 2, 3) &&
           op(2) == "write_delta" && op(3) == "write_delta" &&
           (!fs.exists(staged) || fs.listStatus(staged).isEmpty))
+    })
+
+  /** Staged-CTAS lifecycle, built once per (ctx, dir) on its own
+    * catalog: `CREATE TABLE ... AS SELECT` lands ATOMICALLY (the whole
+    * table builds under a hidden `.staging/<uuid>` path and ONE
+    * directory rename publishes it — v0 + the query's append commit,
+    * manifests relocated to the published home), then an ordinary
+    * INSERT proves the published table is a full citizen, and a
+    * REPLACE TABLE probe must refuse TYPED with the content intact —
+    * the engine's non-staging fallback DROPS the table before its
+    * capability check fires, the trapdoor the staging surface closes.
+    * Facts pinned: versions 0..2, idColumn property + NOT NULL
+    * constraint carried through the staged CREATE, the staging area
+    * reclaimed, and the refused REPLACE destroyed nothing. */
+  private val versionedCtasBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean)]
+  private def versionedCtasInfo(s: SparkSession, dir: String)
+      : (String, Boolean) =
+    versionedCtasBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val key = artifactKey(dir).replace('.', '_').replace('-', '_')
+      val cat = s"graft_ctas_$key"
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_ctas/$key"
+      val whRoot = new org.apache.hadoop.fs.Path(wh)
+      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(whRoot)) fs.delete(whRoot, true)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.VersionedCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val view = s"graft_ctas_docs_$key"
+      Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.derived TBLPROPERTIES " +
+        "('idColumn' = 'doc_id', 'statsColumn' = 'doc_id') " +
+        s"AS SELECT doc_id, lang, n_chars * 2 AS n2 FROM $view " +
+        "WHERE doc_id % 3 = 0") // v0 (staged create) + v1 (staged append)
+      s.sql(s"INSERT INTO $cat.derived SELECT doc_id + 61000000, lang, " +
+        s"n_chars FROM $view WHERE doc_id % 10 = 0") // v2
+      val before = s.table(s"$cat.derived").count()
+      val refused = try {
+        s.sql(s"REPLACE TABLE $cat.derived AS SELECT 1L AS a"); false
+      } catch { case e: Exception =>
+        String.valueOf(e.getMessage).contains("never silently replaced") }
+      val tdir = s"$wh/derived"
+      val meta = Versioned.snapshot(s, tdir).meta
+      val staging = new org.apache.hadoop.fs.Path(s"$wh/.staging")
+      (s"$cat.derived",
+        Versioned.versions(s, tdir) == Seq(0, 1, 2) &&
+          meta.get("catalog.idColumn").contains("doc_id") &&
+          meta.contains("constraint.doc_id_not_null") &&
+          (!fs.exists(staging) || fs.listStatus(staging).isEmpty) &&
+          refused && s.table(s"$cat.derived").count() == before)
     })
 
   /** Change-feed lifecycle, built once per (ctx, dir): v0 = documents
@@ -6507,6 +6574,15 @@ object SparkEntry {
                     FROM documents WHERE doc_id % 5 = 0)
          SELECT doc_id, lang, n_chars FROM t
          WHERE lang <> 'de' AND doc_id % 7 <> 3""",
+    // the staged CTAS published exactly its SELECT, then one ordinary
+    // INSERT slice (re-keyed +61M); the refused REPLACE contributed
+    // nothing — symbolic replay of both
+    "versioned_sql_ctas" ->
+      """SELECT doc_id, lang, CAST(n_chars * 2 AS BIGINT) AS n2
+         FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id + 61000000 AS doc_id, lang, n_chars AS n2
+         FROM documents WHERE doc_id % 10 = 0""",
     // SQL UPDATE replayed symbolically: the insert slice with the SET
     // applied to the WHERE's matches
     "versioned_sql_update" ->

@@ -686,6 +686,69 @@ object Versioned {
     finally in.close()
   }
 
+  /** Metadata-only relocation fix-up after a table DIRECTORY move:
+    * manifest paths travel absolutely (see [[writeData]]), so the files
+    * under a just-renamed table are still recorded under the old
+    * prefix — left alone, every scan of a renamed table with data
+    * fails on the dangling paths. This rewrites every path field the
+    * manifests carry — inline file entries, delta removals, segment
+    * references and the entry lines inside their pages, and the
+    * `dv.files` sidecar list (the one path-bearing META key; change
+    * files resolve by convention under `tableDir/_changes` and need no
+    * rewrite) — from `oldDir` to `newDir`. Cost is O(manifest bytes):
+    * pure metadata, zero data files opened, the same at 100 TB as at a
+    * megabyte. Callers run this while they exclusively own `newDir`
+    * (table RENAME: the destination did not exist a moment ago; staged
+    * CTAS publish: the path was hidden until the rename), so the
+    * non-atomic per-file rewrite is never concurrently read. */
+  private[graft] def relocateManifests(spark: SparkSession, newDir: String,
+                                       oldDir: String): Unit = {
+    val oldP = norm(new Path(oldDir))
+    val newP = norm(new Path(newDir))
+    def reloc(p: String): String =
+      if (p == oldP || p.startsWith(oldP + "/")) newP + p.drop(oldP.length) else p
+    def relocEntryLine(l: String): String = {
+      val i = l.indexOf('\t')
+      if (i < 0) reloc(l) else reloc(l.substring(0, i)) + l.substring(i)
+    }
+    def relocLine(l: String): String =
+      if (l.startsWith("#dv.files="))
+        "#dv.files=" + l.stripPrefix("#dv.files=").split(',')
+          .map(reloc).mkString(",")
+      else if (l.startsWith("#")) l
+      else if (l.startsWith("-\t")) "-\t" + reloc(l.drop(2))
+      else if (l.startsWith("@seg\t")) {
+        val rest = l.stripPrefix("@seg\t")
+        val i = rest.indexOf('\t')
+        "@seg\t" + rest.substring(0, i + 1) + relocEntryLine(rest.substring(i + 1))
+      } else relocEntryLine(l)
+    val mDir = new Path(s"$newDir/_manifests")
+    val f = fs(spark, mDir)
+    def rewrite(p: Path, perLine: String => String): Unit = {
+      val in = f.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      val out = lines.map(perLine)
+      if (out != lines) {
+        val tmp = new Path(p.getParent,
+          s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val o = f.create(tmp, true)
+        try o.write((out.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally o.close()
+        f.delete(p, false): Unit
+        require(f.rename(tmp, p), s"manifest relocation rename failed at $p")
+      }
+    }
+    f.listStatus(mDir).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".manifest"))
+      .foreach(s => rewrite(s.getPath, relocLine))
+    val segsDir = new Path(mDir, "segs")
+    if (f.exists(segsDir))
+      f.listStatus(segsDir).filter(_.isFile)
+        .foreach(s => rewrite(s.getPath, relocEntryLine))
+    snapshotCacheClear()
+  }
+
   /** Test-visible instrumentation: (segment files OPENED, segment refs
     * SEEN) by the most recent snapshot resolution on this thread — the
     * spec pins that a pruned read parses a strict subset. */

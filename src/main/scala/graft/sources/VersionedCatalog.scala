@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.catalog.{procedures => procedures0}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -79,7 +79,8 @@ import _root_.graft.operators.Versioned
   * the newest-first stamp walk; DELETE's cost is one pruned read of the
   * candidate files plus an O(ids) sidecar write. The Delta/Iceberg
   * catalog surfaces are shape references only. */
-class VersionedCatalog extends TableCatalog with ProcedureCatalog {
+class VersionedCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -112,7 +113,7 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
       else throw new NoSuchNamespaceException(namespace.toSeq)
     } else
       fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory &&
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
           fs.exists(new Path(s.getPath, "_manifests")))
         .map(s => Identifier.of(namespace, s.getPath.getName))
         .toArray
@@ -147,9 +148,14 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
       Some(Versioned.versionAsOf(spark, dir, timestampMicros / 1000L)))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+  /** CREATE-side validation shared by [[createTable]] and the staged
+    * CTAS path: refuses layouts and properties this catalog doesn't
+    * record, stamps the id column non-nullable with its enforcing CHECK
+    * constraint, and returns everything [[Versioned.init]] needs. */
+  private def validateCreate(ident: Identifier, schema: StructType,
+                             partitions: Array[Transform],
+                             properties: util.Map[String, String])
+      : (StructType, Map[String, String], Option[String], Option[String]) = {
     require(partitions.isEmpty,
       "graft tables own their physical layout (manifest stats/blooms, " +
         "z-order clustering) — PARTITIONED BY does not apply; set the " +
@@ -200,15 +206,66 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
         if (f.name == id) f.copy(nullable = false) else f))
       case None => schema
     }
+    (stamped, meta, prop("statsColumn"), prop("bloomColumn"))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val (stamped, meta, statsCol, bloomCol) =
+      validateCreate(ident, schema, partitions, properties)
     // v0 is an EMPTY schema-stamped commit (zero manifest entries —
     // proven-empty parts never enter a manifest; readers serve the
     // stamped schema with no files); the first INSERT is then an
     // ordinary append
     val empty = spark.createDataFrame(new util.ArrayList[Row](), stamped)
-    Versioned.init(empty, dirFor(ident), meta,
-      prop("statsColumn"), prop("bloomColumn")): Unit
+    Versioned.init(empty, dirFor(ident), meta, statsCol, bloomCol): Unit
     loadTable(ident)
   }
+
+  // ------------------------------------------------------------------
+  // Staged DDL: CREATE TABLE ... AS SELECT atomically, and the
+  // REPLACE family refused WITHOUT collateral damage. The engine's
+  // non-staging fallbacks are trapdoors on a versioned table: a
+  // non-atomic CTAS can leave a half-created table behind its failure
+  // cleanup, and non-atomic REPLACE TABLE DROPS the existing table
+  // before write planning discovers the (deliberately absent) truncate
+  // capability — a refused statement must never destroy the corpus it
+  // refused to replace. Staging closes both: CTAS builds the full
+  // table (v0 + the query's append commit) under a hidden
+  // `.staging/<uuid>` path and ONE directory rename publishes it —
+  // readers see a complete table or none — and stageReplace refuses
+  // typed before the engine touches the existing table.
+  // ------------------------------------------------------------------
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    val (stamped, meta, statsCol, bloomCol) =
+      validateCreate(ident, schema, partitions, properties)
+    val staged = s"$warehouse/.staging/${java.util.UUID.randomUUID().toString}"
+    val empty = spark.createDataFrame(new util.ArrayList[Row](), stamped)
+    Versioned.init(empty, staged, meta, statsCol, bloomCol): Unit
+    new StagedVersionedTable(staged, dirFor(ident), ident,
+      spark.sparkContext.hadoopConfiguration)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable =
+    throw new UnsupportedOperationException(
+      s"REPLACE TABLE $ident refuses: a versioned corpus is never " +
+        "silently replaced — its history IS the table. DROP TABLE first " +
+        "if the lineage is genuinely disposable, or mutate through " +
+        "INSERT / UPDATE / MERGE / DELETE and keep time travel working")
+
+  /** CREATE OR REPLACE degrades to a plain staged CREATE when the table
+    * does not exist (nothing is being replaced); on an existing table it
+    * refuses exactly like REPLACE — before anything is touched. */
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable =
+    if (exists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
 
   /** ALTER TABLE, scoped to the two schema evolutions the versioned
     * table supports as METADATA-ONLY commits (zero bytes rewritten at
@@ -268,6 +325,9 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
     Versioned.snapshotCacheClear()
     require(fs.rename(new Path(dirFor(oldIdent)), dst),
       s"rename ${oldIdent} -> ${newIdent} failed (filesystem refused)")
+    // manifest paths travel absolutely: point them at the new home, or
+    // every data read of the renamed table dangles (metadata-only)
+    Versioned.relocateManifests(spark, dirFor(newIdent), dirFor(oldIdent))
   }
 
   override def invalidateTable(ident: Identifier): Unit =
@@ -477,6 +537,79 @@ private[sources] class VersionedV2Table(tableDir: String, ident: String,
     if (Versioned.snapshot(spark, tableDir).entries.nonEmpty) {
       val ids = Versioned.read(spark, tableDir).filter(cond).select(idCol)
       Versioned.deleteIdsMergeOnRead(ids, tableDir, idCol): Unit
+    }
+  }
+}
+
+/** A table mid-CTAS: a fully-formed versioned table at a hidden
+  * `.staging/<uuid>` path, writable through the ordinary append path
+  * (constraints, layout, evolution rules all apply to the staged
+  * write). `commitStagedChanges` publishes it with ONE directory
+  * rename — a concurrent reader sees a complete table or none, and a
+  * failed query's `abortStagedChanges` reclaims the staging directory
+  * without the final path ever having existed. On object stores the
+  * rename is the store's usual copy trade, same as table RENAME.
+  * Commit refuses (and cleans up) if the identifier was created
+  * concurrently during the write — the staged result never overwrites
+  * a table that won the race. */
+private[sources] class StagedVersionedTable(
+    stagedDir: String, finalDir: String, ident: Identifier,
+    hadoopConf: org.apache.hadoop.conf.Configuration)
+    extends VersionedV2Table(stagedDir, ident.toString, None)
+    with StagedTable {
+
+  override def commitStagedChanges(): Unit = {
+    val src = new Path(stagedDir)
+    val dst = new Path(finalDir)
+    val fs = dst.getFileSystem(hadoopConf)
+    Versioned.snapshotCacheClear()
+    if (fs.exists(dst)) {
+      fs.delete(src, true): Unit
+      throw new TableAlreadyExistsException(ident)
+    }
+    fs.mkdirs(dst.getParent): Unit
+    require(fs.rename(src, dst),
+      s"publishing staged table $ident failed: rename $src -> $dst " +
+        "refused by the filesystem (staging left in place)")
+    // manifest paths travel absolutely: re-point them from the hidden
+    // staging prefix to the published home (metadata-only; the path is
+    // exclusively ours until the first reader resolves it)
+    Versioned.relocateManifests(SparkSession.active, finalDir, stagedDir)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    Versioned.snapshotCacheClear()
+    val src = new Path(stagedDir)
+    src.getFileSystem(hadoopConf).delete(src, true): Unit
+  }
+
+  // CREATE OR REPLACE writes into the staged table with REPLACE
+  // semantics — an OverwriteByExpression(true), i.e. truncate+append.
+  // A staged table is EMPTY by construction (v0 only, never visible to
+  // another writer), so truncation is vacuously done and the write is
+  // the ordinary append commit. The PUBLISHED table still refuses
+  // truncate: this capability lives only on the staging wrapper.
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = super.capabilities()
+    caps.add(TableCapability.TRUNCATE): Unit
+    caps
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val append = super.newWriteBuilder(info)
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // staged: empty, done
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit =
+                // overwrite of nothing == append; route to the parent's
+                // single commit path with the recorded layout
+                append.build().asInstanceOf[V1Write].toInsertableRelation
+                  .insert(data, overwrite = false)
+            }
+        }
     }
   }
 }

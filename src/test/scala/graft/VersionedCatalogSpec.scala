@@ -146,15 +146,20 @@ class VersionedCatalogSpec extends SparkSuite {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.a (id BIGINT)")
     spark.sql(s"CREATE TABLE $cat.b (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.a VALUES (7), (8)")
     assert(spark.sql(s"SHOW TABLES IN $cat").collect()
       .map(_.getString(1)).toSet === Set("a", "b"))
 
     // the TO name is catalog-relative (a catalog prefix would read as a
-    // namespace segment)
+    // namespace segment). DATA must survive the rename: manifest paths
+    // travel absolutely, so the rename's metadata-only relocation is
+    // what keeps the moved table's scans from dangling.
     spark.sql(s"ALTER TABLE $cat.a RENAME TO c")
     assert(spark.sql(s"SHOW TABLES IN $cat").collect()
       .map(_.getString(1)).toSet === Set("b", "c"))
     assert(Versioned.versions(spark, s"$wh/c").nonEmpty)
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.c").head().getLong(0) === 15L,
+      "a renamed table's data reads from its new home")
 
     spark.sql(s"DROP TABLE $cat.c")
     assert(spark.sql(s"SHOW TABLES IN $cat").collect()
@@ -197,6 +202,71 @@ class VersionedCatalogSpec extends SparkSuite {
       spark.sql(s"CREATE TABLE $cat.p (id BIGINT, d STRING) PARTITIONED BY (d)")
     }
     assert(msgs(part).exists(_.contains("physical layout")))
+  }
+
+  test("CTAS: CREATE TABLE AS SELECT lands as create + one append; REPLACE refuses") {
+    val (cat, wh) = freshCatalog()
+    spark.range(1, 11)
+      .select(col("id").as("doc_id"), concat(lit("t"), col("id")).as("txt"))
+      .createOrReplaceTempView("ctas_src")
+
+    // the non-atomic v2 CTAS: createTable stamps the query schema (v0,
+    // empty) and the write is an ordinary append commit (v1) — so the
+    // table's lineage reads exactly like CREATE-then-INSERT, and every
+    // ingest rule (constraints, layout, evolution) applied to the write
+    spark.sql(s"CREATE TABLE $cat.ct TBLPROPERTIES " +
+      "('idColumn' = 'doc_id', 'statsColumn' = 'doc_id') " +
+      "AS SELECT doc_id, txt FROM ctas_src WHERE doc_id <= 7")
+    assert(Versioned.versions(spark, s"$wh/ct") === Seq(0, 1))
+    assert(spark.sql(s"SELECT * FROM $cat.ct").count() === 7)
+
+    // the properties rode the CREATE: stats layout on the ingested
+    // files, the id stamped non-nullable with its enforcing constraint
+    val snap = Versioned.snapshot(spark, s"$wh/ct")
+    assert(snap.entries.nonEmpty && snap.entries.forall(_.statsFor("doc_id").isDefined))
+    assert(snap.meta.get("catalog.idColumn").contains("doc_id"))
+    assert(snap.meta.contains("constraint.doc_id_not_null"))
+
+    // and the table is a full citizen afterwards: INSERT, UPDATE, DELETE
+    spark.sql(s"INSERT INTO $cat.ct VALUES (100, 'x')")
+    spark.sql(s"UPDATE $cat.ct SET txt = 'u' WHERE doc_id = 3")
+    assert(spark.sql(s"SELECT txt FROM $cat.ct WHERE doc_id = 3")
+      .head().getString(0) === "u")
+
+    // a CTAS whose write fails must not leave a half-created table:
+    // the engine's non-atomic cleanup drops what createTable made
+    val boom = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad AS " +
+        "SELECT doc_id, raise_error('ctas boom') AS t FROM ctas_src")
+    }
+    assert(String.valueOf(boom.getMessage).nonEmpty)
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet === Set("ct"),
+      "a failed CTAS must drop the half-created table")
+
+    // REPLACE TABLE refuses TYPED and LEAVES THE TABLE INTACT: without
+    // the staging surface the engine's non-atomic ReplaceTableExec
+    // DROPS the existing table before write planning discovers the
+    // missing truncate capability — a refused statement destroying the
+    // corpus it refused to replace. stageReplace throws before the
+    // engine touches anything.
+    val rep = intercept[Exception] {
+      spark.sql(s"REPLACE TABLE $cat.ct AS SELECT 1L AS a")
+    }
+    assert(String.valueOf(rep.getMessage).contains("never silently replaced"),
+      s"expected the typed replace refusal, got: ${rep.getMessage}")
+    assert(spark.sql(s"SELECT * FROM $cat.ct").count() === 8,
+      "the refused REPLACE must leave the table's content standing")
+
+    // CREATE OR REPLACE: a plain staged create when nothing exists,
+    // the same typed refusal (table untouched) when something does
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.fresh AS SELECT 1L AS a")
+    assert(spark.sql(s"SELECT * FROM $cat.fresh").count() === 1)
+    val cor = intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TABLE $cat.ct AS SELECT 1L AS a")
+    }
+    assert(String.valueOf(cor.getMessage).contains("never silently replaced"))
+    assert(spark.sql(s"SELECT * FROM $cat.ct").count() === 8)
   }
 
   test("SQL UPDATE commits one atomic delta version") {

@@ -2983,6 +2983,19 @@ object SparkEntry {
             "staged CTAS drift: lineage, carried properties, staging " +
               "reclaim, or the non-destructive REPLACE refusal broke"))))
     }),
+    // INSERT OVERWRITE through the DSv2 catalog: the full refresh as
+    // ONE versioned commit — content replaced, lineage intact (the
+    // pre-refresh slice still serves under VERSION AS OF, pinned
+    // in-plan with the op stamp and the carried catalog identity).
+    // The oracle replays the refresh slice symbolically.
+    "versioned_sql_overwrite" -> ((s, dir) => {
+      val (tbl, facts) = versionedOwInfo(s, dir)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $tbl")
+        .filter(when(lit(facts), lit(true))
+          .otherwise(raise_error(lit(
+            "SQL overwrite drift: lineage, op stamp, time travel to the " +
+              "pre-refresh content, or carried identity broke"))))
+    }),
     // ROW-LEVEL SQL UPDATE through the DSv2 catalog: one `UPDATE ...
     // WHERE doc_id % 2 = 1` lands as ONE atomic write_delta commit (the
     // engine feeds only the matched rows through the staged-delta
@@ -4281,6 +4294,51 @@ object SparkEntry {
           meta.contains("constraint.doc_id_not_null") &&
           (!fs.exists(staging) || fs.listStatus(staging).isEmpty) &&
           refused && s.table(s"$cat.derived").count() == before)
+    })
+
+  /** INSERT OVERWRITE lifecycle, built once per (ctx, dir) on its own
+    * catalog: CREATE + one INSERT slice, then `INSERT OVERWRITE` with a
+    * different slice — the full refresh a medallion silver table runs
+    * nightly, landed as ONE versioned commit. Facts pinned: versions
+    * 0..2, the overwrite op stamp, the pre-refresh content still
+    * time-travelable (revertible — the line that separates overwrite
+    * from the refused REPLACE TABLE), and the catalog identity carried
+    * through the rewrite. */
+  private val versionedOwBuilt = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Boolean)]
+  private def versionedOwInfo(s: SparkSession, dir: String)
+      : (String, Boolean) =
+    versionedOwBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val key = artifactKey(dir).replace('.', '_').replace('-', '_')
+      val cat = s"graft_ow_$key"
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_ow/$key"
+      val whRoot = new org.apache.hadoop.fs.Path(wh)
+      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(whRoot)) fs.delete(whRoot, true)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.VersionedCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val view = s"graft_ow_docs_$key"
+      Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.silver (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) TBLPROPERTIES ('idColumn' = 'doc_id', " +
+        "'statsColumn' = 'doc_id')")
+      s.sql(s"INSERT INTO $cat.silver SELECT doc_id, lang, n_chars " +
+        s"FROM $view WHERE doc_id % 4 = 1") // v1
+      s.sql(s"INSERT OVERWRITE $cat.silver SELECT doc_id, lang, " +
+        s"n_chars * 3 FROM $view WHERE doc_id % 6 = 2") // v2: full refresh
+      val tdir = s"$wh/silver"
+      val v1Rows = s.sql(s"SELECT count(*) FROM $cat.silver VERSION AS OF 1")
+        .head().getLong(0)
+      val v1Expected = s.sql(
+        s"SELECT count(*) FROM $view WHERE doc_id % 4 = 1").head().getLong(0)
+      val meta = Versioned.snapshot(s, tdir).meta
+      (s"$cat.silver",
+        Versioned.versions(s, tdir) == Seq(0, 1, 2) &&
+          meta.getOrElse("op", "?") == "overwrite" &&
+          meta.get("catalog.idColumn").contains("doc_id") &&
+          v1Rows == v1Expected && v1Rows > 0)
     })
 
   /** Change-feed lifecycle, built once per (ctx, dir): v0 = documents
@@ -6583,6 +6641,10 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id + 61000000 AS doc_id, lang, n_chars AS n2
          FROM documents WHERE doc_id % 10 = 0""",
+    // the overwrite serves exactly its refresh slice
+    "versioned_sql_overwrite" ->
+      """SELECT doc_id, lang, CAST(n_chars * 3 AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id % 6 = 2""",
     // SQL UPDATE replayed symbolically: the insert slice with the SET
     // applied to the WHERE's matches
     "versioned_sql_update" ->

@@ -814,6 +814,42 @@ object Versioned {
       target.meta + ("op" -> "restore"))))
   }
 
+  /** INSERT OVERWRITE as ONE versioned commit: the new version's
+    * content is exactly `df`. Every previous file leaves the MANIFEST —
+    * never the disk: time travel still serves the old versions, vacuum
+    * owns reclamation, and [[restore]] undoes a bad refresh — standing
+    * deletion vectors die with the content they masked, and the full
+    * new content validates against the standing constraints before
+    * anything publishes. Like [[compact]], the rewrite re-baselines
+    * column mapping (physical == logical again) and carries the
+    * standing table metadata (constraints, cdf, catalog identity).
+    *
+    * History intact is what separates this from the REPLACE TABLE
+    * refusal: a replace destroys lineage, an overwrite is a REVERTIBLE
+    * full-refresh commit — the nightly silver-table rebuild a medallion
+    * pipeline runs. Schema follows the same widen-only evolution rule
+    * as [[append]] (the SQL surface has already cast rows to the
+    * table's schema; library callers may widen, never re-type).
+    *
+    * Concurrency: the overwrite's claim covers the WHOLE table, so any
+    * interleaved commit is a genuine conflict — typed refusal, never a
+    * rebase. Cost is O(new content) + one manifest write at any scale. */
+  def replaceContent(df: DataFrame, tableDir: String,
+                     statsCol: Option[String] = None,
+                     bloomCol: Option[String] = None): Int = {
+    val s = df.sparkSession
+    val base = snapshot(s, tableDir)
+    val evolved = evolvedSchemaFor(base, df) // widen-only, typed, pre-write
+    requireConstraints(s, base, df, tableDir)
+    val newEntries = writeData(df, tableDir, base.version + 1,
+      statsCol.toSeq, bloomCol)
+    commitWithRebase(s, tableDir, snap =>
+      if (snap.version == base.version)
+        Some((newEntries, carriedTableMeta(base) +
+          ("schema" -> evolved.json) + ("op" -> "overwrite")))
+      else None, newEntries)
+  }
+
   /** SHALLOW CLONE: initialize `dstDir` as a new table whose v0
     * manifest references the source version's files and metadata
     * verbatim — zero data copied, so branching a 100 TB corpus for an
@@ -1919,9 +1955,13 @@ object Versioned {
     val physId = physOf(base, idCol)
     base.dvCol.foreach(c => require(c == physId,
       s"merge-on-read deletes at $tableDir key on '$c'; got '$idCol' ($physId)"))
-    val dvEntries = writeData(
-      toPhysical(base, ids.select(col(idCol))).distinct(), tableDir,
-      base.version + 1)
+    val distinctIds = toPhysical(base, ids.select(col(idCol))).distinct()
+    // a zero-match delete commits NOTHING and returns the standing
+    // version — SQL's "0 rows affected". Without the guard it would
+    // stamp dv.files from an empty sidecar set, and the consolidation
+    // read over zero paths cannot even infer a schema.
+    if (distinctIds.isEmpty) return base.version
+    val dvEntries = writeData(distinctIds, tableDir, base.version + 1)
     val cache = scala.collection.mutable.Map.empty[String, Map[String, String]]
     commitWithRebase(s, tableDir,
       morDeleteRebase(s, tableDir, idCol, physId, dvEntries, cache), dvEntries)
@@ -2102,9 +2142,19 @@ object Versioned {
     * ingest gate. Layout keys (colmap, zorder.*, dv.*) intentionally
     * die with the rewrite; constraint keys and the materialized-
     * change-file opt-in (`cdf`) do not. */
+  /** The standing table metadata a FULL-REWRITE commit (compact,
+    * z-order, overwrite) must carry forward: constraints, the CDF
+    * opt-in, and the `catalog.*` identity properties (idColumn and the
+    * pruning layout) — dropping those silently turns a maintained
+    * catalog table's SQL DELETE/UPDATE/MERGE into a typed refusal and
+    * loses the layout every later ingest should keep. Deliberately NOT
+    * carried: `colmap` (the rewrite re-baselines physical == logical),
+    * `zorder.*` (the layout it described is gone; compactZOrder
+    * re-stamps its own), and `dv.files` (the vectors masked content the
+    * rewrite replaced). */
   private def carriedTableMeta(snap: Snapshot): Map[String, String] =
     snap.meta.filter { case (k, _) =>
-      k.startsWith("constraint.") || k == "cdf" }
+      k.startsWith("constraint.") || k.startsWith("catalog.") || k == "cdf" }
 
   /** Column names a constraint expression references, via the SQL
     * parser's unresolved-attribute walk (never a textual match — a

@@ -61,8 +61,11 @@ import _root_.graft.operators.Versioned
   *   - ONE commit path: `INSERT INTO` is a [[V1Write]] onto
   *     [[Versioned.append]] (constraints, conflict rebase, schema
   *     evolution all gate SQL ingests); DELETE is the library's MoR
-  *     delete. `INSERT OVERWRITE` / TRUNCATE stay unsupported — a
-  *     versioned corpus is never silently replaced.
+  *     delete; `INSERT OVERWRITE` is one [[Versioned.replaceContent]]
+  *     commit and `TRUNCATE TABLE` a delete-all — both VERSIONED and
+  *     revertible (RESTORE undoes them). Only `REPLACE TABLE` refuses:
+  *     it would destroy the lineage itself, and a versioned corpus is
+  *     never silently replaced.
   *   - Tables are MANAGED under the catalog's `warehouse` directory and
   *     identified purely by path ([[Identifier]] segments are directory
   *     segments), so the catalog itself holds ZERO mutable state — the
@@ -414,7 +417,10 @@ private[sources] class VersionedV2Table(tableDir: String, ident: String,
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ)
     // a time-traveled resolution is read-only: commits land on latest
-    if (version.isEmpty) caps.add(TableCapability.V1_BATCH_WRITE): Unit
+    if (version.isEmpty) {
+      caps.add(TableCapability.V1_BATCH_WRITE): Unit
+      caps.add(TableCapability.TRUNCATE): Unit // INSERT OVERWRITE, versioned
+    }
     caps
   }
 
@@ -458,20 +464,30 @@ private[sources] class VersionedV2Table(tableDir: String, ident: String,
   // ------------------------------------------------------------------
   // Write: INSERT INTO as one append commit (constraints, rebase,
   // evolution rules and the recorded pruning layout all apply).
-  // INSERT OVERWRITE / TRUNCATE are absent by capability — the engine
-  // refuses them before this table sees the plan.
+  // INSERT OVERWRITE is one replaceContent commit — a versioned,
+  // REVERTIBLE full refresh (every old version stays time-travelable;
+  // RESTORE undoes it), not the lineage-destroying replace that
+  // REPLACE TABLE still refuses. TRUNCATE TABLE arrives through the
+  // SupportsDeleteV2 default (delete-all) below, a merge-on-read
+  // commit of its own.
   // ------------------------------------------------------------------
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-                require(!overwrite, "unreachable: OVERWRITE refuses by capability")
-                Versioned.append(data, tableDir,
-                  statsCol = catalogProp("statsColumn"),
-                  bloomCol = catalogProp("bloomColumn")): Unit
+                if (replace || overwrite)
+                  Versioned.replaceContent(data, tableDir,
+                    statsCol = catalogProp("statsColumn"),
+                    bloomCol = catalogProp("bloomColumn")): Unit
+                else
+                  Versioned.append(data, tableDir,
+                    statsCol = catalogProp("statsColumn"),
+                    bloomCol = catalogProp("bloomColumn")): Unit
               }
             }
         }

@@ -189,19 +189,53 @@ class VersionedCatalogSpec extends SparkSuite {
     assert(msgs(alter).exists(_.contains("not supported")),
       s"expected the unsupported-change refusal, got: ${msgs(alter)}")
 
-    spark.sql(s"INSERT INTO $cat.b VALUES (1)")
-    val ow = intercept[Exception] {
-      spark.sql(s"INSERT OVERWRITE $cat.b VALUES (2)")
-    }
-    assert(ow != null, "INSERT OVERWRITE must refuse (no overwrite capability)")
-    assert(spark.sql(s"SELECT * FROM $cat.b").count() === 1,
-      "the refused overwrite publishes nothing")
-
     // PARTITIONED BY refuses: the table owns its layout
     val part = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.p (id BIGINT, d STRING) PARTITIONED BY (d)")
     }
     assert(msgs(part).exists(_.contains("physical layout")))
+  }
+
+  test("INSERT OVERWRITE and TRUNCATE TABLE are history-preserving commits") {
+    val (cat, wh) = freshCatalog()
+    def content() = spark.sql(s"SELECT doc_id, v FROM $cat.o").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def op(ver: Int) =
+      Versioned.snapshot(spark, s"$wh/o", Some(ver)).meta.getOrElse("op", "?")
+    spark.sql(s"CREATE TABLE $cat.o (doc_id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('idColumn' = 'doc_id', 'statsColumn' = 'doc_id')")
+    spark.sql(s"INSERT INTO $cat.o VALUES (1,'a'), (2,'b')") // v1
+
+    // the full refresh: ONE versioned commit, old content still
+    // time-travelable — revertible, unlike the refused REPLACE TABLE
+    spark.sql(s"INSERT OVERWRITE $cat.o VALUES (9,'z'), (10,'y')") // v2
+    assert(content() === Set((9L, "z"), (10L, "y")))
+    assert(Versioned.versions(spark, s"$wh/o") === Seq(0, 1, 2))
+    assert(op(2) === "overwrite")
+    assert(spark.sql(s"SELECT doc_id FROM $cat.o VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+      "the overwritten content is history, not gone")
+
+    // the catalog identity survives the rewrite: row-level SQL works
+    spark.sql(s"DELETE FROM $cat.o WHERE doc_id = 9") // v3, MoR vector
+    assert(content() === Set((10L, "y")))
+    // a standing deletion vector dies with the content it masked: the
+    // next overwrite serves the previously-deleted id again
+    spark.sql(s"INSERT OVERWRITE $cat.o VALUES (9,'back')") // v4
+    assert(content() === Set((9L, "back")))
+
+    // constraints gate the refresh BEFORE anything publishes
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $cat.o VALUES (CAST(NULL AS BIGINT),'n')")
+    }
+    assert(content() === Set((9L, "back")),
+      "a refused overwrite publishes nothing")
+
+    // TRUNCATE TABLE: content empty, lineage intact, RESTORE recovers
+    spark.sql(s"TRUNCATE TABLE $cat.o")
+    assert(spark.table(s"$cat.o").count() === 0)
+    spark.sql(s"CALL $cat.restore('o', 4)")
+    assert(content() === Set((9L, "back")))
   }
 
   test("CTAS: CREATE TABLE AS SELECT lands as create + one append; REPLACE refuses") {
@@ -377,6 +411,13 @@ class VersionedCatalogSpec extends SparkSuite {
     val cv = spark.sql(s"CALL $cat.compact(table => 'pt')").head().getInt(0)
     assert(cv === 3)
     assert(spark.sql(s"SELECT count(*) FROM $cat.pt").head().getLong(0) === 3L)
+    // the full rewrite must CARRY the catalog identity properties —
+    // dropping them turned post-maintenance SQL row-level statements
+    // into typed refusals (found by this very assertion)
+    assert(Versioned.snapshot(spark, s"$wh/pt").meta
+      .get("catalog.idColumn").contains("id"),
+      "compact must carry catalog.* table properties")
+    spark.sql(s"DELETE FROM $cat.pt WHERE id = 99") // resolves idColumn
 
     // restore publishes an old state as a NEW version (never rewrites)
     val rv = spark.sql(s"CALL $cat.restore('pt', 1)").head().getInt(0)

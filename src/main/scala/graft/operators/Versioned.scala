@@ -2661,6 +2661,20 @@ object Versioned {
        else latest.meta - "cdf") +
         ("op" -> (if (enabled) "set_cdf" else "unset_cdf")))))
 
+  /** One standing-metadata key set (Some) or dropped (None) as a
+    * METADATA-ONLY commit — the channel the catalog's `ALTER TABLE
+    * SET/UNSET TBLPROPERTIES` uses to retarget the recorded pruning
+    * layout (`catalog.statsColumn` / `catalog.bloomColumn`): existing
+    * files keep whatever stats they carry, FUTURE ingests record the
+    * new layout, and the change is one manifest write at any scale. */
+  def setStandingMeta(spark: SparkSession, tableDir: String,
+                      key: String, value: Option[String]): Int =
+    commitWithRebase(spark, tableDir, latest => Some((latest.entries,
+      (value match {
+        case Some(v) => latest.meta + (key -> v)
+        case None    => latest.meta - key
+      }) + ("op" -> (if (value.isDefined) "set_property" else "unset_property")))))
+
   /** Post-commit change-file materialization (see [[setChangeFiles]]):
     * runs the exact [[stepChanges]] computation the feed's fallback
     * would run for (v-1, v] — zero semantic-drift risk — and publishes

@@ -83,7 +83,7 @@ import _root_.graft.operators.Versioned
   * candidate files plus an O(ids) sidecar write. The Delta/Iceberg
   * catalog surfaces are shape references only. */
 class VersionedCatalog extends TableCatalog with ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -299,10 +299,36 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog
         require(r.fieldNames.length == 1,
           "nested fields are not addressable — graft schema evolution is top-level")
         Versioned.renameColumn(spark, dir, r.fieldNames.head, r.newName): Unit
+      // SET/UNSET TBLPROPERTIES for the pruning layout: a metadata-only
+      // commit retargeting what FUTURE ingests record (existing files
+      // keep their stats — compact() re-baselines them to the new
+      // layout). The idColumn is IDENTITY, not layout: deletion
+      // vectors, constraints and row-level deltas all key on it, so it
+      // refuses — recreate (or CTAS) to re-key a corpus.
+      case sp: TableChange.SetProperty
+          if Set("statscolumn", "bloomcolumn")
+            .contains(sp.property.toLowerCase(java.util.Locale.ROOT)) =>
+        val canonical = if (sp.property.equalsIgnoreCase("statsColumn"))
+          "statsColumn" else "bloomColumn"
+        val schema = loadTable(ident).schema()
+        require(schema.fieldNames.contains(sp.value),
+          s"${sp.property} '${sp.value}' is not a column of the table " +
+            s"(have ${schema.fieldNames.mkString(", ")})")
+        Versioned.setStandingMeta(spark, dir,
+          s"catalog.$canonical", Some(sp.value)): Unit
+      case rp: TableChange.RemoveProperty
+          if Set("statscolumn", "bloomcolumn")
+            .contains(rp.property.toLowerCase(java.util.Locale.ROOT)) =>
+        val canonical = if (rp.property.equalsIgnoreCase("statsColumn"))
+          "statsColumn" else "bloomColumn"
+        Versioned.setStandingMeta(spark, dir, s"catalog.$canonical", None): Unit
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported: schema evolution on " +
-          "a versioned corpus is widen-only (ADD COLUMN, RENAME COLUMN); " +
-          "type changes and drops need an explicit rewrite")
+          "a versioned corpus is widen-only (ADD COLUMN, RENAME COLUMN), " +
+          "and of the table properties only the pruning layout " +
+          "(statsColumn, bloomColumn) may move — the idColumn is the " +
+          "table's identity (vectors, constraints and row-level deltas " +
+          "key on it); type changes and drops need an explicit rewrite")
     }
     loadTable(ident)
   }
@@ -335,6 +361,95 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog
 
   override def invalidateTable(ident: Identifier): Unit =
     Versioned.snapshotCacheClear()
+
+  // ------------------------------------------------------------------
+  // Namespaces, path-derived like everything else: a namespace IS a
+  // warehouse subdirectory that is not itself a table (no _manifests)
+  // and not hidden. Zero catalog state — CREATE NAMESPACE is mkdirs,
+  // DROP NAMESPACE (non-cascade) refuses while anything lives inside,
+  // and there is no namespace metadata to alter (a comment or owner
+  // would have to live in some side store this catalog deliberately
+  // does not have). Namespaced TABLES already resolve with no help
+  // from this surface — identifiers are paths — so this exists for
+  // the DDL statements themselves: SHOW NAMESPACES, CREATE/DROP
+  // NAMESPACE, and the engines' existence probes.
+  // ------------------------------------------------------------------
+  private def nsPath(namespace: Seq[String]): Path =
+    new Path((warehouse +: namespace).mkString("/"))
+
+  private def isTableDir(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    fs.exists(new Path(p, "_manifests"))
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    if (namespace.isEmpty) true
+    else {
+      val p = nsPath(namespace.toSeq)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      namespace.forall(!_.startsWith(".")) && fs.exists(p) &&
+        fs.getFileStatus(p).isDirectory && !isTableDir(fs, p)
+    }
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    val p = nsPath(namespace.toSeq)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+        !isTableDir(fs, s.getPath))
+      .map(s => namespace :+ s.getPath.getName)
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    new util.HashMap[String, String]() // zero-state: nothing recorded
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    require(namespace.nonEmpty && namespace.forall(n =>
+      n.nonEmpty && !n.startsWith(".") && !n.contains("/")),
+      s"invalid namespace ${namespace.mkString(".")}")
+    val meaningful = metadata.asScala.keys
+      .filterNot(Set(SupportsNamespaces.PROP_OWNER))
+    require(meaningful.isEmpty,
+      s"namespace properties (${meaningful.mkString(", ")}) are not " +
+        "supported: this catalog is purely path-derived and records no " +
+        "namespace metadata")
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    val p = nsPath(namespace.toSeq)
+    require(!isTableDir(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p),
+      s"${namespace.mkString(".")} is a table, not a namespace")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "ALTER NAMESPACE is not supported: this catalog records no " +
+        "namespace metadata (purely path-derived, zero state)")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) false
+    else {
+      val p = nsPath(namespace.toSeq)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(namespace)
+      Versioned.snapshotCacheClear() // cascade may remove tables
+      fs.delete(p, true)
+    }
+  }
 
   // ------------------------------------------------------------------
   // Stored procedures: the maintenance surface as plain SQL —

@@ -196,6 +196,43 @@ class VersionedCatalogSpec extends SparkSuite {
     assert(msgs(part).exists(_.contains("physical layout")))
   }
 
+  test("namespaces are path-derived: DDL, nesting, and the table/namespace distinction") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.bronze")
+    spark.sql(s"CREATE TABLE $cat.bronze.docs (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.bronze.docs VALUES (1)")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).toSeq === Seq("bronze"))
+    assert(spark.sql(s"SHOW TABLES IN $cat.bronze").collect()
+      .map(_.getString(1)).toSeq === Seq("docs"))
+
+    // a TABLE directory is never listed as a namespace, and a top-level
+    // table lives beside namespaces without colliding
+    spark.sql(s"CREATE TABLE $cat.plain (id BIGINT)")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).toSeq === Seq("bronze"))
+
+    // non-cascade drop refuses while anything lives inside; cascade
+    // reclaims the subtree
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $cat.bronze") }
+    assert(spark.sql(s"SELECT * FROM $cat.bronze.docs").count() === 1)
+    spark.sql(s"DROP NAMESPACE $cat.bronze CASCADE")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").count() === 0)
+    assert(!new java.io.File(s"$wh/bronze").exists())
+
+    // zero-state refusals: namespace properties and ALTER NAMESPACE
+    val prop = intercept[Exception] {
+      spark.sql(s"CREATE NAMESPACE $cat.np COMMENT 'nope'")
+    }
+    assert(String.valueOf(prop.getMessage).contains("path-derived"))
+    spark.sql(s"CREATE NAMESPACE $cat.silver")
+    val alter = intercept[Exception] {
+      spark.sql(s"ALTER NAMESPACE $cat.silver SET PROPERTIES ('k' = 'v')")
+    }
+    assert(String.valueOf(alter.getMessage).contains("no"),
+      s"got: ${alter.getMessage}")
+  }
+
   test("INSERT OVERWRITE and TRUNCATE TABLE are history-preserving commits") {
     val (cat, wh) = freshCatalog()
     def content() = spark.sql(s"SELECT doc_id, v FROM $cat.o").collect()
@@ -388,6 +425,28 @@ class VersionedCatalogSpec extends SparkSuite {
       spark.sql(s"ALTER TABLE $cat.e DROP COLUMN score")
     }
     assert(msgs(dc).exists(_.contains("widen-only")), s"got: ${msgs(dc)}")
+
+    // SET/UNSET TBLPROPERTIES retarget the pruning LAYOUT as
+    // metadata-only commits: future ingests record the new stats
+    // column, nothing rewrites; the idColumn (identity) still refuses
+    spark.sql(s"ALTER TABLE $cat.e SET TBLPROPERTIES ('statsColumn' = 'id')")
+    assert(Versioned.snapshot(spark, s"$wh/e").meta
+      .get("catalog.statsColumn").contains("id"))
+    spark.sql(s"INSERT INTO $cat.e VALUES (7, 'g', 0.1)")
+    val newest = Versioned.snapshot(spark, s"$wh/e").entries
+      .filterNot(e => Versioned.snapshot(spark, s"$wh/e", Some(5)).files.contains(e.path))
+    assert(newest.nonEmpty && newest.forall(_.statsFor("id").isDefined),
+      "ingests after SET TBLPROPERTIES record the new layout")
+    val badCol = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.e SET TBLPROPERTIES ('statsColumn' = 'nope')")
+    }
+    assert(msgs(badCol).exists(_.contains("not a column")), s"got: ${msgs(badCol)}")
+    spark.sql(s"ALTER TABLE $cat.e UNSET TBLPROPERTIES ('statsColumn')")
+    assert(!Versioned.snapshot(spark, s"$wh/e").meta.contains("catalog.statsColumn"))
+    val idp = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.e SET TBLPROPERTIES ('idColumn' = 'score')")
+    }
+    assert(msgs(idp).exists(_.contains("identity")), s"got: ${msgs(idp)}")
   }
 
   test("CALL procedures: the maintenance surface through plain SQL") {

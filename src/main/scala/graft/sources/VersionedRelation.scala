@@ -55,8 +55,9 @@ class VersionedRelation(override val sqlContext: SQLContext,
     * time `statsColumn`/`bloomColumn` options ride along, so a table
     * registered with a pruning layout KEEPS it on every SQL ingest
     * (exactly as createRelation-with-data and the streaming sink do).
-    * `INSERT OVERWRITE` refuses typed for the same reason
-    * `SaveMode.Overwrite` does; a time-traveled relation refuses —
+    * `INSERT OVERWRITE` lands as ONE [[Versioned.replaceContent]]
+    * commit — the versioned, RESTORE-revertible full refresh, same as
+    * the v2 catalog's overwrite; a time-traveled relation refuses —
     * commits land on latest only. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(version.isEmpty,
@@ -64,12 +65,11 @@ class VersionedRelation(override val sqlContext: SQLContext,
         "always lands on the table's latest version; re-resolve the table " +
         "without versionAsOf/timestampAsOf")
     if (overwrite)
-      throw new UnsupportedOperationException(
-        "graft-versioned refuses INSERT OVERWRITE: replacing a versioned " +
-          "corpus silently would bypass its audit history — express the " +
-          "rewrite as commits (deleteIds + append, or restore)")
-    Versioned.append(data, tableDir, statsCol = statsCol,
-      bloomCol = bloomCol): Unit
+      Versioned.replaceContent(data, tableDir, statsCol = statsCol,
+        bloomCol = bloomCol): Unit
+    else
+      Versioned.append(data, tableDir, statsCol = statsCol,
+        bloomCol = bloomCol): Unit
   }
 
   /** Resolved ONCE: "latest" pins to a concrete version here, so the
@@ -215,14 +215,16 @@ object VersionedRelation {
   * (conflict rebase, CHECK constraints, stats/rows recording, schema
   * evolution rules all apply, because it IS that call),
   * `ErrorIfExists` is [[Versioned.init]], `Ignore` no-ops on an
-  * existing table. `Overwrite` refuses typed: silently replacing a
-  * versioned corpus is how training data dies — [[Versioned.restore]]
-  * / `deleteIds` + append express every legitimate rewrite as an
-  * auditable commit. Write-side options may carry `statsColumn` /
+  * existing table. `Overwrite` is [[Versioned.replaceContent]] — the
+  * versioned, RESTORE-revertible full refresh (init on a missing
+  * table): nothing is silently replaced when every prior version
+  * still serves, which is the line that keeps training data alive.
+  * Write-side options may carry `statsColumn` /
   * `bloomColumn` so DataSource ingests keep the pruning layout.
   * SQL writes: `INSERT INTO` a catalog-registered table commits
   * through the same append discipline ([[VersionedRelation.insert]]);
-  * `INSERT OVERWRITE` refuses typed. Catalog-cached resolutions keep
+  * `INSERT OVERWRITE` is the same replaceContent commit. Catalog-cached
+  * resolutions keep
   * serving their pinned snapshot (the snapshot-isolation line, and the
   * standard v1 catalog contract) — `REFRESH TABLE` re-pins to latest.
   * Streaming writes: `df.writeStream.format("graft-versioned")` is
@@ -287,10 +289,14 @@ class VersionedSourceProvider extends RelationProvider
         if (!exists) Versioned.init(data, tableDir, statsCol = statsCol,
           bloomCol = bloomCol): Unit
       case Overwrite =>
-        throw new UnsupportedOperationException(
-          "graft-versioned refuses mode('overwrite'): replacing a versioned " +
-            "corpus silently would bypass its audit history — express the " +
-            "rewrite as commits (deleteIds + append, or restore)")
+        // the versioned full refresh: ONE replaceContent commit on an
+        // existing table (history intact, RESTORE undoes it — nothing
+        // is silently replaced when every prior version still serves),
+        // an ordinary init on a missing one
+        if (exists) Versioned.replaceContent(data, tableDir,
+          statsCol = statsCol, bloomCol = bloomCol): Unit
+        else Versioned.init(data, tableDir, statsCol = statsCol,
+          bloomCol = bloomCol): Unit
     }
     createRelation(sqlContext, parameters)
   }

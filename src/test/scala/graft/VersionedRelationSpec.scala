@@ -167,12 +167,20 @@ class VersionedRelationSpec extends SparkSuite {
       .mode("ignore").save()
     assert(Versioned.countAt(spark, dir).count === 91L)
 
-    // Overwrite: refused typed — versioned corpora are rewritten as commits
-    val ow = intercept[Exception] { w(docs()).mode("overwrite").save() }
     def all(e: Throwable): Seq[Throwable] =
       Option(e).toSeq.flatMap(x => x +: all(x.getCause))
-    assert(all(ow).exists(x => Option(x.getMessage)
-      .exists(_.contains("refuses mode('overwrite')"))))
+
+    // Overwrite: the versioned full refresh — ONE replaceContent
+    // commit, history intact (the pre-refresh count still time-travels)
+    val preOwVersion = Versioned.versions(spark, dir).max
+    w(docs().limit(5)).mode("overwrite").save()
+    assert(Versioned.countAt(spark, dir).count === 5L)
+    assert(Versioned.versions(spark, dir).max === preOwVersion + 1,
+      "mode('overwrite') is exactly one commit")
+    assert(Versioned.countAt(spark, dir, Some(preOwVersion)).count === 91L,
+      "the overwritten content is history, not gone")
+    Versioned.restore(spark, dir, preOwVersion): Unit
+    assert(Versioned.countAt(spark, dir).count === 91L)
 
     // append to a missing table points at init, not a silent create
     val miss = intercept[Exception] {
@@ -209,7 +217,7 @@ class VersionedRelationSpec extends SparkSuite {
     assert(rel().count() === 89)
   }
 
-  test("catalog DDL: CREATE TABLE resolves the relation; INSERT INTO commits through append; OVERWRITE refuses") {
+  test("catalog DDL: CREATE TABLE resolves the relation; INSERT INTO commits through append; OVERWRITE is a versioned refresh") {
     import spark.implicits._
     val dir = freshDir()
     Versioned.init(docs(30), dir) // v0
@@ -232,17 +240,16 @@ class VersionedRelationSpec extends SparkSuite {
     assert(spark.table("graft_vrel_ddl").count() === 31,
       "REFRESH TABLE re-pins onto the committed insert")
 
-    // INSERT OVERWRITE refuses typed: history is never silently replaced
-    val ex = intercept[Exception] {
-      spark.sql("INSERT OVERWRITE TABLE graft_vrel_ddl VALUES (1, 'x', 1)")
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else String.valueOf(t.getMessage) +: msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("INSERT OVERWRITE")),
-      s"expected the typed overwrite refusal, got: ${ex.getMessage}")
-    assert(Versioned.versions(spark, dir) === Seq(0, 1),
-      "the refused overwrite must publish nothing")
+    // INSERT OVERWRITE: the versioned full refresh — one commit,
+    // history intact, RESTORE-revertible (the v2 catalog's semantics,
+    // matched on the v1 surface)
+    spark.sql("INSERT OVERWRITE TABLE graft_vrel_ddl VALUES (1, 'x', 1)")
+    assert(Versioned.versions(spark, dir) === Seq(0, 1, 2),
+      "the overwrite is exactly one commit")
+    assert(Versioned.countAt(spark, dir).count === 1L)
+    assert(Versioned.countAt(spark, dir, Some(1)).count === 31L,
+      "the overwritten content is history, not gone")
+    Versioned.restore(spark, dir, 1): Unit
 
     // inserts on a time-traveled relation refuse — commits land on latest
     val tt = intercept[IllegalArgumentException] {

@@ -713,7 +713,7 @@ object SparkEntry {
     // packing (chunk order = (doc, chunk) via a synthetic unique chunk
     // key) — what actually ships to the trainer, oracled as ONE SQL
     "pipeline_pretraining_export" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = fanOut(s, Tables.documents(s, dir))
       val kept = Scoring.qualityDecisions(docs, threshold = 0.35)
         .filter(col("decision") === "keep").select("doc_id")
       val chunks = TextOps.chunkByTokens(docs.join(kept, Seq("doc_id")))
@@ -757,7 +757,7 @@ object SparkEntry {
     // batch model inference: linear quality head, literal weights folded
     // into one codegen'd projection — the keep/drop gate shape
     "score_quality_model" -> ((s, dir) =>
-      Scoring.qualityDecisions(Tables.documents(s, dir))),
+      Scoring.qualityDecisions(fanOut(s, Tables.documents(s, dir)))),
     // TRAIN the classifier distributed: 3 full-batch GD iterations for a
     // logistic head predicting lang=='en' from the quality features —
     // per-iteration gradients are decimal sums of 8dp-rounded per-row
@@ -796,7 +796,7 @@ object SparkEntry {
     // intent (docs with both 'dup' AND 'spark'): docs the keyword
     // ranker scores high on partial matches are exactly the negatives
     "retrieval_hard_negatives" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = fanOut(s, Tables.documents(s, dir))
       val toks = Dedup.tokens(col("text"))
       Retrieval.hardNegatives(
         Retrieval.bm25(docs, BmQueryTerms, k = 20),
@@ -808,7 +808,7 @@ object SparkEntry {
     // broadcast — never a partitioned cartesian); ranks kept so a
     // trainer can curriculum over difficulty
     "retrieval_triplets" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = fanOut(s, Tables.documents(s, dir))
       val toks = Dedup.tokens(col("text"))
       val ranked = Retrieval.bm25(docs, BmQueryTerms, k = 20)
       val gold = docs
@@ -825,17 +825,17 @@ object SparkEntry {
     // corpus bigram LM, trained + scored in one pass (KenLM-shaped
     // fluency QA; rational probabilities — no libm, decimal-mean)
     "lm_bigram_fluency" -> ((s, dir) =>
-      LangModel.selfFluency(Tables.documents(s, dir))),
+      LangModel.selfFluency(fanOut(s, Tables.documents(s, dir)))),
     // CCNet-style per-language quality terciles — EVERY doc bucketed,
     // no-bigram docs deterministically in the tail (see
     // [[LangModel.ccnetBuckets]]; oracle mirrors the LEFT join and the
     // explicit NULLS LAST)
     "lm_ccnet_buckets" -> ((s, dir) =>
-      LangModel.ccnetBuckets(Tables.documents(s, dir))),
+      LangModel.ccnetBuckets(fanOut(s, Tables.documents(s, dir)))),
     // token-window chunking (RAG/pretraining segmentation) — chunk text
     // compared by md5 to keep the oracle diff small
     "chunk_documents" -> ((s, dir) =>
-      TextOps.chunkByTokens(Tables.documents(s, dir))
+      TextOps.chunkByTokens(fanOut(s, Tables.documents(s, dir)))
         .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))),
     // ordered conversion funnel over event time (floored-second
@@ -1308,14 +1308,18 @@ object SparkEntry {
     // join is a correctness baseline, not a throughput claim — the slice
     // keeps the oracle exact while the bench no longer pays the full
     // quadratic sweep. The full-corpus path is ann_knn_join below.
+    // fanOut on the STREAMED side of both join forms: the query batch
+    // broadcasts (exact) / the corpus broadcasts (IVF), so the scoring
+    // + partial top-k work is fused into the other side's single-task
+    // fixture scan — the fan spreads the O(pairs) math across cores
     "knn_join" -> ((s, dir) =>
       KnnJoin.knnJoinExact(
         Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0),
-        Tables.embeddings(s, dir), k = 3)),
+        fanOut(s, Tables.embeddings(s, dir)), k = 3)),
     // approximate join off the SAME persisted IVF index ann_ivf serves
     // from; engine-specific centroids -> rows-only, recall spec-pinned
     "ann_knn_join" -> ((s, dir) =>
-      KnnJoin.annJoinIvf(Tables.embeddings(s, dir),
+      KnnJoin.annJoinIvf(fanOut(s, Tables.embeddings(s, dir)),
         ivfIndexLoaded(s, dir), k = 3, nProbe = 8)),
 
     // --- driver-visible ANN quality: recall@k vs the exact twin computed
@@ -1497,10 +1501,13 @@ object SparkEntry {
     // exact baseline runs on — a sampled estimate, which is the only
     // affordable form at corpus scale
     "ann_knn_join_recall" -> ((s, dir) => {
-      val slice = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+      // fanned on both streamed sides (same rationale as ann_knn_join)
+      val slice = fanOut(s, Tables.embeddings(s, dir))
+        .filter(col("vec_id") % 10 === 0)
       Recall.atKGated(
         KnnJoin.annJoinIvf(slice, ivfIndexLoaded(s, dir), k = 3, nProbe = 8),
-        KnnJoin.knnJoinExact(slice, Tables.embeddings(s, dir), k = 3), k = 3, floor = 0.70)
+        KnnJoin.knnJoinExact(slice, fanOut(s, Tables.embeddings(s, dir)), k = 3),
+        k = 3, floor = 0.70)
     }),
 
     // --- embedding-column statistics (corpus QA) ---
@@ -1516,8 +1523,11 @@ object SparkEntry {
     // Xᵀ(Xv) passes from the all-ones start, decimal-summed 8dp
     // contributions, max-abs (rational) normalization — the oracle
     // replays every step
+    // fanOut: each iteration posexplodes dim components per row and
+    // decimal-rounds them — per-row work otherwise fused into the
+    // single-task fixture scan that the pinned frame inherits
     "vector_power_iteration" -> ((s, dir) =>
-      VectorStats.powerIterate(Tables.embeddings(s, dir), dim = 64)),
+      VectorStats.powerIterate(fanOut(s, Tables.embeddings(s, dir)), dim = 64)),
     // exact + approximate distinct counting
     "events_distinct_users" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
@@ -1629,14 +1639,14 @@ object SparkEntry {
     }),
 
     // --- text analysis (E3) ---
-    "text_stats" -> ((s, dir) => TextOps.statsByLang(Tables.documents(s, dir))),
-    "text_quality" -> ((s, dir) => TextOps.qualityReport(Tables.documents(s, dir))),
+    "text_stats" -> ((s, dir) => TextOps.statsByLang(fanOut(s, Tables.documents(s, dir)))),
+    "text_quality" -> ((s, dir) => TextOps.qualityReport(fanOut(s, Tables.documents(s, dir)))),
     // deflate compression ratio as a repetitiveness/noise signal
     // (RedPajama-v2 / Dolma heuristic). Rows-only: DuckDB has no
     // deflate; determinism + ordering pinned by TextOpsSpec, and the
     // gate row below bounds the values each round
     "text_compression" -> ((s, dir) =>
-      TextOps.compressionReport(Tables.documents(s, dir))),
+      TextOps.compressionReport(fanOut(s, Tables.documents(s, dir)))),
     // GATED bounds for the deflate kernel (zlib has no DuckDB rendition,
     // so this row is its hard driver signal): the fixture corpus is
     // scale-invariant word soup, so its ratio distribution is stable —
@@ -1648,7 +1658,7 @@ object SparkEntry {
     // mis-pin, buffer truncation, flag inversion) lands far outside,
     // while fixture regeneration noise never moves the mean by 0.07.
     "text_compression_gate" -> ((s, dir) =>
-      TextOps.compressionReport(Tables.documents(s, dir))
+      TextOps.compressionReport(fanOut(s, Tables.documents(s, dir)))
         .agg(
           count(lit(1)).as("n_docs"),
           round(min(col("deflate_ratio")), 4).as("min_ratio"),
@@ -1667,9 +1677,9 @@ object SparkEntry {
     // per-doc unigram Shannon entropy (vocabulary diversity); decimal
     // term sums keep the 4dp rounding order-free in both engines
     "text_entropy" -> ((s, dir) =>
-      TextOps.entropyReport(Tables.documents(s, dir))),
+      TextOps.entropyReport(fanOut(s, Tables.documents(s, dir)))),
     "text_langid" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
+      fanOut(s, Tables.documents(s, dir)).select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"), col("lang").as("lang_actual"))),
     // md5-hex winnowing form so DuckDB can hash-compare it; the xxhash64
     // form (TextOps.fingerprint) is the scale default, spec-covered
@@ -1678,22 +1688,22 @@ object SparkEntry {
         TextOps.fingerprintMd5(col("text")).as("fingerprint"))),
 
     "text_tokens_bpe" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
+      fanOut(s, Tables.documents(s, dir)).select(col("doc_id"),
         TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
     "text_top_terms" -> ((s, dir) =>
-      TextOps.topTermsByRelevance(Tables.documents(s, dir), k = 3)),
+      TextOps.topTermsByRelevance(fanOut(s, Tables.documents(s, dir)), k = 3)),
     "text_repetition" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
+      fanOut(s, Tables.documents(s, dir)).select(col("doc_id"),
         TextOps.repetitionRatio(col("text")).as("rep_ratio"))),
     // Gopher-style rule suite: signals + verdict, all rational arithmetic
     "quality_gopher" -> ((s, dir) =>
-      TextOps.gopherReport(Tables.documents(s, dir))),
+      TextOps.gopherReport(fanOut(s, Tables.documents(s, dir)))),
     // token-count length distribution
     "text_histogram" -> ((s, dir) =>
-      TextOps.tokenHistogram(Tables.documents(s, dir))),
+      TextOps.tokenHistogram(fanOut(s, Tables.documents(s, dir)))),
     // data-driven quality gate: worst decile by exact percentile
     "quality_calibrated" -> ((s, dir) =>
-      TextOps.calibratedQualityGate(Tables.documents(s, dir), q = 0.1)),
+      TextOps.calibratedQualityGate(fanOut(s, Tables.documents(s, dir)), q = 0.1)),
     // cross-document repeated 8-grams (boilerplate / memorization audit)
     // on the corpus-with-planted-exact-dupes fixture so the report is
     // guaranteed non-vacuous
@@ -1727,7 +1737,7 @@ object SparkEntry {
     //     BM25's rational idf + fixed parenthesization mirror the oracle
     //     token for token, so the scores hash-match cross-engine) ---
     "retrieval_bm25" -> ((s, dir) =>
-      Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20)),
+      Retrieval.bm25(fanOut(s, Tables.documents(s, dir)), BmQueryTerms, k = 20)),
     // the SAME query served from the persisted inverted index (no corpus
     // scan, no tokenize, postings pruned to the terms' buckets) — held to
     // the scan path's full hash oracle, so build+serve must reproduce the
@@ -1738,7 +1748,7 @@ object SparkEntry {
     // against a term-presence gold set — per-rank gains quantized 6dp
     // and decimal-summed, ideal DCG from the same quantization
     "retrieval_eval_ndcg" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = fanOut(s, Tables.documents(s, dir))
       val ranking = Retrieval.bm25(docs, BmQueryTerms, k = 20)
         .select(lit(0L).as("query_id"), col("doc_id"), col("rank"))
       val gold = docs
@@ -1753,10 +1763,10 @@ object SparkEntry {
     "retrieval_bm25_append_agreement" -> ((s, dir) =>
       Recall.setAgreement(
         Retrieval.bm25FromIndex(s, bm25AppendedIndexPath(s, dir), BmQueryTerms, k = 20),
-        Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20),
+        Retrieval.bm25(fanOut(s, Tables.documents(s, dir)), BmQueryTerms, k = 20),
         on = Seq("doc_id", "score", "rank"), floor = 1.0, minCount = 1L)),
     "retrieval_rrf" -> ((s, dir) => {
-      val kw = Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20)
+      val kw = Retrieval.bm25(fanOut(s, Tables.documents(s, dir)), BmQueryTerms, k = 20)
       // vector half: cosine top-20 for one probe vector; vec_id and
       // doc_id share the 0..N id space in the fixtures, the convention
       // every embeddings-of-documents layout uses
@@ -1931,7 +1941,7 @@ object SparkEntry {
     // oracle-checked: probabilities are exact integer ratios and the
     // Gumbel noise is md5-derived (no engine RNG).
     "dsir_select" -> ((s, dir) =>
-      Dsir.select(Tables.documents(s, dir),
+      Dsir.select(fanOut(s, Tables.documents(s, dir)),
         array_contains(Dedup.tokens(col("text")), "dup"), k = 100)),
     // GATED: the feature-hashed scale path (ratio frame bounded by
     // numBuckets — broadcastable at any corpus vocabulary) must select
@@ -1944,7 +1954,7 @@ object SparkEntry {
       // collision drift at ANY corpus), and the seed-token docs are
       // uniform in id so the slice keeps the target set populated at
       // every SF (df ~5% -> hundreds of seed docs even at sf0.01)
-      val docs = quarterSlice(Tables.documents(s, dir))
+      val docs = quarterSlice(fanOut(s, Tables.documents(s, dir)))
       val pred = array_contains(Dedup.tokens(col("text")), "dup")
       // one shared tokenization for both compared paths (gate policy:
       // the value is the comparison, not re-timing the explode)
@@ -2361,8 +2371,14 @@ object SparkEntry {
     "star_moving_revenue" -> ((s, dir) =>
       Relational.movingRevenue(Tables.table(s, dir, "orders"))),
     // Q2-flavored correlated min via per-part window rank
+    // fanOut on the pair key: the 600k-row decimal cast + partial-agg
+    // work otherwise runs inside the single-task scan (one row group);
+    // hash-repartitioning on the group keys parallelizes it AND elides
+    // the aggregation's own exchange — same single-shuffle plan, 32-wide
     "star_min_cost_supplier" -> ((s, dir) =>
-      Relational.minCostSupplier(Tables.table(s, dir, "lineitem"),
+      Relational.minCostSupplier(
+        fanOut(s, Tables.table(s, dir, "lineitem"),
+          col("l_partkey"), col("l_suppkey")),
         Tables.table(s, dir, "supplier"))),
     // Q21-flavored EXISTS/NOT-EXISTS pair as one per-order aggregation;
     // the oracle keeps the correlated-subquery form
@@ -2517,7 +2533,7 @@ object SparkEntry {
       // cosine exactly 1 while unrelated docs decorrelate toward 0
       val feats = pinnedMultimodalFeatures(
         Multimodal.dhashFeaturesBatched(
-          Multimodal.withTextBmpContent(docsWithExactDupes(s, dir).repartition(32))))
+          Multimodal.withTextBmpContent(docsWithExactDupes(s, dir))))
       // 64 planes -> 16-bit bands: identical features share every band
       // (byte-copy recall 1); decorrelated dhash vectors rarely collide
       Dedup.cosinePairsLsh(feats, dim = Multimodal.dhashFeatureDim(),
@@ -2611,7 +2627,7 @@ object SparkEntry {
     // single half-boundary literal-replace merge application — in
     // generated SQL, so each learned merge is a hash-compared fact
     "text_bpe_merges" -> ((s, dir) =>
-      Bpe.learnMerges(Tables.documents(s, dir), 6)),
+      Bpe.learnMerges(fanOut(s, Tables.documents(s, dir)), 6)),
     // encode the corpus with the LEARNED tokenizer: segment every word
     // with the 6 merges (learned once per (JVM, fixture) — the
     // build-once/serve-many lifecycle the index family uses) and emit
@@ -2619,7 +2635,7 @@ object SparkEntry {
     // chain one application further and re-counts
     "text_bpe_tokens" -> ((s, dir) => {
       val seg = bpeMerges(s, dir).foldLeft(
-          Bpe.wordVocab(Tables.documents(s, dir))) { case (v, (a, b)) =>
+          Bpe.wordVocab(fanOut(s, Tables.documents(s, dir)))) { case (v, (a, b)) =>
         v.withColumn("s", Bpe.applyMerge(col("s"), a, b))
       }
       seg.select(col("freq"),
@@ -5344,12 +5360,14 @@ object SparkEntry {
     feats.localCheckpoint(true)
 
   /** documents plus exact copies of every 10th doc at id+10M (offset clear
-    * of real ids at any sf). */
+    * of real ids at any sf). fanOut for the same reason as
+    * [[docsWithNearDupes]]: consumers hash/shingle per row and the
+    * fixture scan is single-task. */
   private def docsWithExactDupes(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
-    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+    fanOut(s, d.unionByName(d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
-        col("text"), col("lang"), col("source"), col("n_chars")))
+        col("text"), col("lang"), col("source"), col("n_chars"))))
   }
 
   /** Title corpus for the edit-distance dedup row: 24-char text prefixes
@@ -5790,7 +5808,9 @@ object SparkEntry {
                FROM r)"""
 
   private def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val d = Tables.documents(s, dir).select("doc_id", "text")
+    // train side fanned: the per-doc n-gram overlap work downstream
+    // otherwise runs inside the single-task fixture scan
+    val d = fanOut(s, Tables.documents(s, dir)).select("doc_id", "text")
     val eval = d.filter(col("doc_id") % 25 === 0)
     val planted = d.filter(col("doc_id") % 50 === 0).select(
       (col("doc_id") + 20000000L).as("doc_id"),
@@ -6167,13 +6187,45 @@ object SparkEntry {
   private def quarterSlice(df: DataFrame, idCol: String = "doc_id"): DataFrame =
     df.filter((col(idCol) % 10000000L % 4L) === 0L)
 
-  /** documents plus near-copies (three words appended) of every 10th doc. */
+  /** Fan heavy per-row work OUT of an under-parallelized scan. The
+    * fixture tables are ONE parquet file of ONE row group each, and a
+    * parquet scan cannot split below a row group — so any expensive
+    * per-row stage fused into the scan (decimal casts + partial
+    * aggregation, signature hashing, …) runs as a SINGLE task while
+    * the other cores idle (guide §2.5's unsplittable-input skew). When
+    * the source resolves to fewer files than cores, repartition to
+    * core count so the per-row work parallelizes: with `keys`, a hash
+    * repartition on the downstream group/join keys (the aggregation's
+    * own ENSURE_REQUIREMENTS exchange is then elided — one shuffle
+    * total, and the scan task degenerates to decode + shuffle write);
+    * without, round-robin. Many-file inputs — the production shape,
+    * where the scan parallelizes natively and map-side partial
+    * aggregation should keep cutting shuffle bytes — skip the shuffle
+    * entirely, so this is a no-op at 100 TB. Partition count derives
+    * from the session's core count, never a constant: the driver also
+    * benches at a lower core count, and the same code must fan to THAT
+    * width. Results are unaffected: everything downstream of every
+    * call site is order-independent (exact decimal sums, min/max,
+    * counts, per-row projections). */
+  private def fanOut(s: SparkSession, df: DataFrame,
+                     keys: org.apache.spark.sql.Column*): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= p) df
+    else if (keys.isEmpty) df.repartition(p)
+    else df.repartition(p, keys: _*)
+  }
+
+  /** documents plus near-copies (three words appended) of every 10th doc.
+    * fanOut: every consumer runs shingle/signature/gram work per row,
+    * and the corpus otherwise arrives as the fixture's single-task scan
+    * — the round-robin fan parallelizes that per-row work across the
+    * session's cores (no-op on many-file inputs). */
   private def docsWithNearDupes(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
-    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+    fanOut(s, d.unionByName(d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
         concat(col("text"), lit(" extra tail words")).as("text"),
-        col("lang"), col("source"), col("n_chars")))
+        col("lang"), col("source"), col("n_chars"))))
   }
 
   /** embeddings (as double vectors) plus direction-preserving scaled

@@ -38,8 +38,9 @@ object Graphs {
     *
     * @return (node, rank) for every node in the graph */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    require(iters > 0 && damping > 0 && damping < 1)
+               srcCol: String = "src", dstCol: String = "dst",
+               checkpointInterval: Int = 8): DataFrame = {
+    require(iters > 0 && damping > 0 && damping < 1 && checkpointInterval > 0)
     // pinned: the edge list is re-joined every iteration — materialize
     // it once (standard practice for iterative graph passes; at scale
     // this is the checkpoint every Pregel-style loop pays)
@@ -54,7 +55,7 @@ object Graphs {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
       .localCheckpoint(true) // static across iterations
     var ranks = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.join(outdeg, col("node") === col("src"), "inner")
           .select(col("src").as("__u"),
@@ -68,7 +69,16 @@ object Graphs {
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint(true)
+      // PERIODIC lineage truncation, not per-round: each rank frame is
+      // referenced exactly once by the next round, so an unpinned chain
+      // executes every subtree once anyway (e/nodes/outdeg stay pinned
+      // above) — pinning every round just pays one extra job per
+      // iteration. Long chains still truncate every `checkpointInterval`
+      // rounds so the plan never grows past Catalyst comfort and a lost
+      // executor never replays the whole history. Values are unchanged
+      // either way (checkpointing is pure materialization).
+      if (i % checkpointInterval == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), round(col("rank"), 8).as("rank"))
   }

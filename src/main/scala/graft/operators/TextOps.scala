@@ -178,10 +178,14 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency as a COUNT WINDOW over the already-reduced tf
+    // frame (the [[Retrieval.bm25]] pattern): a separate tf.groupBy(term)
+    // + join re-executes the whole scan+tokenize+tf subtree — a second
+    // full corpus pass at 100 TB
+    val dfw = Window.partitionBy(col("term"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(dfw))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round((col("tf") * col("__n")).cast("double") / col("df"), 4))

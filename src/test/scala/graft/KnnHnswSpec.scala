@@ -81,6 +81,22 @@ class KnnHnswSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall@5 $recall at ef=32")
   }
 
+  test("searchMulti per-ef rows equal search at that ef (the sweep-sharing contract)") {
+    val efs = Seq(4, 8, 16, 32, 64)
+    val multi = KnnHnsw.searchMulti(graph, queries, k = 5, efs)
+      .select(col("ef"), col("query_id"), col("match_id"), col("score"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    val single = efs.flatMap { ef =>
+      KnnHnsw.search(graph, queries, k = 5, efQuery = ef)
+        .collect()
+        .map(r => (ef.toLong, r.getAs[Long]("query_id"), r.getAs[Long]("match_id"),
+          r.getAs[Double]("score"), r.getAs[Long]("rank")))
+    }.toSet
+    assert(multi === single)
+  }
+
   test("bq beam: exhaustive pool reranks to exactly the exact top-k (ids AND scores)") {
     // with ef = n the Hamming beam pool is the whole shard corpus, so the
     // exact-cosine rerank IS the exact computation — routing quality is

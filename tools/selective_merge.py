@@ -1,28 +1,39 @@
 #!/usr/bin/env python3
-"""Selective min-merge for the r18 optimization record.
+"""Selective min-merge for an optimization-round bench record.
 
-Final-code sweeps (s5, s6, s7) fold for every query. The pre-change
-baseline sweep s1 (commit e249ac6) folds ONLY for queries whose code is
-IDENTICAL between e249ac6 and the final tree — i.e. everything outside
-T_FINAL (the kept fans, the pinned gate subtrees, pageRank, and every row
-that consumes the fanned docsWithNearDupes builder directly or through a
-pinned shared frame). Intermediate-code sweeps (s2-s4, the pre-revert
-broad-fan variants) are excluded entirely: they measured code that no
-longer exists.
+Final-code sweeps fold for every query. The pre-change baseline sweep
+folds ONLY for queries whose code is IDENTICAL between the round's
+inherited HEAD and the final tree — i.e. everything outside T_FINAL
+(the queries whose code, or whose consumed builder/shared-frame code,
+changed this round). Intermediate-code sweeps are excluded entirely:
+they measured code that no longer exists.
+
+r19 ADVICE fixes: T_FINAL names are validated against the sweeps' query
+keys (an unknown name — e.g. r18's 'multimodal_dedup_text' typo — would
+silently make the real changed query eligible for baseline folding),
+and the merged record must cover exactly the base sweep's query set.
 """
 import json, sys
 
+# Queries whose code changed in r19 (directly, or through a changed
+# builder / shared frame): multimodal rows (repartition(32) -> fanOut),
+# the star argmin rewrite, the unfanned near-dup corpus consumers, the
+# persisted PQ cell encoding, the single-pass HNSW ef sweep, and the
+# shared bm25 scan frame's consumers.
 T_FINAL = set("""
-star_min_cost_supplier star_only_late_supplier ann_knn_join knn_join
-ann_knn_join_recall quality_calibrated boilerplate_ngrams
-multimodal_dedup_text graph_pagerank retrieval_mmr_agreement
-ann_ivf_deleted versioned_cdf_incremental_agg
-dedup_minhash dedup_simhash dedup_minhash_md5 dedup_simhash_md5
-dedup_ngram dedup_components dedup_best_survivor dedup_spans sql_spans
-dedup_span_clean dedup_span_cut pipeline_clean split_leakage_safe
-dedup_twin_agreement dedup_simhash_agreement dedup_stream_agreement
-dedup_incremental_agreement dedup_skew_gate dedup_skew_simhash_gate
-dedup_skew_semdedup_gate dedup_skew_link_gate
+multimodal_meta multimodal_decode multimodal_decode_mixed
+multimodal_decode_hostile multimodal_audio multimodal_audio_hostile
+multimodal_audio_features multimodal_frames multimodal_resize
+multimodal_knn multimodal_knn_recall multimodal_knn_exact
+multimodal_features multimodal_dedup multimodal_dedup_cross_codec
+multimodal_dedup_text
+star_min_cost_supplier
+dedup_components dedup_twin_agreement dedup_ngram
+dedup_best_survivor pipeline_clean
+ann_ivfpq ann_ivfpq_recall ann_hnsw_recall_sweep
+retrieval_bm25_append_agreement retrieval_rrf retrieval_hard_negatives
+retrieval_triplets retrieval_eval_ndcg retrieval_eval_mrr
+text_top_terms lm_bigram_fluency versioned_cdc_consume
 """.split())
 
 out, base_sweep, *final_sweeps = sys.argv[1:]
@@ -37,11 +48,25 @@ for p in final_sweeps:
     cal.extend(d.get("calibration", []))
 d = json.load(open(base_sweep))
 assert d.get("sf") == sf and not d.get("errors")
+# every T_FINAL name must exist in the final sweeps' query keys —
+# a typo here silently lets old-code timings into the record
+unknown = T_FINAL - set(merged)
+assert not unknown, f"T_FINAL names not in the final sweeps: {sorted(unknown)}"
 folded = 0
 for q, t in d["queries"].items():
     if q not in T_FINAL and t < merged.get(q, float("inf")):
         merged[q] = t; folded += 1
 cal.extend(d.get("calibration", []))
+# coverage: a query present only in the base sweep (or only in the
+# final sweeps) means a dropped/added row — surface it, never shrink
+# the record silently
+diff = set(merged) ^ set(d["queries"])
+extra_final = set(merged) - set(d["queries"])
+missing_final = set(d["queries"]) - set(merged)
+assert not missing_final, f"queries missing from final sweeps: {sorted(missing_final)}"
+if extra_final:
+    print(f"note: {len(extra_final)} queries are new since the base sweep: "
+          f"{sorted(extra_final)}")
 total = round(sum(merged.values()), 2)
 qs = dict(sorted(merged.items(), key=lambda kv: -kv[1]))
 json.dump({"metric": "total", "value": total, "unit": "sec", "queries": qs,

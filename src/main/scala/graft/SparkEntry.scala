@@ -145,13 +145,13 @@ object SparkEntry {
     // --- dedup suite (SURVEY §2.9 E1/E2; planted duplicates — fixtures
     //     have none naturally: 500/500 distinct texts, max cosine 0.48) ---
     "dedup_exact" -> ((s, dir) => Dedup.exactGroups(docsWithExactDupes(s, dir))),
-    // fan + per-call pin: minhashPairs references the corpus three times
-    // (signature build + both shingle-set verify sides); the pin keeps
-    // the fan's core-wide signature work while the verify sides read the
-    // materialized blocks instead of re-paying the fan shuffle
+    // fanned, UNPINNED: minhashPairs references the corpus three times
+    // (signature build + both shingle-set verify sides), but an r19 A/B
+    // measured the per-call pin a wash-to-loss in adjacent windows
+    // (0.89 vs 0.80 control-normalized) — the narrow set-build
+    // re-derivations are cheaper than the materialize-and-read
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(docsWithNearDupes(s, dir).localCheckpoint(true),
-        threshold = 0.5)),
+      Dedup.minhashPairs(docsWithNearDupes(s, dir), threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsWithNearDupes(s, dir))),
     // portable-hash (md5) twins of the two signatures above: same pipeline
@@ -159,8 +159,7 @@ object SparkEntry {
     // hash-compare oracle the xxhash64 flagships can't (agreement between
     // twin and flagship is spec-pinned in DedupSpec)
     "dedup_minhash_md5" -> ((s, dir) =>
-      Dedup.minhashPairsPortable(docsWithNearDupes(s, dir).localCheckpoint(true),
-        threshold = 0.5)),
+      Dedup.minhashPairsPortable(docsWithNearDupes(s, dir), threshold = 0.5)),
     "dedup_simhash_md5" -> ((s, dir) =>
       Dedup.simhashPairsPortable(docsWithNearDupes(s, dir))),
     // normalization-composed near-dup: Unicode-normalize BEFORE hashing,

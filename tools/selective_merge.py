@@ -21,19 +21,18 @@ import json, sys
 # persisted PQ cell encoding, the single-pass HNSW ef sweep, and the
 # shared bm25 scan frame's consumers.
 T_FINAL = set("""
-multimodal_meta multimodal_decode multimodal_decode_mixed
+multimodal_decode multimodal_decode_mixed
 multimodal_decode_hostile multimodal_audio multimodal_audio_hostile
 multimodal_audio_features multimodal_frames multimodal_resize
 multimodal_knn multimodal_knn_recall multimodal_knn_exact
-multimodal_features multimodal_dedup multimodal_dedup_cross_codec
-multimodal_dedup_text
+multimodal_features
 star_min_cost_supplier
 dedup_components dedup_twin_agreement dedup_ngram
 dedup_best_survivor pipeline_clean
-ann_ivfpq ann_ivfpq_recall ann_hnsw_recall_sweep
+ann_ivfpq ann_ivfpq_recall ann_hnsw_recall_sweep ann_hnsw_deleted
 retrieval_bm25_append_agreement retrieval_rrf retrieval_hard_negatives
-retrieval_triplets retrieval_eval_ndcg retrieval_eval_mrr
-text_top_terms lm_bigram_fluency versioned_cdc_consume
+retrieval_triplets retrieval_eval_ndcg retrieval_maxsim_recall
+text_top_terms lm_bigram_fluency lm_ccnet_buckets dsir_select
 """.split())
 
 out, base_sweep, *final_sweeps = sys.argv[1:]
